@@ -1,0 +1,242 @@
+"""The flagship assessment pipeline (SURVEY.md §3.2, entry point 1).
+
+    read_parquet -> normalize -> heuristics -> langid(actors) ->
+    perplexity(actors) -> scrub -> verdict -> salt ->
+    repartition(keys=[group_key]) -> conversation rules -> labeled turns
+
+All stateless stages fuse into one streaming pass; exactly ONE wide
+shuffle (conversation reassembly).  Giant-conversation handling is a
+three-phase protocol (SURVEY.md §4.2):
+
+  phase 0  detect_giants      — conv_id column only, partial-aggregated
+                                counts (bytes moved ~ #convs, not #turns)
+  phase 1  giant verdict pass — full signals on ONLY the giant subset,
+                                per-chunk partials -> tiny driver merge
+  phase 2  main run           — every row labeled in one pass; giant
+                                conv-verdicts applied from the broadcast map
+
+Giant rows are read/scored twice; by the skew assumption giants are a
+small fraction, and this keeps the main pass single-shuffle, streaming and
+never materializes anything large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from luzzu_ray import constants as C
+from luzzu_ray import models
+from luzzu_ray.sources import read_transcripts
+from luzzu_ray.stages.actors import LangIdScorer, PerplexityScorer
+from luzzu_ray.stages.conversation import (
+    add_group_key,
+    conv_block_fn,
+    reduce_giant_partials,
+)
+from luzzu_ray.stages.turn_stages import (
+    normalize_batch,
+    scrub_batch,
+    signals_batch,
+    verdict_batch,
+)
+
+DEFAULT_ACTOR_POOL = (1, 8)
+DEFAULT_MODEL_BATCH = 4096
+
+
+def cluster_cpus() -> int:
+    return max(1, int(ray.cluster_resources().get("CPU", 1)))
+
+
+def default_num_partitions() -> int:
+    """Shuffle width ≈ 2× cluster CPUs (clamped) — sized to resources, not a
+    constant, so a 4-CPU test session and a 256-node cluster both work."""
+    return min(512, max(8, 2 * cluster_cpus()))
+
+
+def _ensure_hash_shuffle() -> None:
+    """Key-based repartition requires the hash-shuffle strategy.
+
+    Cap shuffle-aggregator actors to a fraction of cluster CPUs: the
+    default (64) deadlocks a small session where aggregators + the two
+    scoring actor pools cannot all schedule at once.
+    """
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.max_hash_shuffle_aggregators = max(2, cluster_cpus() // 2)
+
+
+def put_models():
+    """Broadcast the model weights once (ray.put -> zero-copy in actors)."""
+    return ray.put(models.get_models())
+
+
+def turn_level(
+    ds: ray.data.Dataset,
+    model_ref=None,
+    *,
+    model_batch: int = DEFAULT_MODEL_BATCH,
+    actor_pool=DEFAULT_ACTOR_POOL,
+) -> ray.data.Dataset:
+    """All per-turn stages (no shuffle): signals, models, scrub, verdict."""
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(normalize_batch, **kw)
+    ds = ds.map_batches(signals_batch, **kw)
+    ds = ds.map_batches(
+        LangIdScorer,
+        batch_format="pyarrow",
+        batch_size=model_batch,
+        concurrency=actor_pool,
+        fn_constructor_kwargs={"model_ref": model_ref},
+    )
+    ds = ds.map_batches(
+        PerplexityScorer,
+        batch_format="pyarrow",
+        batch_size=model_batch,
+        concurrency=actor_pool,
+        fn_constructor_kwargs={"model_ref": model_ref},
+    )
+    ds = ds.map_batches(scrub_batch, **kw)
+    ds = ds.map_batches(verdict_batch, **kw)
+    return ds
+
+
+def detect_giants(paths, giant_min_turns: int = C.GIANT_MIN_TURNS) -> list[str]:
+    """Phase 0: conv_ids with >= giant_min_turns rows.
+
+    Reads ONLY the conv_id column; per-batch partial counts are combined by
+    a small groupby over (conv_id, n) partial rows — the shuffle moves one
+    row per conversation per batch, never the turns themselves.
+    """
+    ds = read_transcripts(paths, columns=["conv_id"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("conv_id").aggregate([("conv_id", "count")])
+        return pa.table(
+            {"conv_id": g["conv_id"], "n": pc.cast(g["conv_id_count"], pa.int64())}
+        )
+
+    parts = ds.map_batches(partial_counts, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    counts = parts.groupby("conv_id").aggregate(Sum("n", alias_name="n"))
+    big = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], giant_min_turns)),
+        batch_format="pyarrow",
+    )
+    return [r["conv_id"] for r in big.take_all()]
+
+
+def compute_giant_verdicts(
+    paths,
+    giants: list[str],
+    model_ref=None,
+    *,
+    num_partitions: int | None = None,
+    actor_pool=DEFAULT_ACTOR_POOL,
+) -> dict[str, str]:
+    """Phase 1: conversation-level verdicts for giant convs (two-level agg)."""
+    if not giants:
+        return {}
+    _ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    giant_arr = pa.array(giants, pa.string())
+    ds = read_transcripts(paths)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["conv_id"], value_set=giant_arr)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = turn_level(ds, model_ref, actor_pool=actor_pool)
+    ds = ds.map_batches(
+        add_group_key, fn_kwargs={"giant_ids": giant_arr},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ds = ds.repartition(num_blocks=num_partitions, keys=["group_key"])
+    partials = ds.map_batches(
+        conv_block_fn, fn_kwargs={"emit": "partials"},
+        batch_format="pyarrow", batch_size=None,
+    )
+    # one row per chunk — tiny
+    tbl = pa.Table.from_pylist(
+        partials.take_all(),
+        schema=pa.schema(
+            [("conv_id", pa.string()), ("valid", pa.int64()), ("total", pa.int64())]
+        ),
+    )
+    return reduce_giant_partials(tbl)
+
+
+def build_labeled(
+    paths_or_ds,
+    *,
+    model_ref=None,
+    giants: list[str] | None = None,
+    giant_verdicts: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+    model_batch: int = DEFAULT_MODEL_BATCH,
+    actor_pool=DEFAULT_ACTOR_POOL,
+    conv_min_turns: int = C.CONV_MIN_TURNS,
+) -> ray.data.Dataset:
+    """Phase 2: the full labeled-turns dataset (lazy; one shuffle)."""
+    _ensure_hash_shuffle()
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    if isinstance(paths_or_ds, ray.data.Dataset):
+        ds = paths_or_ds
+    else:
+        ds = read_transcripts(paths_or_ds)
+    ds = turn_level(ds, model_ref, model_batch=model_batch, actor_pool=actor_pool)
+    giant_arr = pa.array(giants or [], pa.string())
+    ds = ds.map_batches(
+        add_group_key, fn_kwargs={"giant_ids": giant_arr},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ds = ds.repartition(num_blocks=num_partitions, keys=["group_key"])
+    ds = ds.map_batches(
+        conv_block_fn,
+        fn_kwargs={
+            "giant_verdicts": giant_verdicts or {},
+            "conv_min_turns": conv_min_turns,
+        },
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return ds
+
+
+def run_flagship(
+    input_dir_or_paths,
+    *,
+    giant_min_turns: int = C.GIANT_MIN_TURNS,
+    num_partitions: int | None = None,
+    model_batch: int = DEFAULT_MODEL_BATCH,
+    actor_pool=DEFAULT_ACTOR_POOL,
+    skip_giant_detection: bool = False,
+) -> ray.data.Dataset:
+    """All three phases; returns the lazy labeled dataset."""
+    model_ref = put_models()
+    if skip_giant_detection:
+        giants, verdicts = [], {}
+    else:
+        giants = detect_giants(input_dir_or_paths, giant_min_turns)
+        verdicts = compute_giant_verdicts(
+            input_dir_or_paths, giants, model_ref,
+            num_partitions=num_partitions, actor_pool=actor_pool,
+        )
+    return build_labeled(
+        input_dir_or_paths,
+        model_ref=model_ref,
+        giants=giants,
+        giant_verdicts=verdicts,
+        num_partitions=num_partitions,
+        model_batch=model_batch,
+        actor_pool=actor_pool,
+    )

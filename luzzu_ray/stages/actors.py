@@ -1,0 +1,68 @@
+"""Stateful actor-pool stages: langid (T1) and perplexity (T2).
+
+Each is a callable CLASS passed to ``map_batches(Cls, concurrency=...,
+batch_format="pyarrow")`` — Ray Data runs an actor pool; ``__init__`` loads
+model weights ONCE per actor, ``__call__`` scores a batch vectorized.
+Weights are broadcast once from the driver via ``ray.put`` and passed as an
+ObjectRef in ``fn_constructor_kwargs`` (zero-copy numpy views out of the
+object store on every node) — Luzzu's loaded-vocabulary side-data pattern
+(/root/reference/README.md:14), T4 in SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from luzzu_ray import constants as C
+from luzzu_ray import models
+from luzzu_ray.functions import text as TX
+from luzzu_ray.stages import register_stage
+
+# lang string lookup: index -1 (und) maps to the final element
+_LANG_LOOKUP = np.array(list(models.LANGS) + [C.LANG_UND])
+
+
+def _resolve_models(model_ref):
+    if model_ref is None:
+        return models.get_models()
+    import ray
+
+    return ray.get(model_ref)
+
+
+@register_stage("langid", version=C.STAGE_VERSIONS["langid"], stateful=True,
+                batch_size=4096)
+class LangIdScorer:
+    """fastText-style hashed char-trigram language ID (T1)."""
+
+    def __init__(self, model_ref=None):
+        self.W = _resolve_models(model_ref)["langid_W"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offs = TX.utf8_view(batch["text"])
+        idx, conf = models.langid_scores(data, offs, self.W)
+        lang = _LANG_LOOKUP[idx]
+        return (
+            batch.append_column("lang", pa.array(lang))
+            .append_column("lang_conf", pa.array(conf))
+            .append_column("lang_idx", pa.array(idx.astype(np.int8)))
+        )
+
+
+@register_stage("perplexity", version=C.STAGE_VERSIONS["perplexity"],
+                stateful=True, batch_size=4096)
+class PerplexityScorer:
+    """KenLM-style hashed char-trigram LM perplexity, stupid backoff (T2)."""
+
+    def __init__(self, model_ref=None):
+        self.tables = _resolve_models(model_ref)["ppl"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offs = TX.utf8_view(batch["text"])
+        lang_idx = (
+            batch["lang_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ppl = models.ppl_scores(data, offs, lang_idx, self.tables)
+        return batch.append_column("ppl", pa.array(ppl))
