@@ -3,42 +3,465 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Design notes:
+- Column names and value quantization match the SQL exactly (floats are
+  floored to fixed-point BIGINTs at the row level before summation so
+  cross-engine float summation order can never flip a bit).
+- Entries WITHOUT an ``oracle_sql`` twin (model scoring, LSH dedup,
+  fingerprints) get the driver's weaker rows-only check and are instead
+  value-verified in ``tests/`` against pure-Python twins.
+- Nothing here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _docs(sf_dir: str, columns=None):
+    return _tbl(sf_dir, "documents", columns)
+
+
+def _tbl(sf_dir: str, name: str, columns=None):
+    import ray.data
+
+    # a Dataset snapshots DataContext at creation: the shuffle strategy
+    # must be set BEFORE read_parquet, not at the repartition call
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Ray side)
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    from luzzu_ray.ops.textstats import doc_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    from luzzu_ray.ops.textstats import quality_score_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_doc_scrub(sf_dir: str):
+    from luzzu_ray import constants as C
+    from luzzu_ray.stages.turn_stages import scrub_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = scrub_batch(t)
+        keep = ["doc_id", "text_scrubbed"] + [f"scrub_{n}" for n in C.SCRUB_CLASSES]
+        return out.select(keep)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    from luzzu_ray.ops.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_keep_rate_by_lang_source(sf_dir: str):
+    from luzzu_ray.ops.textstats import quality_score_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = quality_score_batch(t)
+        g = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "source": t["source"],
+                    "kept": pc.cast(s["keep"], pa.int64()),
+                }
+            )
+            .group_by(["lang", "source"])
+            .aggregate([("kept", "sum"), ("kept", "count")])
+        )
+        return pa.table(
+            {"lang": g["lang"], "source": g["source"], "n_kept": g["kept_sum"],
+             "n_docs": pc.cast(g["kept_count"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = _docs(sf_dir, ["doc_id", "text", "lang", "source"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return parts.groupby(["lang", "source"]).aggregate(
+        Sum("n_kept", alias_name="n_kept"), Sum("n_docs", alias_name="n_docs")
+    )
+
+
+def q_top_sources_by_keep(sf_dir: str):
+    def finish(t: pa.Table) -> pa.Table:
+        kept = t["n_kept"].to_numpy(zero_copy_only=False).astype(np.float64)
+        docs = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q6 = np.floor(kept / docs * 1e6).astype(np.int64)
+        return t.append_column("keep_q6", pa.array(q6))
+
+    from ray.data.aggregate import Sum
+
+    base = q_keep_rate_by_lang_source(sf_dir)
+    by_src = base.groupby("source").aggregate(
+        Sum("n_kept", alias_name="n_kept"), Sum("n_docs", alias_name="n_docs")
+    )
+    scored = by_src.map_batches(finish, batch_format="pyarrow")
+    return scored.sort(["keep_q6", "source"], descending=[True, False]).limit(3)
+
+
+def q_events_user_stats(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        vq4 = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t["value"], pa.float64()), 10_000.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {"user_id": t["user_id"], "ts": t["ts"], "value_q4": vq4,
+                 "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            )
+            .group_by("user_id")
+            .aggregate([("n", "sum"), ("ts", "min"), ("ts", "max"),
+                        ("value_q4", "sum")])
+        )
+        return g.rename_columns(
+            ["user_id", "n_events", "first_ts", "last_ts", "value_q4"]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    parts = _tbl(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return parts.groupby("user_id").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Min("first_ts", alias_name="first_ts"),
+        Max("last_ts", alias_name="last_ts"),
+        Sum("value_q4", alias_name="value_q4"),
+    )
+
+
+def q_events_type_counts(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("event_type", "count")])
+        return pa.table(
+            {"event_type": g["event_type"],
+             "n": pc.cast(g["event_type_count"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = _tbl(sf_dir, "events", ["event_type"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return parts.groupby("event_type").aggregate(Sum("n", alias_name="n"))
+
+
+def q_events_sessions(sf_dir: str):
+    from luzzu_ray.ops.events import sessionize
+
+    return sessionize(_tbl(sf_dir, "events", ["user_id", "ts", "event_id"]))
+
+
+def q_tpch_q1(sf_dir: str):
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    return grouped_sum_q(
+        _tbl(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]),
+        keys=["l_returnflag", "l_linestatus"],
+        float_cols={"l_quantity": "sum_qty_q2", "l_extendedprice": "sum_price_q2"},
+        count_as="n_rows",
+        q=2,
+    )
+
+
+def q_orders_by_mktsegment(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.relational import broadcast_join, grouped_sum_q
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).rename_columns(["o_custkey", "c_mktsegment"])
+    joined = broadcast_join(
+        _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        cust, key="o_custkey", small_cols=["c_mktsegment"],
+    )
+    return grouped_sum_q(
+        joined,
+        keys=["c_mktsegment"],
+        float_cols={"o_totalprice": "total_q2"},
+        count_as="n_orders",
+        q=2,
+    )
+
+
+def q_top_customers(sf_dir: str):
+    from luzzu_ray.ops.relational import grouped_sum_q, topk
+
+    sums = grouped_sum_q(
+        _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        keys=["o_custkey"],
+        float_cols={"o_totalprice": "total_q2"},
+        q=2,
+    )
+    return topk(sums, "total_q2", 10, "o_custkey")
+
+
+N_ANN_QUERIES = 4
+ANN_K = 10
+
+
+def _query_vectors(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.filter(pc.less(t["vec_id"], N_ANN_QUERIES))
+    qids = t["vec_id"].to_pylist()
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return qids, mat
+
+
+def q_ann_topk(sf_dir: str):
+    from luzzu_ray.ops.similarity import ann_topk
+
+    qids, mat = _query_vectors(sf_dir)
+    return ann_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), mat, qids, k=ANN_K
+    )
+
+
+# --- rows-only entries (no SQL equivalent; value-tested in tests/) ---------
+
+def q_doc_fingerprint(sf_dir: str):
+    from luzzu_ray.ops.textstats import fingerprint_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_langid_docs(sf_dir: str):
+    from luzzu_ray.ops.textstats import langid_documents
+
+    return langid_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_minhash_dedup(sf_dir: str):
+    from luzzu_ray.ops.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_simhash_dedup(sf_dir: str):
+    from luzzu_ray.ops.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from luzzu_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_lsh_ann_topk(sf_dir: str):
+    from luzzu_ray.ops.similarity import lsh_ann_topk
+
+    qids, mat = _query_vectors(sf_dir)
+    return lsh_ann_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        mat, qids, k=ANN_K, dim=mat.shape[1],
+    )
+
+
+def q_flagship_documents(sf_dir: str):
+    from luzzu_ray.pipelines.filter_pipeline import run_flagship
+    from luzzu_ray.sources import documents_as_transcripts
+
+    ds = documents_as_transcripts(sf_dir)
+    labeled = run_flagship(ds, skip_giant_detection=True, conv_min_turns=1)
+    return labeled.select_columns(
+        ["conv_id", "turn_idx", "keep", "drop_reason", "text_scrubbed"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke run on /root/testdata/sf0.001."""
+    return q_flagship_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "doc_stats": q_doc_stats,
+        "doc_quality": q_doc_quality,
+        "doc_scrub": q_doc_scrub,
+        "dedup_exact": q_dedup_exact,
+        "keep_rate_by_lang_source": q_keep_rate_by_lang_source,
+        "top_sources_by_keep": q_top_sources_by_keep,
+        "events_user_stats": q_events_user_stats,
+        "events_type_counts": q_events_type_counts,
+        "events_sessions": q_events_sessions,
+        "tpch_q1": q_tpch_q1,
+        "orders_by_mktsegment": q_orders_by_mktsegment,
+        "top_customers": q_top_customers,
+        "ann_topk": q_ann_topk,
+        # rows-only (non-SQL-expressible; value-tested in tests/)
+        "doc_fingerprint": q_doc_fingerprint,
+        "langid_docs": q_langid_docs,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "flagship_documents": q_flagship_documents,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _scrub_sql() -> str:
+    from luzzu_ray import constants as C
+
+    sql = "WITH s0 AS (SELECT doc_id, text AS t0 FROM documents)"
+    prev = "s0"
+    cols = []
+    for i, (name, pat, repl) in enumerate(C.SCRUB_PACK):
+        cur, nxt = f"t{i}", f"t{i+1}"
+        sql += (
+            f", s{i+1} AS (SELECT *, "
+            f"len(regexp_extract_all({cur}, $rx${pat}$rx$)) AS scrub_{name}, "
+            f"regexp_replace({cur}, $rx${pat}$rx$, '{repl}', 'g') AS {nxt} "
+            f"FROM s{i})"
+        )
+        prev = f"s{i+1}"
+        cols.append(f"CAST(scrub_{name} AS INT) AS scrub_{name}")
+    n = len(C.SCRUB_PACK)
+    return (
+        sql
+        + f" SELECT doc_id, t{n} AS text_scrubbed, "
+        + ", ".join(cols)
+        + f" FROM {prev}"
+    )
+
+
+_STATS_FRAG = """
+  length(text) AS n_chars,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+  len(regexp_extract_all(text, '[^A-Za-z0-9[:space:]]')) AS n_symbol_bytes,
+  len(regexp_extract_all(text, '[0-9]')) AS n_digit_bytes,
+  CAST(floor(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9[:space:]]')) AS DOUBLE)
+      / greatest(len(regexp_extract_all(text, '[^[:space:]]')), 1) * 1000000.0) AS BIGINT)
+      AS symbol_ratio_q6,
+  CAST(floor(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+      / greatest(len(regexp_extract_all(text, '[^[:space:]]')), 1) * 1000000.0) AS BIGINT)
+      AS digit_ratio_q6
+"""
+
+_QUALITY_SQL = f"""
+WITH s AS (SELECT doc_id, lang, source, {_STATS_FRAG} FROM documents)
+SELECT *, (n_chars >= 5 AND n_chars <= 20000
+           AND symbol_ratio_q6 <= 300000
+           AND digit_ratio_q6 <= 500000) AS keep
+FROM s
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": f"SELECT doc_id, {_STATS_FRAG} FROM documents",
+        "doc_quality": (
+            "SELECT doc_id, n_chars, n_words, n_symbol_bytes, n_digit_bytes, "
+            "symbol_ratio_q6, digit_ratio_q6, keep FROM (" + _QUALITY_SQL + ")"
+        ),
+        "doc_scrub": _scrub_sql(),
+        "dedup_exact": (
+            "SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) "
+            "AS is_dup FROM documents"
+        ),
+        "keep_rate_by_lang_source": (
+            "SELECT lang, source, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_kept, CAST(count(*) AS BIGINT) AS n_docs FROM ("
+            + _QUALITY_SQL + ") GROUP BY lang, source"
+        ),
+        "top_sources_by_keep": (
+            "SELECT source, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS n_kept, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(floor(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / count(*) * 1000000.0) AS BIGINT) AS keep_q6 FROM ("
+            + _QUALITY_SQL + ") GROUP BY source "
+            "ORDER BY keep_q6 DESC, source LIMIT 3"
+        ),
+        "events_user_stats": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "min(ts) AS first_ts, max(ts) AS last_ts, "
+            "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) "
+            "AS value_q4 FROM events GROUP BY user_id"
+        ),
+        "events_type_counts": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY event_type"
+        ),
+        "events_sessions": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > "
+            "INTERVAL '30 minutes' THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM (SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) "
+            "GROUP BY user_id"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_q2, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_q2, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_by_mktsegment": (
+            "SELECT c_mktsegment, "
+            "CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS total_q2, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "top_customers": (
+            "SELECT o_custkey, "
+            "CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS total_q2 FROM orders GROUP BY o_custkey "
+            "ORDER BY total_q2 DESC, o_custkey LIMIT 10"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            f"WHERE vec_id < {N_ANN_QUERIES}) "
+            "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, "
+            "e.vec_id) AS BIGINT) AS rank, e.vec_id "
+            f"FROM embeddings e, q QUALIFY rank <= {ANN_K}"
+        ),
+    }

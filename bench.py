@@ -1,0 +1,186 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Default: times the flagship transcript pipeline (on a deterministic
+generated corpus sized to the sf dir) plus representative operator
+queries on the sf tables, printing ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+--scaling: runs the headline twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and reports both throughputs plus the
+scaling efficiency T(32)/(4*T(8)) (the sandbox stand-in for the
+N->4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench corpus sizing per sf (turns ~ 6.5 * n_convs + giants)
+_CORPUS_SPEC = {
+    "sf0.001": dict(n_convs=1_000, n_giants=1, giant_turns=3_000, n_files=8),
+    "sf0.01": dict(n_convs=10_000, n_giants=2, giant_turns=5_000, n_files=8),
+    "sf0.1": dict(n_convs=90_000, n_giants=2, giant_turns=10_000, n_files=16),
+}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def bench_corpus_dir(sf_dir: str) -> str:
+    """Deterministic transcript corpus matched to the sf scale (cached)."""
+    tag = _sf_tag(sf_dir)
+    spec = _CORPUS_SPEC.get(tag, _CORPUS_SPEC["sf0.01"])
+    out = f"/tmp/luzzu_bench_corpus/{tag}"
+    marker = os.path.join(out, ".complete-v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        from luzzu_ray.datagen import generate_corpus
+
+        shutil.rmtree(out, ignore_errors=True)
+        n = generate_corpus(out, **spec)
+        print(f"generated {n} turns at {out}", file=sys.stderr)
+        open(marker, "w").close()
+    return out
+
+
+def _count_turns(corpus: str) -> int:
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(corpus, "*.parquet"))
+    )
+
+
+def run_headline(corpus: str, out_dir: str) -> float:
+    """Full flagship pipeline, read -> ... -> write_parquet; returns sec."""
+    import shutil
+
+    from luzzu_ray.pipelines.filter_pipeline import run_flagship
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    ds = run_flagship(corpus)
+    ds.write_parquet(out_dir)
+    return time.monotonic() - t0
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main() -> None:
+    corpus = bench_corpus_dir(SF_DIR)
+    n_turns = _count_turns(corpus)
+    _init_ray(NUM_CPUS)
+
+    headline = run_headline(corpus, "/tmp/luzzu_bench_out/turns")
+    q: dict[str, float] = {"flagship_transcripts": round(headline, 3)}
+
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    for name in (
+        "flagship_documents",
+        "dedup_exact",
+        "minhash_dedup",
+        "doc_scrub",
+        "ann_topk",
+        "tpch_q1",
+        "events_sessions",
+    ):
+        t0 = time.monotonic()
+        res = qs[name](SF_DIR)
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            # consume the stream without materializing to the driver
+            n = 0
+            for b in res.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+        q[name] = round(time.monotonic() - t0, 3)
+
+    out = {
+        "metric": "flagship transcript pipeline wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": q,
+        "sf": _sf_tag(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+def single_run(num_cpus: int) -> None:
+    """Internal: one fresh-process headline measurement (for --scaling)."""
+    corpus = bench_corpus_dir(SF_DIR)
+    n_turns = _count_turns(corpus)
+    _init_ray(num_cpus)
+    sec = run_headline(corpus, f"/tmp/luzzu_bench_out/scaling_{num_cpus}")
+    print(json.dumps(
+        {"num_cpus": num_cpus, "sec": sec, "turns_per_sec": n_turns / sec}
+    ))
+    import ray
+
+    ray.shutdown()
+
+
+def scaling() -> None:
+    bench_corpus_dir(SF_DIR)  # pre-generate outside the timed runs
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--_single", str(cpus)],
+            capture_output=True, text=True, check=True,
+        )
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+    eff = t32 / (4.0 * t8)
+    print(json.dumps(
+        {
+            "metric": "scaling efficiency T(32cpu)/(4*T(8cpu))",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "throughput_8cpu_turns_per_sec": round(t8, 1),
+            "throughput_32cpu_turns_per_sec": round(t32, 1),
+            "sec_8cpu": round(results[8]["sec"], 2),
+            "sec_32cpu": round(results[32]["sec"], 2),
+            "sf": _sf_tag(SF_DIR),
+        }
+    ))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling()
+    elif len(sys.argv) > 2 and sys.argv[1] == "--_single":
+        single_run(int(sys.argv[2]))
+    else:
+        main()

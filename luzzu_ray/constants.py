@@ -22,6 +22,11 @@ SEED = 42
 # ---------------------------------------------------------------------------
 ROLES = ("user", "assistant", "system", "tool")
 
+# Codepoint-level twin of the BYTE_WORD byte class (ASCII alnum + every
+# non-ASCII char; hyphen is NOT a word char) — shared by the oracle and
+# scalar twins of the byte-level kernels.
+TOKEN_PATTERN = "[A-Za-z0-9\u0080-\U0010ffff]+"
+
 # ---------------------------------------------------------------------------
 # Drop-reason codes, in verdict priority order (first failing rule wins).
 # Turn-level reasons come first; conversation-level reasons are applied by

@@ -11,10 +11,15 @@
 Both the Ray engine (actor-pool stages) and the pure-Python oracle call the
 SAME scorers here — the model is shared "weights" exactly as two processes
 would load one fastText ``.bin`` — while pipeline logic (rules, ordering,
-scrubbing) is implemented independently on each side.  Scoring is
-bit-deterministic: per-row accumulation order is identical whether a row is
-scored alone or inside a batch (``np.bincount`` accumulates in position
-order), so oracle and engine agree exactly.
+scrubbing) is implemented independently on each side.
+
+Kernel style: SLIDING-WINDOW over the whole batch byte buffer with
+in-place arithmetic and per-row ``np.add.reduceat`` segment sums — no
+per-position gather/repeat index arrays.  This keeps temporary
+allocation at a few multiples of the text bytes (allocation/page-fault
+cost dominates vectorized compute on the target machines).  Scoring is
+bit-deterministic and batch-size-invariant: reduceat accumulates each
+row's positions left-to-right exactly as a single-row call would.
 """
 
 from __future__ import annotations
@@ -23,7 +28,6 @@ import numpy as np
 
 from luzzu_ray import constants as C
 from luzzu_ray import seed_corpora
-from luzzu_ray.functions.text import trigram_positions
 
 LANGS = seed_corpora.LANGS  # sorted tuple, e.g. ("de", "en", "es", "fr")
 _LANGID_MASK = (1 << C.LANGID_TABLE_BITS) - 1
@@ -35,18 +39,86 @@ def _lower_bytes(text: str) -> np.ndarray:
     return C.BYTE_LOWER[raw]
 
 
-def _tri_hashes(lb: np.ndarray, pos: np.ndarray, mask: int) -> np.ndarray:
-    """Hash of the char trigram starting at each position (lowercased bytes)."""
-    b0 = lb[pos].astype(np.int64)
-    b1 = lb[pos + 1].astype(np.int64)
-    b2 = lb[pos + 2].astype(np.int64)
-    return ((b0 * 131 + b1) * 131 + b2) & mask
+def _tri_hash_full(lb: np.ndarray, mask: int) -> np.ndarray:
+    """Hash of the trigram starting at every byte position (len-2 values).
+
+    One int32 temporary; all updates in place.
+    """
+    if len(lb) < 3:
+        return np.zeros(0, dtype=np.int32)
+    h = lb[:-2].astype(np.int32)
+    np.multiply(h, 131, out=h)
+    np.add(h, lb[1:-1], out=h, casting="unsafe")
+    np.multiply(h, 131, out=h)
+    np.add(h, lb[2:], out=h, casting="unsafe")
+    np.bitwise_and(h, mask, out=h)
+    return h
 
 
-def _bi_hashes(lb: np.ndarray, pos: np.ndarray, mask: int) -> np.ndarray:
-    b0 = lb[pos].astype(np.int64)
-    b1 = lb[pos + 1].astype(np.int64)
-    return (b0 * 131 + b1) & mask
+def _bi_hash_full(lb: np.ndarray, mask: int) -> np.ndarray:
+    """Hash of the bigram starting at every byte position (len-1 values)."""
+    if len(lb) < 2:
+        return np.zeros(0, dtype=np.int32)
+    h = lb[:-1].astype(np.int32)
+    np.multiply(h, 131, out=h)
+    np.add(h, lb[1:], out=h, casting="unsafe")
+    np.bitwise_and(h, mask, out=h)
+    return h
+
+
+def _row_geometry(offsets: np.ndarray, width: int):
+    """(starts, counts) of valid width-gram positions per row, in the
+    coordinate system of the full-buffer sliding-window arrays."""
+    lo = offsets[0]
+    starts = (offsets[:-1] - lo).astype(np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    counts = np.maximum(lens - (width - 1), 0).astype(np.int64)
+    return starts, counts
+
+
+def _invalid_mask_f32(total: int, starts: np.ndarray, counts: np.ndarray,
+                      width: int) -> np.ndarray:
+    """float32 {0,1} mask over the full sliding-window array: 1 where the
+    width-gram at that position lies inside one row."""
+    valid = np.ones(total, dtype=np.float32)
+    # positions in [row_start + count, next_row_start) are invalid
+    for k in range(width - 1):
+        idx = starts + counts + k
+        sel = idx < np.minimum(
+            np.concatenate((starts[1:], [total])), total
+        )
+        # only rows whose tail actually reaches into the buffer
+        bad = idx[sel]
+        bad = bad[bad < total]
+        valid[bad] = 0.0
+    return valid
+
+
+def _segment_sums(values: np.ndarray, starts: np.ndarray,
+                  counts: np.ndarray) -> np.ndarray:
+    """Per-row sums of a full-buffer array, rows given by (start, count).
+
+    Sequential within each row (batch-size invariant).  Rows with zero
+    count get 0.0.
+    """
+    n = len(starts)
+    out = np.zeros(n, dtype=np.float64)
+    nz = np.flatnonzero(counts > 0)
+    if len(nz) == 0 or len(values) == 0:
+        return out
+    # one dummy element so the final [start, end) segment is a real
+    # reduceat slot — EVERY row sums via the same sequential reduceat,
+    # making results bit-identical whether a row is scored alone or
+    # inside any batch
+    vals = np.empty(len(values) + 1, dtype=np.float64)
+    vals[:-1] = values
+    vals[-1] = 0.0
+    bounds = np.empty(2 * len(nz), dtype=np.int64)
+    bounds[0::2] = starts[nz]
+    bounds[1::2] = starts[nz] + counts[nz]
+    red = np.add.reduceat(vals, bounds)
+    out[nz] = red[0::2]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -56,32 +128,34 @@ def _bi_hashes(lb: np.ndarray, pos: np.ndarray, mask: int) -> np.ndarray:
 def _build_models() -> dict:
     T = 1 << C.LANGID_TABLE_BITS
     counts = np.zeros((len(LANGS), T), dtype=np.float64)
-    ppl_tables = {}
+    ppl_t3 = np.zeros((len(LANGS), _PPL_MASK + 1), dtype=np.float32)
+    ppl_t2 = np.zeros((len(LANGS), _PPL_MASK + 1), dtype=np.float32)
+    ppl_t1 = np.zeros((len(LANGS), 256), dtype=np.float32)
+    totals = np.zeros(len(LANGS), dtype=np.float64)
     for li, lang in enumerate(LANGS):
         text = " ".join(seed_corpora.SEED_TEXT[lang].split())
         lb = _lower_bytes(text)
         n = len(lb)
-        pos = np.arange(max(n - 2, 0), dtype=np.int64)
-        h3 = _tri_hashes(lb, pos, _LANGID_MASK)
+        h3 = _tri_hash_full(lb, _LANGID_MASK)
         np.add.at(counts[li], h3, 1.0)
+        h3p = _tri_hash_full(lb, _PPL_MASK)
+        np.add.at(ppl_t3[li], h3p, 1.0)
+        h2p = _bi_hash_full(lb, _PPL_MASK)
+        np.add.at(ppl_t2[li], h2p, 1.0)
+        np.add.at(ppl_t1[li], lb.astype(np.int64), 1.0)
+        totals[li] = n
 
-        # perplexity tables (separate, wider hash space)
-        t3 = np.zeros(_PPL_MASK + 1, dtype=np.int64)
-        t2 = np.zeros(_PPL_MASK + 1, dtype=np.int64)
-        t1 = np.zeros(256, dtype=np.int64)
-        h3p = _tri_hashes(lb, pos, _PPL_MASK)
-        np.add.at(t3, h3p, 1)
-        bpos = np.arange(max(n - 1, 0), dtype=np.int64)
-        h2p = _bi_hashes(lb, bpos, _PPL_MASK)
-        np.add.at(t2, h2p, 1)
-        np.add.at(t1, lb.astype(np.int64), 1)
-        ppl_tables[lang] = {"t3": t3, "t2": t2, "t1": t1, "total": n}
-
-    totals = counts.sum(axis=1, keepdims=True)
-    p = (counts + 0.5) / (totals + 0.5 * T)
+    tot = counts.sum(axis=1, keepdims=True)
+    p = (counts + 0.5) / (tot + 0.5 * T)
     p_avg = p.mean(axis=0, keepdims=True)
     W = (np.log(p) - np.log(p_avg)).astype(np.float32)
-    return {"langid_W": W, "ppl": ppl_tables}
+    return {
+        "langid_W": W,
+        "ppl_t3": ppl_t3,
+        "ppl_t2": ppl_t2,
+        "ppl_t1": ppl_t1,
+        "ppl_totals": totals,
+    }
 
 
 _MODELS: dict | None = None
@@ -109,24 +183,25 @@ def langid_scores(
     n = len(offsets) - 1
     lo, hi = int(offsets[0]), int(offsets[-1])
     lb = C.BYTE_LOWER[data[lo:hi]]
-    pos_abs, rid = trigram_positions(data, offsets)
-    pos = pos_abs - lo
-    tri_counts = np.bincount(rid, minlength=n) if len(rid) else np.zeros(n, np.int64)
-    if len(pos) == 0:
+    starts, counts = _row_geometry(offsets, 3)
+    if counts.sum() == 0:
         return np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.float64)
-    h = _tri_hashes(lb, pos, _LANGID_MASK)
+    h = _tri_hash_full(lb, _LANGID_MASK)
+    valid = _invalid_mask_f32(len(h), starts, counts, 3)
     L = W.shape[0]
     means = np.zeros((L, n), dtype=np.float64)
-    nz = tri_counts > 0
+    nzc = np.maximum(counts, 1)
+    w = np.empty(len(h), dtype=np.float32)
     for li in range(L):
-        sums = np.bincount(rid, weights=W[li][h].astype(np.float64), minlength=n)
-        means[li, nz] = sums[nz] / tri_counts[nz]
+        np.take(W[li], h, out=w)
+        np.multiply(w, valid, out=w)
+        means[li] = _segment_sums(w, starts, counts) / nzc
     lang_idx = means.argmax(axis=0)
     srt = np.sort(means, axis=0)
     s1 = srt[-1]
     s2 = srt[-2] if L > 1 else np.zeros(n)
     conf = np.clip((s1 - s2) * C.LANGID_CONF_SCALE, 0.0, 1.0)
-    und = (tri_counts < C.LANGID_MIN_TRIGRAMS) | (s1 <= 0.0)
+    und = (counts < C.LANGID_MIN_TRIGRAMS) | (s1 <= 0.0)
     lang_idx[und] = -1
     conf[und] = 0.0
     return lang_idx, conf
@@ -136,49 +211,66 @@ def ppl_scores(
     data: np.ndarray,
     offsets: np.ndarray,
     lang_idx: np.ndarray,
-    ppl_tables: dict,
+    models: dict,
 ) -> np.ndarray:
-    """Per-row char-trigram perplexity under the row's predicted language LM.
+    """Per-row char-trigram perplexity under the row's predicted language LM
+    (stupid backoff).  Rows with lang_idx == -1 get 0.0 (undefined).
 
-    Rows with lang_idx == -1 (or fewer than PPL_MIN_CHARS chars) get 0.0
-    (undefined; the verdict never reaches the ppl rule for those rows).
+    Vectorized per language over the rows predicted as that language:
+    sliding-window hashes on the full buffer, per-position probabilities
+    with in-place float32 arithmetic, per-row reduceat of log p.
     """
     n = len(offsets) - 1
     out = np.zeros(n, dtype=np.float64)
-    lo, hi = int(offsets[0]), int(offsets[-1])
-    lb = C.BYTE_LOWER[data[lo:hi]]
-    pos_abs, rid = trigram_positions(data, offsets)
-    if len(pos_abs) == 0:
+    lo = int(offsets[0])
+    lb = C.BYTE_LOWER[data[lo: int(offsets[-1])]]
+    starts, counts = _row_geometry(offsets, 3)
+    if counts.sum() == 0 or not (lang_idx >= 0).any():
         return out
-    pos = pos_abs - lo
-    pos_lang = lang_idx[rid]
-    logp = np.zeros(len(pos), dtype=np.float64)
-    B = C.PPL_BACKOFF
+    h3 = _tri_hash_full(lb, _PPL_MASK)
+    h2 = _bi_hash_full(lb, _PPL_MASK)   # h2[i] = hash(lb[i], lb[i+1])
+    total_positions = len(h3)
+    B = np.float32(C.PPL_BACKOFF)
+    logp = np.empty(total_positions, dtype=np.float32)
+    valid = _invalid_mask_f32(total_positions, starts, counts, 3)
+
     for li, lang in enumerate(LANGS):
-        m = pos_lang == li
-        if not m.any():
+        rows = np.flatnonzero(lang_idx == li)
+        if len(rows) == 0:
             continue
-        p_m = pos[m]
-        tb = ppl_tables[lang]
-        h3 = _tri_hashes(lb, p_m, _PPL_MASK)
-        h2ab = _bi_hashes(lb, p_m, _PPL_MASK)
-        h2bc = _bi_hashes(lb, p_m + 1, _PPL_MASK)
-        b1 = lb[p_m + 1].astype(np.int64)
-        b2 = lb[p_m + 2].astype(np.int64)
-        c3 = tb["t3"][h3]
-        c2ab = tb["t2"][h2ab]
-        c2bc = tb["t2"][h2bc]
-        c1b = tb["t1"][b1]
-        c1c = tb["t1"][b2]
-        p_tri = c3 / np.maximum(np.maximum(c2ab, c3), 1)
-        p_bi = B * c2bc / np.maximum(np.maximum(c1b, c2bc), 1)
-        p_uni = B * B * (c1c + 1) / (tb["total"] + 256)
-        p_all = np.where(c3 > 0, p_tri, np.where(c2bc > 0, p_bi, p_uni))
-        logp[m] = np.log(p_all)
-    sums = np.bincount(rid, weights=logp, minlength=n)
-    counts = np.bincount(rid, minlength=n)
-    valid = (counts > 0) & (lang_idx >= 0)
-    out[valid] = np.exp(-sums[valid] / counts[valid])
+        t3, t2, t1 = models["ppl_t3"][li], models["ppl_t2"][li], models["ppl_t1"][li]
+        total = models["ppl_totals"][li]
+        # per-position counts over the WHOLE buffer (cheap: float32 gathers,
+        # each the size of the text); rows of other languages are never read
+        # back because segment sums only touch this language's rows.
+        c3 = np.take(t3, h3)
+        c2ab = np.take(t2, h3)  # placeholder alloc; overwritten below
+        np.take(t2, h2[:-1], out=c2ab)          # count(b[i], b[i+1])
+        c2bc = np.take(t2, h2[1:])              # count(b[i+1], b[i+2])
+        c1b = np.take(t1, lb[1:-1])
+        c1c = np.take(t1, lb[2:])
+        # p_tri = c3 / max(c2ab, c3, 1)
+        denom = np.maximum(c2ab, c3)
+        np.maximum(denom, np.float32(1.0), out=denom)
+        p_tri = np.divide(c3, denom, out=denom)
+        # p_bi = B * c2bc / max(c1b, c2bc, 1)
+        denom2 = np.maximum(c1b, c2bc)
+        np.maximum(denom2, np.float32(1.0), out=denom2)
+        p_bi = np.divide(c2bc, denom2, out=denom2)
+        np.multiply(p_bi, B, out=p_bi)
+        # p_uni = B*B*(c1c+1)/(total+256)
+        p_uni = np.add(c1c, np.float32(1.0), out=c1c)
+        np.multiply(p_uni, np.float32(B * B / (total + 256)), out=p_uni)
+        # select: c3>0 -> p_tri; elif c2bc>0 -> p_bi; else p_uni
+        p = np.where(c3 > 0, p_tri, np.where(c2bc > 0, p_bi, p_uni))
+        np.log(p, out=p)
+        np.multiply(p, valid, out=p)
+        sums = _segment_sums(p, starts[rows], counts[rows])
+        cnt = counts[rows]
+        nz = cnt > 0
+        res = np.zeros(len(rows), dtype=np.float64)
+        res[nz] = np.exp(-sums[nz] / cnt[nz])
+        out[rows] = res
     return out
 
 
@@ -200,8 +292,8 @@ def langid_row(text: str) -> tuple[str, float]:
 
 
 def ppl_row(text: str, lang: str) -> float:
-    tables = get_models()["ppl"]
+    m = get_models()
     data, offs = _single_view(text)
     li = LANGS.index(lang) if lang in LANGS else -1
-    out = ppl_scores(data, offs, np.array([li], dtype=np.int64), tables)
+    out = ppl_scores(data, offs, np.array([li], dtype=np.int64), m)
     return float(out[0])

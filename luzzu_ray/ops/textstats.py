@@ -1,0 +1,132 @@
+"""Text-analysis operators over a document table (doc_id, text, ...).
+
+Reuses the engine's byte-level batch kernels (luzzu_ray.functions.text)
+— language-ID heuristics, quality scoring, token counting, document
+fingerprinting — each a stateless vectorized ``map_batches`` stage.
+Luzzu analogue: the intrinsic-category metric processors applied to a
+whole record stream `[paper]` (/root/reference/README.md:7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from luzzu_ray import constants as C
+from luzzu_ray.functions import text as TX
+
+# fixed 64-bit FNV-style params for the rolling document fingerprint
+FP_BASE = np.uint64(1099511628211)
+FP_SEED = np.uint64(14695981039346656037)
+
+
+def doc_stats_batch(t: pa.Table) -> pa.Table:
+    """n_chars / n_words / symbol_ratio / digit_ratio per document."""
+    text = t["text"]
+    n = t.num_rows
+    data, offs = TX.utf8_view(text)
+    cls = TX.byte_class_fractions(data, offs)
+    nonspace = np.maximum(cls[:, 0] + cls[:, 1] + cls[:, 3], 1)
+    ts_, tl_, tr_ = TX.token_segments(data, offs)
+    n_words = np.bincount(tr_, minlength=n) if len(tr_) else np.zeros(n, np.int64)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.fill_null(pc.utf8_length(text), 0), pa.int64()),
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "n_symbol_bytes": pa.array(cls[:, 3].astype(np.int64)),
+            "n_digit_bytes": pa.array(cls[:, 1].astype(np.int64)),
+            "symbol_ratio_q6": pa.array(
+                np.floor(cls[:, 3] / nonspace * 1e6).astype(np.int64)
+            ),
+            "digit_ratio_q6": pa.array(
+                np.floor(cls[:, 1] / nonspace * 1e6).astype(np.int64)
+            ),
+        }
+    )
+
+
+def quality_score_batch(t: pa.Table) -> pa.Table:
+    """C4-style keep verdict on documents with SQL-expressible rules only
+    (length bounds, symbol/digit density) so DuckDB can oracle it."""
+    s = doc_stats_batch(t)
+    n_chars = s["n_chars"]
+    keep = pc.and_(
+        pc.and_(
+            pc.greater_equal(n_chars, C.MIN_CHARS),
+            pc.less_equal(n_chars, C.MAX_CHARS),
+        ),
+        pc.and_(
+            pc.less_equal(s["symbol_ratio_q6"], int(C.SYMBOL_MAX * 1e6)),
+            pc.less_equal(s["digit_ratio_q6"], int(C.DIGIT_MAX * 1e6)),
+        ),
+    )
+    return s.append_column("keep", keep)
+
+
+def token_hashes_for_rows(t: pa.Table):
+    """(token_hash uint64, row_id) for a batch's text column."""
+    data, offs = TX.utf8_view(t["text"])
+    ts_, tl_, tr_ = TX.token_segments(data, offs)
+    return TX.token_hashes(data, ts_, tl_), tr_
+
+
+def fingerprint_batch(t: pa.Table) -> pa.Table:
+    """Order-sensitive 64-bit rolling hash over a doc's token hashes.
+
+    fp = fold(fp * FP_BASE + token_hash) starting from FP_SEED — a
+    deterministic content fingerprint (exact-dup key that ignores
+    whitespace/symbol differences).  Vectorized per batch via per-row
+    Horner evaluation using cumulative powers.
+    """
+    th, tr = token_hashes_for_rows(t)
+    n = t.num_rows
+    fp = np.full(n, FP_SEED, dtype=np.uint64)
+    if len(th):
+        counts = np.bincount(tr, minlength=n)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        pos = np.arange(len(th), dtype=np.int64) - starts[tr]
+        # Horner unrolled: fp = seed*B^m + sum_i th_i * B^(m-1-i) (mod 2^64)
+        mx = int(counts.max(initial=0))
+        with np.errstate(over="ignore"):  # mod-2^64 arithmetic is intended
+            pows = np.empty(mx + 1, dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            for e in range(1, mx + 1):
+                pows[e] = pows[e - 1] * FP_BASE
+            contrib = th * pows[(counts[tr] - 1 - pos)]
+            sums = np.zeros(n, dtype=np.uint64)
+            np.add.at(sums, tr, contrib)
+            fp = np.uint64(FP_SEED) * pows[counts] + sums
+    return pa.table(
+        {"doc_id": t["doc_id"], "fingerprint": pa.array(fp.view(np.int64))}
+    )
+
+
+def fingerprint_py(text: str) -> int:
+    """Scalar oracle twin of :func:`fingerprint_batch`."""
+    import re
+
+    from luzzu_ray.functions.text import token_hash_py
+
+    fp = int(FP_SEED)
+    for tok in re.findall(C.TOKEN_PATTERN, text):
+        h = token_hash_py(tok.encode("utf-8"))
+        fp = (fp * int(FP_BASE) + h) & 0xFFFFFFFFFFFFFFFF
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
+def langid_documents(ds: ray.data.Dataset, model_ref=None) -> ray.data.Dataset:
+    """Engine langid over a documents table -> (doc_id, lang, lang_conf)."""
+    from luzzu_ray.stages.actors import LangIdScorer
+
+    scored = ds.map_batches(
+        LangIdScorer,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"model_ref": model_ref},
+    )
+    return scored.select_columns(["doc_id", "lang", "lang_conf"])

@@ -31,7 +31,7 @@ import ray.data
 from luzzu_ray import constants as C
 from luzzu_ray import models
 from luzzu_ray.sources import read_transcripts
-from luzzu_ray.stages.actors import LangIdScorer, PerplexityScorer
+from luzzu_ray.stages.actors import ModelScorer
 from luzzu_ray.stages.conversation import (
     add_group_key,
     conv_block_fn,
@@ -70,6 +70,9 @@ def _ensure_hash_shuffle() -> None:
     ctx = ray.data.DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.max_hash_shuffle_aggregators = max(2, cluster_cpus() // 2)
+    # groupby/aggregate default to 200 partitions (DEFAULT_MIN_PARALLELISM);
+    # on a small cluster that is pure aggregator-actor churn
+    ctx.default_hash_shuffle_parallelism = default_num_partitions()
 
 
 def put_models():
@@ -89,14 +92,7 @@ def turn_level(
     ds = ds.map_batches(normalize_batch, **kw)
     ds = ds.map_batches(signals_batch, **kw)
     ds = ds.map_batches(
-        LangIdScorer,
-        batch_format="pyarrow",
-        batch_size=model_batch,
-        concurrency=actor_pool,
-        fn_constructor_kwargs={"model_ref": model_ref},
-    )
-    ds = ds.map_batches(
-        PerplexityScorer,
+        ModelScorer,
         batch_format="pyarrow",
         batch_size=model_batch,
         concurrency=actor_pool,
@@ -114,6 +110,7 @@ def detect_giants(paths, giant_min_turns: int = C.GIANT_MIN_TURNS) -> list[str]:
     a small groupby over (conv_id, n) partial rows — the shuffle moves one
     row per conversation per batch, never the turns themselves.
     """
+    _ensure_hash_shuffle()
     ds = read_transcripts(paths, columns=["conv_id"])
 
     def partial_counts(t: pa.Table) -> pa.Table:
@@ -220,6 +217,7 @@ def run_flagship(
     model_batch: int = DEFAULT_MODEL_BATCH,
     actor_pool=DEFAULT_ACTOR_POOL,
     skip_giant_detection: bool = False,
+    conv_min_turns: int = C.CONV_MIN_TURNS,
 ) -> ray.data.Dataset:
     """All three phases; returns the lazy labeled dataset."""
     model_ref = put_models()
@@ -239,4 +237,5 @@ def run_flagship(
         num_partitions=num_partitions,
         model_batch=model_batch,
         actor_pool=actor_pool,
+        conv_min_turns=conv_min_turns,
     )

@@ -1,0 +1,191 @@
+"""Assessment run driver: sharded, lineage-tracked, resumable (S4/S5).
+
+Luzzu's daQ observations carry ``computedOn`` + timestamp provenance and a
+crashed run restarts from scratch `[paper]` (/root/reference/README.md:8);
+the north rule instead requires "checkpointed resumability keyed on
+partition id" (BASELINE.json:north_rule).  Design:
+
+- The input file list is split into ``shards`` deterministic shards
+  (stable hash of file basename).  ``part_id`` == shard index.
+- Each shard runs the full flagship pipeline and writes
+  ``out/turns/part_id=<k>/``.  The shard's lineage row
+  (part_id, files, rows_in, rows_kept, stage_versions, wall_ms) is
+  written LAST, to ``out/lineage/part-<k>.parquet`` — a shard is
+  complete iff its lineage file exists.
+- ``--resume`` skips shards whose lineage file exists and deletes any
+  partial output dir of unfinished shards before re-running (idempotent
+  retries; SURVEY.md §4.2 "resume" row).
+
+PARTITIONING ASSUMPTION (documented per SURVEY.md §2 custom-operator
+rule): conversation-level rules are computed within a shard, so all
+turns of one conversation must live in the same shard.  At production
+scale the corpus is laid out with conversations hash-bucketed into
+files (the datagen ``clustered=True`` layout); sharding by file then
+preserves conversation locality.  ``shards=1`` removes the assumption.
+
+Summary tables are recomputed at the end of a (re)run from the written
+turn table with column-pruned reads — cheap, and always consistent with
+the final output.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from luzzu_ray import constants as C
+from luzzu_ray.pipelines import summaries as S
+from luzzu_ray.pipelines.filter_pipeline import run_flagship
+from luzzu_ray.sources import transcript_paths
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("input_files", pa.list_(pa.string())),
+        ("rows_in", pa.int64()),
+        ("rows_kept", pa.int64()),
+        ("stage_versions", pa.string()),  # JSON
+        ("wall_ms", pa.int64()),
+    ]
+)
+
+
+def shard_files(paths: list[str], shards: int) -> dict[int, list[str]]:
+    out: dict[int, list[str]] = {k: [] for k in range(shards)}
+    for p in sorted(paths):
+        out[zlib.crc32(os.path.basename(p).encode()) % shards].append(p)
+    return out
+
+
+def completed_parts(out_dir: str) -> set[int]:
+    done = set()
+    for f in glob.glob(os.path.join(out_dir, "lineage", "part-*.parquet")):
+        stem = os.path.basename(f)[len("part-"):-len(".parquet")]
+        done.add(int(stem))
+    return done
+
+
+def _count_written(turns_dir: str) -> tuple[int, int]:
+    """(rows, kept) from the freshly written shard output.
+
+    Row count comes from parquet footers (no data read); kept count is a
+    column-pruned streaming aggregate.
+    """
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(turns_dir, format="parquet")
+    rows = dset.count_rows()
+    kept = 0
+    for frag_batch in dset.to_batches(columns=["keep"]):
+        import pyarrow.compute as pc
+
+        kept += int(pc.sum(frag_batch["keep"]).as_py() or 0)
+    return rows, kept
+
+
+def run_shard(files: list[str], turns_dir: str, **pipeline_kwargs) -> tuple[int, int]:
+    ds = run_flagship(files, **pipeline_kwargs)
+    ds.write_parquet(turns_dir)
+    return _count_written(turns_dir)
+
+
+def run_assessment(
+    input_dir: str,
+    out_dir: str,
+    *,
+    shards: int = 8,
+    resume: bool = False,
+    write_summaries: bool = True,
+    **pipeline_kwargs,
+) -> dict:
+    """Entry point 2/3 of SURVEY.md §3.2.  Returns a small run report."""
+    paths = transcript_paths(input_dir)
+    by_shard = shard_files(paths, shards)
+    lineage_dir = os.path.join(out_dir, "lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    done = completed_parts(out_dir) if resume else set()
+    if not resume:
+        shutil.rmtree(os.path.join(out_dir, "turns"), ignore_errors=True)
+        shutil.rmtree(lineage_dir, ignore_errors=True)
+        os.makedirs(lineage_dir, exist_ok=True)
+
+    ran = []
+    for k in range(shards):
+        if k in done:
+            continue
+        files = by_shard[k]
+        turns_dir = os.path.join(out_dir, "turns", f"part_id={k}")
+        shutil.rmtree(turns_dir, ignore_errors=True)  # idempotent retry
+        t0 = time.monotonic()
+        if files:
+            rows_in, rows_kept = run_shard(files, turns_dir, **pipeline_kwargs)
+        else:
+            rows_in = rows_kept = 0
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = pa.table(
+            {
+                "part_id": pa.array([k], pa.int32()),
+                "input_files": pa.array([files], pa.list_(pa.string())),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "rows_kept": pa.array([rows_kept], pa.int64()),
+                "stage_versions": pa.array(
+                    [json.dumps(C.STAGE_VERSIONS, sort_keys=True)], pa.string()
+                ),
+                "wall_ms": pa.array([wall_ms], pa.int64()),
+            },
+            schema=LINEAGE_SCHEMA,
+        )
+        # lineage written LAST: presence == shard complete
+        pq.write_table(lineage, os.path.join(lineage_dir, f"part-{k}.parquet"))
+        ran.append(k)
+
+    if write_summaries:
+        labeled = ray.data.read_parquet(
+            os.path.join(out_dir, "turns"),
+            columns=["conv_id", "lang", "ppl", "keep", "drop_reason"]
+            + [f"scrub_{c}" for c in C.SCRUB_CLASSES],
+        )
+        S.write_all(labeled, os.path.join(out_dir, "metrics"))
+
+    return {"shards_run": ran, "shards_skipped": sorted(done)}
+
+
+def main() -> None:  # pragma: no cover
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Run the transcript quality-filter assessment"
+    )
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-summaries", action="store_true")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
+    report = run_assessment(
+        args.input,
+        args.output,
+        shards=args.shards,
+        resume=args.resume,
+        write_summaries=not args.no_summaries,
+    )
+    print(json.dumps(report))
+    ray.shutdown()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -7,6 +7,11 @@ Weights are broadcast once from the driver via ``ray.put`` and passed as an
 ObjectRef in ``fn_constructor_kwargs`` (zero-copy numpy views out of the
 object store on every node) — Luzzu's loaded-vocabulary side-data pattern
 (/root/reference/README.md:14), T4 in SURVEY.md §2.3.
+
+``ModelScorer`` fuses langid + perplexity into ONE actor stage: the
+perplexity LM needs the langid verdict, and fusing avoids shipping the
+full batch (including the text payload) through the object store between
+two separate actor pools.
 """
 
 from __future__ import annotations
@@ -28,7 +33,9 @@ def _resolve_models(model_ref):
         return models.get_models()
     import ray
 
-    return ray.get(model_ref)
+    if isinstance(model_ref, ray.ObjectRef):
+        return ray.get(model_ref)
+    return model_ref
 
 
 @register_stage("langid", version=C.STAGE_VERSIONS["langid"], stateful=True,
@@ -56,7 +63,7 @@ class PerplexityScorer:
     """KenLM-style hashed char-trigram LM perplexity, stupid backoff (T2)."""
 
     def __init__(self, model_ref=None):
-        self.tables = _resolve_models(model_ref)["ppl"]
+        self.models = _resolve_models(model_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data, offs = TX.utf8_view(batch["text"])
@@ -64,5 +71,26 @@ class PerplexityScorer:
             batch["lang_idx"].combine_chunks().to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        ppl = models.ppl_scores(data, offs, lang_idx, self.tables)
+        ppl = models.ppl_scores(data, offs, lang_idx, self.models)
         return batch.append_column("ppl", pa.array(ppl))
+
+
+@register_stage("model_scorer", version=C.STAGE_VERSIONS["langid"],
+                stateful=True, batch_size=4096)
+class ModelScorer:
+    """Fused langid + perplexity (one actor pool, one pass over the bytes)."""
+
+    def __init__(self, model_ref=None):
+        self.models = _resolve_models(model_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        data, offs = TX.utf8_view(batch["text"])
+        idx, conf = models.langid_scores(data, offs, self.models["langid_W"])
+        ppl = models.ppl_scores(data, offs, idx, self.models)
+        lang = _LANG_LOOKUP[idx]
+        return (
+            batch.append_column("lang", pa.array(lang))
+            .append_column("lang_conf", pa.array(conf))
+            .append_column("lang_idx", pa.array(idx.astype(np.int8)))
+            .append_column("ppl", pa.array(ppl))
+        )

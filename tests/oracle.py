@@ -22,7 +22,7 @@ import pyarrow as pa
 from luzzu_ray import constants as C
 from luzzu_ray import models
 
-_TOKEN_RE = re.compile("[A-Za-z0-9-\U0010ffff]+")
+_TOKEN_RE = re.compile(C.TOKEN_PATTERN)
 _ASCII_LOWER = str.maketrans(
     {chr(c): chr(c + 32) for c in range(ord("A"), ord("Z") + 1)}
 )
@@ -143,7 +143,7 @@ def _batch_model_scores(rows: list[dict]):
     data, offs = utf8_view(texts)
     m = models.get_models()
     idx, conf = models.langid_scores(data, offs, m["langid_W"])
-    ppl = models.ppl_scores(data, offs, idx, m["ppl"])
+    ppl = models.ppl_scores(data, offs, idx, m)
     langs = [models.LANGS[i] if i >= 0 else C.LANG_UND for i in idx]
     return langs, conf, ppl
 

@@ -46,7 +46,7 @@ def test_batch_equals_single_bitwise():
     data, offs = TX.utf8_view(arr)
     m = models.get_models()
     idx, conf = models.langid_scores(data, offs, m["langid_W"])
-    ppl = models.ppl_scores(data, offs, idx, m["ppl"])
+    ppl = models.ppl_scores(data, offs, idx, m)
     for i, t in enumerate(texts):
         lang_s, conf_s = models.langid_row(t)
         lang_b = models.LANGS[idx[i]] if idx[i] >= 0 else C.LANG_UND

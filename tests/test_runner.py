@@ -1,0 +1,151 @@
+"""Summaries (G2-G4), lineage and resume (S4/S5) — vs oracle aggregates."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+CLUSTERED_DIR = "/tmp/luzzu_test_corpora/clustered"
+
+
+@pytest.fixture(scope="module")
+def clustered_corpus_dir() -> str:
+    from luzzu_ray.datagen import generate_corpus
+
+    marker = os.path.join(CLUSTERED_DIR, ".complete-v1")
+    if not os.path.exists(marker):
+        shutil.rmtree(CLUSTERED_DIR, ignore_errors=True)
+        generate_corpus(
+            CLUSTERED_DIR, n_convs=180, n_giants=1, giant_turns=600,
+            n_files=8, clustered=True,
+        )
+        open(marker, "w").close()
+    return CLUSTERED_DIR
+
+
+@pytest.fixture(scope="module")
+def run_out(ray_session, clustered_corpus_dir):
+    from luzzu_ray.pipelines.runner import run_assessment
+
+    out = "/tmp/luzzu_test_out/run1"
+    shutil.rmtree(out, ignore_errors=True)
+    report = run_assessment(
+        clustered_corpus_dir, out, shards=4, giant_min_turns=500,
+        num_partitions=8,
+    )
+    return out, report
+
+
+def _read_turns(out):
+    import pyarrow.dataset as pads
+
+    return pads.dataset(os.path.join(out, "turns"), format="parquet").to_table()
+
+
+def _oracle_for(corpus_dir):
+    import pyarrow as pa
+    import oracle
+
+    tbl = pa.concat_tables(
+        pq.read_table(f) for f in sorted(glob.glob(corpus_dir + "/*.parquet"))
+    )
+    return oracle.assess_table(tbl)
+
+
+def test_lineage_complete(run_out):
+    out, report = run_out
+    assert sorted(report["shards_run"]) == [0, 1, 2, 3]
+    files = glob.glob(os.path.join(out, "lineage", "part-*.parquet"))
+    assert len(files) == 4
+    lin = pq.read_table(files[0])
+    assert set(lin.column_names) >= {
+        "part_id", "input_files", "rows_in", "rows_kept", "stage_versions",
+        "wall_ms",
+    }
+
+
+def test_output_matches_oracle(run_out, clustered_corpus_dir):
+    out, _ = run_out
+    t = _read_turns(out)
+    want = _oracle_for(clustered_corpus_dir)
+    got = {
+        (r["conv_id"], r["turn_idx"], r["ts"], r["text"]): (
+            r["keep"], r["drop_reason"], r["text_scrubbed"]
+        )
+        for r in t.to_pylist()
+    }
+    assert len(got) == len(want)  # keys unique in this corpus slice
+    mism = 0
+    for r in want:
+        k = (r["conv_id"], r["turn_idx"], r["ts"].replace(tzinfo=None)
+             if hasattr(r["ts"], "replace") else r["ts"], r["text"])
+        g = got.get(k) or got.get((r["conv_id"], r["turn_idx"], r["ts"], r["text"]))
+        assert g is not None, k
+        if g != (r["keep"], r["drop_reason"], r["text_scrubbed"]):
+            mism += 1
+    assert mism == 0
+
+
+def test_summaries_match_oracle(run_out, clustered_corpus_dir):
+    out, _ = run_out
+    want = _oracle_for(clustered_corpus_dir)
+
+    lang_tbl = []
+    for f in glob.glob(os.path.join(out, "metrics", "lang_keep", "*.parquet")):
+        lang_tbl.extend(pq.read_table(f).to_pylist())
+    want_lang = defaultdict(lambda: [0, 0])
+    for r in want:
+        want_lang[r["lang"]][0] += 1
+        want_lang[r["lang"]][1] += int(r["keep"])
+    got_lang = {r["lang"]: (r["n_turns"], r["n_kept"]) for r in lang_tbl}
+    assert got_lang == {k: (v[0], v[1]) for k, v in want_lang.items()}
+
+    reasons = {}
+    for f in glob.glob(os.path.join(out, "metrics", "reasons", "*.parquet")):
+        for r in pq.read_table(f).to_pylist():
+            reasons[r["drop_reason"]] = r["n"]
+    want_reasons = Counter(r["drop_reason"] or "kept" for r in want)
+    assert reasons == dict(want_reasons)
+
+    scrub = pq.read_table(
+        os.path.join(out, "metrics", "scrub", "totals.parquet")
+    ).to_pylist()
+    want_scrub = Counter()
+    for r in want:
+        for c in [k for k in r if k.startswith("scrub_")]:
+            want_scrub[c[len("scrub_"):]] += r[c]
+    got_scrub = {r["scrub_class"]: r["n_matches"] for r in scrub}
+    assert got_scrub == {k: want_scrub.get(k, 0) for k in got_scrub}
+
+
+def test_resume_skips_done_and_repairs_partial(run_out, clustered_corpus_dir):
+    from luzzu_ray.pipelines.runner import run_assessment
+
+    out, _ = run_out
+    full = _read_turns(out).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"),
+         ("ts", "ascending"), ("text", "ascending")]
+    )
+    # simulate a crash: shard 2's lineage missing + partial turns output
+    os.remove(os.path.join(out, "lineage", "part-2.parquet"))
+    part_dir = os.path.join(out, "turns", "part_id=2")
+    for f in sorted(glob.glob(os.path.join(part_dir, "*.parquet")))[1:]:
+        os.remove(f)
+    report = run_assessment(
+        clustered_corpus_dir, out, shards=4, resume=True,
+        giant_min_turns=500, num_partitions=8,
+    )
+    assert report["shards_run"] == [2]
+    assert report["shards_skipped"] == [0, 1, 3]
+    again = _read_turns(out).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending"),
+         ("ts", "ascending"), ("text", "ascending")]
+    )
+    assert again.num_rows == full.num_rows
+    for col in ("conv_id", "turn_idx", "keep", "drop_reason", "text_scrubbed"):
+        assert again[col].equals(full[col]), col
