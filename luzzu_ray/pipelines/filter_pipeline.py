@@ -44,12 +44,22 @@ from luzzu_ray.stages.turn_stages import (
     verdict_batch,
 )
 
-DEFAULT_ACTOR_POOL = (1, 8)
+DEFAULT_ACTOR_POOL = None  # resolved from cluster size at build time
 DEFAULT_MODEL_BATCH = 4096
 
 
 def cluster_cpus() -> int:
     return max(1, int(ray.cluster_resources().get("CPU", 1)))
+
+
+def default_actor_pool() -> tuple[int, int]:
+    """Autoscaling (1, hi) with hi < cluster CPUs.
+
+    MUST stay autoscaling and leave headroom: a fixed pool spanning every
+    CPU deadlocks against the hash-shuffle aggregator actors downstream.
+    """
+    cpus = cluster_cpus()
+    return (1, max(2, cpus - max(2, cpus // 4)))
 
 
 def default_num_partitions() -> int:
@@ -88,6 +98,8 @@ def turn_level(
     actor_pool=DEFAULT_ACTOR_POOL,
 ) -> ray.data.Dataset:
     """All per-turn stages (no shuffle): signals, models, scrub, verdict."""
+    if actor_pool is None:
+        actor_pool = default_actor_pool()
     kw = dict(batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(normalize_batch, **kw)
     ds = ds.map_batches(signals_batch, **kw)

@@ -78,10 +78,34 @@ class PerplexityScorer:
 @register_stage("model_scorer", version=C.STAGE_VERSIONS["langid"],
                 stateful=True, batch_size=4096)
 class ModelScorer:
-    """Fused langid + perplexity (one actor pool, one pass over the bytes)."""
+    """Fused langid + perplexity (one actor pool, one pass over the bytes).
 
-    def __init__(self, model_ref=None):
+    ``__init__`` runs a synthetic warm-up batch through every fused
+    kernel: on hosts where first-touch page faults dominate (fresh heap
+    pages cost ~100x a warm page), this moves the entire allocator
+    warm-up into actor startup, which overlaps with the upstream read.
+    """
+
+    WARMUP_BYTES = 5_000_000
+
+    def __init__(self, model_ref=None, warmup: bool = True):
         self.models = _resolve_models(model_ref)
+        if warmup:
+            self._warmup()
+
+    def _warmup(self) -> None:
+        rng = np.random.default_rng(0)
+        words = np.array(
+            "alpha bravo charlie delta echo foxtrot golf hotel india".split()
+        )
+        row = " ".join(rng.choice(words, 160))
+        n = max(1, self.WARMUP_BYTES // (len(row) + 1))
+        fake = pa.table({"text": pa.array([row] * n)})
+        from luzzu_ray.stages.turn_stages import scrub_batch, signals_batch
+
+        signals_batch(fake)
+        scrub_batch(fake)
+        self(fake)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         data, offs = TX.utf8_view(batch["text"])
