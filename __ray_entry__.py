@@ -310,6 +310,44 @@ def q_flagship_documents(sf_dir: str):
     )
 
 
+
+
+def q_distinct_langs(sf_dir: str):
+    """G5 distinct: small-cardinality unique via partial dedup + final."""
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([])
+        return g
+
+    from ray.data.aggregate import Count
+
+    parts = _docs(sf_dir, ["lang"]).map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("lang").aggregate(Count(alias_name="n_blocks")).select_columns(["lang"])
+
+
+def q_union_documents(sf_dir: str):
+    """D2 union: two projections of the corpus unioned then counted."""
+    a = _docs(sf_dir, ["doc_id", "lang"])
+    b = _docs(sf_dir, ["doc_id", "lang"])
+    u = a.union(b)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([("doc_id", "count")])
+        return pa.table(
+            {"lang": g["lang"], "n": pc.cast(g["doc_id_count"], pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return u.map_batches(partial, batch_format="pyarrow").groupby(
+        "lang"
+    ).aggregate(Sum("n", alias_name="n"))
+
+
+def q_sample_documents(sf_dir: str):
+    """O3 sampling: seeded deterministic sample (rows-only check)."""
+    return _docs(sf_dir, ["doc_id", "lang"]).random_sample(0.2, seed=42)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -342,6 +380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann_topk": q_lsh_ann_topk,
         "flagship_documents": q_flagship_documents,
+        "distinct_langs": q_distinct_langs,
+        "union_documents": q_union_documents,
+        "sample_documents": q_sample_documents,
     }
 
 
@@ -426,6 +467,12 @@ def oracle_sql() -> dict[str, str]:
         "events_type_counts": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY event_type"
+        ),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "union_documents": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM "
+            "(SELECT doc_id, lang FROM documents UNION ALL "
+            "SELECT doc_id, lang FROM documents) GROUP BY lang"
         ),
         "events_sessions": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "

@@ -138,9 +138,51 @@ def main() -> None:
     ray.shutdown()
 
 
-def single_run(num_cpus: int) -> None:
+SCALING_REPLICATION = 10
+
+
+def scaling_corpus_dir(sf_dir: str) -> str:
+    """10x-replicated corpus for the scaling legs (conv_ids remapped).
+
+    The N->4N criterion targets multi-node 10^12-turn runs where fixed
+    startup (actor spin-up, shuffle setup, warm-up) is invisible; at
+    600k turns those fixed ~20s dominate a 40s run and would measure
+    startup, not scaling.  Replicating the deterministic corpus 10x
+    (6.1M turns) amortizes them honestly.
+    """
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = bench_corpus_dir(sf_dir)
+    tag = _sf_tag(sf_dir)
+    out = f"/tmp/luzzu_bench_corpus/{tag}_x{SCALING_REPLICATION}"
+    marker = os.path.join(out, ".complete-v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out)
+        for f in sorted(glob.glob(os.path.join(base, "*.parquet"))):
+            t = pq.read_table(f)
+            stem = os.path.basename(f)[:-len(".parquet")]
+            for rep in range(SCALING_REPLICATION):
+                conv = pc.binary_join_element_wise(
+                    pa.scalar(f"r{rep}-"), t["conv_id"], ""
+                ) if rep else t["conv_id"]
+                t2 = t.set_column(
+                    t.schema.get_field_index("conv_id"), "conv_id", conv
+                )
+                pq.write_table(t2, os.path.join(out, f"{stem}-r{rep}.parquet"))
+        open(marker, "w").close()
+    return out
+
+
+def single_run(num_cpus: int, corpus: str | None = None) -> None:
     """Internal: one fresh-process headline measurement (for --scaling)."""
-    corpus = bench_corpus_dir(SF_DIR)
+    corpus = corpus or bench_corpus_dir(SF_DIR)
     n_turns = _count_turns(corpus)
     _init_ray(num_cpus)
     sec = run_headline(corpus, f"/tmp/luzzu_bench_out/scaling_{num_cpus}")
@@ -153,11 +195,11 @@ def single_run(num_cpus: int) -> None:
 
 
 def scaling() -> None:
-    bench_corpus_dir(SF_DIR)  # pre-generate outside the timed runs
+    corpus = scaling_corpus_dir(SF_DIR)  # pre-generate outside the timed runs
     results = {}
     for cpus in (8, 32):
         proc = subprocess.run(
-            [sys.executable, __file__, "--_single", str(cpus)],
+            [sys.executable, __file__, "--_single", str(cpus), corpus],
             capture_output=True, text=True, check=True,
         )
         results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
@@ -181,6 +223,6 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         scaling()
     elif len(sys.argv) > 2 and sys.argv[1] == "--_single":
-        single_run(int(sys.argv[2]))
+        single_run(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else None)
     else:
         main()

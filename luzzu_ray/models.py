@@ -149,11 +149,15 @@ def _build_models() -> dict:
     p = (counts + 0.5) / (tot + 0.5 * T)
     p_avg = p.mean(axis=0, keepdims=True)
     W = (np.log(p) - np.log(p_avg)).astype(np.float32)
+    # pre-fold the unigram backoff: u1[lang, byte] = B^2 * (c1+1) / (total+256)
+    B = C.PPL_BACKOFF
+    ppl_u1 = (B * B) * (ppl_t1 + 1.0) / (totals[:, None] + 256.0)
     return {
         "langid_W": W,
         "ppl_t3": ppl_t3,
         "ppl_t2": ppl_t2,
         "ppl_t1": ppl_t1,
+        "ppl_u1": ppl_u1.astype(np.float32),
         "ppl_totals": totals,
     }
 
@@ -225,52 +229,59 @@ def ppl_scores(
     lo = int(offsets[0])
     lb = C.BYTE_LOWER[data[lo: int(offsets[-1])]]
     starts, counts = _row_geometry(offsets, 3)
-    if counts.sum() == 0 or not (lang_idx >= 0).any():
+    scored_rows = np.flatnonzero((lang_idx >= 0) & (counts > 0))
+    if counts.sum() == 0 or len(scored_rows) == 0:
         return out
+    M = _PPL_MASK + 1
+    # ONE pass over the buffer for every language: per-position table
+    # indices are offset by the row's language (lang * table_size) into
+    # the stacked per-language tables.  Rows with lang -1 gather from
+    # lang 0 but are never read back by the segment sums.
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    lang_clip = np.maximum(lang_idx, 0).astype(np.int32)
     h3 = _tri_hash_full(lb, _PPL_MASK)
     h2 = _bi_hash_full(lb, _PPL_MASK)   # h2[i] = hash(lb[i], lb[i+1])
-    total_positions = len(h3)
-    B = np.float32(C.PPL_BACKOFF)
-    logp = np.empty(total_positions, dtype=np.float32)
-    valid = _invalid_mask_f32(total_positions, starts, counts, 3)
+    npos = len(h3)
+    scaled = np.repeat(lang_clip * np.int32(M), lens)[:npos]
+    t3f = models["ppl_t3"].reshape(-1)
+    t2f = models["ppl_t2"].reshape(-1)
+    t1f = models["ppl_t1"].reshape(-1)
+    u1f = models["ppl_u1"].reshape(-1)
 
-    for li, lang in enumerate(LANGS):
-        rows = np.flatnonzero(lang_idx == li)
-        if len(rows) == 0:
-            continue
-        t3, t2, t1 = models["ppl_t3"][li], models["ppl_t2"][li], models["ppl_t1"][li]
-        total = models["ppl_totals"][li]
-        # per-position counts over the WHOLE buffer (cheap: float32 gathers,
-        # each the size of the text); rows of other languages are never read
-        # back because segment sums only touch this language's rows.
-        c3 = np.take(t3, h3)
-        c2ab = np.take(t2, h3)  # placeholder alloc; overwritten below
-        np.take(t2, h2[:-1], out=c2ab)          # count(b[i], b[i+1])
-        c2bc = np.take(t2, h2[1:])              # count(b[i+1], b[i+2])
-        c1b = np.take(t1, lb[1:-1])
-        c1c = np.take(t1, lb[2:])
-        # p_tri = c3 / max(c2ab, c3, 1)
-        denom = np.maximum(c2ab, c3)
-        np.maximum(denom, np.float32(1.0), out=denom)
-        p_tri = np.divide(c3, denom, out=denom)
-        # p_bi = B * c2bc / max(c1b, c2bc, 1)
-        denom2 = np.maximum(c1b, c2bc)
-        np.maximum(denom2, np.float32(1.0), out=denom2)
-        p_bi = np.divide(c2bc, denom2, out=denom2)
-        np.multiply(p_bi, B, out=p_bi)
-        # p_uni = B*B*(c1c+1)/(total+256)
-        p_uni = np.add(c1c, np.float32(1.0), out=c1c)
-        np.multiply(p_uni, np.float32(B * B / (total + 256)), out=p_uni)
-        # select: c3>0 -> p_tri; elif c2bc>0 -> p_bi; else p_uni
-        p = np.where(c3 > 0, p_tri, np.where(c2bc > 0, p_bi, p_uni))
-        np.log(p, out=p)
-        np.multiply(p, valid, out=p)
-        sums = _segment_sums(p, starts[rows], counts[rows])
-        cnt = counts[rows]
-        nz = cnt > 0
-        res = np.zeros(len(rows), dtype=np.float64)
-        res[nz] = np.exp(-sums[nz] / cnt[nz])
-        out[rows] = res
+    np.add(h3, scaled, out=h3)
+    c3 = np.take(t3f, h3)
+    idx = np.add(h2[:-1], scaled)                 # context (b[i], b[i+1])
+    c2ab = np.take(t2f, idx)
+    np.subtract(idx, h2[:-1], out=idx)
+    np.add(idx, h2[1:], out=idx)                  # continuation (b[i+1], b[i+2])
+    c2bc = np.take(t2f, idx)
+    # unigram indices: lang*256 + byte
+    np.right_shift(scaled, 10, out=scaled)        # lang*2^18 -> lang*2^8
+    np.add(scaled, lb[1:-1], out=idx, casting="unsafe")
+    c1b = np.take(t1f, idx)
+    np.subtract(idx, lb[1:-1], out=idx, casting="unsafe")
+    np.add(idx, lb[2:], out=idx, casting="unsafe")
+    p_uni = np.take(u1f, idx)                     # pre-folded B^2(c1+1)/(tot+256)
+    B = np.float32(C.PPL_BACKOFF)
+    # p_tri = c3 / max(c2ab, c3, 1)  (in-place into c2ab)
+    np.maximum(c2ab, c3, out=c2ab)
+    np.maximum(c2ab, np.float32(1.0), out=c2ab)
+    p_tri = np.divide(c3, c2ab, out=c2ab)
+    # p_bi = B * c2bc / max(c1b, c2bc, 1)  (in-place into c1b)
+    np.maximum(c1b, c2bc, out=c1b)
+    np.maximum(c1b, np.float32(1.0), out=c1b)
+    p_bi = np.divide(c2bc, c1b, out=c1b)
+    np.multiply(p_bi, B, out=p_bi)
+    # select: c3>0 -> p_tri; elif c2bc>0 -> p_bi; else p_uni  (into p_tri)
+    np.copyto(p_tri, p_bi, where=(c3 <= 0))
+    np.copyto(p_tri, p_uni, where=(c3 <= 0) & (c2bc <= 0))
+    p = p_tri
+    np.log(p, out=p)
+    valid = _invalid_mask_f32(npos, starts, counts, 3)
+    np.multiply(p, valid, out=p)
+    sums = _segment_sums(p, starts[scored_rows], counts[scored_rows])
+    cnt = counts[scored_rows]
+    out[scored_rows] = np.exp(-sums / cnt)
     return out
 
 

@@ -45,7 +45,8 @@ from luzzu_ray.stages.turn_stages import (
 )
 
 DEFAULT_ACTOR_POOL = None  # resolved from cluster size at build time
-DEFAULT_MODEL_BATCH = 4096
+# whole blocks: the scorer chunks internally to cache-resident slices
+DEFAULT_MODEL_BATCH = None
 
 
 def cluster_cpus() -> int:
@@ -59,7 +60,7 @@ def default_actor_pool() -> tuple[int, int]:
     CPU deadlocks against the hash-shuffle aggregator actors downstream.
     """
     cpus = cluster_cpus()
-    return (1, max(2, cpus - max(2, cpus // 4)))
+    return (max(1, cpus // 8), max(2, cpus - max(2, cpus // 4)))
 
 
 def default_num_partitions() -> int:
@@ -96,8 +97,14 @@ def turn_level(
     *,
     model_batch: int = DEFAULT_MODEL_BATCH,
     actor_pool=DEFAULT_ACTOR_POOL,
+    rule_pack=None,
+    scorer_kwargs: dict | None = None,
 ) -> ray.data.Dataset:
-    """All per-turn stages (no shuffle): signals, models, scrub, verdict."""
+    """All per-turn stages (no shuffle): signals, models, scrub, verdict.
+
+    ``rule_pack`` (list[luzzu_ray.rules.Rule]) swaps the hand-written
+    verdict for a compiled declarative pack (LQML analogue, X2).
+    """
     if actor_pool is None:
         actor_pool = default_actor_pool()
     kw = dict(batch_format="pyarrow", zero_copy_batch=True)
@@ -108,10 +115,15 @@ def turn_level(
         batch_format="pyarrow",
         batch_size=model_batch,
         concurrency=actor_pool,
-        fn_constructor_kwargs={"model_ref": model_ref},
+        fn_constructor_kwargs={"model_ref": model_ref, **(scorer_kwargs or {})},
     )
     ds = ds.map_batches(scrub_batch, **kw)
-    ds = ds.map_batches(verdict_batch, **kw)
+    if rule_pack is not None:
+        from luzzu_ray.rules import compile_rules
+
+        ds = ds.map_batches(compile_rules(rule_pack), **kw)
+    else:
+        ds = ds.map_batches(verdict_batch, **kw)
     return ds
 
 
@@ -132,9 +144,18 @@ def detect_giants(paths, giant_min_turns: int = C.GIANT_MIN_TURNS) -> list[str]:
         )
 
     parts = ds.map_batches(partial_counts, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
 
-    counts = parts.groupby("conv_id").aggregate(Sum("n", alias_name="n"))
+    # repartition + per-block sum instead of groupby().aggregate(): the
+    # generic hash-aggregate pays per-row actor overhead that dwarfs this
+    # tiny (conv_id, n) table; a plain hash exchange + one pyarrow
+    # group_by per block is ~10x cheaper at the same scalability
+    def block_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("conv_id").aggregate([("n", "sum")])
+        return g.rename_columns(["conv_id", "n"])
+
+    counts = parts.repartition(num_blocks=8, keys=["conv_id"]).map_batches(
+        block_sum, batch_format="pyarrow", batch_size=None
+    )
     big = counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n"], giant_min_turns)),
         batch_format="pyarrow",
@@ -163,7 +184,11 @@ def compute_giant_verdicts(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    ds = turn_level(ds, model_ref, actor_pool=actor_pool)
+    # the giant subset is small: skip actor warm-up, keep the pool narrow
+    if actor_pool is None:
+        actor_pool = (1, max(2, cluster_cpus() // 4))
+    ds = turn_level(ds, model_ref, actor_pool=actor_pool,
+                    scorer_kwargs={"warmup": False})
     ds = ds.map_batches(
         add_group_key, fn_kwargs={"giant_ids": giant_arr},
         batch_format="pyarrow", zero_copy_batch=True,
@@ -193,6 +218,7 @@ def build_labeled(
     model_batch: int = DEFAULT_MODEL_BATCH,
     actor_pool=DEFAULT_ACTOR_POOL,
     conv_min_turns: int = C.CONV_MIN_TURNS,
+    rule_pack=None,
 ) -> ray.data.Dataset:
     """Phase 2: the full labeled-turns dataset (lazy; one shuffle)."""
     _ensure_hash_shuffle()
@@ -202,7 +228,8 @@ def build_labeled(
         ds = paths_or_ds
     else:
         ds = read_transcripts(paths_or_ds)
-    ds = turn_level(ds, model_ref, model_batch=model_batch, actor_pool=actor_pool)
+    ds = turn_level(ds, model_ref, model_batch=model_batch,
+                    actor_pool=actor_pool, rule_pack=rule_pack)
     giant_arr = pa.array(giants or [], pa.string())
     ds = ds.map_batches(
         add_group_key, fn_kwargs={"giant_ids": giant_arr},
@@ -224,16 +251,25 @@ def build_labeled(
 def run_flagship(
     input_dir_or_paths,
     *,
-    giant_min_turns: int = C.GIANT_MIN_TURNS,
+    giant_min_turns: int | None = None,
     num_partitions: int | None = None,
     model_batch: int = DEFAULT_MODEL_BATCH,
     actor_pool=DEFAULT_ACTOR_POOL,
     skip_giant_detection: bool = False,
     conv_min_turns: int = C.CONV_MIN_TURNS,
+    rule_pack=None,
 ) -> ray.data.Dataset:
-    """All three phases; returns the lazy labeled dataset."""
+    """The flagship pipeline; returns the lazy labeled dataset.
+
+    Default is ONE PASS with ``group_key = conv_id`` (no giant-conv
+    pre-detection): a reduce block holds every turn of its conversations,
+    which is fine up to conversations of ~1M turns (~1GB block).  For
+    corpora that can exceed that, pass ``giant_min_turns`` to enable the
+    three-phase salted protocol (detect -> per-chunk verdicts -> main
+    pass with broadcast giant verdicts) documented in the module header.
+    """
     model_ref = put_models()
-    if skip_giant_detection:
+    if skip_giant_detection or giant_min_turns is None:
         giants, verdicts = [], {}
     else:
         giants = detect_giants(input_dir_or_paths, giant_min_turns)
@@ -250,4 +286,5 @@ def run_flagship(
         model_batch=model_batch,
         actor_pool=actor_pool,
         conv_min_turns=conv_min_turns,
+        rule_pack=rule_pack,
     )

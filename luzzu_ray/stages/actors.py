@@ -86,7 +86,9 @@ class ModelScorer:
     warm-up into actor startup, which overlaps with the upstream read.
     """
 
-    WARMUP_BYTES = 5_000_000
+    # with cache-resident chunking the steady working set is small, so a
+    # modest warm-up suffices to prime the allocator
+    WARMUP_BYTES = 1_500_000
 
     def __init__(self, model_ref=None, warmup: bool = True):
         self.models = _resolve_models(model_ref)
@@ -108,9 +110,13 @@ class ModelScorer:
         self(fake)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._score(batch)
+
+    @staticmethod
+    def _score_impl(batch: pa.Table, *, mdl) -> pa.Table:
         data, offs = TX.utf8_view(batch["text"])
-        idx, conf = models.langid_scores(data, offs, self.models["langid_W"])
-        ppl = models.ppl_scores(data, offs, idx, self.models)
+        idx, conf = models.langid_scores(data, offs, mdl["langid_W"])
+        ppl = models.ppl_scores(data, offs, idx, mdl)
         lang = _LANG_LOOKUP[idx]
         return (
             batch.append_column("lang", pa.array(lang))
@@ -118,3 +124,6 @@ class ModelScorer:
             .append_column("lang_idx", pa.array(idx.astype(np.int8)))
             .append_column("ppl", pa.array(ppl))
         )
+
+    def _score(self, batch: pa.Table) -> pa.Table:
+        return TX.chunked(self._score_impl)(batch, mdl=self.models)

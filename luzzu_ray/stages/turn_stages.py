@@ -65,6 +65,7 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
 
 
 @register_stage("heuristics", version=C.STAGE_VERSIONS["heuristics"])
+@TX.chunked
 def signals_batch(batch: pa.Table) -> pa.Table:
     """Length / repetition / symbol-density signals (M3-M5), vectorized."""
     text = batch["text"]
@@ -93,6 +94,7 @@ def signals_batch(batch: pa.Table) -> pa.Table:
 
 
 @register_stage("scrub", version=C.STAGE_VERSIONS["scrub"])
+@TX.chunked
 def scrub_batch(batch: pa.Table) -> pa.Table:
     """PII/toxicity scrub (M8): fixed-order RE2 pack, vectorized per pattern.
 
