@@ -348,6 +348,77 @@ def q_sample_documents(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "lang"]).random_sample(0.2, seed=42)
 
 
+
+
+def q_join_orders_lineitem(sf_dir: str):
+    """J2 native hash join: revenue per order priority (orders x lineitem).
+
+    Uses Ray Data's hash join (both sides shuffled on the key) — the
+    complement of the broadcast join used for dimension tables.
+    """
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table(
+            {"o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+             "rev_q2": pc.cast(pc.floor(pc.multiply(rev, 100.0)), pa.int64())}
+        )
+
+    li_rev = li.map_batches(revenue, batch_format="pyarrow")
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    from luzzu_ray.pipelines.filter_pipeline import default_num_partitions
+
+    joined = li_rev.join(
+        orders, join_type="inner", on=("o_orderkey",),
+        num_partitions=default_num_partitions(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("rev_q2", "sum"), ("rev_q2", "count")]
+        )
+        return g.rename_columns(["o_orderpriority", "rev_q2", "n_items"])
+
+    from ray.data.aggregate import Sum
+
+    return joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderpriority"
+    ).aggregate(
+        Sum("rev_q2", alias_name="rev_q2"), Sum("n_items", alias_name="n_items")
+    )
+
+
+
+
+def q_streaming_dedup(sf_dir: str):
+    """Shared-state Bloom dedup (T3 escape hatch): rows-only entry.
+
+    Marks each document whose content fingerprint was already seen by
+    the shared index actor (order-dependent across batches, so only the
+    total count of unique rows is stable — suitable for the rows-only
+    check; exact semantics live in ops.dedup.exact_duplicates).
+    """
+    import ray
+
+    from luzzu_ray.state import BloomDedupIndex, StreamingDedupMarker
+
+    idx = BloomDedupIndex.remote(n_bits_log2=24, k=6)
+    marked = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        StreamingDedupMarker,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=1,
+        fn_constructor_kwargs={"index_handle": idx},
+    )
+    return marked.select_columns(["doc_id", "seen_before"])
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -370,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "tpch_q1": q_tpch_q1,
         "orders_by_mktsegment": q_orders_by_mktsegment,
+        "join_orders_lineitem": q_join_orders_lineitem,
         "top_customers": q_top_customers,
         "ann_topk": q_ann_topk,
         # rows-only (non-SQL-expressible; value-tested in tests/)
@@ -383,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": q_distinct_langs,
         "union_documents": q_union_documents,
         "sample_documents": q_sample_documents,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -489,6 +562,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) "
             "AS sum_price_q2, CAST(count(*) AS BIGINT) AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join_orders_lineitem": (
+            "SELECT o_orderpriority, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) "
+            "AS BIGINT)) AS BIGINT) AS rev_q2, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "orders_by_mktsegment": (
             "SELECT c_mktsegment, "

@@ -22,7 +22,6 @@ never materializes anything large.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -32,11 +31,7 @@ from luzzu_ray import constants as C
 from luzzu_ray import models
 from luzzu_ray.sources import read_transcripts
 from luzzu_ray.stages.actors import ModelScorer
-from luzzu_ray.stages.conversation import (
-    add_group_key,
-    conv_block_fn,
-    reduce_giant_partials,
-)
+from luzzu_ray.stages.conversation import conv_block_fn, reduce_giant_partials
 from luzzu_ray.stages.turn_stages import (
     normalize_batch,
     scrub_batch,
@@ -60,13 +55,17 @@ def default_actor_pool() -> tuple[int, int]:
     CPU deadlocks against the hash-shuffle aggregator actors downstream.
     """
     cpus = cluster_cpus()
-    return (max(1, cpus // 8), max(2, cpus - max(2, cpus // 4)))
+    hi = max(2, cpus - max(2, cpus // 4))
+    # autoscaling ramps too slowly from min=1 (observed ~2 effective
+    # actors on an 8-CPU run); start at half the ceiling
+    return (max(1, hi // 2), hi)
 
 
 def default_num_partitions() -> int:
-    """Shuffle width ≈ 2× cluster CPUs (clamped) — sized to resources, not a
-    constant, so a 4-CPU test session and a 256-node cluster both work."""
-    return min(512, max(8, 2 * cluster_cpus()))
+    """Shuffle width ≈ 4x cluster CPUs: bounds reduce-block size (cheap
+    per-block sorts, fine-grained stragglers) without outrunning the
+    aggregator pool on small sessions."""
+    return min(512, max(8, 4 * cluster_cpus()))
 
 
 def _ensure_hash_shuffle() -> None:
@@ -187,11 +186,16 @@ def compute_giant_verdicts(
     # the giant subset is small: skip actor warm-up, keep the pool narrow
     if actor_pool is None:
         actor_pool = (1, max(2, cluster_cpus() // 4))
-    ds = turn_level(ds, model_ref, actor_pool=actor_pool,
-                    scorer_kwargs={"warmup": False})
+    from luzzu_ray.stages.actors import TurnLevelActor
+
     ds = ds.map_batches(
-        add_group_key, fn_kwargs={"giant_ids": giant_arr},
-        batch_format="pyarrow", zero_copy_batch=True,
+        TurnLevelActor,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=actor_pool,
+        fn_constructor_kwargs={
+            "model_ref": model_ref, "warmup": False, "giant_ids": giants,
+        },
     )
     ds = ds.repartition(num_blocks=num_partitions, keys=["group_key"])
     partials = ds.map_batches(
@@ -228,12 +232,20 @@ def build_labeled(
         ds = paths_or_ds
     else:
         ds = read_transcripts(paths_or_ds)
-    ds = turn_level(ds, model_ref, model_batch=model_batch,
-                    actor_pool=actor_pool, rule_pack=rule_pack)
-    giant_arr = pa.array(giants or [], pa.string())
+    if actor_pool is None:
+        actor_pool = default_actor_pool()
+    from luzzu_ray.stages.actors import TurnLevelActor
+
     ds = ds.map_batches(
-        add_group_key, fn_kwargs={"giant_ids": giant_arr},
-        batch_format="pyarrow", zero_copy_batch=True,
+        TurnLevelActor,
+        batch_format="pyarrow",
+        batch_size=model_batch,
+        concurrency=actor_pool,
+        fn_constructor_kwargs={
+            "model_ref": model_ref,
+            "giant_ids": giants or None,
+            "rule_pack": rule_pack,
+        },
     )
     ds = ds.repartition(num_blocks=num_partitions, keys=["group_key"])
     ds = ds.map_batches(

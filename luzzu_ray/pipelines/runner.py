@@ -169,6 +169,7 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-summaries", action="store_true")
+    ap.add_argument("--rules", help="JSON rule-pack path (declarative verdict)")
     args = ap.parse_args()
 
     import ray
@@ -176,12 +177,18 @@ def main() -> None:  # pragma: no cover
     if not ray.is_initialized():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False)
+    extra = {}
+    if args.rules:
+        from luzzu_ray.rules import load_rule_pack
+
+        extra["rule_pack"] = load_rule_pack(args.rules)
     report = run_assessment(
         args.input,
         args.output,
         shards=args.shards,
         resume=args.resume,
         write_summaries=not args.no_summaries,
+        **extra,
     )
     print(json.dumps(report))
     ray.shutdown()

@@ -58,3 +58,19 @@ def documents_as_transcripts(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+def read_transcripts_jsonl(paths: list[str] | str, **kwargs) -> ray.data.Dataset:
+    """JSONL transcript source (S1: Luzzu reads multiple serializations of
+    the same logical stream — NT/Turtle/RDF-XML; our analogue is
+    Parquet + JSONL).  Rows are normalized to the canonical schema by
+    the pipeline's normalize stage, so a JSONL corpus flows through the
+    identical stage chain."""
+    import glob as _glob
+
+    if isinstance(paths, str):
+        found = sorted(_glob.glob(os.path.join(paths, "*.jsonl")))
+        if not found:
+            raise FileNotFoundError(f"no jsonl files under {paths}")
+        paths = found
+    return ray.data.read_json(paths, **kwargs)

@@ -127,3 +127,65 @@ class ModelScorer:
 
     def _score(self, batch: pa.Table) -> pa.Table:
         return TX.chunked(self._score_impl)(batch, mdl=self.models)
+
+
+class TurnLevelActor(ModelScorer):
+    """The ENTIRE turn-level chain fused into one actor stage:
+
+        normalize -> signals -> langid+ppl -> scrub -> verdict -> group key
+
+    Used by the flagship fast path: with separate task-based stages the
+    actor pool holds most CPUs while scrub/verdict tasks starve on the
+    remainder, and every full batch (text + scrubbed text + signals)
+    makes an extra object-store hop between stages.  Fusing keeps all
+    per-turn CPU inside one pool and ships each batch through plasma
+    once.  Stage composability is preserved at the config level
+    (pipelines.config builds the unfused chain from the registry).
+    """
+
+    def __init__(self, model_ref=None, warmup: bool = True, giant_ids=None,
+                 rule_pack=None):
+        self.giant_arr = (
+            pa.array(giant_ids, pa.string()) if giant_ids else None
+        )
+        self.verdict_fn = None
+        if rule_pack is not None:
+            from luzzu_ray.rules import compile_rules
+
+            self.verdict_fn = compile_rules(rule_pack)
+        super().__init__(model_ref=model_ref, warmup=warmup)
+
+    def _warmup(self) -> None:  # cover the fused kernels too
+        rng = np.random.default_rng(0)
+        words = np.array(
+            "alpha bravo charlie delta echo foxtrot golf hotel india".split()
+        )
+        row = " ".join(rng.choice(words, 160))
+        n = max(1, self.WARMUP_BYTES // (len(row) + 1))
+        fake = pa.table(
+            {
+                "conv_id": pa.array([f"w{i}" for i in range(n)]),
+                "turn_idx": pa.array(np.zeros(n, np.int32)),
+                "role": pa.array(["user"] * n),
+                "text": pa.array([row] * n),
+                "tool": pa.nulls(n, pa.string()),
+                "ts": pa.array(np.zeros(n, np.int64), pa.timestamp("us")),
+            }
+        )
+        self(fake)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from luzzu_ray.stages.conversation import add_group_key
+        from luzzu_ray.stages.turn_stages import (
+            normalize_batch,
+            scrub_batch,
+            signals_batch,
+            verdict_batch,
+        )
+
+        t = normalize_batch(batch)
+        t = signals_batch(t)
+        t = self._score(t)
+        t = scrub_batch(t)
+        t = self.verdict_fn(t) if self.verdict_fn else verdict_batch(t)
+        return add_group_key(t, self.giant_arr)

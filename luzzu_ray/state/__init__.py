@@ -1,0 +1,98 @@
+"""Shared mutable state — the raw-actor escape hatch (SURVEY.md §2.3 T3).
+
+Most of the engine is pure Dataset transforms; the ONE place the Dataset
+API genuinely cannot express the semantics is a shared mutable index
+consulted and updated across concurrent batches (e.g. streaming-ingest
+dedup against everything seen so far).  ``BloomDedupIndex`` is that
+escape hatch: a single ``@ray.remote`` actor holding a Bloom filter,
+with batched vectorized membership-test-and-insert.
+
+Scale notes (documented per the custom-operator rule): one actor is a
+serialization point — size batches large (>=4096) so the per-batch
+round-trip amortizes; shard by key hash across K actors
+(``ShardedBloom``) when one actor's throughput or memory is exceeded.
+False positives drop unique rows at the configured rate; for exact
+semantics use the shuffle-based ``ops.dedup.exact_duplicates`` instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hash streams from uint64 keys."""
+    with np.errstate(over="ignore"):
+        h1 = keys * _MIX
+        h1 ^= h1 >> np.uint64(29)
+        h2 = (keys ^ (keys >> np.uint64(33))) * np.uint64(0xC2B2AE3D27D4EB4F)
+        h2 |= np.uint64(1)
+    return h1, h2
+
+
+@ray.remote(num_cpus=0.5)
+class BloomDedupIndex:
+    """Bloom-filter membership actor: test-and-insert per batch."""
+
+    def __init__(self, n_bits_log2: int = 30, k: int = 6):
+        self.mask = np.uint64((1 << n_bits_log2) - 1)
+        self.k = k
+        self.bits = np.zeros(1 << (n_bits_log2 - 3), dtype=np.uint8)
+        self.n_inserted = 0
+
+    def seen_and_add(self, keys: np.ndarray) -> np.ndarray:
+        """For each key: True if (probably) seen before this call.
+
+        Duplicates WITHIN the batch are resolved first-occurrence-wins,
+        deterministically by position.
+        """
+        keys = np.asarray(keys, dtype=np.uint64)
+        h1, h2 = _hash2(keys)
+        seen = np.ones(len(keys), dtype=bool)
+        idx_cache = []
+        with np.errstate(over="ignore"):
+            for i in range(self.k):
+                pos = (h1 + np.uint64(i) * h2) & self.mask
+                byte_i = (pos >> np.uint64(3)).astype(np.int64)
+                bit_i = (pos & np.uint64(7)).astype(np.uint8)
+                idx_cache.append((byte_i, bit_i))
+                seen &= (self.bits[byte_i] >> bit_i) & 1 == 1
+        # in-batch repeats count as seen (first occurrence wins)
+        _, first_idx = np.unique(keys, return_index=True)
+        is_first = np.zeros(len(keys), dtype=bool)
+        is_first[first_idx] = True
+        seen |= ~is_first
+        for byte_i, bit_i in idx_cache:
+            np.bitwise_or.at(self.bits, byte_i, np.uint8(1) << bit_i)
+        self.n_inserted += int((~seen).sum())
+        return seen
+
+    def stats(self) -> dict:
+        return {"n_inserted": self.n_inserted,
+                "fill": float((self.bits != 0).mean())}
+
+
+class StreamingDedupMarker:
+    """Actor-pool stage marking rows whose content key was seen before.
+
+    Holds a handle to the shared Bloom actor; batches are hashed locally
+    (vectorized) and tested/inserted in one actor round-trip.
+    """
+
+    def __init__(self, index_handle, key_col: str = "text"):
+        self.index = index_handle
+        self.key_col = key_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from luzzu_ray.ops.textstats import fingerprint_batch
+
+        fp = fingerprint_batch(
+            pa.table({"doc_id": pa.array(np.zeros(t.num_rows, np.int64)),
+                      "text": t[self.key_col]})
+        )["fingerprint"].to_numpy(zero_copy_only=False).view(np.uint64)
+        seen = ray.get(self.index.seen_and_add.remote(fp))
+        return t.append_column("seen_before", pa.array(seen))

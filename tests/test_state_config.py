@@ -1,0 +1,98 @@
+"""Shared-state Bloom dedup actor, JSONL source, config-driven pipeline."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_bloom_index_actor(ray_session):
+    import ray
+
+    from luzzu_ray.state import BloomDedupIndex
+
+    idx = BloomDedupIndex.remote(n_bits_log2=20, k=4)
+    a = np.array([1, 2, 3, 2, 1], dtype=np.uint64)
+    seen1 = ray.get(idx.seen_and_add.remote(a))
+    assert seen1.tolist() == [False, False, False, True, True]
+    seen2 = ray.get(idx.seen_and_add.remote(np.array([3, 4], dtype=np.uint64)))
+    assert seen2.tolist() == [True, False]
+    stats = ray.get(idx.stats.remote())
+    assert stats["n_inserted"] == 4
+
+
+def test_streaming_dedup_marker(ray_session):
+    import ray
+    import ray.data
+
+    from luzzu_ray.state import BloomDedupIndex, StreamingDedupMarker
+
+    idx = BloomDedupIndex.remote(n_bits_log2=20, k=4)
+    t = pa.table(
+        {"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+         "text": pa.array(["aa bb cc", "dd ee ff", "aa bb cc", "gg hh"])}
+    )
+    out = ray.data.from_arrow(t).map_batches(
+        StreamingDedupMarker,
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=1,
+        fn_constructor_kwargs={"index_handle": idx},
+    ).take_all()
+    by_id = {r["doc_id"]: r["seen_before"] for r in out}
+    assert by_id[1] is False or by_id[3] is False
+    assert by_id[1] != by_id[3] or by_id[1] is False  # exactly one first
+    assert by_id[3] or by_id[1]  # the duplicate pair has one seen_before
+    assert by_id[2] is False and by_id[4] is False
+
+
+def test_jsonl_source_roundtrip(ray_session, tmp_path):
+    import json
+
+    import ray.data
+
+    from luzzu_ray.sources import read_transcripts_jsonl
+    from luzzu_ray.stages.turn_stages import normalize_batch
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hello there",
+         "tool": None, "ts": "2026-01-01T00:00:00"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "hi, how can i help", "tool": None,
+         "ts": "2026-01-01T00:00:30"},
+    ]
+    p = tmp_path / "part-0.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = read_transcripts_jsonl(str(tmp_path))
+    out = ds.map_batches(normalize_batch, batch_format="pyarrow").take_all()
+    assert len(out) == 2
+    assert all(not r["malformed"] for r in out)
+
+
+def test_config_pipeline_matches_default(ray_session, smoke_corpus_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from luzzu_ray.pipelines.config import build_pipeline
+    from luzzu_ray.pipelines.filter_pipeline import turn_level
+
+    files = sorted(glob.glob(os.path.join(smoke_corpus_dir, "*.parquet")))[:1]
+    t = pq.read_table(files[0])
+    cfg = {
+        "pipeline": {
+            "stages": ["normalize", "heuristics", "model_scorer", "scrub",
+                       "verdict"]
+        }
+    }
+    a = build_pipeline(ray.data.from_arrow(t), cfg).to_pandas()
+    b = turn_level(ray.data.from_arrow(t)).to_pandas()
+    key = ["conv_id", "turn_idx", "ts", "text"]
+    a = a.sort_values(key, na_position="first").reset_index(drop=True)
+    b = b.sort_values(key, na_position="first").reset_index(drop=True)
+    assert (a["drop_reason"].fillna("") == b["drop_reason"].fillna("")).all()
+    assert (a["text_scrubbed"].fillna("") == b["text_scrubbed"].fillna("")).all()
