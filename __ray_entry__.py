@@ -419,6 +419,74 @@ def q_streaming_dedup(sf_dir: str):
     return marked.select_columns(["doc_id", "seen_before"])
 
 
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact baseline, cos >= 0.4).
+
+    Each batch multiplies against the broadcast normalized corpus matrix
+    (O(n^2) exact baseline; the LSH-bucketed scale path is
+    ``lsh_ann_topk`` / ``minhash_dedup``).  Emits (a, b) with a < b.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    ref = ray.put({"M": M, "ids": ids})
+
+    def pairs(b: pa.Table) -> pa.Table:
+        side = ray.get(ref)
+        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        E = E / np.linalg.norm(E, axis=1, keepdims=True)
+        vid = np.array(b["vec_id"].to_pylist(), dtype=np.int64)
+        sims = E @ side["M"].T
+        rows, cols = np.nonzero(sims >= 0.4)
+        a = vid[rows]
+        bb = side["ids"][cols]
+        keep = a < bb
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(bb[keep])}
+        )
+
+    return _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+def q_events_hourly_window(sf_dir: str):
+    """Tumbling-window aggregate: events per (event_type, hour bucket)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.divide(
+            pc.cast(t["ts"], pa.int64()), pa.scalar(3_600_000_000, pa.int64())
+        )
+        vq4 = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t["value"], pa.float64()), 10_000.0)),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"event_type": t["event_type"], "hour_bucket": hour,
+                      "value_q4": vq4,
+                      "n": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+            .group_by(["event_type", "hour_bucket"])
+            .aggregate([("n", "sum"), ("value_q4", "sum")])
+        )
+        return g.rename_columns(["event_type", "hour_bucket", "n", "value_q4"])
+
+    from ray.data.aggregate import Sum
+
+    parts = _tbl(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return parts.groupby(["event_type", "hour_bucket"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_q4", alias_name="value_q4")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -456,6 +524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_documents": q_union_documents,
         "sample_documents": q_sample_documents,
         "streaming_dedup": q_streaming_dedup,
+        "embedding_neardup": q_embedding_neardup,
+        "events_hourly_window": q_events_hourly_window,
     }
 
 
@@ -540,6 +610,17 @@ def oracle_sql() -> dict[str, str]:
         "events_type_counts": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY event_type"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "events_hourly_window": (
+            "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) "
+            "AS value_q4 FROM events GROUP BY event_type, hour_bucket"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "union_documents": (
