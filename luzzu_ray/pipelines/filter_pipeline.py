@@ -1,12 +1,13 @@
 """The flagship assessment pipeline (SURVEY.md §3.2, entry point 1).
 
-    read_parquet -> normalize -> heuristics -> langid(actors) ->
-    perplexity(actors) -> scrub -> verdict -> salt ->
+    read_parquet -> TurnLevelActor pool (normalize + heuristics +
+    langid/ppl + scrub + verdict + group key, fused; SURVEY.md §8.1) ->
     repartition(keys=[group_key]) -> conversation rules -> labeled turns
 
-All stateless stages fuse into one streaming pass; exactly ONE wide
-shuffle (conversation reassembly).  Giant-conversation handling is a
-three-phase protocol (SURVEY.md §4.2):
+One actor-pool pass over the bytes, exactly ONE wide shuffle
+(conversation reassembly).  Default is one-pass with group_key =
+conv_id; opt-in giant-conversation handling is a three-phase protocol
+(SURVEY.md §4.2, enabled by ``giant_min_turns``):
 
   phase 0  detect_giants      — conv_id column only, partial-aggregated
                                 counts (bytes moved ~ #convs, not #turns)
