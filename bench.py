@@ -85,6 +85,7 @@ def _init_ray(num_cpus: int) -> None:
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level="ERROR",
+        log_to_driver=False,  # keep stdout to exactly one JSON line
     )
     import ray.data
 
