@@ -12,6 +12,15 @@ Design notes:
 - Entries WITHOUT an ``oracle_sql`` twin (model scoring, LSH dedup,
   fingerprints) get the driver's weaker rows-only check and are instead
   value-verified in ``tests/`` against pure-Python twins.
+- DOMAIN NOTE (ASCII): the SQL oracles define words as ASCII
+  ``[A-Za-z0-9]+`` and count symbol CHARS, while the engine's byte
+  tables classify every non-ASCII byte as a word/alpha byte (so
+  multi-byte characters never split tokens); likewise the scrub parity
+  relies on RE2's ASCII ``\\b`` agreeing with Python/DuckDB on ASCII
+  text.  The sf fixtures are verified pure-ASCII, which is the domain
+  these oracles are exact on; ``tests/test_kernels.py::
+  test_non_ascii_engine_vs_sql_divergence`` pins the divergence on
+  non-ASCII input explicitly.
 - Nothing here calls ``ray.init``/``ray.shutdown``.
 """
 

@@ -18,8 +18,16 @@ import pyarrow as pa
 import ray
 import ray.data
 
-_rng = np.random.Generator(np.random.PCG64(7071))
+LSH_SEED = 7071
 LSH_PLANES = 12  # 4096 buckets
+
+
+def lsh_planes(dim: int, n_planes: int = LSH_PLANES, seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic random-hyperplane matrix — a FRESH generator per call
+    so results never depend on how many times any LSH function ran earlier
+    in the process (every other seeded component in the repo behaves so)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
 
 
 def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -133,10 +141,11 @@ def lsh_ann_topk(
     k: int = 10,
     dim: int = 64,
     hamming_radius: int = 1,
+    seed: int = LSH_SEED,
 ) -> pa.Table:
     """Approximate top-k: random-hyperplane bucket filter, then exact
     cosine within candidate buckets only.  Recall < 1.0 by design."""
-    planes = _rng.standard_normal((LSH_PLANES, dim))
+    planes = lsh_planes(dim, LSH_PLANES, seed)
     Q = np.asarray(query_matrix, dtype=np.float64)
     qsig = (Q @ planes.T > 0).astype(np.uint32)
     qcodes = (qsig << np.arange(LSH_PLANES, dtype=np.uint32)[None, :]).sum(axis=1)
@@ -148,16 +157,16 @@ def lsh_ann_topk(
             for b in range(LSH_PLANES):
                 want.add(c ^ (1 << b))
     want_arr = pa.array(sorted(want), pa.int64())
-    planes_ref = ray.put(planes)
 
+    # planes are tiny (LSH_PLANES x dim floats) — close over them directly;
+    # Ray ships them once per task in the serialized closure, no per-batch get
     def bucket_filter(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         E = _as_matrix(t["embedding"])
         if E.size == 0:
             return t
-        P = ray.get(planes_ref)
-        sig = (E @ P.T > 0).astype(np.uint32)
+        sig = (E @ planes.T > 0).astype(np.uint32)
         codes = (sig << np.arange(LSH_PLANES, dtype=np.uint32)[None, :]).sum(axis=1)
         keep = pc.is_in(pa.array(codes.astype(np.int64)), value_set=want_arr)
         return t.filter(keep)

@@ -170,6 +170,7 @@ def compute_giant_verdicts(
     *,
     num_partitions: int | None = None,
     actor_pool=DEFAULT_ACTOR_POOL,
+    conv_min_turns: int = C.CONV_MIN_TURNS,
 ) -> dict[str, str]:
     """Phase 1: conversation-level verdicts for giant convs (two-level agg)."""
     if not giants:
@@ -210,7 +211,7 @@ def compute_giant_verdicts(
             [("conv_id", pa.string()), ("valid", pa.int64()), ("total", pa.int64())]
         ),
     )
-    return reduce_giant_partials(tbl)
+    return reduce_giant_partials(tbl, conv_min_turns=conv_min_turns)
 
 
 def build_labeled(
@@ -289,6 +290,7 @@ def run_flagship(
         verdicts = compute_giant_verdicts(
             input_dir_or_paths, giants, model_ref,
             num_partitions=num_partitions, actor_pool=actor_pool,
+            conv_min_turns=conv_min_turns,
         )
     return build_labeled(
         input_dir_or_paths,

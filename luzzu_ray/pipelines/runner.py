@@ -53,9 +53,31 @@ LINEAGE_SCHEMA = pa.schema(
         ("rows_in", pa.int64()),
         ("rows_kept", pa.int64()),
         ("stage_versions", pa.string()),  # JSON
+        ("config_hash", pa.string()),  # shard layout + pipeline kwargs + versions
         ("wall_ms", pa.int64()),
     ]
 )
+
+
+def run_config_hash(shards: int, pipeline_kwargs: dict) -> str:
+    """Stable hash of everything that determines a shard's output.
+
+    Recorded in every lineage row; ``--resume`` refuses to mix lineage
+    written under a different shard count, rule pack or pipeline kwargs
+    (old-layout shards would otherwise silently count as complete and
+    orphan ``part_id=k`` dirs for k >= shards would leak into summaries).
+    """
+    import hashlib
+
+    payload = json.dumps(
+        {
+            "shards": shards,
+            "pipeline_kwargs": {k: repr(v) for k, v in sorted(pipeline_kwargs.items())},
+            "stage_versions": C.STAGE_VERSIONS,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 def shard_files(paths: list[str], shards: int) -> dict[int, list[str]]:
@@ -111,7 +133,24 @@ def run_assessment(
     by_shard = shard_files(paths, shards)
     lineage_dir = os.path.join(out_dir, "lineage")
     os.makedirs(lineage_dir, exist_ok=True)
+    cfg_hash = run_config_hash(shards, pipeline_kwargs)
     done = completed_parts(out_dir) if resume else set()
+    if resume:
+        for k in sorted(done):
+            prev = pq.read_table(
+                os.path.join(lineage_dir, f"part-{k}.parquet")
+            )
+            old = (
+                prev["config_hash"][0].as_py()
+                if "config_hash" in prev.column_names else None
+            )
+            if old != cfg_hash:
+                raise ValueError(
+                    f"--resume config mismatch: lineage part-{k} was written "
+                    f"with config_hash={old!r}, current run is {cfg_hash!r} "
+                    "(different --shards, rule pack or pipeline kwargs). "
+                    "Re-run without --resume to restart cleanly."
+                )
     if not resume:
         shutil.rmtree(os.path.join(out_dir, "turns"), ignore_errors=True)
         shutil.rmtree(lineage_dir, ignore_errors=True)
@@ -139,6 +178,7 @@ def run_assessment(
                 "stage_versions": pa.array(
                     [json.dumps(C.STAGE_VERSIONS, sort_keys=True)], pa.string()
                 ),
+                "config_hash": pa.array([cfg_hash], pa.string()),
                 "wall_ms": pa.array([wall_ms], pa.int64()),
             },
             schema=LINEAGE_SCHEMA,

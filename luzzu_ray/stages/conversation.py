@@ -80,6 +80,7 @@ def conv_block_fn(
     giant_verdicts: dict[str, str] | None = None,
     emit: str = "turns",
     conv_min_turns: int = C.CONV_MIN_TURNS,
+    conv_min_keep_ratio: float = C.CONV_MIN_KEEP_RATIO,
 ) -> pa.Table:
     """Process all complete groups inside one hash-partitioned block.
 
@@ -140,7 +141,7 @@ def conv_block_fn(
     # conversation-level rules for whole (unsalted) groups
     conv_short_g = (~salted_g) & (valid < conv_min_turns)
     conv_lowq_g = (
-        (~salted_g) & ~conv_short_g & (valid / total < C.CONV_MIN_KEEP_RATIO)
+        (~salted_g) & ~conv_short_g & (valid / total < conv_min_keep_ratio)
     )
     set_short = is_pass & conv_short_g[gid]
     set_lowq = is_pass & conv_lowq_g[gid]
@@ -169,10 +170,17 @@ def conv_block_fn(
     return out.drop_columns([c for c in _HELPER_COLS if c in out.column_names])
 
 
-def reduce_giant_partials(partials: pa.Table) -> dict[str, str]:
+def reduce_giant_partials(
+    partials: pa.Table,
+    conv_min_turns: int = C.CONV_MIN_TURNS,
+    conv_min_keep_ratio: float = C.CONV_MIN_KEEP_RATIO,
+) -> dict[str, str]:
     """Driver-side merge of per-chunk partials -> conv-level verdicts.
 
     Tiny input (one row per giant chunk).  Returns only failing convs.
+    Thresholds are parameters (mirroring ``conv_block_fn``) so the salted
+    giant path judges conversations with the same rules as the one-pass
+    path when callers override the defaults.
     """
     agg = partials.group_by("conv_id").aggregate(
         [("valid", "sum"), ("total", "sum")]
@@ -183,8 +191,8 @@ def reduce_giant_partials(partials: pa.Table) -> dict[str, str]:
         agg["valid_sum"].to_pylist(),
         agg["total_sum"].to_pylist(),
     ):
-        if v < C.CONV_MIN_TURNS:
+        if v < conv_min_turns:
             verdicts[conv] = C.R_CONV_TOO_SHORT
-        elif v / tot < C.CONV_MIN_KEEP_RATIO:
+        elif v / tot < conv_min_keep_ratio:
             verdicts[conv] = C.R_CONV_LOW_QUALITY
     return verdicts

@@ -69,3 +69,34 @@ def test_null_and_sliced_arrays():
     sl = arr.slice(1, 2)
     data2, offs2 = TX.utf8_view(sl)
     assert list(TX.row_lengths(offs2)) == [0, 3]
+
+
+def test_non_ascii_engine_vs_sql_divergence():
+    """Pin the documented ASCII-only domain of the SQL oracles.
+
+    The engine's byte tables classify every non-ASCII byte as a
+    word/alpha byte (multi-byte chars never split tokens), while the
+    DuckDB oracle's `[A-Za-z0-9]+` word definition is ASCII-only.  On
+    pure-ASCII input (the sf fixtures, verified in datagen) both agree;
+    on non-ASCII input they MUST diverge exactly as documented in
+    __ray_entry__.py's domain note.
+    """
+    import duckdb
+
+    text = "élève café"  # 2 tokens to the engine, 3 ASCII runs to SQL
+    data, offs = TX.utf8_view(pa.array([text]))
+    _, _, tr_ = TX.token_segments(data, offs)
+    engine_words = int((tr_ == 0).sum())
+    assert engine_words == 2
+
+    sql_words = duckdb.sql(
+        "SELECT len(regexp_extract_all(?, '[A-Za-z0-9]+'))", params=[text]
+    ).fetchone()[0]
+    assert sql_words == 3  # 'l', 've', 'caf' — accents split/truncate runs
+
+    # and symbol counting: the engine sees 0 symbol bytes (non-ASCII ->
+    # word bytes), the SQL CHAR class sees 0 symbols too but counts
+    # chars not bytes — divergence shows up in nonspace denominators
+    cls = TX.byte_class_fractions(data, offs)
+    assert int(cls[0, 0]) == len(text.encode()) - text.count(" ")  # alpha BYTES
+    assert len(text) - text.count(" ") != int(cls[0, 0])  # chars != bytes

@@ -149,3 +149,14 @@ def test_resume_skips_done_and_repairs_partial(run_out, clustered_corpus_dir):
     assert again.num_rows == full.num_rows
     for col in ("conv_id", "turn_idx", "keep", "drop_reason", "text_scrubbed"):
         assert again[col].equals(full[col]), col
+
+
+def test_resume_refuses_config_mismatch(run_out, clustered_corpus_dir):
+    from luzzu_ray.pipelines.runner import run_assessment
+
+    out, _ = run_out
+    with pytest.raises(ValueError, match="config mismatch"):
+        run_assessment(
+            clustered_corpus_dir, out, shards=8, resume=True,
+            giant_min_turns=500, num_partitions=8,
+        )
