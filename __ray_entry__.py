@@ -280,10 +280,15 @@ def q_langid_docs(sf_dir: str):
     return langid_documents(_docs(sf_dir, ["doc_id", "text"]))
 
 
+JACCARD_THRESHOLD = 0.6
+
+
 def q_minhash_dedup(sf_dir: str):
     from luzzu_ray.ops.dedup import minhash_dedup
 
-    return minhash_dedup(_docs(sf_dir, ["doc_id", "text"]))
+    return minhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=JACCARD_THRESHOLD
+    )
 
 
 def q_simhash_dedup(sf_dir: str):
@@ -295,7 +300,59 @@ def q_simhash_dedup(sf_dir: str):
 def q_ngram_jaccard(sf_dir: str):
     from luzzu_ray.ops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]))
+    return ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=JACCARD_THRESHOLD
+    )
+
+
+# All-pairs exact word-shingle Jaccard (the engine's LSH-candidate +
+# exact-verify result equals this up to the documented banding recall,
+# (1-j^2)^32 ~ 6e-7 at the 0.6 threshold).  Tokens = ASCII-lowered
+# [a-z0-9]+ runs (identical to the engine's byte classes on the
+# pure-ASCII fixtures); shingles joined with spaces are injective.
+_JACCARD_PAIRS_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in generate_series(1, len(ts) - 2)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+jac AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+    CAST(floor(
+      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / CAST(len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      * 1000000.0) AS BIGINT) AS jaccard_q6
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT a, b, jaccard_q6 FROM jac
+  WHERE jaccard_q6 >= {int(JACCARD_THRESHOLD * 1e6)}
+)
+"""
+
+_NGRAM_JACCARD_SQL = _JACCARD_PAIRS_SQL + "SELECT a, b, jaccard_q6 FROM pairs"
+
+# Connected components of the verified pair graph via transitive closure
+# (recursive CTE) — cluster = component minimum, roots included.
+_MINHASH_DEDUP_SQL = _JACCARD_PAIRS_SQL + """,
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster,
+       u <> least(u, min(v)) AS is_dup
+FROM reach GROUP BY u
+"""
 
 
 def q_lsh_ann_topk(sf_dir: str):
@@ -631,6 +688,8 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) "
             "AS value_q4 FROM events GROUP BY event_type, hour_bucket"
         ),
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "minhash_dedup": _MINHASH_DEDUP_SQL,
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "union_documents": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM "

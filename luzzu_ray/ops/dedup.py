@@ -4,17 +4,30 @@ Luzzu's extensional-conciseness metric flags duplicate records `[paper]`
 (/root/reference/README.md:7); at training-data scale the same capability
 splits into:
 
-- exact dedup            hash-partition + per-group keep-first
-- MinHash + LSH near-dup shingle -> minhash sig -> band buckets -> groupby
-- SimHash near-dup       64-bit sign fingerprint -> band buckets -> hamming
+- exact dedup            128-bit content key in the map stage, shuffle
+                         (doc_id, key) ONLY — full text never enters the
+                         exchange (~100x fewer bytes than shuffling text)
+- MinHash + LSH near-dup shingle -> minhash sig -> band buckets ->
+                         vectorized in-bucket compare -> EXACT-jaccard
+                         verify (join-based, off-driver)
+- SimHash near-dup       64-bit sign fingerprint -> band buckets ->
+                         vectorized hamming (table popcount)
 - n-gram Jaccard verify  exact set Jaccard on LSH candidate pairs
 
 All are Ray-Data compositions: vectorized ``map_batches`` to compute
-signatures, ONE hash shuffle on the bucket/content key, NumPy segmented
-ops inside whole-block functions.  The candidate-pair merge (union-find)
-runs on the driver over the candidate-pair table only — pair volume
-scales with near-dup density, not corpus size (documented assumption;
-salting/partitioned union-find is the 100TB escalation path).
+signatures, hash shuffles on bucket/content keys, NumPy segmented ops
+inside whole-block functions.  Candidate-pair clustering runs through
+:func:`cluster_pairs`: a driver-side union-find fast path for small pair
+tables, and a shuffle-based alternating large-star/small-star contraction
+(public algorithm: Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014) that converges in O(log n) rounds with the driver
+never holding the edge set — the 100TB path.
+
+Oversized LSH buckets (degenerate near-identical corpora) are salt-split
+to ``bucket_cap`` members per subgroup; pairs split across subgroups in
+one band are recovered by other bands (each band salts the split
+differently).  Documented recall bound: a pair is lost only if separated
+in EVERY band — P < (1 - 1/s)^n_bands for split factor s.
 """
 
 from __future__ import annotations
@@ -31,14 +44,43 @@ from luzzu_ray.ops.textstats import token_hashes_for_rows
 # ---------------------------------------------------------------------------
 _rng = np.random.Generator(np.random.PCG64(20260817))
 N_PERM = 64          # minhash permutations
-N_BANDS = 16         # bands of r = N_PERM // N_BANDS rows
+N_BANDS = 16         # default bands of r = N_PERM // N_BANDS rows
 BAND_R = N_PERM // N_BANDS
+# verification-grade banding: recall at jaccard>=0.5 is 1 - (1-j^2)^32
+# (~1e-4 miss at j=0.5, ~6e-7 at j=0.6) at the cost of more candidates;
+# used by the exact-verified queries, while (16, 4) is the
+# throughput-grade default for signature-agreement screening.
+N_BANDS_VERIFY = 32
+BAND_R_VERIFY = 2
 SHINGLE_K = 3        # word-shingle width
 _MH_A = _rng.integers(1, 2**63, size=N_PERM, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
 _MH_B = _rng.integers(0, 2**63, size=N_PERM, dtype=np.uint64)
-_BAND_SALT = _rng.integers(1, 2**63, size=N_BANDS, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+_BAND_SALT = _rng.integers(1, 2**63, size=64, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
 SIMHASH_BANDS = 4    # 4 x 16-bit chunks
 SIMHASH_HAMMING_MAX = 3
+
+# content-key (exact dedup) polynomial bases + seeds, two independent
+# streams -> 128-bit key; collision probability ~ n^2 / 2^128
+_CK_BASE1 = np.uint64(0x100000001B3)          # FNV-64 prime
+_CK_BASE2 = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+_CK_SEED1 = np.uint64(14695981039346656037)
+_CK_SEED2 = np.uint64(0x2545F4914F6CDD1D)
+
+# default ceiling for driver-side union-find; above it clustering runs
+# distributed (star contraction) so the driver never holds the pairs
+PAIRS_DRIVER_MAX = 1_000_000
+BUCKET_CAP = 8192    # salt-split LSH buckets above this many members
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a byte lookup table (any shape)."""
+    flat = np.ascontiguousarray(x, dtype=np.uint64)
+    out = _POP8[flat.view(np.uint8)].reshape(*flat.shape, 8).sum(
+        axis=-1, dtype=np.int32
+    )
+    return out
 
 
 def _hash_shuffle_ctx() -> None:
@@ -47,24 +89,72 @@ def _hash_shuffle_ctx() -> None:
     _ensure_hash_shuffle()
 
 
+def _default_parts(num_partitions: int | None) -> int:
+    from luzzu_ray.pipelines.filter_pipeline import default_num_partitions
+
+    return default_num_partitions() if num_partitions is None else num_partitions
+
+
 # ---------------------------------------------------------------------------
-# exact dedup
+# exact dedup: shuffle 128-bit content keys, never the text
 # ---------------------------------------------------------------------------
+
+def content_key_batch(t: pa.Table) -> pa.Table:
+    """(doc_id, k1, k2): two independent 64-bit polynomial hashes of the
+    raw text bytes (Horner, mod 2^64).  Vectorized: one pass over the
+    batch's bytes per stream, per-row segment sums via ``reduceat``."""
+    from luzzu_ray.functions import text as TX
+
+    n = t.num_rows
+    data, offs = TX.utf8_view(t["text"])
+    lens = offs[1:] - offs[:-1]
+    lo, hi = int(offs[0]), int(offs[-1])
+    k1 = np.full(n, _CK_SEED1, dtype=np.uint64)
+    k2 = np.full(n, _CK_SEED2, dtype=np.uint64)
+    if hi > lo:
+        b = data[lo:hi].astype(np.uint64)
+        rid = np.repeat(np.arange(n, dtype=np.int64), lens)
+        starts_rel = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts_rel[1:])
+        pos = np.arange(hi - lo, dtype=np.int64) - starts_rel[rid]
+        exp = lens[rid] - 1 - pos
+        mx = int(lens.max())
+        nz = lens > 0
+        starts_nz = starts_rel[nz]
+        with np.errstate(over="ignore"):
+            for base, seed, out in ((_CK_BASE1, _CK_SEED1, k1),
+                                    (_CK_BASE2, _CK_SEED2, k2)):
+                pows = np.empty(mx + 1, dtype=np.uint64)
+                pows[0] = np.uint64(1)
+                np.cumprod(np.full(mx, base, dtype=np.uint64), out=pows[1:])
+                contrib = b * pows[exp]
+                sums = np.add.reduceat(contrib, starts_nz)
+                out[:] = seed * pows[lens]
+                out[nz] += sums
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "k1": pa.array(k1.view(np.int64)),
+            "k2": pa.array(k2.view(np.int64)),
+        }
+    )
+
 
 def exact_duplicates(ds: ray.data.Dataset, num_partitions: int | None = None) -> ray.data.Dataset:
     """(doc_id, is_dup): is_dup iff a smaller doc_id has identical text.
 
-    Hash-partition on the text content key, then per-block group-min —
-    the keep-first idiom.  Shuffles (doc_id, text) rows exactly once.
+    The map stage reduces each row to a 128-bit content key; ONLY
+    (doc_id, k1, k2) rows enter the hash exchange — at 100TB that is
+    ~100x fewer shuffled bytes than exchanging the text itself.  The
+    keep-first idiom then runs per block (group-min + join).
     """
-    from luzzu_ray.pipelines.filter_pipeline import default_num_partitions
-
     _hash_shuffle_ctx()
-    if num_partitions is None:
-        num_partitions = default_num_partitions()
+    num_partitions = _default_parts(num_partitions)
 
-    picked = ds.select_columns(["doc_id", "text"])
-    part = picked.repartition(num_blocks=num_partitions, keys=["text"])
+    keys = ds.select_columns(["doc_id", "text"]).map_batches(
+        content_key_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    part = keys.repartition(num_blocks=num_partitions, keys=["k1"])
 
     def per_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -72,8 +162,8 @@ def exact_duplicates(ds: ray.data.Dataset, num_partitions: int | None = None) ->
                 {"doc_id": pa.array([], pa.int64()),
                  "is_dup": pa.array([], pa.bool_())}
             )
-        mins = t.group_by("text").aggregate([("doc_id", "min")])
-        joined = t.join(mins, keys=["text"], join_type="inner")
+        mins = t.group_by(["k1", "k2"]).aggregate([("doc_id", "min")])
+        joined = t.join(mins, keys=["k1", "k2"], join_type="inner")
         return pa.table(
             {
                 "doc_id": joined["doc_id"],
@@ -151,31 +241,35 @@ def simhash_signatures(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
-# LSH banding -> candidate pairs -> driver-side union-find
+# LSH banding -> candidate pairs (vectorized, bucket-capped)
 # ---------------------------------------------------------------------------
 
-def _minhash_band_rows(t: pa.Table) -> pa.Table:
-    """Explode each doc into N_BANDS (band, bucket) rows."""
+def _minhash_band_rows(
+    t: pa.Table, n_bands: int = N_BANDS, band_r: int = BAND_R
+) -> pa.Table:
+    """Explode each doc into n_bands (band, bucket) rows (first
+    n_bands*band_r of the N_PERM signature positions)."""
+    assert n_bands * band_r <= N_PERM
     sig, has = minhash_signatures(t)
     doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
     idx = np.flatnonzero(has)
     with np.errstate(over="ignore"):
-        bands = sig[idx].reshape(len(idx), N_BANDS, BAND_R)
-        bucket = np.zeros((len(idx), N_BANDS), dtype=np.uint64)
-        for j in range(BAND_R):
+        bands = sig[idx, : n_bands * band_r].reshape(len(idx), n_bands, band_r)
+        bucket = np.zeros((len(idx), n_bands), dtype=np.uint64)
+        for j in range(band_r):
             bucket = bucket * np.uint64(1099511628211) + bands[:, :, j]
-        bucket = bucket * _BAND_SALT[None, :]
-    n_out = len(idx) * N_BANDS
+        bucket = bucket * _BAND_SALT[None, :n_bands]
+    n_out = len(idx) * n_bands
     return pa.table(
         {
             "band": pa.array(
-                np.tile(np.arange(N_BANDS, dtype=np.int32), len(idx))
+                np.tile(np.arange(n_bands, dtype=np.int32), len(idx))
             ),
             "bucket": pa.array(bucket.reshape(-1).view(np.int64)),
-            "doc_id": pa.array(np.repeat(doc[idx], N_BANDS)),
+            "doc_id": pa.array(np.repeat(doc[idx], n_bands)),
             "sig": pa.FixedSizeListArray.from_arrays(
                 pa.array(
-                    np.repeat(sig[idx], N_BANDS, axis=0).reshape(-1).view(np.int64)
+                    np.repeat(sig[idx], n_bands, axis=0).reshape(-1).view(np.int64)
                 ),
                 N_PERM,
             ),
@@ -190,9 +284,81 @@ def _minhash_band_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def _candidate_pairs_block(t: pa.Table, sim_threshold: float) -> pa.Table:
-    """Within one hash-partitioned block: pairs sharing a (band,bucket)
-    whose signature agreement >= threshold.  Emits (a, b, est_sim)."""
+def _group_slices(band: np.ndarray, bucket: np.ndarray):
+    """(start, end) slices of equal (band, bucket) runs in sorted arrays."""
+    n = len(band)
+    if n == 0:
+        return
+    change = np.flatnonzero(
+        np.concatenate(([True], (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1])))
+    )
+    bounds = np.concatenate((change, [n]))
+    for i in range(len(change)):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        if e - s > 1:
+            yield s, e
+
+
+def _salt_subgroups(doc: np.ndarray, salt: np.uint64, cap: int):
+    """Deterministically split an oversized member list into <=cap-sized
+    subgroups, salted so each band splits differently."""
+    g = len(doc)
+    if g <= cap:
+        yield np.arange(g)
+        return
+    nsub = -(-g // cap)  # ceil
+    with np.errstate(over="ignore"):
+        h = (doc.astype(np.uint64) ^ salt) * np.uint64(0x9E3779B97F4A7C15)
+    sub = (h >> np.uint64(32)).astype(np.int64) % nsub
+    for s in range(nsub):
+        members = np.flatnonzero(sub == s)
+        if len(members) > 1:
+            yield members
+
+
+def _pairs_from_tiles(d: np.ndarray, score_fn, keep_fn, tile_elems: int = 1 << 22):
+    """Upper-triangle pairwise compare of a (sub)group, tiled so the score
+    matrix stays cache/heap friendly.  ``score_fn(i0, i1)`` returns the
+    (t, g) score tile; ``keep_fn(tile)`` the boolean keep mask."""
+    g = len(d)
+    tile = max(1, tile_elems // max(g, 1))
+    out_a, out_b, out_s = [], [], []
+    for i0 in range(0, g, tile):
+        i1 = min(g, i0 + tile)
+        scores = score_fn(i0, i1)  # (i1-i0, g)
+        keep = keep_fn(scores)
+        # strict upper triangle in GLOBAL indices: j > i
+        jj = np.arange(g)[None, :]
+        ii = np.arange(i0, i1)[:, None]
+        keep &= jj > ii
+        ti, tj = np.nonzero(keep)
+        if len(ti):
+            a = d[ti + i0]
+            b = d[tj]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(scores[ti, tj])
+    if not out_a:
+        return None
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_s),
+    )
+
+
+def _candidate_pairs_block(
+    t: pa.Table,
+    sim_threshold: float,
+    bucket_cap: int = BUCKET_CAP,
+) -> pa.Table:
+    """Within one hash-partitioned block: pairs sharing a (band, bucket)
+    whose minhash signature agreement >= threshold.  Fully vectorized:
+    per (sub)group one broadcast signature compare; oversized buckets are
+    salt-split to ``bucket_cap`` (module docstring documents the recall
+    bound)."""
     empty = pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "est_sim": pa.array([], pa.float64())}
@@ -205,68 +371,92 @@ def _candidate_pairs_block(t: pa.Table, sim_threshold: float) -> pa.Table:
     bucket = t["bucket"].to_numpy(zero_copy_only=False)
     doc = t["doc_id"].to_numpy(zero_copy_only=False)
     sig = np.stack(t["sig"].combine_chunks().to_numpy(zero_copy_only=False))
-    key_change = np.concatenate(
-        ([True], (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1]))
-    )
-    gid = np.cumsum(key_change) - 1
-    counts = np.bincount(gid)
-    out_a, out_b, out_s = [], [], []
-    for g in np.flatnonzero(counts > 1):
-        members = np.flatnonzero(gid == g)
-        d = doc[members]
-        s = sig[members]
-        for i in range(len(members)):
-            agree = (s[i + 1 :] == s[i]).mean(axis=1)
-            ok = agree >= sim_threshold
-            for j in np.flatnonzero(ok):
-                out_a.append(min(d[i], d[i + 1 + j]))
-                out_b.append(max(d[i], d[i + 1 + j]))
-                out_s.append(float(agree[j]))
-    if not out_a:
+    out = []
+    for s, e in _group_slices(band, bucket):
+        salt = _BAND_SALT[int(band[s]) % len(_BAND_SALT)]
+        d_all, s_all = doc[s:e], sig[s:e]
+        for members in _salt_subgroups(d_all, salt, bucket_cap):
+            d, S = d_all[members], s_all[members]
+
+            def score(i0, i1, S=S):
+                return (S[i0:i1, None, :] == S[None, :, :]).mean(axis=2)
+
+            res = _pairs_from_tiles(d, score, lambda x: x >= sim_threshold)
+            if res is not None:
+                out.append(res)
+    if not out:
         return empty
     return pa.table(
-        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-         "est_sim": pa.array(out_s, pa.float64())}
+        {
+            "a": pa.array(np.concatenate([r[0] for r in out])),
+            "b": pa.array(np.concatenate([r[1] for r in out])),
+            "est_sim": pa.array(
+                np.concatenate([r[2] for r in out]).astype(np.float64)
+            ),
+        }
     )
+
+
+def _dedupe_pairs(
+    pairs: ray.data.Dataset,
+    agg: tuple[str, str, pa.DataType],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distinct (a, b) rows (same pair surfaces from multiple bands),
+    keeping ``agg`` = (col, "max"|"min", type) — one hash shuffle on the pair."""
+    num_partitions = _default_parts(num_partitions)
+    col, how, col_type = agg
+    part = pairs.repartition(num_blocks=num_partitions, keys=["a", "b"])
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # empty shuffle blocks arrive schema-less; rebuild typed
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 col: pa.array([], col_type)}
+            )
+        g = t.group_by(["a", "b"]).aggregate([(col, how)])
+        return g.rename_columns(["a", "b", col])
+
+    return part.map_batches(per_block, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_candidate_pairs(
     ds: ray.data.Dataset,
     sim_threshold: float = 0.7,
     num_partitions: int | None = None,
-) -> pa.Table:
-    """Distinct candidate (a, b, est_sim) pairs, a < b (small table)."""
-    from luzzu_ray.pipelines.filter_pipeline import default_num_partitions
-
+    n_bands: int = N_BANDS,
+    band_r: int = BAND_R,
+    bucket_cap: int = BUCKET_CAP,
+) -> ray.data.Dataset:
+    """Distinct candidate (a, b, est_sim) pairs, a < b, as a Dataset
+    (never materialized on the driver)."""
     _hash_shuffle_ctx()
-    if num_partitions is None:
-        num_partitions = default_num_partitions()
+    num_partitions = _default_parts(num_partitions)
     bands = ds.select_columns(["doc_id", "text"]).map_batches(
-        _minhash_band_rows, batch_format="pyarrow"
+        _minhash_band_rows,
+        fn_kwargs={"n_bands": n_bands, "band_r": band_r},
+        batch_format="pyarrow",
     )
     part = bands.repartition(num_blocks=num_partitions, keys=["band", "bucket"])
     pairs = part.map_batches(
         _candidate_pairs_block,
-        fn_kwargs={"sim_threshold": sim_threshold},
+        fn_kwargs={"sim_threshold": sim_threshold, "bucket_cap": bucket_cap},
         batch_format="pyarrow",
         batch_size=None,
     )
-    tbl = pa.Table.from_pylist(
-        pairs.take_all(),
-        schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("est_sim", pa.float64())]
-        ),
-    )
-    if tbl.num_rows == 0:
-        return tbl
-    # same pair can surface from multiple bands — keep max est_sim
-    return tbl.group_by(["a", "b"]).aggregate([("est_sim", "max")]).rename_columns(
-        ["a", "b", "est_sim"]
-    )
+    return _dedupe_pairs(pairs, ("est_sim", "max", pa.float64()), num_partitions)
 
+
+# ---------------------------------------------------------------------------
+# connected components over a candidate-pair dataset
+# ---------------------------------------------------------------------------
 
 def _union_find_clusters(pairs: pa.Table) -> dict[int, int]:
-    """doc_id -> cluster representative (min doc_id in component)."""
+    """doc_id -> cluster representative (min doc_id in component).
+
+    Driver-side fast path; used when the pair table is small
+    (<= PAIRS_DRIVER_MAX rows)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -275,36 +465,452 @@ def _union_find_clusters(pairs: pa.Table) -> dict[int, int]:
             x = parent[x]
         return x
 
+    nodes: set[int] = set()
     for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
+        nodes.add(a)
+        nodes.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    return {x: find(x) for x in parent}
+    # every node in a pair gets a label — cluster ROOTS included
+    return {x: find(x) for x in nodes}
 
 
-def minhash_dedup(
-    ds: ray.data.Dataset, sim_threshold: float = 0.7
-) -> pa.Table:
-    """(doc_id, cluster, is_dup) for every doc in a near-dup cluster."""
-    pairs = minhash_candidate_pairs(ds, sim_threshold)
-    clusters = _union_find_clusters(pairs)
-    if not clusters:
-        return pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "cluster": pa.array([], pa.int64()),
-             "is_dup": pa.array([], pa.bool_())}
-        )
-    docs = sorted(clusters)
-    reps = [clusters[d] for d in docs]
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _empty_edges() -> pa.Table:
+    return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+
+
+def _large_star_block(t: pa.Table) -> pa.Table:
+    """Per u (all of Γ(u) co-located): emit (v, min(Γ(u) ∪ u)) for v > u."""
+    if t.num_rows == 0:
+        return _empty_edges()
+    t = t.sort_by([("u", "ascending"), ("v", "ascending")])
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    new_u = np.concatenate(([True], u[1:] != u[:-1]))
+    gid = np.cumsum(new_u) - 1
+    starts = np.flatnonzero(new_u)
+    # v sorted within u-run -> first v is the min neighbor
+    m = np.minimum(v[starts], u[starts])[gid]
+    keep = (v > u) & (v != m)
+    return pa.table({"u": pa.array(v[keep]), "v": pa.array(m[keep])})
+
+
+def _small_star_block(t: pa.Table) -> pa.Table:
+    """Edges oriented u > v, grouped by u: m = min neighbors; emit
+    (v, m) for the other small neighbors plus (u, m)."""
+    if t.num_rows == 0:
+        return _empty_edges()
+    t = t.sort_by([("u", "ascending"), ("v", "ascending")])
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    # drop duplicate edges within the block (same (u,v) from many sources)
+    first = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+    u, v = u[first], v[first]
+    new_u = np.concatenate(([True], u[1:] != u[:-1]))
+    gid = np.cumsum(new_u) - 1
+    starts = np.flatnonzero(new_u)
+    m = v[starts][gid]  # min small neighbor (all v < u)
+    out_u = np.concatenate((v, u[starts]))
+    out_v = np.concatenate((m, v[starts]))
+    keep = out_u != out_v
+    return pa.table({"u": pa.array(out_u[keep]), "v": pa.array(out_v[keep])})
+
+
+def _orient_down(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _empty_edges()
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"u": pa.array(np.maximum(u, v)), "v": pa.array(np.minimum(u, v))}
+    )
+
+
+def _symmetrize(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _empty_edges()
+    u = t["u"].combine_chunks()
+    v = t["v"].combine_chunks()
     return pa.table(
         {
-            "doc_id": pa.array(docs, pa.int64()),
-            "cluster": pa.array(reps, pa.int64()),
-            "is_dup": pa.array([d != r for d, r in zip(docs, reps)]),
+            "u": pa.concat_arrays([u, v]),
+            "v": pa.concat_arrays([v, u]),
         }
     )
 
+
+def _edge_signature(edges: ray.data.Dataset) -> tuple[int, int]:
+    """(count, order-insensitive hash) of a distinct edge set."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "h": pa.array([0], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (u * np.uint64(0x9E3779B97F4A7C15) + v) * _CK_BASE2
+        return pa.table(
+            {"n": pa.array([t.num_rows], pa.int64()),
+             "h": pa.array([int(h.sum(dtype=np.uint64).view(np.int64))], pa.int64())}
+        )
+
+    rows = edges.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    h = sum(r["h"] & 0xFFFFFFFFFFFFFFFF for r in rows) & 0xFFFFFFFFFFFFFFFF
+    return n, h
+
+
+def star_contraction(
+    pairs: ray.data.Dataset,
+    num_partitions: int | None = None,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Distributed connected components: alternating large-star /
+    small-star rounds (each one hash shuffle on the node id) until the
+    edge set is stable.  Returns (doc_id, cluster) rows for every node,
+    cluster = component minimum.  O(log n) rounds; the driver only sees
+    per-round (count, hash) signatures, never the edges."""
+    _hash_shuffle_ctx()
+    num_partitions = _default_parts(num_partitions)
+    kw = dict(batch_format="pyarrow", zero_copy_batch=True)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"u": t["a"], "v": t["b"]}) if t.num_rows
+        else _empty_edges(), **kw
+    ).materialize()
+    prev_sig = None
+    for _ in range(max_iters):
+        # large star: symmetrize so Γ(u) is complete per u
+        sym = edges.map_batches(_symmetrize, **kw)
+        part = sym.repartition(num_blocks=num_partitions, keys=["u"])
+        edges = part.map_batches(
+            _large_star_block, batch_format="pyarrow", batch_size=None
+        )
+        # small star on down-oriented edges
+        down = edges.map_batches(_orient_down, **kw)
+        part = down.repartition(num_blocks=num_partitions, keys=["u"])
+        edges = part.map_batches(
+            _small_star_block, batch_format="pyarrow", batch_size=None
+        )
+        # dedupe + convergence signature
+        edges = _dedupe_edges(edges, num_partitions).materialize()
+        sig = _edge_signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def to_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.table(
+            {"doc_id": pa.concat_arrays([u, v]),
+             "cluster": pa.concat_arrays([v, v])}
+        )
+
+    labels = edges.map_batches(to_labels, **kw)
+    part = labels.repartition(num_blocks=num_partitions, keys=["doc_id"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        return t.group_by("doc_id").aggregate([("cluster", "min")]).rename_columns(
+            ["doc_id", "cluster"]
+        )
+
+    return part.map_batches(uniq, batch_format="pyarrow", batch_size=None)
+
+
+def _dedupe_edges(edges: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
+    part = edges.repartition(num_blocks=num_partitions, keys=["u"])
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_edges()
+        return t.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    return part.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def cluster_pairs(
+    pairs: ray.data.Dataset,
+    num_partitions: int | None = None,
+    driver_max: int = PAIRS_DRIVER_MAX,
+) -> pa.Table | ray.data.Dataset:
+    """(doc_id, cluster) for every doc in a pair, cluster = component min.
+
+    Auto-routes: small pair tables (<= driver_max rows) use the
+    driver-side union-find fast path; larger ones run the shuffle-based
+    star contraction with the driver out of the loop.  Both paths are
+    property-tested equal (tests/test_ops.py)."""
+    mat = pairs.materialize()
+    if mat.count() <= driver_max:
+        tbl = pa.Table.from_pylist(
+            [{"a": r["a"], "b": r["b"]} for r in mat.take_all()],
+            schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        )
+        clusters = _union_find_clusters(tbl)
+        docs = sorted(clusters)
+        return pa.table(
+            {"doc_id": pa.array(docs, pa.int64()),
+             "cluster": pa.array([clusters[d] for d in docs], pa.int64())}
+        )
+    return star_contraction(mat, num_partitions)
+
+
+def _labels_to_dedup_table(labels: pa.Table | ray.data.Dataset) -> pa.Table | ray.data.Dataset:
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_dup", pc.not_equal(t["doc_id"], t["cluster"])
+        )
+
+    if isinstance(labels, pa.Table):
+        return finish(labels)
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard verification of LSH candidates (join-based)
+# ---------------------------------------------------------------------------
+
+def _shingle_sets_batch(t: pa.Table, need: pa.Array | None = None) -> pa.Table:
+    """(doc_id, shingles binary, n_sh) per doc — the sorted unique uint64
+    shingle hashes packed little-endian (Acero hash joins carry binary
+    payloads but not list columns).  A doc's shingle set derives from its
+    own row only, so NO shuffle is needed to build these."""
+    if need is not None:
+        t = t.filter(pc.is_in(t["doc_id"], value_set=need))
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "shingles": pa.array([], pa.binary()),
+             "n_sh": pa.array([], pa.int64())}
+        )
+    sh, rid = _shingle_hashes(t)
+    doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    out_doc, out_bufs, out_n = [], [], []
+    if len(sh):
+        order = np.argsort(rid, kind="stable")
+        rid_s, sh_s = rid[order], sh[order]
+        starts = np.flatnonzero(np.concatenate(([True], rid_s[1:] != rid_s[:-1])))
+        bounds = np.concatenate((starts, [len(rid_s)]))
+        for i, r in enumerate(rid_s[starts]):
+            vals = np.unique(sh_s[bounds[i]:bounds[i + 1]])
+            out_doc.append(int(doc[r]))
+            out_bufs.append(vals.astype("<u8").tobytes())
+            out_n.append(len(vals))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "shingles": pa.array(out_bufs, pa.binary()),
+            "n_sh": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+# broadcast the candidate shingle index only while it is comfortably
+# small (candidate DOCS, i.e. docs appearing in >= 1 pair); beyond this
+# the verification runs as two sequential hash joins
+CANDIDATE_BROADCAST_MAX = 2_000_000
+
+
+def _jaccard_q6(inter: np.ndarray, na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    union = na + nb - inter
+    return np.floor(
+        inter.astype(np.float64) / np.maximum(union, 1) * 1e6
+    ).astype(np.int64)
+
+
+class _BroadcastJaccardVerifier:
+    """Actor-pool stage: verify candidate pairs against a broadcast
+    doc_id -> packed-shingle-set index (resolved ONCE per actor)."""
+
+    def __init__(self, index_ref):
+        import ray
+
+        self.index = ray.get(index_ref) if not isinstance(index_ref, dict) else index_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "jaccard_q6": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        inter = np.zeros(t.num_rows, dtype=np.int64)
+        na = np.zeros(t.num_rows, dtype=np.int64)
+        nb = np.zeros(t.num_rows, dtype=np.int64)
+        for i in range(t.num_rows):
+            ba = self.index.get(a[i])
+            bb = self.index.get(b[i])
+            if ba is None or bb is None:
+                continue
+            va = np.frombuffer(ba, dtype="<u8")
+            vb = np.frombuffer(bb, dtype="<u8")
+            na[i], nb[i] = len(va), len(vb)
+            inter[i] = len(np.intersect1d(va, vb, assume_unique=True))
+        jq6 = _jaccard_q6(inter, na, nb)
+        jq6[(na == 0) | (nb == 0)] = -1
+        return pa.table(
+            {"a": t["a"], "b": t["b"], "jaccard_q6": pa.array(jq6)}
+        )
+
+
+def _verify_joined_batch(t: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "jaccard_q6": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    na = t["n_a"].to_numpy(zero_copy_only=False)
+    nb = t["n_b"].to_numpy(zero_copy_only=False)
+    sa = t["sh_a"].to_pylist()
+    sb = t["sh_b"].to_pylist()
+    inter = np.zeros(t.num_rows, dtype=np.int64)
+    for i in range(t.num_rows):
+        va = np.frombuffer(sa[i], dtype="<u8")
+        vb = np.frombuffer(sb[i], dtype="<u8")
+        inter[i] = len(np.intersect1d(va, vb, assume_unique=True))
+    return pa.table(
+        {"a": t["a"], "b": t["b"],
+         "jaccard_q6": pa.array(_jaccard_q6(inter, na, nb))}
+    )
+
+
+def exact_jaccard_pairs(
+    ds: ray.data.Dataset,
+    cand: ray.data.Dataset,
+    jaccard_threshold: float,
+    num_partitions: int | None = None,
+    broadcast_max: int = CANDIDATE_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """(a, b, jaccard_q6) for candidate pairs verified by EXACT word-
+    shingle Jaccard >= threshold.
+
+    Per-doc shingle sets are computed in the map stage (no shuffle — a
+    doc's set comes from its own row, packed as binary).  Two paths:
+
+    - candidate docs <= ``broadcast_max``: the packed index is built
+      once, broadcast via ``ray.put`` and consulted by an actor pool —
+      the classic small-side map-join, one corpus scan, zero shuffles.
+    - beyond that: two SEQUENTIAL hash joins of the pair table against
+      the shingle table (sequential with a materialize between, so only
+      one join's aggregator pool is live at a time — two concurrent
+      pools can starve a small cluster).  The driver never holds
+      shingle sets on this path.
+    """
+    import ray
+
+    _hash_shuffle_ctx()
+    num_partitions = _default_parts(num_partitions)
+    cand_mat = cand.materialize()
+    ids: set[int] = set()
+    small = True
+    for b in cand_mat.iter_batches(batch_format="pyarrow"):
+        ids.update(b["a"].to_pylist())
+        ids.update(b["b"].to_pylist())
+        if len(ids) > broadcast_max:
+            small = False
+            ids.clear()
+            break
+    pairs = cand_mat.select_columns(["a", "b"])
+    thr = int(jaccard_threshold * 1e6)
+
+    if small:
+        need = pa.array(sorted(ids), pa.int64())
+        index: dict[int, bytes] = {}
+        sh = ds.select_columns(["doc_id", "text"]).map_batches(
+            _shingle_sets_batch, fn_kwargs={"need": need},
+            batch_format="pyarrow",
+        )
+        for b in sh.iter_batches(batch_format="pyarrow"):
+            index.update(zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()))
+        index_ref = ray.put(index)
+        verified = pairs.map_batches(
+            _BroadcastJaccardVerifier,
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"index_ref": index_ref},
+        )
+    else:
+        shingles = ds.select_columns(["doc_id", "text"]).map_batches(
+            _shingle_sets_batch, batch_format="pyarrow"
+        ).materialize()  # consumed by both join sides
+        sh_a = shingles.map_batches(
+            lambda t: t.rename_columns(["a", "sh_a", "n_a"]),
+            batch_format="pyarrow",
+        )
+        sh_b = shingles.map_batches(
+            lambda t: t.rename_columns(["b", "sh_b", "n_b"]),
+            batch_format="pyarrow",
+        )
+        # key-repartitioned datasets carry schema-less EMPTY blocks (Ray's
+        # map operator skips empty blocks, so they cannot be re-typed) and
+        # Acero rejects them as join input; a plain repartition packs the
+        # rows back into uniformly-typed blocks first.
+        pairs = pairs.repartition(num_blocks=num_partitions)
+        # joins run SEQUENTIALLY (materialize between): two live aggregator
+        # pools can starve a small cluster's CPUs
+        j1 = pairs.join(sh_a, join_type="inner", on=("a",),
+                        num_partitions=num_partitions).materialize()
+        j2 = j1.join(sh_b, join_type="inner", on=("b",),
+                     num_partitions=num_partitions)
+        verified = j2.map_batches(_verify_joined_batch, batch_format="pyarrow")
+
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard_q6"], thr)),
+        batch_format="pyarrow",
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    jaccard_threshold: float = 0.6,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(a, b, jaccard_q6): pairs with exact word-shingle Jaccard >=
+    threshold.  Candidates come from verification-grade minhash banding
+    (r=2, b=32: miss probability (1-j^2)^32, ~6e-7 at j=0.6), every
+    candidate exactly verified — so the result equals the all-pairs
+    oracle up to that recall bound."""
+    cand = minhash_candidate_pairs(
+        ds, sim_threshold=0.0, num_partitions=num_partitions,
+        n_bands=N_BANDS_VERIFY, band_r=BAND_R_VERIFY,
+    )
+    return exact_jaccard_pairs(ds, cand, jaccard_threshold, num_partitions)
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    jaccard_threshold: float = 0.6,
+    num_partitions: int | None = None,
+) -> pa.Table | ray.data.Dataset:
+    """(doc_id, cluster, is_dup) for every doc in a near-dup cluster.
+
+    Clusters = connected components of the EXACT-jaccard-verified pair
+    graph (candidates from verification-grade LSH banding).  Component
+    merge auto-routes driver union-find vs distributed star contraction
+    (:func:`cluster_pairs`)."""
+    pairs = ngram_jaccard_pairs(ds, jaccard_threshold, num_partitions)
+    labels = cluster_pairs(pairs, num_partitions)
+    return _labels_to_dedup_table(labels)
+
+
+# ---------------------------------------------------------------------------
+# simhash banding -> hamming-verified pairs -> clusters
+# ---------------------------------------------------------------------------
 
 def simhash_band_rows(t: pa.Table) -> pa.Table:
     """Explode docs into (band, bucket=16-bit chunk, doc_id, sim) rows."""
@@ -328,10 +934,12 @@ def simhash_band_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def _simhash_pairs_block(t: pa.Table) -> pa.Table:
+def _simhash_pairs_block(t: pa.Table, bucket_cap: int = BUCKET_CAP) -> pa.Table:
+    """Pairs sharing a 16-bit simhash band with hamming <= max, vectorized
+    (XOR + table popcount), oversized buckets salt-split."""
     empty = pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-         "hamming": pa.array([], pa.int32())}
+         "hamming": pa.array([], pa.int64())}
     )
     if t.num_rows == 0:
         return empty
@@ -341,120 +949,60 @@ def _simhash_pairs_block(t: pa.Table) -> pa.Table:
     bucket = t["bucket"].to_numpy(zero_copy_only=False)
     doc = t["doc_id"].to_numpy(zero_copy_only=False)
     sim = t["sim"].to_numpy(zero_copy_only=False).view(np.uint64)
-    key_change = np.concatenate(
-        ([True], (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1]))
-    )
-    gid = np.cumsum(key_change) - 1
-    counts = np.bincount(gid)
-    out_a, out_b, out_h = [], [], []
-    for g in np.flatnonzero(counts > 1):
-        members = np.flatnonzero(gid == g)
-        d, s = doc[members], sim[members]
-        for i in range(len(members)):
-            x = s[i + 1 :] ^ s[i]
-            ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int32)
-            for j in np.flatnonzero(ham <= SIMHASH_HAMMING_MAX):
-                out_a.append(min(d[i], d[i + 1 + j]))
-                out_b.append(max(d[i], d[i + 1 + j]))
-                out_h.append(int(ham[j]))
-    if not out_a:
+    out = []
+    for s, e in _group_slices(band, bucket):
+        salt = _BAND_SALT[int(band[s]) % len(_BAND_SALT)]
+        d_all, s_all = doc[s:e], sim[s:e]
+        for members in _salt_subgroups(d_all, salt, bucket_cap):
+            d, S = d_all[members], s_all[members]
+
+            def score(i0, i1, S=S):
+                return popcount_u64(S[i0:i1, None] ^ S[None, :])
+
+            res = _pairs_from_tiles(
+                d, score, lambda x: x <= SIMHASH_HAMMING_MAX
+            )
+            if res is not None:
+                out.append(res)
+    if not out:
         return empty
     return pa.table(
-        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-         "hamming": pa.array(out_h, pa.int32())}
-    )
-
-
-def simhash_dedup(ds: ray.data.Dataset, num_partitions: int | None = None) -> pa.Table:
-    """(doc_id, cluster, is_dup) via simhash banding + hamming verify."""
-    from luzzu_ray.pipelines.filter_pipeline import default_num_partitions
-
-    _hash_shuffle_ctx()
-    if num_partitions is None:
-        num_partitions = default_num_partitions()
-    bands = ds.select_columns(["doc_id", "text"]).map_batches(
-        simhash_band_rows, batch_format="pyarrow"
-    )
-    part = bands.repartition(num_blocks=num_partitions, keys=["band", "bucket"])
-    pairs_ds = part.map_batches(
-        _simhash_pairs_block, batch_format="pyarrow", batch_size=None
-    )
-    pairs = pa.Table.from_pylist(
-        pairs_ds.take_all(),
-        schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int32())]
-        ),
-    )
-    if pairs.num_rows:
-        pairs = pairs.group_by(["a", "b"]).aggregate([("hamming", "min")])
-        pairs = pairs.rename_columns(["a", "b", "hamming"])
-    clusters = _union_find_clusters(pairs)
-    docs = sorted(clusters)
-    return pa.table(
         {
-            "doc_id": pa.array(docs, pa.int64()),
-            "cluster": pa.array([clusters[d] for d in docs], pa.int64()),
-            "is_dup": pa.array([d != clusters[d] for d in docs]),
+            "a": pa.array(np.concatenate([r[0] for r in out])),
+            "b": pa.array(np.concatenate([r[1] for r in out])),
+            "hamming": pa.array(
+                np.concatenate([r[2] for r in out]).astype(np.int64)
+            ),
         }
     )
 
 
-# ---------------------------------------------------------------------------
-# exact n-gram Jaccard verification of LSH candidates
-# ---------------------------------------------------------------------------
+def simhash_candidate_pairs(
+    ds: ray.data.Dataset, num_partitions: int | None = None,
+    bucket_cap: int = BUCKET_CAP,
+) -> ray.data.Dataset:
+    """Distinct (a, b, hamming) simhash pairs, hamming <= SIMHASH_HAMMING_MAX.
 
-def ngram_jaccard_pairs(
-    ds: ray.data.Dataset,
-    jaccard_threshold: float = 0.6,
-    sim_threshold: float = 0.5,
-) -> pa.Table:
-    """(a, b, jaccard_q6) for LSH candidate pairs verified by EXACT
-    word-shingle Jaccard >= threshold.
-
-    Two passes: (1) minhash-LSH candidates; (2) broadcast the candidate
-    doc-id set, re-scan only those docs' shingle sets (column-pruned,
-    filtered at the batch level), exact Jaccard on the driver for the
-    candidate pairs (pair count << corpus size).
-    """
-    cand = minhash_candidate_pairs(ds, sim_threshold)
-    if cand.num_rows == 0:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "jaccard_q6": pa.array([], pa.int64())}
-        )
-    need = pa.array(
-        sorted(set(cand["a"].to_pylist()) | set(cand["b"].to_pylist())),
-        pa.int64(),
+    Recall is EXACT for hamming <= 3: with 4 x 16-bit bands, any pair
+    within hamming 3 shares at least one identical band (pigeonhole) —
+    modulo salt-splitting of degenerate buckets."""
+    _hash_shuffle_ctx()
+    num_partitions = _default_parts(num_partitions)
+    bands = ds.select_columns(["doc_id", "text"]).map_batches(
+        simhash_band_rows, batch_format="pyarrow"
     )
-
-    def shingles_of(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t["doc_id"], value_set=need))
-        sh, rid = _shingle_hashes(t)
-        doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc[rid] if len(rid) else np.zeros(0, np.int64)),
-                "shingle": pa.array(sh.view(np.int64)),
-            }
-        )
-
-    rows = ds.select_columns(["doc_id", "text"]).map_batches(
-        shingles_of, batch_format="pyarrow"
-    ).take_all()
-    sets: dict[int, set] = {}
-    for r in rows:
-        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
-    out_a, out_b, out_j = [], [], []
-    for a, b in zip(cand["a"].to_pylist(), cand["b"].to_pylist()):
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= jaccard_threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(int(j * 1e6))
-    return pa.table(
-        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()),
-         "jaccard_q6": pa.array(out_j, pa.int64())}
+    part = bands.repartition(num_blocks=num_partitions, keys=["band", "bucket"])
+    pairs = part.map_batches(
+        _simhash_pairs_block, fn_kwargs={"bucket_cap": bucket_cap},
+        batch_format="pyarrow", batch_size=None,
     )
+    return _dedupe_pairs(pairs, ("hamming", "min", pa.int64()), num_partitions)
+
+
+def simhash_dedup(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> pa.Table | ray.data.Dataset:
+    """(doc_id, cluster, is_dup) via simhash banding + hamming verify."""
+    pairs = simhash_candidate_pairs(ds, num_partitions)
+    labels = cluster_pairs(pairs, num_partitions)
+    return _labels_to_dedup_table(labels)

@@ -65,7 +65,7 @@ def test_minhash_dedup_finds_near_dups(ray_session):
     from luzzu_ray.ops.dedup import minhash_dedup
 
     ds = ray.data.from_arrow(_docs_table())
-    res = minhash_dedup(ds, sim_threshold=0.5).to_pylist()
+    res = minhash_dedup(ds, jaccard_threshold=0.5).to_pylist()
     clusters = {r["doc_id"]: r["cluster"] for r in res}
     # 0,1 exact dups; 2 near-dup of 0 -> one cluster rooted at 0
     assert clusters.get(1) == 0 and clusters.get(2) == 0
@@ -83,8 +83,7 @@ def test_ngram_jaccard_matches_bruteforce(ray_session):
     ds = ray.data.from_arrow(t)
     got = {
         (r["a"], r["b"]): r["jaccard_q6"]
-        for r in ngram_jaccard_pairs(ds, jaccard_threshold=0.3,
-                                     sim_threshold=0.3).to_pylist()
+        for r in ngram_jaccard_pairs(ds, jaccard_threshold=0.3).take_all()
     }
     texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
     for (a, b), jq6 in got.items():
@@ -195,3 +194,140 @@ def test_sessionize(ray_session):
     res = {r["user_id"]: (r["n_events"], r["n_sessions"])
            for r in sessionize(ray.data.from_arrow(t), 4).take_all()}
     assert res == {1: (3, 2), 2: (1, 1)}
+
+
+def test_popcount_u64():
+    from luzzu_ray.ops.dedup import popcount_u64
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 2**63, size=(7, 5), dtype=np.uint64) * 2 + 1
+    want = np.vectorize(lambda v: bin(int(v)).count("1"))(x)
+    assert (popcount_u64(x) == want).all()
+    assert (popcount_u64(np.array([0, 1, 2**63], dtype=np.uint64))
+            == np.array([0, 1, 1])).all()
+
+
+def test_content_key_collision_free_and_exact(ray_session):
+    """content_key_batch distinguishes permuted/shifted byte patterns the
+    old positional-weight scheme could alias, and exact_duplicates stays
+    exact while shuffling only (doc_id, k1, k2)."""
+    import pyarrow as pa
+
+    from luzzu_ray.ops.dedup import content_key_batch
+
+    texts = ["ab", "ba", "a" * 300 + "b", "b" + "a" * 300, "", " ", "x"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    keys = content_key_batch(t)
+    seen = set(zip(keys["k1"].to_pylist(), keys["k2"].to_pylist()))
+    assert len(seen) == len(texts)
+    # identical text -> identical key regardless of batch split
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()),
+                   "text": pa.array(["ab"])})
+    k2 = content_key_batch(t2)
+    assert (k2["k1"][0].as_py(), k2["k2"][0].as_py()) == (
+        keys["k1"][0].as_py(), keys["k2"][0].as_py())
+
+
+def _pairs_ds(edges):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())}
+    ))
+
+
+def test_star_contraction_matches_union_find(ray_session):
+    """Distributed star contraction == driver union-find on a graph with
+    >= 1000 components of mixed shapes (chains, cliques, stars)."""
+    from luzzu_ray.ops.dedup import (
+        _union_find_clusters, star_contraction,
+    )
+
+    rng = np.random.default_rng(7)
+    edges = []
+    base = 0
+    for c in range(1200):
+        size = int(rng.integers(2, 7))
+        nodes = list(range(base, base + size))
+        shape = c % 3
+        if shape == 0:  # chain
+            edges += [(nodes[i], nodes[i + 1]) for i in range(size - 1)]
+        elif shape == 1:  # star from the LARGEST id (worst case for min)
+            edges += [(nodes[-1], v) for v in nodes[:-1]]
+        else:  # clique-ish
+            edges += [(nodes[i], nodes[j]) for i in range(size)
+                      for j in range(i + 1, size)]
+        base += size
+    rng.shuffle(edges)
+    want = _union_find_clusters(pa.table(
+        {"a": pa.array([min(e) for e in edges], pa.int64()),
+         "b": pa.array([max(e) for e in edges], pa.int64())}
+    ))
+    got_rows = star_contraction(_pairs_ds(edges), num_partitions=8).take_all()
+    got = {r["doc_id"]: r["cluster"] for r in got_rows}
+    assert got == want
+    assert len({v for v in got.values()}) == 1200
+
+
+def test_cluster_pairs_auto_routes(ray_session):
+    from luzzu_ray.ops.dedup import cluster_pairs
+
+    edges = [(0, 1), (1, 2), (5, 6)]
+    small = cluster_pairs(_pairs_ds(edges))  # driver path -> pa.Table
+    assert isinstance(small, pa.Table)
+    forced = cluster_pairs(_pairs_ds(edges), driver_max=0)  # distributed
+    got = {r["doc_id"]: r["cluster"] for r in forced.take_all()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_oversized_bucket_salt_split(ray_session):
+    """A degenerate bucket (1000 identical docs) completes fast and still
+    clusters everything into one component (other bands recover pairs
+    split by the per-band salts)."""
+    import time
+
+    import ray.data
+
+    from luzzu_ray.ops.dedup import minhash_dedup
+
+    text = ("identical content repeated across many documents to force "
+            "every row into the same lsh bucket in every band")
+    n = 1000
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array([text] * n)})
+    t0 = time.monotonic()
+    res = minhash_dedup(
+        ray.data.from_arrow(t), jaccard_threshold=0.9,
+    )
+    rows = res.to_pylist() if isinstance(res, pa.Table) else res.take_all()
+    took = time.monotonic() - t0
+    clusters = {r["doc_id"]: r["cluster"] for r in rows}
+    assert len(clusters) == n
+    assert set(clusters.values()) == {0}
+    assert took < 120, took  # the old per-bucket Python loop would blow up
+
+
+def test_jaccard_verify_join_path_matches_broadcast(ray_session):
+    """The join-based fallback (broadcast_max=0) must produce exactly the
+    broadcast map-join path's verified pairs."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import (
+        exact_jaccard_pairs, minhash_candidate_pairs,
+    )
+
+    ds = ray.data.from_arrow(_docs_table())
+    cand = minhash_candidate_pairs(
+        ds, sim_threshold=0.0, n_bands=32, band_r=2
+    ).materialize()
+    want = sorted(
+        (r["a"], r["b"], r["jaccard_q6"])
+        for r in exact_jaccard_pairs(ds, cand, 0.5).take_all()
+    )
+    got = sorted(
+        (r["a"], r["b"], r["jaccard_q6"])
+        for r in exact_jaccard_pairs(ds, cand, 0.5, broadcast_max=0).take_all()
+    )
+    assert got == want and len(want) >= 3
