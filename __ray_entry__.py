@@ -267,11 +267,47 @@ def q_ann_topk(sf_dir: str):
 # --- rows-only entries (no SQL equivalent; value-tested in tests/) ---------
 
 def q_doc_fingerprint(sf_dir: str):
-    from luzzu_ray.ops.textstats import fingerprint_batch
+    """Fingerprint-equality dup groups, SQL-checkable.
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    The 64-bit rolling fingerprint (order-sensitive hash of the ASCII-
+    lowered token sequence; tests/test_ops.py::test_fingerprint_parity
+    pins the raw values against the scalar twin) is injective on the
+    normalized token string up to hash collisions (~n^2/2^64), so
+    per-fingerprint group size and keep-first dup flags must equal the
+    oracle's per-normalized-text groups.  One hash shuffle on the
+    8-byte fingerprint — the same shuffle-the-key-not-the-text shape as
+    exact dedup.
+    """
+    from luzzu_ray.ops.textstats import fingerprint_batch
+    from luzzu_ray.pipelines.filter_pipeline import default_num_partitions
+
+    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+    part = fps.repartition(
+        num_blocks=default_num_partitions(), keys=["fingerprint"]
+    )
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_same_fp": pa.array([], pa.int64()),
+                 "is_dup_by_fp": pa.array([], pa.bool_())}
+            )
+        g = t.group_by("fingerprint").aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
+        )
+        j = t.join(g, keys=["fingerprint"], join_type="inner")
+        return pa.table(
+            {
+                "doc_id": j["doc_id"],
+                "n_same_fp": pc.cast(j["doc_id_count"], pa.int64()),
+                "is_dup_by_fp": pc.not_equal(j["doc_id"], j["doc_id_min"]),
+            }
+        )
+
+    return part.map_batches(per_block, batch_format="pyarrow", batch_size=None)
 
 
 def q_langid_docs(sf_dir: str):
@@ -365,15 +401,43 @@ def q_lsh_ann_topk(sf_dir: str):
     )
 
 
+# The SQL-expressible PREFIX of TURN_REASON_ORDER: these rules are
+# checked before every model-based rule, so for any row
+# (drop_reason in prefix) <=> (some prefix rule fired) — which is what
+# the oracle computes.  Model-based reasons (bad_lang/low_lang_conf/
+# high_ppl/repetitive/...) and the conversation stage are still executed
+# by the full pipeline; their exact values are pinned by the pytest e2e
+# oracle (keep/drop F1 = 1.0, exact reasons), not by DuckDB.
+FLAGSHIP_SQL_REASONS = ("malformed", "empty", "too_short", "too_long")
+
+
 def q_flagship_documents(sf_dir: str):
+    """Full flagship pipeline over the documents-as-transcripts corpus,
+    projected to its SQL-checkable outputs: identity, byte-exact
+    scrubbed text, and the prefix verdict."""
     from luzzu_ray.pipelines.filter_pipeline import run_flagship
     from luzzu_ray.sources import documents_as_transcripts
 
     ds = documents_as_transcripts(sf_dir)
     labeled = run_flagship(ds, skip_giant_detection=True, conv_min_turns=1)
-    return labeled.select_columns(
-        ["conv_id", "turn_idx", "keep", "drop_reason", "text_scrubbed"]
-    )
+    prefix = pa.array(FLAGSHIP_SQL_REASONS)
+
+    def project(t: pa.Table) -> pa.Table:
+        reason = t["drop_reason"]
+        in_prefix = pc.fill_null(pc.is_in(reason, value_set=prefix), False)
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+                "keep_prefix": pc.invert(in_prefix),
+                "drop_reason_prefix": pc.if_else(
+                    in_prefix, reason, pa.nulls(t.num_rows, pa.string())
+                ),
+                "text_scrubbed": t["text_scrubbed"],
+            }
+        )
+
+    return labeled.map_batches(project, batch_format="pyarrow")
 
 
 
@@ -409,9 +473,34 @@ def q_union_documents(sf_dir: str):
     ).aggregate(Sum("n", alias_name="n"))
 
 
+# deterministic hash-sampling constants (shared verbatim with the SQL
+# oracle); the keep test is (doc_id * A + B mod 2^64) >> 32 < frac * 2^32
+SAMPLE_A = 6364136223846793005
+SAMPLE_B = 1442695040888963407
+SAMPLE_FRAC = 0.2
+
+
 def q_sample_documents(sf_dir: str):
-    """O3 sampling: seeded deterministic sample (rows-only check)."""
-    return _docs(sf_dir, ["doc_id", "lang"]).random_sample(0.2, seed=42)
+    """O3 sampling: DETERMINISTIC hash-based sample.
+
+    Unlike ``random_sample`` (whose output depends on block layout),
+    membership is a pure function of doc_id — reproducible across
+    cluster sizes, resumable, and exactly SQL-checkable.  The engine
+    keeps ``random_sample(frac, seed)`` for the cheap approximate case;
+    this is the keyed variant a 100TB pipeline wants for stable holdout
+    splits.
+    """
+    thr = int(SAMPLE_FRAC * (1 << 32))
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = d * np.uint64(SAMPLE_A) + np.uint64(SAMPLE_B)
+        return t.filter(pa.array((h >> np.uint64(32)) < thr))
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 
@@ -595,6 +684,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _flagship_sql() -> str:
+    """Oracle for the flagship's SQL-checkable projection: the prefix
+    verdict (first-failing rule among the SQL-expressible prefix of
+    TURN_REASON_ORDER) + byte-exact scrubbed text.  conv_id/turn_idx
+    reproduce sources.documents_as_transcripts."""
+    from luzzu_ray import constants as C
+
+    case = (
+        "CASE WHEN d.text IS NULL THEN 'malformed' "
+        "WHEN length(d.text) = 0 THEN 'empty' "
+        f"WHEN length(d.text) < {C.MIN_CHARS} THEN 'too_short' "
+        f"WHEN length(d.text) > {C.MAX_CHARS} THEN 'too_long' "
+        "ELSE NULL END"
+    )
+    return (
+        "SELECT CAST(d.doc_id AS VARCHAR) AS conv_id, "
+        "CAST(0 AS INT) AS turn_idx, "
+        f"(({case}) IS NULL) AS keep_prefix, "
+        f"({case}) AS drop_reason_prefix, "
+        "s.text_scrubbed "
+        f"FROM documents d JOIN ({_scrub_sql()}) s ON d.doc_id = s.doc_id"
+    )
+
+
+def _sample_sql() -> str:
+    thr = int(SAMPLE_FRAC * (1 << 32))
+    return (
+        "SELECT doc_id, lang FROM documents WHERE "
+        f"((CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
+        "% 18446744073709551616) // 4294967296 < " + str(thr)
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+  CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS n_same_fp,
+  doc_id <> min(doc_id) OVER (PARTITION BY norm) AS is_dup_by_fp
+FROM (SELECT doc_id,
+             array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')
+             AS norm
+      FROM documents)
+"""
+
+
+def _lsh_ann_sql() -> str:
+    """Oracle reproducing lsh_ann_topk exactly: the seeded hyperplanes
+    are embedded as literals, bucket codes computed in SQL, candidates =
+    the UNION of all vectors within hamming radius 1 of ANY query code
+    (the engine broadcast-filters once for all queries), then exact
+    cosine top-k per query over that union."""
+    from luzzu_ray.ops.similarity import lsh_planes
+
+    planes = lsh_planes(64)
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH codes AS (
+  SELECT vec_id, embedding, ({terms}) AS code FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, code AS qcode
+  FROM codes WHERE vec_id < {N_ANN_QUERIES}
+),
+cand AS (
+  SELECT c.vec_id, c.embedding FROM codes c
+  WHERE EXISTS (SELECT 1 FROM q
+                WHERE bit_count(xor(CAST(c.code AS BIGINT),
+                                    CAST(q.qcode AS BIGINT))) <= 1)
+)
+SELECT q.query_id,
+  CAST(row_number() OVER (PARTITION BY q.query_id
+       ORDER BY list_cosine_similarity(cand.embedding, q.qe) DESC,
+                cand.vec_id) AS BIGINT) AS rank,
+  cand.vec_id
+FROM cand, q QUALIFY rank <= {ANN_K}
+"""
+
+
 def _scrub_sql() -> str:
     from luzzu_ray import constants as C
 
@@ -690,6 +861,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_dedup": _MINHASH_DEDUP_SQL,
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        "sample_documents": _sample_sql(),
+        "lsh_ann_topk": _lsh_ann_sql(),
+        "flagship_documents": _flagship_sql(),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "union_documents": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM "
