@@ -559,11 +559,9 @@ def q_streaming_dedup(sf_dir: str):
     total count of unique rows is stable — suitable for the rows-only
     check; exact semantics live in ops.dedup.exact_duplicates).
     """
-    import ray
+    from luzzu_ray.state import ShardedBloom, StreamingDedupMarker
 
-    from luzzu_ray.state import BloomDedupIndex, StreamingDedupMarker
-
-    idx = BloomDedupIndex.remote(n_bits_log2=24, k=6)
+    idx = ShardedBloom(n_shards=4, n_bits_log2=22, k=6)
     marked = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         StreamingDedupMarker,
         batch_format="pyarrow",
@@ -577,39 +575,66 @@ def q_streaming_dedup(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (exact baseline, cos >= 0.4).
+    """Embedding-cosine near-dup pairs (EXACT, cos >= 0.4), distributed
+    as a tiled all-pairs sweep — recall 1 by construction, zero-norm
+    vectors guarded, and no whole-corpus driver materialization (see
+    ops.similarity.embedding_neardup_pairs for the scale analysis)."""
+    from luzzu_ray.ops.similarity import embedding_neardup_pairs
 
-    Each batch multiplies against the broadcast normalized corpus matrix
-    (O(n^2) exact baseline; the LSH-bucketed scale path is
-    ``lsh_ann_topk`` / ``minhash_dedup``).  Emits (a, b) with a < b.
+    return embedding_neardup_pairs(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.4
+    )
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal image pipeline (rows-only): deterministic fake-image
+    corpus (one image per document id, seeded) -> actor-pool decode ->
+    width/height/8-dim features.  The codec is the brief-sanctioned stub
+    (no PIL in this container); the Ray-side plumbing — binary columns,
+    small-batch actor stage, feature output layout — is real.  Feature
+    values are pinned against the scalar twin in tests/test_multimodal.py.
     """
     import pyarrow.parquet as pq
-    import ray
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-    ref = ray.put({"M": M, "ids": ids})
+    from luzzu_ray.ops.multimodal import decode_images, encode_fake_image
 
-    def pairs(b: pa.Table) -> pa.Table:
-        side = ray.get(ref)
-        E = np.array(b["embedding"].to_pylist(), dtype=np.float64)
-        E = E / np.linalg.norm(E, axis=1, keepdims=True)
-        vid = np.array(b["vec_id"].to_pylist(), dtype=np.int64)
-        sims = E @ side["M"].T
-        rows, cols = np.nonzero(sims >= 0.4)
-        a = vid[rows]
-        bb = side["ids"][cols]
-        keep = a < bb
-        return pa.table(
-            {"a": pa.array(a[keep]), "b": pa.array(bb[keep])}
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    img_path = f"/tmp/luzzu_fake_images/{tag}.parquet"
+    if not os.path.exists(img_path):
+        os.makedirs(os.path.dirname(img_path), exist_ok=True)
+        doc_ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        imgs = pa.table(
+            {
+                "id": pa.array(doc_ids, pa.int64()),
+                "image": pa.array(
+                    [encode_fake_image(64, 48, seed=int(d)) for d in doc_ids],
+                    pa.binary(),
+                ),
+            }
         )
+        pq.write_table(imgs, img_path + ".tmp")
+        os.replace(img_path + ".tmp", img_path)
 
-    return _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        pairs, batch_format="pyarrow"
-    )
+    import ray.data
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    ds = ray.data.read_parquet(img_path)
+    decoded = decode_images(ds, mode="auto", batch_size=128)
+
+    def flat(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        vals = np.asarray(feats.flatten().to_numpy(zero_copy_only=False))
+        m = vals.reshape(t.num_rows, -1) if t.num_rows else vals.reshape(0, 0)
+        cols = {"id": t["id"], "width": t["width"], "height": t["height"]}
+        for i in range(m.shape[1] if t.num_rows else 0):
+            cols[f"f{i}"] = pa.array(m[:, i])
+        return pa.table(cols)
+
+    return decoded.map_batches(flat, batch_format="pyarrow")
 
 
 def q_events_hourly_window(sf_dir: str):
@@ -680,6 +705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": q_sample_documents,
         "streaming_dedup": q_streaming_dedup,
         "embedding_neardup": q_embedding_neardup,
+        "image_features": q_image_features,
         "events_hourly_window": q_events_hourly_window,
     }
 

@@ -173,3 +173,140 @@ def lsh_ann_topk(
 
     filtered = ds.map_batches(bucket_filter, batch_format="pyarrow")
     return ann_topk(filtered, query_matrix, query_ids, k)
+
+
+# ---------------------------------------------------------------------------
+# all-pairs cosine near-dup: tiled distributed exact (recall = 1)
+# ---------------------------------------------------------------------------
+
+def _default_num_tiles() -> int:
+    """~2 tile-pair tasks per CPU: B(B+1)/2 ≈ 2 * CPUs."""
+    import ray
+
+    cpus = max(1, int(ray.cluster_resources().get("CPU", 1)))
+    return max(2, int(np.ceil(np.sqrt(4.0 * cpus))))
+
+
+def embedding_neardup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.4,
+    num_tiles: int | None = None,
+    matmul_chunk: int = 4096,
+) -> ray.data.Dataset:
+    """(a, b), a < b, for every vector pair with cosine >= threshold.
+
+    EXACT all-pairs, distributed as a block-tiled cross product: each
+    vector gets tile = hash(vec_id) % B and is replicated into the B
+    unordered tile-pair partitions it participates in, so partition
+    (i, j) holds exactly tiles i and j and computes their cross matmul
+    (triangle for i == j).  Every unordered pair lands in exactly one
+    partition — no dedupe pass, recall 1 by construction, and neither
+    the driver nor any worker ever holds the whole corpus (communication
+    is n*B rows; per-task memory is two tiles plus a chunked score
+    strip).  For thresholds high enough for LSH to reach the needed
+    recall, ``lsh_ann_topk``-style bucketing is the subquadratic
+    alternative; at cosine 0.4 hyperplane-LSH recall is poor, so the
+    honest scale path is this tiled exact sweep.
+    """
+    from luzzu_ray.ops.dedup import _default_parts, _hash_shuffle_ctx
+
+    _hash_shuffle_ctx()
+    B = num_tiles or _default_num_tiles()
+
+    def explode(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].combine_chunks()
+        emb = t["embedding"].combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"ti": pa.array([], pa.int32()), "tj": pa.array([], pa.int32()),
+                 "tile": pa.array([], pa.int32()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], emb.type)}
+            )
+        v = vid.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            tile = ((v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(
+                np.int32
+            ) % B
+        reps = np.repeat(np.arange(n, dtype=np.int64), B)
+        other = np.tile(np.arange(B, dtype=np.int32), n)
+        trep = np.repeat(tile, B)
+        ti = np.minimum(trep, other)
+        tj = np.maximum(trep, other)
+        idx = pa.array(reps)
+        return pa.table(
+            {
+                "ti": pa.array(ti), "tj": pa.array(tj),
+                "tile": pa.array(trep),
+                "vec_id": vid.take(idx),
+                "embedding": emb.take(idx),
+            }
+        )
+
+    exploded = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    part = exploded.repartition(
+        num_blocks=min(_default_parts(None), B * (B + 1) // 2),
+        keys=["ti", "tj"],
+    )
+
+    def tile_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("ti", "ascending"), ("tj", "ascending")])
+        ti = t["ti"].to_numpy(zero_copy_only=False)
+        tj = t["tj"].to_numpy(zero_copy_only=False)
+        key = ti.astype(np.int64) * (2**31) + tj
+        change = np.flatnonzero(np.concatenate(([True], key[1:] != key[:-1])))
+        bounds = np.concatenate((change, [len(key)]))
+        vid_all = t["vec_id"].to_numpy(zero_copy_only=False)
+        tile_all = t["tile"].to_numpy(zero_copy_only=False)
+        out_a, out_b = [], []
+        for gi in range(len(change)):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            gti, gtj = int(ti[s]), int(tj[s])
+            sub = t.slice(s, e - s)
+            E = _normalize(_as_matrix(sub["embedding"]))
+            vid = vid_all[s:e]
+            tl = tile_all[s:e]
+            if gti == gtj:
+                idx = np.arange(e - s)
+                Lm, Rm, Lv, Rv = E, E, vid, vid
+                same = True
+            else:
+                li = np.flatnonzero(tl == gti)
+                ri = np.flatnonzero(tl == gtj)
+                if len(li) == 0 or len(ri) == 0:
+                    continue
+                Lm, Rm = E[li], E[ri]
+                Lv, Rv = vid[li], vid[ri]
+                same = False
+            for c0 in range(0, len(Lv), matmul_chunk):
+                c1 = min(len(Lv), c0 + matmul_chunk)
+                sims = Lm[c0:c1] @ Rm.T
+                hit = sims >= threshold
+                ii, jj = np.nonzero(hit)
+                if not len(ii):
+                    continue
+                av = Lv[c0:c1][ii]
+                bv = Rv[jj]
+                keep = av != bv
+                if same:
+                    keep &= av < bv  # each unordered pair once
+                if keep.any():
+                    out_a.append(av[keep])
+                    out_b.append(bv[keep])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table(
+            {"a": pa.array(np.minimum(a, b)), "b": pa.array(np.maximum(a, b))}
+        )
+
+    return part.map_batches(tile_pairs, batch_format="pyarrow", batch_size=None)

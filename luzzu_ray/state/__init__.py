@@ -76,16 +76,69 @@ class BloomDedupIndex:
                 "fill": float((self.bits != 0).mean())}
 
 
+class ShardedBloom:
+    """K Bloom actors sharded by key hash — the scale path when one
+    actor's throughput or memory is exceeded.
+
+    Each shard owns a disjoint key subspace (shard = mix(key) % K), so
+    shards never need coordination; a batch is split into per-shard key
+    groups, all K ``seen_and_add`` calls are issued CONCURRENTLY and the
+    results scattered back in order.  Aggregate memory and round-trip
+    throughput scale linearly in K.
+    """
+
+    def __init__(self, n_shards: int = 4, n_bits_log2: int = 28, k: int = 6,
+                 num_cpus: float = 0.25):
+        self.n_shards = n_shards
+        self.shards = [
+            BloomDedupIndex.options(num_cpus=num_cpus).remote(
+                n_bits_log2=n_bits_log2, k=k
+            )
+            for _ in range(n_shards)
+        ]
+
+    def shard_of(self, keys: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = (keys.astype(np.uint64) * np.uint64(0xD6E8FEB86659FD93))
+        return ((h >> np.uint64(35)) % np.uint64(self.n_shards)).astype(np.int64)
+
+    def seen_and_add(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        sh = self.shard_of(keys)
+        out = np.zeros(len(keys), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.n_shards):
+            idx = np.flatnonzero(sh == s)
+            if len(idx):
+                refs.append(self.shards[s].seen_and_add.remote(keys[idx]))
+                idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(refs)):
+            out[idx] = res
+        return out
+
+    def stats(self) -> dict:
+        per = ray.get([s.stats.remote() for s in self.shards])
+        return {"n_inserted": sum(p["n_inserted"] for p in per),
+                "shards": per}
+
+
 class StreamingDedupMarker:
     """Actor-pool stage marking rows whose content key was seen before.
 
-    Holds a handle to the shared Bloom actor; batches are hashed locally
-    (vectorized) and tested/inserted in one actor round-trip.
+    Holds a handle to the shared Bloom index — a single
+    ``BloomDedupIndex`` actor or a ``ShardedBloom`` fan-out; batches are
+    hashed locally (vectorized) and tested/inserted in one round-trip
+    per (shard-)actor.
     """
 
     def __init__(self, index_handle, key_col: str = "text"):
         self.index = index_handle
         self.key_col = key_col
+
+    def _seen(self, fp: np.ndarray) -> np.ndarray:
+        if isinstance(self.index, ShardedBloom):
+            return self.index.seen_and_add(fp)
+        return ray.get(self.index.seen_and_add.remote(fp))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from luzzu_ray.ops.textstats import fingerprint_batch
@@ -94,5 +147,5 @@ class StreamingDedupMarker:
             pa.table({"doc_id": pa.array(np.zeros(t.num_rows, np.int64)),
                       "text": t[self.key_col]})
         )["fingerprint"].to_numpy(zero_copy_only=False).view(np.uint64)
-        seen = ray.get(self.index.seen_and_add.remote(fp))
+        seen = self._seen(fp)
         return t.append_column("seen_before", pa.array(seen))

@@ -331,3 +331,40 @@ def test_jaccard_verify_join_path_matches_broadcast(ray_session):
         for r in exact_jaccard_pairs(ds, cand, 0.5, broadcast_max=0).take_all()
     )
     assert got == want and len(want) >= 3
+
+
+def test_embedding_neardup_tiled_matches_bruteforce(ray_session):
+    import ray.data
+
+    from luzzu_ray.ops.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(13)
+    E = rng.standard_normal((150, 16)).astype(np.float32)
+    E[7] = E[3] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    E[42] = 0.0  # zero vector must not produce NaN pairs
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(150, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(E.reshape(-1)), 16
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    got = sorted(
+        (r["a"], r["b"])
+        for r in embedding_neardup_pairs(
+            ray.data.from_arrow(t), threshold=0.4, num_tiles=4
+        ).take_all()
+    )
+    En = E.astype(np.float64)
+    norms = np.linalg.norm(En, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    En = En / norms
+    sims = En @ En.T
+    want = sorted(
+        (i, j) for i in range(150) for j in range(i + 1, 150)
+        if sims[i, j] >= 0.4
+    )
+    assert got == want
+    assert (3, 7) in got
+    assert not any(42 in p for p in got)
