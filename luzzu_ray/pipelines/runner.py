@@ -46,6 +46,34 @@ from luzzu_ray.pipelines import summaries as S
 from luzzu_ray.pipelines.filter_pipeline import run_flagship
 from luzzu_ray.sources import transcript_paths
 
+def _patch_ray_fsspec_probe() -> None:
+    """Make Ray's HTTP-filesystem probe thread-safe for this install.
+
+    ``path_util._is_http_filesystem`` catches only ModuleNotFoundError
+    around ``from fsspec.implementations.http import HTTPFileSystem``;
+    with aiohttp absent, two driver threads resolving paths concurrently
+    can race the failed import and the loser sees a bare ImportError
+    ("cannot import name HTTPFileSystem"), crashing a parallel shard.
+    Any ImportError here means "not an HTTP filesystem"."""
+    from ray.data.datasource import path_util
+
+    orig = path_util._is_http_filesystem
+    if getattr(orig, "_luzzu_safe", False):  # pragma: no cover - idempotent
+        return
+
+    def safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    safe._luzzu_safe = True
+    path_util._is_http_filesystem = safe
+
+
+_patch_ray_fsspec_probe()
+
+
 LINEAGE_SCHEMA = pa.schema(
     [
         ("part_id", pa.int32()),
@@ -119,6 +147,34 @@ def run_shard(files: list[str], turns_dir: str, **pipeline_kwargs) -> tuple[int,
     return _count_written(turns_dir)
 
 
+def _shard_resources(parallel: int, pipeline_kwargs: dict) -> dict:
+    """Per-shard pool/shuffle sizing when `parallel` shard pipelines run
+    concurrently: divide the cluster so the concurrent pipelines' actor
+    pools + shuffle aggregators can all schedule at once (an undivided
+    pool spanning the CPUs deadlocks against the other shards'
+    aggregators — the same failure mode as a fixed full-width pool).
+    Caller-supplied kwargs win."""
+    import ray
+    import ray.data
+
+    from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
+
+    out = dict(pipeline_kwargs)
+    if parallel <= 1:
+        return out
+    cpus = cluster_cpus()
+    if "actor_pool" not in out:
+        hi = max(1, (cpus - max(2, cpus // 4)) // parallel)
+        out["actor_pool"] = (max(1, hi // 2), max(2, hi))
+    if "num_partitions" not in out:
+        out["num_partitions"] = max(8, 4 * cpus // parallel)
+    # the aggregator cap is a global DataContext knob snapshotted per
+    # dataset: divide it across the concurrent shuffles
+    ctx = ray.data.DataContext.get_current()
+    ctx.max_hash_shuffle_aggregators = max(1, cpus // (2 * parallel))
+    return out
+
+
 def run_assessment(
     input_dir: str,
     out_dir: str,
@@ -126,9 +182,17 @@ def run_assessment(
     shards: int = 8,
     resume: bool = False,
     write_summaries: bool = True,
+    parallel_shards: int | None = None,
     **pipeline_kwargs,
 ) -> dict:
-    """Entry point 2/3 of SURVEY.md §3.2.  Returns a small run report."""
+    """Entry point 2/3 of SURVEY.md §3.2.  Returns a small run report.
+
+    ``parallel_shards`` > 1 overlaps that many shard pipelines (each a
+    full flagship run over its file subset) from driver threads, with
+    per-shard resources divided so the cluster never drains between
+    shards; lineage is still written per shard on completion, so resume
+    granularity is unchanged.  Default: min(4, shards) when the cluster
+    has CPUs to spare, else sequential."""
     paths = transcript_paths(input_dir)
     by_shard = shard_files(paths, shards)
     lineage_dir = os.path.join(out_dir, "lineage")
@@ -156,16 +220,21 @@ def run_assessment(
         shutil.rmtree(lineage_dir, ignore_errors=True)
         os.makedirs(lineage_dir, exist_ok=True)
 
-    ran = []
-    for k in range(shards):
-        if k in done:
-            continue
+    todo = [k for k in range(shards) if k not in done]
+    if parallel_shards is None:
+        from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
+
+        parallel_shards = min(4, len(todo)) if cluster_cpus() >= 8 else 1
+    parallel_shards = max(1, min(parallel_shards, len(todo) or 1))
+    shard_kwargs = _shard_resources(parallel_shards, pipeline_kwargs)
+
+    def run_one(k: int) -> int:
         files = by_shard[k]
         turns_dir = os.path.join(out_dir, "turns", f"part_id={k}")
         shutil.rmtree(turns_dir, ignore_errors=True)  # idempotent retry
         t0 = time.monotonic()
         if files:
-            rows_in, rows_kept = run_shard(files, turns_dir, **pipeline_kwargs)
+            rows_in, rows_kept = run_shard(files, turns_dir, **shard_kwargs)
         else:
             rows_in = rows_kept = 0
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -185,7 +254,15 @@ def run_assessment(
         )
         # lineage written LAST: presence == shard complete
         pq.write_table(lineage, os.path.join(lineage_dir, f"part-{k}.parquet"))
-        ran.append(k)
+        return k
+
+    if parallel_shards <= 1:
+        ran = [run_one(k) for k in todo]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallel_shards) as ex:
+            ran = sorted(ex.map(run_one, todo))
 
     if write_summaries:
         labeled = ray.data.read_parquet(
@@ -207,6 +284,8 @@ def main() -> None:  # pragma: no cover
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--parallel-shards", type=int, default=None,
+                    help="concurrent shard pipelines (default: auto)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-summaries", action="store_true")
     ap.add_argument("--rules", help="JSON rule-pack path (declarative verdict)")
@@ -226,6 +305,7 @@ def main() -> None:  # pragma: no cover
         args.input,
         args.output,
         shards=args.shards,
+        parallel_shards=args.parallel_shards,
         resume=args.resume,
         write_summaries=not args.no_summaries,
         **extra,

@@ -60,6 +60,38 @@ def documents_as_transcripts(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(adapt, batch_format="pyarrow")
 
 
+def read_transcripts_sql(
+    query: str,
+    create_connection=None,
+    db_path: str | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """S2: remote/queryable-endpoint source (Luzzu's SPARQL-endpoint
+    processor analogue — /root/reference/README.md:8 "queryable"
+    capability).  Pages a SQL result set into the Dataset via
+    ``ray.data.read_sql``; rows then flow through the identical
+    normalize stage as the Parquet/JSONL sources, so any DBAPI endpoint
+    (here DuckDB, the in-container stand-in for a warehouse) can feed
+    the flagship pipeline unchanged.
+
+    Pass either ``create_connection`` (zero-arg DBAPI connection
+    factory — what a real remote endpoint supplies) or ``db_path`` for
+    the local-DuckDB convenience case.  NOTE: the factory runs in Ray
+    TASKS, so it must be serializable and must not capture an open
+    connection.
+    """
+    if create_connection is None:
+        if db_path is None:
+            raise ValueError("need create_connection or db_path")
+
+        def create_connection():  # noqa: ANN202 - DBAPI factory
+            import duckdb
+
+            return duckdb.connect(db_path, read_only=True)
+
+    return ray.data.read_sql(query, create_connection, **kwargs)
+
+
 def read_transcripts_jsonl(paths: list[str] | str, **kwargs) -> ray.data.Dataset:
     """JSONL transcript source (S1: Luzzu reads multiple serializations of
     the same logical stream — NT/Turtle/RDF-XML; our analogue is

@@ -160,3 +160,25 @@ def test_resume_refuses_config_mismatch(run_out, clustered_corpus_dir):
             clustered_corpus_dir, out, shards=8, resume=True,
             giant_min_turns=500, num_partitions=8,
         )
+
+
+def test_parallel_shards_match_serial(run_out, clustered_corpus_dir):
+    """parallel_shards=2 overlaps shard pipelines (divided pools +
+    aggregators) and produces byte-identical output to the serial run."""
+    from luzzu_ray.pipelines.runner import run_assessment
+
+    out_serial, _ = run_out
+    out = "/tmp/luzzu_test_out/run_parallel"
+    shutil.rmtree(out, ignore_errors=True)
+    report = run_assessment(
+        clustered_corpus_dir, out, shards=4, parallel_shards=2,
+        giant_min_turns=500, num_partitions=8,
+    )
+    assert sorted(report["shards_run"]) == [0, 1, 2, 3]
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending"),
+           ("ts", "ascending"), ("text", "ascending")]
+    a = _read_turns(out_serial).sort_by(key)
+    b = _read_turns(out).sort_by(key)
+    assert a.num_rows == b.num_rows
+    for col in ("conv_id", "turn_idx", "keep", "drop_reason", "text_scrubbed"):
+        assert a[col].equals(b[col]), col

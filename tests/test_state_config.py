@@ -145,3 +145,38 @@ def test_sharded_bloom_throughput(ray_session):
     took = time.monotonic() - t0
     assert not seen[np.sort(np.unique(keys, return_index=True)[1])].all()
     assert took < 30, took
+
+
+def test_sql_source_feeds_pipeline(ray_session, smoke_corpus_dir, tmp_path):
+    """S2: a DuckDB 'endpoint' feeds the identical normalize + verdict
+    chain and labels match the Parquet-source run row for row."""
+    import duckdb
+    import pyarrow as pa
+
+    from luzzu_ray.sources import read_transcripts, read_transcripts_sql
+    from luzzu_ray.stages.turn_stages import normalize_batch
+
+    db = str(tmp_path / "endpoint.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE transcripts AS SELECT * FROM read_parquet(?)",
+        [smoke_corpus_dir + "/*.parquet"],
+    )
+    n = con.execute("SELECT count(*) FROM transcripts").fetchone()[0]
+    con.close()
+
+    ds = read_transcripts_sql(
+        "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
+        db_path=db,
+    )
+    norm_sql = ds.map_batches(normalize_batch, batch_format="pyarrow")
+    norm_pq = read_transcripts(smoke_corpus_dir).map_batches(
+        normalize_batch, batch_format="pyarrow"
+    )
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending"),
+           ("ts", "ascending"), ("text", "ascending")]
+    a = pa.Table.from_pylist(norm_sql.take_all()).sort_by(key)
+    b = pa.Table.from_pylist(norm_pq.take_all()).sort_by(key)
+    assert a.num_rows == n == b.num_rows
+    for col in ("conv_id", "turn_idx", "role", "text", "malformed"):
+        assert a[col].equals(b[col]), col
