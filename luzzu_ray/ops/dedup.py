@@ -95,6 +95,17 @@ def _default_parts(num_partitions: int | None) -> int:
     return default_num_partitions() if num_partitions is None else num_partitions
 
 
+def _size_partitions(n_rows: int, cap: int, rows_per_partition: int = 200_000) -> int:
+    """Partitions proportional to DATA, clamped to the cluster-derived cap.
+
+    Hash-shuffle cost has a ~50-100ms fixed component per partition
+    (finalize task + block bookkeeping), so a cluster-wide width (4x
+    CPUs) on a small intermediate wastes seconds moving kilobytes; at
+    full scale the row count hits the cap and width is cluster-sized
+    again."""
+    return max(4, min(cap, -(-n_rows // rows_per_partition)))
+
+
 # ---------------------------------------------------------------------------
 # exact dedup: shuffle 128-bit content keys, never the text
 # ---------------------------------------------------------------------------
@@ -153,8 +164,11 @@ def exact_duplicates(ds: ray.data.Dataset, num_partitions: int | None = None) ->
 
     keys = ds.select_columns(["doc_id", "text"]).map_batches(
         content_key_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # 24-byte rows; count sizes the shuffle
+    part = keys.repartition(
+        num_blocks=_size_partitions(keys.count(), num_partitions, 1_000_000),
+        keys=["k1"],
     )
-    part = keys.repartition(num_blocks=num_partitions, keys=["k1"])
 
     def per_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -245,10 +259,16 @@ def simhash_signatures(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def _minhash_band_rows(
-    t: pa.Table, n_bands: int = N_BANDS, band_r: int = BAND_R
+    t: pa.Table, n_bands: int = N_BANDS, band_r: int = BAND_R,
+    with_sig: bool = True,
 ) -> pa.Table:
     """Explode each doc into n_bands (band, bucket) rows (first
-    n_bands*band_r of the N_PERM signature positions)."""
+    n_bands*band_r of the N_PERM signature positions).
+
+    ``with_sig=False`` omits the 512-byte signature column — the
+    exact-verify pipeline filters pairs by TRUE Jaccard afterwards, so
+    shipping signatures through the exchange would be pure waste (for
+    the sf0.1 corpus it is ~95% of the shuffled bytes)."""
     assert n_bands * band_r <= N_PERM
     sig, has = minhash_signatures(t)
     doc = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -260,28 +280,30 @@ def _minhash_band_rows(
             bucket = bucket * np.uint64(1099511628211) + bands[:, :, j]
         bucket = bucket * _BAND_SALT[None, :n_bands]
     n_out = len(idx) * n_bands
-    return pa.table(
-        {
+    if n_out:
+        cols = {
             "band": pa.array(
                 np.tile(np.arange(n_bands, dtype=np.int32), len(idx))
             ),
             "bucket": pa.array(bucket.reshape(-1).view(np.int64)),
             "doc_id": pa.array(np.repeat(doc[idx], n_bands)),
-            "sig": pa.FixedSizeListArray.from_arrays(
+        }
+        if with_sig:
+            cols["sig"] = pa.FixedSizeListArray.from_arrays(
                 pa.array(
                     np.repeat(sig[idx], n_bands, axis=0).reshape(-1).view(np.int64)
                 ),
                 N_PERM,
-            ),
-        }
-    ) if n_out else pa.table(
-        {
-            "band": pa.array([], pa.int32()),
-            "bucket": pa.array([], pa.int64()),
-            "doc_id": pa.array([], pa.int64()),
-            "sig": pa.array([], pa.list_(pa.int64(), N_PERM)),
-        }
-    )
+            )
+        return pa.table(cols)
+    cols = {
+        "band": pa.array([], pa.int32()),
+        "bucket": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+    }
+    if with_sig:
+        cols["sig"] = pa.array([], pa.list_(pa.int64(), N_PERM))
+    return pa.table(cols)
 
 
 def _group_slices(band: np.ndarray, bucket: np.ndarray):
@@ -370,18 +392,36 @@ def _candidate_pairs_block(
     band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
     bucket = t["bucket"].to_numpy(zero_copy_only=False)
     doc = t["doc_id"].to_numpy(zero_copy_only=False)
-    sig = np.stack(t["sig"].combine_chunks().to_numpy(zero_copy_only=False))
+    screened = "sig" in t.column_names
+    if screened:
+        sig = (
+            t["sig"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).reshape(-1, N_PERM)
+        )
     out = []
     for s, e in _group_slices(band, bucket):
         salt = _BAND_SALT[int(band[s]) % len(_BAND_SALT)]
-        d_all, s_all = doc[s:e], sig[s:e]
+        d_all = doc[s:e]
+        s_all = sig[s:e] if screened else None
         for members in _salt_subgroups(d_all, salt, bucket_cap):
-            d, S = d_all[members], s_all[members]
+            d = d_all[members]
+            if screened:
+                S = s_all[members]
 
-            def score(i0, i1, S=S):
-                return (S[i0:i1, None, :] == S[None, :, :]).mean(axis=2)
+                def score(i0, i1, S=S):
+                    return (S[i0:i1, None, :] == S[None, :, :]).mean(axis=2)
 
-            res = _pairs_from_tiles(d, score, lambda x: x >= sim_threshold)
+                res = _pairs_from_tiles(d, score, lambda x: x >= sim_threshold)
+            else:
+                # unscreened: emit every in-bucket pair (the exact
+                # Jaccard verify downstream is the filter)
+                ii, jj = np.triu_indices(len(d), 1)
+                if len(ii) == 0:
+                    res = None
+                else:
+                    a, b = d[ii], d[jj]
+                    res = (np.minimum(a, b), np.maximum(a, b),
+                           np.full(len(a), -1.0))
             if res is not None:
                 out.append(res)
     if not out:
@@ -406,7 +446,11 @@ def _dedupe_pairs(
     keeping ``agg`` = (col, "max"|"min", type) — one hash shuffle on the pair."""
     num_partitions = _default_parts(num_partitions)
     col, how, col_type = agg
-    part = pairs.repartition(num_blocks=num_partitions, keys=["a", "b"])
+    mat = pairs.materialize()  # pair tables are narrow; count sizes the shuffle
+    part = mat.repartition(
+        num_blocks=_size_partitions(mat.count(), num_partitions),
+        keys=["a", "b"],
+    )
 
     def per_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -435,10 +479,18 @@ def minhash_candidate_pairs(
     num_partitions = _default_parts(num_partitions)
     bands = ds.select_columns(["doc_id", "text"]).map_batches(
         _minhash_band_rows,
-        fn_kwargs={"n_bands": n_bands, "band_r": band_r},
+        fn_kwargs={
+            "n_bands": n_bands, "band_r": band_r,
+            # signatures only matter when an agreement screen is on
+            "with_sig": sim_threshold > 0,
+        },
         batch_format="pyarrow",
     )
-    part = bands.repartition(num_blocks=num_partitions, keys=["band", "bucket"])
+    bands_mat = bands.materialize()  # (band, bucket, doc_id[, sig]) — narrow
+    part = bands_mat.repartition(
+        num_blocks=_size_partitions(bands_mat.count(), num_partitions),
+        keys=["band", "bucket"],
+    )
     pairs = part.map_batches(
         _candidate_pairs_block,
         fn_kwargs={"sim_threshold": sim_threshold, "bucket_cap": bucket_cap},
@@ -585,20 +637,21 @@ def star_contraction(
     ).materialize()
     prev_sig = None
     for _ in range(max_iters):
+        parts = _size_partitions(edges.count() * 2, num_partitions)
         # large star: symmetrize so Γ(u) is complete per u
         sym = edges.map_batches(_symmetrize, **kw)
-        part = sym.repartition(num_blocks=num_partitions, keys=["u"])
+        part = sym.repartition(num_blocks=parts, keys=["u"])
         edges = part.map_batches(
             _large_star_block, batch_format="pyarrow", batch_size=None
         )
         # small star on down-oriented edges
         down = edges.map_batches(_orient_down, **kw)
-        part = down.repartition(num_blocks=num_partitions, keys=["u"])
+        part = down.repartition(num_blocks=parts, keys=["u"])
         edges = part.map_batches(
             _small_star_block, batch_format="pyarrow", batch_size=None
         )
         # dedupe + convergence signature
-        edges = _dedupe_edges(edges, num_partitions).materialize()
+        edges = _dedupe_edges(edges, parts).materialize()
         sig = _edge_signature(edges)
         if sig == prev_sig:
             break
@@ -616,7 +669,10 @@ def star_contraction(
         )
 
     labels = edges.map_batches(to_labels, **kw)
-    part = labels.repartition(num_blocks=num_partitions, keys=["doc_id"])
+    part = labels.repartition(
+        num_blocks=_size_partitions(edges.count() * 2, num_partitions),
+        keys=["doc_id"],
+    )
 
     def uniq(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -813,8 +869,10 @@ def exact_jaccard_pairs(
     import ray
 
     _hash_shuffle_ctx()
-    num_partitions = _default_parts(num_partitions)
     cand_mat = cand.materialize()
+    num_partitions = _size_partitions(
+        cand_mat.count(), _default_parts(num_partitions)
+    )
     ids: set[int] = set()
     small = True
     for b in cand_mat.iter_batches(batch_format="pyarrow"):
@@ -990,8 +1048,11 @@ def simhash_candidate_pairs(
     num_partitions = _default_parts(num_partitions)
     bands = ds.select_columns(["doc_id", "text"]).map_batches(
         simhash_band_rows, batch_format="pyarrow"
+    ).materialize()
+    part = bands.repartition(
+        num_blocks=_size_partitions(bands.count(), num_partitions),
+        keys=["band", "bucket"],
     )
-    part = bands.repartition(num_blocks=num_partitions, keys=["band", "bucket"])
     pairs = part.map_batches(
         _simhash_pairs_block, fn_kwargs={"bucket_cap": bucket_cap},
         batch_format="pyarrow", batch_size=None,

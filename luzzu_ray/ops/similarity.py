@@ -179,12 +179,17 @@ def lsh_ann_topk(
 # all-pairs cosine near-dup: tiled distributed exact (recall = 1)
 # ---------------------------------------------------------------------------
 
-def _default_num_tiles() -> int:
-    """~2 tile-pair tasks per CPU: B(B+1)/2 ≈ 2 * CPUs."""
+def _default_num_tiles(n_rows: int | None = None) -> int:
+    """~2 tile-pair tasks per CPU (B(B+1)/2 ≈ 2 * CPUs), but never
+    slicing finer than ~2k vectors per tile — tiny tiles just pay the
+    per-partition shuffle overhead without buying parallelism."""
     import ray
 
     cpus = max(1, int(ray.cluster_resources().get("CPU", 1)))
-    return max(2, int(np.ceil(np.sqrt(4.0 * cpus))))
+    b = max(2, int(np.ceil(np.sqrt(4.0 * cpus))))
+    if n_rows is not None:
+        b = min(b, max(2, int(np.ceil(n_rows / 2000))))
+    return b
 
 
 def embedding_neardup_pairs(
@@ -211,7 +216,14 @@ def embedding_neardup_pairs(
     from luzzu_ray.ops.dedup import _default_parts, _hash_shuffle_ctx
 
     _hash_shuffle_ctx()
-    B = num_tiles or _default_num_tiles()
+    if num_tiles is None:
+        try:  # count() is metadata-cheap on plain file reads
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - transformed inputs
+            n_rows = None
+        B = _default_num_tiles(n_rows)
+    else:
+        B = num_tiles
 
     def explode(t: pa.Table) -> pa.Table:
         vid = t["vec_id"].combine_chunks()
