@@ -53,7 +53,16 @@ def sessionize(ds: ray.data.Dataset, num_partitions: int | None = None) -> ray.d
 
     _ensure_hash_shuffle()
     if num_partitions is None:
-        num_partitions = default_num_partitions()
+        from luzzu_ray.ops.dedup import _size_partitions
+
+        try:  # metadata-cheap on plain file reads
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover - exotic inputs
+            n_rows = None
+        cap = default_num_partitions()
+        num_partitions = (
+            _size_partitions(n_rows, cap) if n_rows is not None else cap
+        )
     picked = ds.select_columns(["user_id", "ts", "event_id"])
     part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
     return part.map_batches(_session_block, batch_format="pyarrow", batch_size=None)
