@@ -586,6 +586,40 @@ def q_embedding_neardup(sf_dir: str):
     )
 
 
+def q_events_asof_click(sf_dir: str):
+    """AS-OF join: each purchase matched to the same user's latest
+    prior-or-simultaneous click (null when none)."""
+    from luzzu_ray.ops.events import asof_prior_event
+
+    return asof_prior_event(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        left_type="purchase", right_type="click",
+    )
+
+
+def q_events_user_value_quantiles(sf_dir: str):
+    """Per-user exact discrete median/p90 of event value (fixed-point)."""
+    from luzzu_ray.ops.relational import grouped_quantiles_q
+
+    return grouped_quantiles_q(
+        _tbl(sf_dir, "events", ["user_id", "value"]), key="user_id",
+        value_col="value",
+    )
+
+
+RESERVOIR_K = 100
+
+
+def q_reservoir_sample_docs(sf_dir: str):
+    """Deterministic distributed reservoir: bottom-k by keyed hash."""
+    from luzzu_ray.ops.relational import bottom_k_by_hash
+
+    return bottom_k_by_hash(
+        _docs(sf_dir, ["doc_id", "lang"]), id_col="doc_id", k=RESERVOIR_K,
+        carry_cols=["lang"], hash_a=SAMPLE_A, hash_b=SAMPLE_B,
+    )
+
+
 def q_image_features(sf_dir: str):
     """Multimodal image pipeline (rows-only): deterministic fake-image
     corpus (one image per document id, seeded) -> actor-pool decode ->
@@ -707,6 +741,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
         "events_hourly_window": q_events_hourly_window,
+        "events_asof_click": q_events_asof_click,
+        "events_user_value_quantiles": q_events_user_value_quantiles,
+        "reservoir_sample_docs": q_reservoir_sample_docs,
     }
 
 
@@ -878,6 +915,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "events_asof_click": (
+            "SELECT p.event_id, p.user_id, c.ts AS prior_ts, "
+            "CASE WHEN c.ts IS NULL THEN NULL "
+            "ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS wait_us "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF LEFT JOIN "
+            "(SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "events_user_value_quantiles": (
+            "SELECT user_id, "
+            "quantile_disc(CAST(floor(value * 10000.0) AS BIGINT), 0.5) "
+            "AS median_q4, "
+            "quantile_disc(CAST(floor(value * 10000.0) AS BIGINT), 0.9) "
+            "AS p90_q4, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY user_id"
+        ),
+        "reservoir_sample_docs": (
+            "SELECT doc_id, lang FROM documents ORDER BY "
+            f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
+            f"% 18446744073709551616, doc_id LIMIT {RESERVOIR_K}"
         ),
         "events_hourly_window": (
             "SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, "

@@ -3,6 +3,14 @@ applied to the events table — hash-partition on user_id, whole-block
 sort, NumPy segmented sessionization.  Mirrors
 ``luzzu_ray.stages.conversation`` on a second schema, proving the
 operator generalizes (SURVEY.md §2.5).
+
+Also hosts the AS-OF JOIN custom operator (a composition Ray Data lacks
+natively): both sides hash-partitioned on the equality key so each
+block holds complete per-key history, then a vectorized composite-key
+``searchsorted`` finds the latest right row with ts <= left ts.
+PARTITIONING ASSUMPTION (documented per the custom-operator rule): all
+rows of one key must fit one reduce block — the same assumption as
+conversation reassembly, with the same salting escape hatch available.
 """
 
 from __future__ import annotations
@@ -66,3 +74,103 @@ def sessionize(ds: ray.data.Dataset, num_partitions: int | None = None) -> ray.d
     picked = ds.select_columns(["user_id", "ts", "event_id"])
     part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
     return part.map_batches(_session_block, batch_format="pyarrow", batch_size=None)
+
+
+_TS_SHIFT = 46  # composite key = user_code << 46 | (ts - block_min)
+
+
+def _asof_block(t: pa.Table, left_type: str, right_type: str) -> pa.Table:
+    """Latest right-type event with ts <= each left-type event's ts,
+    per user.  Fully vectorized: one lexsort + one searchsorted over a
+    composite (dense user code, normalized ts) int64 key."""
+    empty = pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "prior_ts": pa.array([], pa.timestamp("us")),
+         "wait_us": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    etype = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+    left = etype == left_type
+    right = etype == right_type
+    if not left.any():
+        return empty
+    # dense user codes + normalized ts so the composite fits int64
+    _, ucode = np.unique(uid, return_inverse=True)
+    ts_n = ts - ts.min()
+    if ts_n.max(initial=0) >= (1 << _TS_SHIFT) or ucode.max(initial=0) >= (
+        1 << (63 - _TS_SHIFT)
+    ):  # pragma: no cover - ~2-year block span or 10^5 users per block
+        raise ValueError("asof composite key overflow; raise num_partitions")
+    key = (ucode.astype(np.int64) << _TS_SHIFT) | ts_n
+    rk = np.sort(key[right])
+    r_idx_sorted = np.argsort(key[right], kind="stable")
+    pos = np.searchsorted(rk, key[left], side="right") - 1
+    lu = ucode[left]
+    ok = pos >= 0
+    # candidate must belong to the SAME user
+    ru_sorted = ucode[right][r_idx_sorted]
+    cand_user = np.where(ok, ru_sorted[np.maximum(pos, 0)], -1)
+    ok &= cand_user == lu
+    rts_sorted = ts[right][r_idx_sorted]
+    prior = np.where(ok, rts_sorted[np.maximum(pos, 0)], 0)
+    wait = ts[left] - prior
+    return pa.table(
+        {
+            "event_id": pa.array(eid[left]),
+            "user_id": pa.array(uid[left]),
+            "prior_ts": pa.array(prior.view("datetime64[us]"), mask=~ok),
+            "wait_us": pa.array(wait, mask=~ok),
+        }
+    )
+
+
+def asof_prior_event(
+    ds: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """AS-OF LEFT JOIN of events to the same user's latest prior (or
+    simultaneous) event of another type: (event_id, user_id, prior_ts,
+    wait_us), prior_ts/wait_us null when no prior right event exists.
+    One hash shuffle on user_id; tie-proof outputs (timestamps, not row
+    ids, so simultaneous right rows cannot make the result ambiguous).
+    """
+    from luzzu_ray.ops.dedup import _size_partitions
+    from luzzu_ray.pipelines.filter_pipeline import (
+        _ensure_hash_shuffle,
+        default_num_partitions,
+    )
+
+    _ensure_hash_shuffle()
+    if num_partitions is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover
+            n_rows = None
+        cap = default_num_partitions()
+        num_partitions = (
+            _size_partitions(n_rows, cap) if n_rows is not None else cap
+        )
+    import pyarrow.compute as pc
+
+    both = pa.array([left_type, right_type])
+    picked = ds.select_columns(
+        ["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"], value_set=both)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+    return part.map_batches(
+        _asof_block,
+        fn_kwargs={"left_type": left_type, "right_type": right_type},
+        batch_format="pyarrow",
+        batch_size=None,
+    )

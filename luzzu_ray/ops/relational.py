@@ -96,3 +96,114 @@ def topk(
 ) -> ray.data.Dataset:
     """Deterministic global top-k: sort desc on order_col, ties by tie_col."""
     return ds.sort([order_col, tie_col], descending=[True, False]).limit(k)
+
+
+def grouped_quantiles_q(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    quantiles: dict[str, float] | None = None,
+    q: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact per-group DISCRETE quantiles over row-level fixed-point
+    values: element at index ceil(frac * n) - 1 of the sorted group —
+    DuckDB's ``quantile_disc`` definition (probed empirically), which
+    keeps the whole computation in integers so no interpolation
+    last-ulp float divergence can flip a fixed-point boundary.
+
+    Hash-partition on the group key, then one whole-block sorted pass
+    computes every group's quantiles with NumPy segmented indexing —
+    the G1 co-location pattern applied to order statistics.  Exactness
+    requires a group's rows to fit one block (same documented
+    assumption as conversation reassembly); for heavy-hitter keys at
+    10^12 scale the approximate path is a t-digest/partial-histogram
+    combine, not implemented here.
+    """
+    quantiles = quantiles or {"median": 0.5, "p90": 0.9}
+    from luzzu_ray.ops.dedup import _size_partitions
+    from luzzu_ray.pipelines.filter_pipeline import (
+        _ensure_hash_shuffle,
+        default_num_partitions,
+    )
+
+    _ensure_hash_shuffle()
+    if num_partitions is None:
+        try:
+            n_rows = ds.count()
+        except Exception:  # pragma: no cover
+            n_rows = None
+        cap = default_num_partitions()
+        num_partitions = (
+            _size_partitions(n_rows, cap) if n_rows is not None else cap
+        )
+    scale = float(10 ** q)
+    out_names = [f"{name}_q{q}" for name in quantiles]
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {key: pa.array([], pa.int64())}
+            cols.update({n: pa.array([], pa.int64()) for n in out_names})
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        k = t[key].to_numpy(zero_copy_only=False)
+        vf = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        vq = np.floor(vf * scale).astype(np.int64)  # row-level fixed point
+        order = np.lexsort((vq, k))
+        k, vq = k[order], vq[order]
+        new_g = np.concatenate(([True], k[1:] != k[:-1]))
+        starts = np.flatnonzero(new_g)
+        counts = np.diff(np.concatenate((starts, [len(k)])))
+        cols = {key: pa.array(k[starts])}
+        for name, frac in quantiles.items():
+            idx = np.maximum(
+                np.ceil(frac * counts).astype(np.int64) - 1, 0
+            )
+            cols[f"{name}_q{q}"] = pa.array(vq[starts + idx])
+        cols["n"] = pa.array(counts.astype(np.int64))
+        return pa.table(cols)
+
+    picked = ds.select_columns([key, value_col])
+    part = picked.repartition(num_blocks=num_partitions, keys=[key])
+    return part.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
+def bottom_k_by_hash(
+    ds: ray.data.Dataset,
+    id_col: str,
+    k: int,
+    carry_cols: list[str],
+    hash_a: int,
+    hash_b: int,
+) -> pa.Table:
+    """Deterministic distributed reservoir sample: the k rows with the
+    smallest keyed hash (a bottom-k sketch — statistically a uniform
+    k-sample, but reproducible across cluster sizes, block layouts and
+    reruns, unlike an RNG reservoir).  Per-batch partial bottom-k keeps
+    O(k) rows per block; the tiny final merge runs on the driver.
+    Luzzu analogue: reservoir sampling inside accessibility metrics
+    `[paper]` (/root/reference/README.md:12)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(hash_a) + np.uint64(hash_b)
+        kk = min(k, len(h))
+        if kk == 0:
+            return t.slice(0, 0).append_column("h", pa.array([], pa.uint64()))
+        idx = np.argpartition(h, kk - 1)[:kk]
+        return t.take(pa.array(idx)).append_column("h", pa.array(h[idx]))
+
+    parts = ds.select_columns([id_col] + carry_cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    merged = pa.Table.from_pylist(
+        parts.take_all(),
+        schema=pa.schema(
+            [(id_col, pa.int64())]
+            + [(c, pa.string()) for c in carry_cols]
+            + [("h", pa.uint64())]
+        ),
+    )
+    top = merged.sort_by([("h", "ascending"), (id_col, "ascending")]).slice(0, k)
+    return top.drop_columns(["h"])

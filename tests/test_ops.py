@@ -368,3 +368,85 @@ def test_embedding_neardup_tiled_matches_bruteforce(ray_session):
     assert got == want
     assert (3, 7) in got
     assert not any(42 in p for p in got)
+
+
+def test_asof_prior_event(ray_session):
+    import datetime as dt
+
+    import ray.data
+
+    from luzzu_ray.ops.events import asof_prior_event
+
+    T0 = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+
+    def row(eid, t_us, uid, typ):
+        return {"event_id": eid, "ts": T0 + t_us * us, "user_id": uid,
+                "event_type": typ}
+
+    rows = [
+        row(0, 100, 1, "click"),
+        row(1, 200, 1, "purchase"),   # prior click at 100
+        row(2, 200, 2, "purchase"),   # user 2 has no click -> null
+        row(3, 300, 1, "click"),
+        row(4, 300, 1, "purchase"),   # simultaneous click counts (>=)
+        row(5, 50, 2, "view"),        # other types ignored
+    ]
+    t = pa.Table.from_pylist(rows).set_column(
+        1, "ts", pa.Table.from_pylist(rows)["ts"].cast(pa.timestamp("us"))
+    )
+    got = {r["event_id"]: (r["prior_ts"], r["wait_us"])
+           for r in asof_prior_event(ray.data.from_arrow(t),
+                                     num_partitions=4).take_all()}
+    assert set(got) == {1, 2, 4}
+    assert got[1][1] == 100
+    assert got[2] == (None, None)
+    assert got[4][1] == 0  # simultaneous click matched
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_quantiles_q
+
+    rng = np.random.default_rng(31)
+    n = 5000
+    t = pa.table(
+        {"user_id": pa.array(rng.integers(0, 37, n), type=pa.int64()),
+         "value": pa.array(np.round(rng.uniform(0, 100, n), 2))}
+    )
+    got = {
+        r["user_id"]: (r["median_q4"], r["p90_q4"], r["n"])
+        for r in grouped_quantiles_q(
+            ray.data.from_arrow(t), "user_id", "value", num_partitions=8
+        ).take_all()
+    }
+    want_rows = duckdb.arrow(t).query(
+        "t",
+        "SELECT user_id, "
+        "quantile_disc(CAST(floor(value*10000.0) AS BIGINT), 0.5) AS m, "
+        "quantile_disc(CAST(floor(value*10000.0) AS BIGINT), 0.9) AS p, "
+        "CAST(count(*) AS BIGINT) AS n FROM t GROUP BY user_id",
+    ).fetchall()
+    want = {u: (m, p, c) for u, m, p, c in want_rows}
+    assert got == want
+
+
+def test_bottom_k_by_hash_layout_invariant(ray_session):
+    import ray.data
+
+    from luzzu_ray.ops.relational import bottom_k_by_hash
+
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(1000, dtype=np.int64)),
+         "lang": pa.array(["en"] * 1000)}
+    )
+    a = bottom_k_by_hash(ray.data.from_arrow(t), "doc_id", 25, ["lang"],
+                         6364136223846793005, 1442695040888963407)
+    b = bottom_k_by_hash(
+        ray.data.from_arrow(t).repartition(13), "doc_id", 25, ["lang"],
+        6364136223846793005, 1442695040888963407,
+    )
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert len(a) == 25
