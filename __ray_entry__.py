@@ -415,11 +415,26 @@ def q_flagship_documents(sf_dir: str):
     """Full flagship pipeline over the documents-as-transcripts corpus,
     projected to its SQL-checkable outputs: identity, byte-exact
     scrubbed text, and the prefix verdict."""
-    from luzzu_ray.pipelines.filter_pipeline import run_flagship
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.dedup import _size_partitions
+    from luzzu_ray.pipelines.filter_pipeline import (
+        default_num_partitions,
+        run_flagship,
+    )
     from luzzu_ray.sources import documents_as_transcripts
 
     ds = documents_as_transcripts(sf_dir)
-    labeled = run_flagship(ds, skip_giant_detection=True, conv_min_turns=1)
+    # size the pool and the conv shuffle to the corpus (metadata count):
+    # a cluster-wide pool + 4x-CPU shuffle on a few thousand docs spends
+    # its whole wall time on actor spin-up and per-partition fixed costs
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    hi = max(2, min(8, n // 2000 + 1))
+    labeled = run_flagship(
+        ds, skip_giant_detection=True, conv_min_turns=1,
+        actor_pool=(max(1, hi // 2), hi),
+        num_partitions=_size_partitions(n, default_num_partitions()),
+    )
     prefix = pa.array(FLAGSHIP_SQL_REASONS)
 
     def project(t: pa.Table) -> pa.Table:
@@ -586,6 +601,91 @@ def q_embedding_neardup(sf_dir: str):
     )
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-dimension join chain: orders x (customer ⋈ nation ⋈ region)
+    — the dims are pre-joined driver-side (a few KB), broadcast ONCE,
+    and probed inside map_batches; the fact table never shuffles."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.relational import broadcast_join, grouped_sum_q
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    dims = (
+        cust.join(nation, keys=["c_nationkey"], right_keys=["n_nationkey"])
+        .join(region, keys=["n_regionkey"], right_keys=["r_regionkey"])
+        .select(["c_custkey", "n_name", "r_name"])
+        .rename_columns(["o_custkey", "n_name", "r_name"])
+    )
+    joined = broadcast_join(
+        _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        dims, key="o_custkey", small_cols=["n_name", "r_name"],
+    )
+    return grouped_sum_q(
+        joined, keys=["r_name", "n_name"],
+        float_cols={"o_totalprice": "revenue_q2"}, count_as="n_orders", q=2,
+    )
+
+
+HOP_WIDTH_US = 2 * 3_600_000_000
+HOP_STEP_US = 3_600_000_000
+
+
+def q_events_hopping_window(sf_dir: str):
+    """Hopping-window aggregate (width 2h, hop 1h): every event lands in
+    exactly width/hop = 2 overlapping windows — the window assignment is
+    a vectorized flat-map (row replication), then the standard
+    partial+final combine."""
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        vq4 = (
+            pc.cast(
+                pc.floor(pc.multiply(pc.cast(t["value"], pa.float64()), 1e4)),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+        )
+        et = t["event_type"].combine_chunks()
+        reps = HOP_WIDTH_US // HOP_STEP_US
+        base = (ts // HOP_STEP_US) * HOP_STEP_US
+        starts = np.concatenate(
+            [base - i * HOP_STEP_US for i in range(reps)]
+        )
+        idx = pa.array(np.tile(np.arange(t.num_rows, dtype=np.int64), reps))
+        g = (
+            pa.table(
+                {
+                    "event_type": et.take(idx),
+                    "window_start": pa.array(starts),
+                    "value_q4": pa.array(np.tile(vq4, reps)),
+                    "n": pa.array(np.ones(t.num_rows * reps, dtype=np.int64)),
+                }
+            )
+            .group_by(["event_type", "window_start"])
+            .aggregate([("n", "sum"), ("value_q4", "sum")])
+        )
+        return g.rename_columns(["event_type", "window_start", "n", "value_q4"])
+
+    from ray.data.aggregate import Sum
+
+    parts = _tbl(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        explode_partial, batch_format="pyarrow"
+    )
+    return parts.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n", alias_name="n"), Sum("value_q4", alias_name="value_q4")
+    )
+
+
 def q_events_asof_click(sf_dir: str):
     """AS-OF join: each purchase matched to the same user's latest
     prior-or-simultaneous click (null when none)."""
@@ -741,6 +841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
         "events_hourly_window": q_events_hourly_window,
+        "revenue_by_nation": q_revenue_by_nation,
+        "events_hopping_window": q_events_hopping_window,
         "events_asof_click": q_events_asof_click,
         "events_user_value_quantiles": q_events_user_value_quantiles,
         "reservoir_sample_docs": q_reservoir_sample_docs,
@@ -915,6 +1017,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "revenue_by_nation": (
+            "SELECT r_name, n_name, "
+            "CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS revenue_q2, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name"
+        ),
+        "events_hopping_window": (
+            "SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) "
+            "AS value_q4 FROM ("
+            "SELECT event_type, value, "
+            "(epoch_us(ts) // 3600000000) * 3600000000 AS window_start "
+            "FROM events UNION ALL "
+            "SELECT event_type, value, "
+            "((epoch_us(ts) // 3600000000) - 1) * 3600000000 AS window_start "
+            "FROM events) GROUP BY event_type, window_start"
         ),
         "events_asof_click": (
             "SELECT p.event_id, p.user_id, c.ts AS prior_ts, "
