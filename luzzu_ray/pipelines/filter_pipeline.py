@@ -153,7 +153,21 @@ def detect_giants(paths, giant_min_turns: int = C.GIANT_MIN_TURNS) -> list[str]:
         g = t.group_by("conv_id").aggregate([("n", "sum")])
         return g.rename_columns(["conv_id", "n"])
 
-    counts = parts.repartition(num_blocks=8, keys=["conv_id"]).map_batches(
+    # width sized to the partial table (~#convs rows, estimated from the
+    # metadata turn count / typical turns-per-conv), clamped to the
+    # cluster cap — never a fixed constant (at 10^11 convs the partials
+    # are no longer tiny)
+    from luzzu_ray.ops.dedup import _size_partitions
+
+    try:
+        n_turns = ds.count()
+    except Exception:  # pragma: no cover
+        n_turns = None
+    width = (
+        _size_partitions(max(1, n_turns // 6), default_num_partitions())
+        if n_turns is not None else default_num_partitions()
+    )
+    counts = parts.repartition(num_blocks=width, keys=["conv_id"]).map_batches(
         block_sum, batch_format="pyarrow", batch_size=None
     )
     big = counts.map_batches(
@@ -228,12 +242,29 @@ def build_labeled(
 ) -> ray.data.Dataset:
     """Phase 2: the full labeled-turns dataset (lazy; one shuffle)."""
     _ensure_hash_shuffle()
-    if num_partitions is None:
-        num_partitions = default_num_partitions()
     if isinstance(paths_or_ds, ray.data.Dataset):
         ds = paths_or_ds
+        if num_partitions is None:
+            num_partitions = default_num_partitions()
     else:
         ds = read_transcripts(paths_or_ds)
+        if num_partitions is None:
+            # size the conversation shuffle to the corpus (~50k turn rows
+            # ≈ 50MB per reduce block), floored at the CPU count so the
+            # conv stage keeps full parallelism, capped at the cluster
+            # width; ds.count() is metadata-cheap on a plain read
+            try:
+                n_turns = ds.count()
+            except Exception:  # pragma: no cover
+                n_turns = None
+            cap = default_num_partitions()
+            if n_turns is None:
+                num_partitions = cap
+            else:
+                num_partitions = max(
+                    min(cluster_cpus(), cap),
+                    min(cap, -(-n_turns // 50_000)),
+                )
     if actor_pool is None:
         actor_pool = default_actor_pool()
     from luzzu_ray.stages.actors import TurnLevelActor
