@@ -411,6 +411,55 @@ def q_lsh_ann_topk(sf_dir: str):
 FLAGSHIP_SQL_REASONS = ("malformed", "empty", "too_short", "too_long")
 
 
+def q_ivf_ann_topk(sf_dir: str):
+    from luzzu_ray.ops.similarity import ivf_ann_topk
+
+    qids, mat = _query_vectors(sf_dir)
+    return ivf_ann_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        mat, qids, k=ANN_K, dim=mat.shape[1],
+    )
+
+
+def _ivf_ann_sql() -> str:
+    """Oracle reproducing ivf_ann_topk: deterministic unit centroids as
+    literals, per-vector cell = arg_max dot, queries probe their top-
+    n_probe cells, exact cosine top-k over the union of probed cells."""
+    from luzzu_ray.ops.similarity import IVF_NPROBE, ivf_centroids
+
+    C = ivf_centroids(64)
+    vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for i, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cid, cvec) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, c.cid, list_dot_product(e.embedding, c.cvec) AS dot
+  FROM embeddings e CROSS JOIN cent c
+),
+codes AS (SELECT vec_id, arg_max(cid, dot) AS code FROM dots GROUP BY vec_id),
+qp AS (
+  SELECT vec_id AS query_id, cid FROM dots WHERE vec_id < {N_ANN_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid)
+          <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN codes ON e.vec_id = codes.vec_id
+  WHERE codes.code IN (SELECT DISTINCT cid FROM qp)
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_ANN_QUERIES})
+SELECT q.query_id,
+  CAST(row_number() OVER (PARTITION BY q.query_id
+       ORDER BY list_cosine_similarity(cand.embedding, q.qe) DESC,
+                cand.vec_id) AS BIGINT) AS rank,
+  cand.vec_id
+FROM cand, q QUALIFY rank <= {ANN_K}
+"""
+
+
 def q_flagship_documents(sf_dir: str):
     """Full flagship pipeline over the documents-as-transcripts corpus,
     projected to its SQL-checkable outputs: identity, byte-exact
@@ -833,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "flagship_documents": q_flagship_documents,
         "distinct_langs": q_distinct_langs,
         "union_documents": q_union_documents,
@@ -1071,6 +1121,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "sample_documents": _sample_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
+        "ivf_ann_topk": _ivf_ann_sql(),
         "flagship_documents": _flagship_sql(),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "union_documents": (

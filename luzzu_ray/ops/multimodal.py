@@ -44,6 +44,13 @@ def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     return IMG_MAGIC + struct.pack("<HH", width, height) + payload
 
 
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    payload = rng.integers(-(2**15), 2**15, size=min(n_samples, 4096),
+                           dtype=np.int16).tobytes()
+    return AUD_MAGIC + struct.pack("<II", sample_rate, n_samples) + payload
+
+
 def encode_fake_video(n_frames: int, width: int, height: int, seed: int) -> bytes:
     frames = b"".join(
         encode_fake_image(width, height, seed * 1000 + i) for i in range(n_frames)
@@ -115,6 +122,61 @@ class ImageDecodeStage:
         )
 
 
+class AudioDecodeStage:
+    """Actor-pool stage: binary audio column -> sample_rate / duration /
+    loudness features.  Same stub contract as ImageDecodeStage:
+    ``strict`` raises, ``fake`` decodes the FAKEAUD container, ``auto``
+    prefers a real codec when importable (none in this container).
+
+    Input columns: (id:int64, audio:binary).  Output adds
+    sample_rate:int32, duration_ms:int64, rms_q6:int64 (RMS of the
+    int16 payload, fixed-point).
+    """
+
+    def __init__(self, mode: str = "auto"):
+        self.decoder = None
+        if mode in ("auto", "real"):
+            try:  # pragma: no cover - torchaudio/soundfile absent here
+                import soundfile  # noqa: F401
+
+                self.decoder = "soundfile"
+            except ImportError:
+                if mode == "real":
+                    raise NotImplementedError(
+                        "real audio decode requires soundfile; not available"
+                    )
+        if self.decoder is None:
+            if mode == "strict":
+                raise NotImplementedError("audio decode stubbed: no codec")
+            self.decoder = "fake"
+
+    def _decode_fake(self, buf: bytes):
+        if not buf.startswith(AUD_MAGIC):
+            return 0, 0, 0
+        rate, n = struct.unpack_from("<II", buf, len(AUD_MAGIC))
+        payload = np.frombuffer(buf, dtype=np.int16,
+                                offset=len(AUD_MAGIC) + 8)
+        rms = float(np.sqrt(np.mean(payload.astype(np.float64) ** 2)))
+        dur_ms = int(n * 1000 // max(rate, 1))
+        return rate, dur_ms, int(rms / 32768.0 * 1e6)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["audio"].combine_chunks()
+        rates = np.zeros(t.num_rows, dtype=np.int32)
+        durs = np.zeros(t.num_rows, dtype=np.int64)
+        rms = np.zeros(t.num_rows, dtype=np.int64)
+        for i in range(t.num_rows):  # binary decode is inherently per-item
+            v = bufs[i].as_py()
+            if v is None:
+                continue
+            rates[i], durs[i], rms[i] = self._decode_fake(v)
+        return (
+            t.append_column("sample_rate", pa.array(rates))
+            .append_column("duration_ms", pa.array(durs))
+            .append_column("rms_q6", pa.array(rms))
+        )
+
+
 class FrameSampleStage:
     """Actor-pool flat-map: video binary -> one row per sampled frame."""
 
@@ -156,6 +218,19 @@ def decode_images(
 ) -> ray.data.Dataset:
     return ds.map_batches(
         ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"mode": mode},
+    )
+
+
+def decode_audio(
+    ds: ray.data.Dataset, mode: str = "auto", batch_size: int = 256,
+    concurrency=(1, 4),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioDecodeStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -176,6 +176,87 @@ def lsh_ann_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF-style coarse quantization: assign each vector to its nearest
+# centroid, search only the query's top-n_probe cells
+# ---------------------------------------------------------------------------
+
+IVF_SEED = 9091
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(dim: int, k: int = IVF_CENTROIDS, seed: int = IVF_SEED) -> np.ndarray:
+    """Deterministic UNIT-NORM random centroids (spherical quantizer).
+
+    Data-independent by design so the assignment is reproducible and a
+    SQL oracle can embed the centroids as literals; for data-adapted
+    cells pass kmeans centroids (see :func:`kmeans_centroids`) — same
+    engine path, recall tuned to the corpus, but no static oracle."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    c = rng.standard_normal((k, dim))
+    return _normalize(c)
+
+
+def kmeans_centroids(
+    sample: np.ndarray, k: int = IVF_CENTROIDS, iters: int = 10,
+    seed: int = IVF_SEED,
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on a (driver-side) sample, unit-normalized
+    per iteration — the spherical k-means coarse quantizer for the
+    data-adapted IVF path.  The sample should come from a deterministic
+    sampler (e.g. relational.bottom_k_by_hash) so the index is
+    reproducible."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        code = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[code == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_ann_topk(
+    ds: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_probe: int = IVF_NPROBE,
+    centroids: np.ndarray | None = None,
+) -> pa.Table:
+    """IVF approximate top-k: vectors are assigned to their max-dot
+    (== max-cosine, centroids are unit norm) cell in one vectorized
+    argmax per batch; only vectors in the union of every query's
+    top-``n_probe`` cells are exact-searched.  Recall < 1 by design;
+    expected search fraction ≈ n_probe / n_centroids."""
+    C = ivf_centroids(dim) if centroids is None else np.asarray(centroids)
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    qdots = Q @ C.T  # (q, k)
+    want: set[int] = set()
+    for row in qdots:
+        # top-n_probe cells, ties by centroid id (matches the SQL oracle)
+        order = np.lexsort((np.arange(len(row)), -row))
+        want.update(int(c) for c in order[:n_probe])
+    want_arr = pa.array(sorted(want), pa.int64())
+
+    def cell_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        E = _as_matrix(t["embedding"])
+        if E.size == 0:
+            return t
+        code = np.argmax(E @ C.T, axis=1).astype(np.int64)
+        return t.filter(pc.is_in(pa.array(code), value_set=want_arr))
+
+    filtered = ds.map_batches(cell_filter, batch_format="pyarrow")
+    return ann_topk(filtered, query_matrix, query_ids, k)
+
+
+# ---------------------------------------------------------------------------
 # all-pairs cosine near-dup: tiled distributed exact (recall = 1)
 # ---------------------------------------------------------------------------
 

@@ -77,3 +77,34 @@ def test_frame_sampling(ray_session):
     # video 7: frames 0,2,4 of 5; video 8: frames 0,2 of 3
     assert set(got) == {(7, 0), (7, 2), (7, 4), (8, 0), (8, 2)}
     assert got[(7, 0)] == (4, 4) and got[(8, 2)] == (2, 2)
+
+
+def test_audio_decode_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from luzzu_ray.ops.multimodal import (
+        AudioDecodeStage, decode_audio, encode_fake_audio,
+    )
+
+    rows = [encode_fake_audio(16000, 32000, seed=i) for i in range(5)]
+    rows.append(b"not-audio")
+    t = pa.table(
+        {"id": pa.array(range(6), pa.int64()),
+         "audio": pa.array(rows, pa.binary())}
+    )
+    got = {r["id"]: (r["sample_rate"], r["duration_ms"], r["rms_q6"])
+           for r in decode_audio(ray.data.from_arrow(t)).take_all()}
+    assert got[5] == (0, 0, 0)  # junk container -> zeros, no crash
+    for i in range(5):
+        rate, dur, rms = got[i]
+        assert rate == 16000 and dur == 2000
+        assert 400_000 < rms < 700_000  # uniform int16 RMS ~ 0.577 fullscale
+    # scalar twin parity
+    stage = AudioDecodeStage(mode="fake")
+    for i in range(5):
+        assert stage._decode_fake(rows[i]) == got[i]
+    with pytest.raises(NotImplementedError):
+        AudioDecodeStage(mode="strict")

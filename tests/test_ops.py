@@ -450,3 +450,41 @@ def test_bottom_k_by_hash_layout_invariant(ray_session):
     )
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert len(a) == 25
+
+
+def test_ivf_ann_self_hit_and_kmeans_recall(ray_session):
+    import ray.data
+
+    from luzzu_ray.ops.similarity import (
+        ann_topk, ivf_ann_topk, kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(17)
+    # clustered data so kmeans cells are meaningful
+    centers = rng.standard_normal((5, 32)) * 4
+    E = np.concatenate(
+        [centers[i] + rng.standard_normal((80, 32)) for i in range(5)]
+    ).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(E), dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(E.reshape(-1)), 32
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    Q = E[[3, 200]].astype(np.float64)
+    got = ivf_ann_topk(ds, Q, [3, 200], k=3, dim=32).to_pylist()
+    top1 = {r["query_id"]: r["vec_id"] for r in got if r["rank"] == 1}
+    assert top1 == {3: 3, 200: 200}  # queries survive cell probing
+
+    # kmeans-adapted cells: recall@5 vs exact on clustered data
+    km = kmeans_centroids(E[rng.choice(len(E), 200, replace=False)], k=8)
+    approx = ivf_ann_topk(ds, Q, [3, 200], k=5, dim=32, n_probe=2,
+                          centroids=km).to_pylist()
+    exact = ann_topk(ds, Q, [3, 200], k=5).to_pylist()
+    for qid in (3, 200):
+        a = {r["vec_id"] for r in approx if r["query_id"] == qid}
+        e = {r["vec_id"] for r in exact if r["query_id"] == qid}
+        assert len(a & e) >= 4, (qid, a, e)  # recall >= 0.8 on easy data
