@@ -118,7 +118,7 @@ def q_keep_rate_by_lang_source(sf_dir: str):
     parts = _docs(sf_dir, ["doc_id", "text", "lang", "source"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    return parts.groupby(["lang", "source"]).aggregate(
+    return parts.groupby(["lang", "source"], num_partitions=8).aggregate(
         Sum("n_kept", alias_name="n_kept"), Sum("n_docs", alias_name="n_docs")
     )
 
@@ -133,7 +133,7 @@ def q_top_sources_by_keep(sf_dir: str):
     from ray.data.aggregate import Sum
 
     base = q_keep_rate_by_lang_source(sf_dir)
-    by_src = base.groupby("source").aggregate(
+    by_src = base.groupby("source", num_partitions=4).aggregate(
         Sum("n_kept", alias_name="n_kept"), Sum("n_docs", alias_name="n_docs")
     )
     scored = by_src.map_batches(finish, batch_format="pyarrow")
@@ -185,7 +185,9 @@ def q_events_type_counts(sf_dir: str):
     parts = _tbl(sf_dir, "events", ["event_type"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    return parts.groupby("event_type").aggregate(Sum("n", alias_name="n"))
+    return parts.groupby("event_type", num_partitions=4).aggregate(
+        Sum("n", alias_name="n")
+    )
 
 
 def q_events_sessions(sf_dir: str):
@@ -204,6 +206,7 @@ def q_tpch_q1(sf_dir: str):
         float_cols={"l_quantity": "sum_qty_q2", "l_extendedprice": "sum_price_q2"},
         count_as="n_rows",
         q=2,
+        num_partitions=8,  # 6 groups — don't pay 4x-CPU shuffle width
     )
 
 
@@ -226,6 +229,7 @@ def q_orders_by_mktsegment(sf_dir: str):
         float_cols={"o_totalprice": "total_q2"},
         count_as="n_orders",
         q=2,
+        num_partitions=8,  # 5 groups
     )
 
 
@@ -515,7 +519,9 @@ def q_distinct_langs(sf_dir: str):
     from ray.data.aggregate import Count
 
     parts = _docs(sf_dir, ["lang"]).map_batches(partial, batch_format="pyarrow")
-    return parts.groupby("lang").aggregate(Count(alias_name="n_blocks")).select_columns(["lang"])
+    return parts.groupby("lang", num_partitions=4).aggregate(
+        Count(alias_name="n_blocks")
+    ).select_columns(["lang"])
 
 
 def q_union_documents(sf_dir: str):
@@ -533,7 +539,7 @@ def q_union_documents(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return u.map_batches(partial, batch_format="pyarrow").groupby(
-        "lang"
+        "lang", num_partitions=4
     ).aggregate(Sum("n", alias_name="n"))
 
 
@@ -683,6 +689,7 @@ def q_revenue_by_nation(sf_dir: str):
     return grouped_sum_q(
         joined, keys=["r_name", "n_name"],
         float_cols={"o_totalprice": "revenue_q2"}, count_as="n_orders", q=2,
+        num_partitions=8,  # 25 groups
     )
 
 
@@ -730,7 +737,7 @@ def q_events_hopping_window(sf_dir: str):
     parts = _tbl(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
         explode_partial, batch_format="pyarrow"
     )
-    return parts.groupby(["event_type", "window_start"]).aggregate(
+    return parts.groupby(["event_type", "window_start"], num_partitions=16).aggregate(
         Sum("n", alias_name="n"), Sum("value_q4", alias_name="value_q4")
     )
 
@@ -845,7 +852,7 @@ def q_events_hourly_window(sf_dir: str):
     parts = _tbl(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    return parts.groupby(["event_type", "hour_bucket"]).aggregate(
+    return parts.groupby(["event_type", "hour_bucket"], num_partitions=16).aggregate(
         Sum("n", alias_name="n"), Sum("value_q4", alias_name="value_q4")
     )
 

@@ -52,6 +52,7 @@ def grouped_sum_q(
     int_cols: dict[str, str] | None = None,
     count_as: str | None = None,
     q: int = 4,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Partial+final grouped sums with fixed-point floats.
 
@@ -86,7 +87,11 @@ def grouped_sum_q(
         [count_as] if count_as else []
     )
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    return parts.groupby(keys).aggregate(
+    # the final aggregate runs over PARTIAL rows (#batches x #groups),
+    # so callers with low-cardinality keys should pass a small
+    # num_partitions — the default 4x-CPU width costs ~50-100ms of fixed
+    # overhead per partition to reduce a few hundred rows
+    return parts.groupby(keys, num_partitions=num_partitions).aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols]
     )
 
