@@ -99,6 +99,17 @@ def _asof_block(t: pa.Table, left_type: str, right_type: str) -> pa.Table:
     right = etype == right_type
     if not left.any():
         return empty
+    if not right.any():
+        # no right-side rows in this block: every left row joins null
+        n_l = int(left.sum())
+        return pa.table(
+            {
+                "event_id": pa.array(eid[left]),
+                "user_id": pa.array(uid[left]),
+                "prior_ts": pa.nulls(n_l, pa.timestamp("us")),
+                "wait_us": pa.nulls(n_l, pa.int64()),
+            }
+        )
     # dense user codes + normalized ts so the composite fits int64
     _, ucode = np.unique(uid, return_inverse=True)
     ts_n = ts - ts.min()

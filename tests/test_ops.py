@@ -488,3 +488,26 @@ def test_ivf_ann_self_hit_and_kmeans_recall(ray_session):
         a = {r["vec_id"] for r in approx if r["query_id"] == qid}
         e = {r["vec_id"] for r in exact if r["query_id"] == qid}
         assert len(a & e) >= 4, (qid, a, e)  # recall >= 0.8 on easy data
+
+
+def test_asof_no_right_rows(ray_session):
+    """A block containing purchases but ZERO clicks must emit all-null
+    matches, not crash (empty right side)."""
+    import datetime as dt
+
+    import ray.data
+
+    from luzzu_ray.ops.events import asof_prior_event
+
+    T0 = dt.datetime(2024, 1, 1)
+    rows = [
+        {"event_id": i, "ts": T0 + dt.timedelta(seconds=i), "user_id": i % 3,
+         "event_type": "purchase"}
+        for i in range(6)
+    ]
+    t = pa.Table.from_pylist(rows).set_column(
+        1, "ts", pa.Table.from_pylist(rows)["ts"].cast(pa.timestamp("us"))
+    )
+    got = asof_prior_event(ray.data.from_arrow(t), num_partitions=4).take_all()
+    assert len(got) == 6
+    assert all(r["prior_ts"] is None and r["wait_us"] is None for r in got)
