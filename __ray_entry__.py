@@ -789,12 +789,15 @@ def q_image_features(sf_dir: str):
     from luzzu_ray.ops.multimodal import decode_images, encode_fake_image
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    img_path = f"/tmp/luzzu_fake_images/{tag}.parquet"
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    # cache key includes the doc-id set's count and span so a
+    # regenerated fixture dir never serves stale images
+    sig = f"{len(doc_ids)}-{min(doc_ids, default=0)}-{max(doc_ids, default=0)}"
+    img_path = f"/tmp/luzzu_fake_images/{tag}-{sig}.parquet"
     if not os.path.exists(img_path):
         os.makedirs(os.path.dirname(img_path), exist_ok=True)
-        doc_ids = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-        )["doc_id"].to_pylist()
         imgs = pa.table(
             {
                 "id": pa.array(doc_ids, pa.int64()),

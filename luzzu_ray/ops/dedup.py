@@ -106,6 +106,44 @@ def _size_partitions(n_rows: int, cap: int, rows_per_partition: int = 200_000) -
     return max(4, min(cap, -(-n_rows // rows_per_partition)))
 
 
+def count_if_cheap(ds: ray.data.Dataset) -> int | None:
+    """Row count ONLY when it's metadata-priced.
+
+    ``Dataset.count()`` is cheap on a bare read (parquet footers) and on
+    already-materialized datasets, but on any transformed pipeline it
+    EXECUTES the whole upstream once just to count — and the subsequent
+    real consumption executes it again.  Returns None when counting
+    would not be cheap."""
+    try:
+        from ray.data._internal.logical.operators.read_operator import Read
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(ds, MaterializedDataset):
+            return ds.count()
+        dag = ds._logical_plan.dag
+        if isinstance(dag, Read) and not dag.input_dependencies:
+            return ds.count()
+    except Exception:  # pragma: no cover - internal API drift
+        pass
+    return None
+
+
+def auto_partitions(
+    ds: ray.data.Dataset,
+    num_partitions: int | None,
+    rows_per_partition: int = 200_000,
+) -> int:
+    """Resolve a shuffle width: an EXPLICIT num_partitions wins verbatim
+    (callers tuning straggler granularity / block memory get exactly
+    what they asked for); otherwise size to the data when the row count
+    is metadata-cheap, else fall back to the cluster-derived cap."""
+    if num_partitions is not None:
+        return num_partitions
+    cap = _default_parts(None)
+    n = count_if_cheap(ds)
+    return _size_partitions(n, cap, rows_per_partition) if n is not None else cap
+
+
 # ---------------------------------------------------------------------------
 # exact dedup: shuffle 128-bit content keys, never the text
 # ---------------------------------------------------------------------------
@@ -160,13 +198,11 @@ def exact_duplicates(ds: ray.data.Dataset, num_partitions: int | None = None) ->
     keep-first idiom then runs per block (group-min + join).
     """
     _hash_shuffle_ctx()
-    num_partitions = _default_parts(num_partitions)
-
     keys = ds.select_columns(["doc_id", "text"]).map_batches(
         content_key_batch, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # 24-byte rows; count sizes the shuffle
     part = keys.repartition(
-        num_blocks=_size_partitions(keys.count(), num_partitions, 1_000_000),
+        num_blocks=auto_partitions(keys, num_partitions, 1_000_000),
         keys=["k1"],
     )
 
@@ -414,14 +450,16 @@ def _candidate_pairs_block(
                 res = _pairs_from_tiles(d, score, lambda x: x >= sim_threshold)
             else:
                 # unscreened: emit every in-bucket pair (the exact
-                # Jaccard verify downstream is the filter)
-                ii, jj = np.triu_indices(len(d), 1)
-                if len(ii) == 0:
-                    res = None
-                else:
-                    a, b = d[ii], d[jj]
-                    res = (np.minimum(a, b), np.maximum(a, b),
-                           np.full(len(a), -1.0))
+                # Jaccard verify downstream is the filter); tiled like
+                # the screened path so a cap-sized degenerate subgroup
+                # never materializes O(cap^2) index arrays at once
+                res = _pairs_from_tiles(
+                    d,
+                    lambda i0, i1, g=len(d): np.full(
+                        (i1 - i0, g), -1.0, dtype=np.float32
+                    ),
+                    lambda x: np.ones_like(x, dtype=bool),
+                )
             if res is not None:
                 out.append(res)
     if not out:
@@ -444,12 +482,10 @@ def _dedupe_pairs(
 ) -> ray.data.Dataset:
     """Distinct (a, b) rows (same pair surfaces from multiple bands),
     keeping ``agg`` = (col, "max"|"min", type) — one hash shuffle on the pair."""
-    num_partitions = _default_parts(num_partitions)
     col, how, col_type = agg
     mat = pairs.materialize()  # pair tables are narrow; count sizes the shuffle
     part = mat.repartition(
-        num_blocks=_size_partitions(mat.count(), num_partitions),
-        keys=["a", "b"],
+        num_blocks=auto_partitions(mat, num_partitions), keys=["a", "b"]
     )
 
     def per_block(t: pa.Table) -> pa.Table:
@@ -476,7 +512,6 @@ def minhash_candidate_pairs(
     """Distinct candidate (a, b, est_sim) pairs, a < b, as a Dataset
     (never materialized on the driver)."""
     _hash_shuffle_ctx()
-    num_partitions = _default_parts(num_partitions)
     bands = ds.select_columns(["doc_id", "text"]).map_batches(
         _minhash_band_rows,
         fn_kwargs={
@@ -488,7 +523,7 @@ def minhash_candidate_pairs(
     )
     bands_mat = bands.materialize()  # (band, bucket, doc_id[, sig]) — narrow
     part = bands_mat.repartition(
-        num_blocks=_size_partitions(bands_mat.count(), num_partitions),
+        num_blocks=auto_partitions(bands_mat, num_partitions),
         keys=["band", "bucket"],
     )
     pairs = part.map_batches(
@@ -629,7 +664,6 @@ def star_contraction(
     cluster = component minimum.  O(log n) rounds; the driver only sees
     per-round (count, hash) signatures, never the edges."""
     _hash_shuffle_ctx()
-    num_partitions = _default_parts(num_partitions)
     kw = dict(batch_format="pyarrow", zero_copy_batch=True)
     edges = pairs.map_batches(
         lambda t: pa.table({"u": t["a"], "v": t["b"]}) if t.num_rows
@@ -637,7 +671,10 @@ def star_contraction(
     ).materialize()
     prev_sig = None
     for _ in range(max_iters):
-        parts = _size_partitions(edges.count() * 2, num_partitions)
+        parts = (
+            num_partitions if num_partitions is not None
+            else _size_partitions(edges.count() * 2, _default_parts(None))
+        )
         # large star: symmetrize so Γ(u) is complete per u
         sym = edges.map_batches(_symmetrize, **kw)
         part = sym.repartition(num_blocks=parts, keys=["u"])
@@ -670,7 +707,10 @@ def star_contraction(
 
     labels = edges.map_batches(to_labels, **kw)
     part = labels.repartition(
-        num_blocks=_size_partitions(edges.count() * 2, num_partitions),
+        num_blocks=(
+            num_partitions if num_partitions is not None
+            else _size_partitions(edges.count() * 2, _default_parts(None))
+        ),
         keys=["doc_id"],
     )
 
@@ -870,9 +910,7 @@ def exact_jaccard_pairs(
 
     _hash_shuffle_ctx()
     cand_mat = cand.materialize()
-    num_partitions = _size_partitions(
-        cand_mat.count(), _default_parts(num_partitions)
-    )
+    num_partitions = auto_partitions(cand_mat, num_partitions)
     ids: set[int] = set()
     small = True
     for b in cand_mat.iter_batches(batch_format="pyarrow"):
@@ -1045,12 +1083,11 @@ def simhash_candidate_pairs(
     within hamming 3 shares at least one identical band (pigeonhole) —
     modulo salt-splitting of degenerate buckets."""
     _hash_shuffle_ctx()
-    num_partitions = _default_parts(num_partitions)
     bands = ds.select_columns(["doc_id", "text"]).map_batches(
         simhash_band_rows, batch_format="pyarrow"
     ).materialize()
     part = bands.repartition(
-        num_blocks=_size_partitions(bands.count(), num_partitions),
+        num_blocks=auto_partitions(bands, num_partitions),
         keys=["band", "bucket"],
     )
     pairs = part.map_batches(

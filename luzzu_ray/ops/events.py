@@ -60,17 +60,9 @@ def sessionize(ds: ray.data.Dataset, num_partitions: int | None = None) -> ray.d
     )
 
     _ensure_hash_shuffle()
-    if num_partitions is None:
-        from luzzu_ray.ops.dedup import _size_partitions
+    from luzzu_ray.ops.dedup import auto_partitions
 
-        try:  # metadata-cheap on plain file reads
-            n_rows = ds.count()
-        except Exception:  # pragma: no cover - exotic inputs
-            n_rows = None
-        cap = default_num_partitions()
-        num_partitions = (
-            _size_partitions(n_rows, cap) if n_rows is not None else cap
-        )
+    num_partitions = auto_partitions(ds, num_partitions)
     picked = ds.select_columns(["user_id", "ts", "event_id"])
     part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
     return part.map_batches(_session_block, batch_format="pyarrow", batch_size=None)
@@ -152,22 +144,11 @@ def asof_prior_event(
     One hash shuffle on user_id; tie-proof outputs (timestamps, not row
     ids, so simultaneous right rows cannot make the result ambiguous).
     """
-    from luzzu_ray.ops.dedup import _size_partitions
-    from luzzu_ray.pipelines.filter_pipeline import (
-        _ensure_hash_shuffle,
-        default_num_partitions,
-    )
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
-    if num_partitions is None:
-        try:
-            n_rows = ds.count()
-        except Exception:  # pragma: no cover
-            n_rows = None
-        cap = default_num_partitions()
-        num_partitions = (
-            _size_partitions(n_rows, cap) if n_rows is not None else cap
-        )
+    num_partitions = auto_partitions(ds, num_partitions)
     import pyarrow.compute as pc
 
     both = pa.array([left_type, right_type])

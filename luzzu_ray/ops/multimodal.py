@@ -156,9 +156,30 @@ class AudioDecodeStage:
         rate, n = struct.unpack_from("<II", buf, len(AUD_MAGIC))
         payload = np.frombuffer(buf, dtype=np.int16,
                                 offset=len(AUD_MAGIC) + 8)
+        if len(payload) == 0:
+            return rate, 0, 0
         rms = float(np.sqrt(np.mean(payload.astype(np.float64) ** 2)))
         dur_ms = int(n * 1000 // max(rate, 1))
         return rate, dur_ms, int(rms / 32768.0 * 1e6)
+
+    def _decode_real(self, buf: bytes):  # pragma: no cover - lib absent here
+        import io
+
+        import soundfile
+
+        data, rate = soundfile.read(io.BytesIO(buf), dtype="float64")
+        if data.size == 0:
+            return int(rate), 0, 0
+        rms = float(np.sqrt(np.mean(data.reshape(-1) ** 2)))
+        return int(rate), int(len(data) * 1000 // max(rate, 1)), int(rms * 1e6)
+
+    def _decode(self, buf: bytes):
+        if self.decoder == "soundfile":  # pragma: no cover - lib absent
+            try:
+                return self._decode_real(buf)
+            except Exception:
+                return 0, 0, 0
+        return self._decode_fake(buf)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         bufs = t["audio"].combine_chunks()
@@ -169,7 +190,7 @@ class AudioDecodeStage:
             v = bufs[i].as_py()
             if v is None:
                 continue
-            rates[i], durs[i], rms[i] = self._decode_fake(v)
+            rates[i], durs[i], rms[i] = self._decode(v)
         return (
             t.append_column("sample_rate", pa.array(rates))
             .append_column("duration_ms", pa.array(durs))

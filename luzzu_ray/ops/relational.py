@@ -126,22 +126,11 @@ def grouped_quantiles_q(
     combine, not implemented here.
     """
     quantiles = quantiles or {"median": 0.5, "p90": 0.9}
-    from luzzu_ray.ops.dedup import _size_partitions
-    from luzzu_ray.pipelines.filter_pipeline import (
-        _ensure_hash_shuffle,
-        default_num_partitions,
-    )
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
-    if num_partitions is None:
-        try:
-            n_rows = ds.count()
-        except Exception:  # pragma: no cover
-            n_rows = None
-        cap = default_num_partitions()
-        num_partitions = (
-            _size_partitions(n_rows, cap) if n_rows is not None else cap
-        )
+    num_partitions = auto_partitions(ds, num_partitions)
     scale = float(10 ** q)
     out_names = [f"{name}_q{q}" for name in quantiles]
 

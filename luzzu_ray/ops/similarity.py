@@ -298,11 +298,9 @@ def embedding_neardup_pairs(
 
     _hash_shuffle_ctx()
     if num_tiles is None:
-        try:  # count() is metadata-cheap on plain file reads
-            n_rows = ds.count()
-        except Exception:  # pragma: no cover - transformed inputs
-            n_rows = None
-        B = _default_num_tiles(n_rows)
+        from luzzu_ray.ops.dedup import count_if_cheap
+
+        B = _default_num_tiles(count_if_cheap(ds))
     else:
         B = num_tiles
 

@@ -69,6 +69,19 @@ def default_num_partitions() -> int:
     return min(512, max(8, 4 * cluster_cpus()))
 
 
+# When set, _ensure_hash_shuffle uses this aggregator cap instead of the
+# cluster-derived default — the parallel-shard runner divides the cap
+# across concurrent pipelines and MUST NOT be clobbered by the pipelines
+# themselves re-declaring the context (every run_flagship calls
+# _ensure_hash_shuffle before creating datasets).
+_AGGREGATOR_CAP_OVERRIDE: int | None = None
+
+
+def set_aggregator_cap_override(cap: int | None) -> None:
+    global _AGGREGATOR_CAP_OVERRIDE
+    _AGGREGATOR_CAP_OVERRIDE = cap
+
+
 def _ensure_hash_shuffle() -> None:
     """Key-based repartition requires the hash-shuffle strategy.
 
@@ -80,7 +93,10 @@ def _ensure_hash_shuffle() -> None:
 
     ctx = ray.data.DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    ctx.max_hash_shuffle_aggregators = max(2, cluster_cpus() // 2)
+    if _AGGREGATOR_CAP_OVERRIDE is not None:
+        ctx.max_hash_shuffle_aggregators = _AGGREGATOR_CAP_OVERRIDE
+    else:
+        ctx.max_hash_shuffle_aggregators = max(2, cluster_cpus() // 2)
     # groupby/aggregate default to 200 partitions (DEFAULT_MIN_PARALLELISM);
     # on a small cluster that is pure aggregator-actor churn
     ctx.default_hash_shuffle_parallelism = default_num_partitions()
@@ -157,12 +173,9 @@ def detect_giants(paths, giant_min_turns: int = C.GIANT_MIN_TURNS) -> list[str]:
     # metadata turn count / typical turns-per-conv), clamped to the
     # cluster cap — never a fixed constant (at 10^11 convs the partials
     # are no longer tiny)
-    from luzzu_ray.ops.dedup import _size_partitions
+    from luzzu_ray.ops.dedup import _size_partitions, count_if_cheap
 
-    try:
-        n_turns = ds.count()
-    except Exception:  # pragma: no cover
-        n_turns = None
+    n_turns = count_if_cheap(ds)
     width = (
         _size_partitions(max(1, n_turns // 6), default_num_partitions())
         if n_turns is not None else default_num_partitions()
@@ -252,11 +265,10 @@ def build_labeled(
             # size the conversation shuffle to the corpus (~50k turn rows
             # ≈ 50MB per reduce block), floored at the CPU count so the
             # conv stage keeps full parallelism, capped at the cluster
-            # width; ds.count() is metadata-cheap on a plain read
-            try:
-                n_turns = ds.count()
-            except Exception:  # pragma: no cover
-                n_turns = None
+            # width; counted only when metadata-cheap (bare read)
+            from luzzu_ray.ops.dedup import count_if_cheap
+
+            n_turns = count_if_cheap(ds)
             cap = default_num_partitions()
             if n_turns is None:
                 num_partitions = cap

@@ -169,7 +169,12 @@ def _shard_resources(parallel: int, pipeline_kwargs: dict) -> dict:
     if "num_partitions" not in out:
         out["num_partitions"] = max(8, 4 * cpus // parallel)
     # the aggregator cap is a global DataContext knob snapshotted per
-    # dataset: divide it across the concurrent shuffles
+    # dataset; _ensure_hash_shuffle (called by every shard pipeline
+    # before dataset creation) would clobber a direct assignment, so
+    # divide it via the override it respects
+    from luzzu_ray.pipelines import filter_pipeline as FP
+
+    FP.set_aggregator_cap_override(max(1, cpus // (2 * parallel)))
     ctx = ray.data.DataContext.get_current()
     ctx.max_hash_shuffle_aggregators = max(1, cpus // (2 * parallel))
     return out
@@ -261,8 +266,13 @@ def run_assessment(
     else:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=parallel_shards) as ex:
-            ran = sorted(ex.map(run_one, todo))
+        from luzzu_ray.pipelines import filter_pipeline as FP
+
+        try:
+            with ThreadPoolExecutor(max_workers=parallel_shards) as ex:
+                ran = sorted(ex.map(run_one, todo))
+        finally:
+            FP.set_aggregator_cap_override(None)
 
     if write_summaries:
         labeled = ray.data.read_parquet(

@@ -180,3 +180,21 @@ def test_sql_source_feeds_pipeline(ray_session, smoke_corpus_dir, tmp_path):
     assert a.num_rows == n == b.num_rows
     for col in ("conv_id", "turn_idx", "role", "text", "malformed"):
         assert a[col].equals(b[col]), col
+
+
+def test_aggregator_cap_override_survives_ensure(ray_session):
+    """The parallel-shard runner's divided aggregator cap must not be
+    clobbered when shard pipelines re-declare the shuffle context."""
+    import ray.data
+
+    from luzzu_ray.pipelines import filter_pipeline as FP
+
+    ctx = ray.data.DataContext.get_current()
+    try:
+        FP.set_aggregator_cap_override(3)
+        FP._ensure_hash_shuffle()  # what every shard pipeline calls
+        assert ctx.max_hash_shuffle_aggregators == 3
+    finally:
+        FP.set_aggregator_cap_override(None)
+    FP._ensure_hash_shuffle()
+    assert ctx.max_hash_shuffle_aggregators >= 2
