@@ -742,6 +742,48 @@ def q_events_hopping_window(sf_dir: str):
     )
 
 
+def q_events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of
+    the JSON ``props`` column with a vectorized RE2 kernel (pyarrow has
+    no JSON kernels; the fixture's props are flat single-key objects,
+    a documented assumption) and aggregate per event_type."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(
+            pc.fill_null(t["props"], ""), pattern=r'"k":\s*(?P<k>-?\d+)'
+        )
+        k = pc.cast(
+            pc.if_else(
+                pc.is_valid(ext), pc.struct_field(ext, "k"), pa.scalar(None)
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "k": pc.fill_null(k, 0),
+                    "has_k": pc.cast(pc.is_valid(k), pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("k", "sum"), ("has_k", "sum"), ("n", "sum")])
+        )
+        return g.rename_columns(["event_type", "k_sum", "n_with_k", "n"])
+
+    from ray.data.aggregate import Sum
+
+    parts = _tbl(sf_dir, "events", ["event_type", "props"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return parts.groupby("event_type", num_partitions=4).aggregate(
+        Sum("k_sum", alias_name="k_sum"),
+        Sum("n_with_k", alias_name="n_with_k"),
+        Sum("n", alias_name="n"),
+    )
+
+
 def q_events_asof_click(sf_dir: str):
     """AS-OF join: each purchase matched to the same user's latest
     prior-or-simultaneous click (null when none)."""
@@ -758,6 +800,20 @@ def q_events_user_value_quantiles(sf_dir: str):
     from luzzu_ray.ops.relational import grouped_quantiles_q
 
     return grouped_quantiles_q(
+        _tbl(sf_dir, "events", ["user_id", "value"]), key="user_id",
+        value_col="value",
+    )
+
+
+def q_events_value_quantiles_sketch(sf_dir: str):
+    """Approximate per-user quantiles via the mergeable log-binned
+    histogram sketch (rows-only: approximate by design; the <=eps
+    relative-error bound and layout invariance are pinned in
+    tests/test_ops.py::test_approx_quantiles_sketch).  This is the
+    bounded-memory path for keys too hot to co-locate."""
+    from luzzu_ray.ops.sketch import approx_quantiles
+
+    return approx_quantiles(
         _tbl(sf_dir, "events", ["user_id", "value"]), key="user_id",
         value_col="value",
     )
@@ -902,9 +958,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "events_hourly_window": q_events_hourly_window,
         "revenue_by_nation": q_revenue_by_nation,
+        "events_props_stats": q_events_props_stats,
         "events_hopping_window": q_events_hopping_window,
         "events_asof_click": q_events_asof_click,
         "events_user_value_quantiles": q_events_user_value_quantiles,
+        "events_value_quantiles_sketch": q_events_value_quantiles_sketch,
         "reservoir_sample_docs": q_reservoir_sample_docs,
     }
 
@@ -1077,6 +1135,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
+        ),
+        "events_props_stats": (
+            "SELECT event_type, "
+            "CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT), 0)) AS BIGINT) AS k_sum, "
+            "CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS n_with_k, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY event_type"
         ),
         "revenue_by_nation": (
             "SELECT r_name, n_name, "

@@ -122,8 +122,9 @@ def grouped_quantiles_q(
     the G1 co-location pattern applied to order statistics.  Exactness
     requires a group's rows to fit one block (same documented
     assumption as conversation reassembly); for heavy-hitter keys at
-    10^12 scale the approximate path is a t-digest/partial-histogram
-    combine, not implemented here.
+    10^12 scale use the mergeable partial-histogram combine in
+    ``luzzu_ray.ops.sketch.approx_quantiles`` (bounded memory, <=eps
+    relative error, no co-location assumption).
     """
     quantiles = quantiles or {"median": 0.5, "p90": 0.9}
     from luzzu_ray.ops.dedup import auto_partitions

@@ -1,0 +1,124 @@
+"""Mergeable sketches: the bounded-memory path for statistics whose
+exact computation needs a whole group co-located (SURVEY.md §2.3 T3 —
+Luzzu bounds metric memory with approximate structures `[paper]`,
+/root/reference/README.md:12).
+
+``approx_quantiles`` is the heavy-hitter escape hatch documented in
+``relational.grouped_quantiles_q``: per-batch partial histograms over
+log-spaced bins (relative-error ``eps`` per value), merged by an
+ordinary partial+final aggregation — bytes through the shuffle scale
+with #groups x #bins (~O(log(range)/eps)), never with rows, and no key
+ever needs to fit in one block.  Deterministic: no sampling, identical
+results for any block layout (property-tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+DEFAULT_EPS = 0.01
+
+
+def _to_bins(v: np.ndarray, eps: float) -> np.ndarray:
+    """Signed log-spaced bin ids: |relative error| <= eps within a bin."""
+    base = np.log1p(eps)
+    mag = np.floor(np.log1p(np.abs(v)) / base).astype(np.int64)
+    return np.where(v < 0, -mag - 1, mag)
+
+
+def _bin_value(b: np.ndarray, eps: float) -> np.ndarray:
+    """Representative value (geometric bin midpoint) for a bin id."""
+    base = np.log1p(eps)
+    neg = b < 0
+    mag = np.where(neg, -b - 1, b).astype(np.float64)
+    lo = np.expm1(mag * base)
+    hi = np.expm1((mag + 1.0) * base)
+    mid = (lo + hi) / 2.0
+    return np.where(neg, -mid, mid)
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    quantiles: dict[str, float] | None = None,
+    eps: float = DEFAULT_EPS,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group approximate quantiles with relative error <= ~eps.
+
+    Stage 1 (map): per-batch (key, bin, n) partial histograms — one
+    vectorized binning + group_by per batch.  Stage 2: hash-merge the
+    partials on (key, bin) and per-block finalize: cumulative counts
+    pick each quantile's bin (the quantile_disc index rule:
+    ceil(frac * n) - 1), reported as the bin's representative value.
+    """
+    quantiles = quantiles or {"median": 0.5, "p90": 0.9}
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    key: t[key],
+                    "bin": pa.array(_to_bins(v, eps)),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by([key, "bin"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns([key, "bin", "n"])
+
+    parts = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    # merge histograms: one hash shuffle on the GROUP key so a block
+    # holds every (bin, n) row of its groups and can finalize them
+    merged = parts.repartition(num_blocks=num_partitions, keys=[key])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        names = [f"{name}_approx" for name in quantiles]
+        if t.num_rows == 0:
+            cols = {key: pa.array([], pa.int64())}
+            cols.update({n: pa.array([], pa.float64()) for n in names})
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        kk = t[key].to_numpy(zero_copy_only=False)
+        bb = t["bin"].to_numpy(zero_copy_only=False)
+        nn = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((bb, kk))
+        kk, bb, nn = kk[order], bb[order], nn[order]
+        # merge duplicate (key, bin) rows from different partial batches
+        first = np.concatenate(([True], (kk[1:] != kk[:-1]) | (bb[1:] != bb[:-1])))
+        gid = np.cumsum(first) - 1
+        nn = np.bincount(gid, weights=nn).astype(np.int64)
+        kk, bb = kk[first], bb[first]
+        new_k = np.concatenate(([True], kk[1:] != kk[:-1]))
+        starts = np.flatnonzero(new_k)
+        bounds = np.concatenate((starts, [len(kk)]))
+        cum = np.cumsum(nn)
+        base = np.concatenate(([0], cum[bounds[1:-1] - 1]))
+        within = cum - base[np.cumsum(new_k) - 1]
+        totals = within[bounds[1:] - 1]
+        cols = {key: pa.array(kk[starts])}
+        for (name, frac), out in zip(quantiles.items(),
+                                     [f"{n}_approx" for n in quantiles]):
+            target = np.maximum(np.ceil(frac * totals).astype(np.int64), 1)
+            picks = np.empty(len(starts), dtype=np.int64)
+            for i in range(len(starts)):
+                s, e = bounds[i], bounds[i + 1]
+                picks[i] = s + np.searchsorted(within[s:e], target[i])
+            cols[out] = pa.array(_bin_value(bb[picks], eps))
+        cols["n"] = pa.array(totals)
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)

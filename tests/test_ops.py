@@ -511,3 +511,43 @@ def test_asof_no_right_rows(ray_session):
     got = asof_prior_event(ray.data.from_arrow(t), num_partitions=4).take_all()
     assert len(got) == 6
     assert all(r["prior_ts"] is None and r["wait_us"] is None for r in got)
+
+
+def test_approx_quantiles_sketch(ray_session):
+    """Log-binned histogram sketch: relative error <= ~eps vs the exact
+    per-group quantiles, and block-layout invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.sketch import approx_quantiles
+
+    rng = np.random.default_rng(41)
+    n = 20000
+    t = pa.table(
+        {"user_id": pa.array(rng.integers(0, 11, n), type=pa.int64()),
+         "value": pa.array(np.exp(rng.normal(3, 1.5, n)))}  # skewed
+    )
+    got = {
+        r["user_id"]: (r["median_approx"], r["p90_approx"], r["n"])
+        for r in approx_quantiles(
+            ray.data.from_arrow(t), "user_id", "value", eps=0.01,
+            num_partitions=8,
+        ).take_all()
+    }
+    uid = t["user_id"].to_numpy()
+    val = t["value"].to_numpy()
+    for u in np.unique(uid):
+        vs = np.sort(val[uid == u])
+        for got_v, frac in ((got[u][0], 0.5), (got[u][1], 0.9)):
+            exact = vs[max(0, int(np.ceil(frac * len(vs))) - 1)]
+            assert abs(got_v - exact) / exact < 0.02, (u, frac, got_v, exact)
+        assert got[u][2] == len(vs)
+
+    # layout invariance: different block structure, identical sketch
+    again = {
+        r["user_id"]: (r["median_approx"], r["p90_approx"], r["n"])
+        for r in approx_quantiles(
+            ray.data.from_arrow(t).repartition(17), "user_id", "value",
+            eps=0.01, num_partitions=8,
+        ).take_all()
+    }
+    assert again == got
