@@ -138,7 +138,90 @@ def conv_ranking(labeled: ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
-    return scored.sort([("keep_rate", "descending"), ("conv_id", "ascending")]).limit(k)
+    return scored.sort(
+        ["keep_rate", "conv_id"], descending=[True, False]
+    ).limit(k)
+
+
+RANK_FACETS = ("keep_rate", "ppl_score", "clean_rate")
+
+
+def weighted_conv_ranking(
+    labeled: ray.data.Dataset,
+    weights: dict[str, float] | None = None,
+    k: int = 100,
+) -> ray.data.Dataset:
+    """User-weighted multi-facet ranking — Luzzu's facet-weighted
+    dataset ranking (/root/reference/README.md:15, "allows users to
+    define the ranking weights") over conversations.
+
+    Facets, each in [0, 1]: ``keep_rate`` (kept / turns), ``ppl_score``
+    (1 / (1 + mean ppl over scored turns)), ``clean_rate``
+    (1 - scrubbed-turn fraction).  score = Σ w_f · f, normalized by
+    Σ w — one partial+final aggregation, then a tiny sort+limit.
+    """
+    weights = weights or {f: 1.0 for f in RANK_FACETS}
+    unknown = set(weights) - set(RANK_FACETS)
+    if unknown:
+        raise ValueError(f"unknown ranking facets: {sorted(unknown)}")
+    wsum = sum(weights.values()) or 1.0
+    scrub_cols = [f"scrub_{c}" for c in C.SCRUB_CLASSES]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ppl = t["ppl"].combine_chunks().to_numpy(zero_copy_only=False)
+        valid = ppl > 0
+        scrubbed = np.zeros(t.num_rows, dtype=bool)
+        for c in scrub_cols:
+            scrubbed |= (
+                t[c].combine_chunks().to_numpy(zero_copy_only=False) > 0
+            )
+        g = (
+            pa.table(
+                {
+                    "conv_id": t["conv_id"],
+                    "kept": pc.cast(t["keep"], pa.int64()),
+                    "n_scrubbed": pa.array(scrubbed.astype(np.int64)),
+                    "ppl_sum": pa.array(np.where(valid, ppl, 0.0)),
+                    "n_ppl": pa.array(valid.astype(np.int64)),
+                    "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            )
+            .group_by("conv_id")
+            .aggregate([("kept", "sum"), ("n_scrubbed", "sum"),
+                        ("ppl_sum", "sum"), ("n_ppl", "sum"), ("n", "sum")])
+        )
+        return g.rename_columns(
+            ["conv_id", "kept", "n_scrubbed", "ppl_sum", "n_ppl", "n"]
+        )
+
+    agg = _partial_then_sum(
+        labeled, partial, ["conv_id"],
+        ["kept", "n_scrubbed", "ppl_sum", "n_ppl", "n"],
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        kept = t["kept"].to_numpy(zero_copy_only=False)
+        nscr = t["n_scrubbed"].to_numpy(zero_copy_only=False)
+        psum = t["ppl_sum"].to_numpy(zero_copy_only=False)
+        nppl = t["n_ppl"].to_numpy(zero_copy_only=False)
+        facets = {
+            "keep_rate": kept / n,
+            "clean_rate": 1.0 - nscr / n,
+            "ppl_score": 1.0 / (1.0 + psum / np.maximum(nppl, 1)),
+        }
+        s = np.zeros(len(n))
+        for f, w in weights.items():
+            s += w * facets[f]
+        out = pa.table({"conv_id": t["conv_id"]})
+        for f in RANK_FACETS:
+            out = out.append_column(f, pa.array(facets[f]))
+        return out.append_column("score", pa.array(s / wsum))
+
+    scored = agg.map_batches(score, batch_format="pyarrow")
+    return scored.sort(
+        ["score", "conv_id"], descending=[True, False]
+    ).limit(k)
 
 
 def write_all(labeled: ray.data.Dataset, out_dir: str) -> None:

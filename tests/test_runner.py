@@ -182,3 +182,49 @@ def test_parallel_shards_match_serial(run_out, clustered_corpus_dir):
     assert a.num_rows == b.num_rows
     for col in ("conv_id", "turn_idx", "keep", "drop_reason", "text_scrubbed"):
         assert a[col].equals(b[col]), col
+
+
+def test_weighted_conv_ranking(run_out, clustered_corpus_dir):
+    """Facet-weighted ranking: scores match a manual recompute, and
+    shifting all weight onto one facet reorders by exactly that facet."""
+    import math
+
+    import ray.data
+
+    from luzzu_ray.pipelines.summaries import weighted_conv_ranking
+
+    out, _ = run_out
+    labeled = ray.data.read_parquet(os.path.join(out, "turns"))
+    rows = weighted_conv_ranking(
+        labeled, {"keep_rate": 2.0, "ppl_score": 1.0, "clean_rate": 1.0},
+        k=20,
+    ).take_all()
+    assert len(rows) == 20
+    for r in rows:
+        want = (2.0 * r["keep_rate"] + r["ppl_score"] + r["clean_rate"]) / 4.0
+        assert math.isclose(r["score"], want, rel_tol=1e-12)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    only_clean = weighted_conv_ranking(
+        labeled, {"clean_rate": 1.0}, k=20
+    ).take_all()
+    cleans = [r["clean_rate"] for r in only_clean]
+    assert cleans == sorted(cleans, reverse=True)
+    assert all(math.isclose(r["score"], r["clean_rate"], rel_tol=1e-12)
+               for r in only_clean)
+
+
+def test_conv_ranking_executes(run_out):
+    """conv_ranking's sort path (previously untested) executes and is
+    ordered desc by keep_rate with conv_id tie-break."""
+    import ray.data
+
+    from luzzu_ray.pipelines.summaries import conv_ranking
+
+    out, _ = run_out
+    labeled = ray.data.read_parquet(os.path.join(out, "turns"))
+    rows = conv_ranking(labeled, k=15).take_all()
+    assert len(rows) == 15
+    keyed = [(-r["keep_rate"], r["conv_id"]) for r in rows]
+    assert keyed == sorted(keyed)
