@@ -161,10 +161,13 @@ def q_events_user_stats(sf_dir: str):
 
     from ray.data.aggregate import Max, Min, Sum
 
-    parts = _tbl(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
-        partial, batch_format="pyarrow"
-    )
-    return parts.groupby("user_id").aggregate(
+    from luzzu_ray.ops.dedup import auto_partitions
+
+    events = _tbl(sf_dir, "events", ["user_id", "ts", "value"])
+    parts = events.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(
+        "user_id", num_partitions=auto_partitions(events, None)
+    ).aggregate(
         Sum("n_events", alias_name="n_events"),
         Min("first_ts", alias_name="first_ts"),
         Max("last_ts", alias_name="last_ts"),
@@ -282,14 +285,15 @@ def q_doc_fingerprint(sf_dir: str):
     8-byte fingerprint — the same shuffle-the-key-not-the-text shape as
     exact dedup.
     """
+    from luzzu_ray.ops.dedup import auto_partitions
     from luzzu_ray.ops.textstats import fingerprint_batch
-    from luzzu_ray.pipelines.filter_pipeline import default_num_partitions
 
-    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    fps = docs.map_batches(
         fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     part = fps.repartition(
-        num_blocks=default_num_partitions(), keys=["fingerprint"]
+        num_blocks=auto_partitions(docs, None), keys=["fingerprint"]
     )
 
     def per_block(t: pa.Table) -> pa.Table:
@@ -597,11 +601,11 @@ def q_join_orders_lineitem(sf_dir: str):
 
     li_rev = li.map_batches(revenue, batch_format="pyarrow")
     orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    from luzzu_ray.pipelines.filter_pipeline import default_num_partitions
+    from luzzu_ray.ops.dedup import auto_partitions
 
     joined = li_rev.join(
         orders, join_type="inner", on=("o_orderkey",),
-        num_partitions=default_num_partitions(),
+        num_partitions=auto_partitions(li, None),
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -613,7 +617,7 @@ def q_join_orders_lineitem(sf_dir: str):
     from ray.data.aggregate import Sum
 
     return joined.map_batches(partial, batch_format="pyarrow").groupby(
-        "o_orderpriority"
+        "o_orderpriority", num_partitions=4  # 5 groups
     ).aggregate(
         Sum("rev_q2", alias_name="rev_q2"), Sum("n_items", alias_name="n_items")
     )

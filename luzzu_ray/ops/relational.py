@@ -87,13 +87,16 @@ def grouped_sum_q(
         [count_as] if count_as else []
     )
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    # the final aggregate runs over PARTIAL rows (#batches x #groups),
-    # so callers with low-cardinality keys should pass a small
-    # num_partitions — the default 4x-CPU width costs ~50-100ms of fixed
-    # overhead per partition to reduce a few hundred rows
-    return parts.groupby(keys, num_partitions=num_partitions).aggregate(
-        *[Sum(c, alias_name=c) for c in sum_cols]
-    )
+    # the final aggregate runs over PARTIAL rows (#batches x #groups);
+    # callers with low-cardinality keys should pass a small
+    # num_partitions, and otherwise the width follows the input size
+    # when the row count is metadata-cheap (the default 4x-CPU width
+    # costs ~50-100ms of fixed overhead per partition)
+    from luzzu_ray.ops.dedup import auto_partitions
+
+    return parts.groupby(
+        keys, num_partitions=auto_partitions(ds, num_partitions)
+    ).aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
 
 
 def topk(
