@@ -155,11 +155,20 @@ def content_key_batch(t: pa.Table) -> pa.Table:
     from luzzu_ray.functions import text as TX
 
     n = t.num_rows
-    data, offs = TX.utf8_view(t["text"])
+    text = t["text"]
+    data, offs = TX.utf8_view(text)
     lens = offs[1:] - offs[:-1]
     lo, hi = int(offs[0]), int(offs[-1])
     k1 = np.full(n, _CK_SEED1, dtype=np.uint64)
     k2 = np.full(n, _CK_SEED2, dtype=np.uint64)
+    # NULL text must not collide with the empty string (utf8_view maps
+    # both to zero bytes); SQL groups all NULLs together but apart from
+    # '' — mix a constant into null rows' keys to match
+    null_mask = pc.is_null(text).to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        with np.errstate(over="ignore"):
+            k1[null_mask] ^= np.uint64(0xA5A5A5A55A5A5A5A)
+            k2[null_mask] ^= np.uint64(0x3C3C3C3CC3C3C3C3)
     if hi > lo:
         b = data[lo:hi].astype(np.uint64)
         rid = np.repeat(np.arange(n, dtype=np.int64), lens)
@@ -543,7 +552,11 @@ def _union_find_clusters(pairs: pa.Table) -> dict[int, int]:
     """doc_id -> cluster representative (min doc_id in component).
 
     Driver-side fast path; used when the pair table is small
-    (<= PAIRS_DRIVER_MAX rows)."""
+    (<= PAIRS_DRIVER_MAX rows).  find() performs path HALVING (each
+    step re-points a node to its grandparent), which keeps the
+    amortized cost near-constant without union-by-rank — rank ordering
+    would conflict with the semantic requirement that the component
+    MINIMUM is the root."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -749,9 +762,15 @@ def cluster_pairs(
     property-tested equal (tests/test_ops.py)."""
     mat = pairs.materialize()
     if mat.count() <= driver_max:
-        tbl = pa.Table.from_pylist(
-            [{"a": r["a"], "b": r["b"]} for r in mat.take_all()],
-            schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        batches = [
+            b for b in mat.select_columns(["a", "b"]).iter_batches(
+                batch_format="pyarrow"
+            ) if b.num_rows
+        ]
+        tbl = (
+            pa.concat_tables(batches) if batches
+            else pa.table({"a": pa.array([], pa.int64()),
+                           "b": pa.array([], pa.int64())})
         )
         clusters = _union_find_clusters(tbl)
         docs = sorted(clusters)

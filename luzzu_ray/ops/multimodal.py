@@ -151,11 +151,14 @@ class AudioDecodeStage:
             self.decoder = "fake"
 
     def _decode_fake(self, buf: bytes):
-        if not buf.startswith(AUD_MAGIC):
+        # any malformed container (bad magic, truncated header, odd
+        # payload length) degrades to zeros — never kills the task
+        off = len(AUD_MAGIC) + 8
+        if not buf.startswith(AUD_MAGIC) or len(buf) < off:
             return 0, 0, 0
         rate, n = struct.unpack_from("<II", buf, len(AUD_MAGIC))
-        payload = np.frombuffer(buf, dtype=np.int16,
-                                offset=len(AUD_MAGIC) + 8)
+        even_end = off + (len(buf) - off) // 2 * 2
+        payload = np.frombuffer(buf[off:even_end], dtype=np.int16)
         if len(payload) == 0:
             return rate, 0, 0
         rms = float(np.sqrt(np.mean(payload.astype(np.float64) ** 2)))

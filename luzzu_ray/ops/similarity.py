@@ -366,7 +366,6 @@ def embedding_neardup_pairs(
             vid = vid_all[s:e]
             tl = tile_all[s:e]
             if gti == gtj:
-                idx = np.arange(e - s)
                 Lm, Rm, Lv, Rv = E, E, vid, vid
                 same = True
             else:

@@ -87,6 +87,28 @@ LINEAGE_SCHEMA = pa.schema(
 )
 
 
+def _stable_repr(v) -> str:
+    """Deterministic-across-processes representation for config hashing.
+
+    Plain values and (nested) containers/dataclasses hash by content;
+    opaque runtime objects (ObjectRef handles, callables, open models)
+    hash by TYPE only — their repr embeds per-process ids that would
+    make --resume reject semantically identical configs."""
+    import dataclasses
+
+    if isinstance(v, (str, int, float, bool, type(None))):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_stable_repr(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k!r}:{_stable_repr(x)}" for k, x in sorted(v.items())
+        ) + "}"
+    if dataclasses.is_dataclass(v) and not isinstance(v, type):
+        return repr(v)  # dataclass repr is content-based and stable
+    return f"<{type(v).__module__}.{type(v).__qualname__}>"
+
+
 def run_config_hash(shards: int, pipeline_kwargs: dict) -> str:
     """Stable hash of everything that determines a shard's output.
 
@@ -100,7 +122,9 @@ def run_config_hash(shards: int, pipeline_kwargs: dict) -> str:
     payload = json.dumps(
         {
             "shards": shards,
-            "pipeline_kwargs": {k: repr(v) for k, v in sorted(pipeline_kwargs.items())},
+            "pipeline_kwargs": {
+                k: _stable_repr(v) for k, v in sorted(pipeline_kwargs.items())
+            },
             "stage_versions": C.STAGE_VERSIONS,
         },
         sort_keys=True,
@@ -273,6 +297,10 @@ def run_assessment(
                 ran = sorted(ex.map(run_one, todo))
         finally:
             FP.set_aggregator_cap_override(None)
+            # restore the live DataContext too — the divided cap would
+            # otherwise throttle the (full-cluster) summaries phase and
+            # any later datasets in this process
+            FP._ensure_hash_shuffle()
 
     if write_summaries:
         labeled = ray.data.read_parquet(

@@ -205,10 +205,14 @@ def weighted_conv_ranking(
         nscr = t["n_scrubbed"].to_numpy(zero_copy_only=False)
         psum = t["ppl_sum"].to_numpy(zero_copy_only=False)
         nppl = t["n_ppl"].to_numpy(zero_copy_only=False)
+        # conversations with NO scoreable turns get ppl_score 0 (worst):
+        # 1/(1+0) would rank unscoreable gibberish above every genuinely
+        # scored conversation
+        mean_ppl = psum / np.maximum(nppl, 1)
         facets = {
             "keep_rate": kept / n,
             "clean_rate": 1.0 - nscr / n,
-            "ppl_score": 1.0 / (1.0 + psum / np.maximum(nppl, 1)),
+            "ppl_score": np.where(nppl > 0, 1.0 / (1.0 + mean_ppl), 0.0),
         }
         s = np.zeros(len(n))
         for f, w in weights.items():

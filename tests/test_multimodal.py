@@ -108,3 +108,19 @@ def test_audio_decode_stage(ray_session):
         assert stage._decode_fake(rows[i]) == got[i]
     with pytest.raises(NotImplementedError):
         AudioDecodeStage(mode="strict")
+
+
+def test_audio_decode_malformed_containers(ray_session):
+    """Truncated headers and odd-length payloads degrade to zeros."""
+    import pyarrow as pa
+
+    from luzzu_ray.ops.multimodal import AUD_MAGIC, AudioDecodeStage
+
+    stage = AudioDecodeStage(mode="fake")
+    assert stage._decode_fake(AUD_MAGIC) == (0, 0, 0)           # no header
+    assert stage._decode_fake(AUD_MAGIC + b"\x01\x02") == (0, 0, 0)
+    import struct
+
+    odd = AUD_MAGIC + struct.pack("<II", 8000, 3) + b"\x01\x02\x03"
+    rate, dur, rms = stage._decode_fake(odd)  # odd tail trimmed, no crash
+    assert rate == 8000 and rms >= 0

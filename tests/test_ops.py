@@ -551,3 +551,81 @@ def test_approx_quantiles_sketch(ray_session):
         ).take_all()
     }
     assert again == got
+
+
+def test_salt_subgroups_and_tiling_unit():
+    """Direct unit coverage of the oversized-bucket machinery: the
+    salt-split actually splits above the cap (deterministically, with
+    band-dependent assignment) and tiled pair emission equals the naive
+    upper triangle even with a tiny tile budget."""
+    from luzzu_ray.ops.dedup import (
+        _BAND_SALT, _pairs_from_tiles, _salt_subgroups,
+    )
+
+    docs = np.arange(100, dtype=np.int64)
+    subs0 = [m for m in _salt_subgroups(docs, _BAND_SALT[0], 16)]
+    assert sum(len(m) for m in subs0) <= 100  # singletons skipped
+    assert all(len(m) <= 2 * 16 for m in subs0)  # hash split ~ balanced
+    assert len(subs0) >= 4
+    subs1 = [m for m in _salt_subgroups(docs, _BAND_SALT[1], 16)]
+    # a different band salt splits differently (recovers cross pairs)
+    assert [m.tolist() for m in subs0] != [m.tolist() for m in subs1]
+    below = [m for m in _salt_subgroups(docs, _BAND_SALT[0], 128)]
+    assert len(below) == 1 and len(below[0]) == 100  # under cap: no split
+
+    d = np.array([7, 3, 9, 1, 5], dtype=np.int64)
+    res = _pairs_from_tiles(
+        d, lambda i0, i1: np.ones((i1 - i0, len(d))), lambda x: x > 0,
+        tile_elems=7,  # forces many tiny tiles
+    )
+    got = sorted(zip(res[0].tolist(), res[1].tolist()))
+    want = sorted(
+        (min(d[i], d[j]), max(d[i], d[j]))
+        for i in range(5) for j in range(i + 1, 5)
+    )
+    assert got == want
+
+
+def test_oversized_bucket_actually_splits(ray_session):
+    """End-to-end salt-split: 200 identical docs with bucket_cap=32
+    force >= 7 subgroups per band, and the cluster still connects into
+    one component through the per-band salts."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import (
+        cluster_pairs, exact_jaccard_pairs, minhash_candidate_pairs,
+    )
+
+    text = ("identical content repeated to force a single giant bucket "
+            "for the salt splitting machinery to carve up")
+    n = 200
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array([text] * n)})
+    ds = ray.data.from_arrow(t)
+    cand = minhash_candidate_pairs(
+        ds, sim_threshold=0.0, n_bands=32, band_r=2, bucket_cap=32,
+    ).materialize()
+    n_pairs = cand.count()
+    assert 0 < n_pairs < n * (n - 1) // 2 * 32  # split bounded the blowup
+    verified = exact_jaccard_pairs(ds, cand, 0.9)
+    labels = cluster_pairs(verified)
+    rows = labels.to_pylist() if isinstance(labels, pa.Table) else labels.take_all()
+    clusters = {r["doc_id"]: r["cluster"] for r in rows}
+    assert len(clusters) == n and set(clusters.values()) == {0}
+
+
+def test_exact_dedup_null_vs_empty(ray_session):
+    """NULL text and empty-string text are DIFFERENT content groups
+    (matching SQL window partitioning, where NULLs group together but
+    apart from '')."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import exact_duplicates
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+         "text": pa.array(["", None, "", None], pa.string())}
+    )
+    res = {r["doc_id"]: r["is_dup"]
+           for r in exact_duplicates(ray.data.from_arrow(t), 4).take_all()}
+    assert res == {0: False, 1: False, 2: True, 3: True}

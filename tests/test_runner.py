@@ -228,3 +228,23 @@ def test_conv_ranking_executes(run_out):
     assert len(rows) == 15
     keyed = [(-r["keep_rate"], r["conv_id"]) for r in rows]
     assert keyed == sorted(keyed)
+
+
+def test_config_hash_stable_for_opaque_kwargs():
+    """Opaque runtime objects (handles, callables) hash by type so
+    --resume accepts semantically identical configs across processes."""
+    from luzzu_ray.pipelines.runner import run_config_hash
+
+    class FakeRef:
+        def __repr__(self):  # per-process id, like ray.ObjectRef
+            import random
+
+            return f"ObjectRef({random.random()})"
+
+    a = run_config_hash(4, {"model_ref": FakeRef(), "conv_min_turns": 2})
+    b = run_config_hash(4, {"model_ref": FakeRef(), "conv_min_turns": 2})
+    assert a == b
+    assert a != run_config_hash(4, {"model_ref": FakeRef(),
+                                    "conv_min_turns": 3})
+    assert a != run_config_hash(8, {"model_ref": FakeRef(),
+                                    "conv_min_turns": 2})
