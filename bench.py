@@ -157,6 +157,12 @@ def main() -> None:
         "turns_per_sec": round(n_turns / headline, 1),
         "n_turns_small": _count_turns(small_corpus),
         "smallcorpus_sec": round(small_sec, 3),
+        "host_variance_note": (
+            "this host oscillates ~2x between identical runs minutes "
+            "apart (BASELINE.md round-2 notes: 10x leg measured 114.8s "
+            "to 270.1s, small leg 17.5s to 39.5s, same code); compare "
+            "against the BASELINE.md range, not a single number"
+        ),
     }
     print(json.dumps(out))
     import ray
