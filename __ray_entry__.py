@@ -199,6 +199,19 @@ def q_events_sessions(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events", ["user_id", "ts", "event_id"]))
 
 
+def q_events_sessions_salted(sf_dir: str):
+    """Skew-proof sessionization: time-chunked per-user partials +
+    exact boundary merge — identical semantics to events_sessions (same
+    SQL oracle) but no single reduce block ever holds one hot user's
+    full history."""
+    from luzzu_ray.ops.events import sessionize_salted
+
+    return sessionize_salted(
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_id"]),
+        chunk_span_us=24 * 3_600_000_000,
+    )
+
+
 def q_tpch_q1(sf_dir: str):
     from luzzu_ray.ops.relational import grouped_sum_q
 
@@ -940,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": q_events_user_stats,
         "events_type_counts": q_events_type_counts,
         "events_sessions": q_events_sessions,
+        "events_sessions_salted": q_events_sessions_salted,
         "tpch_q1": q_tpch_q1,
         "orders_by_mktsegment": q_orders_by_mktsegment,
         "join_orders_lineitem": q_join_orders_lineitem,
@@ -1209,6 +1223,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM "
             "(SELECT doc_id, lang FROM documents UNION ALL "
             "SELECT doc_id, lang FROM documents) GROUP BY lang"
+        ),
+        "events_sessions_salted": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > "
+            "INTERVAL '30 minutes' THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM (SELECT user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events) "
+            "GROUP BY user_id"
         ),
         "events_sessions": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "

@@ -166,3 +166,124 @@ def asof_prior_event(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def _session_chunk_block(t: pa.Table) -> pa.Table:
+    """Per (user_id, time-chunk): n_events, n_sessions, first/last ts —
+    the salted-path partial (exact within its chunk)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "chunk": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "n_sessions": pa.array([], pa.int64()),
+             "first_ts": pa.array([], pa.int64()),
+             "last_ts": pa.array([], pa.int64())}
+        )
+    t = t.sort_by([("user_id", "ascending"), ("chunk", "ascending"),
+                   ("ts", "ascending"), ("event_id", "ascending")])
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    chunk = t["chunk"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    new_g = np.concatenate(
+        ([True], (uid[1:] != uid[:-1]) | (chunk[1:] != chunk[:-1]))
+    )
+    gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+    new_sess = new_g | (gap > SESSION_GAP_US)
+    gid = np.cumsum(new_g) - 1
+    n_groups = int(gid[-1]) + 1
+    starts = np.flatnonzero(new_g)
+    ends = np.concatenate((starts[1:], [len(uid)])) - 1
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts]),
+            "chunk": pa.array(chunk[starts]),
+            "n_events": pa.array(np.bincount(gid, minlength=n_groups).astype(np.int64)),
+            "n_sessions": pa.array(
+                np.bincount(gid, weights=new_sess.astype(np.float64),
+                            minlength=n_groups).astype(np.int64)
+            ),
+            "first_ts": pa.array(ts[starts]),
+            "last_ts": pa.array(ts[ends]),
+        }
+    )
+
+
+def _session_merge_block(t: pa.Table) -> pa.Table:
+    """Merge per-chunk partials of the users in this block: sessions
+    split at a chunk boundary whose real gap <= SESSION_GAP_US collapse
+    back into one (subtract one per such adjacent-present-chunk pair)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "n_sessions": pa.array([], pa.int64())}
+        )
+    t = t.sort_by([("user_id", "ascending"), ("first_ts", "ascending")])
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    ne = t["n_events"].to_numpy(zero_copy_only=False)
+    ns = t["n_sessions"].to_numpy(zero_copy_only=False)
+    fts = t["first_ts"].to_numpy(zero_copy_only=False)
+    lts = t["last_ts"].to_numpy(zero_copy_only=False)
+    same_user = uid[1:] == uid[:-1]
+    boundary_gap = fts[1:] - lts[:-1]
+    merged = same_user & (boundary_gap <= SESSION_GAP_US)
+    new_u = np.concatenate(([True], ~same_user))
+    gid = np.cumsum(new_u) - 1
+    n_groups = int(gid[-1]) + 1
+    starts = np.flatnonzero(new_u)
+    tot_e = np.bincount(gid, weights=ne.astype(np.float64), minlength=n_groups)
+    tot_s = np.bincount(gid, weights=ns.astype(np.float64), minlength=n_groups)
+    tot_m = np.bincount(gid[1:][merged], minlength=n_groups)
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts]),
+            "n_events": pa.array(tot_e.astype(np.int64)),
+            "n_sessions": pa.array((tot_s - tot_m).astype(np.int64)),
+        }
+    )
+
+
+def sessionize_salted(
+    ds: ray.data.Dataset,
+    num_partitions: int | None = None,
+    chunk_span_us: int = 6 * 3_600_000_000,
+) -> ray.data.Dataset:
+    """Skew-proof sessionization: the conversation stage's salted-giant
+    protocol generalized to events.  Events are keyed by (user_id,
+    ts // chunk_span) so NO single reduce block ever holds one hot
+    user's full history; per-chunk partials (exact within the chunk)
+    are merged in a second tiny pass that collapses sessions split at
+    chunk boundaries whose real gap <= SESSION_GAP_US.  Exactly equal
+    to :func:`sessionize` for any chunk span (property-tested)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    import pyarrow.compute as pc
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        chunk = pc.cast(
+            pc.floor(pc.divide(pc.cast(ts, pa.float64()), float(chunk_span_us))),
+            pa.int64(),
+        )
+        return t.append_column("chunk", chunk)
+
+    picked = ds.select_columns(["user_id", "ts", "event_id"]).map_batches(
+        add_chunk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    part = picked.repartition(
+        num_blocks=num_partitions, keys=["user_id", "chunk"]
+    )
+    partials = part.map_batches(
+        _session_chunk_block, batch_format="pyarrow", batch_size=None
+    )
+    # partials: one row per (user, chunk) — tiny; second exchange by user
+    merged = partials.repartition(
+        num_blocks=max(4, num_partitions // 8), keys=["user_id"]
+    )
+    return merged.map_batches(
+        _session_merge_block, batch_format="pyarrow", batch_size=None
+    )

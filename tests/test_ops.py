@@ -629,3 +629,41 @@ def test_exact_dedup_null_vs_empty(ray_session):
     res = {r["doc_id"]: r["is_dup"]
            for r in exact_duplicates(ray.data.from_arrow(t), 4).take_all()}
     assert res == {0: False, 1: False, 2: True, 3: True}
+
+
+def test_sessionize_salted_equals_unsalted(ray_session):
+    """The salted (time-chunked + boundary-merge) sessionization equals
+    the one-pass result on random data, including sessions that span
+    multiple chunk boundaries."""
+    import ray.data
+
+    from luzzu_ray.ops.events import sessionize, sessionize_salted
+
+    rng = np.random.default_rng(47)
+    n = 4000
+    us = 1_000_000
+    # inter-event gaps: mostly minutes, some >30min, some hours
+    gaps = rng.choice(
+        [60 * us, 10 * 60 * us, 29 * 60 * us, 31 * 60 * us, 3 * 3600 * us],
+        size=n, p=[0.4, 0.3, 0.1, 0.1, 0.1],
+    )
+    uid = rng.integers(0, 25, n)
+    ts = np.zeros(n, dtype=np.int64)
+    last: dict[int, int] = {}
+    for i in range(n):
+        last[uid[i]] = last.get(uid[i], 0) + int(gaps[i])
+        ts[i] = last[uid[i]]
+    t = pa.table(
+        {"user_id": pa.array(uid, type=pa.int64()),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "event_id": pa.array(np.arange(n, dtype=np.int64))}
+    )
+    base = {r["user_id"]: (r["n_events"], r["n_sessions"])
+            for r in sessionize(ray.data.from_arrow(t), 8).take_all()}
+    # 1-hour chunks force many boundary merges
+    salted = {r["user_id"]: (r["n_events"], r["n_sessions"])
+              for r in sessionize_salted(
+                  ray.data.from_arrow(t), num_partitions=8,
+                  chunk_span_us=3_600_000_000,
+              ).take_all()}
+    assert salted == base
