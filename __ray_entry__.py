@@ -9,9 +9,12 @@ Design notes:
 - Column names and value quantization match the SQL exactly (floats are
   floored to fixed-point BIGINTs at the row level before summation so
   cross-engine float summation order can never flip a bit).
-- Entries WITHOUT an ``oracle_sql`` twin (model scoring, LSH dedup,
-  fingerprints) get the driver's weaker rows-only check and are instead
-  value-verified in ``tests/`` against pure-Python twins.
+- Entries WITHOUT an ``oracle_sql`` twin (langid model scoring, the
+  order-dependent streaming Bloom marker, stubbed image decode, the
+  approximate quantile sketch) get the driver's weaker rows-only check
+  and are instead value-verified in ``tests/`` against pure-Python
+  twins.  Everything else — including minhash/simhash/ngram dedup,
+  LSH/IVF ANN and the fingerprint groups — is hard-verified vs DuckDB.
 - DOMAIN NOTE (ASCII): the SQL oracles define words as ASCII
   ``[A-Za-z0-9]+`` and count symbol CHARS, while the engine's byte
   tables classify every non-ASCII byte as a word/alpha byte (so
@@ -398,6 +401,62 @@ _NGRAM_JACCARD_SQL = _JACCARD_PAIRS_SQL + "SELECT a, b, jaccard_q6 FROM pairs"
 # Connected components of the verified pair graph via transitive closure
 # (recursive CTE) — cluster = component minimum, roots included.
 _MINHASH_DEDUP_SQL = _JACCARD_PAIRS_SQL + """,
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster,
+       u <> least(u, min(v)) AS is_dup
+FROM reach GROUP BY u
+"""
+
+
+def _simhash_sql() -> str:
+    """Oracle reproducing simhash_dedup exactly: the shared token hash
+    (position-weighted byte sum mod 2^64, weights embedded as literals),
+    per-bit majority vote over token-occurrence hashes, then ALL pairs
+    with hamming <= SIMHASH_HAMMING_MAX (the engine's 4x16-bit banding
+    has exact recall at that radius by pigeonhole), and connected
+    components via transitive closure (cluster = component min)."""
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.dedup import SIMHASH_HAMMING_MAX
+
+    wlist = "[" + ", ".join(
+        f"{int(w)}::HUGEINT" for w in C.TOKEN_POS_WEIGHTS
+    ) + "]"
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+    list_sum([ascii(tok[i]) * ({wlist})[((i-1)%256)+1]
+              for i in generate_series(1, len(tok))])::HUGEINT
+      % 18446744073709551616::HUGEINT AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+    sum(CASE WHEN (h >> b) & 1::HUGEINT = 1::HUGEINT THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b
+),
+sim AS (
+  SELECT doc_id,
+    sum(CASE WHEN vote > 0 THEN 1::HUGEINT << b ELSE 0::HUGEINT END)::HUGEINT
+      AS sim
+  FROM bits GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_HAMMING_MAX}
+),
 edges AS (
   SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
 ),
@@ -1213,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_dedup": _MINHASH_DEDUP_SQL,
+        "simhash_dedup": _simhash_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "sample_documents": _sample_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
