@@ -89,6 +89,46 @@ def q_doc_scrub(sf_dir: str):
     )
 
 
+def q_doc_lexical_stats(sf_dir: str):
+    """Token counting (whitespace + BPE-ish category split) and stopword
+    ratio — the remaining text-analysis family from the brief, as one
+    vectorized stateless stage."""
+    from luzzu_ray.ops.textstats import lexical_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lexical_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _lexical_sql() -> str:
+    from luzzu_ray.ops.textstats import STOPWORDS
+
+    stops = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    # ASCII-domain twins of the engine's byte classes (fixtures verified
+    # pure-ASCII; space class is exactly {09,0A,0B,0C,0D,20})
+    ws = r"[^ \t\n\x0b\f\r]+"
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]+"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    len(regexp_extract_all(coalesce(text, ''), '{ws}')) AS n_ws_tokens,
+    len(regexp_extract_all(coalesce(text, ''), '{bpe}')) AS n_bpe_tokens,
+    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS words
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+  CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+  CAST(len(words) AS BIGINT) AS n_word_tokens,
+  CAST(len(list_filter(words, x -> list_contains({stops}, x))) AS BIGINT)
+    AS n_stop_tokens,
+  CAST(floor(CAST(len(list_filter(words, x -> list_contains({stops}, x)))
+       AS DOUBLE) / greatest(len(words), 1) * 1000000.0) AS BIGINT)
+    AS stop_ratio_q6
+FROM base
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     from luzzu_ray.ops.dedup import exact_duplicates
 
@@ -1006,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q_doc_stats,
         "doc_quality": q_doc_quality,
         "doc_scrub": q_doc_scrub,
+        "doc_lexical_stats": q_doc_lexical_stats,
         "dedup_exact": q_dedup_exact,
         "keep_rate_by_lang_source": q_keep_rate_by_lang_source,
         "top_sources_by_keep": q_top_sources_by_keep,
@@ -1181,6 +1222,7 @@ def oracle_sql() -> dict[str, str]:
             "symbol_ratio_q6, digit_ratio_q6, keep FROM (" + _QUALITY_SQL + ")"
         ),
         "doc_scrub": _scrub_sql(),
+        "doc_lexical_stats": _lexical_sql(),
         "dedup_exact": (
             "SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) "
             "AS is_dup FROM documents"

@@ -118,6 +118,117 @@ def fingerprint_py(text: str) -> int:
     return fp - (1 << 64) if fp >= (1 << 63) else fp
 
 
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish pre-tokenizer) and stopword ratio
+# ---------------------------------------------------------------------------
+
+# Small fixed English stopword list (quality-scoring heuristic); matched
+# against ASCII-lowered word tokens via the shared token hash.
+STOPWORDS = (
+    "the a an and or but if of to in on for with as at by from is are "
+    "was were be been it this that not no you i he she they we do does "
+    "did have has had will would can could"
+).split()
+
+# byte -> lexical class: 0 space, 1 alpha (incl. >=0x80), 2 digit, 3 symbol
+_LEX_CLASS = np.where(
+    C.BYTE_SPACE, 0, np.where(C.BYTE_ALPHA, 1, np.where(C.BYTE_DIGIT, 2, 3))
+).astype(np.int8)
+
+
+def _stopword_hashes() -> np.ndarray:
+    from luzzu_ray.functions.text import token_hash_py
+
+    return np.array(
+        sorted(token_hash_py(w.encode()) for w in STOPWORDS), dtype=np.uint64
+    )
+
+
+_STOPWORD_HASHES = _stopword_hashes()
+
+
+def lexical_stats_batch(t: pa.Table) -> pa.Table:
+    """Token counts per document, three tokenizations side by side:
+
+    - ``n_ws_tokens``: whitespace tokens (maximal runs of non-space bytes);
+    - ``n_bpe_tokens``: BPE-ish pre-tokenizer count — maximal runs of a
+      uniform byte class among alpha / digit / symbol (the GPT-2-style
+      category split, sans contraction rules);
+    - ``n_word_tokens`` / ``n_stop_tokens`` / ``stop_ratio_q6``: word
+      tokens (alnum runs) and the stopword fraction among them, matched
+      via the shared position-weighted token hash.
+
+    Fully vectorized over the batch's byte buffer; rows never mix
+    (boundaries forced at row starts, same pattern as token_segments).
+    """
+    n = t.num_rows
+    data, offs = TX.utf8_view(t["text"])
+    ts_, tl_, tr_ = TX.token_segments(data, offs)
+    n_word = (
+        np.bincount(tr_, minlength=n) if len(tr_) else np.zeros(n, np.int64)
+    )
+    if len(tr_):
+        th = TX.token_hashes(data, ts_, tl_)
+        stop_rid = tr_[np.isin(th, _STOPWORD_HASHES)]
+        n_stop = np.bincount(stop_rid, minlength=n)
+    else:
+        n_stop = np.zeros(n, np.int64)
+    n_ws = np.zeros(n, dtype=np.int64)
+    n_bpe = np.zeros(n, dtype=np.int64)
+    lo, hi = int(offs[0]), int(offs[-1])
+    if hi > lo:
+        b = data[lo:hi]
+        c = _LEX_CLASS[b]
+        prev_c = np.empty_like(c)
+        prev_c[0] = -1
+        prev_c[1:] = c[:-1]
+        row_starts = (offs[:-1] - lo)[offs[1:] > offs[:-1]]
+        prev_c[row_starts] = -1
+        nonspace = c != 0
+        ws_start = nonspace & (prev_c == 0) | nonspace & (prev_c == -1)
+        bpe_start = nonspace & (c != prev_c)
+        rid = np.repeat(
+            np.arange(n, dtype=np.int64), (offs[1:] - offs[:-1])
+        )
+        n_ws = np.bincount(rid[ws_start], minlength=n)
+        n_bpe = np.bincount(rid[bpe_start], minlength=n)
+    ratio = np.floor(n_stop / np.maximum(n_word, 1) * 1e6).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "n_ws_tokens": pa.array(n_ws.astype(np.int64)),
+            "n_bpe_tokens": pa.array(n_bpe.astype(np.int64)),
+            "n_word_tokens": pa.array(n_word.astype(np.int64)),
+            "n_stop_tokens": pa.array(n_stop.astype(np.int64)),
+            "stop_ratio_q6": pa.array(ratio),
+        }
+    )
+
+
+def lexical_stats_py(text: str | None) -> dict:
+    """Scalar oracle twin of :func:`lexical_stats_batch` (byte-level)."""
+    import re
+
+    raw = (text or "").encode("utf-8")
+    ws = re.findall(rb"[^ \t\n\x0b\f\r]+", raw)
+    bpe = re.findall(
+        rb"[A-Za-z\x80-\xff]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r\x80-\xff]+", raw
+    )
+    words = re.findall(rb"[A-Za-z0-9\x80-\xff]+", raw)
+    lowered = [bytes(C.BYTE_LOWER[np.frombuffer(w, np.uint8)]) for w in words]
+    stops = {w.encode() for w in STOPWORDS}
+    n_stop = sum(1 for w in lowered if w in stops)
+    return {
+        "n_ws_tokens": len(ws),
+        "n_bpe_tokens": len(bpe),
+        "n_word_tokens": len(words),
+        "n_stop_tokens": n_stop,
+        "stop_ratio_q6": int(
+            np.floor(n_stop / max(len(words), 1) * 1e6)
+        ),
+    }
+
+
 def langid_documents(ds: ray.data.Dataset, model_ref=None) -> ray.data.Dataset:
     """Engine langid over a documents table -> (doc_id, lang, lang_conf)."""
     from luzzu_ray.stages.actors import LangIdScorer

@@ -173,6 +173,23 @@ def test_fingerprint_parity():
     assert got == [fingerprint_py(x) for x in texts]
 
 
+def test_lexical_stats_parity():
+    from luzzu_ray.ops.textstats import lexical_stats_batch, lexical_stats_py
+
+    texts = ["the quick brown fox", "a1b2  c3!", "", None, "  \t\n",
+             "don't stop, believing!!", "The THE the tHe",
+             "héllo wörld €5", "\x0btab\x0b v", "a-b_c.d",
+             "12 34 5, and the end.", "it is in of to -- THE A An"]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = lexical_stats_batch(t).to_pylist()
+    for row, txt in zip(out, texts):
+        want = lexical_stats_py(txt)
+        assert {k: row[k] for k in want} == want, repr(txt)
+
+
 def test_sessionize(ray_session):
     import ray.data
 
