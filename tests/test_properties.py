@@ -94,3 +94,18 @@ def test_batch_scoring_equals_row_scoring(texts):
         assert lang_s == lang_b
         assert conf_s == conf[i]
         assert models.ppl_row(t, lang_s) == ppl[i]
+
+
+@given(st.lists(st.one_of(st.text(max_size=60), _pii_bits), max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_lexical_stats_batch_equals_row(texts):
+    from luzzu_ray.ops.textstats import lexical_stats_batch, lexical_stats_py
+
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = lexical_stats_batch(t).to_pylist()
+    for row, txt in zip(out, texts):
+        want = lexical_stats_py(txt)
+        assert {k: row[k] for k in want} == want, repr(txt)
