@@ -236,6 +236,89 @@ class FrameSampleStage:
         )
 
 
+class ResizeImageStage:
+    """Actor-pool stage: nearest-neighbor image resize, re-encoded.
+
+    Unlike the codec stubs, the resize itself is REAL: the fake
+    container carries the first ``min(w*h, 4096)`` pixels of the
+    row-major grid, and each target pixel (x, y) samples source pixel
+    ``(floor(y*h/th)*w + floor(x*w/tw))`` — vectorized index math per
+    image; sources beyond the stored payload read as 0.  With a real
+    codec (``mode="real"``, PIL) the same stage would decode, resize
+    and re-encode; PIL is absent here so that path raises, exactly like
+    the decode stages.
+
+    Input (id:int64, image:binary) -> output with ``image`` replaced by
+    the resized container plus new width/height columns.
+    """
+
+    def __init__(self, width: int, height: int, mode: str = "auto"):
+        if mode == "real":  # pragma: no cover - PIL absent here
+            raise NotImplementedError("real image resize requires PIL")
+        self.tw, self.th = int(width), int(height)
+        # target index grid is identical for every image of a given
+        # source size; tiny cache avoids rebuilding it per row
+        self._grid_cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def _src_index(self, w: int, h: int) -> np.ndarray:
+        key = (w, h)
+        g = self._grid_cache.get(key)
+        if g is None:
+            ys = (np.arange(self.th, dtype=np.int64) * h) // self.th
+            xs = (np.arange(self.tw, dtype=np.int64) * w) // self.tw
+            g = (ys[:, None] * w + xs[None, :]).reshape(-1)
+            self._grid_cache[key] = g
+        return g
+
+    def _resize_one(self, buf: bytes) -> tuple[bytes, int, int]:
+        if not buf.startswith(IMG_MAGIC):
+            return b"", 0, 0
+        w, h = struct.unpack_from("<HH", buf, len(IMG_MAGIC))
+        if w == 0 or h == 0:
+            return b"", 0, 0
+        payload = np.frombuffer(buf, dtype=np.uint8, offset=len(IMG_MAGIC) + 4)
+        idx = self._src_index(w, h)
+        out = np.zeros(len(idx), dtype=np.uint8)
+        valid = idx < len(payload)
+        out[valid] = payload[idx[valid]]
+        out = out[: 4096]  # container stores at most 4096 pixels
+        rec = IMG_MAGIC + struct.pack("<HH", self.tw, self.th) + out.tobytes()
+        return rec, self.tw, self.th
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["image"].combine_chunks()
+        recs: list[bytes] = []
+        ws = np.zeros(t.num_rows, dtype=np.int32)
+        hs = np.zeros(t.num_rows, dtype=np.int32)
+        for i in range(t.num_rows):  # binary payloads are per-item
+            v = bufs[i].as_py()
+            if v is None:
+                recs.append(b"")
+                continue
+            rec, w, h = self._resize_one(v)
+            recs.append(rec)
+            ws[i], hs[i] = w, h
+        t = t.drop_columns(["image"])
+        return (
+            t.append_column("image", pa.array(recs, pa.binary()))
+            .append_column("width", pa.array(ws))
+            .append_column("height", pa.array(hs))
+        )
+
+
+def resize_images(
+    ds: ray.data.Dataset, width: int, height: int, mode: str = "auto",
+    batch_size: int = 256, concurrency=(1, 4),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ResizeImageStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"width": width, "height": height, "mode": mode},
+    )
+
+
 def decode_images(
     ds: ray.data.Dataset, mode: str = "auto", batch_size: int = 256,
     concurrency=(1, 4),

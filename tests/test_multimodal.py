@@ -124,3 +124,57 @@ def test_audio_decode_malformed_containers(ray_session):
     odd = AUD_MAGIC + struct.pack("<II", 8000, 3) + b"\x01\x02\x03"
     rate, dur, rms = stage._decode_fake(odd)  # odd tail trimmed, no crash
     assert rate == 8000 and rms >= 0
+
+
+def test_resize_images(ray_session):
+    """Nearest-neighbor resize: identity at same dims, scalar-twin parity
+    at new dims, and a resized container round-trips through decode."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.multimodal import (
+        IMG_MAGIC,
+        ImageDecodeStage,
+        ResizeImageStage,
+        encode_fake_image,
+        resize_images,
+    )
+
+    rows = [encode_fake_image(32, 16, seed=i) for i in range(4)]
+    t = pa.table(
+        {"id": pa.array(range(4), pa.int64()),
+         "image": pa.array(rows, pa.binary())}
+    )
+    # identity: 32x16 -> 32x16 (payload fits fully: 512 <= 4096)
+    same = ResizeImageStage(32, 16, mode="fake")(t)
+    for i in range(4):
+        assert same["image"][i].as_py() == rows[i]
+
+    # real resize via the Dataset path
+    out = {r["id"]: r for r in
+           resize_images(ray.data.from_arrow(t), 8, 4).take_all()}
+    stage = ResizeImageStage(8, 4, mode="fake")
+    for i in range(4):
+        rec, w, h = stage._resize_one(rows[i])
+        assert out[i]["image"] == rec and (w, h) == (8, 4)
+        # scalar twin: target (x,y) samples source floor(y*16/4)*32 + floor(x*32/8)
+        src = np.frombuffer(rows[i], np.uint8, offset=len(IMG_MAGIC) + 4)
+        want = bytes(
+            src[(y * 16 // 4) * 32 + (x * 32 // 8)]
+            for y in range(4) for x in range(8)
+        )
+        assert rec == IMG_MAGIC + struct.pack("<HH", 8, 4) + want
+        # resized record decodes like any image
+        dw, dh, _ = ImageDecodeStage(mode="fake")._decode_fake(rec)
+        assert (dw, dh) == (8, 4)
+
+    # junk / null tolerated
+    bad = pa.table(
+        {"id": pa.array([9], pa.int64()),
+         "image": pa.array([b"junk"], pa.binary())}
+    )
+    r = ResizeImageStage(8, 4, mode="fake")(bad)
+    assert r["width"][0].as_py() == 0 and r["image"][0].as_py() == b""
