@@ -948,17 +948,12 @@ def q_reservoir_sample_docs(sf_dir: str):
     )
 
 
-def q_image_features(sf_dir: str):
-    """Multimodal image pipeline (rows-only): deterministic fake-image
-    corpus (one image per document id, seeded) -> actor-pool decode ->
-    width/height/8-dim features.  The codec is the brief-sanctioned stub
-    (no PIL in this container); the Ray-side plumbing — binary columns,
-    small-batch actor stage, feature output layout — is real.  Feature
-    values are pinned against the scalar twin in tests/test_multimodal.py.
-    """
+def _fake_image_corpus(sf_dir: str):
+    """Deterministic fake-image corpus (one image per document id,
+    seeded), cached as Parquet under /tmp and read back as a Dataset."""
     import pyarrow.parquet as pq
 
-    from luzzu_ray.ops.multimodal import decode_images, encode_fake_image
+    from luzzu_ray.ops.multimodal import encode_fake_image
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     doc_ids = pq.read_table(
@@ -987,8 +982,20 @@ def q_image_features(sf_dir: str):
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
-    ds = ray.data.read_parquet(img_path)
-    decoded = decode_images(ds, mode="auto", batch_size=128)
+    return ray.data.read_parquet(img_path)
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal image pipeline (rows-only): deterministic fake-image
+    corpus -> actor-pool decode -> width/height/8-dim features.  The
+    codec is the brief-sanctioned stub (no PIL in this container); the
+    Ray-side plumbing — binary columns, small-batch actor stage, feature
+    output layout — is real.  Feature values are pinned against the
+    scalar twin in tests/test_multimodal.py."""
+    from luzzu_ray.ops.multimodal import decode_images
+
+    decoded = decode_images(_fake_image_corpus(sf_dir), mode="auto",
+                            batch_size=128)
 
     def flat(t: pa.Table) -> pa.Table:
         feats = t["features"].combine_chunks()
@@ -1000,6 +1007,21 @@ def q_image_features(sf_dir: str):
         return pa.table(cols)
 
     return decoded.map_batches(flat, batch_format="pyarrow")
+
+
+def q_image_resize_features(sf_dir: str):
+    """Multimodal chaining (rows-only): resize (REAL nearest-neighbor
+    math) -> decode -> features over the same fake-image corpus as
+    ``image_features`` — exercises stage composition: the resized
+    container re-enters the decode stage unchanged in schema."""
+    from luzzu_ray.ops.multimodal import decode_images, resize_images
+
+    ds = _fake_image_corpus(sf_dir)
+    resized = resize_images(ds, 16, 12, batch_size=128).select_columns(
+        ["id", "image"]
+    )
+    decoded = decode_images(resized, mode="auto", batch_size=128)
+    return decoded.select_columns(["id", "width", "height"])
 
 
 def q_events_hourly_window(sf_dir: str):
@@ -1074,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_dedup": q_streaming_dedup,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
+        "image_resize_features": q_image_resize_features,
         "events_hourly_window": q_events_hourly_window,
         "revenue_by_nation": q_revenue_by_nation,
         "events_props_stats": q_events_props_stats,
