@@ -461,7 +461,14 @@ def _simhash_sql() -> str:
     per-bit majority vote over token-occurrence hashes, then ALL pairs
     with hamming <= SIMHASH_HAMMING_MAX (the engine's 4x16-bit banding
     has exact recall at that radius by pigeonhole), and connected
-    components via transitive closure (cluster = component min)."""
+    components via transitive closure (cluster = component min).
+
+    DOMAIN NOTE: pigeonhole exactness holds modulo the engine's
+    salt-splitting of buckets over BUCKET_CAP=8192 members (see
+    dedup.simhash_candidate_pairs) — a (band, bucket) group that large
+    would drop cross-subgroup pairs the SQL still reports.  The sf
+    fixtures are far below the cap (500/5k docs total), so the oracle
+    is exact on the conformance domain."""
     from luzzu_ray import constants as C
     from luzzu_ray.ops.dedup import SIMHASH_HAMMING_MAX
 
@@ -974,8 +981,12 @@ def _fake_image_corpus(sf_dir: str):
                 ),
             }
         )
-        pq.write_table(imgs, img_path + ".tmp")
-        os.replace(img_path + ".tmp", img_path)
+        # per-process tmp name keeps concurrent cold-cache writers
+        # (conformance + bench, parallel test workers) race-free; the
+        # rename stays atomic and last-writer-wins with identical bytes
+        tmp = f"{img_path}.tmp.{os.getpid()}"
+        pq.write_table(imgs, tmp)
+        os.replace(tmp, img_path)
 
     import ray.data
 

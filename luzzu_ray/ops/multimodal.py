@@ -253,7 +253,9 @@ class ResizeImageStage:
     """
 
     def __init__(self, width: int, height: int, mode: str = "auto"):
-        if mode == "real":  # pragma: no cover - PIL absent here
+        if mode in ("real", "strict"):  # pragma: no cover - PIL absent here
+            # same contract as the decode stages: strict refuses the
+            # stubbed container path, real demands the actual codec
             raise NotImplementedError("real image resize requires PIL")
         self.tw, self.th = int(width), int(height)
         # target index grid is identical for every image of a given
@@ -271,8 +273,8 @@ class ResizeImageStage:
         return g
 
     def _resize_one(self, buf: bytes) -> tuple[bytes, int, int]:
-        if not buf.startswith(IMG_MAGIC):
-            return b"", 0, 0
+        if not buf.startswith(IMG_MAGIC) or len(buf) < len(IMG_MAGIC) + 4:
+            return b"", 0, 0  # junk/truncated header degrades, never raises
         w, h = struct.unpack_from("<HH", buf, len(IMG_MAGIC))
         if w == 0 or h == 0:
             return b"", 0, 0

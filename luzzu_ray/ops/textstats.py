@@ -130,10 +130,10 @@ STOPWORDS = (
     "did have has had will would can could"
 ).split()
 
-# byte -> lexical class: 0 space, 1 alpha (incl. >=0x80), 2 digit, 3 symbol
-_LEX_CLASS = np.where(
-    C.BYTE_SPACE, 0, np.where(C.BYTE_ALPHA, 1, np.where(C.BYTE_DIGIT, 2, 3))
-).astype(np.int8)
+# the shared byte->class table (text._CLASS_ID: alpha=0 digit=1 space=2
+# symbol=3), narrowed so the sentinel -1 fits; single source of truth
+_LEX_CLASS = TX._CLASS_ID.astype(np.int8)
+_LEX_SPACE = np.int8(2)
 
 
 def _stopword_hashes() -> np.ndarray:
@@ -184,8 +184,8 @@ def lexical_stats_batch(t: pa.Table) -> pa.Table:
         prev_c[1:] = c[:-1]
         row_starts = (offs[:-1] - lo)[offs[1:] > offs[:-1]]
         prev_c[row_starts] = -1
-        nonspace = c != 0
-        ws_start = nonspace & (prev_c == 0) | nonspace & (prev_c == -1)
+        nonspace = c != _LEX_SPACE
+        ws_start = nonspace & ((prev_c == _LEX_SPACE) | (prev_c == -1))
         bpe_start = nonspace & (c != prev_c)
         rid = np.repeat(
             np.arange(n, dtype=np.int64), (offs[1:] - offs[:-1])

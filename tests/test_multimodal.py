@@ -178,3 +178,9 @@ def test_resize_images(ray_session):
     )
     r = ResizeImageStage(8, 4, mode="fake")(bad)
     assert r["width"][0].as_py() == 0 and r["image"][0].as_py() == b""
+    # truncated header (magic matches, header incomplete) degrades too
+    stage = ResizeImageStage(8, 4, mode="fake")
+    assert stage._resize_one(IMG_MAGIC + b"\x01\x02") == (b"", 0, 0)
+    # strict refuses the stubbed path, same contract as the decode stages
+    with pytest.raises(NotImplementedError):
+        ResizeImageStage(8, 4, mode="strict")
