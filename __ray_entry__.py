@@ -767,6 +767,38 @@ def q_streaming_dedup(sf_dir: str):
 
 
 
+def q_streaming_dedup_counts(sf_dir: str):
+    """Order-INVARIANT derivative of streaming_dedup, SQL-checkable.
+
+    Which row of a duplicate group gets marked depends on stream order
+    (hence streaming_dedup stays rows-only), but the marker resolves
+    in-batch repeats first-occurrence-wins, so each group of k rows
+    sharing a content fingerprint yields exactly k-1 marks in ANY
+    order — absent Bloom false positives (p ~ 1e-19 at the sf0.01
+    scale/bit sizing) and fingerprint collisions (~n^2/2^64).  The
+    totals therefore equal DuckDB's count(*) - count(DISTINCT norm)."""
+    from ray.data.aggregate import Sum
+
+    marked = q_streaming_dedup(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_docs": pa.array([t.num_rows], pa.int64()),
+             "n_seen_before": pa.array(
+                 [pc.sum(pc.cast(t["seen_before"], pa.int64())).as_py() or 0],
+                 pa.int64())}
+        )
+
+    agg = marked.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_seen_before", alias_name="n_seen_before"),
+    )
+    return pa.table(
+        {"n_docs": pa.array([agg["n_docs"]], pa.int64()),
+         "n_seen_before": pa.array([agg["n_seen_before"]], pa.int64())}
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs (EXACT, cos >= 0.4), distributed
     as a tiled all-pairs sweep — recall 1 by construction, zero-norm
@@ -1105,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_documents": q_union_documents,
         "sample_documents": q_sample_documents,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_dedup_counts": q_streaming_dedup_counts,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
         "image_resize_features": q_image_resize_features,
@@ -1350,6 +1383,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _MINHASH_DEDUP_SQL,
         "simhash_dedup": _simhash_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
+        "streaming_dedup_counts": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(*) - count(DISTINCT norm) AS BIGINT) AS n_seen_before "
+            "FROM (SELECT array_to_string("
+            "regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS norm "
+            "FROM documents)"
+        ),
         "sample_documents": _sample_sql(),
         "lsh_ann_topk": _lsh_ann_sql(),
         "ivf_ann_topk": _ivf_ann_sql(),
