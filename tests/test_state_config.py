@@ -198,3 +198,37 @@ def test_aggregator_cap_override_survives_ensure(ray_session):
         FP.set_aggregator_cap_override(None)
     FP._ensure_hash_shuffle()
     assert ctx.max_hash_shuffle_aggregators >= 2
+
+
+def test_streaming_dedup_totals_order_invariant(ray_session):
+    """The oracle contract behind streaming_dedup_counts: each group of
+    k rows sharing a content fingerprint yields exactly k-1 marks
+    regardless of stream order or batch boundaries."""
+    import numpy as np
+    import pyarrow as pa
+
+    from luzzu_ray.state import ShardedBloom, StreamingDedupMarker
+
+    texts = (["same text here"] * 5 + ["Another doc!"] * 3
+             + [f"unique {i}" for i in range(10)])
+    rng = np.random.default_rng(7)
+    totals = []
+    for trial in range(3):
+        order = rng.permutation(len(texts))
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array([texts[i] for i in order], pa.string())}
+        )
+        marker = StreamingDedupMarker(
+            index_handle=ShardedBloom(n_shards=2, n_bits_log2=20, k=6)
+        )
+        # feed in two batches split at a different point each trial
+        cut = 4 + trial * 3
+        seen = sum(
+            (marker(part)["seen_before"].to_pylist()
+             for part in (t.slice(0, cut), t.slice(cut))),
+            [],
+        )
+        totals.append(int(np.sum(seen)))
+    # (5-1) + (3-1) + 0 = 6 marks, whatever the order/batching
+    assert totals == [6, 6, 6]
