@@ -226,16 +226,25 @@ def single_run(num_cpus: int, corpus: str | None = None) -> None:
     ray.shutdown()
 
 
+SCALING_REPS = int(os.environ.get("LUZZU_SCALING_REPS", "2"))
+
+
 def scaling() -> None:
+    """Interleaved fresh-process legs, SCALING_REPS repetitions per CPU
+    level, fastest leg per level (the standard noise-robust estimator —
+    this host's documented external-contention phases inflate single
+    legs by up to 2x, see BASELINE.md round-2 notes)."""
     corpus = scaling_corpus_dir(SF_DIR)  # pre-generate outside the timed runs
-    results = {}
-    for cpus in (8, 32):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--_single", str(cpus), corpus],
-            capture_output=True, text=True, check=True,
-        )
-        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
-    t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+    legs: dict[int, list[dict]] = {8: [], 32: []}
+    for _rep in range(SCALING_REPS):
+        for cpus in (8, 32):  # interleave so a host phase hits both levels
+            proc = subprocess.run(
+                [sys.executable, __file__, "--_single", str(cpus), corpus],
+                capture_output=True, text=True, check=True,
+            )
+            legs[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+    best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in legs.items()}
+    t8, t32 = best[8]["turns_per_sec"], best[32]["turns_per_sec"]
     eff = t32 / (4.0 * t8)
     print(json.dumps(
         {
@@ -244,8 +253,12 @@ def scaling() -> None:
             "unit": "ratio",
             "throughput_8cpu_turns_per_sec": round(t8, 1),
             "throughput_32cpu_turns_per_sec": round(t32, 1),
-            "sec_8cpu": round(results[8]["sec"], 2),
-            "sec_32cpu": round(results[32]["sec"], 2),
+            "sec_8cpu": round(best[8]["sec"], 2),
+            "sec_32cpu": round(best[32]["sec"], 2),
+            "sec_8cpu_all": [round(r["sec"], 2) for r in legs[8]],
+            "sec_32cpu_all": [round(r["sec"], 2) for r in legs[32]],
+            "reps_per_level": SCALING_REPS,
+            "estimator": "fastest leg per CPU level (host contention noise)",
             "sf": _sf_tag(SF_DIR),
         }
     ))
