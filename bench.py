@@ -227,6 +227,11 @@ def single_run(num_cpus: int, corpus: str | None = None) -> None:
 
 
 SCALING_REPS = int(os.environ.get("LUZZU_SCALING_REPS", "2"))
+# N and 4N parallelism levels; override e.g. LUZZU_SCALING_CPUS=4,16 for
+# a narrower pair when external host load contends with the 32-wide leg
+SCALING_CPUS = tuple(
+    int(x) for x in os.environ.get("LUZZU_SCALING_CPUS", "8,32").split(",")
+)
 
 
 def scaling() -> None:
@@ -235,28 +240,29 @@ def scaling() -> None:
     this host's documented external-contention phases inflate single
     legs by up to 2x, see BASELINE.md round-2 notes)."""
     corpus = scaling_corpus_dir(SF_DIR)  # pre-generate outside the timed runs
-    legs: dict[int, list[dict]] = {8: [], 32: []}
+    lo, hi = SCALING_CPUS
+    legs: dict[int, list[dict]] = {lo: [], hi: []}
     for _rep in range(SCALING_REPS):
-        for cpus in (8, 32):  # interleave so a host phase hits both levels
+        for cpus in (lo, hi):  # interleave so a host phase hits both levels
             proc = subprocess.run(
                 [sys.executable, __file__, "--_single", str(cpus), corpus],
                 capture_output=True, text=True, check=True,
             )
             legs[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
     best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in legs.items()}
-    t8, t32 = best[8]["turns_per_sec"], best[32]["turns_per_sec"]
-    eff = t32 / (4.0 * t8)
+    t8, t32 = best[lo]["turns_per_sec"], best[hi]["turns_per_sec"]
+    eff = t8 and t32 / ((hi / lo) * t8)
     print(json.dumps(
         {
-            "metric": "scaling efficiency T(32cpu)/(4*T(8cpu))",
+            "metric": f"scaling efficiency T({hi}cpu)/({hi // lo}*T({lo}cpu))",
             "value": round(eff, 3),
             "unit": "ratio",
-            "throughput_8cpu_turns_per_sec": round(t8, 1),
-            "throughput_32cpu_turns_per_sec": round(t32, 1),
-            "sec_8cpu": round(best[8]["sec"], 2),
-            "sec_32cpu": round(best[32]["sec"], 2),
-            "sec_8cpu_all": [round(r["sec"], 2) for r in legs[8]],
-            "sec_32cpu_all": [round(r["sec"], 2) for r in legs[32]],
+            f"throughput_{lo}cpu_turns_per_sec": round(t8, 1),
+            f"throughput_{hi}cpu_turns_per_sec": round(t32, 1),
+            f"sec_{lo}cpu": round(best[lo]["sec"], 2),
+            f"sec_{hi}cpu": round(best[hi]["sec"], 2),
+            f"sec_{lo}cpu_all": [round(r["sec"], 2) for r in legs[lo]],
+            f"sec_{hi}cpu_all": [round(r["sec"], 2) for r in legs[hi]],
             "reps_per_level": SCALING_REPS,
             "estimator": "fastest leg per CPU level (host contention noise)",
             "sf": _sf_tag(SF_DIR),
