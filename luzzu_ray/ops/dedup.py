@@ -60,7 +60,11 @@ SIMHASH_BANDS = 4    # 4 x 16-bit chunks
 SIMHASH_HAMMING_MAX = 3
 
 # content-key (exact dedup) polynomial bases + seeds, two independent
-# streams -> 128-bit key; collision probability ~ n^2 / 2^128
+# streams -> 128-bit key; collision probability ~ n^2 / 2^128 for
+# NON-ADVERSARIAL data only: both streams are fixed-base polynomials
+# mod 2^64 with public constants, so a crafted corpus can engineer
+# simultaneous collisions.  If adversarial inputs are in scope, mix a
+# non-polynomial finalizer (e.g. per-word xxhash-style avalanche) in.
 _CK_BASE1 = np.uint64(0x100000001B3)          # FNV-64 prime
 _CK_BASE2 = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
 _CK_SEED1 = np.uint64(14695981039346656037)
@@ -161,14 +165,6 @@ def content_key_batch(t: pa.Table) -> pa.Table:
     lo, hi = int(offs[0]), int(offs[-1])
     k1 = np.full(n, _CK_SEED1, dtype=np.uint64)
     k2 = np.full(n, _CK_SEED2, dtype=np.uint64)
-    # NULL text must not collide with the empty string (utf8_view maps
-    # both to zero bytes); SQL groups all NULLs together but apart from
-    # '' — mix a constant into null rows' keys to match
-    null_mask = pc.is_null(text).to_numpy(zero_copy_only=False)
-    if null_mask.any():
-        with np.errstate(over="ignore"):
-            k1[null_mask] ^= np.uint64(0xA5A5A5A55A5A5A5A)
-            k2[null_mask] ^= np.uint64(0x3C3C3C3CC3C3C3C3)
     if hi > lo:
         b = data[lo:hi].astype(np.uint64)
         rid = np.repeat(np.arange(n, dtype=np.int64), lens)
@@ -189,6 +185,17 @@ def content_key_batch(t: pa.Table) -> pa.Table:
                 sums = np.add.reduceat(contrib, starts_nz)
                 out[:] = seed * pows[lens]
                 out[nz] += sums
+    # NULL text must not collide with the empty string (utf8_view maps
+    # both to zero bytes); SQL groups all NULLs together but apart from
+    # '' — mix a constant into null rows' keys to match.  Applied AFTER
+    # the polynomial block: null rows have len 0, so the overwrite above
+    # set them to seed*pows[0]==seed; XOR-ing here survives any batch
+    # layout (an earlier version XOR-ed first and the overwrite erased
+    # it whenever the batch contained non-empty text).
+    null_mask = pc.is_null(text).to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        k1[null_mask] ^= np.uint64(0xA5A5A5A55A5A5A5A)
+        k2[null_mask] ^= np.uint64(0x3C3C3C3CC3C3C3C3)
     return pa.table(
         {
             "doc_id": t["doc_id"],
@@ -844,6 +851,34 @@ def _jaccard_q6(inter: np.ndarray, na: np.ndarray, nb: np.ndarray) -> np.ndarray
     ).astype(np.int64)
 
 
+def _pairwise_intersect_counts(
+    bufs_a: list, bufs_b: list, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """|A_i ∩ B_i| per pair from packed ``<u8`` shingle buffers, in ONE
+    vectorized pass over the whole batch.
+
+    Each buffer holds the pair side's UNIQUE sorted shingle hashes, so
+    after lexsorting all (pair_id, value) keys an adjacent equal run of
+    length 2 is exactly one intersection hit.  This replaces the
+    previous per-pair ``np.intersect1d`` loop (interpreted at 10^9
+    candidate pairs) with one O(N log N) NumPy sort per batch.
+    Missing sides pass as ``b""`` and simply count 0.
+    """
+    na = np.fromiter((len(x) for x in bufs_a), count=n, dtype=np.int64) >> 3
+    nb = np.fromiter((len(x) for x in bufs_b), count=n, dtype=np.int64) >> 3
+    if int(na.sum() + nb.sum()) == 0:
+        return np.zeros(n, dtype=np.int64), na, nb
+    vals = np.frombuffer(b"".join(bufs_a) + b"".join(bufs_b), dtype="<u8")
+    rng = np.arange(n, dtype=np.int64)
+    pids = np.concatenate([np.repeat(rng, na), np.repeat(rng, nb)])
+    order = np.lexsort((vals, pids))
+    pv = pids[order]
+    vv = vals[order]
+    dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+    inter = np.bincount(pv[1:][dup], minlength=n).astype(np.int64)
+    return inter, na, nb
+
+
 class _BroadcastJaccardVerifier:
     """Actor-pool stage: verify candidate pairs against a broadcast
     doc_id -> packed-shingle-set index (resolved ONCE per actor)."""
@@ -860,20 +895,10 @@ class _BroadcastJaccardVerifier:
         )
         if t.num_rows == 0:
             return empty
-        a = t["a"].to_pylist()
-        b = t["b"].to_pylist()
-        inter = np.zeros(t.num_rows, dtype=np.int64)
-        na = np.zeros(t.num_rows, dtype=np.int64)
-        nb = np.zeros(t.num_rows, dtype=np.int64)
-        for i in range(t.num_rows):
-            ba = self.index.get(a[i])
-            bb = self.index.get(b[i])
-            if ba is None or bb is None:
-                continue
-            va = np.frombuffer(ba, dtype="<u8")
-            vb = np.frombuffer(bb, dtype="<u8")
-            na[i], nb[i] = len(va), len(vb)
-            inter[i] = len(np.intersect1d(va, vb, assume_unique=True))
+        get = self.index.get
+        bufs_a = [get(x, b"") for x in t["a"].to_pylist()]
+        bufs_b = [get(x, b"") for x in t["b"].to_pylist()]
+        inter, na, nb = _pairwise_intersect_counts(bufs_a, bufs_b, t.num_rows)
         jq6 = _jaccard_q6(inter, na, nb)
         jq6[(na == 0) | (nb == 0)] = -1
         return pa.table(
@@ -890,13 +915,9 @@ def _verify_joined_batch(t: pa.Table) -> pa.Table:
         return empty
     na = t["n_a"].to_numpy(zero_copy_only=False)
     nb = t["n_b"].to_numpy(zero_copy_only=False)
-    sa = t["sh_a"].to_pylist()
-    sb = t["sh_b"].to_pylist()
-    inter = np.zeros(t.num_rows, dtype=np.int64)
-    for i in range(t.num_rows):
-        va = np.frombuffer(sa[i], dtype="<u8")
-        vb = np.frombuffer(sb[i], dtype="<u8")
-        inter[i] = len(np.intersect1d(va, vb, assume_unique=True))
+    inter, _, _ = _pairwise_intersect_counts(
+        t["sh_a"].to_pylist(), t["sh_b"].to_pylist(), t.num_rows
+    )
     return pa.table(
         {"a": t["a"], "b": t["b"],
          "jaccard_q6": pa.array(_jaccard_q6(inter, na, nb))}
@@ -952,11 +973,13 @@ def exact_jaccard_pairs(
         for b in sh.iter_batches(batch_format="pyarrow"):
             index.update(zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()))
         index_ref = ray.put(index)
+        from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+
         verified = pairs.map_batches(
             _BroadcastJaccardVerifier,
             batch_format="pyarrow",
             batch_size=8192,
-            concurrency=(1, 4),
+            concurrency=default_actor_pool(),
             fn_constructor_kwargs={"index_ref": index_ref},
         )
     else:

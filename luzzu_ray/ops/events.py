@@ -102,14 +102,18 @@ def _asof_block(t: pa.Table, left_type: str, right_type: str) -> pa.Table:
                 "wait_us": pa.nulls(n_l, pa.int64()),
             }
         )
-    # dense user codes + normalized ts so the composite fits int64
+    # dense user codes + normalized ts so the composite fits int64; the
+    # shift adapts to the data (a fixed split needed BOTH a ~2-year span
+    # and 10^5 users to overflow, but raised on either alone)
     _, ucode = np.unique(uid, return_inverse=True)
     ts_n = ts - ts.min()
-    if ts_n.max(initial=0) >= (1 << _TS_SHIFT) or ucode.max(initial=0) >= (
-        1 << (63 - _TS_SHIFT)
-    ):  # pragma: no cover - ~2-year block span or 10^5 users per block
-        raise ValueError("asof composite key overflow; raise num_partitions")
-    key = (ucode.astype(np.int64) << _TS_SHIFT) | ts_n
+    shift = max(_TS_SHIFT, int(ts_n.max(initial=0)).bit_length())
+    if ucode.max(initial=0) >= (1 << (63 - shift)):  # pragma: no cover
+        raise ValueError(
+            "asof composite key overflow; raise num_partitions or use "
+            "asof_prior_event_salted (no per-block key-span assumption)"
+        )
+    key = (ucode.astype(np.int64) << shift) | ts_n
     rk = np.sort(key[right])
     r_idx_sorted = np.argsort(key[right], kind="stable")
     pos = np.searchsorted(rk, key[left], side="right") - 1
@@ -287,3 +291,227 @@ def sessionize_salted(
     return merged.map_batches(
         _session_merge_block, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# salted AS-OF join: the sessionize_salted chunk-partial protocol applied
+# to asof_prior_event, so no reduce block ever holds one hot user's full
+# history and no per-block key-span assumption remains
+# ---------------------------------------------------------------------------
+
+_TAG_RESOLVED, _TAG_LEFT, _TAG_RSUM = 0, 1, 2
+
+
+def _asof_chunk_block(
+    t: pa.Table, left_type: str, right_type: str, chunk_span_us: int
+) -> pa.Table:
+    """Pass-A block over a (user_id, chunk) partition.  Emits a tagged
+    union: tag 0 = left rows resolved by an in-chunk prior right event;
+    tag 1 = unresolved left rows (need an earlier chunk); tag 2 = per
+    (user, chunk) summary rows carrying the chunk's max right-event ts.
+    In-chunk resolution NEVER crosses a chunk boundary (even when two
+    chunks of one user land in the same block), so the result is
+    independent of block co-assignment."""
+    empty = pa.table(
+        {"tag": pa.array([], pa.int8()),
+         "event_id": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "prior_us": pa.array([], pa.int64()),
+         "wait_us": pa.array([], pa.int64()),
+         "ts_us": pa.array([], pa.int64()),
+         "chunk": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    etype = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+    chunk = t["chunk"].to_numpy(zero_copy_only=False)  # the partition key
+    left = etype == left_type
+    right = etype == right_type
+    parts: list[pa.Table] = []
+
+    def tagged(tag, eids, uids, prior, wait, tss, chunks) -> pa.Table:
+        n = len(uids)
+        return pa.table(
+            {"tag": pa.array(np.full(n, tag, dtype=np.int8)),
+             "event_id": eids if eids is not None else pa.nulls(n, pa.int64()),
+             "user_id": pa.array(uids),
+             "prior_us": prior if prior is not None else pa.nulls(n, pa.int64()),
+             "wait_us": wait if wait is not None else pa.nulls(n, pa.int64()),
+             "ts_us": tss if tss is not None else pa.nulls(n, pa.int64()),
+             "chunk": chunks if chunks is not None else pa.nulls(n, pa.int64())}
+        )
+
+    if right.any():
+        # dense (user, chunk) group codes; in-chunk ts offset is bounded
+        # by the chunk span, so the composite key can never overflow
+        _, ucode = np.unique(uid, return_inverse=True)
+        chunk_n = chunk - chunk.min()
+        gkey = ucode.astype(np.int64) * (int(chunk_n.max()) + 1) + chunk_n
+        _, gcode = np.unique(gkey, return_inverse=True)
+        shift = int(chunk_span_us).bit_length()
+        key = (gcode.astype(np.int64) << shift) | (ts - chunk * chunk_span_us)
+        r_order = np.argsort(key[right], kind="stable")
+        rk = key[right][r_order]
+        rg = gcode[right][r_order]
+        rts = ts[right][r_order]
+        if left.any():
+            pos = np.searchsorted(rk, key[left], side="right") - 1
+            ok = pos >= 0
+            ok &= rg[np.maximum(pos, 0)] == gcode[left]
+            prior = rts[np.maximum(pos, 0)]
+            l_eid, l_uid, l_ts, l_chunk = (
+                eid[left], uid[left], ts[left], chunk[left]
+            )
+            if ok.any():
+                parts.append(tagged(
+                    _TAG_RESOLVED, pa.array(l_eid[ok]), l_uid[ok],
+                    pa.array(prior[ok]), pa.array(l_ts[ok] - prior[ok]),
+                    None, None,
+                ))
+            if (~ok).any():
+                parts.append(tagged(
+                    _TAG_LEFT, pa.array(l_eid[~ok]), l_uid[~ok], None, None,
+                    pa.array(l_ts[~ok]), pa.array(l_chunk[~ok]),
+                ))
+        # per-(user, chunk) max right ts = last element of each sorted group
+        last = np.concatenate((rg[1:] != rg[:-1], [True]))
+        parts.append(tagged(
+            _TAG_RSUM, None, uid[right][r_order][last],
+            pa.array(rts[last]), None, None,
+            pa.array(chunk[right][r_order][last]),
+        ))
+    elif left.any():
+        parts.append(tagged(
+            _TAG_LEFT, pa.array(eid[left]), uid[left], None, None,
+            pa.array(ts[left]), pa.array(chunk[left]),
+        ))
+    return pa.concat_tables(parts) if parts else empty
+
+
+def _asof_final_schema(n: int = 0) -> pa.Table:
+    return pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "prior_ts": pa.array([], pa.timestamp("us")),
+         "wait_us": pa.array([], pa.int64())}
+    )
+
+
+def _asof_merge_block(t: pa.Table) -> pa.Table:
+    """Pass-C block over a user_id partition of unresolved lefts + chunk
+    summaries: each left's prior is the max right ts of the user's
+    LATEST summary chunk strictly before the left's chunk (chunk maxima
+    are strictly increasing in time, so latest == overall max)."""
+    if t.num_rows == 0:
+        return _asof_final_schema()
+    tag = t["tag"].to_numpy(zero_copy_only=False)
+    is_l = tag == _TAG_LEFT
+    is_r = tag == _TAG_RSUM
+    if not is_l.any():
+        return _asof_final_schema()
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    chunk = t["chunk"].to_numpy(zero_copy_only=False)
+    _, ucode = np.unique(uid, return_inverse=True)
+    l_eid = t["event_id"].to_numpy(zero_copy_only=False)[is_l]
+    l_uid = uid[is_l]
+    l_ts = t["ts_us"].to_numpy(zero_copy_only=False)[is_l]
+    if not is_r.any():
+        n = len(l_uid)
+        return pa.table(
+            {"event_id": pa.array(l_eid.astype(np.int64)),
+             "user_id": pa.array(l_uid),
+             "prior_ts": pa.nulls(n, pa.timestamp("us")),
+             "wait_us": pa.nulls(n, pa.int64())}
+        )
+    cmin = int(chunk.min())
+    chunk_n = chunk - cmin
+    shift = int(chunk_n.max()).bit_length() + 1
+    key = (ucode.astype(np.int64) << shift) | chunk_n
+    r_order = np.argsort(key[is_r], kind="stable")
+    rk = key[is_r][r_order]
+    ru = ucode[is_r][r_order]
+    rmax = t["prior_us"].to_numpy(zero_copy_only=False)[is_r][r_order]
+    # first summary >= (user, left chunk), minus one -> latest summary
+    # chunk strictly before the left's chunk (same user checked after)
+    pos = np.searchsorted(rk, key[is_l], side="left") - 1
+    ok = pos >= 0
+    ok &= ru[np.maximum(pos, 0)] == ucode[is_l]
+    prior = np.where(ok, rmax[np.maximum(pos, 0)].astype(np.int64), 0)
+    wait = l_ts - prior
+    return pa.table(
+        {"event_id": pa.array(l_eid.astype(np.int64)),
+         "user_id": pa.array(l_uid),
+         "prior_ts": pa.array(prior.view("datetime64[us]"), mask=~ok),
+         "wait_us": pa.array(wait, mask=~ok)}
+    )
+
+
+def asof_prior_event_salted(
+    ds: ray.data.Dataset,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    num_partitions: int | None = None,
+    chunk_span_us: int = 6 * 3_600_000_000,
+) -> ray.data.Dataset:
+    """Skew-proof AS-OF join, same semantics as :func:`asof_prior_event`
+    (property-tested equal).  Events are exchanged on (user_id,
+    ts // chunk_span): pass A resolves lefts against in-chunk rights and
+    emits per-chunk right summaries; unresolved lefts + the summaries
+    (both NARROW — never the event history) take a second exchange on
+    user_id where the latest earlier summary chunk supplies the prior.
+    The pass-A output is materialized once (it is O(result) + O(active
+    user-chunks) rows, not O(input)) so its two consumers don't recompute
+    the wide pass."""
+    import pyarrow.compute as pc
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    both = pa.array([left_type, right_type])
+
+    def add_chunk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=both))
+        # INTEGER division (ts is non-negative epoch-us): the exact same
+        # chunk id is used as the partition key here and for the in-chunk
+        # grouping in pass A (carried as a column, never recomputed), so
+        # one (user, chunk) can never straddle two partitions
+        chunk = pc.divide(pc.cast(t["ts"], pa.int64()),
+                          pa.scalar(chunk_span_us, pa.int64()))
+        return t.append_column("chunk", chunk)
+
+    picked = ds.select_columns(
+        ["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(add_chunk, batch_format="pyarrow", zero_copy_batch=True)
+    part = picked.repartition(num_blocks=num_partitions,
+                              keys=["user_id", "chunk"])
+    tagged = part.map_batches(
+        _asof_chunk_block,
+        fn_kwargs={"left_type": left_type, "right_type": right_type,
+                   "chunk_span_us": chunk_span_us},
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+
+    def finish_resolved(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["tag"], _TAG_RESOLVED))
+        return pa.table(
+            {"event_id": t["event_id"].cast(pa.int64()),
+             "user_id": t["user_id"],
+             "prior_ts": t["prior_us"].cast(pa.timestamp("us")),
+             "wait_us": t["wait_us"]}
+        )
+
+    resolved = tagged.map_batches(finish_resolved, batch_format="pyarrow")
+    rest = tagged.map_batches(
+        lambda t: t.filter(pc.not_equal(t["tag"], _TAG_RESOLVED)),
+        batch_format="pyarrow",
+    )
+    merged = rest.repartition(
+        num_blocks=max(4, num_partitions // 8), keys=["user_id"]
+    ).map_batches(_asof_merge_block, batch_format="pyarrow", batch_size=None)
+    return resolved.union(merged)

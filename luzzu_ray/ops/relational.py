@@ -178,9 +178,16 @@ def bottom_k_by_hash(
     smallest keyed hash (a bottom-k sketch — statistically a uniform
     k-sample, but reproducible across cluster sizes, block layouts and
     reruns, unlike an RNG reservoir).  Per-batch partial bottom-k keeps
-    O(k) rows per block; the tiny final merge runs on the driver.
+    O(k) rows per block; partials flow through ONE narrow hash exchange
+    to a single reduce block for the final bottom-k (never a driver-side
+    merge of all partials — at 10^6 blocks that is a driver hot spot),
+    and only the final k rows return to the caller.  Carry-column types
+    are preserved verbatim (the partial slices the input table).
     Luzzu analogue: reservoir sampling inside accessibility metrics
     `[paper]` (/root/reference/README.md:12)."""
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -188,20 +195,30 @@ def bottom_k_by_hash(
             h = ids * np.uint64(hash_a) + np.uint64(hash_b)
         kk = min(k, len(h))
         if kk == 0:
-            return t.slice(0, 0).append_column("h", pa.array([], pa.uint64()))
-        idx = np.argpartition(h, kk - 1)[:kk]
-        return t.take(pa.array(idx)).append_column("h", pa.array(h[idx]))
+            out = t.slice(0, 0).append_column("h", pa.array([], pa.uint64()))
+        else:
+            idx = np.argpartition(h, kk - 1)[:kk]
+            out = t.take(pa.array(idx)).append_column("h", pa.array(h[idx]))
+        return out.append_column(
+            "_mrg", pa.array(np.zeros(out.num_rows, dtype=np.int32))
+        )
 
     parts = ds.select_columns([id_col] + carry_cols).map_batches(
         partial, batch_format="pyarrow"
     )
-    merged = pa.Table.from_pylist(
-        parts.take_all(),
-        schema=pa.schema(
-            [(id_col, pa.int64())]
-            + [(c, pa.string()) for c in carry_cols]
-            + [("h", pa.uint64())]
-        ),
+
+    def final(t: pa.Table) -> pa.Table:
+        top = t.drop_columns(["_mrg"]).sort_by(
+            [("h", "ascending"), (id_col, "ascending")]
+        ).slice(0, k)
+        return top.drop_columns(["h"])
+
+    merged = parts.repartition(num_blocks=1, keys=["_mrg"]).map_batches(
+        final, batch_format="pyarrow", batch_size=None
     )
-    top = merged.sort_by([("h", "ascending"), (id_col, "ascending")]).slice(0, k)
-    return top.drop_columns(["h"])
+    out = merged.take_all()  # exactly k rows
+    sch = ds.schema()
+    fields = [
+        (c, sch.types[sch.names.index(c)]) for c in [id_col] + carry_cols
+    ]
+    return pa.Table.from_pylist(out, schema=pa.schema(fields))

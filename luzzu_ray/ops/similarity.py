@@ -87,6 +87,12 @@ class BruteForceTopK:
 
 def _final_topk(partials: pa.Table, k: int) -> pa.Table:
     """Merge per-batch partial top-k lists -> global (query_id, rank, vec_id)."""
+    if partials.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64())}
+        )
     t = partials.sort_by(
         [("query_id", "ascending"), ("cos", "descending"), ("vec_id", "ascending")]
     )
@@ -112,7 +118,16 @@ def ann_topk(
     query_ids: list[int],
     k: int = 10,
 ) -> pa.Table:
-    """Exact cosine top-k per query vector.  Returns (query_id, rank, vec_id)."""
+    """Exact cosine top-k per query vector.  Returns (query_id, rank, vec_id).
+
+    The O(#blocks x q x k) partial lists merge through ONE narrow hash
+    exchange on ``query_id`` (every query's partials co-located, final
+    top-k per reduce block) — the driver only ever receives the q x k
+    result rows, so at 10^6 input blocks the merge still scales out
+    instead of becoming a driver hot spot."""
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
     ref = ray.put({"qids": list(query_ids), "matrix": np.asarray(query_matrix)})
     partials = ds.map_batches(
         BruteForceTopK,
@@ -121,13 +136,18 @@ def ann_topk(
         concurrency=(1, 8),
         fn_constructor_kwargs={"queries_ref": ref, "k": k},
     )
+    merged = partials.repartition(
+        num_blocks=max(1, min(8, len(list(query_ids)))), keys=["query_id"]
+    ).map_batches(
+        lambda t: _final_topk(t, k), batch_format="pyarrow", batch_size=None
+    )
     tbl = pa.Table.from_pylist(
-        partials.take_all(),
+        merged.take_all(),  # exactly q x k rows
         schema=pa.schema(
-            [("query_id", pa.int64()), ("vec_id", pa.int64()), ("cos", pa.float64())]
+            [("query_id", pa.int64()), ("rank", pa.int64()), ("vec_id", pa.int64())]
         ),
     )
-    return _final_topk(tbl, k)
+    return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
 # ---------------------------------------------------------------------------

@@ -62,6 +62,8 @@ def approx_quantiles(
 
     _ensure_hash_shuffle()
     num_partitions = auto_partitions(ds, num_partitions)
+    sch = ds.schema()
+    key_type = sch.types[sch.names.index(key)]
 
     def partial(t: pa.Table) -> pa.Table:
         v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
@@ -88,11 +90,18 @@ def approx_quantiles(
     def finalize(t: pa.Table) -> pa.Table:
         names = [f"{name}_approx" for name in quantiles]
         if t.num_rows == 0:
-            cols = {key: pa.array([], pa.int64())}
+            cols = {key: pa.array([], key_type)}
             cols.update({n: pa.array([], pa.float64()) for n in names})
             cols["n"] = pa.array([], pa.int64())
             return pa.table(cols)
-        kk = t[key].to_numpy(zero_copy_only=False)
+        # dictionary-encode the group key so ANY key type (string,
+        # int, ...) sorts/groups through the same int-code path; codes
+        # map back to values at the end
+        enc = pc.dictionary_encode(t[key].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        key_dict = enc.dictionary
+        kk = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         bb = t["bin"].to_numpy(zero_copy_only=False)
         nn = t["n"].to_numpy(zero_copy_only=False)
         order = np.lexsort((bb, kk))
@@ -109,7 +118,7 @@ def approx_quantiles(
         base = np.concatenate(([0], cum[bounds[1:-1] - 1]))
         within = cum - base[np.cumsum(new_k) - 1]
         totals = within[bounds[1:] - 1]
-        cols = {key: pa.array(kk[starts])}
+        cols = {key: key_dict.take(pa.array(kk[starts], pa.int64()))}
         for (name, frac), out in zip(quantiles.items(),
                                      [f"{n}_approx" for n in quantiles]):
             target = np.maximum(np.ceil(frac * totals).astype(np.int64), 1)

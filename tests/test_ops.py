@@ -648,6 +648,36 @@ def test_exact_dedup_null_vs_empty(ray_session):
     assert res == {0: False, 1: False, 2: True, 3: True}
 
 
+def test_exact_dedup_null_vs_empty_mixed_batch(ray_session):
+    """Same NULL != '' semantics when the batch ALSO contains non-empty
+    text (a regression: the null-key XOR used to be erased by the
+    polynomial overwrite whenever any batch row had text bytes), and
+    null keys must not depend on block layout."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import content_key_batch, exact_duplicates
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+         "text": pa.array(["", None, "x", "", None, "x"], pa.string())}
+    )
+    res = {r["doc_id"]: r["is_dup"]
+           for r in exact_duplicates(ray.data.from_arrow(t), 4).take_all()}
+    assert res == {0: False, 1: False, 2: False, 3: True, 4: True, 5: True}
+    # layout invariance: a null row keys identically in an all-empty
+    # batch and in a batch mixed with non-empty text
+    mixed = content_key_batch(t)
+    solo = content_key_batch(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([None], pa.string())})
+    )
+    assert mixed["k1"][1].as_py() == solo["k1"][0].as_py()
+    assert mixed["k2"][1].as_py() == solo["k2"][0].as_py()
+    # and NULL != '' within the mixed batch
+    assert (mixed["k1"][0].as_py(), mixed["k2"][0].as_py()) != (
+        mixed["k1"][1].as_py(), mixed["k2"][1].as_py())
+
+
 def test_sessionize_salted_equals_unsalted(ray_session):
     """The salted (time-chunked + boundary-merge) sessionization equals
     the one-pass result on random data, including sessions that span
@@ -684,3 +714,76 @@ def test_sessionize_salted_equals_unsalted(ray_session):
                   chunk_span_us=3_600_000_000,
               ).take_all()}
     assert salted == base
+
+
+def test_pairwise_intersect_counts_matches_per_pair():
+    """The batched lexsort-adjacency intersection kernel equals a
+    per-pair np.intersect1d reference on random packed buffers."""
+    from luzzu_ray.ops.dedup import _pairwise_intersect_counts
+
+    rng = np.random.default_rng(321)
+    bufs_a, bufs_b, expect = [], [], []
+    for _ in range(200):
+        na, nb = rng.integers(0, 40, 2)
+        va = np.unique(rng.integers(0, 60, na).astype(np.uint64))
+        vb = np.unique(rng.integers(0, 60, nb).astype(np.uint64))
+        bufs_a.append(np.sort(va).astype("<u8").tobytes())
+        bufs_b.append(np.sort(vb).astype("<u8").tobytes())
+        expect.append(len(np.intersect1d(va, vb, assume_unique=True)))
+    inter, na_out, nb_out = _pairwise_intersect_counts(
+        bufs_a, bufs_b, len(bufs_a)
+    )
+    assert inter.tolist() == expect
+    assert na_out.tolist() == [len(x) // 8 for x in bufs_a]
+    # empty batch edge
+    i0, a0, b0 = _pairwise_intersect_counts([b"", b""], [b"", b""], 2)
+    assert i0.tolist() == [0, 0]
+
+
+def test_asof_salted_equals_unsalted(ray_session):
+    """asof_prior_event_salted == asof_prior_event row-for-row on random
+    data, including lefts whose prior right is many chunks back, lefts
+    with no prior at all, and simultaneous (tied) timestamps."""
+    import ray.data
+
+    from luzzu_ray.ops.events import asof_prior_event, asof_prior_event_salted
+
+    rng = np.random.default_rng(99)
+    n = 6000
+    us = 1_000_000
+    uid = rng.integers(0, 30, n)
+    # ts spread over ~20 days so 6h chunks give many boundaries; ties
+    # forced by quantizing to whole minutes
+    ts = rng.integers(0, 20 * 24 * 3600, n) * us
+    ts = (ts // (60 * us)) * (60 * us) + 1_700_000_000_000_000
+    et = rng.choice(["purchase", "click", "view"], n, p=[0.3, 0.4, 0.3])
+    t = pa.table(
+        {"event_id": pa.array(np.arange(n, dtype=np.int64)),
+         "user_id": pa.array(uid, pa.int64()),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "event_type": pa.array(et)}
+    )
+
+    def norm(rows):
+        return sorted(
+            (r["event_id"], r["user_id"], r["prior_ts"], r["wait_us"])
+            for r in rows
+        )
+
+    base = norm(asof_prior_event(ray.data.from_arrow(t), num_partitions=8).take_all())
+    salted = norm(
+        asof_prior_event_salted(
+            ray.data.from_arrow(t), num_partitions=8,
+            chunk_span_us=6 * 3_600_000_000,
+        ).take_all()
+    )
+    assert salted == base
+    assert any(r[2] is None for r in base)  # nulls exercised
+    # a tiny chunk span forces nearly every prior across a boundary
+    tiny = norm(
+        asof_prior_event_salted(
+            ray.data.from_arrow(t), num_partitions=8,
+            chunk_span_us=30 * 60 * 1_000_000,
+        ).take_all()
+    )
+    assert tiny == base
