@@ -375,9 +375,28 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_langid_docs(sf_dir: str):
+    """Stateful langid actor pool, HARD-verified: the oracle is a
+    committed expected-output parquet generated by the row-at-a-time
+    scalar twin (``models.langid_row``, independent control flow from
+    the batched engine kernel — tools/make_fixtures.py).  Confidence is
+    quantized so the driver hash never depends on float formatting."""
+    import pyarrow.compute as pc
+
     from luzzu_ray.ops.textstats import langid_documents
 
-    return langid_documents(_docs(sf_dir, ["doc_id", "text"]))
+    scored = langid_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+    def quantize(t: pa.Table) -> pa.Table:
+        conf_q6 = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t["lang_conf"], pa.float64()),
+                                 1_000_000.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "conf_q6": conf_q6}
+        )
+
+    return scored.map_batches(quantize, batch_format="pyarrow")
 
 
 JACCARD_THRESHOLD = 0.6
@@ -548,13 +567,14 @@ def q_ivf_ann_topk(sf_dir: str):
     )
 
 
-def _ivf_ann_sql() -> str:
-    """Oracle reproducing ivf_ann_topk: deterministic unit centroids as
-    literals, per-vector cell = arg_max dot, queries probe their top-
-    n_probe cells, exact cosine top-k over the union of probed cells."""
+def _ivf_ann_sql(centroids=None) -> str:
+    """Oracle reproducing ivf_ann_topk: centroids (deterministic unit
+    random by default, or the data-adapted k-means set) as literals,
+    per-vector cell = arg_max dot, queries probe their top-n_probe
+    cells, exact cosine top-k over the union of probed cells."""
     from luzzu_ray.ops.similarity import IVF_NPROBE, ivf_centroids
 
-    C = ivf_centroids(64)
+    C = ivf_centroids(64) if centroids is None else centroids
     vals = ", ".join(
         f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "])"
         for i, row in enumerate(C)
@@ -585,6 +605,70 @@ SELECT q.query_id,
   cand.vec_id
 FROM cand, q QUALIFY rank <= {ANN_K}
 """
+
+
+IVF_KM_SAMPLE_K = 256
+
+
+def _km_sample_matrix_numpy(sf_dir: str) -> np.ndarray:
+    """Driver-side scalar twin of the engine's bottom-k-by-hash sample
+    (same keyed hash, same (hash, id) tie-break) — used ONLY to build
+    the oracle's centroid literals, so the distributed sampler is
+    independently cross-checked by the compare."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t["vec_id"].to_numpy()
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(SAMPLE_A) + np.uint64(SAMPLE_B)
+    order = np.lexsort((ids, h))[:IVF_KM_SAMPLE_K]
+    return np.array(
+        t["embedding"].take(pa.array(order)).to_pylist(), dtype=np.float64
+    )
+
+
+def _kmeans_centroids_engine(sf_dir: str) -> np.ndarray:
+    """Engine-side centroid build: DISTRIBUTED bottom-k-by-hash sample
+    (O(k) per block, one narrow merge) -> seeded spherical k-means on
+    the k-row sample."""
+    from luzzu_ray.ops.relational import bottom_k_by_hash
+    from luzzu_ray.ops.similarity import kmeans_centroids
+
+    top = bottom_k_by_hash(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        id_col="vec_id", k=IVF_KM_SAMPLE_K, carry_cols=["embedding"],
+        hash_a=SAMPLE_A, hash_b=SAMPLE_B,
+    )
+    sample = np.array(top["embedding"].to_pylist(), dtype=np.float64)
+    return kmeans_centroids(sample)
+
+
+def q_ivf_kmeans_ann_topk(sf_dir: str):
+    """Data-adapted IVF ANN (VERDICT.md round-2 ask #6): deterministic
+    distributed sample -> spherical k-means centroids -> the same
+    cell-probe search path as ``ivf_ann_topk``.  The oracle rebuilds the
+    centroids from a driver-side scalar twin of the sampler and embeds
+    them as literals, so sample, k-means and search are all checked."""
+    from luzzu_ray.ops.similarity import ivf_ann_topk
+
+    qids, mat = _query_vectors(sf_dir)
+    C = _kmeans_centroids_engine(sf_dir)
+    return ivf_ann_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        mat, qids, k=ANN_K, dim=mat.shape[1], centroids=C,
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    from luzzu_ray.ops.similarity import kmeans_centroids
+
+    # the oracle compare runs at sf0.01 only (driver contract), so the
+    # centroid literals are built from that corpus
+    C = kmeans_centroids(_km_sample_matrix_numpy("/root/testdata/sf0.01"))
+    return _ivf_ann_sql(C)
 
 
 def q_flagship_documents(sf_dir: str):
@@ -950,6 +1034,63 @@ def q_events_asof_click(sf_dir: str):
     )
 
 
+def q_events_asof_salted(sf_dir: str):
+    """Skew-proof AS-OF join (chunked partials + summary merge — no
+    reduce block ever holds one user's full history), against the SAME
+    DuckDB ASOF oracle as the unsalted path."""
+    from luzzu_ray.ops.events import asof_prior_event_salted
+
+    return asof_prior_event_salted(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        left_type="purchase", right_type="click",
+    )
+
+
+def _jsonl_corpus(sf_dir: str) -> str:
+    """JSONL twin of documents_as_transcripts (one single-turn line per
+    document), cached under /tmp — the second serialization of the same
+    logical stream (SURVEY.md §2.1 S1)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    path = f"/tmp/luzzu_jsonl/{tag}-{docs.num_rows}"
+    marker = os.path.join(path, "part-0.jsonl")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        tmp = f"{marker}.tmp.{os.getpid()}"  # *.jsonl glob never sees it
+        with open(tmp, "w", encoding="utf-8") as f:
+            for did, text in zip(docs["doc_id"].to_pylist(),
+                                 docs["text"].to_pylist()):
+                f.write(json.dumps(
+                    {"conv_id": str(did), "turn_idx": 0, "role": "user",
+                     "text": text, "tool": None,
+                     "ts": 1_767_225_600_000_000},
+                    ensure_ascii=False,
+                ) + "\n")
+        os.replace(tmp, marker)
+    return path
+
+
+def q_transcripts_jsonl(sf_dir: str):
+    """S1's second serialization end-to-end under the driver contract
+    (VERDICT.md round-2 ask #8): JSONL corpus -> ``read_json`` ->
+    the SAME normalize stage as the Parquet path -> identity columns.
+    The oracle reconstructs the expected rows straight from the
+    documents table, so the JSON roundtrip (escaping, nulls, unicode)
+    and the normalize casts are all value-checked."""
+    from luzzu_ray.sources import read_transcripts_jsonl
+    from luzzu_ray.stages.turn_stages import normalize_batch
+
+    ds = read_transcripts_jsonl(_jsonl_corpus(sf_dir))
+    norm = ds.map_batches(normalize_batch, batch_format="pyarrow")
+    return norm.select_columns(["conv_id", "turn_idx", "role", "text"])
+
+
 def q_events_user_value_quantiles(sf_dir: str):
     """Per-user exact discrete median/p90 of event value (fixed-point)."""
     from luzzu_ray.ops.relational import grouped_quantiles_q
@@ -987,12 +1128,26 @@ def q_reservoir_sample_docs(sf_dir: str):
     )
 
 
-def _fake_image_corpus(sf_dir: str):
-    """Deterministic fake-image corpus (one image per document id,
-    seeded), cached as Parquet under /tmp and read back as a Dataset."""
+IMG_W, IMG_H = 64, 48
+IMG_RW, IMG_RH = 16, 12
+
+
+def image_pixels_for_doc(doc_id: int) -> np.ndarray:
+    """Deterministic (IMG_H, IMG_W, 3) pixel grid for a document id —
+    the single source of truth shared by the corpus generator and the
+    committed-fixture scalar twin (tools/make_fixtures.py)."""
+    rng = np.random.Generator(np.random.PCG64(int(doc_id)))
+    return rng.integers(0, 256, (IMG_H, IMG_W, 3), dtype=np.uint8)
+
+
+def _png_image_corpus(sf_dir: str):
+    """Deterministic REAL-PNG corpus (one image per document id, pixels
+    seeded by doc_id, all five scanline filters exercised via
+    filter_type="mixed"), cached as Parquet under /tmp and read back as
+    a Dataset."""
     import pyarrow.parquet as pq
 
-    from luzzu_ray.ops.multimodal import encode_fake_image
+    from luzzu_ray.ops.png import encode_png
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     doc_ids = pq.read_table(
@@ -1001,14 +1156,15 @@ def _fake_image_corpus(sf_dir: str):
     # cache key includes the doc-id set's count and span so a
     # regenerated fixture dir never serves stale images
     sig = f"{len(doc_ids)}-{min(doc_ids, default=0)}-{max(doc_ids, default=0)}"
-    img_path = f"/tmp/luzzu_fake_images/{tag}-{sig}.parquet"
+    img_path = f"/tmp/luzzu_png_images/{tag}-{sig}.parquet"
     if not os.path.exists(img_path):
         os.makedirs(os.path.dirname(img_path), exist_ok=True)
         imgs = pa.table(
             {
                 "id": pa.array(doc_ids, pa.int64()),
                 "image": pa.array(
-                    [encode_fake_image(64, 48, seed=int(d)) for d in doc_ids],
+                    [encode_png(image_pixels_for_doc(d), filter_type="mixed")
+                     for d in doc_ids],
                     pa.binary(),
                 ),
             }
@@ -1028,43 +1184,52 @@ def _fake_image_corpus(sf_dir: str):
     return ray.data.read_parquet(img_path)
 
 
-def q_image_features(sf_dir: str):
-    """Multimodal image pipeline (rows-only): deterministic fake-image
-    corpus -> actor-pool decode -> width/height/8-dim features.  The
-    codec is the brief-sanctioned stub (no PIL in this container); the
-    Ray-side plumbing — binary columns, small-batch actor stage, feature
-    output layout — is real.  Feature values are pinned against the
-    scalar twin in tests/test_multimodal.py."""
-    from luzzu_ray.ops.multimodal import decode_images
-
-    decoded = decode_images(_fake_image_corpus(sf_dir), mode="auto",
-                            batch_size=128)
+def _features_q4_flat(decoded):
+    """(id, width, height, f0_q4..f7_q4): features quantized to exact
+    int64 (they are n/10000 by construction) so the driver's value hash
+    never depends on float formatting."""
 
     def flat(t: pa.Table) -> pa.Table:
         feats = t["features"].combine_chunks()
         vals = np.asarray(feats.flatten().to_numpy(zero_copy_only=False))
-        m = vals.reshape(t.num_rows, -1) if t.num_rows else vals.reshape(0, 0)
+        m = (vals.reshape(t.num_rows, -1) if t.num_rows
+             else vals.reshape(0, 8))
+        q = np.rint(m.astype(np.float64) * 10_000.0).astype(np.int64)
         cols = {"id": t["id"], "width": t["width"], "height": t["height"]}
-        for i in range(m.shape[1] if t.num_rows else 0):
-            cols[f"f{i}"] = pa.array(m[:, i])
+        for i in range(q.shape[1]):
+            cols[f"f{i}_q4"] = pa.array(q[:, i])
         return pa.table(cols)
 
     return decoded.map_batches(flat, batch_format="pyarrow")
 
 
+def q_image_features(sf_dir: str):
+    """Multimodal image pipeline, now HARD-verified: deterministic
+    real-PNG corpus -> actor-pool decode (stdlib-zlib codec, all five
+    scanline filters) -> width/height/8-dim quantized features.  The
+    oracle is a committed expected-output parquet generated by an
+    INDEPENDENT scalar twin that never touches the PNG codec
+    (tools/make_fixtures.py: pixels straight from the seeded generator),
+    so a codec bug cannot self-confirm."""
+    from luzzu_ray.ops.multimodal import decode_images
+
+    decoded = decode_images(_png_image_corpus(sf_dir), mode="real",
+                            batch_size=128)
+    return _features_q4_flat(decoded)
+
+
 def q_image_resize_features(sf_dir: str):
-    """Multimodal chaining (rows-only): resize (REAL nearest-neighbor
-    math) -> decode -> features over the same fake-image corpus as
-    ``image_features`` — exercises stage composition: the resized
-    container re-enters the decode stage unchanged in schema."""
+    """Multimodal chaining, HARD-verified like ``image_features``:
+    resize (REAL nearest-neighbor resample of decoded PNG pixels,
+    re-encoded as PNG) -> decode -> quantized features.  The committed
+    oracle resamples the generator pixels with independent index math."""
     from luzzu_ray.ops.multimodal import decode_images, resize_images
 
-    ds = _fake_image_corpus(sf_dir)
-    resized = resize_images(ds, 16, 12, batch_size=128).select_columns(
-        ["id", "image"]
-    )
-    decoded = decode_images(resized, mode="auto", batch_size=128)
-    return decoded.select_columns(["id", "width", "height"])
+    ds = _png_image_corpus(sf_dir)
+    resized = resize_images(ds, IMG_RW, IMG_RH, mode="real",
+                            batch_size=128).select_columns(["id", "image"])
+    decoded = decode_images(resized, mode="real", batch_size=128)
+    return _features_q4_flat(decoded)
 
 
 def q_events_hourly_window(sf_dir: str):
@@ -1124,7 +1289,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_lineitem": q_join_orders_lineitem,
         "top_customers": q_top_customers,
         "ann_topk": q_ann_topk,
-        # rows-only (non-SQL-expressible; value-tested in tests/)
+        # every entry below also has an oracle_sql twin EXCEPT
+        # streaming_dedup (order-dependent shared state) and
+        # events_value_quantiles_sketch (approximation) — those two are
+        # rows-only with pytest twins
         "doc_fingerprint": q_doc_fingerprint,
         "langid_docs": q_langid_docs,
         "minhash_dedup": q_minhash_dedup,
@@ -1146,6 +1314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": q_events_props_stats,
         "events_hopping_window": q_events_hopping_window,
         "events_asof_click": q_events_asof_click,
+        "events_asof_salted": q_events_asof_salted,
+        "transcripts_jsonl": q_transcripts_jsonl,
+        "ivf_kmeans_ann_topk": q_ivf_kmeans_ann_topk,
         "events_user_value_quantiles": q_events_user_value_quantiles,
         "events_value_quantiles_sketch": q_events_value_quantiles_sketch,
         "reservoir_sample_docs": q_reservoir_sample_docs,
@@ -1360,6 +1531,21 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
+        # the salted path must satisfy the IDENTICAL oracle
+        "events_asof_salted": (
+            "SELECT p.event_id, p.user_id, c.ts AS prior_ts, "
+            "CASE WHEN c.ts IS NULL THEN NULL "
+            "ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS wait_us "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF LEFT JOIN "
+            "(SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "transcripts_jsonl": (
+            "SELECT CAST(doc_id AS VARCHAR) AS conv_id, "
+            "CAST(0 AS INT) AS turn_idx, 'user' AS role, text FROM documents"
+        ),
+        "ivf_kmeans_ann_topk": _ivf_kmeans_sql(),
         "events_user_value_quantiles": (
             "SELECT user_id, "
             "quantile_disc(CAST(floor(value * 10000.0) AS BIGINT), 0.5) "
@@ -1378,6 +1564,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) "
             "AS value_q4 FROM events GROUP BY event_type, hour_bucket"
+        ),
+        # committed expected-output fixtures (tools/make_fixtures.py):
+        # generated by independent scalar twins (row-at-a-time langid
+        # model / generator pixels bypassing the PNG codec) at sf0.01 —
+        # the only scale the driver's oracle compare runs at
+        "langid_docs": (
+            "SELECT doc_id, lang, conf_q6 FROM read_parquet("
+            "'/root/repo/tests/fixtures/langid_docs_sf001.parquet')"
+        ),
+        "image_features": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/image_features_sf001.parquet')"
+        ),
+        "image_resize_features": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/image_resize_features_sf001.parquet')"
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_dedup": _MINHASH_DEDUP_SQL,

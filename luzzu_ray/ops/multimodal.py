@@ -74,24 +74,22 @@ class ImageDecodeStage:
 
     Input columns: (id:int64, image:binary).  Output adds
     width:int32, height:int32, features:list<float32>[8].
+
+    The PNG path is a REAL codec (``luzzu_ray.ops.png``: stdlib zlib +
+    NumPy defilter — bit depth 8, color types 0/2/4/6), so image decode
+    on genuine container bytes is no longer stubbed.  Modes:
+
+    - ``auto``  — PNG bytes decode for real, FAKEIMG via the stub,
+      anything else degrades to zeros
+    - ``real``  — PNG only; non-PNG bytes degrade to zeros
+    - ``strict``— PNG only; non-PNG/undecodable bytes RAISE
+    - ``fake``  — FAKEIMG stub only
     """
 
     def __init__(self, mode: str = "auto"):
-        self.decoder = None
-        if mode in ("auto", "real"):
-            try:  # pragma: no cover - PIL absent in this container
-                from PIL import Image  # noqa: F401
-
-                self.decoder = "pil"
-            except ImportError:
-                if mode == "real":
-                    raise NotImplementedError(
-                        "real image decode requires PIL; not available here"
-                    )
-        if self.decoder is None:
-            if mode == "strict":
-                raise NotImplementedError("image decode stubbed: no codec")
-            self.decoder = "fake"
+        if mode not in ("auto", "real", "strict", "fake"):
+            raise ValueError(f"unknown decode mode {mode!r}")
+        self.mode = mode
 
     def _decode_fake(self, buf: bytes):
         if not buf.startswith(IMG_MAGIC):
@@ -99,6 +97,24 @@ class ImageDecodeStage:
         w, h = struct.unpack_from("<HH", buf, len(IMG_MAGIC))
         payload = np.frombuffer(buf, dtype=np.uint8, offset=len(IMG_MAGIC) + 4)
         return w, h, _payload_features(payload)
+
+    def _decode(self, buf: bytes):
+        from luzzu_ray.ops.png import PNG_SIG, decode_png
+
+        if buf.startswith(PNG_SIG) and self.mode != "fake":
+            try:
+                px = decode_png(buf)
+            except ValueError:
+                if self.mode == "strict":
+                    raise
+                return 0, 0, np.zeros(N_FEATURES, dtype=np.float32)
+            h, w = px.shape[:2]
+            return w, h, _payload_features(px.reshape(-1))
+        if self.mode == "strict":
+            raise ValueError("non-PNG bytes in strict decode mode")
+        if self.mode == "real":
+            return 0, 0, np.zeros(N_FEATURES, dtype=np.float32)
+        return self._decode_fake(buf)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         bufs = t["image"].combine_chunks()
@@ -109,7 +125,7 @@ class ImageDecodeStage:
             v = bufs[i].as_py()
             if v is None:
                 continue
-            ws[i], hs[i], feats[i] = self._decode_fake(v)
+            ws[i], hs[i], feats[i] = self._decode(v)
         return (
             t.append_column("width", pa.array(ws))
             .append_column("height", pa.array(hs))
@@ -239,24 +255,25 @@ class FrameSampleStage:
 class ResizeImageStage:
     """Actor-pool stage: nearest-neighbor image resize, re-encoded.
 
-    Unlike the codec stubs, the resize itself is REAL: the fake
-    container carries the first ``min(w*h, 4096)`` pixels of the
-    row-major grid, and each target pixel (x, y) samples source pixel
-    ``(floor(y*h/th)*w + floor(x*w/tw))`` — vectorized index math per
-    image; sources beyond the stored payload read as 0.  With a real
-    codec (``mode="real"``, PIL) the same stage would decode, resize
-    and re-encode; PIL is absent here so that path raises, exactly like
-    the decode stages.
+    The resize itself is REAL for both containers: PNG bytes decode via
+    the dependency-free codec (``luzzu_ray.ops.png``), resample through
+    the same nearest-neighbor index grid per channel, and re-encode as
+    PNG; the fake container carries the first ``min(w*h, 4096)`` pixels
+    of the row-major grid, and each target pixel (x, y) samples source
+    pixel ``(floor(y*h/th)*w + floor(x*w/tw))`` — vectorized index math
+    per image, sources beyond the stored payload read as 0.  Modes
+    mirror ImageDecodeStage: ``auto`` handles both containers,
+    ``real``/``strict`` are PNG-only (strict raises on non-PNG),
+    ``fake`` is FAKEIMG-only.
 
     Input (id:int64, image:binary) -> output with ``image`` replaced by
     the resized container plus new width/height columns.
     """
 
     def __init__(self, width: int, height: int, mode: str = "auto"):
-        if mode in ("real", "strict"):  # pragma: no cover - PIL absent here
-            # same contract as the decode stages: strict refuses the
-            # stubbed container path, real demands the actual codec
-            raise NotImplementedError("real image resize requires PIL")
+        if mode not in ("auto", "real", "strict", "fake"):
+            raise ValueError(f"unknown resize mode {mode!r}")
+        self.mode = mode
         self.tw, self.th = int(width), int(height)
         # target index grid is identical for every image of a given
         # source size; tiny cache avoids rebuilding it per row
@@ -272,7 +289,30 @@ class ResizeImageStage:
             self._grid_cache[key] = g
         return g
 
+    def _resize_png(self, buf: bytes) -> tuple[bytes, int, int]:
+        from luzzu_ray.ops.png import decode_png, encode_png
+
+        try:
+            px = decode_png(buf)
+        except ValueError:
+            if self.mode == "strict":
+                raise
+            return b"", 0, 0
+        h, w = px.shape[:2]
+        ys = (np.arange(self.th, dtype=np.int64) * h) // self.th
+        xs = (np.arange(self.tw, dtype=np.int64) * w) // self.tw
+        resized = px[ys][:, xs]  # (th, tw, c) nearest-neighbor
+        return encode_png(resized), self.tw, self.th
+
     def _resize_one(self, buf: bytes) -> tuple[bytes, int, int]:
+        from luzzu_ray.ops.png import PNG_SIG
+
+        if buf.startswith(PNG_SIG) and self.mode != "fake":
+            return self._resize_png(buf)
+        if self.mode == "strict":
+            raise ValueError("non-PNG bytes in strict resize mode")
+        if self.mode == "real":
+            return b"", 0, 0
         if not buf.startswith(IMG_MAGIC) or len(buf) < len(IMG_MAGIC) + 4:
             return b"", 0, 0  # junk/truncated header degrades, never raises
         w, h = struct.unpack_from("<HH", buf, len(IMG_MAGIC))

@@ -86,6 +86,10 @@ LINEAGE_SCHEMA = pa.schema(
     ]
 )
 
+UNIT_LINEAGE_SCHEMA = pa.schema(
+    [("unit", pa.int32())] + list(LINEAGE_SCHEMA)
+)
+
 
 def _stable_repr(v) -> str:
     """Deterministic-across-processes representation for config hashing.
@@ -126,6 +130,7 @@ def run_config_hash(shards: int, pipeline_kwargs: dict) -> str:
                 k: _stable_repr(v) for k, v in sorted(pipeline_kwargs.items())
             },
             "stage_versions": C.STAGE_VERSIONS,
+            "lineage_layout": 2,  # per-unit sub-dirs under each shard
         },
         sort_keys=True,
     )
@@ -144,6 +149,26 @@ def completed_parts(out_dir: str) -> set[int]:
     for f in glob.glob(os.path.join(out_dir, "lineage", "part-*.parquet")):
         stem = os.path.basename(f)[len("part-"):-len(".parquet")]
         done.add(int(stem))
+    return done
+
+
+def completed_units(out_dir: str, part_id: int, cfg_hash: str) -> set[int]:
+    """Unit indices of shard ``part_id`` whose per-unit lineage file
+    exists AND was written under the current config hash (file-level
+    resume granularity — VERDICT.md round-2 ask #7).  A unit lineage
+    from a different config is ignored, so its unit re-runs."""
+    done: set[int] = set()
+    for f in glob.glob(
+        os.path.join(out_dir, "lineage", "files", f"part-{part_id}-unit-*.parquet")
+    ):
+        stem = os.path.basename(f)
+        u = int(stem[stem.rindex("-unit-") + 6: -len(".parquet")])
+        try:
+            t = pq.read_table(f, columns=["config_hash"])
+            if t.num_rows and t["config_hash"][0].as_py() == cfg_hash:
+                done.add(u)
+        except Exception:  # corrupt partial write -> re-run the unit
+            continue
     return done
 
 
@@ -212,6 +237,7 @@ def run_assessment(
     resume: bool = False,
     write_summaries: bool = True,
     parallel_shards: int | None = None,
+    files_per_unit: int = 1,
     **pipeline_kwargs,
 ) -> dict:
     """Entry point 2/3 of SURVEY.md §3.2.  Returns a small run report.
@@ -219,14 +245,19 @@ def run_assessment(
     ``parallel_shards`` > 1 overlaps that many shard pipelines (each a
     full flagship run over its file subset) from driver threads, with
     per-shard resources divided so the cluster never drains between
-    shards; lineage is still written per shard on completion, so resume
-    granularity is unchanged.  Default: min(4, shards) when the cluster
-    has CPUs to spare, else sequential."""
+    shards.  Within a shard, files are processed in units of
+    ``files_per_unit`` with a per-unit lineage row written after each
+    unit's output, so a crash mid-shard resumes at FILE granularity
+    (only unfinished units re-run) — at 10^4 files per shard raise
+    ``files_per_unit`` to amortize per-unit pipeline startup against
+    retry cost.  The shard lineage row is still written last; its
+    presence marks the whole shard complete."""
     paths = transcript_paths(input_dir)
     by_shard = shard_files(paths, shards)
     lineage_dir = os.path.join(out_dir, "lineage")
     os.makedirs(lineage_dir, exist_ok=True)
-    cfg_hash = run_config_hash(shards, pipeline_kwargs)
+    cfg_hash = run_config_hash(shards, dict(pipeline_kwargs,
+                                            files_per_unit=files_per_unit))
     done = completed_parts(out_dir) if resume else set()
     if resume:
         for k in sorted(done):
@@ -257,32 +288,68 @@ def run_assessment(
     parallel_shards = max(1, min(parallel_shards, len(todo) or 1))
     shard_kwargs = _shard_resources(parallel_shards, pipeline_kwargs)
 
+    file_lineage_dir = os.path.join(lineage_dir, "files")
+    os.makedirs(file_lineage_dir, exist_ok=True)
+
+    def _lineage_row(files: list[str], rows_in: int, rows_kept: int,
+                     k: int, wall_ms: int, unit: int | None) -> pa.Table:
+        cols = {
+            "part_id": pa.array([k], pa.int32()),
+            "input_files": pa.array([files], pa.list_(pa.string())),
+            "rows_in": pa.array([rows_in], pa.int64()),
+            "rows_kept": pa.array([rows_kept], pa.int64()),
+            "stage_versions": pa.array(
+                [json.dumps(C.STAGE_VERSIONS, sort_keys=True)], pa.string()
+            ),
+            "config_hash": pa.array([cfg_hash], pa.string()),
+            "wall_ms": pa.array([wall_ms], pa.int64()),
+        }
+        if unit is None:
+            return pa.table(cols, schema=LINEAGE_SCHEMA)
+        cols = {"unit": pa.array([unit], pa.int32()), **cols}
+        return pa.table(cols, schema=UNIT_LINEAGE_SCHEMA)
+
     def run_one(k: int) -> int:
         files = by_shard[k]
-        turns_dir = os.path.join(out_dir, "turns", f"part_id={k}")
-        shutil.rmtree(turns_dir, ignore_errors=True)  # idempotent retry
+        shard_dir = os.path.join(out_dir, "turns", f"part_id={k}")
+        units = [files[i: i + files_per_unit]
+                 for i in range(0, len(files), files_per_unit)]
+        units_done = completed_units(out_dir, k, cfg_hash) if resume else set()
         t0 = time.monotonic()
-        if files:
-            rows_in, rows_kept = run_shard(files, turns_dir, **shard_kwargs)
-        else:
-            rows_in = rows_kept = 0
+        tot_in = tot_kept = 0
+        for u, ufiles in enumerate(units):
+            unit_dir = os.path.join(shard_dir, f"unit={u}")
+            unit_lineage = os.path.join(
+                file_lineage_dir, f"part-{k}-unit-{u}.parquet"
+            )
+            if u in units_done:
+                # completed unit: reuse its output and lineage counts
+                prev = pq.read_table(unit_lineage)
+                tot_in += prev["rows_in"][0].as_py()
+                tot_kept += prev["rows_kept"][0].as_py()
+                continue
+            u0 = time.monotonic()
+            shutil.rmtree(unit_dir, ignore_errors=True)  # idempotent retry
+            rows_in, rows_kept = run_shard(ufiles, unit_dir, **shard_kwargs)
+            # unit lineage written LAST: presence == unit complete
+            pq.write_table(
+                _lineage_row(ufiles, rows_in, rows_kept, k,
+                             int((time.monotonic() - u0) * 1000), u),
+                unit_lineage,
+            )
+            tot_in += rows_in
+            tot_kept += rows_kept
+        # drop any stale unit output/lineage beyond the current unit list
+        # (a prior run under another layout would otherwise leak rows)
+        for d in glob.glob(os.path.join(shard_dir, "unit=*")):
+            if int(os.path.basename(d)[5:]) >= len(units):
+                shutil.rmtree(d, ignore_errors=True)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        lineage = pa.table(
-            {
-                "part_id": pa.array([k], pa.int32()),
-                "input_files": pa.array([files], pa.list_(pa.string())),
-                "rows_in": pa.array([rows_in], pa.int64()),
-                "rows_kept": pa.array([rows_kept], pa.int64()),
-                "stage_versions": pa.array(
-                    [json.dumps(C.STAGE_VERSIONS, sort_keys=True)], pa.string()
-                ),
-                "config_hash": pa.array([cfg_hash], pa.string()),
-                "wall_ms": pa.array([wall_ms], pa.int64()),
-            },
-            schema=LINEAGE_SCHEMA,
+        # shard lineage written LAST: presence == whole shard complete
+        pq.write_table(
+            _lineage_row(files, tot_in, tot_kept, k, wall_ms, None),
+            os.path.join(lineage_dir, f"part-{k}.parquet"),
         )
-        # lineage written LAST: presence == shard complete
-        pq.write_table(lineage, os.path.join(lineage_dir, f"part-{k}.parquet"))
         return k
 
     if parallel_shards <= 1:

@@ -45,11 +45,68 @@ def test_image_decode_deterministic(ray_session):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
-def test_strict_mode_raises():
-    from luzzu_ray.ops.multimodal import ImageDecodeStage
+def test_strict_mode_raises_on_non_png():
+    """strict mode now means "real PNG bytes or die": construction is
+    fine (the PNG codec IS available), non-PNG bytes raise at decode."""
+    from luzzu_ray.ops.multimodal import ImageDecodeStage, encode_fake_image
 
-    with pytest.raises(NotImplementedError):
-        ImageDecodeStage(mode="strict")
+    stage = ImageDecodeStage(mode="strict")
+    with pytest.raises(ValueError):
+        stage._decode(encode_fake_image(4, 3, seed=1))
+    with pytest.raises(ValueError):
+        ImageDecodeStage(mode="bogus")
+
+
+def test_png_decode_stage_real_bytes(ray_session):
+    """The image decode stage decodes REAL PNG containers (stdlib-zlib
+    codec): width/height from IHDR, features from the decoded pixels —
+    verified against an in-process scalar twin."""
+    import ray.data
+
+    from luzzu_ray.ops.multimodal import (
+        N_FEATURES, _payload_features, decode_images,
+    )
+    from luzzu_ray.ops.png import encode_png
+
+    rng = np.random.default_rng(17)
+    pixels = [rng.integers(0, 256, (12 + i, 20 + i, 3), dtype=np.uint8)
+              for i in range(4)]
+    t = pa.table(
+        {"id": pa.array(range(4), pa.int64()),
+         "image": pa.array([encode_png(p, filter_type="mixed") for p in pixels]
+                           + [],
+                           pa.binary())}
+    )
+    out = {r["id"]: r for r in
+           decode_images(ray.data.from_arrow(t), mode="real").take_all()}
+    for i, p in enumerate(pixels):
+        r = out[i]
+        assert (r["width"], r["height"]) == (p.shape[1], p.shape[0])
+        want = _payload_features(p.reshape(-1))
+        assert np.allclose(r["features"], want, atol=0), i
+        assert len(r["features"]) == N_FEATURES
+
+
+def test_png_resize_stage_real_bytes(ray_session):
+    """PNG resize: decode -> nearest-neighbor grid -> re-encode; the
+    output is a valid PNG whose pixels equal the scalar resample."""
+    import ray.data
+
+    from luzzu_ray.ops.multimodal import resize_images
+    from luzzu_ray.ops.png import decode_png, encode_png
+
+    rng = np.random.default_rng(18)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    t = pa.table(
+        {"id": pa.array([0], pa.int64()),
+         "image": pa.array([encode_png(px)], pa.binary())}
+    )
+    out = resize_images(ray.data.from_arrow(t), 6, 4, mode="real").take_all()[0]
+    assert (out["width"], out["height"]) == (6, 4)
+    got = decode_png(out["image"])
+    ys = (np.arange(4) * 16) // 4
+    xs = (np.arange(6) * 24) // 6
+    assert np.array_equal(got, px[ys][:, xs])
 
 
 def test_frame_sampling(ray_session):
@@ -181,6 +238,6 @@ def test_resize_images(ray_session):
     # truncated header (magic matches, header incomplete) degrades too
     stage = ResizeImageStage(8, 4, mode="fake")
     assert stage._resize_one(IMG_MAGIC + b"\x01\x02") == (b"", 0, 0)
-    # strict refuses the stubbed path, same contract as the decode stages
-    with pytest.raises(NotImplementedError):
-        ResizeImageStage(8, 4, mode="strict")
+    # strict refuses non-PNG bytes at resize time, mirroring decode
+    with pytest.raises(ValueError):
+        ResizeImageStage(8, 4, mode="strict")._resize_one(rows[0])

@@ -151,6 +151,54 @@ def test_resume_skips_done_and_repairs_partial(run_out, clustered_corpus_dir):
         assert again[col].equals(full[col]), col
 
 
+def test_unit_resume_reruns_only_missing_files(ray_session, clustered_corpus_dir):
+    """Kill-mid-shard at FILE granularity: with per-unit lineage, a
+    resume re-processes ONLY the units whose lineage is missing (the
+    untouched units' outputs are not rewritten — checked by mtime) and
+    the final table is byte-identical to the uninterrupted run."""
+    from luzzu_ray.pipelines.runner import run_assessment
+
+    out = "/tmp/luzzu_test_out/run_units"
+    shutil.rmtree(out, ignore_errors=True)
+    run_assessment(
+        clustered_corpus_dir, out, shards=2, parallel_shards=1,
+        giant_min_turns=500, num_partitions=8, write_summaries=False,
+    )
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending"),
+           ("ts", "ascending"), ("text", "ascending")]
+    full = _read_turns(out).sort_by(key)
+    # shard 0 has 4 of the 8 files = 4 units (files_per_unit=1)
+    unit_lineage = sorted(
+        glob.glob(os.path.join(out, "lineage", "files", "part-0-unit-*.parquet"))
+    )
+    assert len(unit_lineage) >= 2
+    # simulate a crash mid-shard-0: shard lineage gone, last unit's
+    # lineage + output gone, earlier units intact
+    os.remove(os.path.join(out, "lineage", "part-0.parquet"))
+    victim = unit_lineage[-1]
+    vu = victim[victim.rindex("-unit-") + 6: -len(".parquet")]
+    os.remove(victim)
+    shutil.rmtree(
+        os.path.join(out, "turns", "part_id=0", f"unit={vu}"),
+        ignore_errors=True,
+    )
+    survivor_files = glob.glob(
+        os.path.join(out, "turns", "part_id=0", "unit=0", "*.parquet")
+    )
+    mtimes = {f: os.path.getmtime(f) for f in survivor_files}
+    report = run_assessment(
+        clustered_corpus_dir, out, shards=2, parallel_shards=1, resume=True,
+        giant_min_turns=500, num_partitions=8, write_summaries=False,
+    )
+    assert report["shards_run"] == [0] and report["shards_skipped"] == [1]
+    for f, m in mtimes.items():  # untouched units were NOT re-processed
+        assert os.path.getmtime(f) == m, f
+    again = _read_turns(out).sort_by(key)
+    assert again.num_rows == full.num_rows
+    for col in ("conv_id", "turn_idx", "keep", "drop_reason", "text_scrubbed"):
+        assert again[col].equals(full[col]), col
+
+
 def test_resume_refuses_config_mismatch(run_out, clustered_corpus_dir):
     from luzzu_ray.pipelines.runner import run_assessment
 

@@ -1,0 +1,121 @@
+"""Generate committed expected-output Parquet fixtures for queries whose
+semantics SQL cannot express (model weights, binary codecs), so the
+driver's DuckDB oracle can still HARD-verify them via read_parquet().
+
+Each fixture is produced by an INDEPENDENT scalar twin of the engine
+path, chosen so the component under test cannot self-confirm:
+
+- ``langid_docs``           — row-at-a-time ``models.langid_row`` (the
+  engine runs the batched ``langid_scores`` kernel in an actor pool;
+  the two are separate control flows, pinned bit-exact in
+  tests/test_models.py).
+- ``image_features``        — pixels straight from the seeded generator
+  (``image_pixels_for_doc``), NEVER through the PNG codec the engine
+  decodes with; features via the shared feature-mix constants.
+- ``image_resize_features`` — generator pixels resampled with
+  independent index math, again bypassing the codec entirely.
+
+Usage (from the repo root):
+    python tools/make_fixtures.py /root/testdata/sf0.01
+
+Outputs land in tests/fixtures/*_sf001.parquet and are committed; the
+driver compares them only at sf0.01 (the correctness-gate scale).
+Regenerate whenever the langid model, feature mix, or corpus seeds
+change.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures",
+)
+
+
+def make_langid(sf_dir: str) -> pa.Table:
+    from luzzu_ray import models
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs, confs = [], []
+    for t in texts:
+        lang, conf = models.langid_row(t)
+        langs.append(lang)
+        confs.append(int(np.floor(np.float64(conf) * 1_000_000.0)))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "lang": pa.array(langs, pa.string()),
+         "conf_q6": pa.array(confs, pa.int64())}
+    )
+
+
+def _feat_table(ids, pixel_fn, width: int, height: int) -> pa.Table:
+    from luzzu_ray.ops.multimodal import _payload_features
+
+    q = np.zeros((len(ids), 8), dtype=np.int64)
+    for i, d in enumerate(ids):
+        f = _payload_features(pixel_fn(d).reshape(-1))
+        q[i] = np.rint(f.astype(np.float64) * 10_000.0).astype(np.int64)
+    cols = {
+        "id": pa.array(ids, pa.int64()),
+        "width": pa.array(np.full(len(ids), width, dtype=np.int32)),
+        "height": pa.array(np.full(len(ids), height, dtype=np.int32)),
+    }
+    for j in range(8):
+        cols[f"f{j}_q4"] = pa.array(q[:, j])
+    return pa.table(cols)
+
+
+def make_image_features(sf_dir: str) -> pa.Table:
+    from __ray_entry__ import IMG_H, IMG_W, image_pixels_for_doc
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    return _feat_table(ids, image_pixels_for_doc, IMG_W, IMG_H)
+
+
+def make_image_resize_features(sf_dir: str) -> pa.Table:
+    from __ray_entry__ import IMG_RH, IMG_RW, image_pixels_for_doc
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+
+    def resampled(d: int) -> np.ndarray:
+        px = image_pixels_for_doc(d)
+        h, w = px.shape[:2]
+        ys = (np.arange(IMG_RH, dtype=np.int64) * h) // IMG_RH
+        xs = (np.arange(IMG_RW, dtype=np.int64) * w) // IMG_RW
+        return px[ys][:, xs]
+
+    return _feat_table(ids, resampled, IMG_RW, IMG_RH)
+
+
+def main(sf_dir: str) -> None:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    for name, fn in (
+        ("langid_docs", make_langid),
+        ("image_features", make_image_features),
+        ("image_resize_features", make_image_resize_features),
+    ):
+        t = fn(sf_dir)
+        path = os.path.join(FIXTURE_DIR, f"{name}_sf001.parquet")
+        pq.write_table(t, path)
+        print(f"{name}: {t.num_rows} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
