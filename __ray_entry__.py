@@ -1232,6 +1232,81 @@ def q_image_resize_features(sf_dir: str):
     return _features_q4_flat(decoded)
 
 
+VID_N_FRAMES, VID_FW, VID_FH, VID_EVERY_K = 4, 32, 24, 2
+
+
+def video_frame_pixels(doc_id: int, frame: int) -> np.ndarray:
+    """Deterministic (VID_FH, VID_FW, 3) pixels for one video frame —
+    shared by the corpus generator and the fixture twin."""
+    rng = np.random.Generator(np.random.PCG64(int(doc_id) * 7919 + frame))
+    return rng.integers(0, 256, (VID_FH, VID_FW, 3), dtype=np.uint8)
+
+
+def _png_video_corpus(sf_dir: str):
+    """Deterministic VIDPNG corpus: one video of VID_N_FRAMES real PNG
+    frames per document id, cached under /tmp like the image corpus."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.multimodal import encode_png_video
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    sig = f"{len(doc_ids)}-{min(doc_ids, default=0)}-{max(doc_ids, default=0)}"
+    vid_path = f"/tmp/luzzu_png_videos/{tag}-{sig}.parquet"
+    if not os.path.exists(vid_path):
+        os.makedirs(os.path.dirname(vid_path), exist_ok=True)
+        vids = pa.table(
+            {
+                "id": pa.array(doc_ids, pa.int64()),
+                "video": pa.array(
+                    [encode_png_video(
+                        [video_frame_pixels(d, f)
+                         for f in range(VID_N_FRAMES)]
+                    ) for d in doc_ids],
+                    pa.binary(),
+                ),
+            }
+        )
+        tmp = f"{vid_path}.tmp.{os.getpid()}"
+        pq.write_table(vids, tmp)
+        os.replace(tmp, vid_path)
+
+    import ray.data
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    return ray.data.read_parquet(vid_path)
+
+
+def q_video_frame_features(sf_dir: str):
+    """Video family, HARD-verified end to end: VIDPNG corpus (real PNG
+    frames) -> flat-map frame sampling (every 2nd frame) -> real PNG
+    decode -> quantized features per sampled frame.  Oracle: committed
+    fixture from generator pixels bypassing the codec."""
+    from luzzu_ray.ops.multimodal import decode_images, sample_frames
+
+    frames = sample_frames(_png_video_corpus(sf_dir), every_k=VID_EVERY_K,
+                           batch_size=64)
+    decoded = decode_images(frames, mode="real", batch_size=128)
+
+    def flat(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        vals = np.asarray(feats.flatten().to_numpy(zero_copy_only=False))
+        m = (vals.reshape(t.num_rows, -1) if t.num_rows
+             else vals.reshape(0, 8))
+        q = np.rint(m.astype(np.float64) * 10_000.0).astype(np.int64)
+        cols = {"id": t["id"], "frame_idx": t["frame_idx"],
+                "width": t["width"], "height": t["height"]}
+        for i in range(q.shape[1]):
+            cols[f"f{i}_q4"] = pa.array(q[:, i])
+        return pa.table(cols)
+
+    return decoded.map_batches(flat, batch_format="pyarrow")
+
+
 def q_events_hourly_window(sf_dir: str):
     """Tumbling-window aggregate: events per (event_type, hour bucket)."""
 
@@ -1309,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
         "image_resize_features": q_image_resize_features,
+        "video_frame_features": q_video_frame_features,
         "events_hourly_window": q_events_hourly_window,
         "revenue_by_nation": q_revenue_by_nation,
         "events_props_stats": q_events_props_stats,
@@ -1580,6 +1656,10 @@ def oracle_sql() -> dict[str, str]:
         "image_resize_features": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/image_resize_features_sf001.parquet')"
+        ),
+        "video_frame_features": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/video_frame_features_sf001.parquet')"
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "minhash_dedup": _MINHASH_DEDUP_SQL,

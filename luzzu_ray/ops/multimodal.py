@@ -58,6 +58,23 @@ def encode_fake_video(n_frames: int, width: int, height: int, seed: int) -> byte
     return VID_MAGIC + struct.pack("<H", n_frames) + frames
 
 
+# REAL-frame video container: a length-prefixed sequence of genuine PNG
+# frames (the MJPEG idea with the one codec this container ships).
+# Layout: magic(7s) | n_frames:uint16 | { frame_len:uint32 | png bytes }*
+VIDPNG_MAGIC = b"VIDPNG1"
+
+
+def encode_png_video(frames: list) -> bytes:
+    """List of (h, w[, c]) uint8 arrays -> VIDPNG container of real PNGs."""
+    from luzzu_ray.ops.png import encode_png
+
+    recs = []
+    for f in frames:
+        png = encode_png(f)
+        recs.append(struct.pack("<I", len(png)) + png)
+    return VIDPNG_MAGIC + struct.pack("<H", len(frames)) + b"".join(recs)
+
+
 def _payload_features(payload: np.ndarray) -> np.ndarray:
     """Deterministic 8-dim feature vector from payload bytes (stand-in for
     a model embedding; vectorized, shared with the test twin)."""
@@ -218,11 +235,34 @@ class AudioDecodeStage:
 
 
 class FrameSampleStage:
-    """Actor-pool flat-map: video binary -> one row per sampled frame."""
+    """Actor-pool flat-map: video binary -> one row per sampled frame.
+
+    Handles BOTH containers: VIDPNG (length-prefixed REAL PNG frames —
+    sampled frames re-enter ``ImageDecodeStage``'s real codec path) and
+    the FAKEVID stub; unknown bytes are skipped."""
 
     def __init__(self, every_k: int = 2, mode: str = "auto"):
         self.every_k = every_k
         self.img = ImageDecodeStage(mode=mode)
+
+    def _frames_vidpng(self, buf: bytes):
+        (n_frames,) = struct.unpack_from("<H", buf, len(VIDPNG_MAGIC))
+        off = len(VIDPNG_MAGIC) + 2
+        for f in range(n_frames):
+            (rec_len,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            yield f, buf[off: off + rec_len]
+            off += rec_len
+
+    def _frames_fake(self, buf: bytes):
+        (n_frames,) = struct.unpack_from("<H", buf, len(VID_MAGIC))
+        off = len(VID_MAGIC) + 2
+        for f in range(n_frames):
+            # FAKEIMG record: magic + 4 header bytes + min(w*h,4096) payload
+            w, h = struct.unpack_from("<HH", buf, off + len(IMG_MAGIC))
+            rec_len = len(IMG_MAGIC) + 4 + min(w * h, 4096)
+            yield f, buf[off: off + rec_len]
+            off += rec_len
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, frame_idx, frames = [], [], []
@@ -230,19 +270,19 @@ class FrameSampleStage:
         id_col = t["id"].to_pylist()
         for i in range(t.num_rows):
             buf = vids[i].as_py()
-            if buf is None or not buf.startswith(VID_MAGIC):
+            if buf is None:
                 continue
-            (n_frames,) = struct.unpack_from("<H", buf, len(VID_MAGIC))
-            off = len(VID_MAGIC) + 2
-            for f in range(n_frames):
-                # FAKEIMG record: magic + 4 header bytes + min(w*h,4096) payload
-                w, h = struct.unpack_from("<HH", buf, off + len(IMG_MAGIC))
-                rec_len = len(IMG_MAGIC) + 4 + min(w * h, 4096)
+            if buf.startswith(VIDPNG_MAGIC):
+                it = self._frames_vidpng(buf)
+            elif buf.startswith(VID_MAGIC):
+                it = self._frames_fake(buf)
+            else:
+                continue
+            for f, rec in it:
                 if f % self.every_k == 0:
                     ids.append(id_col[i])
                     frame_idx.append(f)
-                    frames.append(buf[off: off + rec_len])
-                off += rec_len
+                    frames.append(rec)
         return pa.table(
             {
                 "id": pa.array(ids, pa.int64()),

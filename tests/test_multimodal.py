@@ -136,6 +136,33 @@ def test_frame_sampling(ray_session):
     assert got[(7, 0)] == (4, 4) and got[(8, 2)] == (2, 2)
 
 
+def test_png_video_frame_sampling(ray_session):
+    """VIDPNG container: every-k-th REAL PNG frame sampled out and
+    decoded bit-exactly back to the source pixels."""
+    import ray.data
+
+    from luzzu_ray.ops.multimodal import (
+        decode_images, encode_png_video, sample_frames,
+    )
+    from luzzu_ray.ops.png import decode_png
+
+    rng = np.random.default_rng(23)
+    frames = [rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+              for _ in range(5)]
+    t = pa.table(
+        {"id": pa.array([42], pa.int64()),
+         "video": pa.array([encode_png_video(frames)], pa.binary())}
+    )
+    sampled = sample_frames(ray.data.from_arrow(t), every_k=2)
+    rows = {r["frame_idx"]: r["image"] for r in sampled.take_all()}
+    assert set(rows) == {0, 2, 4}
+    for f, buf in rows.items():
+        assert np.array_equal(decode_png(buf), frames[f])
+    decoded = decode_images(sample_frames(ray.data.from_arrow(t), every_k=2),
+                            mode="real").take_all()
+    assert all((r["width"], r["height"]) == (8, 6) for r in decoded)
+
+
 def test_audio_decode_stage(ray_session):
     import numpy as np
     import pyarrow as pa

@@ -104,12 +104,43 @@ def make_image_resize_features(sf_dir: str) -> pa.Table:
     return _feat_table(ids, resampled, IMG_RW, IMG_RH)
 
 
+def make_video_frame_features(sf_dir: str) -> pa.Table:
+    from __ray_entry__ import (
+        VID_EVERY_K, VID_FH, VID_FW, VID_N_FRAMES, video_frame_pixels,
+    )
+    from luzzu_ray.ops.multimodal import _payload_features
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    rows_id, rows_frame, rows_q = [], [], []
+    for d in ids:
+        for f in range(0, VID_N_FRAMES, VID_EVERY_K):
+            feat = _payload_features(video_frame_pixels(d, f).reshape(-1))
+            rows_id.append(d)
+            rows_frame.append(f)
+            rows_q.append(
+                np.rint(feat.astype(np.float64) * 10_000.0).astype(np.int64)
+            )
+    q = np.array(rows_q, dtype=np.int64).reshape(len(rows_id), 8)
+    cols = {
+        "id": pa.array(rows_id, pa.int64()),
+        "frame_idx": pa.array(rows_frame, pa.int32()),
+        "width": pa.array(np.full(len(rows_id), VID_FW, dtype=np.int32)),
+        "height": pa.array(np.full(len(rows_id), VID_FH, dtype=np.int32)),
+    }
+    for j in range(8):
+        cols[f"f{j}_q4"] = pa.array(q[:, j])
+    return pa.table(cols)
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
         ("image_features", make_image_features),
         ("image_resize_features", make_image_resize_features),
+        ("video_frame_features", make_video_frame_features),
     ):
         t = fn(sf_dir)
         path = os.path.join(FIXTURE_DIR, f"{name}_sf001.parquet")
