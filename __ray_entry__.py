@@ -1034,6 +1034,32 @@ def q_events_asof_click(sf_dir: str):
     )
 
 
+ROLL_WINDOW = 3
+STRAT_K = 10
+
+
+def q_events_rolling_window(sf_dir: str):
+    """Ordered per-user row-window aggregate (ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW): exact integer window sum + count."""
+    from luzzu_ray.ops.events import rolling_user_window
+
+    return rolling_user_window(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        window=ROLL_WINDOW,
+    )
+
+
+def q_stratified_sample_docs(sf_dir: str):
+    """Deterministic stratified sample: bottom-k by keyed hash PER
+    LANGUAGE (per-stratum training-data quotas)."""
+    from luzzu_ray.ops.relational import stratified_bottom_k
+
+    return stratified_bottom_k(
+        _docs(sf_dir, ["doc_id", "lang"]), key="lang", id_col="doc_id",
+        k=STRAT_K, hash_a=SAMPLE_A, hash_b=SAMPLE_B,
+    )
+
+
 def q_events_asof_salted(sf_dir: str):
     """Skew-proof AS-OF join (chunked partials + summary merge — no
     reduce block ever holds one user's full history), against the SAME
@@ -1391,6 +1417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": q_events_hopping_window,
         "events_asof_click": q_events_asof_click,
         "events_asof_salted": q_events_asof_salted,
+        "events_rolling_window": q_events_rolling_window,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "transcripts_jsonl": q_transcripts_jsonl,
         "ivf_kmeans_ann_topk": q_ivf_kmeans_ann_topk,
         "events_user_value_quantiles": q_events_user_value_quantiles,
@@ -1620,6 +1648,20 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_jsonl": (
             "SELECT CAST(doc_id AS VARCHAR) AS conv_id, "
             "CAST(0 AS INT) AS turn_idx, 'user' AS role, text FROM documents"
+        ),
+        "events_rolling_window": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "
+            "AS BIGINT) AS wsum_q4, "
+            "CAST(count(*) OVER w AS BIGINT) AS wn FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            f"ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING AND CURRENT ROW)"
+        ),
+        "stratified_sample_docs": (
+            "SELECT lang, doc_id FROM documents QUALIFY row_number() OVER ("
+            "PARTITION BY lang ORDER BY "
+            f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
+            f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
         "ivf_kmeans_ann_topk": _ivf_kmeans_sql(),
         "events_user_value_quantiles": (

@@ -515,3 +515,86 @@ def asof_prior_event_salted(
         num_blocks=max(4, num_partitions // 8), keys=["user_id"]
     ).map_batches(_asof_merge_block, batch_format="pyarrow", batch_size=None)
     return resolved.union(merged)
+
+
+# ---------------------------------------------------------------------------
+# ordered per-key rolling window: a row-window aggregate (SQL
+# "ROWS BETWEEN W-1 PRECEDING AND CURRENT ROW"), the one window shape
+# the tumbling/hopping/session operators don't cover
+# ---------------------------------------------------------------------------
+
+def _rolling_block(t: pa.Table, window: int) -> pa.Table:
+    """Per user, ordered by (ts, event_id): integer window sum + count
+    of the last ``window`` rows' q4-quantized values.  Vectorized:
+    one sort, one cumsum, per-row clamped segment subtraction."""
+    empty = pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "user_id": pa.array([], pa.int64()),
+         "wsum_q4": pa.array([], pa.int64()),
+         "wn": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    t = t.sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+    )
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    vq4 = t["value_q4"].to_numpy(zero_copy_only=False)
+    n = len(uid)
+    new_u = np.concatenate(([True], uid[1:] != uid[:-1]))
+    seg_start = np.flatnonzero(new_u)
+    gid = np.cumsum(new_u) - 1
+    s = seg_start[gid]                       # segment start per row
+    i = np.arange(n, dtype=np.int64)
+    p = i - s                                # position within segment
+    lo = i - np.minimum(p, window - 1)       # first row of the window
+    cs = np.cumsum(vq4)
+    wsum = cs[i] - cs[lo] + vq4[lo]
+    wn = np.minimum(p + 1, window)
+    return pa.table(
+        {"event_id": t["event_id"],
+         "user_id": t["user_id"],
+         "wsum_q4": pa.array(wsum.astype(np.int64)),
+         "wn": pa.array(wn.astype(np.int64))}
+    )
+
+
+def rolling_user_window(
+    ds: ray.data.Dataset,
+    window: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(event_id, user_id, wsum_q4, wn): sum/count of the last
+    ``window`` q4-quantized values per user in (ts, event_id) order —
+    SQL's ``SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``, emitted as
+    exact integers.  One hash exchange on user_id; PARTITIONING
+    ASSUMPTION: one user's history per reduce block (same as
+    sessionize; the chunked-salt protocol applies if ever needed —
+    a chunk boundary would carry the previous window-1 rows)."""
+    import pyarrow.compute as pc
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        vq4 = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t["value"], pa.float64()), 10_000.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"],
+             "ts": t["ts"], "value_q4": vq4}
+        )
+
+    picked = ds.select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    ).map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+    return part.map_batches(
+        _rolling_block, fn_kwargs={"window": window},
+        batch_format="pyarrow", batch_size=None,
+    )

@@ -222,3 +222,56 @@ def bottom_k_by_hash(
         (c, sch.types[sch.names.index(c)]) for c in [id_col] + carry_cols
     ]
     return pa.Table.from_pylist(out, schema=pa.schema(fields))
+
+
+def stratified_bottom_k(
+    ds: ray.data.Dataset,
+    key: str,
+    id_col: str,
+    k: int,
+    hash_a: int,
+    hash_b: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: the k rows with the smallest
+    keyed hash PER GROUP (bottom-k sketch per stratum) — reproducible
+    across cluster sizes and block layouts like :func:`bottom_k_by_hash`,
+    but balanced across a grouping column (the classic stratified-sample
+    need: per-language / per-source training-data quotas).
+
+    Per-batch partial keeps <= k rows per group per block; partials
+    merge through one narrow hash exchange on the group key.  Returns
+    (key, id_col) rows."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def bottom_per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([key, id_col])
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(hash_a) + np.uint64(hash_b)
+        enc = pc.dictionary_encode(t[key].combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        g = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h, g))
+        gs = g[order]
+        new_g = np.concatenate(([True], gs[1:] != gs[:-1]))
+        starts = np.flatnonzero(new_g)
+        pos = np.arange(len(gs)) - starts[np.cumsum(new_g) - 1]
+        keep = order[pos < k]
+        return t.select([key, id_col]).take(pa.array(np.sort(keep)))
+
+    partials = ds.select_columns([key, id_col]).map_batches(
+        bottom_per_group, batch_format="pyarrow"
+    )
+    merged = partials.repartition(
+        num_blocks=max(4, num_partitions // 8), keys=[key]
+    )
+    return merged.map_batches(
+        bottom_per_group, batch_format="pyarrow", batch_size=None
+    )

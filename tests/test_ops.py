@@ -787,3 +787,78 @@ def test_asof_salted_equals_unsalted(ray_session):
         ).take_all()
     )
     assert tiny == base
+
+
+def test_rolling_user_window_matches_bruteforce(ray_session):
+    """Per-user ordered row-window sums equal a brute-force per-row
+    twin, across block layouts."""
+    import ray.data
+
+    from luzzu_ray.ops.events import rolling_user_window
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    uid = rng.integers(0, 20, n)
+    ts = rng.integers(0, 10**6, n) * 1_000_000
+    val = rng.random(n)
+    t = pa.table(
+        {"event_id": pa.array(np.arange(n, dtype=np.int64)),
+         "user_id": pa.array(uid, pa.int64()),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "value": pa.array(val, pa.float64())}
+    )
+    W = 3
+    got = {r["event_id"]: (r["wsum_q4"], r["wn"]) for r in
+           rolling_user_window(ray.data.from_arrow(t), W, 8).take_all()}
+    # brute force
+    vq4 = np.floor(val * 10_000.0).astype(np.int64)
+    order = np.lexsort((np.arange(n), ts, uid))
+    want = {}
+    hist: dict[int, list[int]] = {}
+    for i in order:
+        u = uid[i]
+        hist.setdefault(u, []).append(vq4[i])
+        tail = hist[u][-W:]
+        want[i] = (sum(tail), len(tail))
+    assert got == want
+    # layout invariance: 2 partitions == 8
+    got2 = {r["event_id"]: (r["wsum_q4"], r["wn"]) for r in
+            rolling_user_window(ray.data.from_arrow(t), W, 2).take_all()}
+    assert got2 == want
+
+
+def test_stratified_bottom_k_layout_invariant(ray_session):
+    """Per-group bottom-k: exactly k per (sufficiently large) group,
+    identical across block layouts, and equal to a per-group sort twin."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import stratified_bottom_k
+
+    rng = np.random.default_rng(33)
+    n = 3000
+    langs = rng.choice(["en", "de", "fr", "zz"], n, p=[0.6, 0.2, 0.15, 0.05])
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table(
+        {"doc_id": pa.array(ids), "lang": pa.array(langs)}
+    )
+    A, B = 0x9E3779B97F4A7C15, 0x1234567
+    got = sorted(
+        (r["lang"], r["doc_id"]) for r in stratified_bottom_k(
+            ray.data.from_arrow(t), "lang", "doc_id", 7, A, B,
+        ).take_all()
+    )
+    # twin: per group, sort by (hash, id), first 7
+    with np.errstate(over="ignore"):
+        h = ids.astype(np.uint64) * np.uint64(A) + np.uint64(B)
+    want = []
+    for lang in np.unique(langs):
+        m = langs == lang
+        order = np.lexsort((ids[m], h[m]))[:7]
+        want.extend((lang, int(d)) for d in ids[m][order])
+    assert got == sorted(want)
+    got2 = sorted(
+        (r["lang"], r["doc_id"]) for r in stratified_bottom_k(
+            ray.data.from_arrow(t).repartition(13), "lang", "doc_id", 7, A, B,
+        ).take_all()
+    )
+    assert got2 == got
