@@ -1060,6 +1060,76 @@ def q_stratified_sample_docs(sf_dir: str):
     )
 
 
+TOPP_NUMER, TOPP_DENOM = 1, 10
+DECON_MOD = 16
+
+
+def q_quality_topp(sf_dir: str):
+    """Global top-10% of documents by quality score — exact distributed
+    threshold selection (value-count pass + streaming filter + tie
+    trim), no global sort."""
+    from luzzu_ray.ops.relational import top_fraction_by_score
+    from luzzu_ray.ops.textstats import doc_stats_batch
+
+    def score(t: pa.Table) -> pa.Table:
+        s = doc_stats_batch(t)
+        score_q6 = pc.subtract(
+            pa.scalar(2_000_000, pa.int64()),
+            pc.add(s["symbol_ratio_q6"], s["digit_ratio_q6"]),
+        )
+        return pa.table({"doc_id": s["doc_id"], "score_q6": score_q6})
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return top_fraction_by_score(
+        scored, "score_q6", "doc_id", TOPP_NUMER, TOPP_DENOM
+    )
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: per training doc, #distinct word
+    3-shingles shared with the (broadcast) eval slice doc_id%16==0."""
+    from luzzu_ray.ops.dedup import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def split(want_eval: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            mask = (ids % DECON_MOD == 0) == want_eval
+            return t.filter(pa.array(mask))
+        return fn
+
+    ev = docs.map_batches(split(True), batch_format="pyarrow")
+    tgt = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(tgt, ev)
+
+
+PACK_BUDGET = 512
+PACK_BUCKETS = 64
+
+
+def q_pack_documents(sf_dir: str):
+    """Global ordered prefix-sum packing: concatenate documents in
+    doc_id order and cut into PACK_BUDGET-token training contexts
+    (pack_id = exclusive running word count // budget), computed as a
+    distributed scan — range buckets + broadcast bucket offsets."""
+    from luzzu_ray.ops.relational import ordered_prefix_pack
+    from luzzu_ray.ops.textstats import doc_stats_batch
+
+    def weights(t: pa.Table) -> pa.Table:
+        s = doc_stats_batch(t)
+        return pa.table({"doc_id": s["doc_id"], "n_words": s["n_words"]})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        weights, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ordered_prefix_pack(
+        ds, "doc_id", "n_words", PACK_BUDGET, num_buckets=PACK_BUCKETS
+    )
+
+
 def q_events_asof_salted(sf_dir: str):
     """Skew-proof AS-OF join (chunked partials + summary merge — no
     reduce block ever holds one user's full history), against the SAME
@@ -1419,6 +1489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_salted": q_events_asof_salted,
         "events_rolling_window": q_events_rolling_window,
         "stratified_sample_docs": q_stratified_sample_docs,
+        "quality_topp": q_quality_topp,
+        "decontaminate_docs": q_decontaminate_docs,
+        "pack_documents": q_pack_documents,
         "transcripts_jsonl": q_transcripts_jsonl,
         "ivf_kmeans_ann_topk": q_ivf_kmeans_ann_topk,
         "events_user_value_quantiles": q_events_user_value_quantiles,
@@ -1662,6 +1735,46 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY "
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
+        ),
+        "quality_topp": (
+            "SELECT doc_id, score_q6 FROM (SELECT doc_id, "
+            "2000000 - symbol_ratio_q6 - digit_ratio_q6 AS score_q6 FROM ("
+            f"SELECT doc_id, {_STATS_FRAG} FROM documents)) "
+            "QUALIFY row_number() OVER (ORDER BY score_q6 DESC, doc_id) <= "
+            f"({TOPP_NUMER} * count(*) OVER () + {TOPP_DENOM - 1}) "
+            f"// {TOPP_DENOM}"
+        ),
+        "decontaminate_docs": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in generate_series(1, len(ts) - 2)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+ev AS (SELECT DISTINCT unnest(shingles) AS g FROM sh
+       WHERE doc_id % {DECON_MOD} = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh
+        WHERE doc_id % {DECON_MOD} <> 0) s
+  JOIN ev ON s.g = ev.g GROUP BY s.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {DECON_MOD} <> 0
+""",
+        "pack_documents": (
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens, "
+            "CAST((sum(n_words) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_words) "
+            f"// {PACK_BUDGET} AS BIGINT) AS pack_id FROM ("
+            "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+            "AS n_words FROM documents)"
         ),
         "ivf_kmeans_ann_topk": _ivf_kmeans_sql(),
         "events_user_value_quantiles": (

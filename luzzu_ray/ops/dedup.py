@@ -1176,3 +1176,83 @@ def simhash_dedup(
     pairs = simhash_candidate_pairs(ds, num_partitions)
     labels = cluster_pairs(pairs, num_partitions)
     return _labels_to_dedup_table(labels)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: drop training docs that share any word
+# k-shingle with a (small) evaluation corpus — the classic pre-training
+# leak check (the eval side is benchmarks: tiny by construction, so it
+# broadcasts; the training side streams)
+# ---------------------------------------------------------------------------
+
+def eval_shingle_index(eval_ds: ray.data.Dataset) -> "ray.ObjectRef":
+    """Sorted unique uint64 shingle hashes of the EVAL corpus, built as
+    per-block unique partials (no shuffle) and finalized on the driver —
+    the eval side of decontamination is benchmark data, orders of
+    magnitude smaller than the corpus, so a broadcast index is the
+    100TB-correct shape (never a join that shuffles the training side)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh, _ = _shingle_hashes(t)
+        return pa.table({"h": pa.array(np.unique(sh))})
+
+    parts = eval_ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    if parts:
+        idx = np.unique(np.array([p["h"] for p in parts], dtype=np.uint64))
+    else:
+        idx = np.zeros(0, dtype=np.uint64)
+    return ray.put(idx)
+
+
+class _ContaminationMarker:
+    """Actor-pool stage: per-doc count of DISTINCT shingles shared with
+    the broadcast eval index (resolved once per actor in __init__)."""
+
+    def __init__(self, index_ref):
+        self.index = ray.get(index_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n_overlap = np.zeros(t.num_rows, dtype=np.int64)
+        sh, rid = _shingle_hashes(t)
+        if len(sh) and len(self.index):
+            order = np.lexsort((sh, rid))
+            rs, ss = rid[order], sh[order]
+            first = np.concatenate(
+                ([True], (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1]))
+            )
+            rs, ss = rs[first], ss[first]
+            pos = np.searchsorted(self.index, ss)
+            pos[pos == len(self.index)] = 0
+            hit = self.index[pos] == ss
+            if hit.any():
+                n_overlap = np.bincount(
+                    rs[hit], minlength=t.num_rows
+                ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_overlap": pa.array(n_overlap),
+                "contaminated": pa.array(n_overlap > 0),
+            }
+        )
+
+
+def decontaminate(
+    ds: ray.data.Dataset, eval_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """(doc_id, n_overlap, contaminated) per TRAINING doc: n_overlap =
+    #distinct word SHINGLE_K-shingles shared with ``eval_ds``.  Pure
+    map — no shuffle, no materialization of the training side."""
+    from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
+
+    ref = eval_shingle_index(eval_ds)
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        _ContaminationMarker,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, max(2, cluster_cpus())),
+        fn_constructor_kwargs={"index_ref": ref},
+    )

@@ -275,3 +275,200 @@ def stratified_bottom_k(
     return merged.map_batches(
         bottom_per_group, batch_format="pyarrow", batch_size=None
     )
+
+
+def top_fraction_by_score(
+    ds: ray.data.Dataset,
+    score_col: str,
+    id_col: str,
+    numer: int,
+    denom: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Global top-``numer/denom`` selection by an integer score — the
+    "keep the best P% of the corpus by quality score" primitive of
+    training-data curation, computed EXACTLY and deterministically
+    (ties broken by ascending ``id_col``), equal to SQL's
+    ``QUALIFY row_number() OVER (ORDER BY score DESC, id) <= K`` with
+    ``K = ceil(numer * n / denom)`` in integer arithmetic.
+
+    Two passes, no global sort:
+
+    1. value-count pass — per-block ``(score, count)`` partials merge
+       through one NARROW hash exchange on ``score``; the driver only
+       receives one row per distinct score value (the score must be
+       quantized to a bounded domain, like the histogram ops) and scans
+       the descending cumulative counts for the threshold ``v*`` and the
+       tie quota ``r`` (rows with score == v* still needed to reach K).
+    2. filter pass — rows with score > v* stream straight through;
+       rows with score == v* go through a bottom-``r``-by-id trim
+       (per-block partial keeps <= r rows, one narrow exchange, final
+       trim), and the two streams union.
+
+    SCALE NOTE: the tie trim's reduce block holds <= min(#blocks * r,
+    n_ties) rows.  With a fine-grained score (q6) boundary ties are a
+    sliver of the data; in the degenerate all-one-score corpus this
+    decays to a bottom-K merge and the exchange carries ~K rows."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns([id_col, score_col])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select([score_col]).group_by(score_col)
+            .aggregate([(score_col, "count")])
+            .rename_columns([score_col, "n"])
+        )
+
+    def count_merge(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(score_col).aggregate([("n", "sum")])
+            .rename_columns([score_col, "n"])
+        )
+
+    counts = (
+        picked.map_batches(count_partial, batch_format="pyarrow")
+        .repartition(
+            num_blocks=max(4, num_partitions // 8), keys=[score_col]
+        )
+        .map_batches(count_merge, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    if not counts:
+        return picked.limit(0)
+    vals = np.array([c[score_col] for c in counts], dtype=np.int64)
+    ns = np.array([c["n"] for c in counts], dtype=np.int64)
+    order = np.argsort(-vals)
+    vals, ns = vals[order], ns[order]
+    n_total = int(ns.sum())
+    k_target = (numer * n_total + denom - 1) // denom
+    cum = np.cumsum(ns)
+    ti = int(np.searchsorted(cum, k_target))
+    v_star = int(vals[ti])
+    r_ties = int(k_target - (cum[ti - 1] if ti else 0))
+
+    above = picked.filter(
+        expr=f"{score_col} > {v_star}"
+    )
+    if r_ties <= 0:
+        return above
+
+    def tie_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t[score_col], v_star))
+        if t.num_rows > r_ties:
+            t = t.sort_by([(id_col, "ascending")]).slice(0, r_ties)
+        return t
+
+    trimmed = (
+        picked.map_batches(tie_partial, batch_format="pyarrow")
+        .repartition(num_blocks=1)
+        .map_batches(tie_partial, batch_format="pyarrow", batch_size=None)
+    )
+    return above.union(trimmed)
+
+
+def ordered_prefix_pack(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    num_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Global ordered prefix-sum packing — the LM-training "concatenate
+    the corpus in ``id_col`` order and cut it into fixed token budgets"
+    primitive: ``pack_id = exclusive_prefix_sum(weight) // budget`` over
+    the GLOBAL ``id_col`` order, i.e. SQL's
+    ``(sum(w) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) - w) // budget``.
+
+    A scan (running total) is the classic shuffle-hostile shape; here it
+    is three metadata-light passes with NO global sort:
+
+    1. min/max of ``id_col`` (streaming aggregate) fixes a range-bucket
+       width (on Parquet at scale this is free from row-group stats);
+    2. per-block ``(bucket, sum(weight))`` partials merge through one
+       narrow exchange — the driver receives <= ``num_buckets`` rows and
+       prefix-sums them into per-bucket exclusive offsets;
+    3. rows hash-exchange on their range bucket; each reduce block
+       sorts its buckets by ``id_col``, local-cumsums, and adds the
+       broadcast bucket offset.
+
+    Deterministic, layout-invariant, and exact-integer.  Skew note: a
+    range bucket with a disproportionate share of rows makes one reduce
+    block large; ``num_buckets`` scales with the cluster and buckets are
+    contiguous id ranges, so uniform-ish ids (the common case for dense
+    doc ids) balance well."""
+    from ray.data.aggregate import Max, Min
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, None)
+    picked = ds.select_columns([id_col, weight_col])
+
+    rng = picked.aggregate(Min(id_col), Max(id_col))
+    if not rng or rng.get(f"min({id_col})") is None:
+        return picked.limit(0)
+    lo, hi = int(rng[f"min({id_col})"]), int(rng[f"max({id_col})"])
+    width = max(1, (hi - lo + num_buckets) // num_buckets)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (ids.astype(np.int64) - lo) // width
+        return t.append_column("_bkt", pa.array(b))
+
+    bucketed = picked.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["_bkt", weight_col]).group_by("_bkt")
+            .aggregate([(weight_col, "sum")]).rename_columns(["_bkt", "w"])
+        )
+
+    totals = (
+        bucketed.map_batches(sum_partial, batch_format="pyarrow")
+        .repartition(num_blocks=max(4, num_partitions // 8), keys=["_bkt"])
+        .map_batches(
+            lambda t: t.group_by("_bkt").aggregate([("w", "sum")])
+            .rename_columns(["_bkt", "w"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .take_all()
+    )
+    offsets = np.zeros(num_buckets + 1, dtype=np.int64)
+    for row in totals:
+        offsets[int(row["_bkt"]) + 1] = int(row["w"])
+    offsets = np.cumsum(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "pack_id": pa.array([], pa.int64())}
+            )
+        t = t.sort_by([("_bkt", "ascending"), (id_col, "ascending")])
+        b = t["_bkt"].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.cumsum(w)
+        new_b = np.concatenate(([True], b[1:] != b[:-1]))
+        starts = np.flatnonzero(new_b)
+        seg0 = np.where(starts > 0, cs[starts - 1], 0)  # cumsum before seg
+        excl = cs - w - seg0[np.cumsum(new_b) - 1] + offsets[b[starts]][
+            np.cumsum(new_b) - 1
+        ]
+        return pa.table(
+            {id_col: t[id_col],
+             "n_tokens": pa.array(w),
+             "pack_id": pa.array(excl // budget)}
+        )
+
+    part = bucketed.repartition(
+        num_blocks=min(num_partitions, num_buckets), keys=["_bkt"]
+    )
+    return part.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -862,3 +862,127 @@ def test_stratified_bottom_k_layout_invariant(ray_session):
         ).take_all()
     )
     assert got2 == got
+
+
+def test_top_fraction_by_score_exact(ray_session):
+    """Global top-P% selection equals the sort-everything twin,
+    including a tie-heavy score distribution, across block layouts."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import top_fraction_by_score
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    ids = rng.permutation(n).astype(np.int64)
+    # tie-heavy: only 9 distinct scores, so the threshold lands mid-tie
+    score = rng.integers(0, 9, n).astype(np.int64) * 1000
+    t = pa.table({"doc_id": pa.array(ids), "score_q6": pa.array(score)})
+
+    for numer, denom in [(1, 10), (1, 3), (9, 10)]:
+        got = sorted(
+            (r["score_q6"], r["doc_id"]) for r in top_fraction_by_score(
+                ray.data.from_arrow(t).repartition(7),
+                "score_q6", "doc_id", numer, denom,
+            ).take_all()
+        )
+        k = (numer * n + denom - 1) // denom
+        order = np.lexsort((ids, -score))[:k]
+        want = sorted(zip(score[order].tolist(), ids[order].tolist()))
+        assert got == want, (numer, denom)
+
+
+def test_top_fraction_single_score_degenerate(ray_session):
+    """All rows share one score: decays to exact bottom-K by id."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import top_fraction_by_score
+
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(100, 0, -1, dtype=np.int64)),
+         "score_q6": pa.array(np.full(100, 7, dtype=np.int64))}
+    )
+    got = sorted(
+        r["doc_id"] for r in top_fraction_by_score(
+            ray.data.from_arrow(t).repartition(5),
+            "score_q6", "doc_id", 1, 4,
+        ).take_all()
+    )
+    assert got == list(range(1, 26))
+
+
+def test_decontaminate_matches_set_twin(ray_session):
+    """n_overlap equals a per-doc Python set intersection against the
+    eval corpus's shingle set; clean docs report 0."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import SHINGLE_K, decontaminate
+
+    rng = np.random.default_rng(43)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    for i in range(300):
+        nw = int(rng.integers(0, 30))
+        texts.append(" ".join(rng.choice(vocab, nw)))
+        ids.append(i)
+    t = pa.table(
+        {"doc_id": pa.array(np.array(ids, dtype=np.int64)),
+         "text": pa.array(texts)}
+    )
+    ev_mask = np.array(ids) % 5 == 0
+    ev = ray.data.from_arrow(t.filter(pa.array(ev_mask)))
+    tgt = ray.data.from_arrow(t.filter(pa.array(~ev_mask)))
+    got = {r["doc_id"]: (r["n_overlap"], r["contaminated"]) for r in
+           decontaminate(tgt, ev).take_all()}
+
+    def shingles(s: str) -> set:
+        w = s.split()
+        return {tuple(w[i:i + SHINGLE_K])
+                for i in range(len(w) - SHINGLE_K + 1)}
+
+    ev_sh = set().union(*(shingles(texts[i]) for i in range(300)
+                          if ev_mask[i])) if ev_mask.any() else set()
+    want = {}
+    for i in range(300):
+        if ev_mask[i]:
+            continue
+        n = len(shingles(texts[i]) & ev_sh)
+        want[i] = (n, n > 0)
+    assert got == want
+    assert any(v[0] > 0 for v in got.values())  # fixture hits both sides
+    assert any(v[0] == 0 for v in got.values())
+
+
+def test_ordered_prefix_pack_matches_scan_twin(ray_session):
+    """Distributed prefix-sum packing equals the sequential scan, with
+    sparse non-contiguous ids, across block layouts."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import ordered_prefix_pack
+
+    rng = np.random.default_rng(47)
+    n = 4000
+    ids = np.sort(rng.choice(10**9, n, replace=False)).astype(np.int64)
+    w = rng.integers(0, 900, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(rng.permutation(ids)),
+                  "n_words": pa.array(w)})
+    budget = 512
+    got = {r["doc_id"]: (r["n_tokens"], r["pack_id"]) for r in
+           ordered_prefix_pack(
+               ray.data.from_arrow(t).repartition(9),
+               "doc_id", "n_words", budget, num_buckets=32,
+           ).take_all()}
+    assert len(got) == n
+    # sequential twin over doc_id order
+    order = np.argsort(t["doc_id"].to_numpy())
+    oid = t["doc_id"].to_numpy()[order]
+    ow = t["n_words"].to_numpy()[order]
+    excl = np.cumsum(ow) - ow
+    want = {int(i): (int(wt), int(e // budget))
+            for i, wt, e in zip(oid, ow, excl)}
+    assert got == want
+    got2 = {r["doc_id"]: (r["n_tokens"], r["pack_id"]) for r in
+            ordered_prefix_pack(
+                ray.data.from_arrow(t).repartition(2),
+                "doc_id", "n_words", budget, num_buckets=8,
+            ).take_all()}
+    assert got2 == want
