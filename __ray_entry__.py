@@ -1108,6 +1108,36 @@ def q_decontaminate_docs(sf_dir: str):
 
 PACK_BUDGET = 512
 PACK_BUCKETS = 64
+SHINGLE_MIN_DF = 2
+
+
+def q_customers_no_f_orders(sf_dir: str):
+    """Distributed ANTI join (NOT EXISTS): customers with no
+    'F'-status order; right side reduced to distinct keys pre-exchange."""
+    from luzzu_ray.ops.relational import anti_join
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def only_f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderstatus"], "F"))
+
+    return anti_join(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_name"]),
+        orders.map_batches(only_f, batch_format="pyarrow"),
+        left_key="c_custkey", right_key="o_custkey",
+        carry_cols=["c_name"],
+    )
+
+
+def q_shingle_df_profile(sf_dir: str):
+    """Boilerplate detector aggregate: (df, n_shingles) distribution of
+    shingle document frequencies, df >= SHINGLE_MIN_DF — hash-free
+    output so the string-shingle SQL oracle compares exactly."""
+    from luzzu_ray.ops.dedup import shingle_df_profile
+
+    return shingle_df_profile(
+        _docs(sf_dir, ["doc_id", "text"]), min_df=SHINGLE_MIN_DF
+    )
 
 
 def q_pack_documents(sf_dir: str):
@@ -1492,6 +1522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_topp": q_quality_topp,
         "decontaminate_docs": q_decontaminate_docs,
         "pack_documents": q_pack_documents,
+        "customers_no_f_orders": q_customers_no_f_orders,
+        "shingle_df_profile": q_shingle_df_profile,
         "transcripts_jsonl": q_transcripts_jsonl,
         "ivf_kmeans_ann_topk": q_ivf_kmeans_ann_topk,
         "events_user_value_quantiles": q_events_user_value_quantiles,
@@ -1767,6 +1799,30 @@ SELECT d.doc_id, CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
        coalesce(h.n_overlap, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % {DECON_MOD} <> 0
+""",
+        "customers_no_f_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'F')"
+        ),
+        "shingle_df_profile": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in generate_series(1, len(ts) - 2)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+dfs AS (
+  SELECT g, count(*) AS df
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)
+  GROUP BY g HAVING count(*) >= {SHINGLE_MIN_DF}
+)
+SELECT CAST(df AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n_shingles
+FROM dfs GROUP BY df
 """,
         "pack_documents": (
             "SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens, "

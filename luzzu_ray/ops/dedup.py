@@ -1256,3 +1256,81 @@ def decontaminate(
         concurrency=(1, max(2, cluster_cpus())),
         fn_constructor_kwargs={"index_ref": ref},
     )
+
+
+def shingle_df_profile(
+    ds: ray.data.Dataset, min_df: int = 2, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Corpus-wide shingle document-frequency PROFILE: for every df >=
+    ``min_df``, how many distinct word SHINGLE_K-shingles occur in
+    exactly df documents — the boilerplate / template-detection
+    aggregate (a shingle shared by thousands of docs is navigation
+    chrome, not content).  Emitting the (df, n_shingles) distribution
+    instead of the shingles themselves keeps the result hash-free, so a
+    string-shingle SQL oracle compares exactly.
+
+    Shape: per-block (shingle_hash, partial_df) pre-aggregates (distinct
+    per doc first), ONE hash exchange on the shingle hash, per-block
+    final df + profile partial, then a second narrow exchange on df —
+    shingle payloads never leave their reduce block."""
+    _hash_shuffle_ctx()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh, rid = _shingle_hashes(t)
+        if not len(sh):
+            return pa.table(
+                {"h": pa.array([], pa.uint64()),
+                 "c": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((sh, rid))
+        rs, ss = rid[order], sh[order]
+        first = np.concatenate(
+            ([True], (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1]))
+        )
+        hu, cu = np.unique(ss[first], return_counts=True)
+        return pa.table(
+            {"h": pa.array(hu), "c": pa.array(cu.astype(np.int64))}
+        )
+
+    def df_profile_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"df": pa.array([], pa.int64()),
+                 "n_shingles": pa.array([], pa.int64())}
+            )
+        h = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = t["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, c = h[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], h[1:] != h[:-1]))
+        )
+        df = np.add.reduceat(c, starts)
+        df = df[df >= min_df]
+        if not len(df):
+            return pa.table(
+                {"df": pa.array([], pa.int64()),
+                 "n_shingles": pa.array([], pa.int64())}
+            )
+        dfu, nsh = np.unique(df, return_counts=True)
+        return pa.table(
+            {"df": pa.array(dfu.astype(np.int64)),
+             "n_shingles": pa.array(nsh.astype(np.int64))}
+        )
+
+    def profile_merge(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("df").aggregate([("n_shingles", "sum")])
+            .rename_columns(["df", "n_shingles"])
+        )
+
+    parts = ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    profiles = parts.repartition(
+        num_blocks=num_partitions, keys=["h"]
+    ).map_batches(df_profile_block, batch_format="pyarrow", batch_size=None)
+    return profiles.repartition(
+        num_blocks=max(2, num_partitions // 16), keys=["df"]
+    ).map_batches(profile_merge, batch_format="pyarrow", batch_size=None)

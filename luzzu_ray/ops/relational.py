@@ -472,3 +472,70 @@ def ordered_prefix_pack(
         num_blocks=min(num_partitions, num_buckets), keys=["_bkt"]
     )
     return part.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def anti_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    carry_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed ANTI join: rows of ``left`` whose key appears nowhere
+    in ``right`` (SQL ``NOT EXISTS``) — the relational complement the
+    inner joins don't cover, needed for "customers with no X" audits
+    and held-out-set exclusion.
+
+    Both sides hash-exchange on the key; the right side is reduced to
+    per-block DISTINCT keys BEFORE the exchange (only unique keys move,
+    never right payloads), and each reduce block filters its co-located
+    left rows against its right-key set with one vectorized ``is_in``.
+    NULL right keys match nothing, per SQL NOT EXISTS semantics."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(left, num_partitions)
+    lsch = left.schema()
+    carry_types = {c: lsch.types[lsch.names.index(c)] for c in carry_cols}
+    key_type = lsch.types[lsch.names.index(left_key)]
+
+    def conform_left(t: pa.Table) -> pa.Table:
+        cols = {left_key: t[left_key]}
+        cols.update({c: t[c] for c in carry_cols})
+        cols["_side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def conform_right(t: pa.Table) -> pa.Table:
+        k = pc.unique(pc.cast(t[right_key], key_type))
+        cols = {left_key: k}
+        cols.update(
+            {c: pa.nulls(len(k), carry_types[c]) for c in carry_cols}
+        )
+        cols["_side"] = pa.array(np.ones(len(k), dtype=np.int8))
+        return pa.table(cols)
+
+    both = left.select_columns([left_key] + carry_cols).map_batches(
+        conform_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([right_key]).map_batches(
+            conform_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def anti_block(t: pa.Table) -> pa.Table:
+        side = t["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).drop_columns(["_side"])
+        rk = pc.unique(
+            pc.drop_null(t.filter(pa.array(side == 1))[left_key])
+        )
+        if len(rk) == 0 or lt.num_rows == 0:
+            return lt
+        return lt.filter(
+            pc.invert(pc.is_in(lt[left_key], value_set=rk))
+        )
+
+    return both.repartition(
+        num_blocks=num_partitions, keys=[left_key]
+    ).map_batches(anti_block, batch_format="pyarrow", batch_size=None)

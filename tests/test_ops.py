@@ -986,3 +986,70 @@ def test_ordered_prefix_pack_matches_scan_twin(ray_session):
                 "doc_id", "n_words", budget, num_buckets=8,
             ).take_all()}
     assert got2 == want
+
+
+def test_anti_join_matches_set_twin(ray_session):
+    """Distributed anti-join equals Python set difference, with right
+    duplicates, null right keys, and empty-right behavior."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import anti_join
+
+    rng = np.random.default_rng(53)
+    lk = rng.permutation(np.arange(500, dtype=np.int64))
+    left = pa.table(
+        {"k": pa.array(lk), "name": pa.array([f"n{i}" for i in lk])}
+    )
+    rk = rng.choice(800, 900, replace=True).astype(np.int64)
+    right = pa.table(
+        {"rk": pa.array(rk.tolist() + [None], pa.int64())}
+    )
+    got = sorted(
+        (r["k"], r["name"]) for r in anti_join(
+            ray.data.from_arrow(left).repartition(6),
+            ray.data.from_arrow(right).repartition(4),
+            "k", "rk", ["name"],
+        ).take_all()
+    )
+    rset = set(rk.tolist())
+    want = sorted((int(i), f"n{i}") for i in lk if int(i) not in rset)
+    assert got == want and 0 < len(got) < 500
+    # empty right side: everything survives
+    got_all = anti_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right.slice(0, 0)),
+        "k", "rk", ["name"],
+    ).count()
+    assert got_all == 500
+
+
+def test_shingle_df_profile_matches_set_twin(ray_session):
+    """(df, n_shingles) distribution equals a Python dict twin, across
+    block layouts."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.dedup import SHINGLE_K, shingle_df_profile
+
+    rng = np.random.default_rng(59)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(0, 25))))
+             for _ in range(400)]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+         "text": pa.array(texts)}
+    )
+    df = collections.Counter()
+    for s in texts:
+        w = s.split()
+        for g in {tuple(w[i:i + SHINGLE_K])
+                  for i in range(len(w) - SHINGLE_K + 1)}:
+            df[g] += 1
+    want = collections.Counter(c for c in df.values() if c >= 2)
+    for parts in (3, 11):
+        got = {r["df"]: r["n_shingles"] for r in shingle_df_profile(
+            ray.data.from_arrow(t).repartition(parts), min_df=2, num_partitions=8,
+        ).take_all()}
+        assert got == dict(want), parts
+    assert len(want) >= 3
