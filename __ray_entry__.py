@@ -1111,6 +1111,17 @@ PACK_BUCKETS = 64
 SHINGLE_MIN_DF = 2
 
 
+def q_render_user_streams(sf_dir: str):
+    """SFT-style transcript rendering: every user's events joined into
+    one ordered newline string — Arrow binary_join kernels end to end."""
+    from luzzu_ray.ops.events import render_user_streams
+
+    return render_user_streams(
+        _tbl(sf_dir, "events",
+             ["event_id", "user_id", "ts", "event_type", "value"])
+    )
+
+
 def q_customers_no_f_orders(sf_dir: str):
     """Distributed ANTI join (NOT EXISTS): customers with no
     'F'-status order; right side reduced to distinct keys pre-exchange."""
@@ -1523,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "pack_documents": q_pack_documents,
         "customers_no_f_orders": q_customers_no_f_orders,
+        "render_user_streams": q_render_user_streams,
         "shingle_df_profile": q_shingle_df_profile,
         "transcripts_jsonl": q_transcripts_jsonl,
         "ivf_kmeans_ann_topk": q_ivf_kmeans_ann_topk,
@@ -1800,6 +1812,13 @@ SELECT d.doc_id, CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % {DECON_MOD} <> 0
 """,
+        "render_user_streams": (
+            "SELECT user_id, string_agg(event_type || ':' || "
+            "CAST(CAST(floor(value * 10000.0) AS BIGINT) AS VARCHAR), "
+            "chr(10) ORDER BY ts, event_id) AS transcript, "
+            "CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM events GROUP BY user_id"
+        ),
         "customers_no_f_orders": (
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "

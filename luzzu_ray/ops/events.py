@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
@@ -597,4 +598,72 @@ def rolling_user_window(
     return part.map_batches(
         _rolling_block, fn_kwargs={"window": window},
         batch_format="pyarrow", batch_size=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered per-key transcript rendering: the "format a conversation for
+# tokenization" step of an SFT pipeline, expressed as a vectorized
+# per-group ordered string aggregation (SQL string_agg ... ORDER BY)
+# ---------------------------------------------------------------------------
+
+def _render_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "transcript": pa.array([], pa.string()),
+             "n_lines": pa.array([], pa.int64())}
+        )
+    t = t.sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+    )
+    lines = t["line"].combine_chunks()
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    new_u = np.concatenate(([True], uid[1:] != uid[:-1]))
+    starts = np.flatnonzero(new_u)
+    offsets = np.concatenate((starts, [len(uid)])).astype(np.int32)
+    groups = pa.ListArray.from_arrays(pa.array(offsets), lines)
+    joined = pc.binary_join(groups, "\n")
+    return pa.table(
+        {"user_id": pa.array(uid[starts]),
+         "transcript": joined,
+         "n_lines": pa.array(np.diff(offsets).astype(np.int64))}
+    )
+
+
+def render_user_streams(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """(user_id, transcript, n_lines): every user's events rendered to
+    one newline-joined string in (ts, event_id) order — per-row line
+    formatting and per-group joins are BOTH Arrow kernels
+    (binary_join_element_wise, then ListArray offsets + binary_join),
+    no Python row loop.  One hash exchange on user_id; same
+    one-key-per-block assumption as sessionize (the salted-chunk
+    protocol applies if a single user's history outgrows a block)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        vq4 = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t["value"], pa.float64()), 10_000.0)),
+            pa.int64(),
+        )
+        line = pc.binary_join_element_wise(
+            t["event_type"], pc.cast(vq4, pa.string()), ":"
+        )
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"],
+             "ts": t["ts"], "line": line}
+        )
+
+    picked = ds.select_columns(
+        ["event_id", "user_id", "ts", "event_type", "value"]
+    ).map_batches(fmt, batch_format="pyarrow", zero_copy_batch=True)
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+    return part.map_batches(
+        _render_block, batch_format="pyarrow", batch_size=None
     )

@@ -1053,3 +1053,36 @@ def test_shingle_df_profile_matches_set_twin(ray_session):
         ).take_all()}
         assert got == dict(want), parts
     assert len(want) >= 3
+
+
+def test_render_user_streams_matches_twin(ray_session):
+    """Rendered transcripts equal a per-row Python twin, layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.events import render_user_streams
+
+    rng = np.random.default_rng(61)
+    n = 1500
+    uid = rng.integers(0, 25, n)
+    ts = rng.integers(0, 10**6, n) * 1_000_000
+    et = rng.choice(["click", "view", "error"], n)
+    val = rng.random(n) * 20
+    t = pa.table(
+        {"event_id": pa.array(np.arange(n, dtype=np.int64)),
+         "user_id": pa.array(uid, pa.int64()),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "event_type": pa.array(et),
+         "value": pa.array(val, pa.float64())}
+    )
+    lines: dict[int, list[str]] = {}
+    for i in np.lexsort((np.arange(n), ts, uid)):
+        lines.setdefault(int(uid[i]), []).append(
+            f"{et[i]}:{int(np.floor(val[i] * 10000.0))}"
+        )
+    want = {u: ("\n".join(ls), len(ls)) for u, ls in lines.items()}
+    for parts in (2, 10):
+        got = {r["user_id"]: (r["transcript"], r["n_lines"]) for r in
+               render_user_streams(
+                   ray.data.from_arrow(t).repartition(parts), 6,
+               ).take_all()}
+        assert got == want, parts
