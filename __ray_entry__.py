@@ -1111,6 +1111,29 @@ PACK_BUCKETS = 64
 SHINGLE_MIN_DF = 2
 
 
+VOCAB_TOPV = 50
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary build: top-V words by (tf DESC, word), with
+    document frequency — block-local (word,tf,df) partials, one hash
+    groupby, narrow top-V sort."""
+    from luzzu_ray.ops.vocab import word_stats_topv
+
+    return word_stats_topv(_docs(sf_dir, ["text"]), VOCAB_TOPV)
+
+
+def q_doc_global_rank(sf_dir: str):
+    """Distributed order statistics: exact global
+    row_number() / NTILE(10) over (n_chars DESC, doc_id) for every doc
+    via sampled range partitioning + O(B) driver offsets."""
+    from luzzu_ray.ops.relational import global_rank
+
+    return global_rank(
+        _docs(sf_dir, ["doc_id", "n_chars"]), "n_chars", "doc_id", ntile=10
+    )
+
+
 def q_render_user_streams(sf_dir: str):
     """SFT-style transcript rendering: every user's events joined into
     one ordered newline string — Arrow binary_join kernels end to end."""
@@ -1535,6 +1558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": q_pack_documents,
         "customers_no_f_orders": q_customers_no_f_orders,
         "render_user_streams": q_render_user_streams,
+        "vocab_topk": q_vocab_topk,
+        "doc_global_rank": q_doc_global_rank,
         "shingle_df_profile": q_shingle_df_profile,
         "transcripts_jsonl": q_transcripts_jsonl,
         "ivf_kmeans_ann_topk": q_ivf_kmeans_ann_topk,
@@ -1812,6 +1837,20 @@ SELECT d.doc_id, CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % {DECON_MOD} <> 0
 """,
+        "vocab_topk": (
+            "SELECT word, CAST(count(*) AS BIGINT) AS tf, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+            "FROM documents) GROUP BY word "
+            f"ORDER BY tf DESC, word LIMIT {VOCAB_TOPV}"
+        ),
+        "doc_global_rank": (
+            "SELECT doc_id, n_chars, "
+            "CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) "
+            "AS BIGINT) AS rnk, "
+            "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
+            "AS BIGINT) AS tile FROM documents"
+        ),
         "render_user_streams": (
             "SELECT user_id, string_agg(event_type || ':' || "
             "CAST(CAST(floor(value * 10000.0) AS BIGINT) AS VARCHAR), "

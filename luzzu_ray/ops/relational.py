@@ -539,3 +539,133 @@ def anti_join(
     return both.repartition(
         num_blocks=num_partitions, keys=[left_key]
     ).map_batches(anti_block, batch_format="pyarrow", batch_size=None)
+
+
+RANK_HASH_A = 0x9E3779B97F4A7C15
+RANK_HASH_B = 0xD1B54A32D192ED03
+RANK_SAMPLE_K = 4096
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    score_col: str,
+    id_col: str,
+    ntile: int | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact global ``row_number() OVER (ORDER BY score DESC, id ASC)``
+    for EVERY row — a distributed order-statistics primitive, without a
+    monolithic sort materialization of the wide table.
+
+    Protocol (all exchanges are narrow: only (id, score) rows move):
+
+    1. bottom-k-hash sample of scores → up to B-1 range cut points
+       (layout-invariant; cuts affect only balance, never the result);
+    2. each row gets a range id ``pid`` via ``searchsorted`` — EQUAL
+       scores always land in the SAME range, so intra-score id-ordering
+       never crosses a partition (skew caveat: one hot score value = one
+       hot partition, same assumption class as sessionize);
+    3. one hash exchange on pid; the narrow shuffled table is
+       materialized ONCE (it is the id+score projection, not the data);
+    4. per-range counts roll up to the driver as O(B) values → prefix
+       offsets broadcast back;
+    5. each block sorts by (score DESC, id) and emits
+       rank = offset[pid] + position-in-range; ``ntile=k`` additionally
+       emits the SQL NTILE(k) bucket derived from rank and the total.
+
+    Output columns: (id_col, score_col, rnk[, tile]).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    narrow = ds.select_columns([id_col, score_col])
+
+    sample = bottom_k_by_hash(
+        narrow, id_col, RANK_SAMPLE_K, [score_col], RANK_HASH_A, RANK_HASH_B
+    )
+    svals = np.unique(
+        np.asarray(sample[score_col].to_numpy(zero_copy_only=False),
+                   dtype=np.int64)
+    )  # ascending distinct sampled scores
+    if len(svals) > 1:
+        # descending-order ranges: cut on negated scores, ascending
+        pick = np.linspace(0, len(svals) - 1, min(num_partitions, len(svals)),
+                           dtype=np.int64)
+        cuts_neg = np.sort(-svals[pick])[:-1]
+    else:
+        cuts_neg = np.empty(0, dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = np.searchsorted(cuts_neg, -s, side="right").astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], score_col: t[score_col],
+             "pid": pa.array(pid)}
+        )
+
+    part = narrow.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=num_partitions, keys=["pid"]).materialize()
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        c = np.bincount(pid, minlength=len(cuts_neg) + 1).astype(np.int64)
+        return pa.table(
+            {"pid": pa.array(np.arange(len(c), dtype=np.int64)),
+             "n": pa.array(c)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    cnt_rows = part.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).groupby("pid", num_partitions=4).aggregate(
+        Sum("n", alias_name="n")
+    ).take_all()  # <= B rows on the driver, by construction
+    counts = np.zeros(len(cuts_neg) + 1, dtype=np.int64)
+    for r in cnt_rows:
+        counts[r["pid"]] = r["n"]
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+
+    if ntile is not None:
+        q, r = divmod(n_total, ntile)
+        tile_edge = r * (q + 1)
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {id_col: pa.array([], pa.int64()),
+                    score_col: pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64())}
+            if ntile is not None:
+                cols["tile"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pid = t["pid"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))
+        pid_o = pid[order]
+        # position within each contiguous pid segment (pid is a
+        # monotone function of -score, so the sort groups ranges)
+        newseg = np.concatenate(([True], pid_o[1:] != pid_o[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(newseg, np.arange(len(pid_o)), 0)
+        )
+        rnk = offsets[pid_o] + (np.arange(len(pid_o)) - seg_start) + 1
+        cols = {id_col: pa.array(ids[order]),
+                score_col: pa.array(s[order]),
+                "rnk": pa.array(rnk.astype(np.int64))}
+        if ntile is not None:
+            in_big = rnk <= tile_edge
+            big = (rnk - 1) // (q + 1)
+            small = r + (rnk - 1 - tile_edge) // max(q, 1)
+            cols["tile"] = pa.array(
+                (np.where(in_big, big, small) + 1).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return part.map_batches(
+        rank_block, batch_format="pyarrow", batch_size=None
+    )

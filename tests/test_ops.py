@@ -1086,3 +1086,64 @@ def test_render_user_streams_matches_twin(ray_session):
                    ray.data.from_arrow(t).repartition(parts), 6,
                ).take_all()}
         assert got == want, parts
+
+
+def test_word_stats_topv_matches_twin(ray_session):
+    """Top-V vocabulary equals a Python counter twin, layout-invariant."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.vocab import word_stats_topv
+
+    rng = np.random.default_rng(71)
+    words = ["alpha", "beta", "gamma", "delta", "eps", ""]
+    docs = [" ".join(rng.choice(words, rng.integers(0, 9)))
+            for _ in range(400)]
+    t = pa.table({"text": pa.array(docs)})
+    tf: collections.Counter = collections.Counter()
+    df: collections.Counter = collections.Counter()
+    for d in docs:
+        toks = d.split(" ")  # '' -> [''] like string_split
+        tf.update(toks)
+        df.update(set(toks))
+    want = sorted(
+        ((w, tf[w], df[w]) for w in tf), key=lambda x: (-x[1], x[0])
+    )[:4]
+    for parts in (1, 7):
+        got = [(r["word"], r["tf"], r["df"]) for r in
+               word_stats_topv(
+                   ray.data.from_arrow(t).repartition(parts), 4,
+               ).take_all()]
+        assert got == want, parts
+
+
+def test_global_rank_matches_twin(ray_session):
+    """row_number + NTILE equal the sort-based twin under heavy score
+    ties and across block layouts / shuffle widths."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import global_rank
+
+    rng = np.random.default_rng(72)
+    n = 3000
+    ids = rng.permutation(n).astype(np.int64)
+    scores = rng.integers(0, 40, n).astype(np.int64)  # heavy ties
+    t = pa.table({"doc_id": pa.array(ids), "s": pa.array(scores)})
+    order = np.lexsort((ids, -scores))
+    rnk = np.empty(n, dtype=np.int64)
+    rnk[order] = np.arange(1, n + 1)
+    k = 7
+    q, r = divmod(n, k)
+    edge = r * (q + 1)
+    tile = np.where(
+        rnk <= edge, (rnk - 1) // (q + 1), r + (rnk - 1 - edge) // max(q, 1)
+    ) + 1
+    want = {int(i): (int(a), int(b)) for i, a, b in zip(ids, rnk, tile)}
+    for parts, width in ((2, None), (9, 5)):
+        got = {r2["doc_id"]: (r2["rnk"], r2["tile"]) for r2 in
+               global_rank(
+                   ray.data.from_arrow(t).repartition(parts),
+                   "s", "doc_id", ntile=k, num_partitions=width,
+               ).take_all()}
+        assert got == want, (parts, width)
