@@ -1111,7 +1111,59 @@ PACK_BUCKETS = 64
 SHINGLE_MIN_DF = 2
 
 
+from luzzu_ray.ops.sketch import KMV_HASH_A, KMV_HASH_B
+
 VOCAB_TOPV = 50
+KMV_K = 256
+MIX_A = 0xBF58476D1CE4E5B9
+MIX_B = 0x94D049BB133111EB
+MIX_TARGET_FRAC = 0.35
+MIX_SHARES = {
+    "src0": 0.3, "src1": 0.2,
+    "src2": 0.1, "src3": 0.1, "src4": 0.1, "src5": 0.1,
+    "src6": 0.025, "src7": 0.025, "src8": 0.025, "src9": 0.025,
+}
+
+
+def q_collapse_repeats(sf_dir: str):
+    """Intra-doc stutter scrub: consecutive duplicate tokens dropped —
+    one Arrow split + shifted equality + rejoin per batch, no exchange."""
+    from luzzu_ray.ops.vocab import collapse_repeat_tokens
+
+    return collapse_repeat_tokens(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_events_value_distinct_kmv(sf_dir: str):
+    """KMV bottom-k distinct-count sketch over quantized event values —
+    O(k) state per block, O(k) bytes through one narrow exchange, and a
+    deterministic integer estimator the SQL oracle reproduces exactly."""
+    from luzzu_ray.ops.sketch import kmv_distinct
+
+    ev = _tbl(sf_dir, "events", ["value"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        qv = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t["value"], pa.float64()), 10_000.0)),
+            pa.int64(),
+        )
+        return pa.table({"qv": qv})
+
+    return kmv_distinct(
+        ev.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True),
+        "qv", KMV_K,
+    )
+
+
+def q_mixture_rebalance_docs(sf_dir: str):
+    """Domain-mix rebalancing: per-source keep rates derived from actual
+    counts to hit target proportions, then a deterministic keyed-hash
+    filter; two narrow passes, O(#sources) driver state."""
+    from luzzu_ray.ops.relational import rebalance_mixture
+
+    return rebalance_mixture(
+        _docs(sf_dir, ["doc_id", "source"]), "source", "doc_id",
+        MIX_SHARES, MIX_TARGET_FRAC, MIX_A, MIX_B,
+    )
 
 
 def q_vocab_topk(sf_dir: str):
@@ -1560,6 +1612,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_user_streams": q_render_user_streams,
         "vocab_topk": q_vocab_topk,
         "doc_global_rank": q_doc_global_rank,
+        "collapse_repeats": q_collapse_repeats,
+        "events_value_distinct_kmv": q_events_value_distinct_kmv,
+        "mixture_rebalance_docs": q_mixture_rebalance_docs,
         "shingle_df_profile": q_shingle_df_profile,
         "transcripts_jsonl": q_transcripts_jsonl,
         "ivf_kmeans_ann_topk": q_ivf_kmeans_ann_topk,
@@ -1850,6 +1905,43 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "AS BIGINT) AS rnk, "
             "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
             "AS BIGINT) AS tile FROM documents"
+        ),
+        "collapse_repeats": (
+            "SELECT doc_id, array_to_string(list_filter(w, (x, i) -> "
+            "i = 1 OR x <> w[i-1]), ' ') AS text_collapsed, "
+            "CAST(len(w) - len(list_filter(w, (x, i) -> i = 1 OR "
+            "x <> w[i-1])) AS BIGINT) AS n_removed FROM "
+            "(SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+        ),
+        "events_value_distinct_kmv": (
+            "WITH q AS (SELECT DISTINCT CAST(floor(value * 10000.0) "
+            "AS BIGINT) AS qv FROM events), "
+            "h AS (SELECT DISTINCT ((CAST(qv AS HUGEINT) * "
+            f"{KMV_HASH_A} + {KMV_HASH_B}) % "
+            "18446744073709551616) AS hv FROM q), "
+            f"b AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}), "
+            "m AS (SELECT count(*) AS c, max(hv) AS kth FROM b) "
+            f"SELECT CAST({KMV_K} AS BIGINT) AS k, "
+            f"CAST(CASE WHEN c < {KMV_K} THEN c ELSE "
+            f"({KMV_K - 1} * CAST(18446744073709551616 AS HUGEINT)) "
+            "// kth END AS BIGINT) AS n_distinct_est FROM m"
+        ),
+        "mixture_rebalance_docs": (
+            "WITH cnt AS (SELECT source, count(*) AS n FROM documents "
+            "GROUP BY source), "
+            "tot AS (SELECT floor("
+            f"{MIX_TARGET_FRAC} * sum(n)) AS t FROM cnt), "
+            "thr AS (SELECT source, CAST(floor(least(1.0, (CASE source "
+            + " ".join(
+                f"WHEN '{s}' THEN {v}" for s, v in MIX_SHARES.items()
+            )
+            + " ELSE 0.0 END) * (SELECT t FROM tot) / "
+            "CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS lim "
+            "FROM cnt) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN thr ON d.source = thr.source WHERE "
+            f"((CAST(d.doc_id AS HUGEINT) * {MIX_A} + {MIX_B}) % "
+            "18446744073709551616) // 4294967296 < thr.lim"
         ),
         "render_user_streams": (
             "SELECT user_id, string_agg(event_type || ':' || "

@@ -669,3 +669,64 @@ def global_rank(
     return part.map_batches(
         rank_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def rebalance_mixture(
+    ds: ray.data.Dataset,
+    source_col: str,
+    id_col: str,
+    shares: dict[str, float],
+    target_frac: float,
+    hash_a: int,
+    hash_b: int,
+) -> ray.data.Dataset:
+    """Dataset-mixing sampler: downsample each source so the kept corpus
+    approaches ``target_frac`` of the input with per-source proportions
+    ``shares`` (the domain-reweighting step of a training-data mix).
+
+    Two passes, both narrow: (1) per-source row counts via a tiny
+    partial+final aggregate (O(#sources) rows ever reach the driver);
+    (2) a deterministic keyed-hash filter at per-source rate
+    ``min(1, shares[s] * target_total / n_s)``.  Membership is a pure
+    function of (id, source) — reproducible across cluster sizes and
+    block layouts, and exactly SQL-checkable: the rate arithmetic is
+    float64 ``share * target / n`` then ``floor(rate * 2^32)``,
+    matching ``CAST(floor(least(1.0, share*target/n)*4294967296) AS
+    BIGINT)`` in DuckDB bit-for-bit (IEEE doubles, same evaluation
+    order).  Sources absent from ``shares`` are dropped.
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {source_col: t[source_col],
+             "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        ).group_by([source_col]).aggregate([("n", "sum")])
+        return g.rename_columns([source_col, "n"])
+
+    cnt = ds.select_columns([source_col]).map_batches(
+        count_partial, batch_format="pyarrow"
+    ).groupby(source_col, num_partitions=2).aggregate(
+        Sum("n", alias_name="n")
+    ).take_all()  # O(#sources) rows
+    n_by_src = {r[source_col]: r["n"] for r in cnt}
+    target_total = float(int(target_frac * sum(n_by_src.values())))
+    thr = {
+        s: int(np.floor(
+            min(1.0, shares[s] * target_total / n_by_src[s]) * 4294967296.0
+        ))
+        for s in n_by_src if s in shares
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(hash_a) + np.uint64(hash_b)) >> np.uint64(32)
+        enc = pc.dictionary_encode(t[source_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        lims = np.array(
+            [thr.get(s.as_py(), 0) for s in enc.dictionary], dtype=np.uint64
+        )
+        return t.filter(pa.array(h < lims[codes]))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -131,3 +131,57 @@ def approx_quantiles(
         return pa.table(cols)
 
     return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+KMV_HASH_A = 0xC2B2AE3D27D4EB4F
+KMV_HASH_B = 0x165667B19E3779F9
+TWO64 = 1 << 64
+
+
+def kmv_distinct(
+    ds: ray.data.Dataset,
+    key_col: str,
+    k: int = 256,
+) -> ray.data.Dataset:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002):
+    estimate ndistinct(key) with O(k) memory per block and O(k) bytes
+    through ONE narrow exchange.  The estimator is a DETERMINISTIC
+    function of the key set — (k-1)*2^64 // h_(k) over the k smallest
+    keyed hashes, exact integer arithmetic — so a SQL oracle reproduces
+    it bit-for-bit (HUGEINT math over the same multiplicative hash);
+    when fewer than k distinct hashes exist the exact count is returned.
+
+    Input keys must be integers (quantize floats upstream).
+    Output: one row (k, n_distinct_est).
+    """
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = v * np.uint64(KMV_HASH_A) + np.uint64(KMV_HASH_B)
+        h = np.unique(h)[:k]  # sorted; bottom-k of this block
+        return pa.table(
+            {"h": pa.array(h),
+             "_mrg": pa.array(np.zeros(len(h), dtype=np.int32))}
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        h = np.unique(t["h"].to_numpy(zero_copy_only=False))[:k]
+        if len(h) < k:
+            est = len(h)
+        else:
+            est = (k - 1) * TWO64 // (int(h[k - 1]) or 1)
+        return pa.table(
+            {"k": pa.array([k], pa.int64()),
+             "n_distinct_est": pa.array([est], pa.int64())}
+        )
+
+    parts = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return parts.repartition(num_blocks=1, keys=["_mrg"]).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

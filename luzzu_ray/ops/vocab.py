@@ -84,3 +84,59 @@ def word_stats_topv(
         "word", num_partitions=auto_partitions(parts, num_partitions)
     ).aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
     return topk(totals, "tf", v, "word")
+
+
+def collapse_repeat_tokens(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Intra-document repetition cleanup: drop every token equal to its
+    immediate predecessor ("a a the" -> "a the") — the cheap stutter /
+    copy-paste artifact scrub of a web-text pipeline.  Embarrassingly
+    parallel per-batch kernel, no exchange; the whole batch is ONE
+    Arrow split + ONE shifted vector equality + ONE rejoin (no per-row
+    Python).  SQL twin: list_filter(w, (x,i) -> i=1 OR x<>w[i-1]).
+
+    Output: (id_col, text_collapsed, n_removed).
+    """
+
+    def block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "text_collapsed": pa.array([], pa.string()),
+                 "n_removed": pa.array([], pa.int64())}
+            )
+        words = pc.split_pattern(t[text_col], " ").combine_chunks()
+        offs = words.offsets.to_numpy().astype(np.int64)
+        flat = words.flatten()
+        m = len(flat)
+        keep = np.ones(m, dtype=bool)
+        if m > 1:
+            eq = pc.equal(flat.slice(1), flat.slice(0, m - 1))
+            keep[1:] = ~eq.to_numpy(zero_copy_only=False).astype(bool)
+        starts = offs[:-1] - offs[0]
+        keep[starts[(offs[1:] - offs[:-1]) > 0]] = True  # row firsts
+        kept = flat.filter(pa.array(keep))
+        per_row = np.add.reduceat(
+            keep.astype(np.int64), starts, dtype=np.int64
+        ) if m else np.zeros(n, dtype=np.int64)
+        per_row[(offs[1:] - offs[:-1]) == 0] = 0
+        new_offs = np.concatenate(
+            ([0], np.cumsum(per_row))
+        ).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(new_offs), kept), " "
+        )
+        removed = (offs[1:] - offs[:-1]) - per_row
+        return pa.table(
+            {id_col: t[id_col],
+             "text_collapsed": joined,
+             "n_removed": pa.array(removed.astype(np.int64))}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True
+    )

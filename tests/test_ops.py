@@ -1147,3 +1147,103 @@ def test_global_rank_matches_twin(ray_session):
                    "s", "doc_id", ntile=k, num_partitions=width,
                ).take_all()}
         assert got == want, (parts, width)
+
+
+def test_collapse_repeat_tokens_matches_twin(ray_session):
+    """Consecutive-dup collapse equals an itertools.groupby twin,
+    including empty tokens from double spaces and empty text."""
+    import itertools
+
+    import ray.data
+
+    from luzzu_ray.ops.vocab import collapse_repeat_tokens
+
+    rng = np.random.default_rng(73)
+    vocab = ["a", "bb", "a", "", "ccc"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 12)))
+            for _ in range(300)]
+    docs[0] = ""
+    docs[1] = "x x x"
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    want = {}
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        kept = [k for k, _ in itertools.groupby(toks)]
+        want[i] = (" ".join(kept), len(toks) - len(kept))
+    for parts in (1, 8):
+        got = {r["doc_id"]: (r["text_collapsed"], r["n_removed"]) for r in
+               collapse_repeat_tokens(
+                   ray.data.from_arrow(t).repartition(parts)
+               ).take_all()}
+        assert got == want, parts
+
+
+def test_kmv_distinct_layout_invariant(ray_session):
+    """KMV estimate is exact below k, matches the integer formula at or
+    above k, and is identical across block layouts."""
+    import ray.data
+
+    from luzzu_ray.ops.sketch import KMV_HASH_A, KMV_HASH_B, kmv_distinct
+
+    rng = np.random.default_rng(74)
+    vals = rng.integers(0, 5000, 20000).astype(np.int64)
+    t = pa.table({"qv": pa.array(vals)})
+    uniq = np.unique(vals.astype(np.uint64))
+    with np.errstate(over="ignore"):
+        h = np.unique(uniq * np.uint64(KMV_HASH_A) + np.uint64(KMV_HASH_B))
+    for k in (64, 100000):
+        if len(h) < k:
+            want = len(h)
+        else:
+            want = (k - 1) * (1 << 64) // int(np.sort(h)[k - 1])
+        outs = set()
+        for parts in (1, 16):
+            r = kmv_distinct(
+                ray.data.from_arrow(t).repartition(parts), "qv", k
+            ).take_all()
+            assert len(r) == 1
+            assert r[0]["n_distinct_est"] == want, (k, parts)
+            outs.add((r[0]["k"], r[0]["n_distinct_est"]))
+        assert len(outs) == 1
+    # sanity: estimate within 20% of truth at k=64
+    est = kmv_distinct(ray.data.from_arrow(t), "qv", 64).take_all()[0]
+    assert abs(est["n_distinct_est"] - len(uniq)) / len(uniq) < 0.2
+
+
+def test_rebalance_mixture_matches_twin(ray_session):
+    """Mixture sampler equals the per-row threshold twin and hits the
+    requested proportions on a skewed corpus."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import rebalance_mixture
+
+    rng = np.random.default_rng(75)
+    n = 6000
+    src = np.where(rng.random(n) < 0.7, "big",
+                   np.where(rng.random(n) < 0.5, "mid", "small"))
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+    shares = {"big": 0.2, "mid": 0.4, "small": 0.4}
+    A, B = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    counts = {s: int((src == s).sum()) for s in np.unique(src)}
+    target = float(int(0.3 * n))
+    keep = np.zeros(n, dtype=bool)
+    for s, c in counts.items():
+        thr = int(np.floor(min(1.0, shares[s] * target / c) * 4294967296.0))
+        with np.errstate(over="ignore"):
+            hv = (ids.astype(np.uint64) * np.uint64(A) + np.uint64(B)) \
+                >> np.uint64(32)
+        keep |= (src == s) & (hv < np.uint64(thr))
+    want = set(ids[keep].tolist())
+    for parts in (1, 9):
+        got = {r["doc_id"] for r in rebalance_mixture(
+            ray.data.from_arrow(t).repartition(parts),
+            "source", "doc_id", shares, 0.3, A, B,
+        ).take_all()}
+        assert got == want, parts
+    # proportions: each source's kept count near share * target
+    kept_src = src[keep]
+    for s in ("mid", "small"):
+        assert abs((kept_src == s).sum() - shares[s] * target) \
+            < 0.1 * shares[s] * target
