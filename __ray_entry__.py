@@ -1186,6 +1186,30 @@ def q_doc_global_rank(sf_dir: str):
     )
 
 
+GROUP_TOPK = 3
+
+
+def q_top_docs_per_source(sf_dir: str):
+    """Windowed top-k PER GROUP: the k longest docs of every source with
+    in-group rank — block-local per-group pruning before the exchange."""
+    from luzzu_ray.ops.relational import grouped_topk
+
+    return grouped_topk(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
+        "source", "n_chars", "doc_id", GROUP_TOPK,
+    )
+
+
+def q_events_value_delta(sf_dir: str):
+    """Per-user LAG window: fixed-point delta to the same user's
+    previous event; NULL on first events."""
+    from luzzu_ray.ops.events import per_key_lag_delta
+
+    return per_key_lag_delta(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
 def q_render_user_streams(sf_dir: str):
     """SFT-style transcript rendering: every user's events joined into
     one ordered newline string — Arrow binary_join kernels end to end."""
@@ -1613,6 +1637,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q_vocab_topk,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
+        "top_docs_per_source": q_top_docs_per_source,
+        "events_value_delta": q_events_value_delta,
         "events_value_distinct_kmv": q_events_value_distinct_kmv,
         "mixture_rebalance_docs": q_mixture_rebalance_docs,
         "shingle_df_profile": q_shingle_df_profile,
@@ -1905,6 +1931,18 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "AS BIGINT) AS rnk, "
             "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
             "AS BIGINT) AS tile FROM documents"
+        ),
+        "top_docs_per_source": (
+            "SELECT source, n_chars, doc_id, rnk FROM ("
+            "SELECT source, n_chars, doc_id, CAST(row_number() OVER ("
+            "PARTITION BY source ORDER BY n_chars DESC, doc_id) "
+            "AS BIGINT) AS rnk FROM documents) "
+            f"WHERE rnk <= {GROUP_TOPK}"
+        ),
+        "events_value_delta": (
+            "SELECT event_id, user_id, CAST(floor((value - lag(value) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "* 10000.0) AS BIGINT) AS delta_q4 FROM events"
         ),
         "collapse_repeats": (
             "SELECT doc_id, array_to_string(list_filter(w, (x, i) -> "

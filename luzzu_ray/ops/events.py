@@ -667,3 +667,58 @@ def render_user_streams(
     return part.map_batches(
         _render_block, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# per-key LAG delta: value - lag(value) OVER (PARTITION BY user ORDER BY
+# ts, event_id) — the windowed feature-engineering primitive
+# ---------------------------------------------------------------------------
+
+def _lag_delta_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "delta_q4": pa.array([], pa.int64())}
+        )
+    t = t.sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")]
+    )
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    val = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    first = np.concatenate(([True], uid[1:] != uid[:-1]))
+    delta = np.empty(len(val), dtype=np.float64)
+    delta[1:] = val[1:] - val[:-1]
+    delta[0] = np.nan
+    dq = np.floor(delta * 10_000.0)
+    return pa.table(
+        {"event_id": t["event_id"],
+         "user_id": t["user_id"],
+         "delta_q4": pa.array(
+             np.where(first, 0, dq).astype(np.int64),
+             mask=first,
+         )}
+    )
+
+
+def per_key_lag_delta(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """(event_id, user_id, delta_q4): fixed-point (floor x 10^4)
+    difference to the SAME USER's previous event in (ts, event_id)
+    order; NULL on each user's first event — SQL
+    ``value - lag(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)``.  One hash exchange + whole-block sort + one shifted
+    subtraction; same one-key-per-block assumption (and salted escape
+    hatch) as sessionize."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["event_id", "user_id", "ts", "value"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+    return part.map_batches(
+        _lag_delta_block, batch_format="pyarrow", batch_size=None
+    )

@@ -730,3 +730,69 @@ def rebalance_mixture(
         return t.filter(pa.array(h < lims[codes]))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_topk(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k rows PER GROUP by (order_col DESC, id_col ASC), with the
+    per-group rank — SQL ``QUALIFY row_number() OVER (PARTITION BY g
+    ORDER BY o DESC, id) <= k``.
+
+    Scale shape: each block first prunes to its LOCAL top-k per group
+    (vectorized lexsort + segment arithmetic, no per-group Python), so
+    at most k rows per (block, group) enter the one hash exchange; the
+    final per-group cut runs the same kernel on co-located groups.
+    Output: (group_col, order_col, id_col, rnk).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def cut(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            sch = t.schema
+            cols = {c: t[c] for c in (group_col, order_col, id_col)
+                    if c in sch.names}
+            if with_rank:
+                cols["rnk"] = pa.array([], pa.int64())
+            return pa.table(cols) if cols else t
+        g = t[group_col].combine_chunks()
+        enc = pc.dictionary_encode(g)
+        gc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -o, gc))
+        gs = gc[order]
+        newseg = np.concatenate(([True], gs[1:] != gs[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(newseg, np.arange(len(gs)), 0)
+        )
+        pos = np.arange(len(gs)) - seg_start
+        sel = order[pos < k]
+        out = pa.table(
+            {group_col: g.take(pa.array(sel)),
+             order_col: pa.array(o[sel]),
+             id_col: pa.array(ids[sel])}
+        )
+        if with_rank:
+            out = out.append_column(
+                "rnk", pa.array((pos[pos < k] + 1).astype(np.int64))
+            )
+        return out
+
+    parts = ds.select_columns([group_col, order_col, id_col]).map_batches(
+        lambda t: cut(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return parts.repartition(
+        num_blocks=num_partitions, keys=[group_col]
+    ).map_batches(
+        lambda t: cut(t, True), batch_format="pyarrow", batch_size=None
+    )

@@ -1247,3 +1247,64 @@ def test_rebalance_mixture_matches_twin(ray_session):
     for s in ("mid", "small"):
         assert abs((kept_src == s).sum() - shares[s] * target) \
             < 0.1 * shares[s] * target
+
+
+def test_grouped_topk_matches_twin(ray_session):
+    """Per-group top-k + rank equals the sort twin across layouts,
+    including groups smaller than k."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_topk
+
+    rng = np.random.default_rng(76)
+    n = 2500
+    grp = rng.choice(["g0", "g1", "g2", "tiny"], n, p=[0.45, 0.3, 0.249, 0.001])
+    score = rng.integers(0, 50, n).astype(np.int64)  # ties
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"g": pa.array(grp), "s": pa.array(score),
+                  "doc_id": pa.array(ids)})
+    want = set()
+    for g in np.unique(grp):
+        m = grp == g
+        order = np.lexsort((ids[m], -score[m]))
+        for r, i in enumerate(order[:4]):
+            want.add((g, int(score[m][i]), int(ids[m][i]), r + 1))
+    for parts, width in ((1, None), (11, 5)):
+        got = {(r["g"], r["s"], r["doc_id"], r["rnk"]) for r in grouped_topk(
+            ray.data.from_arrow(t).repartition(parts),
+            "g", "s", "doc_id", 4, num_partitions=width,
+        ).take_all()}
+        assert got == want, (parts, width)
+
+
+def test_per_key_lag_delta_matches_twin(ray_session):
+    """LAG delta equals the per-user Python twin; firsts are NULL."""
+    import ray.data
+
+    from luzzu_ray.ops.events import per_key_lag_delta
+
+    rng = np.random.default_rng(77)
+    n = 2000
+    uid = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.integers(0, 10**6, n).astype(np.int64) * 1_000_000
+    val = rng.random(n) * 100 - 50
+    t = pa.table(
+        {"event_id": pa.array(np.arange(n, dtype=np.int64)),
+         "user_id": pa.array(uid),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "value": pa.array(val, pa.float64())}
+    )
+    want = {}
+    for u in np.unique(uid):
+        idx = np.flatnonzero(uid == u)
+        idx = idx[np.lexsort((idx, ts[idx]))]
+        prev = None
+        for i in idx:
+            want[int(i)] = (None if prev is None
+                            else int(np.floor((val[i] - prev) * 10_000.0)))
+            prev = val[i]
+    for parts in (1, 7):
+        got = {r["event_id"]: r["delta_q4"] for r in per_key_lag_delta(
+            ray.data.from_arrow(t).repartition(parts), 6,
+        ).take_all()}
+        assert got == want, parts
