@@ -1187,6 +1187,16 @@ def q_doc_global_rank(sf_dir: str):
 
 
 GROUP_TOPK = 3
+TFIDF_K = 3
+
+
+def q_doc_tfidf_terms(sf_dir: str):
+    """Keyword extraction: per-doc top-k terms by integer-rational
+    tf-idf (tf * N * 10^4 // df) — corpus df built distributed, then
+    broadcast once; per-doc ranking never leaves the batch."""
+    from luzzu_ray.ops.vocab import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), TFIDF_K)
 
 
 def q_top_docs_per_source(sf_dir: str):
@@ -1638,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
+        "doc_tfidf_terms": q_doc_tfidf_terms,
         "events_value_delta": q_events_value_delta,
         "events_value_distinct_kmv": q_events_value_distinct_kmv,
         "mixture_rebalance_docs": q_mixture_rebalance_docs,
@@ -1931,6 +1942,24 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "AS BIGINT) AS rnk, "
             "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
             "AS BIGINT) AS tile FROM documents"
+        ),
+        "doc_tfidf_terms": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM w "
+            "GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w "
+            "GROUP BY term), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.term, CAST((CAST(tf.tf AS "
+            "HUGEINT) * (SELECT n_docs FROM n) * 10000) // df.df "
+            "AS BIGINT) AS tfidf_score FROM tf JOIN df "
+            "ON tf.term = df.term) "
+            "SELECT doc_id, term, tfidf_score, rnk FROM ("
+            "SELECT doc_id, term, tfidf_score, CAST(row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY tfidf_score DESC, term) "
+            "AS BIGINT) AS rnk FROM s) "
+            f"WHERE rnk <= {TFIDF_K}"
         ),
         "top_docs_per_source": (
             "SELECT source, n_chars, doc_id, rnk FROM ("

@@ -140,3 +140,110 @@ def collapse_repeat_tokens(
     return ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def tfidf_top_terms(
+    ds: ray.data.Dataset,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Keyword extraction: each document's top-k terms by a RATIONAL
+    tf-idf score kept entirely in integers —
+    ``score = tf * N_docs * 10^4 // df`` — so ranking is bit-exact and
+    SQL-checkable (no libm log whose last ulp differs across engines;
+    N/df is the same monotone-in-idf ordering for fixed tf).
+
+    Two phases: (1) corpus df via the word_stats partial+final combine
+    (narrow (word, df) rows through the exchange); (2) the df table is
+    broadcast once via ``ray.put`` and every batch scores its own docs
+    locally — per-doc top-k never leaves the batch, so phase 2 is
+    exchange-free.  BROADCAST ASSUMPTION: the distinct-word table fits
+    a worker heap (Zipf keeps it far below the token count; for a
+    vocabulary beyond memory, hash-join words instead).
+
+    Output: (id_col, term, tfidf_score, rnk).
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    n_docs = ds.count()
+
+    parts = ds.select_columns([text_col]).map_batches(
+        _word_partial, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    df_tbl = parts.groupby(
+        "word", num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(Sum("df", alias_name="df"))
+    import pyarrow as _pa
+
+    df_rows = df_tbl.take_all()
+    vocab = _pa.array([r["word"] for r in df_rows], pa.string())
+    dfs = np.array([r["df"] for r in df_rows], dtype=np.int64)
+    df_ref = ray.put((vocab, dfs))
+
+    class Scorer:
+        """df lookup resolved ONCE per actor; per-batch all-Arrow."""
+
+        def __init__(self, ref):
+            self.vocab, self.dfs = ray.get(ref)
+            order = pc.array_sort_indices(self.vocab)
+            self.sorted_vocab = self.vocab.take(order)
+            self.sorted_dfs = self.dfs[order.to_numpy()]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     "term": pa.array([], pa.string()),
+                     "tfidf_score": pa.array([], pa.int64()),
+                     "rnk": pa.array([], pa.int64())}
+                )
+            words = pc.split_pattern(t[text_col], " ").combine_chunks()
+            offs = words.offsets.to_numpy().astype(np.int64)
+            flat = words.flatten()
+            per_row = offs[1:] - offs[:-1]
+            rid = np.repeat(np.arange(n, dtype=np.int64), per_row)
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            nvoc = len(enc.dictionary)
+            # per-(doc, word) tf via unique pair ids
+            pair = rid * nvoc + codes
+            upair, tf = np.unique(pair, return_counts=True)
+            urow, ucode = upair // nvoc, upair % nvoc
+            # df lookup: batch dictionary -> position in sorted vocab
+            pos = pc.index_in(
+                enc.dictionary, value_set=self.sorted_vocab
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            wdf = self.sorted_dfs[pos[ucode]]
+            # integer-rational score; object dtype only if overflow risk
+            score = (tf.astype(np.int64) * (n_docs * 10_000)) // wdf
+            uterm = pc.take(enc.dictionary, pa.array(ucode)).to_numpy(
+                zero_copy_only=False
+            )
+            order = np.lexsort((uterm, -score, urow))
+            us, ss = urow[order], score[order]
+            newseg = np.concatenate(([True], us[1:] != us[:-1]))
+            seg_start = np.maximum.accumulate(
+                np.where(newseg, np.arange(len(us)), 0)
+            )
+            posk = np.arange(len(us)) - seg_start
+            sel = order[posk < k]
+            ids_np = t[id_col].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {id_col: pa.array(ids_np[urow[sel]]),
+                 "term": pc.take(enc.dictionary, pa.array(ucode[sel])),
+                 "tfidf_score": pa.array(score[sel].astype(np.int64)),
+                 "rnk": pa.array((posk[posk < k] + 1).astype(np.int64))}
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Scorer, fn_constructor_kwargs={"ref": df_ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )

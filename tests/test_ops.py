@@ -1308,3 +1308,39 @@ def test_per_key_lag_delta_matches_twin(ray_session):
             ray.data.from_arrow(t).repartition(parts), 6,
         ).take_all()}
         assert got == want, parts
+
+
+def test_tfidf_top_terms_matches_twin(ray_session):
+    """Per-doc top-k rational tf-idf equals the Counter twin across
+    layouts, ties broken by term byte-order."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.vocab import tfidf_top_terms
+
+    rng = np.random.default_rng(78)
+    vocab = ["w%d" % i for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(1, 20)))
+            for _ in range(250)]
+    n = len(docs)
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    df: collections.Counter = collections.Counter()
+    for d in docs:
+        df.update(set(d.split(" ")))
+    want = set()
+    for i, d in enumerate(docs):
+        tf = collections.Counter(d.split(" "))
+        scored = sorted(
+            ((term, (c * n * 10_000) // df[term]) for term, c in tf.items()),
+            key=lambda x: (-x[1], x[0]),
+        )
+        for r, (term, s) in enumerate(scored[:2]):
+            want.add((i, term, s, r + 1))
+    for parts in (1, 6):
+        got = {(r["doc_id"], r["term"], r["tfidf_score"], r["rnk"])
+               for r in tfidf_top_terms(
+                   ray.data.from_arrow(t).repartition(parts), 2,
+               ).take_all()}
+        assert got == want, parts
