@@ -134,6 +134,14 @@ def main() -> None:
         "ann_topk",
         "tpch_q1",
         "events_sessions",
+        # round-3 additions
+        "vocab_topk",
+        "doc_tfidf_terms",
+        "doc_global_rank",
+        "render_user_streams",
+        "top_docs_per_source",
+        "collapse_repeats",
+        "events_value_delta",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

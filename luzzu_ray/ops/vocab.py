@@ -74,12 +74,13 @@ def word_stats_topv(
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
+    # materialize the NARROW partials (per-block vocab rows, never the
+    # token stream) so the combine width follows the actual partial row
+    # count — a 30-word corpus gets 1 partition, not the cluster cap
     parts = ds.select_columns([text_col]).map_batches(
         _word_partial, fn_kwargs={"text_col": text_col},
         batch_format="pyarrow", zero_copy_batch=True,
-    )
-    # width follows the PARTIAL row count (block-local vocab sizes), not
-    # the input token count; explicit num_partitions wins for tuning
+    ).materialize()
     totals = parts.groupby(
         "word", num_partitions=auto_partitions(parts, num_partitions)
     ).aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
@@ -176,7 +177,7 @@ def tfidf_top_terms(
     parts = ds.select_columns([text_col]).map_batches(
         _word_partial, fn_kwargs={"text_col": text_col},
         batch_format="pyarrow", zero_copy_batch=True,
-    )
+    ).materialize()  # narrow partials; sizes the combine to the data
     df_tbl = parts.groupby(
         "word", num_partitions=auto_partitions(parts, num_partitions)
     ).aggregate(Sum("df", alias_name="df"))
