@@ -1188,6 +1188,18 @@ def q_doc_global_rank(sf_dir: str):
 
 GROUP_TOPK = 3
 TFIDF_K = 3
+CENTROID_Q = 6
+
+
+def q_label_centroid_sums(sf_dir: str):
+    """Distributed vector aggregation: per-label fixed-point coordinate
+    sums + counts over the embedding column (centroid = s/n downstream);
+    vectors never enter the exchange."""
+    from luzzu_ray.ops.similarity import grouped_vector_sums
+
+    return grouped_vector_sums(
+        _tbl(sf_dir, "embeddings", ["label", "embedding"]), q=CENTROID_Q
+    )
 
 
 def q_doc_tfidf_terms(sf_dir: str):
@@ -1649,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
         "doc_tfidf_terms": q_doc_tfidf_terms,
+        "label_centroid_sums": q_label_centroid_sums,
         "events_value_delta": q_events_value_delta,
         "events_value_distinct_kmv": q_events_value_distinct_kmv,
         "mixture_rebalance_docs": q_mixture_rebalance_docs,
@@ -1942,6 +1955,15 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "AS BIGINT) AS rnk, "
             "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
             "AS BIGINT) AS tile FROM documents"
+        ),
+        "label_centroid_sums": (
+            "SELECT CAST(label AS BIGINT) AS label, dim, "
+            "CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) "
+            "AS BIGINT)) AS BIGINT) AS s, "
+            "CAST(count(*) AS BIGINT) AS n FROM "
+            "(SELECT label, CAST(generate_subscripts(embedding, 1) "
+            "AS BIGINT) AS dim, unnest(embedding) AS x "
+            "FROM embeddings) GROUP BY label, dim"
         ),
         "doc_tfidf_terms": (
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "

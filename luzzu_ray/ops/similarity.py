@@ -420,3 +420,73 @@ def embedding_neardup_pairs(
         )
 
     return part.map_batches(tile_pairs, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_vector_sums(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    q: int = 6,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed VECTOR aggregation: per-group fixed-point coordinate
+    sums + counts over a ``list<float>`` column — the "class centroid /
+    prototype" reduction of an embedding pipeline (centroid = s / n on
+    the caller's side; the op stays in integers so the result is exact
+    and order-invariant, and a DuckDB lockstep-unnest oracle matches
+    bit-for-bit).
+
+    Per-block partial: flatten -> (rows x dim) -> label-sorted
+    ``reduceat`` — one NumPy reduction per block, emitting
+    #labels x dim narrow rows into the ONE hash combine; vectors never
+    enter the exchange.  Output: (label, dim, s, n), dim 1-based to
+    match SQL ``generate_subscripts``.
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    scale = float(10 ** q)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"label": pa.array([], pa.int64()),
+             "dim": pa.array([], pa.int64()),
+             "s": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        emb = t[vec_col].combine_chunks()
+        offs = emb.offsets.to_numpy().astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("ragged embedding lists")
+        vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        qv = np.floor(vals * scale).astype(np.int64).reshape(-1, d)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        labs, qv = lab[order], qv[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], labs[1:] != labs[:-1]))
+        )
+        sums = np.add.reduceat(qv, starts, axis=0)
+        counts = np.diff(np.concatenate((starts, [len(labs)])))
+        ul = labs[starts]
+        return pa.table(
+            {"label": pa.array(np.repeat(ul, d)),
+             "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                     len(ul))),
+             "s": pa.array(sums.ravel()),
+             "n": pa.array(np.repeat(counts.astype(np.int64), d))}
+        )
+
+    parts = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # narrow partials size the combine
+    return parts.groupby(
+        ["label", "dim"], num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))

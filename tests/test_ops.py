@@ -1344,3 +1344,35 @@ def test_tfidf_top_terms_matches_twin(ray_session):
                    ray.data.from_arrow(t).repartition(parts), 2,
                ).take_all()}
         assert got == want, parts
+
+
+def test_grouped_vector_sums_matches_twin(ray_session):
+    """Per-label coordinate sums equal the NumPy twin, layout-invariant,
+    including negatives (floor, not truncate)."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import grouped_vector_sums
+
+    rng = np.random.default_rng(79)
+    n, d = 600, 8
+    lab = rng.integers(0, 5, n).astype(np.int32)
+    emb = (rng.random((n, d)).astype(np.float32) - 0.5) * 3
+    t = pa.table({
+        "label": pa.array(lab),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.ravel()), d
+        ).cast(pa.list_(pa.float32())),
+    })
+    qv = np.floor(emb.astype(np.float64) * 1e6).astype(np.int64)
+    want = {}
+    for g in np.unique(lab):
+        m = lab == g
+        s = qv[m].sum(axis=0)
+        for j in range(d):
+            want[(int(g), j + 1)] = (int(s[j]), int(m.sum()))
+    for parts in (1, 6):
+        got = {(r["label"], r["dim"]): (r["s"], r["n"])
+               for r in grouped_vector_sums(
+                   ray.data.from_arrow(t).repartition(parts)
+               ).take_all()}
+        assert got == want, parts
