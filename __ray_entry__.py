@@ -1232,6 +1232,47 @@ def q_events_value_delta(sf_dir: str):
     )
 
 
+KMV_BY_K = 64
+VALUE_BANDS = (
+    ("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+    ("high", 150.0, 400.0), ("extreme", 400.0, 1000000.0),
+)
+
+
+def q_events_user_distinct_by_type(sf_dir: str):
+    """GROUPED KMV sketch: distinct users per event type, O(k) rows per
+    group per block through the exchange, integer estimator."""
+    from luzzu_ray.ops.sketch import kmv_distinct_by
+
+    return kmv_distinct_by(
+        _tbl(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", KMV_BY_K,
+    )
+
+
+def q_events_value_bands(sf_dir: str):
+    """Broadcast RANGE JOIN: every event matched to its value band via
+    one searchsorted per batch (no fact-side shuffle), then the usual
+    partial+final grouped aggregate."""
+    from luzzu_ray.ops.relational import (
+        broadcast_interval_join,
+        grouped_sum_q,
+    )
+
+    bands = pa.table(
+        {"band": pa.array([b[0] for b in VALUE_BANDS]),
+         "lo": pa.array([b[1] for b in VALUE_BANDS]),
+         "hi": pa.array([b[2] for b in VALUE_BANDS])}
+    )
+    with_band = broadcast_interval_join(
+        _tbl(sf_dir, "events", ["event_id", "value"]), "value", bands
+    )
+    return grouped_sum_q(
+        with_band, ["band"], {"value": "value_q4"}, count_as="n",
+        num_partitions=2,
+    )
+
+
 def q_render_user_streams(sf_dir: str):
     """SFT-style transcript rendering: every user's events joined into
     one ordered newline string — Arrow binary_join kernels end to end."""
@@ -1662,6 +1703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q_top_docs_per_source,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "label_centroid_sums": q_label_centroid_sums,
+        "events_user_distinct_by_type": q_events_user_distinct_by_type,
+        "events_value_bands": q_events_value_bands,
         "events_value_delta": q_events_value_delta,
         "events_value_distinct_kmv": q_events_value_distinct_kmv,
         "mixture_rebalance_docs": q_mixture_rebalance_docs,
@@ -1955,6 +1998,30 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "AS BIGINT) AS rnk, "
             "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
             "AS BIGINT) AS tile FROM documents"
+        ),
+        "events_user_distinct_by_type": (
+            "WITH h AS (SELECT DISTINCT event_type, "
+            f"((CAST(user_id AS HUGEINT) * {KMV_HASH_A} + {KMV_HASH_B}) "
+            "% 18446744073709551616) AS hv FROM events), "
+            "r AS (SELECT event_type, hv, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY hv) AS rn FROM h), "
+            "b AS (SELECT event_type, count(*) AS c, max(hv) AS kth "
+            f"FROM r WHERE rn <= {KMV_BY_K} GROUP BY event_type) "
+            f"SELECT event_type, CAST({KMV_BY_K} AS BIGINT) AS k, "
+            f"CAST(CASE WHEN c < {KMV_BY_K} THEN c ELSE "
+            f"({KMV_BY_K - 1} * CAST(18446744073709551616 AS HUGEINT)) "
+            "// kth END AS BIGINT) AS n_distinct_est FROM b"
+        ),
+        "events_value_bands": (
+            "WITH bands(band, lo, hi) AS (VALUES "
+            + ", ".join(
+                f"('{b}', {lo}, {hi})" for b, lo, hi in VALUE_BANDS
+            )
+            + ") SELECT band, "
+            "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) AS BIGINT) "
+            "AS value_q4, CAST(count(*) AS BIGINT) AS n "
+            "FROM events e JOIN bands b ON e.value >= b.lo "
+            "AND e.value < b.hi GROUP BY band"
         ),
         "label_centroid_sums": (
             "SELECT CAST(label AS BIGINT) AS label, dim, "

@@ -796,3 +796,36 @@ def grouped_topk(
     ).map_batches(
         lambda t: cut(t, True), batch_format="pyarrow", batch_size=None
     )
+
+
+def broadcast_interval_join(
+    ds: ray.data.Dataset,
+    value_col: str,
+    bands: pa.Table,
+    band_col: str = "band",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> ray.data.Dataset:
+    """RANGE JOIN against a broadcast interval table: each row gets the
+    band whose [lo, hi) contains its value (sorted non-overlapping
+    intervals; rows outside every band are DROPPED — inner semantics).
+    The band table rides in the task closure (it is dimension-table
+    sized: price bands, geo ranges, SLA tiers); lookup is ONE
+    ``searchsorted`` per batch — never a shuffle of the fact side, the
+    same 100TB shape as the broadcast hash join."""
+    order = pc.sort_indices(bands, sort_keys=[(lo_col, "ascending")])
+    bands = bands.take(order)
+    los = bands[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    his = bands[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    names = bands[band_col]
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(los, v, side="right") - 1
+        ok = (idx >= 0) & (v < his[np.clip(idx, 0, len(his) - 1)])
+        kept = t.filter(pa.array(ok))
+        return kept.append_column(
+            band_col, pc.take(names, pa.array(idx[ok], pa.int64()))
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -185,3 +185,90 @@ def kmv_distinct(
     return parts.repartition(num_blocks=1, keys=["_mrg"]).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+def kmv_distinct_by(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """GROUPED KMV: ndistinct(key) estimate PER GROUP — the mergeable
+    sketch dropped into the partial+final groupby shape.  Each block
+    keeps at most k (group, hash) rows per group (sorted unique +
+    segment cut, one lexsort per block), the exchange co-locates groups,
+    and the same kernel finalizes; the integer estimator matches a SQL
+    window oracle exactly.  Output: (group_col, k, n_distinct_est)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    sch = ds.schema()
+    gtype = sch.types[sch.names.index(group_col)]
+
+    def bottom(t: pa.Table, finalize: bool) -> pa.Table:
+        if t.num_rows == 0:
+            if finalize:
+                return pa.table(
+                    {group_col: pa.array([], gtype),
+                     "k": pa.array([], pa.int64()),
+                     "n_distinct_est": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {group_col: pa.array([], gtype),
+                 "h": pa.array([], pa.uint64())}
+            )
+        g = t[group_col].combine_chunks()
+        if "h" in t.schema.names:
+            h = t["h"].to_numpy(zero_copy_only=False)
+        else:
+            v = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = v * np.uint64(KMV_HASH_A) + np.uint64(KMV_HASH_B)
+        enc = pc.dictionary_encode(g)
+        gc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, gc))
+        gs, hs = gc[order], h[order]
+        first = np.concatenate(
+            ([True], (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1]))
+        )
+        gs, hs = gs[first], hs[first]
+        newseg = np.concatenate(([True], gs[1:] != gs[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(newseg, np.arange(len(gs)), 0)
+        )
+        pos = np.arange(len(gs)) - seg_start
+        keep = pos < k
+        gs, hs, pos = gs[keep], hs[keep], pos[keep]
+        if not finalize:
+            return pa.table(
+                {group_col: pc.take(enc.dictionary, pa.array(gs)),
+                 "h": pa.array(hs)}
+            )
+        # per group: exact count below k, else (k-1)*2^64 // kth hash
+        ends = np.concatenate((np.flatnonzero(pos == 0)[1:], [len(gs)]))
+        starts2 = np.flatnonzero(pos == 0)
+        counts = ends - starts2
+        ests = []
+        for s0, c in zip(starts2, counts):
+            if c < k:
+                ests.append(int(c))
+            else:
+                ests.append((k - 1) * TWO64 // (int(hs[s0 + k - 1]) or 1))
+        return pa.table(
+            {group_col: pc.take(enc.dictionary, pa.array(gs[starts2])),
+             "k": pa.array(np.full(len(starts2), k, dtype=np.int64)),
+             "n_distinct_est": pa.array(np.array(ests, dtype=np.int64))}
+        )
+
+    parts = ds.select_columns([group_col, key_col]).map_batches(
+        lambda t: bottom(t, False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return parts.repartition(
+        num_blocks=num_partitions, keys=[group_col]
+    ).map_batches(
+        lambda t: bottom(t, True), batch_format="pyarrow", batch_size=None
+    )

@@ -1376,3 +1376,58 @@ def test_grouped_vector_sums_matches_twin(ray_session):
                    ray.data.from_arrow(t).repartition(parts)
                ).take_all()}
         assert got == want, parts
+
+
+def test_kmv_distinct_by_matches_twin(ray_session):
+    """Grouped KMV equals the per-group integer-formula twin,
+    layout-invariant, with both exact (<k) and estimator branches."""
+    import ray.data
+
+    from luzzu_ray.ops.sketch import KMV_HASH_A, KMV_HASH_B, kmv_distinct_by
+
+    rng = np.random.default_rng(80)
+    n = 8000
+    grp = rng.choice(["dense", "sparse"], n, p=[0.9, 0.1])
+    key = np.where(grp == "dense",
+                   rng.integers(0, 3000, n), rng.integers(0, 10, n))
+    t = pa.table({"g": pa.array(grp), "uid": pa.array(key.astype(np.int64))})
+    k = 32
+    want = {}
+    for g in ("dense", "sparse"):
+        u = np.unique(key[grp == g].astype(np.uint64))
+        with np.errstate(over="ignore"):
+            h = np.unique(u * np.uint64(KMV_HASH_A) + np.uint64(KMV_HASH_B))
+        want[g] = (len(h) if len(h) < k
+                   else (k - 1) * (1 << 64) // int(np.sort(h)[k - 1]))
+    assert want["sparse"] == 10  # exact branch exercised
+    for parts in (1, 12):
+        got = {r["g"]: r["n_distinct_est"] for r in kmv_distinct_by(
+            ray.data.from_arrow(t).repartition(parts), "g", "uid", k, 3,
+        ).take_all()}
+        assert got == want, parts
+
+
+def test_broadcast_interval_join_matches_twin(ray_session):
+    """Range join assigns the right band and drops out-of-range rows."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import broadcast_interval_join
+
+    rng = np.random.default_rng(81)
+    n = 3000
+    v = rng.random(n) * 120 - 10  # includes < 0 (outside all bands)
+    t = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "value": pa.array(v, pa.float64())})
+    bands = pa.table({"band": pa.array(["a", "b", "c"]),
+                      "lo": pa.array([0.0, 30.0, 90.0]),
+                      "hi": pa.array([30.0, 90.0, 100.0])})
+    want = {}
+    for i, x in enumerate(v):
+        for b, lo, hi in (("a", 0, 30), ("b", 30, 90), ("c", 90, 100)):
+            if lo <= x < hi:
+                want[i] = b
+    for parts in (1, 5):
+        got = {r["event_id"]: r["band"] for r in broadcast_interval_join(
+            ray.data.from_arrow(t).repartition(parts), "value", bands,
+        ).take_all()}
+        assert got == want, parts
