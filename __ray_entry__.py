@@ -1239,6 +1239,40 @@ VALUE_BANDS = (
 )
 
 
+def q_docs_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang): one fact-table pass builds the
+    fine grain; coarser grains derive from the previous grain's tiny
+    aggregate — never a rescan."""
+    from luzzu_ray.ops.relational import rollup_counts
+
+    return rollup_counts(_docs(sf_dir, ["source", "lang"]),
+                         ["source", "lang"])
+
+
+def q_lang_mode_by_source(sf_dir: str):
+    """Per-group MODE by composition: distributed (source, lang) counts
+    -> per-source top-1 by (n DESC, lang) via the grouped top-k window."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.relational import grouped_topk
+
+    docs = _docs(sf_dir, ["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"source": t["source"], "lang": t["lang"],
+             "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        ).group_by(["source", "lang"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "lang", "n"])
+
+    counts = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        ["source", "lang"], num_partitions=2
+    ).aggregate(Sum("n", alias_name="n"))
+    # grouped_topk orders by (n DESC, lang ASC): the mode with the
+    # deterministic alphabetical tie-break
+    return grouped_topk(counts, "source", "n", "lang", 1, num_partitions=2)
+
+
 def q_events_user_distinct_by_type(sf_dir: str):
     """GROUPED KMV sketch: distinct users per event type, O(k) rows per
     group per block through the exchange, integer estimator."""
@@ -1703,6 +1737,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q_top_docs_per_source,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "label_centroid_sums": q_label_centroid_sums,
+        "docs_rollup": q_docs_rollup,
+        "lang_mode_by_source": q_lang_mode_by_source,
         "events_user_distinct_by_type": q_events_user_distinct_by_type,
         "events_value_bands": q_events_value_bands,
         "events_value_delta": q_events_value_delta,
@@ -1998,6 +2034,17 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "AS BIGINT) AS rnk, "
             "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
             "AS BIGINT) AS tile FROM documents"
+        ),
+        "docs_rollup": (
+            "SELECT source, lang, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY ROLLUP(source, lang)"
+        ),
+        "lang_mode_by_source": (
+            "SELECT source, n, lang, rnk FROM ("
+            "SELECT source, lang, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY count(*) DESC, lang) AS BIGINT) AS rnk "
+            "FROM documents GROUP BY source, lang) WHERE rnk <= 1"
         ),
         "events_user_distinct_by_type": (
             "WITH h AS (SELECT DISTINCT event_type, "

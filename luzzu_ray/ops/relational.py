@@ -829,3 +829,70 @@ def broadcast_interval_join(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rollup_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(keys...): counts at every prefix grain —
+    (k1..kn), (k1..kn-1), ..., () — with NULLs in aggregated-out key
+    columns, exactly SQL's ROLLUP result shape.
+
+    Scale shape: ONE full-data pass builds the finest grain via the
+    usual partial+final combine; every coarser grain is then derived
+    from the PREVIOUS grain's (already tiny) aggregate — n-1 extra
+    narrow groupbys over #groups rows, never another scan of the fact
+    table.  Output: (*keys, n).
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {**{k: t[k] for k in keys},
+             "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        ).group_by(keys).aggregate([("n", "sum")])
+        return g.rename_columns(keys + ["n"])
+
+    from luzzu_ray.ops.dedup import auto_partitions
+
+    fine = ds.select_columns(keys).map_batches(
+        count_partial, batch_format="pyarrow"
+    ).groupby(
+        keys, num_partitions=auto_partitions(ds, num_partitions)
+    ).aggregate(Sum("n", alias_name="n")).materialize()
+
+    sch = fine.schema()
+    types = {k: sch.types[sch.names.index(k)] for k in keys}
+
+    def widen(level: int):
+        # null out keys beyond `level` (grain = first `level` keys)
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for i, k in enumerate(keys):
+                cols[k] = (t[k] if i < level
+                           else pa.nulls(t.num_rows, types[k]))
+            cols["n"] = t["n"]
+            return pa.table(cols)
+        return fn
+
+    levels = [fine]
+    prev = fine
+    for level in range(len(keys) - 1, 0, -1):
+        agg = prev.groupby(
+            keys[:level], num_partitions=2
+        ).aggregate(Sum("n", alias_name="n")).map_batches(
+            widen(level), batch_format="pyarrow"  # re-add NULL columns
+        ).materialize()
+        levels.append(agg)
+        prev = agg
+    total = prev.sum("n") or 0  # () grain: global sum over #groups rows
+    levels.append(ray.data.from_arrow(pa.table(
+        {**{k: pa.nulls(1, types[k]) for k in keys},
+         "n": pa.array([int(total)], pa.int64())}
+    )))
+    out = levels[0]
+    for ex in levels[1:]:
+        out = out.union(ex)
+    return out

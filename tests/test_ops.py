@@ -1431,3 +1431,30 @@ def test_broadcast_interval_join_matches_twin(ray_session):
             ray.data.from_arrow(t).repartition(parts), "value", bands,
         ).take_all()}
         assert got == want, parts
+
+
+def test_rollup_counts_matches_twin(ray_session):
+    """ROLLUP grains equal the nested-Counter twin, layout-invariant."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.relational import rollup_counts
+
+    rng = np.random.default_rng(82)
+    n = 2000
+    a = rng.choice(["x", "y", "z"], n)
+    b = rng.choice(["p", "q"], n)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    want: collections.Counter = collections.Counter()
+    for ai, bi in zip(a, b):
+        want[(ai, bi)] += 1
+        want[(ai, None)] += 1
+        want[(None, None)] += 1
+    for parts in (1, 6):
+        rows = rollup_counts(
+            ray.data.from_arrow(t).repartition(parts), ["a", "b"], 3
+        ).take_all()
+        got = {(r["a"], r["b"]): r["n"] for r in rows}
+        assert got == dict(want), parts
+        assert len(rows) == len(want)  # no duplicate grain rows
