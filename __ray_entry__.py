@@ -1239,6 +1239,16 @@ VALUE_BANDS = (
 )
 
 
+def q_events_range_window(sf_dir: str):
+    """Trailing 1-hour RANGE window per user: exact fixed-point sums
+    via per-user prefix sums + segment searchsorted."""
+    from luzzu_ray.ops.events import range_user_window
+
+    return range_user_window(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
 def q_docs_rollup(sf_dir: str):
     """GROUP BY ROLLUP(source, lang): one fact-table pass builds the
     fine grain; coarser grains derive from the previous grain's tiny
@@ -1737,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q_top_docs_per_source,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "label_centroid_sums": q_label_centroid_sums,
+        "events_range_window": q_events_range_window,
         "docs_rollup": q_docs_rollup,
         "lang_mode_by_source": q_lang_mode_by_source,
         "events_user_distinct_by_type": q_events_user_distinct_by_type,
@@ -2034,6 +2045,14 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "AS BIGINT) AS rnk, "
             "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
             "AS BIGINT) AS tile FROM documents"
+        ),
+        "events_range_window": (
+            "SELECT event_id, user_id, "
+            "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "
+            "AS BIGINT) AS wsum_q4, "
+            "CAST(count(*) OVER w AS BIGINT) AS wn FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
         ),
         "docs_rollup": (
             "SELECT source, lang, CAST(count(*) AS BIGINT) AS n "

@@ -722,3 +722,93 @@ def per_key_lag_delta(
     return part.map_batches(
         _lag_delta_block, batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE (time-interval) window: sum/count over the user's trailing time
+# window — SQL RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT ROW
+# ---------------------------------------------------------------------------
+
+def _range_window_block(t: pa.Table, width_us: int) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "wsum_q4": pa.array([], pa.int64()),
+             "wn": pa.array([], pa.int64())}
+        )
+    t = t.sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")]
+    )
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    vq = t["value_q4"].to_numpy(zero_copy_only=False)
+    first = np.concatenate(([True], uid[1:] != uid[:-1]))
+    starts = np.flatnonzero(first)
+    seg = np.cumsum(first) - 1
+    seg_start = starts[seg]
+    # trailing-window start index per row: first event of the SAME user
+    # with ts >= ts_i - width — searchsorted within each user segment
+    cum = np.concatenate(([0], np.cumsum(vq)))
+    lo = np.empty(len(ts), dtype=np.int64)
+    for s, e in zip(starts, np.concatenate((starts[1:], [len(ts)]))):
+        lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - width_us,
+                                      side="left")
+    idx = np.arange(len(ts))
+    wsum = cum[idx + 1] - cum[lo]
+    wn = idx - lo + 1
+    return pa.table(
+        {"event_id": t["event_id"],
+         "user_id": t["user_id"],
+         "wsum_q4": pa.array(wsum.astype(np.int64)),
+         "wn": pa.array(wn.astype(np.int64))}
+    )
+
+
+def range_user_window(
+    ds: ray.data.Dataset,
+    width_us: int = 3_600_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(event_id, user_id, wsum_q4, wn): sum/count of the SAME user's
+    q4-quantized values within the trailing ``width_us`` microseconds,
+    inclusive of the current row — SQL ``SUM(v) OVER (PARTITION BY
+    user ORDER BY ts RANGE BETWEEN INTERVAL .. PRECEDING AND CURRENT
+    ROW)``.  Exact integers; one hash exchange; per-user prefix sums +
+    one segment ``searchsorted``, no per-row Python beyond the per-user
+    segment loop (O(#users) iterations on index arithmetic).
+
+    TIE SEMANTICS: SQL RANGE treats equal-ts rows as PEERS (they all
+    share the window of the last peer); this kernel matches that only
+    when (user_id, ts) pairs are unique — the events table guarantees
+    it (event_id tie-break exists for determinism, and the oracle
+    compares under the same uniqueness).  Same one-key-per-block
+    assumption as sessionize."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        vq4 = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t["value"], pa.float64()),
+                                 10_000.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"],
+             "ts": t["ts"], "value_q4": vq4}
+        )
+
+    picked = ds.select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    ).map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+    return part.map_batches(
+        _range_window_block, fn_kwargs={"width_us": width_us},
+        batch_format="pyarrow", batch_size=None,
+    )

@@ -1458,3 +1458,38 @@ def test_rollup_counts_matches_twin(ray_session):
         got = {(r["a"], r["b"]): r["n"] for r in rows}
         assert got == dict(want), parts
         assert len(rows) == len(want)  # no duplicate grain rows
+
+
+def test_range_user_window_matches_twin(ray_session):
+    """Trailing time-range window equals the per-user quadratic twin,
+    layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.events import range_user_window
+
+    rng = np.random.default_rng(83)
+    n = 1500
+    uid = rng.integers(0, 20, n).astype(np.int64)
+    ts = rng.choice(10**6, n, replace=False).astype(np.int64) * 1_000_000
+    val = rng.random(n) * 40 - 10
+    t = pa.table(
+        {"event_id": pa.array(np.arange(n, dtype=np.int64)),
+         "user_id": pa.array(uid),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "value": pa.array(val, pa.float64())}
+    )
+    width = 50_000 * 1_000_000
+    vq = np.floor(val * 10_000.0).astype(np.int64)
+    want = {}
+    for u in np.unique(uid):
+        idx = np.flatnonzero(uid == u)
+        idx = idx[np.argsort(ts[idx])]
+        for j, i in enumerate(idx):
+            m = idx[(ts[idx] >= ts[i] - width) & (ts[idx] <= ts[i])]
+            want[int(i)] = (int(vq[m].sum()), len(m))
+    for parts in (1, 8):
+        got = {r["event_id"]: (r["wsum_q4"], r["wn"])
+               for r in range_user_window(
+                   ray.data.from_arrow(t).repartition(parts), width, 5,
+               ).take_all()}
+        assert got == want, parts
