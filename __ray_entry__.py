@@ -1239,6 +1239,16 @@ VALUE_BANDS = (
 )
 
 
+def q_events_funnel(sf_dir: str):
+    """Two-step conversion funnel: first click -> first purchase at or
+    after it, converted within 1 h; co-located per-user segment mins."""
+    from luzzu_ray.ops.events import funnel_users
+
+    return funnel_users(
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_type"])
+    )
+
+
 def q_events_range_window(sf_dir: str):
     """Trailing 1-hour RANGE window per user: exact fixed-point sums
     via per-user prefix sums + segment searchsorted."""
@@ -1747,6 +1757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q_top_docs_per_source,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "label_centroid_sums": q_label_centroid_sums,
+        "events_funnel": q_events_funnel,
         "events_range_window": q_events_range_window,
         "docs_rollup": q_docs_rollup,
         "lang_mode_by_source": q_lang_mode_by_source,
@@ -2045,6 +2056,16 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "AS BIGINT) AS rnk, "
             "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
             "AS BIGINT) AS tile FROM documents"
+        ),
+        "events_funnel": (
+            "WITH a AS (SELECT user_id, min(ts) AS ts_a FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id), "
+            "b AS (SELECT e.user_id, min(e.ts) AS ts_b FROM events e "
+            "JOIN a USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts >= a.ts_a GROUP BY e.user_id) "
+            "SELECT a.user_id, a.ts_a, b.ts_b, "
+            "coalesce(b.ts_b - a.ts_a <= INTERVAL 1 HOUR, FALSE) "
+            "AS converted FROM a LEFT JOIN b ON a.user_id = b.user_id"
         ),
         "events_range_window": (
             "SELECT event_id, user_id, "

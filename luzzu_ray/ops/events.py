@@ -812,3 +812,87 @@ def range_user_window(
         _range_window_block, fn_kwargs={"width_us": width_us},
         batch_format="pyarrow", batch_size=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# two-step FUNNEL: first step-A event, then the first step-B event at or
+# after it; conversion = B within the window
+# ---------------------------------------------------------------------------
+
+def funnel_users(
+    ds: ray.data.Dataset,
+    step_a: str = "click",
+    step_b: str = "purchase",
+    window_us: int = 3_600_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-user two-step funnel: ``ts_a`` = the user's FIRST ``step_a``
+    event, ``ts_b`` = their first ``step_b`` event with ts >= ts_a;
+    ``converted`` iff ts_b - ts_a <= window.  Users with no ``step_a``
+    are dropped (they never entered the funnel); ts_b is NULL when no
+    qualifying B exists.  One hash exchange on user_id, whole-block
+    vectorized segment mins — the product-analytics conversion
+    primitive over the same co-location machinery as sessionize.
+
+    Output: (user_id, ts_a, ts_b, converted).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array([step_a, step_b])
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"],
+             "is_a": pc.equal(t["event_type"], step_a)}
+        )
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "ts_a": pa.array([], pa.timestamp("us")),
+                 "ts_b": pa.array([], pa.timestamp("us")),
+                 "converted": pa.array([], pa.bool_())}
+            )
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        isa = t["is_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        seg = np.cumsum(first) - 1
+        n_seg = int(seg[-1]) + 1
+        big = np.iinfo(np.int64).max
+        ts_a = np.full(n_seg, big, dtype=np.int64)
+        np.minimum.at(ts_a, seg[isa], ts[isa])
+        isb = ~isa
+        after = isb & (ts >= ts_a[seg])
+        ts_b = np.full(n_seg, big, dtype=np.int64)
+        np.minimum.at(ts_b, seg[after], ts[after])
+        entered = ts_a != big
+        has_b = ts_b != big
+        conv = entered & has_b & (ts_b - ts_a <= window_us)
+        starts = np.flatnonzero(first)
+        out_uid = uid[starts][entered]
+        return pa.table(
+            {"user_id": pa.array(out_uid),
+             "ts_a": pa.array(ts_a[entered], pa.timestamp("us")),
+             "ts_b": pa.array(
+                 np.where(has_b, ts_b, 0)[entered], pa.timestamp("us"),
+                 mask=~has_b[entered],
+             ),
+             "converted": pa.array(conv[entered])}
+        )
+
+    picked = ds.select_columns(["user_id", "ts", "event_type"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+    return part.map_batches(block, batch_format="pyarrow", batch_size=None)

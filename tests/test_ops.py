@@ -1493,3 +1493,44 @@ def test_range_user_window_matches_twin(ray_session):
                    ray.data.from_arrow(t).repartition(parts), width, 5,
                ).take_all()}
         assert got == want, parts
+
+
+def test_funnel_users_matches_twin(ray_session):
+    """Funnel equals the per-user Python twin: entered users only,
+    NULL ts_b when no qualifying B, conversion window respected."""
+    import ray.data
+
+    from luzzu_ray.ops.events import funnel_users
+
+    rng = np.random.default_rng(84)
+    n = 3000
+    uid = rng.integers(0, 60, n).astype(np.int64)
+    ts = rng.choice(10**6, n, replace=False).astype(np.int64) * 1_000_000
+    et = rng.choice(["A", "B", "other"], n, p=[0.3, 0.3, 0.4])
+    t = pa.table(
+        {"user_id": pa.array(uid),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "event_type": pa.array(et)}
+    )
+    W = 40_000 * 1_000_000
+    want = {}
+    for u in np.unique(uid):
+        m = uid == u
+        a = ts[m & (et == "A")]
+        if not len(a):
+            continue
+        ta = a.min()
+        b = ts[m & (et == "B") & (ts >= ta)]
+        tb = int(b.min()) if len(b) else None
+        want[int(u)] = (int(ta), tb,
+                        tb is not None and tb - ta <= W)
+    for parts in (1, 7):
+        got = {r["user_id"]: (
+                   int(r["ts_a"].timestamp() * 1e6) if hasattr(r["ts_a"], "timestamp") else r["ts_a"],
+                   None if r["ts_b"] is None else int(r["ts_b"].timestamp() * 1e6),
+                   r["converted"])
+               for r in funnel_users(
+                   ray.data.from_arrow(t).repartition(parts),
+                   "A", "B", W, 5,
+               ).take_all()}
+        assert got == want, parts
