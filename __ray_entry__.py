@@ -1239,6 +1239,20 @@ VALUE_BANDS = (
 )
 
 
+CHUNK_W = 32
+CHUNK_S = 16
+
+
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window chunking: overlapping token windows per doc —
+    segment index math + one Arrow take + one rejoin per batch."""
+    from luzzu_ray.ops.vocab import chunk_documents
+
+    return chunk_documents(
+        _docs(sf_dir, ["doc_id", "text"]), CHUNK_W, CHUNK_S
+    )
+
+
 def q_events_funnel(sf_dir: str):
     """Two-step conversion funnel: first click -> first purchase at or
     after it, converted within 1 h; co-located per-user segment mins."""
@@ -1757,6 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q_top_docs_per_source,
         "doc_tfidf_terms": q_doc_tfidf_terms,
         "label_centroid_sums": q_label_centroid_sums,
+        "chunk_documents": q_chunk_documents,
         "events_funnel": q_events_funnel,
         "events_range_window": q_events_range_window,
         "docs_rollup": q_docs_rollup,
@@ -2057,6 +2072,19 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) "
             "AS BIGINT) AS tile FROM documents"
         ),
+        "chunk_documents": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, "
+            "len(string_split(text, ' ')) AS t FROM documents), "
+            "k AS (SELECT doc_id, w, t, 1 + (greatest(t - {W}, 0) "
+            "+ {S} - 1) // {S} AS nk FROM d), "
+            "e AS (SELECT doc_id, w, t, "
+            "unnest(generate_series(0, nk - 1)) AS i FROM k) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "array_to_string(list_slice(w, i * {S} + 1, "
+            "least(i * {S} + {W}, t)), ' ') AS chunk_text, "
+            "CAST(least(i * {S} + {W}, t) - i * {S} AS BIGINT) "
+            "AS n_tokens FROM e"
+        ).replace("{W}", str(CHUNK_W)).replace("{S}", str(CHUNK_S)),
         "events_funnel": (
             "WITH a AS (SELECT user_id, min(ts) AS ts_a FROM events "
             "WHERE event_type = 'click' GROUP BY user_id), "

@@ -248,3 +248,70 @@ def tfidf_top_terms(
         Scorer, fn_constructor_kwargs={"ref": df_ref},
         batch_format="pyarrow", concurrency=(1, 8),
     )
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    window: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Sliding-window document CHUNKING: each doc becomes
+    ``1 + max(0, ceil((T - window) / stride))`` overlapping token
+    chunks (the embed/RAG/context-window preprocessing step).  All
+    integer arithmetic, so the SQL ``generate_series + list_slice``
+    oracle matches exactly; the whole batch is segment index math +
+    ONE Arrow ``take`` + ONE rejoin — no per-row Python.  Overlap
+    duplicates at most window/stride x the token bytes (that is the
+    op's contract, not an implementation artifact).
+
+    Output: (id_col, chunk_idx, chunk_text, n_tokens).
+    """
+
+    def block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "chunk_idx": pa.array([], pa.int64()),
+                 "chunk_text": pa.array([], pa.string()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        words = pc.split_pattern(t[text_col], " ").combine_chunks()
+        offs = words.offsets.to_numpy().astype(np.int64)
+        flat = words.flatten()
+        T = offs[1:] - offs[:-1]
+        nk = 1 + (np.maximum(T - window, 0) + stride - 1) // stride
+        rid = np.repeat(np.arange(n, dtype=np.int64), nk)
+        # chunk index within its doc
+        kstart = np.concatenate(([0], np.cumsum(nk)))
+        ci = np.arange(int(kstart[-1]), dtype=np.int64) - kstart[rid]
+        c_lo = ci * stride
+        c_hi = np.minimum(c_lo + window, T[rid])
+        c_len = c_hi - c_lo
+        # token gather indices: one arange per chunk, segment-built
+        tstart = np.concatenate(([0], np.cumsum(c_len)))
+        M = int(tstart[-1])
+        within = np.arange(M, dtype=np.int64) - np.repeat(
+            tstart[:-1], c_len
+        )
+        tok_idx = (offs[:-1] - offs[0])[rid].repeat(c_len) \
+            + c_lo.repeat(c_len) + within
+        kept = flat.take(pa.array(tok_idx))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(tstart.astype(np.int32)), kept
+            ), " "
+        )
+        ids_np = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {id_col: pa.array(ids_np[rid]),
+             "chunk_idx": pa.array(ci),
+             "chunk_text": joined,
+             "n_tokens": pa.array(c_len.astype(np.int64))}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True
+    )

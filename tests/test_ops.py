@@ -1534,3 +1534,36 @@ def test_funnel_users_matches_twin(ray_session):
                    "A", "B", W, 5,
                ).take_all()}
         assert got == want, parts
+
+
+def test_chunk_documents_matches_twin(ray_session):
+    """Sliding-window chunks equal the Python slicing twin: overlap,
+    short tails, single-chunk docs, empty text."""
+    import ray.data
+
+    from luzzu_ray.ops.vocab import chunk_documents
+
+    rng = np.random.default_rng(85)
+    vocab = ["t%d" % i for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(1, 40)))
+            for _ in range(200)]
+    docs[0] = ""
+    docs[1] = " ".join(["x"] * 7)  # exactly one stride over window=5
+    t = pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    W, S = 5, 3
+    want = set()
+    for i, d in enumerate(docs):
+        toks = d.split(" ")
+        T = len(toks)
+        nk = 1 + max(0, (max(T - W, 0) + S - 1) // S)
+        for ci in range(nk):
+            seg = toks[ci * S: min(ci * S + W, T)]
+            want.add((i, ci, " ".join(seg), len(seg)))
+    for parts in (1, 6):
+        got = {(r["doc_id"], r["chunk_idx"], r["chunk_text"],
+                r["n_tokens"])
+               for r in chunk_documents(
+                   ray.data.from_arrow(t).repartition(parts), W, S,
+               ).take_all()}
+        assert got == want, parts
