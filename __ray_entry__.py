@@ -1175,6 +1175,23 @@ def q_vocab_topk(sf_dir: str):
     return word_stats_topv(_docs(sf_dir, ["text"]), VOCAB_TOPV)
 
 
+FREQ_DENOM = 500
+FREQ_CAPACITY = 1024
+
+
+def q_frequent_tokens(sf_dir: str):
+    """EXACT heavy hitters (count >= ceil(n_tokens/denom)) via the
+    bounded-memory two-pass protocol: per-block lossy-counting candidate
+    generation (<= capacity+1 rows per block through the exchange, recall
+    1 by the Misra-Gries deficit bound), then a broadcast exact recount
+    of the ~2*denom candidates — never a full-vocabulary shuffle."""
+    from luzzu_ray.ops.sketch import frequent_words
+
+    return frequent_words(
+        _docs(sf_dir, ["text"]), FREQ_DENOM, FREQ_CAPACITY
+    )
+
+
 def q_doc_global_rank(sf_dir: str):
     """Distributed order statistics: exact global
     row_number() / NTILE(10) over (n_chars DESC, doc_id) for every doc
@@ -1766,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_f_orders": q_customers_no_f_orders,
         "render_user_streams": q_render_user_streams,
         "vocab_topk": q_vocab_topk,
+        "frequent_tokens": q_frequent_tokens,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2064,6 +2082,13 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "(SELECT doc_id, unnest(string_split(text, ' ')) AS word "
             "FROM documents) GROUP BY word "
             f"ORDER BY tf DESC, word LIMIT {VOCAB_TOPV}"
+        ),
+        "frequent_tokens": (
+            "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS "
+            "word FROM documents), tot AS (SELECT count(*) AS n FROM "
+            "toks) SELECT word, CAST(count(*) AS BIGINT) AS n_occ "
+            "FROM toks GROUP BY word HAVING count(*) >= "
+            f"((SELECT n FROM tot) + {FREQ_DENOM} - 1) // {FREQ_DENOM}"
         ),
         "doc_global_rank": (
             "SELECT doc_id, n_chars, "

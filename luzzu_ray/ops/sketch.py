@@ -187,6 +187,129 @@ def kmv_distinct(
     )
 
 
+def frequent_words(
+    ds: ray.data.Dataset,
+    denom: int = 500,
+    capacity: int = 1024,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT heavy hitters with bounded memory: every word whose corpus
+    count >= ceil(n_tokens / denom), via the two-pass sketch-then-verify
+    protocol (Misra-Gries '82 / Manku-Motwani lossy counting, merged per
+    Agarwal et al. "Mergeable Summaries" PODS'12).
+
+    Pass A (candidate generation, bounded): each block computes EXACT
+    local (word, c) counts and keeps only words with
+    ``c * (capacity+1) >= n_block`` — at most capacity+1 rows per block,
+    and a dropped word loses < n_block/(capacity+1) count, so after the
+    narrow groupby-sum the summed counter satisfies
+    ``mg(w) > true(w) - n/(capacity+1)``.  The global candidate prune
+    ``mg*(capacity+1) > T*(capacity+1) - n`` (all-integer, no float
+    rounding) therefore has RECALL 1 for true count >= T, and keeps at
+    most ~n/(T - n/(capacity+1)) ~ 2*denom candidates when
+    capacity+1 >= 2*denom (enforced).
+
+    Pass B (exact verify): the tiny candidate list is broadcast via
+    ``ray.put``; each block recounts ONLY candidate words (dictionary
+    ``index_in`` + bincount), one narrow groupby-sum, filter >= T.
+
+    Scale shape: the exchange carries <= capacity+1 rows per block in
+    pass A and <= 2*denom rows per block in pass B — never the token
+    stream and never the full vocabulary, unlike a plain
+    groupby(word).  Output: (word, n_occ), exactly the SQL
+    ``GROUP BY word HAVING count(*) >= (n + denom - 1) // denom``.
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.vocab import _word_partial
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    if capacity + 1 < 2 * denom:
+        raise ValueError(
+            f"capacity+1={capacity + 1} must be >= 2*denom={2 * denom} "
+            "for the candidate-set bound"
+        )
+    _ensure_hash_shuffle()
+    text = ds.select_columns([text_col])
+
+    def ntok_partial(t: pa.Table) -> pa.Table:
+        c = pc.count_substring(t[text_col], " ")
+        n = int(pc.sum(c).as_py() or 0) + len(
+            t[text_col].drop_null()
+        )
+        return pa.table({"ntok": pa.array([n], pa.int64())})
+
+    n_tokens = int(
+        text.map_batches(ntok_partial, batch_format="pyarrow")
+        .sum("ntok")
+        or 0
+    )
+    if n_tokens == 0:
+        return ray.data.from_arrow(
+            pa.table({"word": pa.array([], pa.string()),
+                      "n_occ": pa.array([], pa.int64())})
+        )
+    thresh = (n_tokens + denom - 1) // denom
+
+    def mg_partial(t: pa.Table) -> pa.Table:
+        p = _word_partial(t, text_col)
+        c = p["tf"].to_numpy(zero_copy_only=False)
+        nb = int(c.sum())
+        keep = c * (capacity + 1) >= nb
+        return pa.table(
+            {"word": p["word"].filter(pa.array(keep)),
+             "c": pa.array(c[keep].astype(np.int64))}
+        )
+
+    parts = text.map_batches(
+        mg_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # narrow: <= capacity+1 rows per block
+    mg = parts.groupby(
+        "word", num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(Sum("c", alias_name="c"))
+    # all-integer recall-1 prune; bounded to ~2*denom rows by
+    # construction.  c*(cap+1) > T*(cap+1) - n  <=>  c >= bound//(cap+1)+1
+    # (exact for integers, either sign of the bound)
+    bound = thresh * (capacity + 1) - n_tokens
+    cmin = bound // (capacity + 1) + 1
+    cand_tbl = mg.filter(expr=f"c >= {cmin}").take_all()
+    cand = pa.array(sorted(r["word"] for r in cand_tbl), pa.string())
+    if len(cand) == 0:
+        return ray.data.from_arrow(
+            pa.table({"word": pa.array([], pa.string()),
+                      "n_occ": pa.array([], pa.int64())})
+        )
+    cand_ref = ray.put(cand)
+
+    class Recount:
+        """Candidate list resolved ONCE per actor; per-batch: split,
+        dictionary-encode, index_in against the sorted candidates,
+        bincount — exact counts for candidate words only."""
+
+        def __init__(self, ref):
+            self.cand = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            p = _word_partial(t, text_col)
+            pos = pc.index_in(p["word"], value_set=self.cand)
+            hit = pc.is_valid(pos)
+            return pa.table(
+                {"word": p["word"].filter(hit),
+                 "c": p["tf"].filter(hit)}
+            )
+
+    counts = text.map_batches(
+        Recount, fn_constructor_kwargs={"ref": cand_ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).materialize()
+    exact = counts.groupby(
+        "word", num_partitions=auto_partitions(counts, num_partitions)
+    ).aggregate(Sum("c", alias_name="n_occ"))
+    return exact.filter(expr=f"n_occ >= {thresh}")
+
+
 def kmv_distinct_by(
     ds: ray.data.Dataset,
     group_col: str,

@@ -1118,6 +1118,46 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_frequent_words_matches_twin(ray_session):
+    """Two-pass heavy hitters equal the exact-counter twin (recall 1
+    AND precision 1 at the threshold), across block layouts — including
+    a word spread thinly over blocks so no single block keeps it
+    locally (the case a union-of-block-top-k would miss)."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.sketch import frequent_words
+
+    rng = np.random.default_rng(83)
+    pool = [f"w{i}" for i in range(40)]
+    probs = np.array([1.0 / (i + 1) ** 1.3 for i in range(40)])
+    probs /= probs.sum()
+    docs = [" ".join(rng.choice(pool, rng.integers(1, 12), p=probs))
+            for _ in range(300)]
+    # a word just at the global threshold but diluted per-block
+    spread = ["rare_but_frequent"] * 260
+    docs = [d + " " + s for d, s in zip(docs[:260], spread)] + docs[260:]
+    cnt: collections.Counter = collections.Counter()
+    for d in docs:
+        cnt.update(d.split(" "))
+    n = sum(cnt.values())
+    denom, cap = 10, 19
+    thresh = (n + denom - 1) // denom
+    want = sorted((w, c) for w, c in cnt.items() if c >= thresh)
+    assert want, "test corpus must produce at least one heavy hitter"
+    t = pa.table({"text": pa.array(docs)})
+    for parts in (1, 9):
+        got = sorted(
+            (r["word"], r["n_occ"])
+            for r in frequent_words(
+                ray.data.from_arrow(t).repartition(parts),
+                denom, cap,
+            ).take_all()
+        )
+        assert got == want, parts
+
+
 def test_global_rank_matches_twin(ray_session):
     """row_number + NTILE equal the sort-based twin under heavy score
     ties and across block layouts / shuffle widths."""
