@@ -1179,6 +1179,15 @@ FREQ_DENOM = 500
 FREQ_CAPACITY = 1024
 
 
+def q_events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: first-seen day x activity-day offset
+    distinct-user counts — one user_id co-location exchange, per-block
+    pre-aggregated (cohort, offset) partials, narrow final combine."""
+    from luzzu_ray.ops.events import cohort_retention
+
+    return cohort_retention(_tbl(sf_dir, "events", ["user_id", "ts"]))
+
+
 def q_frequent_tokens(sf_dir: str):
     """EXACT heavy hitters (count >= ceil(n_tokens/denom)) via the
     bounded-memory two-pass protocol: per-block lossy-counting candidate
@@ -1784,6 +1793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_user_streams": q_render_user_streams,
         "vocab_topk": q_vocab_topk,
         "frequent_tokens": q_frequent_tokens,
+        "events_cohort_retention": q_events_cohort_retention,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2089,6 +2099,15 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "toks) SELECT word, CAST(count(*) AS BIGINT) AS n_occ "
             "FROM toks GROUP BY word HAVING count(*) >= "
             f"((SELECT n FROM tot) + {FREQ_DENOM} - 1) // {FREQ_DENOM}"
+        ),
+        "events_cohort_retention": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS "
+            "day FROM events), f AS (SELECT user_id, min(day) AS d0 "
+            "FROM e GROUP BY user_id), a AS (SELECT DISTINCT user_id, "
+            "day FROM e) SELECT f.d0 AS cohort_day, "
+            "a.day - f.d0 AS offset_days, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         "doc_global_rank": (
             "SELECT doc_id, n_chars, "

@@ -896,3 +896,78 @@ def funnel_users(
     )
     part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
     return part.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: first-seen day x activity-day offset distinct-user
+# counts — SQL: min(day) per user joined back to DISTINCT (user, day)
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    bucket_us: int = DAY_US,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cohort retention matrix: (cohort_day, offset_days, n_users) where
+    cohort_day = a user's first active day and n_users counts DISTINCT
+    users of that cohort active offset_days later.
+
+    Scale shape: ONE hash exchange on user_id co-locates each user's
+    full history (the sessionize assumption — salt via the chunked
+    protocol if a single user exceeds a block), then each block derives
+    its users' (cohort, offset) pairs and pre-aggregates them to partial
+    counts, so the second exchange carries at most
+    #cohorts x #offsets rows per block (~31 x 31 at a month of data),
+    never per-user rows.  Distinct-user semantics are exact because a
+    user lives in exactly one block and contributes <= 1 per pair there.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+    from ray.data.aggregate import Sum
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"cohort_day": pa.array([], pa.int64()),
+                 "offset_days": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ) // bucket_us
+        )
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        first_pair = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (d[1:] != d[:-1]))
+        )
+        u, d = u[first_pair], d[first_pair]
+        new_u = np.concatenate(([True], u[1:] != u[:-1]))
+        d0 = d[np.maximum.accumulate(np.where(new_u, np.arange(len(u)), 0))]
+        cohort, off = d0, d - d0
+        key = cohort * (off.max() + 1) + off if len(off) else cohort
+        uk, n = np.unique(key, return_counts=True)
+        w = int(off.max() + 1) if len(off) else 1
+        return pa.table(
+            {"cohort_day": pa.array((uk // w).astype(np.int64)),
+             "offset_days": pa.array((uk % w).astype(np.int64)),
+             "n": pa.array(n.astype(np.int64))}
+        )
+
+    picked = ds.select_columns(["user_id", "ts"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+    parts = part.map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    ).materialize()  # narrow partials size the final combine
+    return parts.groupby(
+        ["cohort_day", "offset_days"],
+        num_partitions=auto_partitions(parts, None),
+    ).aggregate(Sum("n", alias_name="n_users"))

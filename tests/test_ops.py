@@ -1118,6 +1118,44 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_cohort_retention_matches_twin(ray_session):
+    """Retention matrix equals a Python dict twin across layouts,
+    including users whose events span many days and duplicate
+    same-day events (distinct semantics)."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.events import DAY_US, cohort_retention
+
+    rng = np.random.default_rng(29)
+    n = 600
+    uid = rng.integers(0, 40, n)
+    day = rng.integers(0, 12, n)
+    ts = day * DAY_US + rng.integers(0, DAY_US, n)
+    first = {}
+    active = set()
+    for u, d in zip(uid, day):
+        first[u] = min(first.get(u, 10**9), d)
+        active.add((int(u), int(d)))
+    want: collections.Counter = collections.Counter()
+    for u, d in active:
+        want[(first[u], d - first[u])] += 1
+    t = pa.table(
+        {"user_id": pa.array(uid.astype(np.int64)),
+         "ts": pa.array(ts.astype(np.int64), pa.timestamp("us"))}
+    )
+    for parts in (1, 8):
+        got = {
+            (r["cohort_day"], r["offset_days"]): r["n_users"]
+            for r in cohort_retention(
+                ray.data.from_arrow(t).repartition(parts),
+                num_partitions=4,
+            ).take_all()
+        }
+        assert got == dict(want), parts
+
+
 def test_frequent_words_matches_twin(ray_session):
     """Two-pass heavy hitters equal the exact-counter twin (recall 1
     AND precision 1 at the threshold), across block layouts — including
