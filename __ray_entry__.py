@@ -1179,6 +1179,17 @@ FREQ_DENOM = 500
 FREQ_CAPACITY = 1024
 
 
+def q_events_type_transitions(sf_dir: str):
+    """Markov transition profile: per-user consecutive event-type pair
+    counts — user co-location exchange, one lexsort + shifted
+    dictionary-code compare per block, |types|^2-row final combine."""
+    from luzzu_ray.ops.events import type_transitions
+
+    return type_transitions(
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    )
+
+
 def q_events_cohort_retention(sf_dir: str):
     """Cohort retention matrix: first-seen day x activity-day offset
     distinct-user counts — one user_id co-location exchange, per-block
@@ -1794,6 +1805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q_vocab_topk,
         "frequent_tokens": q_frequent_tokens,
         "events_cohort_retention": q_events_cohort_retention,
+        "events_type_transitions": q_events_type_transitions,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2108,6 +2120,13 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "a.day - f.d0 AS offset_days, "
             "CAST(count(*) AS BIGINT) AS n_users "
             "FROM a JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "events_type_transitions": (
+            "SELECT prev AS from_type, event_type AS to_type, "
+            "CAST(count(*) AS BIGINT) AS n_pairs FROM "
+            "(SELECT event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) WHERE prev IS NOT NULL GROUP BY 1, 2"
         ),
         "doc_global_rank": (
             "SELECT doc_id, n_chars, "

@@ -971,3 +971,60 @@ def cohort_retention(
         ["cohort_day", "offset_days"],
         num_partitions=auto_partitions(parts, None),
     ).aggregate(Sum("n", alias_name="n_users"))
+
+
+def type_transitions(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Markov transition profile: counts of consecutive event-type
+    pairs within each user's (ts, event_id)-ordered stream — SQL
+    ``lag(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)`` + GROUP BY (prev, cur).
+
+    Scale shape: one user_id co-location exchange (sessionize
+    assumption), per block ONE lexsort + ONE shifted dictionary-code
+    compare + np.unique — the second exchange carries at most
+    |types|^2 rows per block.  Output: (from_type, to_type, n_pairs).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+    from ray.data.aggregate import Sum
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"from_type": pa.array([], pa.string()),
+                 "to_type": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], code[order]
+        same = u[1:] == u[:-1]
+        v = len(enc.dictionary)
+        pair = c[:-1][same] * v + c[1:][same]
+        up, n = np.unique(pair, return_counts=True)
+        return pa.table(
+            {"from_type": pc.take(enc.dictionary, pa.array(up // v)),
+             "to_type": pc.take(enc.dictionary, pa.array(up % v)),
+             "n": pa.array(n.astype(np.int64))}
+        )
+
+    picked = ds.select_columns(["user_id", "ts", "event_id", "event_type"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+    parts = part.map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    return parts.groupby(
+        ["from_type", "to_type"],
+        num_partitions=auto_partitions(parts, None),
+    ).aggregate(Sum("n", alias_name="n_pairs"))

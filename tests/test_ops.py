@@ -1118,6 +1118,44 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_type_transitions_matches_twin(ray_session):
+    """Transition counts equal a Python twin across layouts, with
+    ts ties broken by event_id and single-event users contributing
+    nothing."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.events import type_transitions
+
+    rng = np.random.default_rng(47)
+    n = 500
+    uid = rng.integers(0, 30, n).astype(np.int64)
+    ts = rng.integers(0, 50, n).astype(np.int64)  # many ties
+    eid = np.arange(n, dtype=np.int64)
+    types = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    rows = sorted(zip(uid, ts, eid, types))
+    want: collections.Counter = collections.Counter()
+    for (u0, _, _, c0), (u1, _, _, c1) in zip(rows, rows[1:]):
+        if u0 == u1:
+            want[(c0, c1)] += 1
+    t = pa.table(
+        {"user_id": pa.array(uid),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "event_id": pa.array(eid),
+         "event_type": pa.array(types)}
+    )
+    for parts in (1, 8):
+        got = {
+            (r["from_type"], r["to_type"]): r["n_pairs"]
+            for r in type_transitions(
+                ray.data.from_arrow(t).repartition(parts),
+                num_partitions=4,
+            ).take_all()
+        }
+        assert got == dict(want), parts
+
+
 def test_cohort_retention_matches_twin(ray_session):
     """Retention matrix equals a Python dict twin across layouts,
     including users whose events span many days and duplicate
