@@ -1407,6 +1407,24 @@ def q_customers_no_f_orders(sf_dir: str):
     )
 
 
+def q_customers_with_p_orders(sf_dir: str):
+    """Distributed SEMI join (EXISTS): customers having at least one
+    'P'-status order — existence filter, no per-match row duplication."""
+    from luzzu_ray.ops.relational import semi_join
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def only_p(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderstatus"], "P"))
+
+    return semi_join(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_name"]),
+        orders.map_batches(only_p, batch_format="pyarrow"),
+        left_key="c_custkey", right_key="o_custkey",
+        carry_cols=["c_name"],
+    )
+
+
 def q_shingle_df_profile(sf_dir: str):
     """Boilerplate detector aggregate: (df, n_shingles) distribution of
     shingle document frequencies, df >= SHINGLE_MIN_DF — hash-free
@@ -1801,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "pack_documents": q_pack_documents,
         "customers_no_f_orders": q_customers_no_f_orders,
+        "customers_with_p_orders": q_customers_with_p_orders,
         "render_user_streams": q_render_user_streams,
         "vocab_topk": q_vocab_topk,
         "frequent_tokens": q_frequent_tokens,
@@ -2288,6 +2307,11 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderstatus = 'F')"
+        ),
+        "customers_with_p_orders": (
+            "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'P')"
         ),
         "shingle_df_profile": f"""
 WITH toks AS (

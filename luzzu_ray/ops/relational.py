@@ -483,15 +483,49 @@ def anti_join(
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed ANTI join: rows of ``left`` whose key appears nowhere
-    in ``right`` (SQL ``NOT EXISTS``) — the relational complement the
-    inner joins don't cover, needed for "customers with no X" audits
+    in ``right`` (SQL ``NOT EXISTS``)."""
+    return _existence_join(
+        left, right, left_key, right_key, carry_cols,
+        negate=True, num_partitions=num_partitions,
+    )
+
+
+def semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    carry_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed SEMI join: rows of ``left`` whose key appears at
+    least once in ``right`` (SQL ``EXISTS``) — existence filtering
+    without duplicating left rows per match the way an inner join
+    would."""
+    return _existence_join(
+        left, right, left_key, right_key, carry_cols,
+        negate=False, num_partitions=num_partitions,
+    )
+
+
+def _existence_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    carry_cols: list[str],
+    negate: bool,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Shared EXISTS / NOT EXISTS engine — the relational complement the
+    inner joins don't cover, needed for "customers with(out) X" audits
     and held-out-set exclusion.
 
     Both sides hash-exchange on the key; the right side is reduced to
     per-block DISTINCT keys BEFORE the exchange (only unique keys move,
     never right payloads), and each reduce block filters its co-located
     left rows against its right-key set with one vectorized ``is_in``.
-    NULL right keys match nothing, per SQL NOT EXISTS semantics."""
+    NULL right keys match nothing, per SQL EXISTS semantics."""
     from luzzu_ray.ops.dedup import auto_partitions
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
@@ -524,21 +558,20 @@ def anti_join(
         )
     )
 
-    def anti_block(t: pa.Table) -> pa.Table:
+    def exists_block(t: pa.Table) -> pa.Table:
         side = t["_side"].combine_chunks().to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(side == 0)).drop_columns(["_side"])
         rk = pc.unique(
             pc.drop_null(t.filter(pa.array(side == 1))[left_key])
         )
         if len(rk) == 0 or lt.num_rows == 0:
-            return lt
-        return lt.filter(
-            pc.invert(pc.is_in(lt[left_key], value_set=rk))
-        )
+            return lt if negate else lt.slice(0, 0)
+        hit = pc.is_in(lt[left_key], value_set=rk)
+        return lt.filter(pc.invert(hit) if negate else hit)
 
     return both.repartition(
         num_blocks=num_partitions, keys=[left_key]
-    ).map_batches(anti_block, batch_format="pyarrow", batch_size=None)
+    ).map_batches(exists_block, batch_format="pyarrow", batch_size=None)
 
 
 RANK_HASH_A = 0x9E3779B97F4A7C15

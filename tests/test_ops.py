@@ -1023,6 +1023,44 @@ def test_anti_join_matches_set_twin(ray_session):
     assert got_all == 500
 
 
+def test_semi_join_matches_set_twin(ray_session):
+    """Distributed semi-join equals Python set intersection — one row
+    per matching left row regardless of right-side duplicate count —
+    and is the exact complement of the anti-join."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import anti_join, semi_join
+
+    rng = np.random.default_rng(59)
+    lk = rng.permutation(np.arange(500, dtype=np.int64))
+    left = pa.table(
+        {"k": pa.array(lk), "name": pa.array([f"n{i}" for i in lk])}
+    )
+    rk = rng.choice(800, 900, replace=True).astype(np.int64)
+    right = pa.table({"rk": pa.array(rk.tolist() + [None], pa.int64())})
+    got = sorted(
+        (r["k"], r["name"]) for r in semi_join(
+            ray.data.from_arrow(left).repartition(6),
+            ray.data.from_arrow(right).repartition(4),
+            "k", "rk", ["name"],
+        ).take_all()
+    )
+    rset = set(rk.tolist())
+    want = sorted((int(i), f"n{i}") for i in lk if int(i) in rset)
+    assert got == want and 0 < len(got) < 500
+    n_anti = anti_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "rk", ["name"],
+    ).count()
+    assert n_anti + len(got) == 500
+    # empty right side: nothing survives
+    assert semi_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right.slice(0, 0)),
+        "k", "rk", ["name"],
+    ).count() == 0
+
+
 def test_shingle_df_profile_matches_set_twin(ray_session):
     """(df, n_shingles) distribution equals a Python dict twin, across
     block layouts."""
