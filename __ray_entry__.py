@@ -1179,6 +1179,27 @@ FREQ_DENOM = 500
 FREQ_CAPACITY = 1024
 
 
+def q_events_hod_type_pivot(sf_dir: str):
+    """PIVOT: hour-of-day rows x one count column per event type —
+    per-block 2-D bincount into already-wide partials, one narrow
+    groupby sum; the pivot domain is discovered distributed first."""
+    from luzzu_ray.ops.relational import pivot_count
+
+    ev = _tbl(sf_dir, "events", ["ts", "event_type"])
+
+    def hod(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        return pa.table(
+            {"hod": pc.subtract(h, pc.multiply(pc.divide(h, 24), 24)),
+             "event_type": t["event_type"]}
+        )
+
+    return pivot_count(
+        ev.map_batches(hod, batch_format="pyarrow", zero_copy_batch=True),
+        "hod", "event_type",
+    )
+
+
 def q_events_type_transitions(sf_dir: str):
     """Markov transition profile: per-user consecutive event-type pair
     counts — user co-location exchange, one lexsort + shifted
@@ -1825,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens": q_frequent_tokens,
         "events_cohort_retention": q_events_cohort_retention,
         "events_type_transitions": q_events_type_transitions,
+        "events_hod_type_pivot": q_events_hod_type_pivot,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2146,6 +2168,15 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "(SELECT event_type, lag(event_type) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
             "FROM events) WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        "events_hod_type_pivot": (
+            "SELECT (epoch_us(ts) // 3600000000) % 24 AS hod, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (WHERE event_type = '{v}') "
+                f"AS BIGINT) AS n_{v}"
+                for v in ("click", "error", "purchase", "signup", "view")
+            )
+            + " FROM events GROUP BY hod"
         ),
         "doc_global_rank": (
             "SELECT doc_id, n_chars, "

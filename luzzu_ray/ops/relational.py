@@ -929,3 +929,71 @@ def rollup_counts(
     for ex in levels[1:]:
         out = out.union(ex)
     return out
+
+
+def pivot_count(
+    ds: ray.data.Dataset,
+    row_col: str,
+    pivot_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """PIVOT: one output row per ``row_col`` value, one ``n_<v>`` count
+    column per distinct ``pivot_col`` value — SQL conditional
+    aggregation ``count(*) FILTER (WHERE pivot = v)``.
+
+    Protocol: (1) distinct pivot values via per-block unique partials
+    (narrow; the pivot domain is assumed SMALL — that is the pivot
+    contract, a thousand-column table is a modeling error, not a scale
+    path); (2) each block 2-D-bincounts (row_code x pivot_code) into an
+    ALREADY-WIDE partial, so the exchange carries |rows-per-block
+    distinct| x (|domain|+1) cells, never raw rows; (3) one hash
+    groupby sums the wide partials.  NULL pivot values count toward no
+    column (SQL FILTER semantics); the row key still appears.
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    uniq = ds.select_columns([pivot_col]).map_batches(
+        lambda t: pa.table({pivot_col: pc.unique(
+            pc.drop_null(t[pivot_col].combine_chunks())
+        )}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    vals = sorted(v for v in uniq.unique(pivot_col) if v is not None)
+    val_arr = pa.array(vals)
+    ncols = [f"n_{v}" for v in vals]
+    sch = ds.schema()
+    row_type = sch.types[sch.names.index(row_col)]
+    v = len(vals)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {row_col: pa.array([], row_type)}
+            cols.update({c: pa.array([], pa.int64()) for c in ncols})
+            return pa.table(cols)
+        enc = pc.dictionary_encode(t[row_col].combine_chunks())
+        rcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = pc.index_in(t[pivot_col].combine_chunks(), value_set=val_arr)
+        pcode = pos.to_numpy(zero_copy_only=False)
+        nr = len(enc.dictionary)
+        valid = ~np.isnan(pcode) if pcode.dtype.kind == "f" else np.ones(
+            len(pcode), dtype=bool
+        )
+        flat = np.bincount(
+            (rcode[valid] * v + pcode[valid].astype(np.int64)),
+            minlength=nr * v,
+        ).reshape(nr, v) if v else np.zeros((nr, 0), dtype=np.int64)
+        cols = {row_col: enc.dictionary}
+        for j, c in enumerate(ncols):
+            cols[c] = pa.array(flat[:, j].astype(np.int64))
+        return pa.table(cols)
+
+    parts = ds.select_columns([row_col, pivot_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # wide-but-short partials size the combine
+    return parts.groupby(
+        row_col, num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(*[Sum(c, alias_name=c) for c in ncols])

@@ -1156,6 +1156,40 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_pivot_count_matches_twin(ray_session):
+    """Wide pivot counts equal a Python twin across layouts; null pivot
+    values count toward no column but keep the row present."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.relational import pivot_count
+
+    rng = np.random.default_rng(37)
+    n = 400
+    row = rng.integers(0, 6, n).astype(np.int64)
+    piv = np.array(["x", "y", "z"])[rng.integers(0, 3, n)].astype(object)
+    piv[::17] = None  # nulls
+    want: collections.Counter = collections.Counter()
+    rows_present = set()
+    for r, p in zip(row, piv):
+        rows_present.add(int(r))
+        if p is not None:
+            want[(int(r), p)] += 1
+    t = pa.table({"r": pa.array(row), "p": pa.array(piv, pa.string())})
+    for parts in (1, 7):
+        out = pivot_count(
+            ray.data.from_arrow(t).repartition(parts), "r", "p"
+        ).take_all()
+        assert {r["r"] for r in out} == rows_present, parts
+        got = {
+            (r["r"], v): r[f"n_{v}"] for r in out for v in ("x", "y", "z")
+        }
+        full = {(r, v): want.get((r, v), 0)
+                for r in rows_present for v in ("x", "y", "z")}
+        assert got == full, parts
+
+
 def test_type_transitions_matches_twin(ray_session):
     """Transition counts equal a Python twin across layouts, with
     ts ties broken by event_id and single-event users contributing
