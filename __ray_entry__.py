@@ -327,6 +327,18 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_sq8_ann_topk(sf_dir: str):
+    """Compressed-index ANN: 8-bit scalar-quantized codes (one narrow
+    per-dim min/max reduce learns the quantizer), EXACT integer dot
+    scoring, partial top-k merged through one query_id exchange."""
+    from luzzu_ray.ops.similarity import sq8_ann_topk
+
+    qids, mat = _query_vectors(sf_dir)
+    return sq8_ann_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), mat, qids, k=ANN_K
+    )
+
+
 # --- rows-only entries (no SQL equivalent; value-tested in tests/) ---------
 
 def q_doc_fingerprint(sf_dir: str):
@@ -1841,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": q_pack_documents,
         "customers_no_f_orders": q_customers_no_f_orders,
         "customers_with_p_orders": q_customers_with_p_orders,
+        "sq8_ann_topk": q_sq8_ann_topk,
         "render_user_streams": q_render_user_streams,
         "vocab_topk": q_vocab_topk,
         "frequent_tokens": q_frequent_tokens,
@@ -2484,5 +2497,24 @@ FROM dfs GROUP BY df
             "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, "
             "e.vec_id) AS BIGINT) AS rank, e.vec_id "
             f"FROM embeddings e, q QUALIFY rank <= {ANN_K}"
+        ),
+        # SQ8: the oracle REBUILDS the quantizer in SQL — per-dim min/max
+        # over the unnested vectors, then the bit-identical IEEE
+        # expression floor((v - mn) * 255.0 / (mx - mn)) and an exact
+        # integer dot product, so rank order matches with no float slack
+        "sq8_ann_topk": (
+            "WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) "
+            "AS v, generate_subscripts(embedding, 1) AS i FROM embeddings), "
+            "d AS (SELECT i, min(v) AS mn, max(v) AS mx FROM x GROUP BY i), "
+            "c AS (SELECT x.vec_id, x.i, CASE WHEN d.mx > d.mn THEN "
+            "CAST(floor((x.v - d.mn) * 255.0 / (d.mx - d.mn)) AS BIGINT) "
+            "ELSE 0 END AS code FROM x JOIN d ON x.i = d.i), "
+            f"q AS (SELECT vec_id AS query_id, i, code FROM c WHERE "
+            f"vec_id < {N_ANN_QUERIES}), "
+            "dots AS (SELECT q.query_id, c.vec_id, sum(q.code * c.code) "
+            "AS dot FROM q JOIN c ON q.i = c.i GROUP BY 1, 2) "
+            "SELECT query_id, CAST(row_number() OVER (PARTITION BY "
+            "query_id ORDER BY dot DESC, vec_id) AS BIGINT) AS rank, "
+            f"vec_id FROM dots QUALIFY rank <= {ANN_K}"
         ),
     }

@@ -85,7 +85,7 @@ class BruteForceTopK:
         )
 
 
-def _final_topk(partials: pa.Table, k: int) -> pa.Table:
+def _final_topk(partials: pa.Table, k: int, score_col: str = "cos") -> pa.Table:
     """Merge per-batch partial top-k lists -> global (query_id, rank, vec_id)."""
     if partials.num_rows == 0:
         return pa.table(
@@ -94,7 +94,7 @@ def _final_topk(partials: pa.Table, k: int) -> pa.Table:
              "vec_id": pa.array([], pa.int64())}
         )
     t = partials.sort_by(
-        [("query_id", "ascending"), ("cos", "descending"), ("vec_id", "ascending")]
+        [("query_id", "ascending"), (score_col, "descending"), ("vec_id", "ascending")]
     )
     q = t["query_id"].to_numpy(zero_copy_only=False)
     new_q = np.concatenate(([True], q[1:] != q[:-1]))
@@ -490,3 +490,149 @@ def grouped_vector_sums(
     return parts.groupby(
         ["label", "dim"], num_partitions=auto_partitions(parts, num_partitions)
     ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization: the vector-compression ANN path — 8-bit codes
+# cut index bytes 4-8x; scoring is EXACT integer dot product over codes
+# ---------------------------------------------------------------------------
+
+def _minmax_per_dim(ds: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Global per-dimension (min, max) of the embedding column: per-block
+    partials (two dim-length rows each), ONE single-partition reduce —
+    only 2 x dim x 8 bytes leave any block, and the driver receives one
+    row.  Min/max involve no summation, so the result is exact and
+    layout-invariant."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table(
+                {"mn": pa.array([], pa.list_(pa.float64())),
+                 "mx": pa.array([], pa.list_(pa.float64())),
+                 "_mrg": pa.array([], pa.int32())}
+            )
+        return pa.table(
+            {"mn": pa.array([m.min(axis=0).tolist()], pa.list_(pa.float64())),
+             "mx": pa.array([m.max(axis=0).tolist()], pa.list_(pa.float64())),
+             "_mrg": pa.array([0], pa.int32())}
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        mn = np.array(t["mn"].to_pylist(), dtype=np.float64).min(axis=0)
+        mx = np.array(t["mx"].to_pylist(), dtype=np.float64).max(axis=0)
+        return pa.table(
+            {"mn": pa.array([mn.tolist()], pa.list_(pa.float64())),
+             "mx": pa.array([mx.tolist()], pa.list_(pa.float64()))}
+        )
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    row = (
+        ds.select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=1, keys=["_mrg"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )[0]
+    return (np.array(row["mn"], dtype=np.float64),
+            np.array(row["mx"], dtype=np.float64))
+
+
+def _sq8_codes(m: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+    """floor((x - mn) * 255.0 / (mx - mn)) per dim, 0 where mx == mn —
+    deliberately UNclipped: the identical IEEE expression in SQL
+    reproduces every code bit-for-bit, which a clamp that only one side
+    applied would break.  Codes land in [0, 255] (rarely 256 from fp
+    round-up at x == mx, on both sides equally)."""
+    span_ok = mx > mn
+    codes = np.zeros(m.shape, dtype=np.int64)
+    if span_ok.any():
+        sub = (m[:, span_ok] - mn[span_ok]) * 255.0 / (
+            mx[span_ok] - mn[span_ok]
+        )
+        codes[:, span_ok] = np.floor(sub).astype(np.int64)
+    return codes
+
+
+class _SQ8TopK:
+    """Per-batch EXACT integer dot product of SQ8 codes against the
+    broadcast quantized queries; local top-k only leaves the batch."""
+
+    def __init__(self, ref, k: int):
+        q = ray.get(ref)
+        self.qids = np.asarray(q["qids"], dtype=np.int64)
+        self.qcodes = q["qcodes"]  # (q, d) int64
+        self.mn, self.mx = q["mn"], q["mx"]
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vec_id = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = _as_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "dot": pa.array([], pa.int64())}
+            )
+        codes = _sq8_codes(m, self.mn, self.mx)
+        dots = codes @ self.qcodes.T  # (n, q) int64 exact
+        k = min(self.k, dots.shape[0])
+        top = np.argpartition(-dots, kth=k - 1, axis=0)[:k]
+        out_q, out_v, out_d = [], [], []
+        for qi in range(dots.shape[1]):
+            idx = top[:, qi]
+            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            out_v.append(vec_id[idx])
+            out_d.append(dots[idx, qi])
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q)),
+             "vec_id": pa.array(np.concatenate(out_v)),
+             "dot": pa.array(np.concatenate(out_d).astype(np.int64))}
+        )
+
+
+def sq8_ann_topk(
+    ds: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+) -> pa.Table:
+    """Top-k by EXACT integer dot product over SQ8 (8-bit scalar
+    quantized) codes — the compressed-index ANN variant: one narrow
+    min/max reduce learns the per-dim quantizer, queries are quantized
+    once and broadcast with it, every batch scores integer codes (no
+    float nondeterminism anywhere after quantization), and partial
+    top-k lists merge through one hash exchange on query_id.
+    Returns (query_id, rank, vec_id)."""
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    mn, mx = _minmax_per_dim(ds)
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    ref = ray.put(
+        {"qids": list(query_ids), "qcodes": _sq8_codes(Q, mn, mx),
+         "mn": mn, "mx": mx}
+    )
+    partials = ds.map_batches(
+        _SQ8TopK,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+        fn_constructor_kwargs={"ref": ref, "k": k},
+    )
+    merged = partials.repartition(
+        num_blocks=max(1, min(8, len(list(query_ids)))), keys=["query_id"]
+    ).map_batches(
+        lambda t: _final_topk(t, k, score_col="dot"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    tbl = pa.Table.from_pylist(
+        merged.take_all(),  # exactly q x k rows
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("vec_id", pa.int64())]
+        ),
+    )
+    return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])

@@ -1156,6 +1156,43 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_sq8_ann_topk_matches_twin(ray_session):
+    """SQ8 quantized top-k equals the numpy twin (same quantizer
+    formula, exact integer dots, ties by vec_id) across layouts."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import _sq8_codes, sq8_ann_topk
+
+    rng = np.random.default_rng(61)
+    n, d, k = 300, 16, 5
+    E = rng.standard_normal((n, d)).astype(np.float32)
+    E[:, 3] = 0.25  # a constant dim: mx == mn branch
+    ids = np.arange(n, dtype=np.int64)
+    Q = E[:3].astype(np.float64)
+    mn = E.astype(np.float64).min(axis=0)
+    mx = E.astype(np.float64).max(axis=0)
+    codes = _sq8_codes(E.astype(np.float64), mn, mx)
+    qc = _sq8_codes(Q, mn, mx)
+    dots = codes @ qc.T
+    want = []
+    for qi in range(3):
+        order = np.lexsort((ids, -dots[:, qi]))[:k]
+        want += [(qi, r + 1, int(ids[v])) for r, v in enumerate(order)]
+    t = pa.table(
+        {"vec_id": pa.array(ids),
+         "embedding": pa.array(E.tolist(), pa.list_(pa.float32()))}
+    )
+    for parts in (1, 6):
+        got = [
+            (r["query_id"], r["rank"], r["vec_id"])
+            for r in sq8_ann_topk(
+                ray.data.from_arrow(t).repartition(parts),
+                Q, [0, 1, 2], k=k,
+            ).to_pylist()
+        ]
+        assert got == want, parts
+
+
 def test_pivot_count_matches_twin(ray_session):
     """Wide pivot counts equal a Python twin across layouts; null pivot
     values count toward no column but keep the row present."""
