@@ -1191,6 +1191,28 @@ FREQ_DENOM = 500
 FREQ_CAPACITY = 1024
 
 
+def q_events_value_hour_corr(sf_dir: str):
+    """Grouped Pearson correlation (value vs hour-of-day per event
+    type) from EXACT integer moments — layout-invariant sums, one
+    deterministic float expression per group at the very end."""
+    from luzzu_ray.ops.relational import grouped_corr_q
+
+    ev = _tbl(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        return pa.table(
+            {"event_type": t["event_type"],
+             "value": t["value"],
+             "hod": pc.subtract(h, pc.multiply(pc.divide(h, 24), 24))}
+        )
+
+    return grouped_corr_q(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "value", "hod",
+    )
+
+
 def q_events_hod_type_pivot(sf_dir: str):
     """PIVOT: hour-of-day rows x one count column per event type —
     per-block 2-D bincount into already-wide partials, one narrow
@@ -1860,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": q_events_cohort_retention,
         "events_type_transitions": q_events_type_transitions,
         "events_hod_type_pivot": q_events_hod_type_pivot,
+        "events_value_hour_corr": q_events_value_hour_corr,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2190,6 +2213,31 @@ WHERE d.doc_id % {DECON_MOD} <> 0
                 for v in ("click", "error", "purchase", "signup", "view")
             )
             + " FROM events GROUP BY hod"
+        ),
+        # integer-moment Pearson: HUGEINT sums + the SAME final float
+        # expression as the Ray side -> bit-identical corr, unlike a
+        # streaming corr() (Welford) whose result is order-dependent
+        "events_value_hour_corr": (
+            "WITH e AS (SELECT event_type, CAST(floor(value * 10000.0) "
+            "AS BIGINT) AS xq, (epoch_us(ts) // 3600000000) % 24 AS y "
+            "FROM events), m AS (SELECT event_type, "
+            "CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(xq) AS HUGEINT) AS sx, "
+            "CAST(sum(y) AS HUGEINT) AS sy, "
+            "CAST(sum(xq * xq) AS HUGEINT) AS sxx, "
+            "CAST(sum(y * y) AS HUGEINT) AS syy, "
+            "CAST(sum(xq * y) AS HUGEINT) AS sxy "
+            "FROM e GROUP BY event_type) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy, "
+            "CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy, "
+            "CAST(sxy AS BIGINT) AS sxy, "
+            "CASE WHEN (n * sxx - sx * sx) > 0 AND "
+            "(n * syy - sy * sy) > 0 THEN "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
+            "CAST(n * syy - sy * sy AS DOUBLE)) "
+            "ELSE NULL END AS corr_xy FROM m"
         ),
         "doc_global_rank": (
             "SELECT doc_id, n_chars, "

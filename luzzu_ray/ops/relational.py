@@ -997,3 +997,92 @@ def pivot_count(
     return parts.groupby(
         row_col, num_partitions=auto_partitions(parts, num_partitions)
     ).aggregate(*[Sum(c, alias_name=c) for c in ncols])
+
+
+def grouped_corr_q(
+    ds: ray.data.Dataset,
+    key: str,
+    x_col: str,
+    y_col: str,
+    q: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group Pearson correlation with a DETERMINISTIC float result:
+    x is fixed-pointed at the row level (floor x 10^q), all five moments
+    (sx, sy, sxx, syy, sxy) and n are EXACT integer sums (so any block
+    layout / summation order gives identical numbers), and the single
+    float expression ``num / sqrt(d1 * d2)`` runs once per group over
+    those integers — a SQL twin computing the same moments in HUGEINT
+    and the same final expression matches bit-for-bit, which no
+    streaming corr() (Welford) implementation can.
+
+    DOMAIN BOUND (documented, not checked per row): int64 partial sums
+    are exact while |x_q|, |y| and group row counts keep
+    ``n * max(x_q^2)`` below 2^63 — at web scale beyond that, widen the
+    partial dtype to float128/object in `partial`, the protocol is
+    unchanged.  The finalize block sees #groups rows and uses Python
+    bigints, so the num/denom products never overflow.
+
+    Output: (key, n, sx, sy, sxx, syy, sxy, corr_xy) — corr NULL when
+    either variance term is <= 0 (constant column), per SQL CASE.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    scale = float(10 ** q)
+    moments = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    sch = ds.schema()
+    key_type = sch.types[sch.names.index(key)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        xq = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t[x_col], pa.float64()), scale)),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        y = pc.cast(t[y_col], pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {key: t[key],
+             "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+             "sx": pa.array(xq), "sy": pa.array(y),
+             "sxx": pa.array(xq * xq), "syy": pa.array(y * y),
+             "sxy": pa.array(xq * y)}
+        ).group_by([key]).aggregate([(c, "sum") for c in moments])
+        return g.rename_columns([key] + moments)
+
+    parts = ds.select_columns([key, x_col, y_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    tot = parts.groupby(
+        key, num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(*[Sum(c, alias_name=c) for c in moments])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {key: pa.array([], key_type)}
+            cols.update({c: pa.array([], pa.int64()) for c in moments})
+            cols["corr_xy"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        rows = t.to_pylist()
+        corr = []
+        for r in rows:  # #groups rows only; Python bigints, no overflow
+            n, sx, sy = r["n"], r["sx"], r["sy"]
+            d1 = n * r["sxx"] - sx * sx
+            d2 = n * r["syy"] - sy * sy
+            if d1 > 0 and d2 > 0:
+                corr.append(
+                    float(n * r["sxy"] - sx * sy)
+                    / math.sqrt(float(d1) * float(d2))
+                )
+            else:
+                corr.append(None)
+        out = {key: t[key]}
+        out.update({c: t[c] for c in moments})
+        out["corr_xy"] = pa.array(corr, pa.float64())
+        return pa.table(out)
+
+    return tot.map_batches(finalize, batch_format="pyarrow", batch_size=None)

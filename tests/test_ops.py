@@ -1156,6 +1156,49 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_grouped_corr_matches_twin(ray_session):
+    """Integer-moment Pearson equals a Python bigint twin bit-for-bit
+    across layouts; constant-y group yields NULL corr."""
+    import math
+
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_corr_q
+
+    rng = np.random.default_rng(91)
+    n = 500
+    g = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    x = rng.uniform(0, 100, n)
+    y = rng.integers(0, 24, n).astype(np.int64)
+    y[g == "c"] = 7  # constant within group -> NULL corr
+    want = {}
+    for grp in ("a", "b", "c"):
+        m = g == grp
+        xq = np.floor(x[m] * 10000.0).astype(object)
+        yy = y[m].astype(object)
+        nn = int(m.sum())
+        sx, sy = int(sum(xq)), int(sum(yy))
+        sxx = int(sum(xq * xq)); syy = int(sum(yy * yy))
+        sxy = int(sum(xq * yy))
+        d1, d2 = nn * sxx - sx * sx, nn * syy - sy * sy
+        c = (float(nn * sxy - sx * sy) / math.sqrt(float(d1) * float(d2))
+             if d1 > 0 and d2 > 0 else None)
+        want[grp] = (nn, sx, sy, sxx, syy, sxy, c)
+    t = pa.table(
+        {"k": pa.array(g), "x": pa.array(x), "y": pa.array(y)}
+    )
+    for parts in (1, 7):
+        got = {
+            r["k"]: (r["n"], r["sx"], r["sy"], r["sxx"], r["syy"],
+                     r["sxy"], r["corr_xy"])
+            for r in grouped_corr_q(
+                ray.data.from_arrow(t).repartition(parts), "k", "x", "y",
+            ).take_all()
+        }
+        assert got == want, parts
+    assert want["c"][-1] is None
+
+
 def test_sq8_ann_topk_matches_twin(ray_session):
     """SQ8 quantized top-k equals the numpy twin (same quantizer
     formula, exact integer dots, ties by vec_id) across layouts."""
