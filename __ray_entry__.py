@@ -1191,6 +1191,18 @@ FREQ_DENOM = 500
 FREQ_CAPACITY = 1024
 
 
+def q_events_value_outliers(sf_dir: str):
+    """Per-type 3-sigma outlier flags with an order-invariant integer
+    cut: narrow moments combine, driver rearranges the bigint
+    inequality into per-group int64 (lo, hi), broadcast-lookup filter."""
+    from luzzu_ray.ops.relational import grouped_sigma_outliers
+
+    return grouped_sigma_outliers(
+        _tbl(sf_dir, "events", ["event_id", "event_type", "value"]),
+        key="event_type", id_col="event_id", x_col="value",
+    )
+
+
 def q_events_value_hour_corr(sf_dir: str):
     """Grouped Pearson correlation (value vs hour-of-day per event
     type) from EXACT integer moments — layout-invariant sums, one
@@ -1883,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": q_events_type_transitions,
         "events_hod_type_pivot": q_events_hod_type_pivot,
         "events_value_hour_corr": q_events_value_hour_corr,
+        "events_value_outliers": q_events_value_outliers,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2238,6 +2251,23 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * "
             "CAST(n * syy - sy * sy AS DOUBLE)) "
             "ELSE NULL END AS corr_xy FROM m"
+        ),
+        # the one float op (sqrt of the exact integer variance term) is
+        # the SAME deterministic rule the Ray side applies, so the flag
+        # set matches bit-for-bit; everything else is integer-exact
+        "events_value_outliers": (
+            "WITH e AS (SELECT event_id, event_type, "
+            "CAST(floor(value * 10000.0) AS BIGINT) AS xq FROM events), "
+            "m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(xq) AS HUGEINT) AS sx, "
+            "CAST(sum(xq * xq) AS HUGEINT) AS sxx FROM e GROUP BY 1), "
+            "b AS (SELECT event_type, n, sx, CAST(floor(sqrt(CAST("
+            "9 * (n * sxx - sx * sx) AS DOUBLE))) AS HUGEINT) AS bnd "
+            "FROM m) "
+            "SELECT e.event_id, e.event_type, e.xq FROM e "
+            "JOIN b USING (event_type) "
+            "WHERE CAST(e.xq AS HUGEINT) * b.n > b.sx + b.bnd "
+            "OR CAST(e.xq AS HUGEINT) * b.n < b.sx - b.bnd"
         ),
         "doc_global_rank": (
             "SELECT doc_id, n_chars, "

@@ -1086,3 +1086,106 @@ def grouped_corr_q(
         return pa.table(out)
 
     return tot.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_sigma_outliers(
+    ds: ray.data.Dataset,
+    key: str,
+    id_col: str,
+    x_col: str,
+    q: int = 4,
+    sigma: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group k-sigma outlier flagging — the "drop statistically
+    absurd rows" quality filter — with an ORDER-INVARIANT cut: moments
+    (n, sx, sxx) are exact integer sums over row-level fixed-point
+    values, and the cut |n*xq - sx| > bound is evaluated per group with
+    ``bound = floor(sqrt(double(sigma^2 * (n*sxx - sx^2))))`` — the one
+    float op is a shared deterministic rule both this engine and the
+    SQL twin compute identically, so the flag set is bit-reproducible
+    (a streaming stddev would not be).
+
+    Scale shape: pass 1 is a narrow moments combine (#groups rows);
+    the per-group integer cut is rearranged DRIVER-SIDE with Python
+    bigints into plain int64 (lo, hi) thresholds per group
+    (xq > hi  <=>  n*xq > sx + bound, exactly), so pass 2 is an
+    embarrassingly-parallel broadcast-lookup filter with no per-row
+    wide arithmetic and no overflow.  Output: flagged
+    (id_col, key, xq) rows.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    scale = float(10 ** q)
+    I64MAX, I64MIN = (1 << 63) - 1, -(1 << 63)
+
+    def xq_of(t: pa.Table) -> pa.Table:
+        xq = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t[x_col], pa.float64()), scale)),
+            pa.int64(),
+        )
+        return pa.table({id_col: t[id_col], key: t[key], "xq": xq})
+
+    prepped = ds.select_columns([id_col, key, x_col]).map_batches(
+        xq_of, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def mpartial(t: pa.Table) -> pa.Table:
+        xq = t["xq"].to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {key: t[key],
+             "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+             "sx": pa.array(xq), "sxx": pa.array(xq * xq)}
+        ).group_by([key]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")]
+        )
+        return g.rename_columns([key, "n", "sx", "sxx"])
+
+    parts = prepped.map_batches(
+        mpartial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    rows = parts.groupby(
+        key, num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sxx", alias_name="sxx"),
+    ).take_all()  # #groups rows only
+    bounds: dict = {}
+    for r in rows:
+        n, sx, sxx = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        d = sigma * sigma * (n * sxx - sx * sx)
+        b = int(math.floor(math.sqrt(float(d)))) if d > 0 else 0
+        # xq*n > sx+b  <=>  xq >= (sx+b)//n + 1  (exact, n > 0)
+        hi = (sx + b) // n + 1 if n else I64MAX
+        # xq*n < sx-b  <=>  xq <= -((-(sx-b))//n) - 1
+        lo = -((-(sx - b)) // n) - 1 if n else I64MIN
+        bounds[r[key]] = (max(min(lo, I64MAX), I64MIN),
+                          max(min(hi, I64MAX), I64MIN))
+    ref = ray.put(bounds)
+
+    class Flag:
+        def __init__(self, bref):
+            b = ray.get(bref)
+            self.keys = pa.array(sorted(b))
+            ks = sorted(b)
+            self.lo = np.array([b[k][0] for k in ks], dtype=np.int64)
+            self.hi = np.array([b[k][1] for k in ks], dtype=np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pos = pc.index_in(
+                t[key].combine_chunks(), value_set=self.keys
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            xq = t["xq"].to_numpy(zero_copy_only=False)
+            out = (xq <= self.lo[pos]) | (xq >= self.hi[pos])
+            return t.filter(pa.array(out))
+
+    return prepped.map_batches(
+        Flag, fn_constructor_kwargs={"bref": ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )

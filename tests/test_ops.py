@@ -1156,6 +1156,49 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_grouped_sigma_outliers_matches_twin(ray_session):
+    """Flag set equals the bigint twin across layouts; constant group
+    flags nothing; planted extremes are flagged."""
+    import math
+
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_sigma_outliers
+
+    rng = np.random.default_rng(17)
+    n = 600
+    g = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    x = rng.normal(50, 5, n)
+    x[g == "c"] = 7.25  # constant group
+    x[:4] = [500.0, -400.0, 51.0, 49.0]
+    g[:4] = "a"
+    ids = np.arange(n, dtype=np.int64)
+    want = set()
+    for grp in ("a", "b", "c"):
+        m = g == grp
+        xq = np.floor(x[m] * 10000.0).astype(np.int64)
+        nn = int(m.sum()); sx = int(xq.sum())
+        sxx = int(sum(int(v) * int(v) for v in xq))
+        b = int(math.floor(math.sqrt(float(9 * (nn * sxx - sx * sx)))))
+        for i, v in zip(ids[m], xq):
+            if int(v) * nn > sx + b or int(v) * nn < sx - b:
+                want.add((int(i), grp, int(v)))
+    assert any(w[0] < 2 for w in want) and len(want) >= 2
+    t = pa.table(
+        {"event_id": pa.array(ids), "k": pa.array(g),
+         "x": pa.array(x)}
+    )
+    for parts in (1, 7):
+        got = {
+            (r["event_id"], r["k"], r["xq"])
+            for r in grouped_sigma_outliers(
+                ray.data.from_arrow(t).repartition(parts),
+                key="k", id_col="event_id", x_col="x",
+            ).take_all()
+        }
+        assert got == want, parts
+
+
 def test_grouped_corr_matches_twin(ray_session):
     """Integer-moment Pearson equals a Python bigint twin bit-for-bit
     across layouts; constant-y group yields NULL corr."""
