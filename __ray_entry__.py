@@ -1191,6 +1191,21 @@ FREQ_DENOM = 500
 FREQ_CAPACITY = 1024
 
 
+FUZZY_PREFIX_LEN = 16
+
+
+def q_fuzzy_prefix_pairs(sf_dir: str):
+    """Fuzzy near-identical-header mining: doc pairs whose lowercased
+    16-char prefix is within byte edit distance 1 — deletion-
+    neighborhood blocking (recall 1), exact in-bucket verify, one
+    narrow pair-distinct exchange."""
+    from luzzu_ray.ops.dedup import fuzzy_prefix_pairs
+
+    return fuzzy_prefix_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), FUZZY_PREFIX_LEN
+    )
+
+
 def q_events_value_outliers(sf_dir: str):
     """Per-type 3-sigma outlier flags with an order-invariant integer
     cut: narrow moments combine, driver rearranges the bigint
@@ -1896,6 +1911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hod_type_pivot": q_events_hod_type_pivot,
         "events_value_hour_corr": q_events_value_hour_corr,
         "events_value_outliers": q_events_value_outliers,
+        "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2268,6 +2284,14 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "JOIN b USING (event_type) "
             "WHERE CAST(e.xq AS HUGEINT) * b.n > b.sx + b.bnd "
             "OR CAST(e.xq AS HUGEINT) * b.n < b.sx - b.bnd"
+        ),
+        # DuckDB levenshtein is BYTE-level; the Ray verify kernel
+        # deliberately matches that (bytes, not code points)
+        "fuzzy_prefix_pairs": (
+            "WITH p AS (SELECT doc_id, lower(substr(text, 1, "
+            f"{FUZZY_PREFIX_LEN})) AS t FROM documents) "
+            "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM p a JOIN p b "
+            "ON a.doc_id < b.doc_id WHERE levenshtein(a.t, b.t) <= 1"
         ),
         "doc_global_rank": (
             "SELECT doc_id, n_chars, "

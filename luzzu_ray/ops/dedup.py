@@ -1334,3 +1334,166 @@ def shingle_df_profile(
     return profiles.repartition(
         num_blocks=max(2, num_partitions // 16), keys=["df"]
     ).map_batches(profile_merge, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance<=1) prefix pair mining via deletion neighborhoods
+# ---------------------------------------------------------------------------
+
+def fuzzy_prefix_pairs(
+    ds: ray.data.Dataset,
+    prefix_len: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """All doc pairs whose lowercased ``prefix_len``-char prefix is
+    within BYTE-level edit distance 1 (matching SQL ``levenshtein``,
+    which DuckDB computes over bytes) — the fuzzy-title/near-identical-
+    header dedup family.
+
+    Blocking is the deletion-neighborhood scheme (spell-checker
+    folklore; cf. FastSS, Bocek et al. 2007): each prefix emits itself
+    plus its <= prefix_len single-byte-deletion variants as bucket
+    keys.  Two strings at byte edit distance <= 1 ALWAYS share a key
+    (equal -> the string; substitution -> deletion at that byte;
+    indel -> the shorter string), so recall is 1 and the in-bucket
+    verify (exact cp+cs >= len-1 rule, equivalent to edit<=1) restores
+    precision.  Shuffle carries only (variant, doc_id, prefix) rows —
+    ~(prefix_len+1) x 3 small fields per doc, never documents.
+
+    In-bucket work groups docs by prefix VALUE first: value pairs are
+    verified with a per-pair bytes check (buckets hold few distinct
+    values; same measured trade-off as the Jaccard verify kernel) and
+    doc pairs expand via vectorized index outer products.  Equal-prefix
+    groups emit all intra-group pairs — the op's output contract is
+    inherently quadratic in duplicate count; at web scale feed the
+    pairs into ``cluster_pairs`` instead of materializing them.
+    Duplicate discoveries across buckets are removed by one narrow
+    exchange on the pair itself.  Output: (d1, d2), d1 < d2.
+    """
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    big = 1 << 30
+
+    def keys_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))  # NULL text pairs nothing
+        p = pc.cast(
+            pc.utf8_lower(
+                pc.utf8_slice_codeunits(
+                    t[text_col].combine_chunks(), 0, prefix_len
+                )
+            ),
+            pa.binary(),
+        )
+        ids = t[id_col].combine_chunks()
+        outs = [pa.table({"key": p, id_col: ids, "p": p})]
+        for j in range(prefix_len * 4):  # prefix bytes (utf8 <= 4x chars)
+            head = pc.binary_slice(p, 0, j)
+            tail = pc.binary_slice(p, j + 1, big)
+            var = pc.binary_join_element_wise(head, tail, b"")
+            keep = pc.greater(pc.binary_length(p), j)
+            if pc.sum(keep).as_py() in (0, None):
+                break
+            outs.append(
+                pa.table({"key": var, id_col: ids, "p": p}).filter(keep)
+            )
+        return pa.concat_tables(outs)
+
+    def ed1(a: bytes, b: bytes) -> bool:
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        cp = 0
+        m = min(la, lb)
+        while cp < m and a[cp] == b[cp]:
+            cp += 1
+        cs = 0
+        while cs < m - cp and a[la - 1 - cs] == b[lb - 1 - cs]:
+            cs += 1
+        return cp + cs >= max(la, lb) - 1
+
+    def mine_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"d1": pa.array([], pa.int64()), "d2": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(
+            [("key", "ascending"), ("p", "ascending"),
+             (id_col, "ascending")]
+        )
+        key = t["key"].combine_chunks()
+        pv = t["p"].combine_chunks()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ke = pc.dictionary_encode(key).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pe = pc.dictionary_encode(pv).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # dedupe (key, doc) repeats from out-of-range deletion slots
+        first = np.concatenate(
+            ([True], (ke[1:] != ke[:-1]) | (ids[1:] != ids[:-1])
+             | (pe[1:] != pe[:-1]))
+        )
+        ke, pe, ids = ke[first], pe[first], ids[first]
+        pdict = pc.dictionary_encode(pv).dictionary
+        d1s, d2s = [], []
+        new_k = np.concatenate(([True], ke[1:] != ke[:-1]))
+        starts = np.flatnonzero(new_k)
+        bounds = np.concatenate((starts, [len(ke)]))
+        for bi in range(len(starts)):
+            s, e = bounds[bi], bounds[bi + 1]
+            if e - s < 2:
+                continue
+            pseg, iseg = pe[s:e], ids[s:e]
+            new_v = np.concatenate(([True], pseg[1:] != pseg[:-1]))
+            vs = np.flatnonzero(new_v)
+            vb = np.concatenate((vs, [len(pseg)]))
+            vals = [bytes(pdict[pseg[x]].as_py()) for x in vs]
+            docs = [iseg[vb[x]:vb[x + 1]] for x in range(len(vs))]
+            for i in range(len(vals)):
+                di = docs[i]
+                if len(di) > 1:  # equal-prefix pairs
+                    a, b = np.triu_indices(len(di), 1)
+                    d1s.append(di[a]); d2s.append(di[b])
+                for j in range(i + 1, len(vals)):
+                    if ed1(vals[i], vals[j]):
+                        lo = np.repeat(di, len(docs[j]))
+                        hi = np.tile(docs[j], len(di))
+                        d1s.append(np.minimum(lo, hi))
+                        d2s.append(np.maximum(lo, hi))
+        if not d1s:
+            return empty
+        return pa.table(
+            {"d1": pa.array(np.concatenate(d1s).astype(np.int64)),
+             "d2": pa.array(np.concatenate(d2s).astype(np.int64))}
+        )
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"d1": pa.array([], pa.int64()),
+                 "d2": pa.array([], pa.int64())}
+            )
+        a = t["d1"].to_numpy(zero_copy_only=False)
+        b = t["d2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+        )
+        return pa.table(
+            {"d1": pa.array(a[keep]), "d2": pa.array(b[keep])}
+        )
+
+    triples = ds.select_columns([id_col, text_col]).map_batches(
+        keys_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = triples.repartition(
+        num_blocks=num_partitions, keys=["key"]
+    ).map_batches(mine_block, batch_format="pyarrow", batch_size=None)
+    return pairs.repartition(
+        num_blocks=num_partitions, keys=["d1", "d2"]
+    ).map_batches(distinct_block, batch_format="pyarrow", batch_size=None)

@@ -1156,6 +1156,63 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_fuzzy_prefix_pairs_matches_twin(ray_session):
+    """Deletion-neighborhood pair mining equals a brute-force byte
+    Levenshtein<=1 twin: substitutions, indels, equal prefixes,
+    multi-byte chars, and short/empty strings all covered."""
+    import itertools
+
+    import ray.data
+
+    from luzzu_ray.ops.dedup import fuzzy_prefix_pairs
+
+    docs = [
+        "the quick brown fox jumps",     # base
+        "the quick brown fox leaps",     # same 16-prefix
+        "the quick crown fox",           # substitution inside prefix
+        "the quick browwn fox",          # insertion
+        "the quik brown fox",            # deletion
+        "THE QUICK BROWN FOX",           # case-folded equal
+        "a completely different doc",
+        "x",
+        "y",
+        "",
+        "",                              # empty pair
+        "héllo wörld padding text",      # multi-byte
+        "héllo wörld padding text",
+        "hello wörld padding text",      # 2 bytes from héllo: NOT a pair
+    ]
+
+    def lev(a: bytes, b: bytes) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    pref = [d.lower()[:16].encode() for d in docs]
+    want = sorted(
+        (i, j) for i, j in itertools.combinations(range(len(docs)), 2)
+        if lev(pref[i], pref[j]) <= 1
+    )
+    assert (0, 1) in want and (11, 12) in want and (11, 13) not in want
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+         "text": pa.array(docs)}
+    )
+    for parts in (1, 5):
+        got = sorted(
+            (r["d1"], r["d2"]) for r in fuzzy_prefix_pairs(
+                ray.data.from_arrow(t).repartition(parts), 16,
+                num_partitions=4,
+            ).take_all()
+        )
+        assert got == want, parts
+
+
 def test_grouped_sigma_outliers_matches_twin(ray_session):
     """Flag set equals the bigint twin across layouts; constant group
     flags nothing; planted extremes are flagged."""
