@@ -1402,6 +1402,16 @@ def q_docs_rollup(sf_dir: str):
                          ["source", "lang"])
 
 
+def q_docs_cube(sf_dir: str):
+    """GROUP BY CUBE(source, lang): every subset grain from one
+    fact-table pass; all 2^n - 1 coarser grains derive from the
+    materialized fine grain."""
+    from luzzu_ray.ops.relational import cube_counts
+
+    return cube_counts(_docs(sf_dir, ["source", "lang"]),
+                       ["source", "lang"])
+
+
 def q_lang_mode_by_source(sf_dir: str):
     """Per-group MODE by composition: distributed (source, lang) counts
     -> per-source top-1 by (n DESC, lang) via the grouped top-k window."""
@@ -1921,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_range_window": q_events_range_window,
         "docs_rollup": q_docs_rollup,
+        "docs_cube": q_docs_cube,
         "lang_mode_by_source": q_lang_mode_by_source,
         "events_user_distinct_by_type": q_events_user_distinct_by_type,
         "events_value_bands": q_events_value_bands,
@@ -2334,6 +2345,10 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "docs_rollup": (
             "SELECT source, lang, CAST(count(*) AS BIGINT) AS n "
             "FROM documents GROUP BY ROLLUP(source, lang)"
+        ),
+        "docs_cube": (
+            "SELECT source, lang, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY CUBE(source, lang)"
         ),
         "lang_mode_by_source": (
             "SELECT source, n, lang, rnk FROM ("

@@ -864,6 +864,35 @@ def broadcast_interval_join(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _fine_grain_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    num_partitions: int | None,
+) -> tuple[ray.data.Dataset, dict]:
+    """Finest-grain (k1..kn, n) counts via the usual partial+final
+    combine, materialized so ROLLUP/CUBE derive every coarser grain
+    from #groups rows instead of rescanning the fact table."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {**{k: t[k] for k in keys},
+             "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        ).group_by(keys).aggregate([("n", "sum")])
+        return g.rename_columns(keys + ["n"])
+
+    fine = ds.select_columns(keys).map_batches(
+        count_partial, batch_format="pyarrow"
+    ).groupby(
+        keys, num_partitions=auto_partitions(ds, num_partitions)
+    ).aggregate(Sum("n", alias_name="n")).materialize()
+    sch = fine.schema()
+    types = {k: sch.types[sch.names.index(k)] for k in keys}
+    return fine, types
+
+
 def rollup_counts(
     ds: ray.data.Dataset,
     keys: list[str],
@@ -881,23 +910,7 @@ def rollup_counts(
     """
     from ray.data.aggregate import Sum
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        g = pa.table(
-            {**{k: t[k] for k in keys},
-             "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}
-        ).group_by(keys).aggregate([("n", "sum")])
-        return g.rename_columns(keys + ["n"])
-
-    from luzzu_ray.ops.dedup import auto_partitions
-
-    fine = ds.select_columns(keys).map_batches(
-        count_partial, batch_format="pyarrow"
-    ).groupby(
-        keys, num_partitions=auto_partitions(ds, num_partitions)
-    ).aggregate(Sum("n", alias_name="n")).materialize()
-
-    sch = fine.schema()
-    types = {k: sch.types[sch.names.index(k)] for k in keys}
+    fine, types = _fine_grain_counts(ds, keys, num_partitions)
 
     def widen(level: int):
         # null out keys beyond `level` (grain = first `level` keys)
@@ -1189,3 +1202,54 @@ def grouped_sigma_outliers(
         Flag, fn_constructor_kwargs={"bref": ref},
         batch_format="pyarrow", concurrency=(1, 8),
     )
+
+
+def cube_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY CUBE(keys...): counts at EVERY subset grain (2^n of
+    them), NULLs in aggregated-out key columns — SQL's CUBE shape.
+
+    Scale shape: one full-data pass builds the finest grain (shared
+    ``_fine_grain_counts`` combine); every other subset aggregates the
+    materialized fine grain (#groups rows) — 2^n - 1 narrow groupbys
+    that never rescan the fact table.  n is assumed small (CUBE over
+    many keys is a modeling error: the output itself is 2^n tables).
+    Output: (*keys, n).
+    """
+    import itertools
+
+    from ray.data.aggregate import Sum
+
+    fine, types = _fine_grain_counts(ds, keys, num_partitions)
+
+    def widen(subset: tuple):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t[k] if k in subset
+                           else pa.nulls(t.num_rows, types[k]))
+            cols["n"] = t["n"]
+            return pa.table(cols)
+        return fn
+
+    levels = [fine]
+    for r in range(len(keys) - 1, 0, -1):
+        for subset in itertools.combinations(keys, r):
+            agg = fine.groupby(
+                list(subset), num_partitions=2
+            ).aggregate(Sum("n", alias_name="n")).map_batches(
+                widen(subset), batch_format="pyarrow"
+            ).materialize()
+            levels.append(agg)
+    total = fine.sum("n") or 0
+    levels.append(ray.data.from_arrow(pa.table(
+        {**{k: pa.nulls(1, types[k]) for k in keys},
+         "n": pa.array([int(total)], pa.int64())}
+    )))
+    out = levels[0]
+    for ex in levels[1:]:
+        out = out.union(ex)
+    return out

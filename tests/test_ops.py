@@ -1156,6 +1156,42 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_cube_counts_matches_twin(ray_session):
+    """CUBE over three keys equals the per-subset Counter twin (2^3
+    grains) across layouts."""
+    import collections
+    import itertools
+
+    import ray.data
+
+    from luzzu_ray.ops.relational import cube_counts
+
+    rng = np.random.default_rng(43)
+    n = 400
+    a = np.array(["p", "q"])[rng.integers(0, 2, n)]
+    b = rng.integers(0, 3, n).astype(np.int64)
+    c = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    keys = ["a", "b", "c"]
+    vals = {"a": a, "b": b, "c": c}
+    want: collections.Counter = collections.Counter()
+    for r in range(4):
+        for subset in itertools.combinations(keys, r):
+            for i in range(n):
+                kt = tuple(
+                    vals[k][i].item() if k in subset else None
+                    for k in keys
+                )
+                want[kt] += 1
+    t = pa.table({"a": pa.array(a), "b": pa.array(b), "c": pa.array(c)})
+    for parts in (1, 6):
+        got: collections.Counter = collections.Counter()
+        for r in cube_counts(
+            ray.data.from_arrow(t).repartition(parts), keys
+        ).take_all():
+            got[(r["a"], r["b"], r["c"])] += r["n"]
+        assert got == want, parts
+
+
 def test_fuzzy_prefix_pairs_matches_twin(ray_session):
     """Deletion-neighborhood pair mining equals a brute-force byte
     Levenshtein<=1 twin: substitutions, indels, equal prefixes,
