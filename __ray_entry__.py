@@ -1192,6 +1192,16 @@ FREQ_CAPACITY = 1024
 
 
 FUZZY_PREFIX_LEN = 16
+POSTINGS_V = 20
+
+
+def q_inverted_postings(sf_dir: str):
+    """Inverted-index build: distinct (word, doc_id) postings for the
+    top-V vocabulary — vocab via the narrow word-stats combine, then an
+    exchange-free broadcast-filtered posting pass."""
+    from luzzu_ray.ops.vocab import inverted_postings
+
+    return inverted_postings(_docs(sf_dir, ["doc_id", "text"]), POSTINGS_V)
 
 
 def q_fuzzy_prefix_pairs(sf_dir: str):
@@ -1922,6 +1932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hour_corr": q_events_value_hour_corr,
         "events_value_outliers": q_events_value_outliers,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
+        "inverted_postings": q_inverted_postings,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2303,6 +2314,15 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             f"{FUZZY_PREFIX_LEN})) AS t FROM documents) "
             "SELECT a.doc_id AS d1, b.doc_id AS d2 FROM p a JOIN p b "
             "ON a.doc_id < b.doc_id WHERE levenshtein(a.t, b.t) <= 1"
+        ),
+        "inverted_postings": (
+            "WITH v AS (SELECT word FROM (SELECT "
+            "unnest(string_split(text, ' ')) AS word FROM documents) "
+            "GROUP BY word ORDER BY count(*) DESC, word "
+            f"LIMIT {POSTINGS_V}), "
+            "t AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word FROM documents)) "
+            "SELECT t.word, t.doc_id FROM t JOIN v USING (word)"
         ),
         "doc_global_rank": (
             "SELECT doc_id, n_chars, "

@@ -315,3 +315,72 @@ def chunk_documents(
     return ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def inverted_postings(
+    ds: ray.data.Dataset,
+    v: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Inverted-index build for the top-V vocabulary: flat (word,
+    doc_id) posting pairs, one per DISTINCT (word in top-V, document)
+    membership — the retrieval-index construction step.
+
+    Scale shape: the top-V vocab comes from the existing
+    ``word_stats_topv`` combine (narrow partials, one small sort); the
+    V words are broadcast via ``ray.put`` and every batch emits its own
+    distinct postings locally (``_word_partial`` already reduces to
+    per-(doc, word) rows; filtering against the sorted vocab is ONE
+    ``index_in``) — no exchange at all in the posting pass, because a
+    document lives in exactly one row.  Emitting FLAT pairs instead of
+    list-typed posting arrays keeps blocks splittable and the output
+    mergeable; group downstream if an array layout is needed.
+    """
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    vocab_rows = word_stats_topv(
+        ds.select_columns([text_col]), v, text_col, num_partitions
+    ).take_all()  # V rows only
+    vocab = pa.array(sorted(r["word"] for r in vocab_rows), pa.string())
+    vocab_ref = ray.put(vocab)
+
+    class Postings:
+        def __init__(self, ref):
+            self.vocab = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"word": pa.array([], pa.string()),
+                     id_col: pa.array([], pa.int64())}
+                )
+            words = pc.split_pattern(
+                t[text_col].combine_chunks(), " "
+            )
+            offs = words.offsets.to_numpy().astype(np.int64)
+            flat = words.flatten()
+            per_row = offs[1:] - offs[:-1]
+            rid = np.repeat(
+                np.arange(t.num_rows, dtype=np.int64), per_row
+            )
+            pos = pc.index_in(flat, value_set=self.vocab)
+            hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+            code = pos.to_numpy(zero_copy_only=False)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            hc = code[hit].astype(np.int64)
+            hr = rid[hit]
+            upair = np.unique(hc * t.num_rows + hr)  # distinct (w, doc)
+            return pa.table(
+                {"word": pc.take(
+                    self.vocab, pa.array(upair // t.num_rows)
+                 ),
+                 id_col: pa.array(ids[upair % t.num_rows])}
+            )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Postings, fn_constructor_kwargs={"ref": vocab_ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )

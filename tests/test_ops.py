@@ -1156,6 +1156,41 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_inverted_postings_matches_twin(ray_session):
+    """Posting pairs equal a Python set twin across layouts, with the
+    (tf DESC, word) vocab tie rule at the V boundary."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.vocab import inverted_postings
+
+    rng = np.random.default_rng(23)
+    pool = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = [" ".join(rng.choice(pool, rng.integers(1, 9)))
+            for _ in range(250)]
+    tf: collections.Counter = collections.Counter()
+    for d in docs:
+        tf.update(d.split(" "))
+    vocab = {w for w, _ in sorted(
+        tf.items(), key=lambda x: (-x[1], x[0]))[:3]}
+    want = sorted(
+        {(w, i) for i, d in enumerate(docs)
+         for w in set(d.split(" ")) if w in vocab}
+    )
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+         "text": pa.array(docs)}
+    )
+    for parts in (1, 6):
+        got = sorted(
+            (r["word"], r["doc_id"]) for r in inverted_postings(
+                ray.data.from_arrow(t).repartition(parts), 3,
+            ).take_all()
+        )
+        assert got == want, parts
+
+
 def test_cube_counts_matches_twin(ray_session):
     """CUBE over three keys equals the per-subset Counter twin (2^3
     grains) across layouts."""
