@@ -142,6 +142,11 @@ def main() -> None:
         "top_docs_per_source",
         "collapse_repeats",
         "events_value_delta",
+        # round-3 session-3 additions
+        "frequent_tokens",
+        "fuzzy_prefix_pairs",
+        "sq8_ann_topk",
+        "events_cohort_retention",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
