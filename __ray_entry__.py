@@ -441,7 +441,9 @@ def q_ngram_jaccard(sf_dir: str):
 # (1-j^2)^32 ~ 6e-7 at the 0.6 threshold).  Tokens = ASCII-lowered
 # [a-z0-9]+ runs (identical to the engine's byte classes on the
 # pure-ASCII fixtures); shingles joined with spaces are injective.
-_JACCARD_PAIRS_SQL = f"""
+def _jaccard_pairs_sql(thr_q6: int) -> str:
+    """All-pairs exact word-shingle Jaccard CTE, threshold at q6."""
+    return f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
   FROM documents
@@ -463,9 +465,12 @@ jac AS (
 ),
 pairs AS (
   SELECT a, b, jaccard_q6 FROM jac
-  WHERE jaccard_q6 >= {int(JACCARD_THRESHOLD * 1e6)}
+  WHERE jaccard_q6 >= {thr_q6}
 )
 """
+
+
+_JACCARD_PAIRS_SQL = _jaccard_pairs_sql(int(JACCARD_THRESHOLD * 1e6))
 
 _NGRAM_JACCARD_SQL = _JACCARD_PAIRS_SQL + "SELECT a, b, jaccard_q6 FROM pairs"
 
@@ -1193,6 +1198,18 @@ FREQ_CAPACITY = 1024
 
 FUZZY_PREFIX_LEN = 16
 POSTINGS_V = 20
+SSJOIN_THRESHOLD = 0.5
+
+
+def q_ssjoin_pairs(sf_dir: str):
+    """EXACT set-similarity join (recall exactly 1, unlike the banded
+    minhash path): prefix-filter candidate generation under a two-tier
+    rarest-first global order, then the shared exact-Jaccard verify."""
+    from luzzu_ray.ops.dedup import ssjoin_pairs
+
+    return ssjoin_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), SSJOIN_THRESHOLD
+    )
 
 
 def q_inverted_postings(sf_dir: str):
@@ -1933,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_outliers": q_events_value_outliers,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
         "inverted_postings": q_inverted_postings,
+        "ssjoin_pairs": q_ssjoin_pairs,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2562,6 +2580,10 @@ FROM dfs GROUP BY df
             "'/root/repo/tests/fixtures/video_frame_features_sf001.parquet')"
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "ssjoin_pairs": (
+            _jaccard_pairs_sql(int(SSJOIN_THRESHOLD * 1e6))
+            + "SELECT a, b, jaccard_q6 FROM pairs"
+        ),
         "minhash_dedup": _MINHASH_DEDUP_SQL,
         "simhash_dedup": _simhash_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,

@@ -1497,3 +1497,168 @@ def fuzzy_prefix_pairs(
     return pairs.repartition(
         num_blocks=num_partitions, keys=["d1", "d2"]
     ).map_batches(distinct_block, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (recall EXACTLY 1):
+# Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07 prefix principle,
+# distributed per Vernica et al. SIGMOD'10
+# ---------------------------------------------------------------------------
+
+SSJOIN_HOT_DF = 256
+
+
+def ssjoin_pairs(
+    ds: ray.data.Dataset,
+    jaccard_threshold: float = 0.5,
+    hot_df: int = SSJOIN_HOT_DF,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """(a, b, jaccard_q6): ALL pairs with exact word-shingle Jaccard >=
+    threshold — recall exactly 1, no banding miss probability — via the
+    prefix-filter principle: under ANY fixed global token order, two
+    sets with J >= t must share a token inside each side's first
+    ``n - ceil(t*n) + 1`` tokens, so only prefix tokens are emitted to
+    the bucket exchange and every bucket pair is exactly verified (the
+    existing broadcast/join Jaccard kernel).
+
+    The global order is rarest-first by tier: shingles NOT in the hot
+    set (df < hot_df) come first ordered by hash, then hot shingles by
+    (exact df, hash) — pushing frequent shingles to suffixes so they
+    rarely enter prefixes, which is what bounds bucket sizes (the
+    Vernica et al. token-frequency ordering, coarsened to a two-tier
+    broadcastable map: only shingles with df >= hot_df — at most
+    total_occurrences/hot_df of them — are broadcast, not the whole
+    dictionary).  SKEW NOTE: a hot shingle can still enter prefixes of
+    docs that are mostly-hot; such buckets are quadratic in their size
+    — inherent to exact prefix joins, mitigated by raising hot_df.
+
+    Threshold is interpreted at q6 fixed point (tq/10^6) so the prefix
+    length is computed in exact integers on both engines.
+    """
+    from ray.data.aggregate import Sum
+
+    _hash_shuffle_ctx()
+    tq = int(jaccard_threshold * 1e6)
+
+    sets = ds.select_columns(["doc_id", "text"]).map_batches(
+        _shingle_sets_batch, batch_format="pyarrow"
+    ).materialize()  # narrow (id, packed u64s, n) rows; reused twice
+    num_partitions = auto_partitions(sets, num_partitions)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"sh": pa.array([], pa.uint64()),
+                 "df": pa.array([], pa.int64())}
+            )
+        allv = np.frombuffer(
+            b"".join(t["shingles"].to_pylist()), dtype="<u8"
+        )
+        u, c = np.unique(allv, return_counts=True)
+        return pa.table(
+            {"sh": pa.array(u.astype(np.uint64)),
+             "df": pa.array(c.astype(np.int64))}
+        )
+
+    # per-doc sets are distinct, docs live in one row -> summed partial
+    # df is the EXACT document frequency
+    dparts = sets.map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    hot_tbl = dparts.groupby(
+        "sh", num_partitions=auto_partitions(dparts, None)
+    ).aggregate(Sum("df", alias_name="df")).filter(
+        expr=f"df >= {hot_df}"
+    ).take_all()  # <= total_occurrences / hot_df rows
+    hot_sh = np.array([r["sh"] for r in hot_tbl], dtype=np.uint64)
+    hot_df_arr = np.array([r["df"] for r in hot_tbl], dtype=np.int64)
+    ho = np.argsort(hot_sh)
+    hot_sh, hot_df_arr = hot_sh[ho], hot_df_arr[ho]
+    hot_ref = ray.put((hot_sh, hot_df_arr))
+
+    class PrefixEmit:
+        """Per batch: unpack sets, two-tier (df, hash) lexsort within
+        each doc segment, emit the first n - ceil(t*n) + 1 entries."""
+
+        def __init__(self, ref):
+            self.hot_sh, self.hot_df = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"sh": pa.array([], pa.uint64()),
+                     "doc_id": pa.array([], pa.int64()),
+                     "n_sh": pa.array([], pa.int64())}
+                )
+            bufs = t["shingles"].to_pylist()
+            n_sh = t["n_sh"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            allv = np.frombuffer(b"".join(bufs), dtype="<u8")
+            rid = np.repeat(np.arange(len(bufs), dtype=np.int64), n_sh)
+            pos = np.searchsorted(self.hot_sh, allv)
+            pos = np.minimum(pos, max(len(self.hot_sh) - 1, 0))
+            hit = (
+                (self.hot_sh[pos] == allv)
+                if len(self.hot_sh) else np.zeros(len(allv), bool)
+            )
+            dfv = np.where(hit, self.hot_df[pos] if len(self.hot_sh)
+                           else 0, 0)
+            order = np.lexsort((allv, dfv, rid))
+            rs = rid[order]
+            newseg = np.concatenate(([True], rs[1:] != rs[:-1]))
+            seg_start = np.maximum.accumulate(
+                np.where(newseg, np.arange(len(rs)), 0)
+            )
+            within = np.arange(len(rs)) - seg_start
+            p = n_sh - (tq * n_sh + 10**6 - 1) // 10**6 + 1
+            keep = within < p[rs]
+            return pa.table(
+                {"sh": pa.array(allv[order][keep].astype(np.uint64)),
+                 "doc_id": pa.array(ids[rs[keep]]),
+                 "n_sh": pa.array(n_sh[rs[keep]])}
+            )
+
+    prefixes = sets.map_batches(
+        PrefixEmit, fn_constructor_kwargs={"ref": hot_ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "w": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc = sh[order], doc[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sh[1:] != sh[:-1]))
+        )
+        bounds = np.concatenate((starts, [len(sh)]))
+        d1s, d2s = [], []
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            if e - s < 2:
+                continue
+            d = doc[s:e]
+            ia, ib = np.triu_indices(len(d), 1)
+            d1s.append(d[ia]); d2s.append(d[ib])
+        if not d1s:
+            return empty
+        a = np.concatenate(d1s); b = np.concatenate(d2s)
+        return pa.table(
+            {"a": pa.array(np.minimum(a, b).astype(np.int64)),
+             "b": pa.array(np.maximum(a, b).astype(np.int64)),
+             "w": pa.array(np.ones(len(a), dtype=np.int64))}
+        )
+
+    raw_pairs = prefixes.repartition(
+        num_blocks=num_partitions, keys=["sh"]
+    ).map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
+    cand = _dedupe_pairs(raw_pairs, ("w", "max", pa.int64()),
+                         num_partitions)
+    return exact_jaccard_pairs(ds, cand, tq / 1e6, num_partitions)

@@ -1156,6 +1156,53 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_ssjoin_exact_recall_and_values(ray_session):
+    """Prefix-filtered set-similarity join equals the ALL-PAIRS twin
+    exactly — recall 1 (the property the banded minhash path cannot
+    guarantee) and exact q6 values — across layouts and with a tiny
+    hot_df so the hot-tier ordering path is exercised."""
+    import itertools
+
+    import ray.data
+
+    from luzzu_ray.ops.dedup import ssjoin_pairs
+
+    rng = np.random.default_rng(73)
+    vocab = [f"w{i}" for i in range(60)]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    docs = list(base)
+    for i in range(0, 40, 4):  # planted near-dups: swap a few words
+        toks = base[i].split(" ")
+        for j in rng.integers(0, 30, 3):
+            toks[j] = str(rng.choice(vocab))
+        docs.append(" ".join(toks))
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+         "text": pa.array(docs)}
+    )
+    thr = 0.5
+    sets = {i: _shingle_set(d) for i, d in enumerate(docs)}
+    want = {}
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        q6 = int(np.floor(j * 1e6))
+        if q6 >= int(thr * 1e6):
+            want[(a, b)] = q6
+    assert want, "corpus must contain near-dup pairs"
+    for parts, hot in ((1, 4), (6, 256)):
+        got = {
+            (r["a"], r["b"]): r["jaccard_q6"]
+            for r in ssjoin_pairs(
+                ray.data.from_arrow(t).repartition(parts), thr,
+                hot_df=hot,
+            ).take_all()
+        }
+        assert got == want, (parts, hot)
+
+
 def test_inverted_postings_matches_twin(ray_session):
     """Posting pairs equal a Python set twin across layouts, with the
     (tf DESC, word) vocab tie rule at the V boundary."""
