@@ -1199,6 +1199,69 @@ FREQ_CAPACITY = 1024
 FUZZY_PREFIX_LEN = 16
 POSTINGS_V = 20
 SSJOIN_THRESHOLD = 0.5
+Q3_CUTOFF_US = 852_076_800_000_000  # 1997-01-01 in epoch micros
+Q3_SEGMENT = "BUILDING"
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority top orders): dimension
+    semi-filter (distributed EXISTS against segment customers), date
+    pruning on BOTH fact inputs before any exchange, one native hash
+    join, fixed-point revenue combine, narrow top-10 sort."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q, semi_join
+
+    cutoff = pa.scalar(Q3_CUTOFF_US, pa.timestamp("us"))
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def seg(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT))
+
+    orders = _tbl(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+    o2 = semi_join(
+        orders, cust.map_batches(seg, batch_format="pyarrow"),
+        left_key="o_custkey", right_key="c_custkey",
+        carry_cols=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    li = _tbl(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table(
+            {"o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+             "rev_q2": pc.cast(pc.floor(pc.multiply(rev, 100.0)), pa.int64())}
+        )
+
+    li_rev = li.map_batches(revenue, batch_format="pyarrow")
+    # repack key-repartitioned blocks before Acero (schema-less empties)
+    o2 = o2.repartition(num_blocks=auto_partitions(cust, None)).materialize()
+    joined = li_rev.join(
+        o2, join_type="inner", on=("o_orderkey",),
+        num_partitions=auto_partitions(li, None),
+    )
+    agg = grouped_sum_q(
+        joined, ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        float_cols={}, int_cols={"rev_q2": "revenue_q2"},
+        num_partitions=8,
+    )
+    return agg.sort(
+        ["revenue_q2", "o_orderdate", "o_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
 
 
 def q_ssjoin_pairs(sf_dir: str):
@@ -1951,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
         "inverted_postings": q_inverted_postings,
         "ssjoin_pairs": q_ssjoin_pairs,
+        "tpch_q3": q_tpch_q3,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2583,6 +2647,18 @@ FROM dfs GROUP BY df
         "ssjoin_pairs": (
             _jaccard_pairs_sql(int(SSJOIN_THRESHOLD * 1e6))
             + "SELECT a, b, jaccard_q6 FROM pairs"
+        ),
+        "tpch_q3": (
+            "SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "
+            "* 100.0) AS BIGINT)) AS BIGINT) AS revenue_q2 "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderdate < make_timestamp(852076800000000) "
+            "AND l.l_shipdate > make_timestamp(852076800000000) "
+            "AND EXISTS (SELECT 1 FROM customer c WHERE "
+            f"c.c_custkey = o.o_custkey AND c.c_mktsegment = '{Q3_SEGMENT}') "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY revenue_q2 DESC, o_orderdate, o_orderkey LIMIT 10"
         ),
         "minhash_dedup": _MINHASH_DEDUP_SQL,
         "simhash_dedup": _simhash_sql(),
