@@ -1203,6 +1203,47 @@ Q3_CUTOFF_US = 852_076_800_000_000  # 1997-01-01 in epoch micros
 Q3_SEGMENT = "BUILDING"
 
 
+def q_lineitem_semi_bloom(sf_dir: str):
+    """Bloom-pruned semi-join: lineitem rows of 'P'-status orders,
+    map-side filtered against a 128 KiB broadcast bitmap BEFORE the
+    exact existence exchange (no false negatives -> result exactly
+    equals the plain semi-join), then a fixed-point revenue rollup."""
+    from luzzu_ray.ops.relational import bloom_semi_join, grouped_sum_q
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def only_p(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["o_orderstatus"], "P"))
+
+    kept = bloom_semi_join(
+        _tbl(sf_dir, "lineitem",
+             ["l_orderkey", "l_returnflag", "l_quantity"]),
+        orders.map_batches(only_p, batch_format="pyarrow"),
+        left_key="l_orderkey", right_key="o_orderkey",
+        carry_cols=["l_returnflag", "l_quantity"],
+    )
+    return grouped_sum_q(
+        kept, ["l_returnflag"],
+        float_cols={"l_quantity": "sum_qty_q2"}, count_as="n_rows",
+        q=2, num_partitions=2,
+    )
+
+
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt: lineitem's four measure columns to long
+    (orderkey, linenumber, measure, value_q4) rows — exchange-free,
+    per-batch slice+concat."""
+    from luzzu_ray.ops.relational import unpivot_q
+
+    return unpivot_q(
+        _tbl(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_quantity",
+              "l_extendedprice", "l_discount", "l_tax"]),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3 shape (shipping-priority top orders): dimension
     semi-filter (distributed EXISTS against segment customers), date
@@ -2015,6 +2056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": q_inverted_postings,
         "ssjoin_pairs": q_ssjoin_pairs,
         "tpch_q3": q_tpch_q3,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "lineitem_semi_bloom": q_lineitem_semi_bloom,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2659,6 +2702,24 @@ FROM dfs GROUP BY df
             f"c.c_custkey = o.o_custkey AND c.c_mktsegment = '{Q3_SEGMENT}') "
             "GROUP BY 1, 2, 3 "
             "ORDER BY revenue_q2 DESC, o_orderdate, o_orderkey LIMIT 10"
+        ),
+        "lineitem_semi_bloom": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) "
+            "AS BIGINT) AS sum_qty_q2, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem l WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'P') "
+            "GROUP BY l_returnflag"
+        ),
+        "lineitem_unpivot": (
+            " UNION ALL ".join(
+                "SELECT l_orderkey, l_linenumber, "
+                f"'{c}' AS measure, "
+                f"CAST(floor({c} * 10000.0) AS BIGINT) AS value_q4 "
+                "FROM lineitem"
+                for c in ("l_quantity", "l_extendedprice",
+                          "l_discount", "l_tax")
+            )
         ),
         "minhash_dedup": _MINHASH_DEDUP_SQL,
         "simhash_dedup": _simhash_sql(),

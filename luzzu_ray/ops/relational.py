@@ -1253,3 +1253,138 @@ def cube_counts(
     for ex in levels[1:]:
         out = out.union(ex)
     return out
+
+
+def unpivot_q(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    q: int = 4,
+) -> ray.data.Dataset:
+    """UNPIVOT / melt: wide measure columns -> long (ids..., measure,
+    value_q{q}) rows, values row-level fixed-pointed so the SQL
+    UNION-ALL twin matches exactly.  Embarrassingly parallel: each batch
+    emits one sliced table per measure and concatenates — no exchange,
+    output is |value_cols| x input rows by contract.
+    """
+    scale = float(10 ** q)
+    vname = f"value_q{q}"
+
+    def block(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in value_cols:
+            vq = pc.cast(
+                pc.floor(pc.multiply(pc.cast(t[c], pa.float64()), scale)),
+                pa.int64(),
+            )
+            cols = {k: t[k] for k in id_cols}
+            cols["measure"] = pa.array([c] * t.num_rows, pa.string())
+            cols[vname] = vq
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+BLOOM_M_BITS = 1 << 20  # 128 KiB bitmap broadcast
+BLOOM_H1 = 0x9E3779B97F4A7C15
+BLOOM_H2 = 0xC2B2AE3D27D4EB4F
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """k double-hashed bit positions per key, flattened (int64)."""
+    v = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = v * np.uint64(BLOOM_H1)
+        h2 = v * np.uint64(BLOOM_H2) | np.uint64(1)
+        pos = np.concatenate([
+            ((h1 + np.uint64(i) * h2) % np.uint64(m_bits))
+            for i in range(k_hashes)
+        ])
+    return pos.astype(np.int64)
+
+
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    carry_cols: list[str],
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Semi-join with BLOOM-FILTER PRUNING: output is EXACTLY
+    ``semi_join(left, right, ...)`` — the Bloom filter has no false
+    negatives, so it only REDUCES what the exact existence exchange
+    must carry; false positives proceed to the exact pass and are
+    eliminated there.  This is the classic join-pruning pattern: at
+    100 TB the left fact table is filtered map-side against a 128 KiB
+    broadcast bitmap BEFORE paying the shuffle, cutting exchange bytes
+    by the true selectivity.
+
+    Build: per-block partials emit distinct SET-BIT POSITIONS (narrow
+    int rows, never bitmaps) through one single-partition reduce that
+    materializes the m-bit bitmap once; ``ray.put`` broadcasts it.
+    Integer keys only (hash upstream for strings).
+    """
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        k = t[right_key].combine_chunks()
+        k = pc.drop_null(k).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {"pos": pa.array([], pa.int64()),
+                 "_mrg": pa.array([], pa.int32())}
+            )
+        pos = np.unique(_bloom_positions(np.unique(k), m_bits, k_hashes))
+        return pa.table(
+            {"pos": pa.array(pos),
+             "_mrg": pa.array(np.zeros(len(pos), dtype=np.int32))}
+        )
+
+    def build_bitmap(t: pa.Table) -> pa.Table:
+        bm = np.zeros(m_bits // 64, dtype=np.uint64)
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        np.bitwise_or.at(bm, p // 64, np.uint64(1) << (p % 64).astype(np.uint64))
+        return pa.table({"bitmap": pa.array([bm.tobytes()], pa.binary())})
+
+    row = (
+        right.select_columns([right_key])
+        .map_batches(pos_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .repartition(num_blocks=1, keys=["_mrg"])
+        .map_batches(build_bitmap, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    bm = (np.frombuffer(row[0]["bitmap"], dtype=np.uint64)
+          if row else np.zeros(m_bits // 64, dtype=np.uint64))
+    bm_ref = ray.put(bm)
+
+    class Prefilter:
+        def __init__(self, ref):
+            self.bm = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[left_key]))  # NULL never matches
+            k = t[left_key].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = _bloom_positions(k, m_bits, k_hashes).reshape(k_hashes, -1)
+            hit = np.ones(len(k), dtype=bool)
+            for i in range(k_hashes):
+                p = pos[i]
+                hit &= (self.bm[p // 64]
+                        >> (p % 64).astype(np.uint64)) & np.uint64(1) == 1
+            return t.filter(pa.array(hit))
+
+    pruned = left.select_columns([left_key] + carry_cols).map_batches(
+        Prefilter, fn_constructor_kwargs={"ref": bm_ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    return semi_join(
+        pruned, right, left_key, right_key, carry_cols, num_partitions
+    )

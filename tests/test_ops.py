@@ -1156,6 +1156,41 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_bloom_semi_join_equals_plain(ray_session):
+    """Bloom pruning never changes the result (no false negatives) —
+    byte-equal to the plain semi-join across layouts — and a tiny
+    bitmap (high FP rate) still yields the exact answer."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import bloom_semi_join, semi_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 2000, 800).astype(np.int64)
+    left = pa.table(
+        {"k": pa.array(lk),
+         "v": pa.array(rng.integers(0, 9, 800).astype(np.int64))}
+    )
+    right = pa.table(
+        {"rk": pa.array(rng.integers(0, 2000, 300).astype(np.int64))}
+    )
+    want = sorted(
+        (r["k"], r["v"]) for r in semi_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "rk", ["v"],
+        ).take_all()
+    )
+    assert 0 < len(want) < 800
+    for m_bits in (1 << 20, 256):  # 256 bits: mostly false positives
+        got = sorted(
+            (r["k"], r["v"]) for r in bloom_semi_join(
+                ray.data.from_arrow(left).repartition(5),
+                ray.data.from_arrow(right).repartition(3),
+                "k", "rk", ["v"], m_bits=m_bits,
+            ).take_all()
+        )
+        assert got == want, m_bits
+
+
 def test_ssjoin_exact_recall_and_values(ray_session):
     """Prefix-filtered set-similarity join equals the ALL-PAIRS twin
     exactly — recall 1 (the property the banded minhash path cannot
