@@ -1392,6 +1392,17 @@ def q_events_hod_type_pivot(sf_dir: str):
     )
 
 
+def q_events_prior_views(sf_dir: str):
+    """Stream-stream trailing interval join: per click, the same
+    user's view count in the preceding 5 minutes — one co-location
+    exchange, prefix sums + two searchsorted per user segment."""
+    from luzzu_ray.ops.events import preceding_count_join
+
+    return preceding_count_join(_tbl(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+    ))
+
+
 def q_events_type_transitions(sf_dir: str):
     """Markov transition profile: per-user consecutive event-type pair
     counts — user co-location exchange, one lexsort + shifted
@@ -2058,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": q_tpch_q3,
         "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_semi_bloom": q_lineitem_semi_bloom,
+        "events_prior_views": q_events_prior_views,
         "doc_global_rank": q_doc_global_rank,
         "collapse_repeats": q_collapse_repeats,
         "top_docs_per_source": q_top_docs_per_source,
@@ -2702,6 +2714,14 @@ FROM dfs GROUP BY df
             f"c.c_custkey = o.o_custkey AND c.c_mktsegment = '{Q3_SEGMENT}') "
             "GROUP BY 1, 2, 3 "
             "ORDER BY revenue_q2 DESC, o_orderdate, o_orderkey LIMIT 10"
+        ),
+        "events_prior_views": (
+            "SELECT c.event_id, c.user_id, "
+            "CAST(count(v.event_id) AS BIGINT) AS n_prior "
+            "FROM events c LEFT JOIN events v ON v.user_id = c.user_id "
+            "AND v.event_type = 'view' AND v.ts <= c.ts "
+            "AND v.ts > c.ts - INTERVAL 5 MINUTE "
+            "WHERE c.event_type = 'click' GROUP BY 1, 2"
         ),
         "lineitem_semi_bloom": (
             "SELECT l_returnflag, "

@@ -1028,3 +1028,95 @@ def type_transitions(
         ["from_type", "to_type"],
         num_partitions=auto_partitions(parts, None),
     ).aggregate(Sum("n", alias_name="n_pairs"))
+
+
+def preceding_count_join(
+    ds: ray.data.Dataset,
+    left_type: str = "click",
+    right_type: str = "view",
+    window_us: int = 300_000_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Stream-stream TRAILING INTERVAL JOIN, aggregated: for every
+    ``left_type`` event, the count of the same user's ``right_type``
+    events with ``ts in (left.ts - window, left.ts]`` — the
+    "views before this click" attribution shape, SQL's correlated
+    range self-join.
+
+    Both "sides" are the same stream, so ONE user_id co-location
+    exchange suffices (sessionize assumption; salt when a single user
+    outgrows a block).  Per block: one sort, one prefix-sum of the
+    right-type indicator, two ``searchsorted`` per user segment —
+    position-independent, so same-timestamp ties need no ordering rule
+    beyond the SQL predicate itself.  Output:
+    (event_id, user_id, n_prior).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array([left_type, right_type])
+        )
+        return t.filter(keep)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "n_prior": pa.array([], pa.int64())}
+            )
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        is_r = pc.equal(
+            t["event_type"], right_type
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        is_l = pc.equal(
+            t["event_type"], left_type
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(first)
+        bounds = np.concatenate((starts, [len(uid)]))
+        out_e, out_u, out_n = [], [], []
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            l_idx = np.flatnonzero(is_l[s:e]) + s
+            if len(l_idx) == 0:
+                continue
+            cum = np.concatenate(([0], np.cumsum(is_r[s:e])))
+            hi = np.searchsorted(ts[s:e], ts[l_idx], side="right")
+            lo = np.searchsorted(ts[s:e], ts[l_idx] - window_us,
+                                 side="right")
+            out_e.append(eid[l_idx])
+            out_u.append(uid[l_idx])
+            out_n.append(cum[hi] - cum[lo])
+        if not out_e:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "n_prior": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"event_id": pa.array(np.concatenate(out_e)),
+             "user_id": pa.array(np.concatenate(out_u)),
+             "n_prior": pa.array(
+                 np.concatenate(out_n).astype(np.int64)
+             )}
+        )
+
+    picked = ds.select_columns(
+        ["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+    return part.map_batches(block, batch_format="pyarrow", batch_size=None)

@@ -1156,6 +1156,48 @@ def test_word_stats_topv_matches_twin(ray_session):
         assert got == want, parts
 
 
+def test_preceding_count_join_matches_twin(ray_session):
+    """Trailing interval-join counts equal a brute-force twin across
+    layouts, with same-timestamp ties included regardless of order."""
+    import ray.data
+
+    from luzzu_ray.ops.events import preceding_count_join
+
+    rng = np.random.default_rng(67)
+    n = 500
+    uid = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.integers(0, 3_000_000_000, n).astype(np.int64)
+    ts[::9] = ts[1::9][: len(ts[::9])]  # plant exact ties
+    eid = np.arange(n, dtype=np.int64)
+    typ = np.array(["click", "view", "other"])[rng.integers(0, 3, n)]
+    W = 300_000_000
+    want = {}
+    for i in range(n):
+        if typ[i] != "click":
+            continue
+        m = (
+            (uid == uid[i]) & (typ == "view")
+            & (ts <= ts[i]) & (ts > ts[i] - W)
+        )
+        want[int(eid[i])] = (int(uid[i]), int(m.sum()))
+    assert any(v[1] > 0 for v in want.values())
+    t = pa.table(
+        {"event_id": pa.array(eid),
+         "user_id": pa.array(uid),
+         "ts": pa.array(ts, pa.timestamp("us")),
+         "event_type": pa.array(typ)}
+    )
+    for parts in (1, 8):
+        got = {
+            r["event_id"]: (r["user_id"], r["n_prior"])
+            for r in preceding_count_join(
+                ray.data.from_arrow(t).repartition(parts),
+                num_partitions=4,
+            ).take_all()
+        }
+        assert got == want, parts
+
+
 def test_bloom_semi_join_equals_plain(ray_session):
     """Bloom pruning never changes the result (no false negatives) —
     byte-equal to the plain semi-join across layouts — and a tiny
