@@ -1659,6 +1659,79 @@ def q_customers_with_p_orders(sf_dir: str):
     )
 
 
+def q_customer_order_counts_left(sf_dir: str):
+    """Distributed LEFT OUTER hash join (customer LEFT JOIN orders) —
+    zero-order customers preserved with null-filled right payload —
+    then a per-block count aggregate: the join's hash exchange already
+    co-locates every row of a customer key, so the post-join COUNT of
+    non-null o_orderkey per customer needs NO second shuffle."""
+    from luzzu_ray.ops.relational import outer_hash_join
+
+    j = outer_hash_join(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _tbl(sf_dir, "orders", ["o_custkey", "o_orderkey"]),
+        left_key="c_custkey", right_key="o_custkey",
+        left_cols=["c_mktsegment"], right_cols=["o_orderkey"],
+        how="left",
+    )
+
+    def agg_block(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_custkey", "c_mktsegment"]).aggregate(
+            [("o_orderkey", "count")]
+        )
+        return pa.table(
+            {"c_custkey": g["c_custkey"],
+             "c_mktsegment": g["c_mktsegment"],
+             "n_orders": pc.cast(g["o_orderkey_count"], pa.int64())}
+        )
+
+    return j.map_batches(agg_block, batch_format="pyarrow", batch_size=None)
+
+
+def q_orders_customer_full_stats(sf_dir: str):
+    """Distributed FULL OUTER hash join (orders FULL JOIN customer on
+    custkey): matched order rows plus zero-order customers with a null
+    order side; rolled up per market segment into (n_rows, n_matched,
+    n_no_order) via block partials + one tiny final groupby."""
+    from luzzu_ray.ops.relational import outer_hash_join
+    from ray.data.aggregate import Sum
+
+    j = outer_hash_join(
+        _tbl(sf_dir, "orders", ["o_custkey", "o_orderkey"]),
+        _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        left_key="o_custkey", right_key="c_custkey",
+        left_cols=["o_orderkey"], right_cols=["c_mktsegment"],
+        how="full",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = pc.fill_null(t["c_mktsegment"], "")
+        t2 = pa.table({"c_mktsegment": seg, "o_orderkey": t["o_orderkey"]})
+        g = t2.group_by("c_mktsegment").aggregate(
+            [("o_orderkey", "count"), ([], "count_all")]
+        )
+        return pa.table(
+            {"c_mktsegment": g["c_mktsegment"],
+             "n_matched": pc.cast(g["o_orderkey_count"], pa.int64()),
+             "n_rows": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    out = j.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).groupby("c_mktsegment", num_partitions=4).aggregate(
+        Sum("n_matched", alias_name="n_matched"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_no_order",
+            pc.subtract(t["n_rows"], t["n_matched"]),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_shingle_df_profile(sf_dir: str):
     """Boilerplate detector aggregate: (df, n_shingles) distribution of
     shingle document frequencies, df >= SHINGLE_MIN_DF — hash-free
@@ -2053,6 +2126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": q_decontaminate_docs,
         "pack_documents": q_pack_documents,
         "customers_no_f_orders": q_customers_no_f_orders,
+        "customer_order_counts_left": q_customer_order_counts_left,
+        "orders_customer_full_stats": q_orders_customer_full_stats,
         "customers_with_p_orders": q_customers_with_p_orders,
         "sq8_ann_topk": q_sq8_ann_topk,
         "render_user_streams": q_render_user_streams,
@@ -2630,6 +2705,22 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderstatus = 'P')"
+        ),
+        "customer_order_counts_left": (
+            "SELECT c.c_custkey, c.c_mktsegment, "
+            "CAST(count(o.o_orderkey) AS BIGINT) AS n_orders "
+            "FROM customer c LEFT JOIN orders o "
+            "ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey, c.c_mktsegment"
+        ),
+        "orders_customer_full_stats": (
+            "SELECT coalesce(c.c_mktsegment, '') AS c_mktsegment, "
+            "CAST(count(o.o_orderkey) AS BIGINT) AS n_matched, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) - count(o.o_orderkey) AS BIGINT) AS n_no_order "
+            "FROM orders o FULL JOIN customer c "
+            "ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1"
         ),
         "shingle_df_profile": f"""
 WITH toks AS (

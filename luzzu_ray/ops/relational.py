@@ -1388,3 +1388,133 @@ def bloom_semi_join(
     return semi_join(
         pruned, right, left_key, right_key, carry_cols, num_partitions
     )
+
+
+# ---------------------------------------------------------------------------
+# general outer hash join (LEFT / FULL): null-filling equality join
+# ---------------------------------------------------------------------------
+
+def outer_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    how: str = "left",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed LEFT / FULL OUTER equality join — the null-filling
+    complement of the inner/semi/anti family (Luzzu analogue: J1/J2
+    vocabulary joins, /root/reference/README.md:14, generalized to
+    preserve unmatched records the way QPRO problem reports keep
+    un-assessed resources).
+
+    Shape: both sides conform to ONE schema (shared key column, each
+    side's payload columns null on the other side, an int8 side tag),
+    union, ONE hash exchange on the key, then a per-block vectorized
+    kernel resolves matches:
+
+    * the block's key column is dictionary-encoded ONCE (both sides
+      share the encoding, so any key dtype — int, string, date —
+      reduces to int codes);
+    * right codes are stably argsorted; each left code finds its match
+      range via two ``searchsorted`` calls; 1:N duplication is a
+      ``repeat`` + range-flatten (no Python per-row work);
+    * unmatched left rows emit with null right payload (LEFT and FULL);
+      unmatched right rows emit with null left payload (FULL only),
+      found with one boolean scatter over the hit index.
+
+    SQL NULL semantics: a NULL key matches nothing, but the row itself
+    is preserved on its own side's outer direction.
+
+    Skew note: like every hash join, one hot key lands in one reduce
+    block; the repo's salting protocol (sessionize_salted) applies if a
+    key's match product exceeds a block.  Both sides ship ONLY
+    key+payload projections through the exchange.
+    """
+    if how not in ("left", "full"):
+        raise ValueError(f"how must be 'left' or 'full', got {how!r}")
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(left, num_partitions)
+    lsch, rsch = left.schema(), right.schema()
+    ltypes = {c: lsch.types[lsch.names.index(c)] for c in left_cols}
+    rtypes = {c: rsch.types[rsch.names.index(c)] for c in right_cols}
+    key_type = lsch.types[lsch.names.index(left_key)]
+    emit_right_unmatched = how == "full"
+
+    def conform_left(t: pa.Table) -> pa.Table:
+        cols = {left_key: t[left_key]}
+        cols.update({c: t[c] for c in left_cols})
+        cols.update({c: pa.nulls(t.num_rows, rtypes[c]) for c in right_cols})
+        cols["_side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def conform_right(t: pa.Table) -> pa.Table:
+        cols = {left_key: pc.cast(t[right_key], key_type)}
+        cols.update({c: pa.nulls(t.num_rows, ltypes[c]) for c in left_cols})
+        cols.update({c: t[c] for c in right_cols})
+        cols["_side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    both = left.select_columns([left_key] + left_cols).map_batches(
+        conform_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([right_key] + right_cols).map_batches(
+            conform_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    out_names = [left_key] + left_cols + right_cols
+
+    def join_block(t: pa.Table) -> pa.Table:
+        side = t["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        body = t.drop_columns(["_side"])
+        lt = body.filter(pa.array(side == 0))
+        rt = body.filter(pa.array(side == 1))
+        if lt.num_rows == 0 and not emit_right_unmatched:
+            return body.slice(0, 0)
+        # shared integer codes for any key dtype; null -> -1 sentinel
+        enc = pc.dictionary_encode(body[left_key].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        codes = np.where(np.isnan(codes), -1, codes).astype(np.int64) \
+            if codes.dtype.kind == "f" else codes.astype(np.int64)
+        lc = codes[side == 0]
+        rc = codes[side == 1]
+        rvalid = np.flatnonzero(rc >= 0)          # null right keys match nothing
+        rs = rvalid[np.argsort(rc[rvalid], kind="stable")]
+        rk_sorted = rc[rs]
+        lo = np.searchsorted(rk_sorted, lc, side="left")
+        hi = np.searchsorted(rk_sorted, lc, side="right")
+        null_l = lc < 0
+        lo = np.where(null_l, 0, lo)
+        hi = np.where(null_l, 0, hi)              # null left keys match nothing
+        cnt = hi - lo
+        total = int(cnt.sum())
+        l_idx = np.repeat(np.arange(len(lc), dtype=np.int64), cnt)
+        excl = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        pos = np.repeat(lo, cnt) + (
+            np.arange(total, dtype=np.int64) - np.repeat(excl, cnt)
+        )
+        r_idx = rs[pos]
+        matched = lt.take(pa.array(l_idx)).select([left_key] + left_cols)
+        for c in right_cols:
+            matched = matched.append_column(c, rt[c].take(pa.array(r_idx)))
+        parts = [matched]
+        miss_l = np.flatnonzero(cnt == 0)
+        if len(miss_l):
+            parts.append(lt.take(pa.array(miss_l)).select(out_names))
+        if emit_right_unmatched:
+            hit_r = np.zeros(rt.num_rows, dtype=bool)
+            hit_r[r_idx] = True
+            miss_r = np.flatnonzero(~hit_r)
+            if len(miss_r):
+                parts.append(rt.take(pa.array(miss_r)).select(out_names))
+        return pa.concat_tables(parts)
+
+    return both.repartition(
+        num_blocks=num_partitions, keys=[left_key]
+    ).map_batches(join_block, batch_format="pyarrow", batch_size=None)

@@ -2130,3 +2130,68 @@ def test_chunk_documents_matches_twin(ray_session):
                    ray.data.from_arrow(t).repartition(parts), W, S,
                ).take_all()}
         assert got == want, parts
+
+
+def test_outer_hash_join_matches_duckdb(ray_session):
+    """LEFT and FULL outer hash joins equal DuckDB on a corpus with
+    null keys on both sides, 1:N duplication, unmatched rows in both
+    directions, and (separately) string keys."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from luzzu_ray.ops.relational import outer_hash_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 3000, 4000
+    lk = rng.integers(0, 500, n_l).astype(object)
+    lk[rng.random(n_l) < 0.03] = None
+    rk = rng.integers(200, 700, n_r).astype(object)
+    rk[rng.random(n_r) < 0.03] = None
+    lt = pa.table({"k": pa.array(list(lk), pa.int64()),
+                   "lv": pa.array(np.arange(n_l, dtype=np.int64))})
+    rt = pa.table({"rk": pa.array(list(rk), pa.int64()),
+                   "rv": pa.array(np.arange(n_r, dtype=np.int64) * 10)})
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+
+    def canon(df):
+        df = df.astype({c: "Int64" for c in df.columns})
+        return (df.sort_values(list(df.columns), na_position="first")
+                  .reset_index(drop=True))
+
+    for how, sql in [
+        ("left", "SELECT l.k, l.lv, r.rv FROM l LEFT JOIN r ON l.k = r.rk"),
+        ("full", "SELECT coalesce(l.k, r.rk) AS k, l.lv, r.rv "
+                 "FROM l FULL JOIN r ON l.k = r.rk"),
+    ]:
+        got = canon(outer_hash_join(
+            ray.data.from_arrow(lt).repartition(5),
+            ray.data.from_arrow(rt).repartition(7),
+            "k", "rk", ["lv"], ["rv"], how=how, num_partitions=6,
+        ).to_pandas())
+        want = canon(con.execute(sql).df())
+        assert got.equals(want), how
+
+    # string keys exercise the dictionary-encoded code path
+    ls = pa.table({"k": pa.array(
+        [f"s{i % 40}" if i % 11 else None for i in range(300)]),
+        "lv": pa.array(np.arange(300, dtype=np.int64))})
+    rs = pa.table({"rk": pa.array(
+        [f"s{i % 60}" if i % 13 else None for i in range(250)]),
+        "rv": pa.array(np.arange(250, dtype=np.int64) * 2)})
+    con.register("ls", ls)
+    con.register("rs", rs)
+    got = outer_hash_join(
+        ray.data.from_arrow(ls), ray.data.from_arrow(rs),
+        "k", "rk", ["lv"], ["rv"], how="full", num_partitions=4,
+    ).to_pandas()
+    want = con.execute(
+        "SELECT coalesce(ls.k, rs.rk) AS k, ls.lv, rs.rv "
+        "FROM ls FULL JOIN rs ON ls.k = rs.rk").df()
+    gi = got.astype({"lv": "Int64", "rv": "Int64"}).sort_values(
+        ["k", "lv", "rv"], na_position="first").reset_index(drop=True)
+    wi = want.astype({"lv": "Int64", "rv": "Int64"}).sort_values(
+        ["k", "lv", "rv"], na_position="first").reset_index(drop=True)
+    assert gi.equals(wi)
