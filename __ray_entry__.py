@@ -1732,6 +1732,15 @@ def q_orders_customer_full_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_bigram_next_top3(sf_dir: str):
+    """Distributed bigram LM table: top-3 next tokens per token by
+    (count DESC, token ASC) — pair-count partials collapse the token
+    stream before the single hash exchange on w1."""
+    from luzzu_ray.ops.vocab import bigram_next_topk
+
+    return bigram_next_topk(_docs(sf_dir, ["text"]), k=3)
+
+
 def q_shingle_df_profile(sf_dir: str):
     """Boilerplate detector aggregate: (df, n_shingles) distribution of
     shingle document frequencies, df >= SHINGLE_MIN_DF — hash-free
@@ -2127,6 +2136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": q_pack_documents,
         "customers_no_f_orders": q_customers_no_f_orders,
         "customer_order_counts_left": q_customer_order_counts_left,
+        "bigram_next_top3": q_bigram_next_top3,
         "orders_customer_full_stats": q_orders_customer_full_stats,
         "customers_with_p_orders": q_customers_with_p_orders,
         "sq8_ann_topk": q_sq8_ann_topk,
@@ -2705,6 +2715,19 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderstatus = 'P')"
+        ),
+        "bigram_next_top3": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, "
+            "generate_subscripts(string_split(text, ' '), 1) AS i "
+            "FROM documents), "
+            "big AS (SELECT w AS w1, lead(w) OVER ("
+            "PARTITION BY doc_id ORDER BY i) AS w2 FROM toks), "
+            "cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n "
+            "FROM big WHERE w2 IS NOT NULL GROUP BY 1, 2) "
+            "SELECT w1, w2, n, CAST(row_number() OVER ("
+            "PARTITION BY w1 ORDER BY n DESC, w2) AS BIGINT) AS rk "
+            "FROM cnt QUALIFY rk <= 3"
         ),
         "customer_order_counts_left": (
             "SELECT c.c_custkey, c.c_mktsegment, "

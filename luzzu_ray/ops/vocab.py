@@ -384,3 +384,127 @@ def inverted_postings(
         Postings, fn_constructor_kwargs={"ref": vocab_ref},
         batch_format="pyarrow", concurrency=(1, 8),
     )
+
+
+def _bigram_partial(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-block partial: (w1, w2, n) counts of ADJACENT token pairs,
+    single-space tokenization (matches SQL ``string_split(text, ' ')``
+    + ``lead() OVER (PARTITION BY doc ORDER BY position)`` exactly);
+    pairs never cross row (document) boundaries."""
+    empty = pa.table(
+        {"w1": pa.array([], pa.string()),
+         "w2": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    words = pc.split_pattern(t[text_col], " ").combine_chunks()
+    flat = words.flatten()
+    offs = words.offsets.to_numpy()
+    if len(flat) == 0:
+        return empty
+    mask = np.ones(len(flat), dtype=bool)
+    has_tok = offs[1:] > offs[:-1]
+    mask[offs[1:][has_tok] - 1] = False     # last token of each row
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return empty
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    v = len(vocab)
+    pair = codes[idx] * v + codes[idx + 1]
+    uniq, cnt = np.unique(pair, return_counts=True)
+    return pa.table(
+        {"w1": vocab.take(pa.array(uniq // v)),
+         "w2": vocab.take(pa.array(uniq % v)),
+         "n": pa.array(cnt.astype(np.int64))}
+    )
+
+
+def bigram_next_topk(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed bigram language-model table: for every token w1, the
+    top-k most frequent next tokens, rank-ordered — the count table a
+    stupid-backoff / KenLM-style n-gram scorer trains from (the flagship
+    perplexity stage CONSUMES such a table; this op BUILDS one from the
+    corpus).  SQL twin::
+
+        WITH toks AS (SELECT doc_id,
+                        unnest(string_split(text,' ')) w,
+                        generate_subscripts(string_split(text,' '),1) i
+                      FROM t),
+             big AS (SELECT w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY i) w2
+                     FROM toks),
+             cnt AS (SELECT w1, w2, count(*) n FROM big
+                     WHERE w2 IS NOT NULL GROUP BY 1, 2)
+        SELECT w1, w2, n,
+               row_number() OVER (PARTITION BY w1
+                                  ORDER BY n DESC, w2) rk
+        FROM cnt QUALIFY rk <= k
+
+    Scale shape: per-block pair counting collapses the token stream to
+    (w1, w2, n) partials BEFORE the one hash exchange on w1 (only
+    distinct-pair rows move, never tokens); each reduce block then
+    merges its co-located partials and cuts top-k in one vectorized
+    kernel.  Skew: one hot w1 = one reduce block holding that word's
+    distinct successors — bounded by vocabulary size, not corpus size.
+    Output: (w1, w2, n, rk).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    parts = ds.select_columns([text_col]).map_batches(
+        _bigram_partial, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    width = auto_partitions(parts, num_partitions)
+
+    def merge_cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "rk": pa.array([], pa.int64())}
+            )
+        e1 = pc.dictionary_encode(t["w1"].combine_chunks())
+        e2 = pc.dictionary_encode(t["w2"].combine_chunks())
+        c1 = e1.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = e2.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v2 = len(e2.dictionary)
+        pair = c1 * v2 + c2
+        uniq, inv = np.unique(pair, return_inverse=True)
+        tot = np.bincount(inv, weights=n).astype(np.int64)
+        u1, u2 = uniq // v2, uniq % v2
+        # lexicographic rank of each w2 dictionary code for tie-breaks
+        d2 = e2.dictionary.to_numpy(zero_copy_only=False)
+        r2 = np.empty(v2, dtype=np.int64)
+        r2[np.argsort(d2)] = np.arange(v2)
+        order = np.lexsort((r2[u2], -tot, u1))
+        g = u1[order]
+        newseg = np.concatenate(([True], g[1:] != g[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(newseg, np.arange(len(g)), 0)
+        )
+        pos = np.arange(len(g)) - seg_start
+        keep = pos < k
+        sel = order[keep]
+        return pa.table(
+            {"w1": e1.dictionary.take(pa.array(u1[sel])),
+             "w2": e2.dictionary.take(pa.array(u2[sel])),
+             "n": pa.array(tot[sel]),
+             "rk": pa.array((pos[keep] + 1).astype(np.int64))}
+        )
+
+    return parts.repartition(
+        num_blocks=width, keys=["w1"]
+    ).map_batches(merge_cut, batch_format="pyarrow", batch_size=None)

@@ -2195,3 +2195,42 @@ def test_outer_hash_join_matches_duckdb(ray_session):
     wi = want.astype({"lv": "Int64", "rv": "Int64"}).sort_values(
         ["k", "lv", "rv"], na_position="first").reset_index(drop=True)
     assert gi.equals(wi)
+
+
+def test_bigram_next_topk_matches_duckdb(ray_session):
+    """Bigram LM table equals the SQL window twin across block layouts;
+    edge cases: empty text, single-token docs, heavy tie-breaking."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.vocab import bigram_next_topk
+
+    rng = np.random.default_rng(31)
+    vocab = ["a", "b", "c", "dd", "e5"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(1, 30)))
+            for _ in range(400)]
+    docs[0] = ""          # -> [""] single token, no pair
+    docs[1] = "solo"
+    docs[2] = "a a a a"   # self-bigrams
+    t = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) w,
+                        generate_subscripts(string_split(text,' '),1) i
+                      FROM t),
+             big AS (SELECT w AS w1, lead(w) OVER (
+                       PARTITION BY doc_id ORDER BY i) w2 FROM toks),
+             cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) n FROM big
+                     WHERE w2 IS NOT NULL GROUP BY 1,2)
+        SELECT w1, w2, n, CAST(row_number() OVER (
+          PARTITION BY w1 ORDER BY n DESC, w2) AS BIGINT) rk
+        FROM cnt QUALIFY rk <= 2
+        ORDER BY w1, rk
+    """).df()
+    for parts in (1, 7):
+        got = bigram_next_topk(
+            ray.data.from_arrow(t).repartition(parts), k=2,
+        ).to_pandas().sort_values(["w1", "rk"]).reset_index(drop=True)
+        assert got.equals(want), parts
