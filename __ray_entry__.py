@@ -1732,6 +1732,18 @@ def q_orders_customer_full_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_profile_documents(sf_dir: str):
+    """Single-pass dataset profiler (Luzzu daQ quality-metadata analog):
+    per-column row/null counts, EXACT distinct count, native-domain
+    min/max — per-block distinct partials, one exchange, narrow
+    combine."""
+    from luzzu_ray.ops.profile import profile_table
+
+    return profile_table(
+        _docs(sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def q_bigram_next_top3(sf_dir: str):
     """Distributed bigram LM table: top-3 next tokens per token by
     (count DESC, token ASC) — pair-count partials collapse the token
@@ -2137,6 +2149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_f_orders": q_customers_no_f_orders,
         "customer_order_counts_left": q_customer_order_counts_left,
         "bigram_next_top3": q_bigram_next_top3,
+        "profile_documents": q_profile_documents,
         "orders_customer_full_stats": q_orders_customer_full_stats,
         "customers_with_p_orders": q_customers_with_p_orders,
         "sq8_ann_topk": q_sq8_ann_topk,
@@ -2716,6 +2729,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderstatus = 'P')"
         ),
+        "profile_documents": "SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'text' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_nulls, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, CAST(min(text) AS VARCHAR) AS min_val, CAST(max(text) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'lang' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_nulls, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct, CAST(min(lang) AS VARCHAR) AS min_val, CAST(max(lang) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'source' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_nulls, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct, CAST(min(source) AS VARCHAR) AS min_val, CAST(max(source) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'n_chars' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct, CAST(min(n_chars) AS VARCHAR) AS min_val, CAST(max(n_chars) AS VARCHAR) AS max_val FROM documents",
         "bigram_next_top3": (
             "WITH toks AS (SELECT doc_id, "
             "unnest(string_split(text, ' ')) AS w, "

@@ -1,0 +1,172 @@
+"""Dataset profiler: per-column quality metadata in one distributed
+pass — the closest transcript-pipeline analogue of Luzzu's daQ quality
+metadata graph (category -> dimension -> metric observations,
+/root/reference/README.md:6,8,14): each profiled column yields one
+observation row (row count, null count, EXACT distinct count, min and
+max rendered as SQL-cast strings).
+
+Scale shape: one read, per-block partials collapse every column to its
+DISTINCT values plus one meta row BEFORE the single hash exchange on
+(col_name, val) — the bytes that move are per-block-distinct values,
+never the data.  After the exchange every (col, val) pair lives in
+exactly ONE block, so per-block unique-pair counts SUM to the exact
+global distinct count; a column's meta rows all share one key
+(col, NULL) and fully reduce in one block.  The final combine is
+O(#columns x #blocks) rows.  Caveat (documented, same cost class as
+``Dataset.unique``): a column whose per-block distincts approach its
+row count (e.g. a unique id) ships ~n narrow rows for that column.
+
+Min/max are reduced in their NATIVE domain (int64 or string) through
+every stage and stringified only after the final reduction — a string
+reduction over stringified ints would order "10" < "9".  Supported
+column types: integers (widened to int64) and strings; cast anything
+else upstream.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_OUT = {
+    "col_name": pa.string(),
+    "n_rows": pa.int64(),
+    "n_nulls": pa.int64(),
+    "n_distinct": pa.int64(),
+    "min_val": pa.string(),
+    "max_val": pa.string(),
+}
+
+_PARTIAL = {
+    "col_name": pa.string(),
+    "val": pa.string(),
+    "n": pa.int64(),
+    "nulls": pa.int64(),
+    "mn_i": pa.int64(),
+    "mx_i": pa.int64(),
+    "mn_s": pa.string(),
+    "mx_s": pa.string(),
+}
+
+
+def _typed_empty(schema: dict) -> pa.Table:
+    return pa.table({k: pa.array([], t) for k, t in schema.items()})
+
+
+def _partial(t: pa.Table, columns: list[str]) -> pa.Table:
+    """Per block, per column: one meta row (val=NULL, counters + native
+    min/max) + one row per DISTINCT non-null value (counters 0)."""
+    if t.num_rows == 0:
+        return _typed_empty(_PARTIAL)
+    cols = {k: [] for k in _PARTIAL}
+
+    def put(name, c, u, n_null, mn_i, mx_i, mn_s, mx_s):
+        k = len(u)
+        cols["col_name"].append(pa.array([name] * (k + 1)))
+        cols["val"].append(pa.concat_arrays(
+            [pa.array([None], pa.string()), u]))
+        cols["n"].append(pa.array([t.num_rows] + [0] * k, pa.int64()))
+        cols["nulls"].append(pa.array([n_null] + [0] * k, pa.int64()))
+        cols["mn_i"].append(pa.array([mn_i] + [None] * k, pa.int64()))
+        cols["mx_i"].append(pa.array([mx_i] + [None] * k, pa.int64()))
+        cols["mn_s"].append(pa.array([mn_s] + [None] * k, pa.string()))
+        cols["mx_s"].append(pa.array([mx_s] + [None] * k, pa.string()))
+
+    for c in columns:
+        col = t[c].combine_chunks()
+        ty = col.type
+        nn = pc.drop_null(col)
+        n_null = int(col.null_count)
+        mm = pc.min_max(col)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if pa.types.is_integer(ty):
+            u = pc.cast(pc.unique(nn), pa.string())
+            put(c, col, u, n_null, mn, mx, None, None)
+        elif pa.types.is_string(ty) or pa.types.is_large_string(ty):
+            u = pc.cast(pc.unique(nn), pa.string())
+            put(c, col, u, n_null, None, None, mn, mx)
+        else:
+            raise TypeError(
+                f"profile_table supports int/string columns; {c} is {ty}"
+            )
+    return pa.table({k: pa.concat_arrays(v) for k, v in cols.items()})
+
+
+def _resolve_block(t: pa.Table) -> pa.Table:
+    """Post-exchange: dedupe this block's (col, val) pairs into partial
+    distinct counts; finalize meta rows (all of a column's meta shares
+    one exchange key, so its full native-domain reduction happens here
+    and min/max can be stringified)."""
+    if t.num_rows == 0:
+        return _typed_empty(_OUT)
+    is_meta = pc.is_null(t["val"])
+    meta = t.filter(is_meta)
+    pairs = t.filter(pc.invert(is_meta))
+    out = {k: [] for k in _OUT}
+
+    if pairs.num_rows:
+        g = pairs.group_by("col_name").aggregate(
+            [("val", "count_distinct")]
+        )
+        k = len(g)
+        out["col_name"].append(g["col_name"].combine_chunks())
+        out["n_distinct"].append(
+            pc.cast(g["val_count_distinct"], pa.int64()).combine_chunks())
+        out["n_rows"].append(pa.array([0] * k, pa.int64()))
+        out["n_nulls"].append(pa.array([0] * k, pa.int64()))
+        out["min_val"].append(pa.array([None] * k, pa.string()))
+        out["max_val"].append(pa.array([None] * k, pa.string()))
+    if meta.num_rows:
+        g = meta.group_by("col_name").aggregate(
+            [("n", "sum"), ("nulls", "sum"),
+             ("mn_i", "min"), ("mx_i", "max"),
+             ("mn_s", "min"), ("mx_s", "max")]
+        )
+        k = len(g)
+        mn = pc.coalesce(pc.cast(g["mn_i_min"], pa.string()), g["mn_s_min"])
+        mx = pc.coalesce(pc.cast(g["mx_i_max"], pa.string()), g["mx_s_max"])
+        out["col_name"].append(g["col_name"].combine_chunks())
+        out["n_rows"].append(pc.cast(g["n_sum"], pa.int64()).combine_chunks())
+        out["n_nulls"].append(
+            pc.cast(g["nulls_sum"], pa.int64()).combine_chunks())
+        out["n_distinct"].append(pa.array([0] * k, pa.int64()))
+        out["min_val"].append(mn.combine_chunks())
+        out["max_val"].append(mx.combine_chunks())
+    return pa.table({k: pa.concat_arrays(v) for k, v in out.items()})
+
+
+def profile_table(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """One row per profiled column: (col_name, n_rows, n_nulls,
+    n_distinct, min_val, max_val) — n_distinct is EXACT, min/max are
+    SQL-cast strings.  SQL twin: a UNION ALL of one aggregate SELECT
+    per column."""
+    from ray.data.aggregate import Max, Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    parts = ds.select_columns(columns).map_batches(
+        _partial, fn_kwargs={"columns": columns},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    width = auto_partitions(parts, num_partitions)
+    resolved = parts.repartition(
+        num_blocks=width, keys=["col_name", "val"]
+    ).map_batches(_resolve_block, batch_format="pyarrow", batch_size=None)
+    # per column: meta contributed exactly one fully-reduced row (its
+    # key co-located every meta partial), distinct partials SUM; the
+    # null-skipping Max just picks that single non-null min/max string
+    return resolved.groupby("col_name", num_partitions=2).aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_nulls", alias_name="n_nulls"),
+        Sum("n_distinct", alias_name="n_distinct"),
+        Max("min_val", alias_name="min_val"),
+        Max("max_val", alias_name="max_val"),
+    )

@@ -2234,3 +2234,45 @@ def test_bigram_next_topk_matches_duckdb(ray_session):
             ray.data.from_arrow(t).repartition(parts), k=2,
         ).to_pandas().sort_values(["w1", "rk"]).reset_index(drop=True)
         assert got.equals(want), parts
+
+
+def test_profile_table_matches_duckdb(ray_session):
+    """Column profiler equals the SQL UNION ALL twin across layouts;
+    traps covered: numeric min/max over values whose STRING order
+    differs ("9" vs "10"), nulls in both int and string columns, an
+    all-null column, duplicate values across blocks."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.profile import profile_table
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    iv = rng.integers(5, 1500, n).astype(object)   # "9" < "10" trap
+    iv[rng.random(n) < 0.1] = None
+    sv = np.array([f"v{int(x)}" for x in rng.integers(0, 80, n)],
+                  dtype=object)
+    sv[rng.random(n) < 0.05] = None
+    t = pa.table({
+        "iv": pa.array(list(iv), pa.int64()),
+        "sv": pa.array(list(sv), pa.string()),
+        "nil": pa.nulls(n, pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    one = ("SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) n_rows, "
+           "CAST(count(*) - count({c}) AS BIGINT) n_nulls, "
+           "CAST(count(DISTINCT {c}) AS BIGINT) n_distinct, "
+           "CAST(min({c}) AS VARCHAR) min_val, "
+           "CAST(max({c}) AS VARCHAR) max_val FROM t")
+    want = con.execute(
+        " UNION ALL ".join(one.format(c=c) for c in ("iv", "sv", "nil"))
+        + " ORDER BY col_name"
+    ).df()
+    for parts in (1, 9):
+        got = profile_table(
+            ray.data.from_arrow(t).repartition(parts),
+            ["iv", "sv", "nil"],
+        ).to_pandas().sort_values("col_name").reset_index(drop=True)
+        got = got[list(want.columns)]
+        assert got.equals(want), parts
