@@ -1732,6 +1732,52 @@ def q_orders_customer_full_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_dataset_diff_counts(sf_dir: str):
+    """Keyed version diff built ON the full-outer-join engine: a
+    deterministic 'v2' of the documents table (drop doc_id%7==0, append
+    ' v2' to text of doc_id%11==0, add fresh ids for doc_id%13==0) is
+    diffed against v1; output = counts per {added,removed,changed,same}."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.relational import dataset_diff
+
+    old = _docs(sf_dir, ["doc_id", "text"])
+
+    def make_v2(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = did % 7 != 0
+        kept = t.filter(pa.array(keep))
+        kd = kept["doc_id"].to_numpy(zero_copy_only=False)
+        txt = pc.if_else(
+            pa.array(kd % 11 == 0),
+            pc.binary_join_element_wise(kept["text"], " v2", ""),
+            kept["text"],
+        )
+        base = pa.table({"doc_id": kept["doc_id"], "text": txt})
+        addm = did % 13 == 0
+        added = pa.table(
+            {"doc_id": pa.array(did[addm] + 1_000_000),
+             "text": pa.array(["fresh doc"] * int(addm.sum()))}
+        )
+        return pa.concat_tables([base, added])
+
+    new = old.map_batches(make_v2, batch_format="pyarrow")
+    diff = dataset_diff(old, new, "doc_id", "doc_id", "text", "text")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("status").aggregate([([], "count_all")])
+        return pa.table(
+            {"status": g["status"],
+             "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    return diff.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).groupby("status", num_partitions=2).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
 def q_profile_documents(sf_dir: str):
     """Single-pass dataset profiler (Luzzu daQ quality-metadata analog):
     per-column row/null counts, EXACT distinct count, native-domain
@@ -2150,6 +2196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts_left": q_customer_order_counts_left,
         "bigram_next_top3": q_bigram_next_top3,
         "profile_documents": q_profile_documents,
+        "dataset_diff_counts": q_dataset_diff_counts,
         "orders_customer_full_stats": q_orders_customer_full_stats,
         "customers_with_p_orders": q_customers_with_p_orders,
         "sq8_ann_topk": q_sq8_ann_topk,
@@ -2729,6 +2776,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderstatus = 'P')"
         ),
+        "dataset_diff_counts": "WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 UNION ALL SELECT doc_id + 1000000 AS doc_id, 'fresh doc' AS text FROM documents WHERE doc_id % 13 = 0), d AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' WHEN o.text IS NOT DISTINCT FROM n.text THEN 'same' ELSE 'changed' END AS status FROM documents o FULL JOIN v2 n ON o.doc_id = n.doc_id) SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY status",
         "profile_documents": "SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'text' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_nulls, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, CAST(min(text) AS VARCHAR) AS min_val, CAST(max(text) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'lang' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_nulls, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct, CAST(min(lang) AS VARCHAR) AS min_val, CAST(max(lang) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'source' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_nulls, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct, CAST(min(source) AS VARCHAR) AS min_val, CAST(max(source) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'n_chars' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct, CAST(min(n_chars) AS VARCHAR) AS min_val, CAST(max(n_chars) AS VARCHAR) AS max_val FROM documents",
         "bigram_next_top3": (
             "WITH toks AS (SELECT doc_id, "

@@ -1518,3 +1518,68 @@ def outer_hash_join(
     return both.repartition(
         num_blocks=num_partitions, keys=[left_key]
     ).map_batches(join_block, batch_format="pyarrow", batch_size=None)
+
+
+def dataset_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    old_key: str,
+    new_key: str,
+    old_col: str,
+    new_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Keyed diff of two dataset versions — the regression check a
+    pipeline rerun needs (Luzzu analogue: comparing quality-metadata
+    snapshots across assessments, /root/reference/README.md:8): per key,
+    status in {added, removed, changed, same} comparing ``old_col`` vs
+    ``new_col`` null-safely (null == null counts as same).
+
+    Built ON the outer-join engine: each side gains an int8 presence
+    marker, one FULL outer hash exchange co-locates versions, and a
+    vectorized case kernel classifies.  Only (key, payload) projections
+    move.  Output: (key as ``old_key``, status).
+    """
+    def mark(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                name, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        return fn
+
+    o = old.select_columns([old_key, old_col]).map_batches(
+        mark("_in_old"), batch_format="pyarrow", zero_copy_batch=True)
+    renamed = new.select_columns([new_key, new_col])
+    ncol = new_col
+    if new_col == old_col:
+        ncol = new_col + "__new"
+        renamed = renamed.rename_columns({new_col: ncol})
+    n = renamed.map_batches(
+        mark("_in_new"), batch_format="pyarrow", zero_copy_batch=True)
+
+    j = outer_hash_join(
+        o, n, old_key, new_key,
+        left_cols=[old_col, "_in_old"], right_cols=[ncol, "_in_new"],
+        how="full", num_partitions=num_partitions,
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        in_old = pc.is_valid(t["_in_old"])
+        in_new = pc.is_valid(t["_in_new"])
+        a, b = t[old_col], t[ncol]
+        same_val = pc.or_kleene(
+            pc.equal(a, b),
+            pc.and_(pc.is_null(a), pc.is_null(b)),
+        )
+        same_val = pc.fill_null(same_val, False)
+        status = pc.if_else(
+            pc.invert(in_old), pa.scalar("added"),
+            pc.if_else(
+                pc.invert(in_new), pa.scalar("removed"),
+                pc.if_else(same_val, pa.scalar("same"),
+                           pa.scalar("changed")),
+            ),
+        )
+        return pa.table({old_key: t[old_key], "status": status})
+
+    return j.map_batches(classify, batch_format="pyarrow",
+                         batch_size=None)

@@ -2276,3 +2276,44 @@ def test_profile_table_matches_duckdb(ray_session):
         ).to_pandas().sort_values("col_name").reset_index(drop=True)
         got = got[list(want.columns)]
         assert got.equals(want), parts
+
+
+def test_dataset_diff_matches_duckdb(ray_session):
+    """Per-key diff status equals the SQL FULL JOIN twin, including
+    null-text rows on either side (null == null is 'same') and keys
+    present only once on either side."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import dataset_diff
+
+    rng = np.random.default_rng(23)
+    o_ids = np.arange(0, 900, dtype=np.int64)
+    n_ids = np.arange(300, 1200, dtype=np.int64)
+    def txt(ids, flip):
+        out = np.array([f"t{i % 37}" for i in ids], dtype=object)
+        out[rng.random(len(ids)) < 0.05] = None
+        if flip:
+            m = ids % 5 == 0
+            out[m] = [f"x{i}" for i in ids[m]]
+        return out
+    ot, nt = txt(o_ids, False), txt(n_ids, True)
+    old = pa.table({"doc_id": pa.array(o_ids), "text": pa.array(list(ot))})
+    new = pa.table({"doc_id": pa.array(n_ids), "text": pa.array(list(nt))})
+    con = duckdb.connect()
+    con.register("o", old)
+    con.register("n", new)
+    want = con.execute("""
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, CASE
+        WHEN o.doc_id IS NULL THEN 'added'
+        WHEN n.doc_id IS NULL THEN 'removed'
+        WHEN o.text IS NOT DISTINCT FROM n.text THEN 'same'
+        ELSE 'changed' END AS status
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id ORDER BY doc_id
+    """).df()
+    got = dataset_diff(
+        ray.data.from_arrow(old).repartition(4),
+        ray.data.from_arrow(new).repartition(3),
+        "doc_id", "doc_id", "text", "text", num_partitions=5,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
