@@ -508,3 +508,67 @@ def bigram_next_topk(
     return parts.repartition(
         num_blocks=width, keys=["w1"]
     ).map_batches(merge_cut, batch_format="pyarrow", batch_size=None)
+
+
+def _bpe_pair_partial(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-block partial: counts of adjacent BYTE pairs within words
+    (single-space tokenization) — the statistic the first BPE merge is
+    chosen from (byte-level BPE a la GPT-2's tokenizer).  One bincount
+    over a 65536-slot table; pairs never cross word boundaries.  Pairs
+    are rendered latin-1, which equals the SQL character twin on ASCII
+    corpora (multi-byte UTF-8 diverges by design: this op is
+    byte-level)."""
+    from luzzu_ray.functions.text import utf8_view
+
+    empty = pa.table({"pair": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    words = pc.split_pattern(t[text_col], " ").combine_chunks()
+    flat = words.flatten()
+    if len(flat) == 0:
+        return empty
+    data, offs = utf8_view(flat)
+    if offs[-1] - offs[0] < 2:
+        return empty
+    mask = np.zeros(len(data), dtype=bool)
+    mask[offs[0]:offs[-1]] = True
+    has_byte = offs[1:] > offs[:-1]
+    mask[offs[1:][has_byte] - 1] = False      # last byte of each word
+    idx = np.flatnonzero(mask)
+    if len(idx) == 0:
+        return empty
+    pair = data[idx].astype(np.int32) * 256 + data[idx + 1]
+    cnt = np.bincount(pair, minlength=65536)
+    nz = np.flatnonzero(cnt)
+    pairs = [chr(int(p) >> 8) + chr(int(p) & 255) for p in nz]
+    return pa.table({"pair": pa.array(pairs, pa.string()),
+                     "n": pa.array(cnt[nz].astype(np.int64))})
+
+
+def bpe_pair_counts(
+    ds: ray.data.Dataset,
+    k: int = 20,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k within-word adjacent byte pairs by (count DESC, pair ASC)
+    — the corpus statistic byte-level BPE tokenizer training consumes
+    for its merge decisions.  Per-block bincount partials bound every
+    exchange at 65,536 rows per block regardless of corpus size; the
+    combine is a narrow groupby + global top-k.  Output: (pair, n)."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import topk
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    parts = ds.select_columns([text_col]).map_batches(
+        _bpe_pair_partial, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    totals = parts.groupby(
+        "pair", num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(Sum("n", alias_name="n"))
+    return topk(totals, "n", k, "pair")

@@ -2317,3 +2317,44 @@ def test_dataset_diff_matches_duckdb(ray_session):
         "doc_id", "doc_id", "text", "text", num_partitions=5,
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_bpe_pair_counts_matches_duckdb(ray_session):
+    """Byte-pair statistic equals the SQL character twin on an ASCII
+    corpus across block layouts; edge cases: 1-byte words (no pair),
+    empty text, repeated chars."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.vocab import bpe_pair_counts
+
+    rng = np.random.default_rng(41)
+    alpha = list("abcdez019")
+    docs = [" ".join("".join(rng.choice(alpha, rng.integers(1, 9)))
+                     for _ in range(rng.integers(1, 15)))
+            for _ in range(300)]
+    docs[0] = ""
+    docs[1] = "a b c"      # only 1-byte words
+    docs[2] = "aaaa"       # overlapping identical pairs
+    t = pa.table({"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+                  "text": pa.array(docs)})
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+      WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) w,
+                       generate_subscripts(string_split(text,' '),1) wi
+                     FROM t),
+           ch AS (SELECT doc_id, wi, unnest(regexp_extract_all(w,'.')) c,
+                    generate_subscripts(regexp_extract_all(w,'.'),1) ci
+                  FROM words),
+           p AS (SELECT c || lead(c) OVER (
+                   PARTITION BY doc_id, wi ORDER BY ci) AS pair FROM ch)
+      SELECT pair, CAST(count(*) AS BIGINT) n FROM p
+      WHERE pair IS NOT NULL GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 10
+    """).df()
+    for parts in (1, 6):
+        got = bpe_pair_counts(
+            ray.data.from_arrow(t).repartition(parts), k=10,
+        ).to_pandas().reset_index(drop=True)
+        assert got.equals(want), parts
