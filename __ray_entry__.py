@@ -1788,6 +1788,33 @@ def q_bpe_pair_top20(sf_dir: str):
     return bpe_pair_counts(_docs(sf_dir, ["text"]), k=20)
 
 
+
+def q_embedding_gram(sf_dir: str):
+    """Distributed exact fixed-point Gram matrix over the embedding
+    column: per-block integer matmul partials, narrow (i, j, s)
+    combine — the PCA/covariance front end."""
+    from luzzu_ray.ops.similarity import embedding_gram
+
+    return embedding_gram(
+        _tbl(sf_dir, "embeddings", ["embedding"]), q=3
+    )
+
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Per-user ARGMAX row (latest event by ts, event_id tiebreak, full
+    payload carried) via mergeable per-block candidates — no key
+    co-location of full histories."""
+    from luzzu_ray.ops.relational import grouped_argmax
+
+    return grouped_argmax(
+        _tbl(sf_dir, "events",
+             ["user_id", "ts", "event_id", "event_type", "value"]),
+        key="user_id", order_col="ts", tie_col="event_id",
+        carry_cols=["event_type", "value"],
+    )
+
+
 def q_profile_documents(sf_dir: str):
     """Single-pass dataset profiler (Luzzu daQ quality-metadata analog):
     per-column row/null counts, EXACT distinct count, native-domain
@@ -2208,6 +2235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": q_profile_documents,
         "dataset_diff_counts": q_dataset_diff_counts,
         "bpe_pair_top20": q_bpe_pair_top20,
+        "embedding_gram": q_embedding_gram,
+        "latest_event_per_user": q_latest_event_per_user,
         "orders_customer_full_stats": q_orders_customer_full_stats,
         "customers_with_p_orders": q_customers_with_p_orders,
         "sq8_ann_topk": q_sq8_ann_topk,
@@ -2787,6 +2816,8 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderstatus = 'P')"
         ),
+        "latest_event_per_user": 'SELECT user_id, ts, event_id, event_type, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1',
+        "embedding_gram": 'WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q FROM embeddings) SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim GROUP BY 1, 2',
         "bpe_pair_top20": "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, generate_subscripts(string_split(text, ' '), 1) AS wi FROM documents), ch AS (SELECT doc_id, wi, unnest(regexp_extract_all(w, '.')) AS c, generate_subscripts(regexp_extract_all(w, '.'), 1) AS ci FROM words), p AS (SELECT c || lead(c) OVER (PARTITION BY doc_id, wi ORDER BY ci) AS pair FROM ch) SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p WHERE pair IS NOT NULL GROUP BY pair ORDER BY n DESC, pair LIMIT 20",
         "dataset_diff_counts": "WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 UNION ALL SELECT doc_id + 1000000 AS doc_id, 'fresh doc' AS text FROM documents WHERE doc_id % 13 = 0), d AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' WHEN o.text IS NOT DISTINCT FROM n.text THEN 'same' ELSE 'changed' END AS status FROM documents o FULL JOIN v2 n ON o.doc_id = n.doc_id) SELECT status, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY status",
         "profile_documents": "SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_val, CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'text' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(text) AS BIGINT) AS n_nulls, CAST(count(DISTINCT text) AS BIGINT) AS n_distinct, CAST(min(text) AS VARCHAR) AS min_val, CAST(max(text) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'lang' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(lang) AS BIGINT) AS n_nulls, CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct, CAST(min(lang) AS VARCHAR) AS min_val, CAST(max(lang) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'source' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(source) AS BIGINT) AS n_nulls, CAST(count(DISTINCT source) AS BIGINT) AS n_distinct, CAST(min(source) AS VARCHAR) AS min_val, CAST(max(source) AS VARCHAR) AS max_val FROM documents UNION ALL SELECT 'n_chars' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, CAST(count(DISTINCT n_chars) AS BIGINT) AS n_distinct, CAST(min(n_chars) AS VARCHAR) AS min_val, CAST(max(n_chars) AS VARCHAR) AS max_val FROM documents",

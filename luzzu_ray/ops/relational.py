@@ -1583,3 +1583,55 @@ def dataset_diff(
 
     return j.map_batches(classify, batch_format="pyarrow",
                          batch_size=None)
+
+
+def grouped_argmax(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    tie_col: str,
+    carry_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group ARGMAX with full row carry: the row with the greatest
+    ``order_col`` per key, ties broken by smallest ``tie_col`` — SQL
+    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY o DESC, t)
+    = 1`` — e.g. "latest event per user, with payload".
+
+    Scale shape: argmax is MERGEABLE, so unlike the window ops this
+    needs NO key co-location of full groups — each block reduces to one
+    candidate row per key it sees (vectorized lexsort + segment-first),
+    ONLY those candidates enter the hash exchange (#keys x #blocks
+    upper bound, independent of group size), and the same kernel on
+    co-located candidates yields the global winner.  A hot key costs
+    one candidate per block, never its full history in one place.
+
+    ``order_col`` must be numeric or timestamp (negated for the sort);
+    ``key`` may be any dtype (dictionary-encoded per block).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    cols = [key, order_col, tie_col] + carry_cols
+
+    def best_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(cols)
+        enc = pc.dictionary_encode(t[key].combine_chunks())
+        kc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        o = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
+        o = o.view(np.int64) if o.dtype.kind == "M" else o
+        tie = t[tie_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, -o, kc))
+        ks = kc[order]
+        first = np.concatenate(([True], ks[1:] != ks[:-1]))
+        return t.select(cols).take(pa.array(order[first]))
+
+    parts = ds.select_columns(cols).map_batches(
+        best_block, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    width = auto_partitions(parts, num_partitions)
+    return parts.repartition(
+        num_blocks=width, keys=[key]
+    ).map_batches(best_block, batch_format="pyarrow", batch_size=None)

@@ -636,3 +636,67 @@ def sq8_ann_topk(
         ),
     )
     return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def embedding_gram(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    q: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed Gram matrix G = X^T X over a ``list<float>`` column,
+    upper triangle, EXACT in fixed-point — the reduction PCA / whitening
+    / covariance estimation starts from (cov = G/n - mean outer mean on
+    the caller's side, eigendecomposition on the d x d driver-side
+    result).
+
+    Per-block partial: quantize to int64 (floor(x * 10^q)), one integer
+    matmul Q^T Q per block, emit the d(d+1)/2 upper-triangle entries as
+    narrow (i, j, s) rows — vectors never enter the exchange; the
+    combine is a groupby-sum over at most triangle x #blocks rows.
+    Integer arithmetic makes the result exact and order/layout
+    invariant (a float matmul would drift by summation order).
+    Overflow bound: |x| <= X implies |s| <= n * (X * 10^q)^2; with
+    q = 3 and unit-scale embeddings int64 holds past 10^12 rows.
+    Output: (i, j, s), 1-based dims, i <= j.
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    scale = float(10 ** q)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"i": pa.array([], pa.int64()),
+             "j": pa.array([], pa.int64()),
+             "s": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        emb = t[vec_col].combine_chunks()
+        offs = emb.offsets.to_numpy().astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("ragged embedding lists")
+        vals = emb.flatten().to_numpy(zero_copy_only=False)
+        qv = np.floor(
+            vals.astype(np.float64) * scale
+        ).astype(np.int64).reshape(-1, d)
+        g = qv.T @ qv
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {"i": pa.array(iu.astype(np.int64) + 1),
+             "j": pa.array(ju.astype(np.int64) + 1),
+             "s": pa.array(g[iu, ju])}
+        )
+
+    parts = ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    return parts.groupby(
+        ["i", "j"], num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(Sum("s", alias_name="s"))

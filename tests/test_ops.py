@@ -2358,3 +2358,58 @@ def test_bpe_pair_counts_matches_duckdb(ray_session):
             ray.data.from_arrow(t).repartition(parts), k=10,
         ).to_pandas().reset_index(drop=True)
         assert got.equals(want), parts
+
+
+def test_embedding_gram_matches_numpy(ray_session):
+    """Fixed-point Gram matrix equals the quantized NumPy product
+    exactly, independent of block layout."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import embedding_gram
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    qv = np.floor(x.astype(np.float64) * 1000.0).astype(np.int64)
+    g = qv.T @ qv
+    iu, ju = np.triu_indices(d)
+    want = {(int(i) + 1, int(j) + 1): int(g[i, j]) for i, j in zip(iu, ju)}
+    for parts in (1, 7):
+        rows = embedding_gram(
+            ray.data.from_arrow(t).repartition(parts), q=3,
+        ).take_all()
+        got = {(r["i"], r["j"]): r["s"] for r in rows}
+        assert got == want, parts
+
+
+def test_grouped_argmax_matches_duckdb(ray_session):
+    """Mergeable per-group argmax equals the SQL QUALIFY twin across
+    layouts, including single-row groups and heavy ties on order_col."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_argmax
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 300, n).astype(np.int64)),
+        "o": pa.array(rng.integers(0, 50, n).astype(np.int64)),  # ties
+        "tid": pa.array(np.arange(n, dtype=np.int64)),
+        "payload": pa.array([f"p{i % 13}" for i in range(n)]),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+      SELECT k, o, tid, payload FROM t
+      QUALIFY row_number() OVER (PARTITION BY k ORDER BY o DESC, tid) = 1
+      ORDER BY k
+    """).df()
+    for parts in (1, 8):
+        got = grouped_argmax(
+            ray.data.from_arrow(t).repartition(parts),
+            "k", "o", "tid", ["payload"], num_partitions=5,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert got.equals(want), parts
