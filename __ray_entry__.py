@@ -1815,6 +1815,51 @@ def q_latest_event_per_user(sf_dir: str):
     )
 
 
+
+def q_pca_project2(sf_dir: str):
+    """Uncentered PCA: exact fixed-point Gram pass + d x d driver eigh
+    + broadcast integer projection onto the top-2 components."""
+    from luzzu_ray.ops.similarity import pca_project
+
+    return pca_project(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), k=2
+    )
+
+
+def _pca_sql() -> str:
+    """Oracle: components rebuilt from the sf0.01 corpus (the driver
+    compare contract) via the same deterministic quantized-gram + eigh
+    helper, embedded as integer literals; the projection is then exact
+    integer arithmetic in SQL."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.similarity import pca_components_from_gram
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                      columns=["embedding"])
+    emb = t["embedding"].combine_chunks()
+    d = len(emb[0])
+    x = emb.flatten().to_numpy(zero_copy_only=False)
+    qe = np.floor(x.astype(np.float64) * 1000.0).astype(
+        np.int64).reshape(-1, d)
+    comp = pca_components_from_gram(qe.T @ qe, k=2, qv=6)
+    vals = ", ".join(
+        f"({i + 1}, {int(comp[i, 0])}, {int(comp[i, 1])})"
+        for i in range(d)
+    )
+    return (
+        f"WITH pcs(dim, v1, v2) AS (VALUES {vals}), "
+        "e AS (SELECT vec_id, "
+        "CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) "
+        "AS BIGINT) AS q FROM embeddings) "
+        "SELECT e.vec_id, CAST(sum(e.q * pcs.v1) AS BIGINT) AS p1, "
+        "CAST(sum(e.q * pcs.v2) AS BIGINT) AS p2 "
+        "FROM e JOIN pcs ON pcs.dim = e.dim GROUP BY e.vec_id"
+    )
+
+
 def q_profile_documents(sf_dir: str):
     """Single-pass dataset profiler (Luzzu daQ quality-metadata analog):
     per-column row/null counts, EXACT distinct count, native-domain
@@ -2237,6 +2282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_top20": q_bpe_pair_top20,
         "embedding_gram": q_embedding_gram,
         "latest_event_per_user": q_latest_event_per_user,
+        "pca_project2": q_pca_project2,
         "orders_customer_full_stats": q_orders_customer_full_stats,
         "customers_with_p_orders": q_customers_with_p_orders,
         "sq8_ann_topk": q_sq8_ann_topk,
@@ -2816,6 +2862,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
             "AND o.o_orderstatus = 'P')"
         ),
+        "pca_project2": _pca_sql(),
         "latest_event_per_user": 'SELECT user_id, ts, event_id, event_type, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) = 1',
         "embedding_gram": 'WITH e AS (SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q FROM embeddings) SELECT a.dim AS i, b.dim AS j, CAST(sum(a.q * b.q) AS BIGINT) AS s FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim GROUP BY 1, 2',
         "bpe_pair_top20": "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w, generate_subscripts(string_split(text, ' '), 1) AS wi FROM documents), ch AS (SELECT doc_id, wi, unnest(regexp_extract_all(w, '.')) AS c, generate_subscripts(regexp_extract_all(w, '.'), 1) AS ci FROM words), p AS (SELECT c || lead(c) OVER (PARTITION BY doc_id, wi ORDER BY ci) AS pair FROM ch) SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p WHERE pair IS NOT NULL GROUP BY pair ORDER BY n DESC, pair LIMIT 20",

@@ -700,3 +700,76 @@ def embedding_gram(
     return parts.groupby(
         ["i", "j"], num_partitions=auto_partitions(parts, num_partitions)
     ).aggregate(Sum("s", alias_name="s"))
+
+
+def pca_components_from_gram(
+    gram: np.ndarray, k: int = 2, qv: int = 6
+) -> np.ndarray:
+    """Deterministic top-k eigenvectors of the (uncentered) int64
+    second-moment matrix: eigh, descending eigenvalue order, sign fixed
+    so each component's largest-|coordinate| entry is positive, then
+    quantized to int64 at 10^qv — the quantization makes the downstream
+    projection EXACT integer arithmetic on both the engine and the SQL
+    oracle, so no float summation order can flip a comparison."""
+    g = gram.astype(np.float64)
+    _, v = np.linalg.eigh(g)
+    v = v[:, ::-1][:, :k]
+    for j in range(v.shape[1]):
+        m = int(np.argmax(np.abs(v[:, j])))
+        if v[m, j] < 0:
+            v[:, j] = -v[:, j]
+    return np.round(v * float(10 ** qv)).astype(np.int64)
+
+
+def pca_project(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 2,
+    q: int = 3,
+    qv: int = 6,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed (uncentered) PCA projection: one Gram pass (exact
+    fixed-point, see ``embedding_gram``), a d x d driver-side
+    eigendecomposition — the ONLY step that ever leaves the cluster,
+    O(d^2) bytes — and one broadcast-projection pass emitting integer
+    scores p_j = sum_i floor(x_i 10^q) * round(v_ij 10^qv) per vector.
+
+    Output: (id_col, p1..pk) — exact, layout-invariant.  100-TB shape:
+    both passes are single reads with narrow outputs; the component
+    matrix rides into each task as a tiny closure capture.
+    """
+    rows = embedding_gram(
+        ds, vec_col=vec_col, q=q, num_partitions=num_partitions
+    ).take_all()
+    d = max(r["j"] for r in rows)
+    g = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        g[r["i"] - 1, r["j"] - 1] = r["s"]
+        g[r["j"] - 1, r["i"] - 1] = r["s"]
+    comp = pca_components_from_gram(g, k=k, qv=qv)
+    scale = float(10 ** q)
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {id_col: t[id_col]}
+        if t.num_rows == 0:
+            for j in range(k):
+                cols[f"p{j + 1}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        emb = t[vec_col].combine_chunks()
+        offs = emb.offsets.to_numpy().astype(np.int64)
+        if not ((offs[1:] - offs[:-1]) == d).all():
+            raise ValueError("ragged embedding lists")
+        vals = emb.flatten().to_numpy(zero_copy_only=False)
+        qe = np.floor(
+            vals.astype(np.float64) * scale
+        ).astype(np.int64).reshape(-1, d)
+        p = qe @ comp
+        for j in range(k):
+            cols[f"p{j + 1}"] = pa.array(p[:, j])
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True,
+    )

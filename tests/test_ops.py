@@ -2413,3 +2413,34 @@ def test_grouped_argmax_matches_duckdb(ray_session):
             "k", "o", "tid", ["payload"], num_partitions=5,
         ).to_pandas().sort_values("k").reset_index(drop=True)
         assert got.equals(want), parts
+
+
+def test_pca_project_exact_and_layout_invariant(ray_session):
+    """Integer PCA projection equals the NumPy twin exactly and is
+    invariant to block layout; components are sign-canonical."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import (
+        pca_components_from_gram,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 6
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.array(list(x), pa.list_(pa.float32()))})
+    qe = np.floor(x.astype(np.float64) * 1000.0).astype(np.int64)
+    comp = pca_components_from_gram(qe.T @ qe, k=2, qv=6)
+    want = qe @ comp
+    for parts in (1, 5):
+        rows = pca_project(
+            ray.data.from_arrow(t).repartition(parts), k=2,
+        ).take_all()
+        got = {r["vec_id"]: (r["p1"], r["p2"]) for r in rows}
+        assert len(got) == n
+        for i in range(n):
+            assert got[i] == (int(want[i, 0]), int(want[i, 1])), (parts, i)
+    # sign canon: flipping input rows' order must not flip components
+    comp2 = pca_components_from_gram(qe[::-1].T @ qe[::-1], k=2, qv=6)
+    assert (comp == comp2).all()
