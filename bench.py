@@ -147,6 +147,13 @@ def main() -> None:
         "fuzzy_prefix_pairs",
         "sq8_ann_topk",
         "events_cohort_retention",
+        # round-3 session-4 additions
+        "customer_order_counts_left",
+        "bigram_next_top3",
+        "bpe_pair_top20",
+        "profile_documents",
+        "pca_project2",
+        "latest_event_per_user",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
