@@ -1439,7 +1439,17 @@ def outer_hash_join(
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
-    num_partitions = auto_partitions(left, num_partitions)
+    if num_partitions is None:
+        # Both sides flow through the ONE unioned exchange, so the
+        # width must cover their combined row count, not just the left.
+        from luzzu_ray.ops.dedup import (_default_parts, _size_partitions,
+                                         count_if_cheap)
+
+        nl, nr = count_if_cheap(left), count_if_cheap(right)
+        if nl is not None and nr is not None:
+            num_partitions = _size_partitions(nl + nr, _default_parts(None))
+        else:
+            num_partitions = _default_parts(None)
     lsch, rsch = left.schema(), right.schema()
     ltypes = {c: lsch.types[lsch.names.index(c)] for c in left_cols}
     rtypes = {c: rsch.types[rsch.names.index(c)] for c in right_cols}
@@ -1539,22 +1549,29 @@ def dataset_diff(
     marker, one FULL outer hash exchange co-locates versions, and a
     vectorized case kernel classifies.  Only (key, payload) projections
     move.  Output: (key as ``old_key``, status).
+
+    NULL keys identify nothing and are EXCLUDED from the diff on both
+    sides (a full-join oracle would otherwise misread its own null-fill
+    markers and call a preserved null-key old row "added").
     """
-    def mark(name):
+    def mark(name, key_col):
         def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[key_col]))
             return t.append_column(
                 name, pa.array(np.ones(t.num_rows, dtype=np.int8)))
         return fn
 
     o = old.select_columns([old_key, old_col]).map_batches(
-        mark("_in_old"), batch_format="pyarrow", zero_copy_batch=True)
+        mark("_in_old", old_key), batch_format="pyarrow",
+        zero_copy_batch=True)
     renamed = new.select_columns([new_key, new_col])
     ncol = new_col
     if new_col == old_col:
         ncol = new_col + "__new"
         renamed = renamed.rename_columns({new_col: ncol})
     n = renamed.map_batches(
-        mark("_in_new"), batch_format="pyarrow", zero_copy_batch=True)
+        mark("_in_new", new_key), batch_format="pyarrow",
+        zero_copy_batch=True)
 
     j = outer_hash_join(
         o, n, old_key, new_key,
@@ -1620,10 +1637,23 @@ def grouped_argmax(
             return t.select(cols)
         enc = pc.dictionary_encode(t[key].combine_chunks())
         kc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        o = t[order_col].combine_chunks().to_numpy(zero_copy_only=False)
-        o = o.view(np.int64) if o.dtype.kind == "M" else o
+        ocol = t[order_col].combine_chunks()
+        o_null = pc.is_null(ocol).to_numpy(zero_copy_only=False)
+        o = ocol.to_numpy(zero_copy_only=False)
+        if o.dtype.kind == "M":
+            o = o.view(np.int64)
+        if o.dtype.kind in "iub":
+            # Descending key via bitwise-not: strictly monotone
+            # decreasing with NO overflow (negating INT64_MIN — NaT's
+            # sentinel — or any uint64 would wrap and flip the order).
+            desc = ~o
+        else:
+            desc = -o  # floats: no overflow; NaN handled as null below
+            o_null = o_null | np.isnan(o)
         tie = t[tie_col].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((tie, -o, kc))
+        # o_null before desc in lexsort priority: null/NaT order values
+        # LOSE to any concrete value (SQL ORDER BY o DESC NULLS LAST).
+        order = np.lexsort((tie, desc, o_null, kc))
         ks = kc[order]
         first = np.concatenate(([True], ks[1:] != ks[:-1]))
         return t.select(cols).take(pa.array(order[first]))

@@ -743,6 +743,9 @@ def pca_project(
     rows = embedding_gram(
         ds, vec_col=vec_col, q=q, num_partitions=num_partitions
     ).take_all()
+    if not rows:
+        raise ValueError(
+            "pca_project: input dataset has no rows (Gram pass empty)")
     d = max(r["j"] for r in rows)
     g = np.zeros((d, d), dtype=np.int64)
     for r in rows:

@@ -483,7 +483,10 @@ def bigram_next_topk(
         v2 = len(e2.dictionary)
         pair = c1 * v2 + c2
         uniq, inv = np.unique(pair, return_inverse=True)
-        tot = np.bincount(inv, weights=n).astype(np.int64)
+        # int64-exact merge: bincount(weights=) accumulates in float64
+        # and silently rounds once a hot pair's total passes 2^53.
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, n)
         u1, u2 = uniq // v2, uniq % v2
         # lexicographic rank of each w2 dictionary code for tie-breaks
         d2 = e2.dictionary.to_numpy(zero_copy_only=False)

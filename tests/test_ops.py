@@ -2444,3 +2444,112 @@ def test_pca_project_exact_and_layout_invariant(ray_session):
     # sign canon: flipping input rows' order must not flip components
     comp2 = pca_components_from_gram(qe[::-1].T @ qe[::-1], k=2, qv=6)
     assert (comp == comp2).all()
+
+
+def test_grouped_argmax_null_and_unsigned_order(ray_session):
+    """Null order values (NaT / null ints) LOSE their group (SQL ORDER
+    BY o DESC NULLS LAST), and uint64 order columns don't wrap under
+    the descending transform."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_argmax
+
+    # timestamps with NaT: the null-ts row must never win unless alone
+    ts = pa.array(
+        [1_000, None, 2_000, None, 500, None],
+        pa.timestamp("ms"),
+    )
+    t = pa.table({
+        "k": pa.array([0, 0, 0, 1, 1, 2], pa.int64()),
+        "o": ts,
+        "tid": pa.array(np.arange(6, dtype=np.int64)),
+        "payload": pa.array([f"p{i}" for i in range(6)]),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+      SELECT k, o, tid, payload FROM t
+      QUALIFY row_number() OVER (PARTITION BY k ORDER BY o DESC, tid) = 1
+      ORDER BY k
+    """).df()
+    for parts in (1, 3):
+        got = grouped_argmax(
+            ray.data.from_arrow(t).repartition(parts),
+            "k", "o", "tid", ["payload"], num_partitions=2,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert got.equals(want), parts
+
+    # uint64 order col: 0 must not beat the max via negation wrap
+    u = pa.table({
+        "k": pa.array([0, 0], pa.int64()),
+        "o": pa.array([0, np.iinfo(np.uint64).max], pa.uint64()),
+        "tid": pa.array([0, 1], pa.int64()),
+    })
+    rows = grouped_argmax(
+        ray.data.from_arrow(u), "k", "o", "tid", [], num_partitions=1,
+    ).take_all()
+    assert len(rows) == 1 and rows[0]["tid"] == 1
+
+
+def test_dataset_diff_null_keys_excluded(ray_session):
+    """NULL keys identify nothing: rows with a null key on either side
+    are excluded from the diff (pinned against the SQL twin with
+    explicit IS NOT NULL guards)."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import dataset_diff
+
+    old = pa.table({
+        "doc_id": pa.array([1, 2, None, 4], pa.int64()),
+        "text": pa.array(["a", "b", "null-key-old", "d"]),
+    })
+    new = pa.table({
+        "doc_id": pa.array([2, None, 5], pa.int64()),
+        "text": pa.array(["B", "null-key-new", "e"]),
+    })
+    con = duckdb.connect()
+    con.register("o", old)
+    con.register("n", new)
+    want = con.execute("""
+      WITH oo AS (SELECT * FROM o WHERE doc_id IS NOT NULL),
+           nn AS (SELECT * FROM n WHERE doc_id IS NOT NULL)
+      SELECT coalesce(oo.doc_id, nn.doc_id) AS doc_id, CASE
+        WHEN oo.doc_id IS NULL THEN 'added'
+        WHEN nn.doc_id IS NULL THEN 'removed'
+        WHEN oo.text IS NOT DISTINCT FROM nn.text THEN 'same'
+        ELSE 'changed' END AS status
+      FROM oo FULL JOIN nn ON oo.doc_id = nn.doc_id ORDER BY doc_id
+    """).df()
+    got = dataset_diff(
+        ray.data.from_arrow(old), ray.data.from_arrow(new),
+        "doc_id", "doc_id", "text", "text", num_partitions=2,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_pca_project_empty_input_raises(ray_session):
+    """An empty embeddings input fails with a clear op-named error, not
+    a bare max()-of-empty ValueError."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import pca_project
+
+    t = pa.table({"vec_id": pa.array([], pa.int64()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="pca_project"):
+        pca_project(ray.data.from_arrow(t), k=2)
+
+
+def test_oracle_sql_missing_corpus_degrades(tmp_path, monkeypatch):
+    """Data-derived oracles (PCA / k-means IVF literals) degrade to
+    rows-only — the entries are OMITTED — when the oracle corpus is
+    absent, instead of crashing oracle_sql() for all queries."""
+    import __ray_entry__ as E
+
+    monkeypatch.setenv("GRAFT_ORACLE_SF_DIR", str(tmp_path))
+    sqls = E.oracle_sql()
+    assert "pca_project2" not in sqls
+    assert "ivf_kmeans_ann_topk" not in sqls
+    assert "doc_stats" in sqls  # everything else intact

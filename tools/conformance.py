@@ -60,6 +60,8 @@ def main() -> int:
         )
 
     qs = E.queries()
+    # Data-derived oracles (PCA components) must come from THIS dir.
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
     sqls = E.oracle_sql()
     failures = 0
     for name, fn in qs.items():
