@@ -2224,6 +2224,152 @@ def q_events_hourly_window(sf_dir: str):
     )
 
 
+def q_token_cooccurrence(sf_dir: str):
+    """Top-50 within-doc distinct-token co-occurrence pairs (PMI prep);
+    per-doc distinct tokens capped at 512 byte-order-smallest (the cap
+    is part of the spec, mirrored in the oracle)."""
+    from luzzu_ray.ops.vocab import token_cooccurrence
+
+    return token_cooccurrence(
+        _docs(sf_dir, ["text"]), k=50, cap=512)
+
+
+def q_neardup_keep_best(sf_dir: str):
+    """Canonical-representative selection: per MinHash near-dup cluster
+    keep the LONGEST member (ties: smallest doc_id) — the "dedup but
+    keep the best copy" step of a training-data pipeline, composed from
+    the verified minhash clustering, a native hash join against doc
+    lengths, and the mergeable grouped argmax."""
+    from luzzu_ray.ops.dedup import auto_partitions, minhash_dedup
+    from luzzu_ray.ops.relational import grouped_argmax
+
+    import ray.data
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    labels = minhash_dedup(docs, jaccard_threshold=JACCARD_THRESHOLD)
+    if isinstance(labels, pa.Table):  # small-cluster driver path
+        labels = ray.data.from_arrow(labels)
+    clusters = labels.select_columns(["doc_id", "cluster"]).materialize()
+
+    def lens(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())}
+        )
+
+    lens_ds = docs.map_batches(lens, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    width = auto_partitions(clusters, None)
+    # repartition repacks schema-less empty blocks minhash's keyed
+    # shuffle can emit (Acero's join rejects them)
+    joined = clusters.repartition(width).join(
+        lens_ds, join_type="inner", on=("doc_id",), num_partitions=width,
+    ).materialize()
+    return grouped_argmax(joined, "cluster", "n_chars", "doc_id", [])
+
+
+def q_orders_exists_returns(sf_dir: str):
+    """TPC-H Q4 shape on the available columns: orders in a one-year
+    window having EXISTS(lineitem with l_returnflag = 'R'), counted per
+    order priority.  Distributed semi join (distinct keys only through
+    the exchange) + partial counts + one narrow groupby."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.relational import semi_join
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def date_window(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    orders = _tbl(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(date_window, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    def returns_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t["l_returnflag"], pa.scalar("R"))
+        ).select(["l_orderkey"])
+
+    returns = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]
+                   ).map_batches(returns_only, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    matched = semi_join(orders, returns, "o_orderkey", "l_orderkey",
+                        ["o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate(
+            [("o_orderpriority", "count")])
+        return pa.table(
+            {"o_orderpriority": g["o_orderpriority"],
+             "n": pc.cast(g["o_orderpriority_count"], pa.int64())}
+        )
+
+    parts = matched.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("o_orderpriority", num_partitions=4).aggregate(
+        Sum("n", alias_name="order_count"))
+
+
+def q_lines_urgency_by_returnflag(sf_dir: str):
+    """TPC-H Q12 shape on the available columns: per return flag, how
+    many lines belong to high-priority (1-URGENT/2-HIGH) vs low-priority
+    orders.  Native hash join + vectorized conditional partial counts +
+    one narrow groupby."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_returnflag": t["l_returnflag"]})
+
+    li2 = li.map_batches(rename, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li2.join(orders, join_type="inner", on=("o_orderkey",),
+                      num_partitions=auto_partitions(li, None))
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi = pc.cast(
+            pc.is_in(t["o_orderpriority"],
+                     value_set=pa.array(["1-URGENT", "2-HIGH"])),
+            pa.int64(),
+        )
+        tt = pa.table(
+            {"l_returnflag": t["l_returnflag"], "high": hi,
+             "low": pc.subtract(pa.scalar(1, pa.int64()), hi)}
+        )
+        g = tt.group_by("l_returnflag").aggregate(
+            [("high", "sum"), ("low", "sum")])
+        return g.rename_columns(["l_returnflag", "high_line_count",
+                                 "low_line_count"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("l_returnflag", num_partitions=4).aggregate(
+        Sum("high_line_count", alias_name="high_line_count"),
+        Sum("low_line_count", alias_name="low_line_count"),
+    )
+
+
+def q_events_type_share(sf_dir: str):
+    """Ratio-to-report: per (user, event_type) count plus the user's
+    total as exact integers (share = n / key_total reconstructible
+    without float divergence)."""
+    from luzzu_ray.ops.relational import grouped_count_share
+
+    return grouped_count_share(
+        _tbl(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -2292,6 +2438,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": q_embedding_gram,
         "latest_event_per_user": q_latest_event_per_user,
         "pca_project2": q_pca_project2,
+        "token_cooccurrence": q_token_cooccurrence,
+        "neardup_keep_best": q_neardup_keep_best,
+        "orders_exists_returns": q_orders_exists_returns,
+        "lines_urgency_by_returnflag": q_lines_urgency_by_returnflag,
+        "events_type_share": q_events_type_share,
         "orders_customer_full_stats": q_orders_customer_full_stats,
         "customers_with_p_orders": q_customers_with_p_orders,
         "sq8_ann_topk": q_sq8_ann_topk,
@@ -3112,6 +3263,46 @@ FROM dfs GROUP BY df
             f"vec_id FROM dots QUALIFY rank <= {ANN_K}"
         ),
     }
+    sqls["token_cooccurrence"] = (
+        "WITH toks AS (SELECT DISTINCT doc_id, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "capped AS (SELECT doc_id, tok FROM toks QUALIFY "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY tok) <= 512), "
+        "pairs AS (SELECT a.tok AS w1, b.tok AS w2 FROM capped a "
+        "JOIN capped b ON a.doc_id = b.doc_id AND a.tok < b.tok) "
+        "SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM pairs "
+        "GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 50"
+    )
+    sqls["neardup_keep_best"] = (
+        "SELECT cluster, doc_id, n_chars FROM ("
+        "SELECT mh.cluster, mh.doc_id, "
+        "CAST(length(d.text) AS BIGINT) AS n_chars, "
+        "row_number() OVER (PARTITION BY mh.cluster "
+        "ORDER BY length(d.text) DESC, mh.doc_id) AS rn "
+        f"FROM ( {_MINHASH_DEDUP_SQL} ) mh "
+        "JOIN documents d USING (doc_id)) WHERE rn = 1"
+    )
+    sqls["orders_exists_returns"] = (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_returnflag = 'R') GROUP BY o_orderpriority"
+    )
+    sqls["lines_urgency_by_returnflag"] = (
+        "SELECT l_returnflag, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag"
+    )
+    sqls["events_type_share"] = (
+        "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT) "
+        "AS key_total FROM events GROUP BY user_id, event_type"
+    )
     for qname, builder in (("pca_project2", _pca_sql),
                            ("ivf_kmeans_ann_topk", _ivf_kmeans_sql)):
         sql = builder(oracle_dir)

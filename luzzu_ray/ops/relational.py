@@ -1665,3 +1665,77 @@ def grouped_argmax(
     return parts.repartition(
         num_blocks=width, keys=[key]
     ).map_batches(best_block, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_count_share(
+    ds: ray.data.Dataset,
+    key: str,
+    subkey: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Ratio-to-report: per (key, subkey) count plus the key's total —
+    SQL ``count(*)`` with ``sum(count(*)) OVER (PARTITION BY key)`` —
+    emitted as EXACT integers (n, key_total) so the share n/key_total
+    is reconstructible without float divergence.
+
+    Scale shape: each block pre-reduces to its local (key, subkey, n)
+    counts, ONE hash exchange on ``key`` co-locates a key's (bounded:
+    |distinct subkeys|) partial rows, and the final block computes
+    per-key totals with one segmented sum — no second exchange, no
+    window materialization.  A hot key costs |subkeys| rows per block
+    in the exchange, never its raw rows."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([key, subkey]).aggregate([(subkey, "count")])
+        return pa.table(
+            {key: g[key], subkey: g[subkey],
+             "n": pc.cast(g[f"{subkey}_count"], pa.int64())}
+        )
+
+    parts = ds.select_columns([key, subkey]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    width = auto_partitions(parts, num_partitions)
+    psch = parts.schema()
+    key_t = psch.types[psch.names.index(key)]
+    sub_t = psch.types[psch.names.index(subkey)]
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], key_t),
+                 subkey: pa.array([], sub_t),
+                 "n": pa.array([], pa.int64()),
+                 "key_total": pa.array([], pa.int64())}
+            )
+        ek = pc.dictionary_encode(t[key].combine_chunks())
+        es = pc.dictionary_encode(t[subkey].combine_chunks())
+        kc = ek.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = es.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vs = len(es.dictionary)
+        comb = kc * vs + sc
+        uniq, inv = np.unique(comb, return_inverse=True)
+        tot = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(tot, inv, n)
+        uk, us = uniq // vs, uniq % vs
+        # per-key totals: uniq is sorted, so keys are contiguous
+        newk = np.concatenate(([True], uk[1:] != uk[:-1]))
+        starts = np.flatnonzero(newk)
+        ends = np.concatenate((starts[1:], [len(uk)]))
+        ktot = np.add.reduceat(tot, starts)
+        key_total = np.repeat(ktot, ends - starts)
+        return pa.table(
+            {key: ek.dictionary.take(pa.array(uk)),
+             subkey: es.dictionary.take(pa.array(us)),
+             "n": pa.array(tot),
+             "key_total": pa.array(key_total)}
+        )
+
+    return parts.repartition(
+        num_blocks=width, keys=[key]
+    ).map_batches(finalize, batch_format="pyarrow", batch_size=None)

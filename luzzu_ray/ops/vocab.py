@@ -575,3 +575,113 @@ def bpe_pair_counts(
         "pair", num_partitions=auto_partitions(parts, num_partitions)
     ).aggregate(Sum("n", alias_name="n"))
     return topk(totals, "n", k, "pair")
+
+
+def _cooc_partial(t: pa.Table, text_col: str, cap: int) -> pa.Table:
+    """Per-block partial: within-document distinct-token co-occurrence
+    pair counts (w1 < w2 in byte order), each document capped to its
+    ``cap`` byte-order-smallest distinct tokens.
+
+    Fully vectorized: one dictionary encode, per-doc distinct via one
+    ``np.unique`` over composite keys, then pair expansion batched BY
+    DISTINCT-COUNT (every doc with m distinct tokens shares one
+    ``triu_indices(m)`` template — at most ``cap`` template loops per
+    block, never a per-row loop)."""
+    empty = pa.table(
+        {"w1": pa.array([], pa.string()),
+         "w2": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())}
+    )
+    n = t.num_rows
+    if n == 0:
+        return empty
+    words = pc.split_pattern(t[text_col], " ").combine_chunks()
+    flat = words.flatten()
+    offs = words.offsets.to_numpy()
+    per_row = (offs[1:] - offs[:-1]).astype(np.int64)
+    enc = pc.dictionary_encode(flat)
+    v = len(enc.dictionary)
+    if v == 0:
+        return empty
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # byte-order rank of each dictionary code (arrow-native sort), so
+    # "w1 < w2" and the per-doc cap both follow SQL string collation
+    sort_idx = pc.sort_indices(enc.dictionary).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rank = np.empty(v, dtype=np.int64)
+    rank[sort_idx] = np.arange(v, dtype=np.int64)
+    sorted_vocab = enc.dictionary.take(pa.array(sort_idx))
+    rid = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    uk = np.unique(rid * v + rank[codes])  # distinct (doc, token-rank)
+    drid, drk = uk // v, uk % v
+    newdoc = np.concatenate(([True], drid[1:] != drid[:-1]))
+    seg_start = np.maximum.accumulate(
+        np.where(newdoc, np.arange(len(uk)), 0))
+    pos = np.arange(len(uk)) - seg_start
+    keep = pos < cap
+    drid, drk = drid[keep], drk[keep]
+    starts = np.flatnonzero(
+        np.concatenate(([True], drid[1:] != drid[:-1])))
+    counts = np.diff(np.concatenate((starts, [len(drid)])))
+    out_a, out_b = [], []
+    for m in np.unique(counts):
+        if m < 2:
+            continue
+        docs_i = np.flatnonzero(counts == m)
+        idx = starts[docs_i][:, None] + np.arange(m)[None, :]
+        mat = drk[idx]  # (n_docs_with_m, m), ranks ascending per row
+        iu0, iu1 = np.triu_indices(m, 1)
+        out_a.append(mat[:, iu0].ravel())
+        out_b.append(mat[:, iu1].ravel())
+    if not out_a:
+        return empty
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    upair, cnts = np.unique(a * v + b, return_counts=True)
+    return pa.table(
+        {"w1": sorted_vocab.take(pa.array(upair // v)),
+         "w2": sorted_vocab.take(pa.array(upair % v)),
+         "n": pa.array(cnts.astype(np.int64))}
+    )
+
+
+def token_cooccurrence(
+    ds: ray.data.Dataset,
+    k: int = 50,
+    text_col: str = "text",
+    cap: int = 512,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k within-document distinct-token co-occurrence pairs — the
+    corpus statistic PMI / word-association mining consumes (Luzzu
+    analogue: corpus-level vocabulary metrics,
+    /root/reference/README.md:14, extended to pairwise association).
+
+    Semantics (SQL twin): per document, DISTINCT tokens (single-space
+    split), capped to the ``cap`` byte-order-smallest tokens; every
+    unordered pair (w1 < w2) counts once per document; output the k
+    most frequent pairs ordered by (n DESC, w1, w2).
+
+    Scale shape: the cap bounds pair expansion at m(m-1)/2 <= cap^2/2
+    per document (quadratic blowup is the op's inherent hazard — the
+    cap is part of the SPEC, mirrored in the oracle, not a silent
+    truncation); each block reduces to its local (w1, w2, n) table
+    before the ONE hash groupby, so the exchange carries block-local
+    pair vocabularies, never token streams; the final top-k is a
+    narrow sort over merged counts."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    parts = ds.select_columns([text_col]).map_batches(
+        _cooc_partial, fn_kwargs={"text_col": text_col, "cap": cap},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    totals = parts.groupby(
+        ["w1", "w2"], num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(Sum("n", alias_name="n"))
+    return totals.sort(
+        ["n", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)

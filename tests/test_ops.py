@@ -2553,3 +2553,77 @@ def test_oracle_sql_missing_corpus_degrades(tmp_path, monkeypatch):
     assert "pca_project2" not in sqls
     assert "ivf_kmeans_ann_topk" not in sqls
     assert "doc_stats" in sqls  # everything else intact
+
+
+def test_token_cooccurrence_matches_duckdb(ray_session):
+    """Within-doc distinct-pair counts equal the SQL twin across block
+    layouts; the per-doc cap is part of the spec (mirrored via
+    QUALIFY row_number <= cap)."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.vocab import token_cooccurrence
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+        for _ in range(400)
+    ]
+    texts += ["", "solo", "a a a a"]  # empty, single, all-same
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    con = duckdb.connect()
+    con.register("documents", t)
+    for cap in (512, 4):  # no-op cap and a binding cap
+        want = con.execute(f"""
+          WITH toks AS (SELECT DISTINCT doc_id,
+                 unnest(string_split(text, ' ')) AS tok FROM documents),
+          capped AS (SELECT doc_id, tok FROM toks QUALIFY
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tok)
+                 <= {cap}),
+          pairs AS (SELECT a.tok AS w1, b.tok AS w2 FROM capped a
+                 JOIN capped b ON a.doc_id = b.doc_id AND a.tok < b.tok)
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM pairs
+          GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 40
+        """).df()
+        for parts in (1, 7):
+            got = token_cooccurrence(
+                ray.data.from_arrow(t).repartition(parts), k=40, cap=cap,
+            ).to_pandas().reset_index(drop=True)
+            assert got.equals(want), (cap, parts)
+
+
+def test_grouped_count_share_matches_duckdb(ray_session):
+    """Ratio-to-report integers (n, key_total) equal the SQL window
+    twin across layouts, including single-subkey keys."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_count_share
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 120, n).astype(np.int64)),
+        "event_type": pa.array(
+            [f"t{i}" for i in rng.integers(0, 6, n)]),
+    })
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT)
+               AS key_total
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type
+    """).df()
+    for parts in (1, 9):
+        got = grouped_count_share(
+            ray.data.from_arrow(t).repartition(parts),
+            "user_id", "event_type", num_partitions=4,
+        ).to_pandas().sort_values(
+            ["user_id", "event_type"]).reset_index(drop=True)
+        assert got.equals(want), parts
