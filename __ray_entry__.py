@@ -2370,6 +2370,45 @@ def q_events_type_share(sf_dir: str):
         "user_id", "event_type")
 
 
+def q_events_user_type_count(sf_dir: str):
+    """EXACT per-user distinct event-type count (the exact complement
+    of the KMV estimator in events_user_distinct_by_type)."""
+    from luzzu_ray.ops.relational import grouped_distinct_count
+
+    return grouped_distinct_count(
+        _tbl(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type")
+
+
+def q_users_all_types(sf_dir: str):
+    """Relational DIVISION: users who performed EVERY event type in the
+    corpus.  The universe is the corpus's own distinct type set (small
+    by construction — type cardinality, not row count), gathered once;
+    division reduces to exact grouped distinct count == |universe|."""
+    from luzzu_ray.ops.relational import grouped_distinct_count
+
+    ev = _tbl(sf_dir, "events", ["user_id", "event_type"])
+    n_types = len(ev.unique("event_type"))
+    counts = grouped_distinct_count(ev, "user_id", "event_type")
+
+    def full(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["n_distinct"], pa.scalar(n_types, pa.int64()))
+        return t.filter(m).select(["user_id"])
+
+    return counts.map_batches(full, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_events_user_value_mad(sf_dir: str):
+    """Per-user exact median absolute deviation of event value
+    (fixed-point q=4; robust dispersion for outlier screens)."""
+    from luzzu_ray.ops.relational import grouped_mad_q
+
+    return grouped_mad_q(
+        _tbl(sf_dir, "events", ["user_id", "value"]),
+        "user_id", "value")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -2438,6 +2477,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": q_embedding_gram,
         "latest_event_per_user": q_latest_event_per_user,
         "pca_project2": q_pca_project2,
+        "events_user_type_count": q_events_user_type_count,
+        "users_all_types": q_users_all_types,
+        "events_user_value_mad": q_events_user_value_mad,
         "token_cooccurrence": q_token_cooccurrence,
         "neardup_keep_best": q_neardup_keep_best,
         "orders_exists_returns": q_orders_exists_returns,
@@ -3297,6 +3339,25 @@ FROM dfs GROUP BY df
         "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY l_returnflag"
+    )
+    sqls["events_user_type_count"] = (
+        "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) "
+        "AS n_distinct FROM events GROUP BY user_id"
+    )
+    sqls["users_all_types"] = (
+        "SELECT user_id FROM events GROUP BY user_id "
+        "HAVING count(DISTINCT event_type) = "
+        "(SELECT count(DISTINCT event_type) FROM events)"
+    )
+    sqls["events_user_value_mad"] = (
+        "WITH v AS (SELECT user_id, "
+        "CAST(floor(value * 10000.0) AS BIGINT) AS vq FROM events), "
+        "m AS (SELECT user_id, quantile_disc(vq, 0.5) AS med "
+        "FROM v GROUP BY user_id) "
+        "SELECT v.user_id, "
+        "quantile_disc(CAST(abs(v.vq - m.med) AS BIGINT), 0.5) AS mad_q0, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM v JOIN m USING (user_id) GROUP BY v.user_id"
     )
     sqls["events_type_share"] = (
         "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n, "

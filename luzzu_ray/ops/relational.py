@@ -1739,3 +1739,113 @@ def grouped_count_share(
     return parts.repartition(
         num_blocks=width, keys=[key]
     ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_distinct_count(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT per-group distinct count — SQL ``count(DISTINCT v) GROUP
+    BY k`` — the exact complement of the KMV estimator in
+    ``ops.sketch.kmv_distinct_by`` (use the sketch when a group's
+    distinct set exceeds block memory).
+
+    Scale shape: each block pre-reduces to its DISTINCT (key, value)
+    pairs (one Arrow group_by, no Python), so the exchange carries
+    block-local pair vocabularies, never raw rows; the final block
+    dedups the co-located pairs once more and counts per key.  NULL
+    values are ignored (SQL COUNT semantics); NULL keys form their own
+    group (SQL GROUP BY semantics)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        return t.select([key, value_col]).group_by(
+            [key, value_col]).aggregate([])
+
+    parts = ds.select_columns([key, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    width = auto_partitions(parts, num_partitions)
+    psch = parts.schema()
+    key_t = psch.types[psch.names.index(key)]
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], key_t),
+                 "n_distinct": pa.array([], pa.int64())}
+            )
+        d = t.group_by([key, value_col]).aggregate([])
+        g = d.group_by(key).aggregate([(value_col, "count")])
+        return pa.table(
+            {key: g[key],
+             "n_distinct": pc.cast(g[f"{value_col}_count"], pa.int64())}
+        )
+
+    return parts.repartition(
+        num_blocks=width, keys=[key]
+    ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_mad_q(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    q: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group MEDIAN ABSOLUTE DEVIATION over fixed-point values —
+    the robust dispersion statistic outlier pipelines prefer to sigma
+    (one wild value cannot move it).  Exact and SQL-checkable: values
+    quantize once to integers (floor(v * 10^q)), the per-group median
+    comes from ``grouped_quantiles_q``, deviations |vq - med| stay in
+    integers, and a second discrete-quantile pass takes their median.
+
+    Scale shape: pass 1 is the quantiles op (one keyed exchange); the
+    narrow (key, med) table joins back via a native hash join (NOT a
+    driver broadcast — the key domain can be huge); pass 2 is one more
+    keyed exchange over (key, dev) projections.  Deviations ride as
+    float64 integers (exact below 2^53 — i.e. any |v| < 10^(15-q)).
+
+    Output: (key, mad_q0, n)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    med_name = f"med_q{q}"
+    meds = grouped_quantiles_q(
+        ds, key, value_col, {"med": 0.5}, q=q,
+        num_partitions=num_partitions,
+    ).select_columns([key, med_name]).materialize()
+    # repack: keyed shuffles can emit schema-less empty blocks which
+    # Acero's hash join rejects
+    meds = meds.repartition(auto_partitions(meds, None))
+    picked = ds.select_columns([key, value_col])
+    joined = picked.join(
+        meds, join_type="inner", on=(key,),
+        num_partitions=auto_partitions(picked, num_partitions),
+    ).materialize()
+    scale = float(10 ** q)
+
+    def dev(t: pa.Table) -> pa.Table:
+        vf = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        vq = np.floor(vf * scale).astype(np.int64)
+        med = t[med_name].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {key: t[key],
+             "dev": pa.array(np.abs(vq - med).astype(np.float64))}
+        )
+
+    devs = joined.map_batches(dev, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_quantiles_q(
+        devs, key, "dev", {"mad": 0.5}, q=0,
+        num_partitions=num_partitions,
+    )

@@ -2627,3 +2627,98 @@ def test_grouped_count_share_matches_duckdb(ray_session):
         ).to_pandas().sort_values(
             ["user_id", "event_type"]).reset_index(drop=True)
         assert got.equals(want), parts
+
+
+def test_grouped_distinct_count_and_division(ray_session):
+    """Exact grouped distinct count equals SQL count(DISTINCT) across
+    layouts (null values ignored), and relational division (== global
+    distinct count) actually filters."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_distinct_count
+
+    rng = np.random.default_rng(11)
+    n = 1500
+    n_types_gen = 12
+    vals = np.array([f"t{i:02d}" for i in rng.integers(0, n_types_gen, n)],
+                    dtype=object)
+    vals[rng.random(n) < 0.03] = None  # nulls ignored by COUNT
+    users = rng.integers(0, 60, n).astype(np.int64)
+    # users 0-4 get one row of EVERY type -> guaranteed "full" users;
+    # the random bulk (~25 rows/user over 12 types) leaves others short
+    full_u = np.repeat(np.arange(5, dtype=np.int64), n_types_gen)
+    full_v = np.array(
+        [f"t{i:02d}" for _ in range(5) for i in range(n_types_gen)],
+        dtype=object)
+    t = pa.table({
+        "user_id": pa.array(np.concatenate([users, full_u])),
+        "event_type": pa.array(list(vals) + list(full_v)),
+    })
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+      SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT)
+        AS n_distinct FROM events GROUP BY user_id ORDER BY user_id
+    """).df()
+    for parts in (1, 6):
+        got = grouped_distinct_count(
+            ray.data.from_arrow(t).repartition(parts),
+            "user_id", "event_type", num_partitions=3,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert got.equals(want), parts
+    # division discriminates: some users lack some types
+    full = set(
+        con.execute("""
+          SELECT user_id FROM events GROUP BY user_id
+          HAVING count(DISTINCT event_type) =
+            (SELECT count(DISTINCT event_type) FROM events)
+        """).df()["user_id"]
+    )
+    assert 0 < len(full) < 60  # the filter must actually bind
+    n_types = len(set(v for v in vals if v is not None))
+    got_ids = {
+        r["user_id"]
+        for r in grouped_distinct_count(
+            ray.data.from_arrow(t), "user_id", "event_type",
+        ).take_all()
+        if r["n_distinct"] == n_types
+    }
+    assert got_ids == full
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    """Two-pass exact MAD equals the SQL quantile_disc twin across
+    layouts, including negative values and single-row groups."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_mad_q
+
+    rng = np.random.default_rng(13)
+    n = 2500
+    t = pa.table({
+        "user_id": pa.array(
+            np.concatenate([rng.integers(0, 50, n - 1), [999]])
+            .astype(np.int64)),  # 999: single-row group
+        "value": pa.array(rng.normal(0, 40, n)),
+    })
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+      WITH v AS (SELECT user_id,
+             CAST(floor(value * 10000.0) AS BIGINT) AS vq FROM events),
+      m AS (SELECT user_id, quantile_disc(vq, 0.5) AS med
+            FROM v GROUP BY user_id)
+      SELECT v.user_id,
+             quantile_disc(CAST(abs(v.vq - m.med) AS BIGINT), 0.5)
+               AS mad_q0,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v JOIN m USING (user_id) GROUP BY v.user_id ORDER BY v.user_id
+    """).df()
+    for parts in (1, 5):
+        got = grouped_mad_q(
+            ray.data.from_arrow(t).repartition(parts),
+            "user_id", "value", num_partitions=4,
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        assert got.equals(want), parts
