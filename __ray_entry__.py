@@ -2409,6 +2409,82 @@ def q_events_user_value_mad(sf_dir: str):
         "user_id", "value")
 
 
+def q_doc_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression-ratio quality signal (exact integers;
+    hard-verified against the committed row-at-a-time fixture twin at
+    sf0.01)."""
+    from luzzu_ray.ops.textstats import compression_ratio_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        compression_ratio_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+CMS_PROBES = [
+    "the", "a", "table", "value", "query", "data", "fast", "spark",
+    "window", "zzzabsent",
+]
+
+
+def q_token_cms_counts(sf_dir: str):
+    """Count-min sketch point estimates for a fixed probe list —
+    deterministic AND bit-exactly SQL-reproducible (the oracle rebuilds
+    every counter from the same public hash constants)."""
+    from luzzu_ray.ops.sketch import cms_token_counts
+
+    return cms_token_counts(_docs(sf_dir, ["text"]), CMS_PROBES)
+
+
+def _cms_sql() -> str:
+    """Oracle rebuilding the count-min grid in SQL: the shared
+    [a-z0-9]+ token hash (TOKEN_POS_WEIGHTS literals, as in the simhash
+    oracle), the d pairwise hashes with a < 2^62 so ``h * a`` stays
+    inside HUGEINT, per-(row, cell) occurrence counts, and the min-over-
+    rows point lookup for each probe."""
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.sketch import CMS_A, CMS_B, CMS_W
+
+    wlist = "[" + ", ".join(
+        f"{int(w)}::HUGEINT" for w in C.TOKEN_POS_WEIGHTS
+    ) + "]"
+    hash_expr = (
+        "list_sum([ascii(tok[i]) * (" + wlist + ")[((i-1)%256)+1] "
+        "for i in generate_series(1, len(tok))])::HUGEINT "
+        "% 18446744073709551616::HUGEINT"
+    )
+    gi_vals = ", ".join(
+        f"({i}, {CMS_A[i]}::HUGEINT, {CMS_B[i]}::HUGEINT)"
+        for i in range(len(CMS_A))
+    )
+    probe_list = ", ".join(f"'{p}'" for p in CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+th AS (SELECT {hash_expr} AS h FROM toks),
+gi AS (SELECT * FROM (VALUES {gi_vals}) g(i, a, b)),
+cnt AS (
+  SELECT gi.i AS i,
+         CAST(((th.h * gi.a + gi.b) % 18446744073709551616::HUGEINT)
+              % {CMS_W} AS BIGINT) AS cell,
+         count(*) AS c
+  FROM th CROSS JOIN gi GROUP BY 1, 2
+),
+probes AS (SELECT unnest([{probe_list}]) AS tok),
+ph AS (SELECT tok, {hash_expr} AS h FROM probes),
+pcells AS (
+  SELECT ph.tok, gi.i,
+         CAST(((ph.h * gi.a + gi.b) % 18446744073709551616::HUGEINT)
+              % {CMS_W} AS BIGINT) AS cell
+  FROM ph CROSS JOIN gi
+)
+SELECT p.tok AS token, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+FROM pcells p LEFT JOIN cnt c ON c.i = p.i AND c.cell = p.cell
+GROUP BY p.tok
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -2478,6 +2554,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q_latest_event_per_user,
         "pca_project2": q_pca_project2,
         "events_user_type_count": q_events_user_type_count,
+        "token_cms_counts": q_token_cms_counts,
+        "doc_compression_ratio": q_doc_compression_ratio,
         "users_all_types": q_users_all_types,
         "events_user_value_mad": q_events_user_value_mad,
         "token_cooccurrence": q_token_cooccurrence,
@@ -3157,6 +3235,10 @@ FROM dfs GROUP BY df
             "SELECT doc_id, lang, conf_q6 FROM read_parquet("
             "'/root/repo/tests/fixtures/langid_docs_sf001.parquet')"
         ),
+        "doc_compression_ratio": (
+            "SELECT * FROM read_parquet('/root/repo/tests/fixtures/"
+            "doc_compression_ratio_sf001.parquet')"
+        ),
         "image_features": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/image_features_sf001.parquet')"
@@ -3340,6 +3422,7 @@ FROM dfs GROUP BY df
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY l_returnflag"
     )
+    sqls["token_cms_counts"] = _cms_sql()
     sqls["events_user_type_count"] = (
         "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) "
         "AS n_distinct FROM events GROUP BY user_id"

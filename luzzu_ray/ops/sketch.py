@@ -395,3 +395,120 @@ def kmv_distinct_by(
     ).map_batches(
         lambda t: bottom(t, True), batch_format="pyarrow", batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch over token occurrences (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+# Pairwise-hash params: a < 2^62 (so HUGEINT h*a never overflows in the
+# SQL oracle) and odd; b < 2^64.  Fixed public constants.
+CMS_A = (
+    0x27D4EB2F165667C5 % (1 << 62) | 1,
+    0x9E3779B97F4A7C15 % (1 << 62) | 1,
+    0xC2B2AE3D27D4EB4F % (1 << 62) | 1,
+    0x165667B19E3779F9 % (1 << 62) | 1,
+)
+CMS_B = (
+    0x85EBCA6B2E4F1D3B,
+    0x2545F4914F6CDD1D,
+    0xFF51AFD7ED558CCD,
+    0xC4CEB9FE1A85EC53,
+)
+
+
+def _cms_partial(t: pa.Table, text_col: str) -> pa.Table:
+    """Per-block SPARSE count-min partial: nonzero (row, cell, count)
+    entries of this block's d x w counter grid over token-occurrence
+    hashes (the shared [a-z0-9]+ token hash)."""
+    from luzzu_ray.ops.textstats import token_hashes_for_rows
+
+    empty = pa.table(
+        {"i": pa.array([], pa.int64()),
+         "cell": pa.array([], pa.int64()),
+         "c": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    th, _ = token_hashes_for_rows(t.select([text_col]).rename_columns(
+        ["text"]))
+    if len(th) == 0:
+        return empty
+    uh, cnts = np.unique(th, return_counts=True)
+    out_i, out_cell, out_c = [], [], []
+    for i in range(CMS_D):
+        with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash
+            hv = uh * np.uint64(CMS_A[i]) + np.uint64(CMS_B[i])
+        cell = (hv % np.uint64(CMS_W)).astype(np.int64)
+        g = np.zeros(CMS_W, dtype=np.int64)
+        np.add.at(g, cell, cnts)
+        nz = np.flatnonzero(g)
+        out_i.append(np.full(len(nz), i, dtype=np.int64))
+        out_cell.append(nz.astype(np.int64))
+        out_c.append(g[nz])
+    return pa.table(
+        {"i": pa.array(np.concatenate(out_i)),
+         "cell": pa.array(np.concatenate(out_cell)),
+         "c": pa.array(np.concatenate(out_c))}
+    )
+
+
+def cms_token_counts(
+    ds: ray.data.Dataset,
+    probe_tokens: list[str],
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Count-min sketch point queries: estimated occurrence count for
+    each probe token, over the corpus's [a-z0-9]+ lowered tokens.
+
+    Deterministic and EXACTLY SQL-reproducible (unlike most sketches):
+    the grid is a pure function of the multiset of token hashes, so a
+    DuckDB oracle can rebuild every counter from the same public hash
+    constants and reach bit-identical estimates — while the engine
+    never materializes per-token counts.
+
+    Scale shape: each block emits only its nonzero grid entries (<=
+    d*w = 4096 rows, typically far fewer), ONE narrow (i, cell) groupby
+    merges partials — counters are fully mergeable by addition — and
+    the final d x w grid (32 KiB) returns to the driver for the O(d)
+    point lookups.  Estimate >= true count always (one-sided error,
+    Cormode & Muthukrishnan 2005); overestimate bounded by collision
+    mass e*N/w with prob 1-e^-d.
+
+    Output: pa.Table (token, est) for the probes."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    parts = ds.select_columns([text_col]).map_batches(
+        _cms_partial, fn_kwargs={"text_col": text_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    merged = parts.groupby(
+        ["i", "cell"], num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+    grid = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for r in merged:
+        grid[r["i"], r["cell"]] = r["c"]
+
+    from luzzu_ray.functions.text import token_hash_py
+
+    ests = []
+    for tok in probe_tokens:
+        h = np.uint64(token_hash_py(tok.encode("utf-8")) & ((1 << 64) - 1))
+        with np.errstate(over="ignore"):
+            cells = [
+                int((h * np.uint64(CMS_A[i]) + np.uint64(CMS_B[i]))
+                    % np.uint64(CMS_W))
+                for i in range(CMS_D)
+            ]
+        ests.append(int(min(grid[i, cells[i]] for i in range(CMS_D))))
+    return pa.table(
+        {"token": pa.array(probe_tokens, pa.string()),
+         "est": pa.array(ests, pa.int64())}
+    )

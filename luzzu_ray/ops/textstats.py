@@ -241,3 +241,58 @@ def langid_documents(ds: ray.data.Dataset, model_ref=None) -> ray.data.Dataset:
         fn_constructor_kwargs={"model_ref": model_ref},
     )
     return scored.select_columns(["doc_id", "lang", "lang_conf"])
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (zlib)
+# ---------------------------------------------------------------------------
+
+ZLIB_LEVEL = 6
+
+
+def compression_ratio_batch(t: pa.Table) -> pa.Table:
+    """Per-document zlib compression ratio — the classic web-pipeline
+    redundancy signal (highly repetitive / boilerplate text compresses
+    far below natural prose; Gopher-style filters threshold on it).
+
+    Emitted as exact integers: (doc_id, raw_len, comp_len, ratio_q4 =
+    comp_len * 10^4 // max(raw_len, 1)) — no float division to diverge.
+    The per-row ``zlib.compress`` loop is inherent (DEFLATE is a
+    sequential per-payload codec, like the multimodal decode stages);
+    the stage stays batched so scheduling, I/O and the Arrow column
+    assembly amortize across the batch.  NULL text -> null outputs.
+    """
+    import zlib
+
+    ids = t["doc_id"]
+    texts = t["text"].combine_chunks()
+    null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False)
+    n = t.num_rows
+    raw = np.zeros(n, dtype=np.int64)
+    comp = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if null_mask[i]:
+            continue
+        b = texts[i].as_py().encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, ZLIB_LEVEL))
+    ratio = comp * 10_000 // np.maximum(raw, 1)
+    return pa.table(
+        {"doc_id": ids,
+         "raw_len": pa.array(raw),
+         "comp_len": pa.array(comp),
+         "ratio_q4": pa.array(ratio),
+         "is_null_text": pa.array(null_mask)}
+    )
+
+
+def compression_ratio_py(text: str | None) -> tuple[int, int, int]:
+    """Row-at-a-time fixture twin of :func:`compression_ratio_batch`."""
+    import zlib
+
+    if text is None:
+        return (0, 0, 0)
+    b = text.encode("utf-8")
+    raw = len(b)
+    comp = len(zlib.compress(b, ZLIB_LEVEL))
+    return (raw, comp, comp * 10_000 // max(raw, 1))

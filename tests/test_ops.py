@@ -2722,3 +2722,69 @@ def test_grouped_mad_matches_duckdb(ray_session):
             "user_id", "value", num_partitions=4,
         ).to_pandas().sort_values("user_id").reset_index(drop=True)
         assert got.equals(want), parts
+
+
+def test_cms_token_counts_exact_and_one_sided(ray_session):
+    """Count-min estimates are layout-invariant, one-sided
+    (est >= true occurrence count for every probe), and exact for
+    tokens whose cells suffer no collisions (checked via true counts)."""
+    import re
+
+    import ray.data
+
+    from luzzu_ray.ops.sketch import cms_token_counts
+
+    rng = np.random.default_rng(29)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+        for _ in range(300)
+    ] + ["", "tok0 tok0 tok0"]
+    t = pa.table({"text": pa.array(texts)})
+    true = {}
+    for s in texts:
+        for w in re.findall(r"[a-z0-9]+", s.lower()):
+            true[w] = true.get(w, 0) + 1
+    probes = vocab[:10] + ["absenttoken"]
+    first = None
+    for parts in (1, 6):
+        got = cms_token_counts(
+            ray.data.from_arrow(t).repartition(parts), probes,
+        ).to_pydict()
+        ests = dict(zip(got["token"], got["est"]))
+        if first is None:
+            first = ests
+        assert ests == first, parts  # layout-invariant
+        for p in probes:
+            assert ests[p] >= true.get(p, 0), p  # one-sided error
+    # with 40 tokens in 1024 cells x 4 rows, collisions are rare:
+    # at least 8 of the 10 present probes must be exact
+    exact = sum(1 for p in probes[:10] if first[p] == true[p])
+    assert exact >= 8, first
+
+
+def test_compression_ratio_matches_scalar_twin(ray_session):
+    """Batched zlib kernel equals the row-at-a-time twin, including
+    null and empty text."""
+    import ray.data
+
+    from luzzu_ray.ops.textstats import (
+        compression_ratio_batch,
+        compression_ratio_py,
+    )
+
+    texts = ["hello world " * 50, "", None, "abc", "a" * 10_000,
+             "the quick brown fox"]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    got = ray.data.from_arrow(t).repartition(3).map_batches(
+        compression_ratio_batch, batch_format="pyarrow",
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, s in enumerate(texts):
+        raw, comp, ratio = compression_ratio_py(s)
+        assert got.loc[i, "raw_len"] == raw
+        assert got.loc[i, "comp_len"] == comp
+        assert got.loc[i, "ratio_q4"] == ratio
+        assert bool(got.loc[i, "is_null_text"]) == (s is None)

@@ -134,6 +134,27 @@ def make_video_frame_features(sf_dir: str) -> pa.Table:
     return pa.table(cols)
 
 
+def make_compression(sf_dir: str) -> pa.Table:
+    """Row-at-a-time zlib twin of the engine's batched
+    compression_ratio_batch kernel (separate control flow; the shared
+    constant is only the zlib level)."""
+    from luzzu_ray.ops.textstats import compression_ratio_py
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    rows = [compression_ratio_py(t) for t in texts]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "raw_len": pa.array([r[0] for r in rows], pa.int64()),
+         "comp_len": pa.array([r[1] for r in rows], pa.int64()),
+         "ratio_q4": pa.array([r[2] for r in rows], pa.int64()),
+         "is_null_text": pa.array([t is None for t in texts])}
+    )
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
@@ -141,6 +162,7 @@ def main(sf_dir: str) -> None:
         ("image_features", make_image_features),
         ("image_resize_features", make_image_resize_features),
         ("video_frame_features", make_video_frame_features),
+        ("doc_compression_ratio", make_compression),
     ):
         t = fn(sf_dir)
         path = os.path.join(FIXTURE_DIR, f"{name}_sf001.parquet")
