@@ -2420,6 +2420,13 @@ def q_doc_compression_ratio(sf_dir: str):
         zero_copy_batch=True)
 
 
+def q_prefix_contained(sf_dir: str):
+    """Containment-style dedup flags: text a prefix of another doc."""
+    from luzzu_ray.ops.dedup import prefix_contained
+
+    return prefix_contained(_docs(sf_dir, ["doc_id", "text"]))
+
+
 CMS_PROBES = [
     "the", "a", "table", "value", "query", "data", "fast", "spark",
     "window", "zzzabsent",
@@ -2556,6 +2563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_type_count": q_events_user_type_count,
         "token_cms_counts": q_token_cms_counts,
         "doc_compression_ratio": q_doc_compression_ratio,
+        "prefix_contained": q_prefix_contained,
         "users_all_types": q_users_all_types,
         "events_user_value_mad": q_events_user_value_mad,
         "token_cooccurrence": q_token_cooccurrence,
@@ -3421,6 +3429,12 @@ FROM dfs GROUP BY df
         "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY l_returnflag"
+    )
+    sqls["prefix_contained"] = (
+        "SELECT a.doc_id, EXISTS(SELECT 1 FROM documents b "
+        "WHERE b.doc_id <> a.doc_id AND b.text IS NOT NULL "
+        "AND a.text IS NOT NULL AND starts_with(b.text, a.text)) "
+        "AS is_prefix_dup FROM documents a"
     )
     sqls["token_cms_counts"] = _cms_sql()
     sqls["events_user_type_count"] = (

@@ -154,6 +154,12 @@ def main() -> None:
         "profile_documents",
         "pca_project2",
         "latest_event_per_user",
+        # round-3 session-5 additions
+        "token_cooccurrence",
+        "neardup_keep_best",
+        "events_user_value_mad",
+        "doc_compression_ratio",
+        "token_cms_counts",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

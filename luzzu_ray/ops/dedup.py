@@ -1662,3 +1662,171 @@ def ssjoin_pairs(
     cand = _dedupe_pairs(raw_pairs, ("w", "max", pa.int64()),
                          num_partitions)
     return exact_jaccard_pairs(ds, cand, tq / 1e6, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# exact prefix-containment detection (containment-style dedup)
+# ---------------------------------------------------------------------------
+
+PREFIX_BUCKET_CP = 8
+PREFIX_SHORT_CAP = 100_000
+
+
+def _prefix_flag_block(t: pa.Table) -> pa.Table:
+    """Whole-bucket kernel: flag rows whose text is a prefix of ANOTHER
+    doc's text in this block.  Relies on the lexicographic-interval
+    property: if any string in a set has prefix a, the immediate sorted
+    successor of a has prefix a — so ONE adjacent byte-compare pass
+    over the block-sorted texts decides every row.  Fully vectorized:
+    one Arrow sort, one gathered byte-equality over concatenated
+    candidate prefixes, one ``logical_and.reduceat``."""
+    from luzzu_ray.functions.text import utf8_view
+
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "is_prefix_dup": pa.array([], pa.bool_())})
+    sort_idx = pc.sort_indices(t["text"].combine_chunks())
+    ts = t["text"].combine_chunks().take(sort_idx)
+    ids = t["doc_id"].combine_chunks().take(sort_idx)
+    data, offs = utf8_view(ts)
+    lens = (offs[1:] - offs[:-1]).astype(np.int64)
+    n = len(lens)
+    flag = np.zeros(n, dtype=bool)
+    if n > 1:
+        la, lb = lens[:-1], lens[1:]
+        cand = np.flatnonzero(la <= lb)  # pair i -> i+1
+        la_c = la[cand]
+        # empty-prefix pairs are trivially contained
+        flag[cand[la_c == 0]] = True
+        nz = la_c > 0
+        cand, la_c = cand[nz], la_c[nz]
+        if len(cand):
+            starts = np.concatenate(([0], np.cumsum(la_c[:-1])))
+            pos = np.arange(int(la_c.sum())) - np.repeat(starts, la_c)
+            ia = np.repeat(offs[:-1][cand].astype(np.int64), la_c) + pos
+            ib = np.repeat(offs[1:][cand].astype(np.int64), la_c) + pos
+            eq = data[ia] == data[ib]
+            flag[cand] = np.logical_and.reduceat(eq, starts)
+        # the LAST row of an equal-text run has no containing
+        # successor but equals its predecessor — also contained
+        eq_prev = flag[:-1] & (la == lb)
+        flag[1:] |= eq_prev
+    return pa.table({"doc_id": ids, "is_prefix_dup": pa.array(flag)})
+
+
+class _ShortPrefixCounter:
+    """Actor-pool stage: count, per broadcast short pattern, how many
+    docs in each batch start with it (patterns resolved once per
+    actor from the object store)."""
+
+    def __init__(self, ref):
+        self.patterns = ray.get(ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].combine_chunks()
+        idx, cnt = [], []
+        for j, s in enumerate(self.patterns):
+            m = pc.sum(pc.starts_with(texts, pattern=s)).as_py() or 0
+            if m:
+                idx.append(j)
+                cnt.append(int(m))
+        return pa.table({"sidx": pa.array(idx, pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+
+def prefix_contained(
+    ds: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact PREFIX-CONTAINMENT dedup flags: for every doc, is its text
+    a prefix of some OTHER doc's text (equal texts count — containment
+    subsumes exact duplication)?  SQL twin: ``EXISTS(SELECT 1 FROM d b
+    WHERE b.doc_id <> a.doc_id AND starts_with(b.text, a.text))``.
+
+    Scale shape — three disjoint paths, no all-pairs anywhere:
+
+    * docs with >= 8 codepoints bucket by their first-8-codepoint key
+      and hash-exchange ONCE; a contained prefix always shares its
+      container's bucket, and inside a co-located bucket the sorted
+      immediate-successor check decides every row in one vectorized
+      pass (cross-bucket pairs are impossible at this length);
+    * docs SHORTER than the bucket key can be prefixes of anything, so
+      they broadcast (``ray.put``, resolved per actor) and each batch
+      counts matches vectorially per pattern; contained iff the global
+      count >= 2 (the pattern matches itself once).  Degenerate-length
+      docs are assumed rare — capped at PREFIX_SHORT_CAP with a loud
+      error, never silent truncation;
+    * NULL text matches nothing (SQL semantics) and flags false.
+    """
+    import ray.data as _rd
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    picked = ds.select_columns(["doc_id", "text"])
+
+    def with_len(t: pa.Table) -> pa.Table:
+        lens = pc.fill_null(pc.utf8_length(t["text"]), -1)
+        return t.append_column("_cp", pc.cast(lens, pa.int64()))
+
+    tagged = picked.map_batches(with_len, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
+    longs = tagged.filter(
+        expr=f"_cp >= {PREFIX_BUCKET_CP}")
+
+    def bucket(t: pa.Table) -> pa.Table:
+        p8 = pc.utf8_slice_codeunits(t["text"], 0, PREFIX_BUCKET_CP)
+        return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                         "p8": p8})
+
+    long_flags = longs.map_batches(
+        bucket, batch_format="pyarrow", zero_copy_batch=True,
+    ).repartition(
+        num_blocks=auto_partitions(longs, num_partitions), keys=["p8"],
+    ).map_batches(_prefix_flag_block, batch_format="pyarrow",
+                  batch_size=None)
+
+    shorts = tagged.filter(
+        expr=f"_cp >= 0 and _cp < {PREFIX_BUCKET_CP}"
+    ).select_columns(["doc_id", "text"]).take_all()
+    if len(shorts) > PREFIX_SHORT_CAP:
+        raise ValueError(
+            f"prefix_contained: {len(shorts)} docs shorter than "
+            f"{PREFIX_BUCKET_CP} codepoints exceed the broadcast cap "
+            f"{PREFIX_SHORT_CAP}; raise the cap or pre-filter degenerate "
+            "docs")
+    short_ids = np.array([r["doc_id"] for r in shorts], dtype=np.int64)
+    out_parts = []
+    if len(shorts):
+        patterns = [r["text"] for r in shorts]
+        ref = ray.put(patterns)
+        # partials are <= |shorts| rows per block — sum on the driver
+        # rather than paying (and risking a small-session deadlock
+        # with) a second aggregator pool
+        counts = picked.map_batches(
+            lambda t: t.filter(pc.is_valid(t["text"])),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).map_batches(
+            _ShortPrefixCounter, fn_constructor_args=(ref,),
+            concurrency=(1, 8), batch_format="pyarrow",
+        ).take_all()
+        tot = np.zeros(len(patterns), dtype=np.int64)
+        for r in counts:
+            tot[r["sidx"]] += r["n"]
+        out_parts.append(pa.table(
+            {"doc_id": pa.array(short_ids),
+             "is_prefix_dup": pa.array(tot >= 2)}))
+    def null_false(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "is_prefix_dup": pa.array(
+                 np.zeros(t.num_rows, dtype=bool))}
+        )
+
+    nulls = tagged.filter(expr="_cp < 0").map_batches(
+        null_false, batch_format="pyarrow", zero_copy_batch=True)
+    out = long_flags.union(nulls)
+    if out_parts:
+        out = out.union(_rd.from_arrow(pa.concat_tables(out_parts)))
+    return out

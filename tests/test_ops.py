@@ -2788,3 +2788,45 @@ def test_compression_ratio_matches_scalar_twin(ray_session):
         assert got.loc[i, "comp_len"] == comp
         assert got.loc[i, "ratio_q4"] == ratio
         assert bool(got.loc[i, "is_null_text"]) == (s is None)
+
+
+def test_prefix_contained_matches_duckdb(ray_session):
+    """Prefix-containment flags equal the correlated-EXISTS twin across
+    layouts, exercising all three engine paths: long bucketed docs,
+    short broadcast docs (incl. empty string), null text, equal texts,
+    and prefixes that are NOT immediate sorted neighbors globally."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.dedup import prefix_contained
+
+    texts = [
+        "the quick brown fox jumps",      # container
+        "the quick brown",                 # long prefix of 0
+        "the quick brillig",               # same bucket, not a prefix
+        "the quick brown fox jumps",      # equal text -> both contained
+        "zebra crossing ahead",            # unique long
+        "the",                             # short: prefix of 0,1,2,3
+        "zzz",                             # short: prefix of nothing
+        "",                                # empty: prefix of everything
+        None,                              # null: never contained
+        "zebra",                           # short: prefix of 4
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+      SELECT a.doc_id, EXISTS(SELECT 1 FROM documents b
+        WHERE b.doc_id <> a.doc_id AND b.text IS NOT NULL
+        AND a.text IS NOT NULL AND starts_with(b.text, a.text))
+        AS is_prefix_dup
+      FROM documents a ORDER BY a.doc_id
+    """).df()
+    for parts in (1, 4):
+        got = prefix_contained(
+            ray.data.from_arrow(t).repartition(parts), num_partitions=3,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want), parts
