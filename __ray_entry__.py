@@ -2427,6 +2427,40 @@ def q_prefix_contained(sf_dir: str):
     return prefix_contained(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_docs_split_by_source(sf_dir: str):
+    """Leakage-safe deterministic train/val/test split: the split is a
+    pure function of the SOURCE (all of a source's docs land together,
+    so near-dups within a source can never straddle train/test), via
+    the shared char-weight token hash mod 10^4 — 80/10/10."""
+    from luzzu_ray.functions.text import token_hash_py
+
+    def split_batch(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["source"].combine_chunks())
+        d = enc.dictionary.to_pylist()
+        hs = np.array(
+            [token_hash_py(s.encode("utf-8")) & ((1 << 64) - 1)
+             for s in d], dtype=np.uint64)
+        bucket = (hs % np.uint64(10_000)).astype(np.int64)
+        lab = np.where(bucket < 8000, "train",
+                       np.where(bucket < 9000, "val", "test"))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "source": t["source"],
+             "split": pa.array(lab[codes], pa.string())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        split_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_hourly_dense(sf_dir: str):
+    """Dense per-type hourly counts with gap filling (zero rows for
+    dead hours between a type's first and last event)."""
+    from luzzu_ray.ops.events import hourly_dense
+
+    return hourly_dense(_tbl(sf_dir, "events", ["event_type", "ts"]))
+
+
 CMS_PROBES = [
     "the", "a", "table", "value", "query", "data", "fast", "spark",
     "window", "zzzabsent",
@@ -2442,23 +2476,30 @@ def q_token_cms_counts(sf_dir: str):
     return cms_token_counts(_docs(sf_dir, ["text"]), CMS_PROBES)
 
 
+def _token_hash_sql(col: str) -> str:
+    """SQL expression for the shared char-weight token hash of a string
+    column (TOKEN_POS_WEIGHTS literals, as in the simhash oracle)."""
+    from luzzu_ray import constants as C
+
+    wlist = "[" + ", ".join(
+        f"{int(w)}::HUGEINT" for w in C.TOKEN_POS_WEIGHTS
+    ) + "]"
+    return (
+        f"list_sum([ascii({col}[i]) * (" + wlist + ")[((i-1)%256)+1] "
+        f"for i in generate_series(1, len({col}))])::HUGEINT "
+        "% 18446744073709551616::HUGEINT"
+    )
+
+
 def _cms_sql() -> str:
     """Oracle rebuilding the count-min grid in SQL: the shared
     [a-z0-9]+ token hash (TOKEN_POS_WEIGHTS literals, as in the simhash
     oracle), the d pairwise hashes with a < 2^62 so ``h * a`` stays
     inside HUGEINT, per-(row, cell) occurrence counts, and the min-over-
     rows point lookup for each probe."""
-    from luzzu_ray import constants as C
     from luzzu_ray.ops.sketch import CMS_A, CMS_B, CMS_W
 
-    wlist = "[" + ", ".join(
-        f"{int(w)}::HUGEINT" for w in C.TOKEN_POS_WEIGHTS
-    ) + "]"
-    hash_expr = (
-        "list_sum([ascii(tok[i]) * (" + wlist + ")[((i-1)%256)+1] "
-        "for i in generate_series(1, len(tok))])::HUGEINT "
-        "% 18446744073709551616::HUGEINT"
-    )
+    hash_expr = _token_hash_sql("tok")
     gi_vals = ", ".join(
         f"({i}, {CMS_A[i]}::HUGEINT, {CMS_B[i]}::HUGEINT)"
         for i in range(len(CMS_A))
@@ -2564,6 +2605,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cms_counts": q_token_cms_counts,
         "doc_compression_ratio": q_doc_compression_ratio,
         "prefix_contained": q_prefix_contained,
+        "docs_split_by_source": q_docs_split_by_source,
+        "events_hourly_dense": q_events_hourly_dense,
         "users_all_types": q_users_all_types,
         "events_user_value_mad": q_events_user_value_mad,
         "token_cooccurrence": q_token_cooccurrence,
@@ -3435,6 +3478,25 @@ FROM dfs GROUP BY df
         "WHERE b.doc_id <> a.doc_id AND b.text IS NOT NULL "
         "AND a.text IS NOT NULL AND starts_with(b.text, a.text)) "
         "AS is_prefix_dup FROM documents a"
+    )
+    sqls["docs_split_by_source"] = (
+        "SELECT doc_id, source, CASE WHEN b < 8000 THEN 'train' "
+        "WHEN b < 9000 THEN 'val' ELSE 'test' END AS split FROM ("
+        "SELECT doc_id, source, CAST(("
+        + _token_hash_sql("source")
+        + ") % 10000 AS BIGINT) AS b FROM documents)"
+    )
+    sqls["events_hourly_dense"] = (
+        "WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, "
+        "count(*) AS n FROM events GROUP BY 1, 2), "
+        "b AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx "
+        "FROM h GROUP BY 1), "
+        "d AS (SELECT b.event_type, unnest(generate_series(b.mn, b.mx)) "
+        "AS hr FROM b) "
+        "SELECT d.event_type, d.hr AS hour_bucket, "
+        "CAST(coalesce(h.n, 0) AS BIGINT) AS n "
+        "FROM d LEFT JOIN h ON d.event_type = h.event_type "
+        "AND d.hr = h.hr"
     )
     sqls["token_cms_counts"] = _cms_sql()
     sqls["events_user_type_count"] = (

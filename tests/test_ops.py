@@ -2830,3 +2830,77 @@ def test_prefix_contained_matches_duckdb(ray_session):
             ray.data.from_arrow(t).repartition(parts), num_partitions=3,
         ).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert got.equals(want), parts
+
+
+def test_hourly_dense_gap_fill_matches_duckdb(ray_session):
+    """Dense hourly counts equal the generate_series twin across
+    layouts: gaps zero-filled, ranges per type independent."""
+    import duckdb
+    import ray.data
+
+    rng = np.random.default_rng(31)
+    base = 1_700_000_000_000_000  # epoch us
+    n = 2000
+    ts = base + rng.integers(0, 72, n) * 3_600_000_000 \
+        + rng.integers(0, 3_600_000_000, n)
+    # type 'b' gets a sparse far-apart pair -> long gap to fill
+    extra_ts = np.array([base, base + 50 * 3_600_000_000])
+    t = pa.table({
+        "event_type": pa.array(
+            [f"e{i}" for i in rng.integers(0, 3, n)] + ["gappy"] * 2),
+        "ts": pa.array(
+            np.concatenate([ts, extra_ts]), pa.timestamp("us")),
+    })
+    from luzzu_ray.ops.events import hourly_dense
+
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+      WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             count(*) AS n FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx
+            FROM h GROUP BY 1),
+      d AS (SELECT b.event_type, unnest(generate_series(b.mn, b.mx))
+            AS hr FROM b)
+      SELECT d.event_type, d.hr AS hour_bucket,
+             CAST(coalesce(h.n, 0) AS BIGINT) AS n
+      FROM d LEFT JOIN h ON d.event_type = h.event_type AND d.hr = h.hr
+      ORDER BY d.event_type, hour_bucket
+    """).df()
+    for parts in (1, 5):
+        got = hourly_dense(
+            ray.data.from_arrow(t).repartition(parts), num_partitions=3,
+        ).to_pandas().sort_values(
+            ["event_type", "hour_bucket"]).reset_index(drop=True)
+        assert got.equals(want), parts
+    # the gap really was filled with zeros
+    gappy = want[want.event_type == "gappy"]
+    assert len(gappy) == 51 and (gappy.n == 0).sum() == 49
+
+
+def test_split_by_source_deterministic_and_grouped(ray_session):
+    """Split labels are a pure function of source (leakage-safe), match
+    the SQL hash twin, and are layout-invariant."""
+    import duckdb
+    import ray.data
+
+    import __ray_entry__ as E
+
+    t = pa.table({
+        "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+        "source": pa.array([f"s{i % 23}" for i in range(200)]),
+    })
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pq
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = E.q_docs_split_by_source(d).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(
+        E.oracle_sql()["docs_split_by_source"] + " ORDER BY doc_id"
+    ).df()
+    assert got.equals(want)
+    # grouped: one split label per source
+    assert (got.groupby("source")["split"].nunique() == 1).all()
