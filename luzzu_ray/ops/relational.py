@@ -1803,49 +1803,55 @@ def grouped_mad_q(
     """Per-group MEDIAN ABSOLUTE DEVIATION over fixed-point values —
     the robust dispersion statistic outlier pipelines prefer to sigma
     (one wild value cannot move it).  Exact and SQL-checkable: values
-    quantize once to integers (floor(v * 10^q)), the per-group median
-    comes from ``grouped_quantiles_q``, deviations |vq - med| stay in
-    integers, and a second discrete-quantile pass takes their median.
-
-    Scale shape: pass 1 is the quantiles op (one keyed exchange); the
-    narrow (key, med) table joins back via a native hash join (NOT a
-    driver broadcast — the key domain can be huge); pass 2 is one more
-    keyed exchange over (key, dev) projections.  Deviations ride as
-    float64 integers (exact below 2^53 — i.e. any |v| < 10^(15-q)).
+    quantize once to integers (floor(v * 10^q)), the per-group discrete
+    median (DuckDB ``quantile_disc`` semantics, as in
+    ``grouped_quantiles_q``) and the median of |vq - med| are both
+    computed IN THE SAME co-located block, so the whole statistic costs
+    ONE keyed exchange — no second pass, no medians join (a v1 of this
+    op joined a medians table back and paid 3 sequential executions;
+    both passes need full-group co-location anyway, so fusing them is
+    strictly better).  Co-location assumption and the heavy-hitter
+    escape hatch are the same as ``grouped_quantiles_q``.
 
     Output: (key, mad_q0, n)."""
     from luzzu_ray.ops.dedup import auto_partitions
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
-    med_name = f"med_q{q}"
-    meds = grouped_quantiles_q(
-        ds, key, value_col, {"med": 0.5}, q=q,
-        num_partitions=num_partitions,
-    ).select_columns([key, med_name]).materialize()
-    # repack: keyed shuffles can emit schema-less empty blocks which
-    # Acero's hash join rejects
-    meds = meds.repartition(auto_partitions(meds, None))
-    picked = ds.select_columns([key, value_col])
-    joined = picked.join(
-        meds, join_type="inner", on=(key,),
-        num_partitions=auto_partitions(picked, num_partitions),
-    ).materialize()
+    num_partitions = auto_partitions(ds, num_partitions)
     scale = float(10 ** q)
 
-    def dev(t: pa.Table) -> pa.Table:
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()),
+                 "mad_q0": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        k = t[key].to_numpy(zero_copy_only=False)
         vf = pc.cast(t[value_col], pa.float64()).to_numpy(
             zero_copy_only=False)
         vq = np.floor(vf * scale).astype(np.int64)
-        med = t[med_name].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vq, k))
+        ks, vs = k[order], vq[order]
+        new_g = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new_g)
+        counts = np.diff(np.concatenate((starts, [len(ks)])))
+        med_idx = starts + np.maximum(
+            np.ceil(0.5 * counts).astype(np.int64) - 1, 0)
+        seg = np.repeat(np.arange(len(starts)), counts)
+        dev = np.abs(vs - vq[order][med_idx][seg])
+        order2 = np.lexsort((dev, ks))
+        dev_s = dev[order2]
+        mad = dev_s[starts + np.maximum(
+            np.ceil(0.5 * counts).astype(np.int64) - 1, 0)]
         return pa.table(
-            {key: t[key],
-             "dev": pa.array(np.abs(vq - med).astype(np.float64))}
+            {key: pa.array(ks[starts]),
+             "mad_q0": pa.array(mad),
+             "n": pa.array(counts.astype(np.int64))}
         )
 
-    devs = joined.map_batches(dev, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    return grouped_quantiles_q(
-        devs, key, "dev", {"mad": 0.5}, q=0,
-        num_partitions=num_partitions,
-    )
+    picked = ds.select_columns([key, value_col])
+    part = picked.repartition(num_blocks=num_partitions, keys=[key])
+    return part.map_batches(per_block, batch_format="pyarrow",
+                            batch_size=None)
