@@ -2461,6 +2461,35 @@ def q_events_hourly_dense(sf_dir: str):
     return hourly_dense(_tbl(sf_dir, "events", ["event_type", "ts"]))
 
 
+def q_events_value_winsorized(sf_dir: str):
+    """Per-user winsorized event values (clip to the user's discrete
+    p05/p95; exact integers end to end)."""
+    from luzzu_ray.ops.relational import grouped_winsorize_q
+
+    return grouped_winsorize_q(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "value"]),
+        "user_id", "value", "event_id")
+
+
+def q_docs_weighted_sample(sf_dir: str):
+    """Length-proportional Bernoulli sample, entirely in integers:
+    keep doc iff hash(doc_id) mod 10^3 < n_chars (docs past 10^3 chars
+    are certainties) — deterministic importance sampling with an exact
+    HUGEINT SQL twin, no float thresholds to diverge."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        lens = pc.fill_null(
+            pc.utf8_length(t["text"]), 0).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = ids * np.uint64(SAMPLE_A) + np.uint64(SAMPLE_B)
+        m = (h % np.uint64(1_000)).astype(np.int64) < lens
+        return t.select(["doc_id"]).filter(pa.array(m))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 CMS_PROBES = [
     "the", "a", "table", "value", "query", "data", "fast", "spark",
     "window", "zzzabsent",
@@ -2606,6 +2635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_compression_ratio": q_doc_compression_ratio,
         "prefix_contained": q_prefix_contained,
         "docs_split_by_source": q_docs_split_by_source,
+        "events_value_winsorized": q_events_value_winsorized,
+        "docs_weighted_sample": q_docs_weighted_sample,
         "events_hourly_dense": q_events_hourly_dense,
         "users_all_types": q_users_all_types,
         "events_user_value_mad": q_events_user_value_mad,
@@ -3478,6 +3509,21 @@ FROM dfs GROUP BY df
         "WHERE b.doc_id <> a.doc_id AND b.text IS NOT NULL "
         "AND a.text IS NOT NULL AND starts_with(b.text, a.text)) "
         "AS is_prefix_dup FROM documents a"
+    )
+    sqls["events_value_winsorized"] = (
+        "WITH v AS (SELECT event_id, user_id, "
+        "CAST(floor(value * 10000.0) AS BIGINT) AS value_q4 FROM events), "
+        "c AS (SELECT user_id, quantile_disc(value_q4, 0.05) AS lo, "
+        "quantile_disc(value_q4, 0.95) AS hi FROM v GROUP BY user_id) "
+        "SELECT v.event_id, v.user_id, v.value_q4, "
+        "CAST(least(greatest(v.value_q4, c.lo), c.hi) AS BIGINT) "
+        "AS value_wins_q4 FROM v JOIN c USING (user_id)"
+    )
+    sqls["docs_weighted_sample"] = (
+        f"SELECT doc_id FROM documents WHERE "
+        f"((CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
+        f"% 18446744073709551616) % 1000 "
+        f"< coalesce(length(text), 0)"
     )
     sqls["docs_split_by_source"] = (
         "SELECT doc_id, source, CASE WHEN b < 8000 THEN 'train' "

@@ -1855,3 +1855,68 @@ def grouped_mad_q(
     part = picked.repartition(num_blocks=num_partitions, keys=[key])
     return part.map_batches(per_block, batch_format="pyarrow",
                             batch_size=None)
+
+
+def grouped_winsorize_q(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    id_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    q: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group WINSORIZATION: clip each row's fixed-point value to its
+    group's [lo, hi] discrete quantiles — the outlier-taming transform
+    robust aggregate pipelines apply before averaging.  Exact: values
+    quantize to integers once, the cut points are DuckDB
+    ``quantile_disc`` order statistics, and the clip is integer
+    min/max, all inside the ONE co-located block (same single-exchange
+    fusion as ``grouped_mad_q``; same co-location assumption and
+    sketch escape hatch as ``grouped_quantiles_q``).
+
+    Output: (id_col, key, value_q{q}, value_wins_q{q})."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    scale = float(10 ** q)
+    vname, wname = f"value_q{q}", f"value_wins_q{q}"
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 key: pa.array([], pa.int64()),
+                 vname: pa.array([], pa.int64()),
+                 wname: pa.array([], pa.int64())}
+            )
+        k = t[key].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        vf = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        vq = np.floor(vf * scale).astype(np.int64)
+        order = np.lexsort((vq, k))
+        ks, vs = k[order], vq[order]
+        new_g = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new_g)
+        counts = np.diff(np.concatenate((starts, [len(ks)])))
+        lo_i = starts + np.maximum(
+            np.ceil(lo * counts).astype(np.int64) - 1, 0)
+        hi_i = starts + np.maximum(
+            np.ceil(hi * counts).astype(np.int64) - 1, 0)
+        seg = np.repeat(np.arange(len(starts)), counts)
+        clipped = np.clip(vs, vs[lo_i][seg], vs[hi_i][seg])
+        return pa.table(
+            {id_col: pa.array(ids[order]),
+             key: pa.array(ks),
+             vname: pa.array(vs),
+             wname: pa.array(clipped)}
+        )
+
+    picked = ds.select_columns([id_col, key, value_col])
+    part = picked.repartition(num_blocks=num_partitions, keys=[key])
+    return part.map_batches(per_block, batch_format="pyarrow",
+                            batch_size=None)

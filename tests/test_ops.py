@@ -2904,3 +2904,42 @@ def test_split_by_source_deterministic_and_grouped(ray_session):
     assert got.equals(want)
     # grouped: one split label per source
     assert (got.groupby("source")["split"].nunique() == 1).all()
+
+
+def test_grouped_winsorize_matches_duckdb(ray_session):
+    """Per-group winsorized values equal the SQL quantile_disc clip
+    twin across layouts, including single-row groups (clip is a
+    no-op there)."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_winsorize_q
+
+    rng = np.random.default_rng(37)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(
+            np.concatenate([rng.integers(0, 40, n - 1), [888]])
+            .astype(np.int64)),
+        "value": pa.array(rng.normal(0, 25, n)),
+    })
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+      WITH v AS (SELECT event_id, user_id,
+             CAST(floor(value * 10000.0) AS BIGINT) AS value_q4
+             FROM events),
+      c AS (SELECT user_id, quantile_disc(value_q4, 0.05) AS lo,
+            quantile_disc(value_q4, 0.95) AS hi FROM v GROUP BY user_id)
+      SELECT v.event_id, v.user_id, v.value_q4,
+             CAST(least(greatest(v.value_q4, c.lo), c.hi) AS BIGINT)
+               AS value_wins_q4
+      FROM v JOIN c USING (user_id) ORDER BY v.event_id
+    """).df()
+    for parts in (1, 6):
+        got = grouped_winsorize_q(
+            ray.data.from_arrow(t).repartition(parts),
+            "user_id", "value", "event_id", num_partitions=4,
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert got.equals(want), parts
