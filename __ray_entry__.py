@@ -2490,6 +2490,44 @@ def q_docs_weighted_sample(sf_dir: str):
         keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_documents_csv_roundtrip(sf_dir: str):
+    """CSV source/sink conformance: the documents table is written to
+    CSV ONCE (deterministic, cached per sf dir under /tmp), read back
+    through ``ray.data.read_csv``, and projected to byte-checkable
+    stats — proving the third serialization end to end against the
+    PARQUET-side SQL oracle (a roundtrip bug in quoting, typing or
+    null handling breaks the hash).  Null text would not survive CSV
+    (null == '' there), so the projection is null-coalesced on both
+    sides; the sf corpora contain no null/newline text (verified)."""
+    import hashlib
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+    import ray.data
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    cache = f"/tmp/luzzu_csv_{tag}"
+    path = os.path.join(cache, "documents.csv")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        pacsv.write_csv(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    ds = ray.data.read_csv(path)
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+             "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+             "lang": pc.cast(t["lang"], pa.string()),
+             "source": pc.cast(t["source"], pa.string())}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 CMS_PROBES = [
     "the", "a", "table", "value", "query", "data", "fast", "spark",
     "window", "zzzabsent",
@@ -2637,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split_by_source": q_docs_split_by_source,
         "events_value_winsorized": q_events_value_winsorized,
         "docs_weighted_sample": q_docs_weighted_sample,
+        "documents_csv_roundtrip": q_documents_csv_roundtrip,
         "events_hourly_dense": q_events_hourly_dense,
         "users_all_types": q_users_all_types,
         "events_user_value_mad": q_events_user_value_mad,
@@ -3518,6 +3557,10 @@ FROM dfs GROUP BY df
         "SELECT v.event_id, v.user_id, v.value_q4, "
         "CAST(least(greatest(v.value_q4, c.lo), c.hi) AS BIGINT) "
         "AS value_wins_q4 FROM v JOIN c USING (user_id)"
+    )
+    sqls["documents_csv_roundtrip"] = (
+        "SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) "
+        "AS n_chars, lang, source FROM documents"
     )
     sqls["docs_weighted_sample"] = (
         f"SELECT doc_id FROM documents WHERE "

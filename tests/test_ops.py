@@ -2943,3 +2943,25 @@ def test_grouped_winsorize_matches_duckdb(ray_session):
             "user_id", "value", "event_id", num_partitions=4,
         ).to_pandas().sort_values("event_id").reset_index(drop=True)
         assert got.equals(want), parts
+
+
+def test_csv_roundtrip_quoting(ray_session, tmp_path):
+    """CSV source handles commas, quotes and unicode in text: the
+    roundtripped stats equal the parquet-side truth."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    texts = ['plain text', 'with, comma', 'with "quotes" inside',
+             "trailing space ", "unicode éè", "a,b,\"c\",d"]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s0"] * len(texts)),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = E.q_documents_csv_roundtrip(str(tmp_path)).to_pandas(
+    ).sort_values("doc_id").reset_index(drop=True)
+    assert list(got["n_chars"]) == [len(s) for s in texts]
+    assert (got["lang"] == "en").all() and (got["source"] == "s0").all()
