@@ -2528,6 +2528,21 @@ def q_documents_csv_roundtrip(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_doc_normalize(sf_dir: str):
+    """Canonical text normalization: lowercase, collapse whitespace
+    runs, trim — the idempotent pre-tokenization cleanup every web
+    pipeline applies before hashing/dedup (byte-exact SQL twin)."""
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table({"doc_id": t["doc_id"], "text_norm": x})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
 CMS_PROBES = [
     "the", "a", "table", "value", "query", "data", "fast", "spark",
     "window", "zzzabsent",
@@ -2676,6 +2691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_winsorized": q_events_value_winsorized,
         "docs_weighted_sample": q_docs_weighted_sample,
         "documents_csv_roundtrip": q_documents_csv_roundtrip,
+        "doc_normalize": q_doc_normalize,
         "events_hourly_dense": q_events_hourly_dense,
         "users_all_types": q_users_all_types,
         "events_user_value_mad": q_events_user_value_mad,
@@ -3557,6 +3573,10 @@ FROM dfs GROUP BY df
         "SELECT v.event_id, v.user_id, v.value_q4, "
         "CAST(least(greatest(v.value_q4, c.lo), c.hi) AS BIGINT) "
         "AS value_wins_q4 FROM v JOIN c USING (user_id)"
+    )
+    sqls["doc_normalize"] = (
+        "SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g'), "
+        "' ') AS text_norm FROM documents"
     )
     sqls["documents_csv_roundtrip"] = (
         "SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) "

@@ -17,6 +17,8 @@ semantics use the shuffle-based ``ops.dedup.exact_duplicates`` instead.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -38,7 +40,30 @@ def _hash2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 class BloomDedupIndex:
     """Bloom-filter membership actor: test-and-insert per batch."""
 
-    def __init__(self, n_bits_log2: int = 30, k: int = 6):
+    def __init__(self, n_bits_log2: int = 30, k: int = 6,
+                 state_path: str | None = None):
+        """``state_path`` resumes a filter persisted by :meth:`save`
+        (cross-run streaming dedup: yesterday's keys still mark as
+        duplicates); n_bits_log2/k are then taken from the state file
+        and validated, never trusted from the caller."""
+        if state_path is not None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(state_path)
+            mask = int(t["mask"][0].as_py())
+            n_bits_log2 = mask.bit_length()
+            if (1 << n_bits_log2) - 1 != mask:
+                raise ValueError(f"corrupt bloom state: mask {mask:#x}")
+            self.mask = np.uint64(mask)
+            self.k = int(t["k"][0].as_py())
+            bits = np.frombuffer(t["bits"][0].as_py(), dtype=np.uint8)
+            if len(bits) != 1 << (n_bits_log2 - 3):
+                raise ValueError(
+                    f"corrupt bloom state: {len(bits)} bytes for "
+                    f"2^{n_bits_log2} bits")
+            self.bits = bits.copy()
+            self.n_inserted = int(t["n_inserted"][0].as_py())
+            return
         self.mask = np.uint64((1 << n_bits_log2) - 1)
         self.k = k
         self.bits = np.zeros(1 << (n_bits_log2 - 3), dtype=np.uint8)
@@ -74,6 +99,25 @@ class BloomDedupIndex:
     def stats(self) -> dict:
         return {"n_inserted": self.n_inserted,
                 "fill": float((self.bits != 0).mean())}
+
+    # -- persistence: cross-run streaming dedup -------------------------
+    # A pipeline rerun (append-mode ingest) reloads yesterday's filter
+    # (constructor ``state_path``) so previously-seen keys still mark
+    # as duplicates.  The bit array rides in ONE parquet binary cell;
+    # params are validated on load, never trusted from the caller.
+
+    def save(self, path: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {"mask": pa.array([int(self.mask)], pa.uint64()),
+             "k": pa.array([self.k], pa.int64()),
+             "n_inserted": pa.array([self.n_inserted], pa.int64()),
+             "bits": pa.array([self.bits.tobytes()], pa.binary())}
+        )
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
 
 
 class ShardedBloom:

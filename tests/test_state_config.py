@@ -232,3 +232,36 @@ def test_streaming_dedup_totals_order_invariant(ray_session):
         totals.append(int(np.sum(seen)))
     # (5-1) + (3-1) + 0 = 6 marks, whatever the order/batching
     assert totals == [6, 6, 6]
+
+
+def test_bloom_save_load_roundtrip(ray_session, tmp_path):
+    """Persisted Bloom state resumes cross-run dedup: keys inserted
+    before save are still (probably) seen after reload; corrupt state
+    refuses to load."""
+    import numpy as np
+    import pytest
+    import ray
+
+    from luzzu_ray.state import BloomDedupIndex
+
+    b = BloomDedupIndex.remote(n_bits_log2=16, k=4)
+    keys = np.arange(1000, dtype=np.uint64) * np.uint64(2654435761)
+    first = ray.get(b.seen_and_add.remote(keys))
+    assert not first.any()
+    path = str(tmp_path / "bloom.parquet")
+    ray.get(b.save.remote(path))
+    b2 = BloomDedupIndex.remote(state_path=path)
+    again = ray.get(b2.seen_and_add.remote(keys))
+    assert again.all()  # everything from run 1 still marks duplicate
+    fresh = ray.get(b2.seen_and_add.remote(
+        np.arange(5000, 5100, dtype=np.uint64) * np.uint64(0x9E3779B1)))
+    assert fresh.mean() < 0.2  # new keys mostly unseen (fp-rate bound)
+    # corrupt state refuses to load
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pq.read_table(path)
+    bad = t.set_column(0, "mask", pa.array([12345], pa.uint64()))
+    pq.write_table(bad, path)
+    b3 = BloomDedupIndex.remote(state_path=path)
+    with pytest.raises(Exception, match="corrupt"):
+        ray.get(b3.seen_and_add.remote(keys))
