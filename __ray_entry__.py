@@ -2543,6 +2543,49 @@ def q_doc_normalize(sf_dir: str):
         norm, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_lines_urgency_salted(sf_dir: str):
+    """The Q12-shape join run through the SKEW-PROOF salted join
+    (hot-key fan-out + right replication); results must hash-match the
+    same SQL oracle as the unsalted variant.  hot_threshold=5 so both
+    the hot and cold paths execute on the sf corpora."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.relational import salted_inner_join
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["l_orderkey"],
+                         "l_returnflag": t["l_returnflag"]})
+
+    li2 = li.map_batches(rename, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = salted_inner_join(li2, orders, "o_orderkey",
+                               hot_threshold=5, n_salt=4)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi = pc.cast(
+            pc.is_in(t["o_orderpriority"],
+                     value_set=pa.array(["1-URGENT", "2-HIGH"])),
+            pa.int64(),
+        )
+        tt = pa.table(
+            {"l_returnflag": t["l_returnflag"], "high": hi,
+             "low": pc.subtract(pa.scalar(1, pa.int64()), hi)}
+        )
+        g = tt.group_by("l_returnflag").aggregate(
+            [("high", "sum"), ("low", "sum")])
+        return g.rename_columns(["l_returnflag", "high_line_count",
+                                 "low_line_count"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("l_returnflag", num_partitions=4).aggregate(
+        Sum("high_line_count", alias_name="high_line_count"),
+        Sum("low_line_count", alias_name="low_line_count"),
+    )
+
+
 CMS_PROBES = [
     "the", "a", "table", "value", "query", "data", "fast", "spark",
     "window", "zzzabsent",
@@ -2692,6 +2735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": q_docs_weighted_sample,
         "documents_csv_roundtrip": q_documents_csv_roundtrip,
         "doc_normalize": q_doc_normalize,
+        "lines_urgency_salted": q_lines_urgency_salted,
         "events_hourly_dense": q_events_hourly_dense,
         "users_all_types": q_users_all_types,
         "events_user_value_mad": q_events_user_value_mad,
@@ -3573,6 +3617,15 @@ FROM dfs GROUP BY df
         "SELECT v.event_id, v.user_id, v.value_q4, "
         "CAST(least(greatest(v.value_q4, c.lo), c.hi) AS BIGINT) "
         "AS value_wins_q4 FROM v JOIN c USING (user_id)"
+    )
+    sqls["lines_urgency_salted"] = (
+        "SELECT l_returnflag, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_returnflag"
     )
     sqls["doc_normalize"] = (
         "SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g'), "

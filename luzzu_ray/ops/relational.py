@@ -1920,3 +1920,99 @@ def grouped_winsorize_q(
     part = picked.repartition(num_blocks=num_partitions, keys=[key])
     return part.map_batches(per_block, batch_format="pyarrow",
                             batch_size=None)
+
+
+def salted_inner_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    hot_threshold: int = 1_000_000,
+    n_salt: int = 8,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Skew-proof INNER hash join: the sessionize_salted protocol
+    applied to joins.  A hot key in a plain hash join lands its entire
+    match product in ONE reduce block; here hot LEFT keys fan out over
+    ``n_salt`` sub-keys and the (assumed narrower) RIGHT rows for those
+    keys replicate once per salt, so no reduce block ever holds more
+    than ~1/n_salt of a hot key's probe side.  Join results are
+    IDENTICAL to the unsalted join (property-tested) — salting only
+    changes placement.
+
+    Hot-key detection is exact: one narrow (key, n) pre-pass over the
+    left (per-block partial counts, one groupby); keys above
+    ``hot_threshold`` are <= n_rows/threshold, so the hot set is small
+    by construction and broadcasts via ``ray.put``.
+
+    Cost note: the pre-pass exchange carries distinct keys per block —
+    pay it only when skew is plausible; for known-uniform keys use the
+    plain ``Dataset.join``."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(left, num_partitions)
+
+    def key_counts(t: pa.Table) -> pa.Table:
+        g = t.select([key]).group_by(key).aggregate([(key, "count")])
+        return pa.table(
+            {key: g[key], "n": pc.cast(g[f"{key}_count"], pa.int64())}
+        )
+
+    counts = left.map_batches(
+        key_counts, batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby(key, num_partitions=width).aggregate(
+        Sum("n", alias_name="n"))
+    hot_rows = counts.filter(expr=f"n > {hot_threshold}").take_all()
+    hot = np.sort(np.array([r[key] for r in hot_rows], dtype=np.int64))
+    hot_ref = ray.put(hot)
+
+    class SaltLeft:
+        def __init__(self, ref):
+            self.hot = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False)
+            salt = np.zeros(t.num_rows, dtype=np.int64)
+            if len(self.hot):
+                is_hot = np.isin(k, self.hot)
+                # any spread works (results invariant); position hash
+                # spreads a hot key's rows evenly within each batch
+                salt[is_hot] = (
+                    np.flatnonzero(is_hot) % n_salt)
+            return t.append_column("_salt", pa.array(salt))
+
+    class SaltRight:
+        def __init__(self, ref):
+            self.hot = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False)
+            salt = np.zeros(t.num_rows, dtype=np.int64)
+            out = t.append_column("_salt", pa.array(salt))
+            if len(self.hot):
+                is_hot = np.isin(k, self.hot)
+                if is_hot.any():
+                    hot_part = t.filter(pa.array(is_hot))
+                    reps = []
+                    for s in range(1, n_salt):
+                        reps.append(hot_part.append_column(
+                            "_salt",
+                            pa.array(np.full(hot_part.num_rows, s,
+                                             dtype=np.int64))))
+                    out = pa.concat_tables([out] + reps)
+            return out
+
+    lsalted = left.map_batches(
+        SaltLeft, fn_constructor_args=(hot_ref,),
+        concurrency=(1, 8), batch_format="pyarrow")
+    rsalted = right.map_batches(
+        SaltRight, fn_constructor_args=(hot_ref,),
+        concurrency=(1, 8), batch_format="pyarrow")
+    joined = lsalted.join(
+        rsalted, join_type="inner", on=(key, "_salt"),
+        num_partitions=width,
+    )
+    return joined.drop_columns(["_salt"])

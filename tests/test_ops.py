@@ -2965,3 +2965,37 @@ def test_csv_roundtrip_quoting(ray_session, tmp_path):
     ).sort_values("doc_id").reset_index(drop=True)
     assert list(got["n_chars"]) == [len(s) for s in texts]
     assert (got["lang"] == "en").all() and (got["source"] == "s0").all()
+
+
+def test_salted_join_equals_plain(ray_session):
+    """Salted inner join returns EXACTLY the plain join's multiset on
+    heavily skewed keys (one key holding half the left side), and on
+    threshold settings where no key is hot (salting a no-op)."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import salted_inner_join
+
+    rng = np.random.default_rng(43)
+    n = 4000
+    k = np.where(rng.random(n) < 0.5, 7,
+                 rng.integers(0, 200, n)).astype(np.int64)
+    left = pa.table({
+        "k": pa.array(k),
+        "lv": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    right = pa.table({
+        "k": pa.array(np.arange(0, 200, dtype=np.int64)),
+        "rv": pa.array(np.arange(0, 200, dtype=np.int64) * 10),
+    })
+    lds = ray.data.from_arrow(left).repartition(5)
+    rds = ray.data.from_arrow(right).repartition(2)
+    plain = lds.join(rds, join_type="inner", on=("k",), num_partitions=4
+                     ).to_pandas().sort_values(["k", "lv"]).reset_index(
+        drop=True)
+    for thr in (100, 10**9):  # hot path bites / salting a no-op
+        got = salted_inner_join(
+            ray.data.from_arrow(left).repartition(5),
+            ray.data.from_arrow(right).repartition(2),
+            "k", hot_threshold=thr, n_salt=4, num_partitions=4,
+        ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+        assert got[plain.columns.tolist()].equals(plain), thr
