@@ -2586,6 +2586,14 @@ def q_lines_urgency_salted(sf_dir: str):
     )
 
 
+def q_doc_dup_trigram_frac(sf_dir: str):
+    """Gopher-style repetition coverage: per doc, token positions
+    covered by a within-doc duplicated trigram (exact integers)."""
+    from luzzu_ray.ops.vocab import dup_trigram_positions
+
+    return dup_trigram_positions(_docs(sf_dir, ["doc_id", "text"]))
+
+
 CMS_PROBES = [
     "the", "a", "table", "value", "query", "data", "fast", "spark",
     "window", "zzzabsent",
@@ -2736,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_csv_roundtrip": q_documents_csv_roundtrip,
         "doc_normalize": q_doc_normalize,
         "lines_urgency_salted": q_lines_urgency_salted,
+        "doc_dup_trigram_frac": q_doc_dup_trigram_frac,
         "events_hourly_dense": q_events_hourly_dense,
         "users_all_types": q_users_all_types,
         "events_user_value_mad": q_events_user_value_mad,
@@ -3617,6 +3626,26 @@ FROM dfs GROUP BY df
         "SELECT v.event_id, v.user_id, v.value_q4, "
         "CAST(least(greatest(v.value_q4, c.lo), c.hi) AS BIGINT) "
         "AS value_wins_q4 FROM v JOIN c USING (user_id)"
+    )
+    sqls["doc_dup_trigram_frac"] = (
+        "WITH toks AS (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS tok, "
+        "generate_subscripts(string_split(text, ' '), 1) AS wi "
+        "FROM documents), "
+        "tri AS (SELECT doc_id, wi, "
+        "tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w "
+        "AS tg, lead(tok, 2) OVER w IS NOT NULL AS valid FROM toks "
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY wi)), "
+        "dup AS (SELECT doc_id, wi FROM (SELECT doc_id, wi, "
+        "count(*) OVER (PARTITION BY doc_id, tg) AS c FROM tri "
+        "WHERE valid) WHERE c >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, x FROM (SELECT doc_id, "
+        "unnest([wi, wi + 1, wi + 2]) AS x FROM dup)), "
+        "cnt AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(CASE WHEN d.text IS NULL THEN 0 ELSE "
+        "len(string_split(d.text, ' ')) END AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_dup_positions "
+        "FROM documents d LEFT JOIN cnt USING (doc_id)"
     )
     sqls["lines_urgency_salted"] = (
         "SELECT l_returnflag, "

@@ -160,6 +160,9 @@ def main() -> None:
         "events_user_value_mad",
         "doc_compression_ratio",
         "token_cms_counts",
+        "prefix_contained",
+        "events_value_winsorized",
+        "lines_urgency_salted",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

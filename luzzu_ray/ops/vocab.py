@@ -685,3 +685,72 @@ def token_cooccurrence(
     return totals.sort(
         ["n", "w1", "w2"], descending=[True, False, False]
     ).limit(k)
+
+
+def dup_trigram_positions(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Gopher-style repetition coverage: per document, how many token
+    positions are covered by a TRIGRAM that occurs 2+ times within the
+    document (the "fraction of positions inside duplicate n-grams"
+    filter, emitted as exact integers n_tokens / n_dup_positions so the
+    fraction reconstructs without float division).
+
+    Embarrassingly parallel — no exchange; per batch: ONE dictionary
+    encode, trigram ids as collision-free composite codes, one global
+    sort marks within-doc duplicate trigrams, covered positions scatter
+    into a flat boolean and count per doc with ``reduceat``.  Tokens
+    are the single-space split (SQL twin joins them with spaces —
+    injective, tokens cannot contain spaces)."""
+
+    def block(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "n_dup_positions": pa.array([], pa.int64())}
+            )
+        words = pc.split_pattern(t[text_col], " ").combine_chunks()
+        flat = words.flatten()
+        offs = words.offsets.to_numpy().astype(np.int64)
+        per_row = offs[1:] - offs[:-1]
+        m = len(flat)
+        n_dup = np.zeros(n, dtype=np.int64)
+        if m >= 3:
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            v = max(len(enc.dictionary), 1)
+            rid = np.repeat(np.arange(n, dtype=np.int64), per_row)
+            # valid trigram starts: i, i+1, i+2 in the same doc
+            valid = np.flatnonzero(rid[:-2] == rid[2:])
+            if len(valid):
+                tid = (codes[valid] * v + codes[valid + 1]) * v \
+                    + codes[valid + 2]
+                key_doc = rid[valid]
+                order = np.lexsort((tid, key_doc))
+                kd, kt = key_doc[order], tid[order]
+                same = np.concatenate(
+                    ([False], (kd[1:] == kd[:-1]) & (kt[1:] == kt[:-1])))
+                # an occurrence is duplicated if it matches its sorted
+                # neighbor on either side
+                dup_occ = same.copy()
+                dup_occ[:-1] |= same[1:]
+                dup_starts = valid[order[dup_occ]]
+                flags = np.zeros(m, dtype=np.int64)
+                flags[dup_starts] = 1
+                flags[dup_starts + 1] = 1
+                flags[dup_starts + 2] = 1
+                cs = np.concatenate(([0], np.cumsum(flags)))
+                n_dup = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col],
+             "n_tokens": pa.array(per_row.astype(np.int64)),
+             "n_dup_positions": pa.array(n_dup)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True)

@@ -2999,3 +2999,36 @@ def test_salted_join_equals_plain(ray_session):
             "k", hot_threshold=thr, n_salt=4, num_partitions=4,
         ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
         assert got[plain.columns.tolist()].equals(plain), thr
+
+
+def test_dup_trigram_positions_matches_duckdb(ray_session):
+    """Duplicate-trigram coverage equals the SQL window twin across
+    layouts: overlapping duplicated trigrams count positions once,
+    short docs (<3 tokens) are zero, null text is (0, 0)."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.vocab import dup_trigram_positions
+
+    rng = np.random.default_rng(47)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> many dup trigrams
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+        for _ in range(300)
+    ] + ["a b a b a b a b", "x y z", "one two", "solo", "", None]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    con = duckdb.connect()
+    con.register("documents", t)
+    import __ray_entry__ as E
+
+    want = con.execute(
+        E.oracle_sql()["doc_dup_trigram_frac"] + " ORDER BY d.doc_id"
+    ).df()
+    for parts in (1, 5):
+        got = dup_trigram_positions(
+            ray.data.from_arrow(t).repartition(parts),
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want), parts
