@@ -2316,26 +2316,15 @@ def q_orders_exists_returns(sf_dir: str):
         Sum("n", alias_name="order_count"))
 
 
-def q_lines_urgency_by_returnflag(sf_dir: str):
-    """TPC-H Q12 shape on the available columns: per return flag, how
-    many lines belong to high-priority (1-URGENT/2-HIGH) vs low-priority
-    orders.  Native hash join + vectorized conditional partial counts +
-    one narrow groupby."""
+def _li_rename_for_join(t: pa.Table) -> pa.Table:
+    return pa.table({"o_orderkey": t["l_orderkey"],
+                     "l_returnflag": t["l_returnflag"]})
+
+
+def _urgency_from_joined(joined):
+    """Shared tail of the Q12 shape: vectorized conditional partial
+    counts per return flag, one narrow groupby."""
     from ray.data.aggregate import Sum
-
-    from luzzu_ray.ops.dedup import auto_partitions
-
-    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
-
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"o_orderkey": t["l_orderkey"],
-                         "l_returnflag": t["l_returnflag"]})
-
-    li2 = li.map_batches(rename, batch_format="pyarrow",
-                         zero_copy_batch=True)
-    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = li2.join(orders, join_type="inner", on=("o_orderkey",),
-                      num_partitions=auto_partitions(li, None))
 
     def partial(t: pa.Table) -> pa.Table:
         hi = pc.cast(
@@ -2357,6 +2346,32 @@ def q_lines_urgency_by_returnflag(sf_dir: str):
         Sum("high_line_count", alias_name="high_line_count"),
         Sum("low_line_count", alias_name="low_line_count"),
     )
+
+
+_LINES_URGENCY_SQL = (
+    "SELECT l_returnflag, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY l_returnflag"
+)
+
+
+def q_lines_urgency_by_returnflag(sf_dir: str):
+    """TPC-H Q12 shape on the available columns: per return flag, how
+    many lines belong to high-priority (1-URGENT/2-HIGH) vs low-priority
+    orders.  Native hash join + the shared conditional-count tail."""
+    from luzzu_ray.ops.dedup import auto_partitions
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    li2 = li.map_batches(_li_rename_for_join, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li2.join(orders, join_type="inner", on=("o_orderkey",),
+                      num_partitions=auto_partitions(li, None))
+    return _urgency_from_joined(joined)
 
 
 def q_events_type_share(sf_dir: str):
@@ -2388,7 +2403,10 @@ def q_users_all_types(sf_dir: str):
     from luzzu_ray.ops.relational import grouped_distinct_count
 
     ev = _tbl(sf_dir, "events", ["user_id", "event_type"])
-    n_types = len(ev.unique("event_type"))
+    # NULL is not a type: count(DISTINCT) ignores it on the SQL side
+    # and grouped_distinct_count ignores null values, so the universe
+    # must exclude it too or division returns nobody
+    n_types = len([v for v in ev.unique("event_type") if v is not None])
     counts = grouped_distinct_count(ev, "user_id", "event_type")
 
     def full(t: pa.Table) -> pa.Table:
@@ -2505,14 +2523,21 @@ def q_documents_csv_roundtrip(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    # cache key includes the source's (mtime, size): a regenerated
+    # corpus at the same path can never serve a stale CSV
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
     cache = f"/tmp/luzzu_csv_{tag}"
     path = os.path.join(cache, "documents.csv")
     if not os.path.exists(path):
         os.makedirs(cache, exist_ok=True)
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-        pacsv.write_csv(t, path + ".tmp")
-        os.replace(path + ".tmp", path)
+        t = pq.read_table(src)
+        tmp = f"{path}.{os.getpid()}.tmp"  # concurrent runs never race
+        pacsv.write_csv(t, tmp)
+        os.replace(tmp, path)
     ds = ray.data.read_csv(path)
 
     def stats(t: pa.Table) -> pa.Table:
@@ -2544,46 +2569,19 @@ def q_doc_normalize(sf_dir: str):
 
 
 def q_lines_urgency_salted(sf_dir: str):
-    """The Q12-shape join run through the SKEW-PROOF salted join
-    (hot-key fan-out + right replication); results must hash-match the
-    same SQL oracle as the unsalted variant.  hot_threshold=5 so both
-    the hot and cold paths execute on the sf corpora."""
-    from ray.data.aggregate import Sum
-
+    """The Q12 shape run through the SKEW-PROOF salted join (hot-key
+    fan-out + right replication); results must hash-match the SAME SQL
+    oracle as the unsalted variant.  hot_threshold=5 so both the hot
+    and cold paths execute on the sf corpora."""
     from luzzu_ray.ops.relational import salted_inner_join
 
     li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
-
-    def rename(t: pa.Table) -> pa.Table:
-        return pa.table({"o_orderkey": t["l_orderkey"],
-                         "l_returnflag": t["l_returnflag"]})
-
-    li2 = li.map_batches(rename, batch_format="pyarrow",
+    li2 = li.map_batches(_li_rename_for_join, batch_format="pyarrow",
                          zero_copy_batch=True)
     orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = salted_inner_join(li2, orders, "o_orderkey",
                                hot_threshold=5, n_salt=4)
-
-    def partial(t: pa.Table) -> pa.Table:
-        hi = pc.cast(
-            pc.is_in(t["o_orderpriority"],
-                     value_set=pa.array(["1-URGENT", "2-HIGH"])),
-            pa.int64(),
-        )
-        tt = pa.table(
-            {"l_returnflag": t["l_returnflag"], "high": hi,
-             "low": pc.subtract(pa.scalar(1, pa.int64()), hi)}
-        )
-        g = tt.group_by("l_returnflag").aggregate(
-            [("high", "sum"), ("low", "sum")])
-        return g.rename_columns(["l_returnflag", "high_line_count",
-                                 "low_line_count"])
-
-    parts = joined.map_batches(partial, batch_format="pyarrow")
-    return parts.groupby("l_returnflag", num_partitions=4).aggregate(
-        Sum("high_line_count", alias_name="high_line_count"),
-        Sum("low_line_count", alias_name="low_line_count"),
-    )
+    return _urgency_from_joined(joined)
 
 
 def q_doc_dup_trigram_frac(sf_dir: str):
@@ -3603,15 +3601,7 @@ FROM dfs GROUP BY df
         "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
         "AND l_returnflag = 'R') GROUP BY o_orderpriority"
     )
-    sqls["lines_urgency_by_returnflag"] = (
-        "SELECT l_returnflag, "
-        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
-        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-        "GROUP BY l_returnflag"
-    )
+    sqls["lines_urgency_by_returnflag"] = _LINES_URGENCY_SQL
     sqls["prefix_contained"] = (
         "SELECT a.doc_id, EXISTS(SELECT 1 FROM documents b "
         "WHERE b.doc_id <> a.doc_id AND b.text IS NOT NULL "
@@ -3647,15 +3637,7 @@ FROM dfs GROUP BY df
         "CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_dup_positions "
         "FROM documents d LEFT JOIN cnt USING (doc_id)"
     )
-    sqls["lines_urgency_salted"] = (
-        "SELECT l_returnflag, "
-        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
-        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-        "GROUP BY l_returnflag"
-    )
+    sqls["lines_urgency_salted"] = _LINES_URGENCY_SQL
     sqls["doc_normalize"] = (
         "SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g'), "
         "' ') AS text_norm FROM documents"

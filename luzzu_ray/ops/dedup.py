@@ -1701,12 +1701,25 @@ def _prefix_flag_block(t: pa.Table) -> pa.Table:
         nz = la_c > 0
         cand, la_c = cand[nz], la_c[nz]
         if len(cand):
-            starts = np.concatenate(([0], np.cumsum(la_c[:-1])))
-            pos = np.arange(int(la_c.sum())) - np.repeat(starts, la_c)
-            ia = np.repeat(offs[:-1][cand].astype(np.int64), la_c) + pos
-            ib = np.repeat(offs[1:][cand].astype(np.int64), la_c) + pos
-            eq = data[ia] == data[ib]
-            flag[cand] = np.logical_and.reduceat(eq, starts)
+            # gather in bounded chunks: the index arrays cost ~25x the
+            # prefix bytes they compare, so a block of near-duplicate
+            # long docs (this op's target workload) would otherwise
+            # allocate GBs transiently
+            budget = 16 << 20  # bytes of gathered prefix per chunk
+            cum = np.cumsum(la_c)
+            lo = 0
+            while lo < len(cand):
+                base = cum[lo - 1] if lo else 0
+                hi = int(np.searchsorted(cum, base + budget)) + 1
+                hi = min(hi, len(cand))
+                cc, lc = cand[lo:hi], la_c[lo:hi]
+                starts = np.concatenate(([0], np.cumsum(lc[:-1])))
+                pos = np.arange(int(lc.sum())) - np.repeat(starts, lc)
+                ia = np.repeat(offs[:-1][cc].astype(np.int64), lc) + pos
+                ib = np.repeat(offs[1:][cc].astype(np.int64), lc) + pos
+                eq = data[ia] == data[ib]
+                flag[cc] = np.logical_and.reduceat(eq, starts)
+                lo = hi
         # the LAST row of an equal-text run has no containing
         # successor but equals its predecessor — also contained
         eq_prev = flag[:-1] & (la == lb)
@@ -1716,22 +1729,46 @@ def _prefix_flag_block(t: pa.Table) -> pa.Table:
 
 class _ShortPrefixCounter:
     """Actor-pool stage: count, per broadcast short pattern, how many
-    docs in each batch start with it (patterns resolved once per
-    actor from the object store)."""
+    docs in each batch start with it (patterns resolved once per actor
+    from the object store).
+
+    Vectorized by PATTERN LENGTH, not per pattern: all patterns are
+    shorter than PREFIX_BUCKET_CP codepoints, so there are at most that
+    many distinct lengths; each length costs one ``utf8_slice`` + one
+    ``index_in`` + one ``bincount`` over the batch — O(batch x lengths),
+    never O(batch x |patterns|) (a 50k-pattern short set would
+    otherwise mean 50k sequential scans per batch)."""
 
     def __init__(self, ref):
-        self.patterns = ray.get(ref)
+        patterns = ray.get(ref)
+        self.by_len: dict[int, tuple[pa.Array, np.ndarray]] = {}
+        for ln in {len(p) for p in patterns}:
+            idxs = np.array(
+                [j for j, p in enumerate(patterns) if len(p) == ln],
+                dtype=np.int64)
+            vals = pa.array([patterns[j] for j in idxs], pa.string())
+            self.by_len[ln] = (vals, idxs)
+        self.n_patterns = len(patterns)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t["text"].combine_chunks()
-        idx, cnt = [], []
-        for j, s in enumerate(self.patterns):
-            m = pc.sum(pc.starts_with(texts, pattern=s)).as_py() or 0
-            if m:
-                idx.append(j)
-                cnt.append(int(m))
-        return pa.table({"sidx": pa.array(idx, pa.int64()),
-                         "n": pa.array(cnt, pa.int64())})
+        tot = np.zeros(self.n_patterns, dtype=np.int64)
+        for ln, (vals, idxs) in self.by_len.items():
+            if ln == 0:
+                # the empty string prefixes every (non-null) string
+                tot[idxs] += len(texts) - texts.null_count
+                continue
+            sliced = pc.utf8_slice_codeunits(texts, 0, ln)
+            pos = pc.index_in(sliced, value_set=vals)
+            hits = pos.to_numpy(zero_copy_only=False)
+            ok = ~np.isnan(hits)
+            if ok.any():
+                local = np.bincount(hits[ok].astype(np.int64),
+                                    minlength=len(idxs))
+                tot[idxs] += local
+        nz = np.flatnonzero(tot)
+        return pa.table({"sidx": pa.array(nz),
+                         "n": pa.array(tot[nz])})
 
 
 def prefix_contained(

@@ -1148,6 +1148,9 @@ def hourly_dense(
     _ensure_hash_shuffle()
 
     def partial(t: pa.Table) -> pa.Table:
+        # null ts rows carry no hour and are excluded (the SQL twin's
+        # dense LEFT JOIN can never match a NULL hr either)
+        t = t.filter(pc.is_valid(t[ts_col]))
         hour = pc.divide(  # int64 division == SQL // on positive epochs
             pc.cast(t[ts_col], pa.int64()),
             pa.scalar(3_600_000_000, pa.int64()),
@@ -1174,11 +1177,11 @@ def hourly_dense(
                  "hour_bucket": pa.array([], pa.int64()),
                  "n": pa.array([], pa.int64())}
             )
-        enc = pc.dictionary_encode(t[type_col].combine_chunks())
-        tc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        from luzzu_ray.ops.relational import _codes_with_null
+
+        tc, td = _codes_with_null(t[type_col].combine_chunks())
         hr = t["hour_bucket"].to_numpy(zero_copy_only=False)
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nt = len(enc.dictionary)
         # merge partials: unique (type, hour) with summed counts
         span = hr.max() - hr.min() + 1
         comb = tc * span + (hr - hr.min())
@@ -1204,7 +1207,7 @@ def hourly_dense(
         type_seg = np.repeat(np.arange(len(starts)), ends - starts)
         out_n[out_starts[type_seg] + (uh - mn[type_seg])] = tot
         return pa.table(
-            {type_col: enc.dictionary.take(pa.array(out_type)),
+            {type_col: td.take(pa.array(out_type)),
              "hour_bucket": pa.array(out_hr),
              "n": pa.array(out_n)}
         )

@@ -1667,6 +1667,28 @@ def grouped_argmax(
     ).map_batches(best_block, batch_format="pyarrow", batch_size=None)
 
 
+def _codes_with_null(arr: pa.Array) -> tuple[np.ndarray, pa.Array]:
+    """Dictionary-encode into int64 codes where NULL gets its own code
+    ``len(dictionary)`` (a null dict index comes back as NaN from
+    to_numpy, and ``.astype(int64)`` would turn it into INT64_MIN
+    garbage).  Returns (codes, dictionary-with-trailing-null) so
+    ``dict.take(codes)`` round-trips nulls."""
+    enc = pc.dictionary_encode(arr)
+    idx = enc.indices
+    nullm = pc.is_null(idx).to_numpy(zero_copy_only=False)
+    raw = idx.to_numpy(zero_copy_only=False)
+    if nullm.any():
+        codes = np.where(
+            nullm, len(enc.dictionary), np.nan_to_num(raw)
+        ).astype(np.int64)
+        d = pa.concat_arrays([
+            enc.dictionary,
+            pa.array([None], enc.dictionary.type),
+        ])
+        return codes, d
+    return raw.astype(np.int64), enc.dictionary
+
+
 def grouped_count_share(
     ds: ray.data.Dataset,
     key: str,
@@ -1690,10 +1712,11 @@ def grouped_count_share(
     _ensure_hash_shuffle()
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by([key, subkey]).aggregate([(subkey, "count")])
+        # count_all, not count(subkey): SQL count(*) keeps null groups
+        g = t.group_by([key, subkey]).aggregate([([], "count_all")])
         return pa.table(
             {key: g[key], subkey: g[subkey],
-             "n": pc.cast(g[f"{subkey}_count"], pa.int64())}
+             "n": pc.cast(g["count_all"], pa.int64())}
         )
 
     parts = ds.select_columns([key, subkey]).map_batches(
@@ -1712,12 +1735,10 @@ def grouped_count_share(
                  "n": pa.array([], pa.int64()),
                  "key_total": pa.array([], pa.int64())}
             )
-        ek = pc.dictionary_encode(t[key].combine_chunks())
-        es = pc.dictionary_encode(t[subkey].combine_chunks())
-        kc = ek.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        sc = es.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kc, kd = _codes_with_null(t[key].combine_chunks())
+        sc, sd = _codes_with_null(t[subkey].combine_chunks())
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vs = len(es.dictionary)
+        vs = len(sd)
         comb = kc * vs + sc
         uniq, inv = np.unique(comb, return_inverse=True)
         tot = np.zeros(len(uniq), dtype=np.int64)
@@ -1730,8 +1751,8 @@ def grouped_count_share(
         ktot = np.add.reduceat(tot, starts)
         key_total = np.repeat(ktot, ends - starts)
         return pa.table(
-            {key: ek.dictionary.take(pa.array(uk)),
-             subkey: es.dictionary.take(pa.array(us)),
+            {key: kd.take(pa.array(uk)),
+             subkey: sd.take(pa.array(us)),
              "n": pa.array(tot),
              "key_total": pa.array(key_total)}
         )
@@ -1966,18 +1987,21 @@ def salted_inner_join(
     ).groupby(key, num_partitions=width).aggregate(
         Sum("n", alias_name="n"))
     hot_rows = counts.filter(expr=f"n > {hot_threshold}").take_all()
-    hot = np.sort(np.array([r[key] for r in hot_rows], dtype=np.int64))
-    hot_ref = ray.put(hot)
+    # keep the hot set as a TYPED Arrow array: the key may be string,
+    # date, uint64 — never assume int64
+    hot_arr = pa.array([r[key] for r in hot_rows]) if hot_rows else None
+    hot_ref = ray.put(hot_arr)
 
     class SaltLeft:
         def __init__(self, ref):
             self.hot = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            k = t[key].to_numpy(zero_copy_only=False)
             salt = np.zeros(t.num_rows, dtype=np.int64)
-            if len(self.hot):
-                is_hot = np.isin(k, self.hot)
+            if self.hot is not None:
+                is_hot = pc.is_in(
+                    t[key], value_set=self.hot
+                ).to_numpy(zero_copy_only=False).astype(bool)
                 # any spread works (results invariant); position hash
                 # spreads a hot key's rows evenly within each batch
                 salt[is_hot] = (
@@ -1989,11 +2013,12 @@ def salted_inner_join(
             self.hot = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            k = t[key].to_numpy(zero_copy_only=False)
             salt = np.zeros(t.num_rows, dtype=np.int64)
             out = t.append_column("_salt", pa.array(salt))
-            if len(self.hot):
-                is_hot = np.isin(k, self.hot)
+            if self.hot is not None:
+                is_hot = pc.is_in(
+                    t[key], value_set=self.hot
+                ).to_numpy(zero_copy_only=False).astype(bool)
                 if is_hot.any():
                     hot_part = t.filter(pa.array(is_hot))
                     reps = []

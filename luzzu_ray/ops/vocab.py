@@ -699,9 +699,10 @@ def dup_trigram_positions(
     fraction reconstructs without float division).
 
     Embarrassingly parallel — no exchange; per batch: ONE dictionary
-    encode, trigram ids as collision-free composite codes, one global
-    sort marks within-doc duplicate trigrams, covered positions scatter
-    into a flat boolean and count per doc with ``reduceat``.  Tokens
+    encode, one lexsort on the raw (doc, code-triple) keys — never a
+    composite id, which would overflow int64 past 2^21 distinct tokens
+    — marks within-doc duplicate trigrams, and covered positions
+    scatter into a flat array counted per doc with a cumsum.  Tokens
     are the single-space split (SQL twin joins them with spaces —
     injective, tokens cannot contain spaces)."""
 
@@ -723,18 +724,23 @@ def dup_trigram_positions(
             enc = pc.dictionary_encode(flat)
             codes = enc.indices.to_numpy(
                 zero_copy_only=False).astype(np.int64)
-            v = max(len(enc.dictionary), 1)
             rid = np.repeat(np.arange(n, dtype=np.int64), per_row)
             # valid trigram starts: i, i+1, i+2 in the same doc
             valid = np.flatnonzero(rid[:-2] == rid[2:])
             if len(valid):
-                tid = (codes[valid] * v + codes[valid + 1]) * v \
-                    + codes[valid + 2]
+                # sort on the raw code triple (never a composite id —
+                # (c0*v + c1)*v + c2 overflows int64 past v = 2^21)
+                c0 = codes[valid]
+                c1 = codes[valid + 1]
+                c2 = codes[valid + 2]
                 key_doc = rid[valid]
-                order = np.lexsort((tid, key_doc))
-                kd, kt = key_doc[order], tid[order]
+                order = np.lexsort((c2, c1, c0, key_doc))
+                kd = key_doc[order]
+                s0, s1, s2 = c0[order], c1[order], c2[order]
                 same = np.concatenate(
-                    ([False], (kd[1:] == kd[:-1]) & (kt[1:] == kt[:-1])))
+                    ([False],
+                     (kd[1:] == kd[:-1]) & (s0[1:] == s0[:-1])
+                     & (s1[1:] == s1[:-1]) & (s2[1:] == s2[:-1])))
                 # an occurrence is duplicated if it matches its sorted
                 # neighbor on either side
                 dup_occ = same.copy()

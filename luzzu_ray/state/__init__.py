@@ -56,6 +56,10 @@ class BloomDedupIndex:
                 raise ValueError(f"corrupt bloom state: mask {mask:#x}")
             self.mask = np.uint64(mask)
             self.k = int(t["k"][0].as_py())
+            if not 1 <= self.k <= 64:
+                # k=0 would mark EVERY key as seen (the probe loop
+                # never runs) — silent total data loss on resume
+                raise ValueError(f"corrupt bloom state: k={self.k}")
             bits = np.frombuffer(t["bits"][0].as_py(), dtype=np.uint8)
             if len(bits) != 1 << (n_bits_log2 - 3):
                 raise ValueError(

@@ -3032,3 +3032,91 @@ def test_dup_trigram_positions_matches_duckdb(ray_session):
             ray.data.from_arrow(t).repartition(parts),
         ).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert got.equals(want), parts
+
+
+def test_count_share_and_hourly_dense_null_safe(ray_session):
+    """Null keys/subkeys form their own SQL groups in count_share; null
+    ts rows are excluded and null event_type keeps its own dense range
+    in hourly_dense (dict-index NaN -> INT64_MIN garbage pinned)."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.events import hourly_dense
+    from luzzu_ray.ops.relational import grouped_count_share
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, None, 2, None], pa.int64()),
+        "event_type": pa.array(["a", None, "a", "b", None]),
+    })
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute("""
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT)
+               AS key_total
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id NULLS LAST, event_type NULLS LAST
+    """).df()
+    got = grouped_count_share(
+        ray.data.from_arrow(t), "user_id", "event_type",
+        num_partitions=2,
+    ).to_pandas().sort_values(
+        ["user_id", "event_type"], na_position="last"
+    ).reset_index(drop=True)
+    assert got.equals(want)
+
+    base = 1_700_000_000_000_000
+    e = pa.table({
+        "event_type": pa.array(["a", "a", None, "b", None]),
+        "ts": pa.array(
+            [base, base + 7_200_000_000, base, None, base + 3_600_000_000],
+            pa.timestamp("us")),
+    })
+    con2 = duckdb.connect()
+    con2.register("events", e)
+    want2 = con2.execute("""
+      WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             count(*) AS n FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+      b AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx
+            FROM h GROUP BY 1),
+      d AS (SELECT b.event_type, unnest(generate_series(b.mn, b.mx))
+            AS hr FROM b)
+      SELECT d.event_type, d.hr AS hour_bucket,
+             CAST(coalesce(h.n, 0) AS BIGINT) AS n
+      FROM d LEFT JOIN h ON d.event_type IS NOT DISTINCT FROM
+        h.event_type AND d.hr = h.hr
+      ORDER BY d.event_type NULLS LAST, hour_bucket
+    """).df()
+    got2 = hourly_dense(
+        ray.data.from_arrow(e), num_partitions=2,
+    ).to_pandas().sort_values(
+        ["event_type", "hour_bucket"], na_position="last"
+    ).reset_index(drop=True)
+    assert got2.equals(want2)
+
+
+def test_salted_join_string_key(ray_session):
+    """Salted join works on STRING keys (typed Arrow hot set, no int64
+    assumption) with a hot key present."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import salted_inner_join
+
+    left = pa.table({
+        "k": pa.array(["hot"] * 500 + [f"c{i}" for i in range(50)]),
+        "lv": pa.array(np.arange(550, dtype=np.int64)),
+    })
+    right = pa.table({
+        "k": pa.array(["hot"] + [f"c{i}" for i in range(50)]),
+        "rv": pa.array(np.arange(51, dtype=np.int64)),
+    })
+    plain = ray.data.from_arrow(left).join(
+        ray.data.from_arrow(right), join_type="inner", on=("k",),
+        num_partitions=3,
+    ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    got = salted_inner_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right),
+        "k", hot_threshold=100, n_salt=3, num_partitions=3,
+    ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    assert got[plain.columns.tolist()].equals(plain)
