@@ -1309,6 +1309,220 @@ def q_tpch_q3(sf_dir: str):
     ).limit(10)
 
 
+Q6_LO_US = Q3_CUTOFF_US                   # 1997-01-01
+Q6_HI_US = 883_612_800_000_000            # 1998-01-01
+Q18_MIN_QTY_Q2 = 250 * 100                # sum(l_quantity) > 250, fixed-point
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape (forecast revenue change): pure scan-side
+    predicate pushup — every filter and the fixed-point revenue product
+    run inside one zero-copy map_batches; only a two-column partial
+    (revenue_q4, n_rows) per block reaches the driver-side sum.  No
+    exchange at all: at 100TB this is a read-limited embarrassingly
+    parallel scan."""
+    lo = pa.scalar(Q6_LO_US, pa.timestamp("us"))
+    hi = pa.scalar(Q6_HI_US, pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], 0.05),
+                        pc.less_equal(t["l_discount"], 0.07)),
+                pc.less(t["l_quantity"], 24.0),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.cast(pc.floor(pc.multiply(
+            pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
+                        pc.cast(t["l_discount"], pa.float64())),
+            10000.0,
+        )), pa.int64())
+        return pa.table({
+            "revenue_q4": pa.array([int(pc.sum(rev).as_py() or 0)],
+                                   pa.int64()),
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+        })
+
+    parts = _tbl(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow")
+    tot = parts.sum(["revenue_q4", "n_rows"])
+    return pa.table({
+        "revenue_q4": pa.array([int(tot["sum(revenue_q4)"])], pa.int64()),
+        "n_rows": pa.array([int(tot["sum(n_rows)"])], pa.int64()),
+    })
+
+
+def q_orders_dow_counts(sf_dir: str):
+    """Calendar kernel conformance: day-of-week derived from the raw
+    epoch-microsecond timestamp with pure integer arithmetic
+    ((epoch_days + 4) % 7 == DuckDB's dayofweek, Sunday=0) — no
+    datetime library in the hot path — then a counts-only grouped
+    combine by (dow, o_orderpriority)."""
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    def dow(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+        days = us // 86_400_000_000
+        return pa.table({
+            "dow": pa.array((days + 4) % 7, pa.int64()),
+            "o_orderpriority": t["o_orderpriority"],
+        })
+
+    ds = _tbl(sf_dir, "orders", ["o_orderdate", "o_orderpriority"]).map_batches(
+        dow, batch_format="pyarrow"
+    )
+    return grouped_sum_q(
+        ds, ["dow", "o_orderpriority"], float_cols={}, count_as="n_orders",
+        num_partitions=8,
+    )
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape (large-volume customers): fact-side grouped
+    quantity combine FIRST (partial+final, fixed-point), the HAVING
+    filter collapses the fact table to a tiny survivor set, and only
+    that survivor set enters the two hash joins (orders, customer).
+    At 100TB the joins move survivors, never the raw lineitem rows."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    qty = grouped_sum_q(
+        li, ["l_orderkey"], float_cols={"l_quantity": "sum_qty_q2"}, q=2,
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty_q2"], Q18_MIN_QTY_Q2)),
+        batch_format="pyarrow",
+    )
+    qty = qty.repartition(num_blocks=8).materialize()  # tiny survivor set
+
+    orders = _tbl(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def tp_q2(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate": t["o_orderdate"],
+            "totalprice_q2": pc.cast(
+                pc.floor(pc.multiply(pc.cast(t["o_totalprice"], pa.float64()),
+                                     100.0)),
+                pa.int64()),
+        })
+
+    j1 = orders.map_batches(tp_q2, batch_format="pyarrow").join(
+        qty, join_type="inner", on=("o_orderkey",), right_on=("l_orderkey",),
+        num_partitions=auto_partitions(orders, None),
+    )
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = j1.join(
+        cust, join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=8,
+    )
+    return j2.select_columns(
+        ["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+         "totalprice_q2", "sum_qty_q2"]
+    ).sort(["totalprice_q2", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier revenue): the two big tables meet
+    in native hash joins (lineitem⋈orders on orderkey, then ⋈customer
+    on custkey), while the genuinely small sides (supplier 10x smaller
+    than customer, nation, region) ride a single ray.put broadcast into
+    a zero-copy map stage that applies the s_nationkey == c_nationkey
+    locality predicate and the fixed-point revenue product before the
+    final narrow grouped combine by nation name."""
+    import ray
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    lo = pa.scalar(Q6_LO_US, pa.timestamp("us"))
+    hi = pa.scalar(Q6_HI_US, pa.timestamp("us"))
+
+    # tiny dims on the driver: nation ⋈ region('ASIA') and supplier map
+    nation = _tbl(sf_dir, "nation").take_all()
+    region = {r["r_regionkey"]: r["r_name"] for r in _tbl(sf_dir, "region").take_all()}
+    asia_nk = {int(n["n_nationkey"]): n["n_name"] for n in nation
+               if region[n["n_regionkey"]] == "ASIA"}
+    supp = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    supp_nk = np.full(max(s["s_suppkey"] for s in supp) + 1, -1, np.int64)
+    for s in supp:
+        supp_nk[s["s_suppkey"]] = s["s_nationkey"]
+    supp_ref = ray.put(supp_nk)
+    nk_items = sorted(asia_nk.items())
+    asia_keys = np.array([k for k, _ in nk_items], np.int64)
+    asia_names = [v for _, v in nk_items]
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    odate = orders.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    li = _tbl(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j1 = li.join(
+        odate, join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=auto_partitions(li, None),
+    )
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = j1.join(
+        cust, join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=auto_partitions(cust, None),
+    )
+
+    class LocalRevenue:
+        def __init__(self, supp_ref, asia_keys, asia_names):
+            self.supp_nk = ray.get(supp_ref) if isinstance(
+                supp_ref, ray.ObjectRef) else supp_ref
+            self.asia_keys = asia_keys
+            self.names = pa.array(asia_names, pa.string())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            snk = np.where(sk < len(self.supp_nk), self.supp_nk[
+                np.minimum(sk, len(self.supp_nk) - 1)], -1)
+            cnk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(self.asia_keys, snk)
+            idx_c = np.clip(idx, 0, len(self.asia_keys) - 1)
+            keep = (snk == cnk) & (self.asia_keys[idx_c] == snk)
+            t2 = t.filter(pa.array(keep))
+            rev = pc.floor(pc.multiply(pc.multiply(
+                pc.cast(t2["l_extendedprice"], pa.float64()),
+                pc.subtract(pa.scalar(1.0),
+                            pc.cast(t2["l_discount"], pa.float64()))),
+                100.0))
+            nk2 = t2["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.asia_keys, nk2)
+            return pa.table({
+                "n_name": pc.take(self.names, pa.array(pos, pa.int64())),
+                "rev_q2": pc.cast(rev, pa.int64()),
+            })
+
+    named = j2.map_batches(
+        LocalRevenue,
+        fn_constructor_args=(supp_ref, asia_keys, asia_names),
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    out = grouped_sum_q(
+        named, ["n_name"], float_cols={}, int_cols={"rev_q2": "revenue_q2"},
+        count_as="n_rows", num_partitions=4,
+    )
+    return out.sort("revenue_q2", descending=True)
+
+
 def q_ssjoin_pairs(sf_dir: str):
     """EXACT set-similarity join (recall exactly 1, unlike the banded
     minhash path): prefix-filter candidate generation under a two-tier
@@ -2766,6 +2980,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": q_inverted_postings,
         "ssjoin_pairs": q_ssjoin_pairs,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q18": q_tpch_q18,
+        "orders_dow_counts": q_orders_dow_counts,
         "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_semi_bloom": q_lineitem_semi_bloom,
         "events_prior_views": q_events_prior_views,
@@ -3455,6 +3673,49 @@ FROM dfs GROUP BY df
             f"c.c_custkey = o.o_custkey AND c.c_mktsegment = '{Q3_SEGMENT}') "
             "GROUP BY 1, 2, 3 "
             "ORDER BY revenue_q2 DESC, o_orderdate, o_orderkey LIMIT 10"
+        ),
+        "tpch_q6": (
+            "SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * "
+            "l_discount * 10000.0) AS BIGINT)), 0) AS BIGINT) AS revenue_q4, "
+            "CAST(count(*) AS BIGINT) AS n_rows FROM lineitem "
+            f"WHERE l_shipdate >= make_timestamp({Q6_LO_US}) "
+            f"AND l_shipdate < make_timestamp({Q6_HI_US}) "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 "
+            "AND l_quantity < 24"
+        ),
+        "orders_dow_counts": (
+            "SELECT CAST(dayofweek(o_orderdate) AS BIGINT) AS dow, "
+            "o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1, 2"
+        ),
+        "tpch_q18": (
+            "WITH qty AS (SELECT l_orderkey, "
+            "CAST(sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty_q2 FROM lineitem GROUP BY 1 "
+            f"HAVING sum_qty_q2 > {Q18_MIN_QTY_Q2}) "
+            "SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, "
+            "CAST(floor(o.o_totalprice * 100.0) AS BIGINT) AS totalprice_q2, "
+            "q.sum_qty_q2 FROM qty q "
+            "JOIN orders o ON o.o_orderkey = q.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "ORDER BY totalprice_q2 DESC, o.o_orderkey LIMIT 20"
+        ),
+        "tpch_q5": (
+            "SELECT n.n_name, "
+            "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) "
+            "* 100.0) AS BIGINT)) AS BIGINT) AS revenue_q2, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "AND c.c_nationkey = s.s_nationkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "WHERE r.r_name = 'ASIA' "
+            f"AND o.o_orderdate >= make_timestamp({Q6_LO_US}) "
+            f"AND o.o_orderdate < make_timestamp({Q6_HI_US}) "
+            "GROUP BY 1"
         ),
         "events_prior_views": (
             "SELECT c.event_id, c.user_id, "
