@@ -1589,6 +1589,77 @@ def q_events_value_hour_corr(sf_dir: str):
     )
 
 
+def q_events_value_hour_regr(sf_dir: str):
+    """Grouped least-squares regression (value_q2 vs hour-of-day per
+    event type) emitted as EXACT integer rationals: the five integer
+    moments come from the same layout-invariant combine as the
+    correlation op, and slope/intercept are reported as
+    (numerator, denominator) pairs — slope = slope_num / den,
+    intercept = icept_num / (n * den) — so the result is bit-exact
+    regardless of summation order and the SQL twin needs no float
+    division at all.  Bound: products stay within int64 while
+    n * max|x*y| < 2^63 (hour <= 23, value_q2 fixed-point)."""
+    from luzzu_ray.ops.relational import grouped_corr_q
+
+    ev = _tbl(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        vq2 = pc.cast(
+            pc.floor(pc.multiply(pc.cast(t["value"], pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"event_type": t["event_type"],
+             "value_q2": vq2,
+             "hod": pc.subtract(h, pc.multiply(pc.divide(h, 24), 24))}
+        )
+
+    mom = grouped_corr_q(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type", "hod", "value_q2", q=0,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "slope_num": pa.array([], pa.int64()),
+                "icept_num": pa.array([], pa.int64()),
+                "den": pa.array([], pa.int64()),
+            })
+        rows = t.to_pylist()
+        s_num, i_num, den = [], [], []
+        for r in rows:  # #groups rows only; Python bigints
+            d = r["n"] * r["sxx"] - r["sx"] * r["sx"]
+            s_num.append(r["n"] * r["sxy"] - r["sx"] * r["sy"])
+            i_num.append(r["sy"] * d - s_num[-1] * r["sx"])
+            den.append(d)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": t["n"],
+            "slope_num": pa.array(s_num, pa.int64()),
+            "icept_num": pa.array(i_num, pa.int64()),
+            "den": pa.array(den, pa.int64()),
+        })
+
+    return mom.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def q_part_cooc_triangles(sf_dir: str):
+    """Graph analytics over the part co-purchase graph: DISTINCT
+    same-order part pairs (vectorized segment-arange pair generation,
+    16-byte pair exchange), then the exact wedge-and-close triangle
+    count (one native hash join + one composite-key semi join; both
+    counts are metadata reductions, nothing lands on the driver)."""
+    from luzzu_ray.ops.graph import cooccurrence_edges, triangle_counts
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_counts(edges)
+
+
 def q_events_hod_type_pivot(sf_dir: str):
     """PIVOT: hour-of-day rows x one count column per event type —
     per-block 2-D bincount into already-wide partials, one narrow
@@ -2975,6 +3046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_transitions": q_events_type_transitions,
         "events_hod_type_pivot": q_events_hod_type_pivot,
         "events_value_hour_corr": q_events_value_hour_corr,
+        "events_value_hour_regr": q_events_value_hour_regr,
+        "part_cooc_triangles": q_part_cooc_triangles,
         "events_value_outliers": q_events_value_outliers,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
         "inverted_postings": q_inverted_postings,
@@ -3327,6 +3400,33 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         # integer-moment Pearson: HUGEINT sums + the SAME final float
         # expression as the Ray side -> bit-identical corr, unlike a
         # streaming corr() (Welford) whose result is order-dependent
+        "events_value_hour_regr": (
+            "WITH p AS (SELECT event_type, "
+            "(epoch_us(ts) // 3600000000) % 24 AS hod, "
+            "CAST(floor(value * 100.0) AS BIGINT) AS vq2 FROM events), "
+            "m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "CAST(sum(hod) AS HUGEINT) AS sx, "
+            "CAST(sum(vq2) AS HUGEINT) AS sy, "
+            "CAST(sum(hod * hod) AS HUGEINT) AS sxx, "
+            "CAST(sum(hod * vq2) AS HUGEINT) AS sxy "
+            "FROM p GROUP BY event_type) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num, "
+            "CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx "
+            "AS BIGINT) AS icept_num, "
+            "CAST(n * sxx - sx * sx AS BIGINT) AS den FROM m"
+        ),
+        "part_cooc_triangles": (
+            "WITH e AS (SELECT DISTINCT l1.l_partkey AS a, "
+            "l2.l_partkey AS b FROM lineitem l1 JOIN lineitem l2 "
+            "ON l1.l_orderkey = l2.l_orderkey "
+            "AND l1.l_partkey < l2.l_partkey) "
+            "SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges, "
+            "CAST((SELECT count(*) FROM e e1 "
+            "JOIN e e2 ON e1.b = e2.a "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT) "
+            "AS n_triangles"
+        ),
         "events_value_hour_corr": (
             "WITH e AS (SELECT event_type, CAST(floor(value * 10000.0) "
             "AS BIGINT) AS xq, (epoch_us(ts) // 3600000000) % 24 AS y "

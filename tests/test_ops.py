@@ -3120,3 +3120,56 @@ def test_salted_join_string_key(ray_session):
         "k", hot_threshold=100, n_salt=3, num_partitions=3,
     ).to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
     assert got[plain.columns.tolist()].equals(plain)
+
+
+def test_cooccurrence_pairs_block_matches_bruteforce():
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+
+    from luzzu_ray.ops.graph import _pairs_block
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 12, 400)
+    it = rng.integers(0, 30, 400)
+    t = pa.table({"g": pa.array(g, pa.int64()), "i": pa.array(it, pa.int64())})
+    got = _pairs_block(t, "g", "i")
+    got_pairs = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    want = []
+    for grp in np.unique(g):
+        items = sorted(set(it[g == grp].tolist()))
+        want.extend(itertools.combinations(items, 2))
+    assert got_pairs == sorted(want)
+    # empty block and single-item groups produce no pairs
+    empty = _pairs_block(t.slice(0, 0), "g", "i")
+    assert empty.num_rows == 0 and empty.column_names == ["a", "b"]
+
+
+def test_triangle_counts_crafted_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant edge (4,5) + disjoint
+    # triangle {6,7,8} -> 5 triangles, 10 edges
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+             (6, 7), (6, 8), (7, 8)]
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([a for a, _ in edges], pa.int64()),
+        "b": pa.array([b for _, b in edges], pa.int64()),
+    })).repartition(num_blocks=3)
+    out = triangle_counts(ds, num_partitions=2)
+    assert out["n_edges"][0].as_py() == 10
+    assert out["n_triangles"][0].as_py() == 5
+
+
+def test_pack_rejects_wide_ids():
+    import numpy as np
+    import pytest as _pytest
+
+    from luzzu_ray.ops.graph import _pack
+
+    with _pytest.raises(ValueError):
+        _pack(np.array([1 << 40], np.int64), np.array([1], np.int64))
