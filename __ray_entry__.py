@@ -1647,6 +1647,29 @@ def q_events_value_hour_regr(sf_dir: str):
     return mom.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
+LINE_DEDUP_W = 8
+LINE_DEDUP_MAXDOCS = 2
+
+
+def q_line_dedup_docs(sf_dir: str):
+    """C4/RefinedWeb-style corpus-level boilerplate line removal:
+    W-word window lines, exact line DF across the corpus via a 24-byte
+    key exchange, lines in > max_docs docs dropped everywhere, docs
+    reassembled by a zero-copy ListArray + binary_join kernel."""
+    from luzzu_ray.ops.lines import line_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t["text"]),
+                    pc.greater(pc.utf8_length(t["text"]), 0))
+        ),
+        batch_format="pyarrow",
+    )
+    return line_dedup(
+        docs, words_per_line=LINE_DEDUP_W, max_docs=LINE_DEDUP_MAXDOCS
+    )
+
+
 def q_part_cooc_triangles(sf_dir: str):
     """Graph analytics over the part co-purchase graph: DISTINCT
     same-order part pairs (vectorized segment-arange pair generation,
@@ -3047,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hod_type_pivot": q_events_hod_type_pivot,
         "events_value_hour_corr": q_events_value_hour_corr,
         "events_value_hour_regr": q_events_value_hour_regr,
+        "line_dedup_docs": q_line_dedup_docs,
         "part_cooc_triangles": q_part_cooc_triangles,
         "events_value_outliers": q_events_value_outliers,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
@@ -3415,6 +3439,26 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx "
             "AS BIGINT) AS icept_num, "
             "CAST(n * sxx - sx * sx AS BIGINT) AS den FROM m"
+        ),
+        "line_dedup_docs": (
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL AND length(text) > 0), "
+            "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word, "
+            "generate_subscripts(string_split(text, ' '), 1) AS wi FROM d), "
+            f"l AS (SELECT doc_id, CAST((wi - 1) // {LINE_DEDUP_W} AS BIGINT) "
+            "AS line_idx, string_agg(word, ' ' ORDER BY wi) AS line "
+            "FROM w GROUP BY 1, 2), "
+            "df AS (SELECT line, count(DISTINCT doc_id) AS ndocs "
+            "FROM l GROUP BY 1), "
+            "kept AS (SELECT l.doc_id, l.line_idx, l.line FROM l "
+            f"JOIN df USING(line) WHERE df.ndocs <= {LINE_DEDUP_MAXDOCS}), "
+            "agg AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_idx) "
+            "AS text_clean, count(*) AS n_kept FROM kept GROUP BY 1), "
+            "tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1) "
+            "SELECT d.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines, "
+            "CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed, "
+            "coalesce(a.text_clean, '') AS text_clean "
+            "FROM d JOIN tot t USING(doc_id) LEFT JOIN agg a USING(doc_id)"
         ),
         "part_cooc_triangles": (
             "WITH e AS (SELECT DISTINCT l1.l_partkey AS a, "

@@ -1,0 +1,226 @@
+"""Corpus-level boilerplate line removal (C4 / RefinedWeb style).
+
+The classic web-pipeline cleanup the reference's per-metric architecture
+maps onto naturally: split every document into LINES, count each exact
+line's document frequency across the WHOLE corpus, drop lines that
+appear in more than ``max_docs`` distinct documents (navigation bars,
+cookie banners, license boilerplate), and reassemble the surviving
+lines per document in their original order.
+
+The transcript fixtures carry no newlines, so the line derivation is a
+deterministic W-word window (``line_idx = word_idx // W``) that a SQL
+twin reproduces exactly with ``string_split`` + ``generate_subscripts``;
+on real corpora pass a newline splitter instead — every stage below is
+agnostic to how lines were derived.
+
+Scale shape (the part that must survive 100 TB):
+- line extraction and reassembly are zero-copy Arrow kernels
+  (``split_pattern`` -> flat word array -> ``ListArray`` +
+  ``binary_join``), no Python loop over rows or lines;
+- the DF exchange moves 24-byte (k1, k2, doc_id) triples (two
+  independent 64-bit polynomial hashes of the line bytes — the exact
+  same key scheme as exact dedup, reference-quality collision bound
+  n^2/2^128 on non-adversarial data), pre-deduped within each block
+  before the shuffle;
+- the boilerplate set (lines with DF > max_docs) is bounded by
+  total_lines / max_docs and is the only thing the driver ever holds;
+  it broadcasts once via ``ray.put`` into the filter actors, which test
+  membership with one structured-dtype ``np.isin`` per batch (pair-
+  exact, no 64-bit truncation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_PAIR_DT = np.dtype([("a", "<u8"), ("b", "<u8")])
+
+
+def _as_pairs(k1: np.ndarray, k2: np.ndarray) -> np.ndarray:
+    v = np.empty(len(k1), dtype=_PAIR_DT)
+    v["a"], v["b"] = k1, k2
+    return v
+
+
+def _lines_block(
+    t: pa.Table, text_col: str, id_col: str, words_per_line: int
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(line_strings, doc_row_idx, line_idx) for one batch — vectorized.
+
+    Rows with NULL/empty text produce zero lines (callers pre-filter to
+    match the SQL twin's unnest semantics).
+    """
+    n = t.num_rows
+    words = pc.split_pattern(
+        pc.fill_null(pc.cast(t[text_col], pa.string()), ""), " "
+    ).combine_chunks()
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    total = int(lens.sum())
+    doc_of_word = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cum0 = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum0[1:])
+    wi = np.arange(total, dtype=np.int64) - cum0[doc_of_word]
+    starts = np.flatnonzero(wi % words_per_line == 0)
+    offsets = np.append(starts, total).astype(np.int32)
+    lines = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), flat), " "
+    )
+    return lines, doc_of_word[starts], wi[starts] // words_per_line
+
+
+def _line_keys(lines: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    from luzzu_ray.ops.dedup import content_key_batch
+
+    kt = content_key_batch(pa.table({
+        "doc_id": pa.array(np.arange(len(lines), dtype=np.int64)),
+        "text": lines,
+    }))
+    return (
+        kt["k1"].to_numpy(zero_copy_only=False).view(np.uint64),
+        kt["k2"].to_numpy(zero_copy_only=False).view(np.uint64),
+    )
+
+
+def boilerplate_line_keys(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+    max_docs: int = 2,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """(k1, k2) content keys of lines appearing in > max_docs docs.
+
+    Returns a driver-side table bounded by total_lines / max_docs rows.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        lines, docs, _ = _lines_block(t, text_col, id_col, words_per_line)
+        k1, k2 = _line_keys(lines)
+        doc = t[id_col].to_numpy(zero_copy_only=False)[docs]
+        # per-block distinct (k1, k2, doc) BEFORE the exchange
+        order = np.lexsort((doc, k2, k1))
+        k1, k2, doc = k1[order], k2[order], doc[order]
+        keep = np.ones(len(k1), dtype=bool)
+        keep[1:] = (
+            (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1]) | (doc[1:] != doc[:-1])
+        )
+        return pa.table({
+            "k1": pa.array(k1[keep].view(np.int64)),
+            "k2": pa.array(k2[keep].view(np.int64)),
+            "doc": pa.array(doc[keep]),
+        })
+
+    keyed = ds.select_columns([id_col, text_col]).map_batches(
+        key_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def df_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "k1": pa.array([], pa.int64()),
+                "k2": pa.array([], pa.int64()),
+            })
+        k1 = t["k1"].to_numpy(zero_copy_only=False)
+        k2 = t["k2"].to_numpy(zero_copy_only=False)
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, k2, k1))
+        k1, k2, doc = k1[order], k2[order], doc[order]
+        new_pair = np.ones(len(k1), dtype=bool)
+        new_pair[1:] = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
+        new_doc = np.ones(len(k1), dtype=bool)
+        new_doc[1:] = new_pair[1:] | (doc[1:] != doc[:-1])
+        pair_id = np.cumsum(new_pair) - 1
+        ndocs = np.bincount(pair_id[new_doc])
+        starts = np.flatnonzero(new_pair)
+        sel = ndocs > np.int64(max_docs)
+        return pa.table({
+            "k1": pa.array(k1[starts[sel]]),
+            "k2": pa.array(k2[starts[sel]]),
+        })
+
+    hot = keyed.repartition(
+        num_blocks=auto_partitions(keyed, num_partitions, 2_000_000),
+        keys=["k1"],
+    ).map_batches(df_block, batch_format="pyarrow", batch_size=None)
+    out = pa.Table.from_pylist(
+        hot.take_all(),  # bounded by total_lines / max_docs
+        schema=pa.schema([("k1", pa.int64()), ("k2", pa.int64())]),
+    )
+    return out
+
+
+class _BoilerplateFilter:
+    """Actor-pool stage: recompute lines per batch, drop lines whose
+    content key is in the broadcast boilerplate set, reassemble."""
+
+    def __init__(self, hot_ref, text_col, id_col, words_per_line):
+        hot = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        self.hot = _as_pairs(
+            hot["k1"].to_numpy(zero_copy_only=False).view(np.uint64),
+            hot["k2"].to_numpy(zero_copy_only=False).view(np.uint64),
+        )
+        self.hot.sort()
+        self.text_col, self.id_col = text_col, id_col
+        self.w = words_per_line
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lines, docs, _ = _lines_block(t, self.text_col, self.id_col, self.w)
+        k1, k2 = _line_keys(lines)
+        drop = np.isin(_as_pairs(k1, k2), self.hot)
+        n = t.num_rows
+        n_lines = np.bincount(docs, minlength=n).astype(np.int64)
+        n_removed = np.bincount(docs[drop], minlength=n).astype(np.int64)
+        kept_lines = lines.filter(pa.array(~drop))
+        kept_docs = docs[~drop]
+        # lines are emitted in (doc, line_idx) order by construction, so
+        # per-doc offsets come straight from the kept counts
+        kept_counts = n_lines - n_removed
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        assert len(kept_docs) == offsets[-1]
+        text_clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), kept_lines), " "
+        )
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "n_lines": pa.array(n_lines),
+            "n_removed": pa.array(n_removed),
+            "text_clean": text_clean,
+        })
+
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+    max_docs: int = 2,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Remove corpus-frequent lines from every document.
+
+    Output: (id_col, n_lines, n_removed, text_clean).  Documents whose
+    every line is boilerplate come back with text_clean = ''.
+    """
+    hot = boilerplate_line_keys(
+        ds, text_col, id_col, words_per_line, max_docs, num_partitions
+    )
+    hot_ref = ray.put(hot)
+    from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _BoilerplateFilter,
+        fn_constructor_args=(hot_ref, text_col, id_col, words_per_line),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, max(2, cluster_cpus() // 2)),
+    )

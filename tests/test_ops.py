@@ -3173,3 +3173,53 @@ def test_pack_rejects_wide_ids():
 
     with _pytest.raises(ValueError):
         _pack(np.array([1 << 40], np.int64), np.array([1], np.int64))
+
+
+def test_line_dedup_crafted_and_layout_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.lines import line_dedup
+
+    boiler = "the quick brown fox"
+    docs = [
+        f"{boiler} alpha beta",          # line0 = boiler+alpha? depends on W
+        f"{boiler} gamma delta",
+        f"{boiler} epsilon zeta",
+        "unique words only here",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(docs),
+    })
+    # W=4: line 0 of docs 0-2 is exactly the boiler phrase -> DF 3 > 2
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=blocks)
+        out = (
+            line_dedup(ds, words_per_line=4, max_docs=2, num_partitions=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["n_removed"].tolist() == [1, 1, 1, 0]
+        assert out["n_lines"].tolist() == [2, 2, 2, 1]
+        assert out["text_clean"].tolist() == [
+            "alpha beta", "gamma delta", "epsilon zeta",
+            "unique words only here",
+        ]
+
+
+def test_line_dedup_all_boilerplate_doc_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.lines import line_dedup
+
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(["a b", "a b", "a b", "c d"]),
+    })
+    out = (
+        line_dedup(ray.data.from_arrow(t), words_per_line=8, max_docs=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["text_clean"].tolist() == ["", "", "", "c d"]
+    assert out["n_removed"].tolist() == [1, 1, 1, 0]
