@@ -1647,6 +1647,56 @@ def q_events_value_hour_regr(sf_dir: str):
     return mom.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
+def q_quality_classifier(sf_dir: str):
+    """Hashed-linear (fastText-style) quality scorer: unigram + bigram
+    feature hashing into a seeded 1 MB int64 weight table built once
+    per actor, whole-batch scoring via two reduceat passes over the
+    raw bytes.  Hard-verified against a committed fixture generated by
+    the row-at-a-time scalar twin (independent control flow)."""
+    from luzzu_ray.ops.classifier import classify_documents
+
+    return classify_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_documents_partitioned_roundtrip(sf_dir: str):
+    """Hive-partitioned Parquet SINK conformance: the documents table
+    is written with ``write_parquet(partition_cols=['lang'])`` (one
+    directory per language — the resumable layout the brief requires:
+    a failed run can re-do single partitions), read back through
+    ``read_parquet`` hive discovery (the partition column is
+    reconstructed from directory names), and reduced to per
+    (lang, source) counts/sums checked against the PARQUET-side SQL
+    oracle — a partition-value mangling, dropped-row or type-change
+    bug anywhere in the sink/source pair breaks the hash."""
+    import shutil
+
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    out_dir = f"/tmp/luzzu_hive_rt/{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"]).write_parquet(
+        out_dir, partition_cols=["lang"]
+    )
+    back = ray.data.read_parquet(out_dir)
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": pc.cast(t["lang"], pa.string()),
+            "source": pc.cast(t["source"], pa.string()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        })
+
+    return grouped_sum_q(
+        back.map_batches(conform, batch_format="pyarrow"),
+        ["lang", "source"], float_cols={},
+        int_cols={"n_chars": "sum_chars", "doc_id": "sum_doc_id"},
+        count_as="n_docs", num_partitions=8,
+    )
+
+
 LINE_DEDUP_W = 8
 LINE_DEDUP_MAXDOCS = 2
 
@@ -3071,6 +3121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hour_corr": q_events_value_hour_corr,
         "events_value_hour_regr": q_events_value_hour_regr,
         "line_dedup_docs": q_line_dedup_docs,
+        "documents_partitioned_roundtrip": q_documents_partitioned_roundtrip,
+        "quality_classifier": q_quality_classifier,
         "part_cooc_triangles": q_part_cooc_triangles,
         "events_value_outliers": q_events_value_outliers,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
@@ -3439,6 +3491,17 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx "
             "AS BIGINT) AS icept_num, "
             "CAST(n * sxx - sx * sx AS BIGINT) AS den FROM m"
+        ),
+        "quality_classifier": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/quality_classifier_sf001.parquet')"
+        ),
+        "documents_partitioned_roundtrip": (
+            "SELECT lang, source, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1, 2"
         ),
         "line_dedup_docs": (
             "WITH d AS (SELECT doc_id, text FROM documents "

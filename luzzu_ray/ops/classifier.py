@@ -1,0 +1,179 @@
+"""Hashed-linear document quality classifier (fastText-style scorer).
+
+The quality_filter tier's model-based keep/drop signal beyond heuristic
+rules: a linear classifier over HASHED word unigram + bigram features
+(the fastText trick — no vocabulary, a fixed-size weight table indexed
+by a 64-bit polynomial hash of each token), mirroring the reference's
+pluggable metric-processor architecture (reference README.md:7) as one
+more independent composable scoring stage.
+
+Everything is integer-exact and deterministic so the result is
+hash-verifiable: weights are seeded int64 in [-50, 50], the score is a
+pure integer sum, and keep = score > 0.  Two independent control flows
+compute it:
+
+- ``QualityClassifierStage`` — the engine path: an actor pool that
+  builds the weight table once per actor in ``__init__`` and scores
+  whole Arrow batches with vectorized byte kernels (per-word polynomial
+  hashes via one ``reduceat`` pass over the batch's bytes, per-doc
+  score via a second ``reduceat``) — no Python loop over rows, words
+  or bytes.
+- ``classify_row`` — the scalar twin: a row-at-a-time pure-Python loop
+  used for the committed expected-output fixture and the pytest parity
+  check, sharing only the model CONSTANTS (seed, table size, hash
+  bases) with the engine, never its kernels.
+
+Scale posture: the weight table is ~1 MB (2^17 int64) built from the
+seed inside each actor — nothing is shipped per batch; the stage is
+embarrassingly parallel with zero exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+CLF_BITS = 17
+CLF_SIZE = 1 << CLF_BITS
+CLF_MASK = np.uint64(CLF_SIZE - 1)
+CLF_SEED = 0xC1A551F1E5
+CLF_HASH_BASE = np.uint64(1099511628211)     # FNV-ish multiplier
+CLF_HASH_SEED = np.uint64(14695981039346656037)
+CLF_BIGRAM_MIX = np.uint64(0x9E3779B97F4A7C15)
+CLF_BIAS = -8                                 # slight drop prior
+_SPACE = 32
+
+
+def build_weights() -> tuple[np.ndarray, np.ndarray]:
+    """(unigram_weights, bigram_weights): seeded int64 in [-50, 50]."""
+    rng = np.random.default_rng(CLF_SEED)
+    w_uni = rng.integers(-50, 51, size=CLF_SIZE, dtype=np.int64)
+    w_bi = rng.integers(-50, 51, size=CLF_SIZE, dtype=np.int64)
+    return w_uni, w_bi
+
+
+def _word_hash_py(word: bytes) -> int:
+    h = int(CLF_HASH_SEED)
+    for b in word:
+        h = (h * int(CLF_HASH_BASE) + b) % (1 << 64)
+    return h
+
+
+def classify_row(text: str | None) -> tuple[int, bool]:
+    """Scalar twin: (score, keep) for one document."""
+    score = CLF_BIAS
+    if text:
+        w_uni, w_bi = build_weights()
+        hashes = [_word_hash_py(w.encode("utf-8"))
+                  for w in text.split(" ") if w]
+        for h in hashes:
+            score += int(w_uni[h & int(CLF_MASK)])
+        for h1, h2 in zip(hashes, hashes[1:]):
+            hb = (h1 * int(CLF_BIGRAM_MIX) + h2) % (1 << 64)
+            score += int(w_bi[hb & int(CLF_MASK)])
+    return score, score > 0
+
+
+class QualityClassifierStage:
+    """Actor-pool batch scorer: (doc_id, clf_score, clf_keep)."""
+
+    def __init__(self):
+        self.w_uni, self.w_bi = build_weights()
+        # powers of the hash base up to the longest plausible token
+        self.max_len = 256
+        pows = np.empty(self.max_len + 1, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            np.cumprod(
+                np.full(self.max_len, CLF_HASH_BASE, dtype=np.uint64),
+                out=pows[1:],
+            )
+        self.pows = pows
+
+    def _word_hashes(
+        self, data: np.ndarray, offsets: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-word 64-bit hashes + the word→row mapping, one pass.
+
+        Returns (hashes, word_row) where word_row[i] is the batch row
+        of word i; words are maximal non-space byte runs.
+        """
+        lo, hi = int(offsets[0]), int(offsets[-1])
+        b = data[lo:hi]
+        n_rows = len(offsets) - 1
+        if len(b) == 0:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64))
+        nonsp = b != _SPACE
+        rel_off = offsets - lo
+        # a word starts at a non-space byte that is preceded by a space
+        # or by a row boundary
+        prev_nonsp = np.empty(len(b), dtype=bool)
+        prev_nonsp[0] = False
+        prev_nonsp[1:] = nonsp[:-1]
+        is_row_start = np.zeros(len(b) + 1, dtype=bool)
+        is_row_start[rel_off[:-1]] = True
+        starts = nonsp & (~prev_nonsp | is_row_start[:-1])
+        word_id = np.cumsum(starts) - 1
+        valid = nonsp
+        # word lengths via counts of valid bytes per word
+        n_words = int(starts.sum())
+        if n_words == 0:
+            return (np.empty(0, np.uint64), np.empty(0, np.int64))
+        wlen = np.bincount(word_id[valid], minlength=n_words)
+        if wlen.max() > self.max_len:
+            raise ValueError("token longer than supported max_len")
+        # position of each byte within its word
+        start_pos = np.flatnonzero(starts)
+        pos = np.arange(len(b), dtype=np.int64) - start_pos[word_id]
+        exp = wlen[word_id] - 1 - pos
+        with np.errstate(over="ignore"):
+            contrib = b.astype(np.uint64) * self.pows[np.where(valid, exp, 0)]
+            sums = np.add.reduceat(
+                np.where(valid, contrib, np.uint64(0)), start_pos
+            )
+            hashes = CLF_HASH_SEED * self.pows[wlen] + sums
+        # row of each word from the row of its first byte
+        byte_row = np.searchsorted(rel_off, start_pos, side="right") - 1
+        return hashes, byte_row
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from luzzu_ray.functions.text import utf8_view
+
+        n = t.num_rows
+        data, offsets = utf8_view(t["text"])
+        hashes, word_row = self._word_hashes(data, offsets)
+        score = np.full(n, np.int64(CLF_BIAS))
+        if len(hashes):
+            # bincount-with-weights sums in float64: exact while each
+            # per-doc |sum| < 2^53 (weights are <= 50, so fine for any
+            # document under ~10^11 tokens)
+            uni = self.w_uni[(hashes & CLF_MASK).astype(np.int64)]
+            score += np.bincount(word_row, weights=uni, minlength=n).astype(np.int64)
+            same_row = word_row[1:] == word_row[:-1]
+            if same_row.any():
+                with np.errstate(over="ignore"):
+                    hb = hashes[:-1] * CLF_BIGRAM_MIX + hashes[1:]
+                bi = self.w_bi[(hb[same_row] & CLF_MASK).astype(np.int64)]
+                score += np.bincount(
+                    word_row[1:][same_row], weights=bi, minlength=n
+                ).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clf_score": pa.array(score),
+            "clf_keep": pa.array(score > 0),
+        })
+
+
+def classify_documents(
+    ds: ray.data.Dataset, concurrency: tuple[int, int] | None = None
+) -> ray.data.Dataset:
+    from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
+
+    if concurrency is None:
+        concurrency = (1, max(2, cluster_cpus() // 2))
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        QualityClassifierStage,
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )

@@ -59,3 +59,35 @@ def test_model_weights_deterministic():
     w1 = models._build_models()["langid_W"]
     w2 = models._build_models()["langid_W"]
     assert np.array_equal(w1, w2)
+
+
+def test_quality_classifier_batch_equals_rows():
+    import numpy as np
+    import pyarrow as pa
+
+    from luzzu_ray.ops.classifier import QualityClassifierStage, classify_row
+
+    rng = np.random.default_rng(123)
+    vocab = ["alpha", "beta", "gamma", "x", "longtokenword", "1", "...", "é"]
+    texts = []
+    for _ in range(200):
+        k = rng.integers(0, 12)
+        words = [vocab[i] for i in rng.integers(0, len(vocab), k)]
+        s = " ".join(words)
+        if rng.random() < 0.2:
+            s = "  " + s + "  "          # leading/trailing/multi spaces
+        texts.append(s)
+    texts += [None, "", " ", "word"]
+    stage = QualityClassifierStage()
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    whole = stage(t)
+    for i, txt in enumerate(texts):
+        s, k = classify_row(txt)
+        assert whole["clf_score"][i].as_py() == s
+        assert whole["clf_keep"][i].as_py() == k
+    # layout invariance: scoring a slice matches the whole-batch run
+    part = stage(t.slice(3, 50))
+    assert part["clf_score"].to_pylist() == whole["clf_score"].to_pylist()[3:53]

@@ -155,10 +155,30 @@ def make_compression(sf_dir: str) -> pa.Table:
     )
 
 
+def make_quality_clf(sf_dir: str) -> pa.Table:
+    """Row-at-a-time scalar twin of the hashed-linear classifier (the
+    engine scores whole batches with reduceat kernels; this loop shares
+    only the model constants)."""
+    from luzzu_ray.ops.classifier import classify_row
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    rows = [classify_row(t) for t in texts]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "clf_score": pa.array([r[0] for r in rows], pa.int64()),
+         "clf_keep": pa.array([r[1] for r in rows])}
+    )
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
+        ("quality_classifier", make_quality_clf),
         ("image_features", make_image_features),
         ("image_resize_features", make_image_resize_features),
         ("video_frame_features", make_video_frame_features),
