@@ -3163,6 +3163,36 @@ def test_triangle_counts_crafted_graph(ray_session):
     out = triangle_counts(ds, num_partitions=2)
     assert out["n_edges"][0].as_py() == 10
     assert out["n_triangles"][0].as_py() == 5
+    # the wedge-join fallback plan (forced by a zero broadcast budget)
+    # must agree with the broadcast edge-iterator plan exactly
+    out_join = triangle_counts(ds, num_partitions=2, broadcast_max_edges=0)
+    assert out_join["n_edges"][0].as_py() == 10
+    assert out_join["n_triangles"][0].as_py() == 5
+
+
+def test_triangle_plans_agree_random_graph(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.graph import triangle_counts
+
+    # seeded G(n, m)-ish graph: 600 distinct oriented edges on 80 nodes
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 80, size=1200)
+    b = rng.integers(0, 80, size=1200)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    mask = lo != hi
+    packed = np.unique((lo[mask].astype(np.int64) << 8) | hi[mask])
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(packed >> 8, pa.int64()),
+        "b": pa.array(packed & 255, pa.int64()),
+    })).repartition(num_blocks=4)
+    fast = triangle_counts(ds, num_partitions=3)
+    slow = triangle_counts(ds, num_partitions=3, broadcast_max_edges=0)
+    assert fast["n_edges"][0].as_py() == slow["n_edges"][0].as_py() == len(packed)
+    assert fast["n_triangles"][0].as_py() == slow["n_triangles"][0].as_py()
+    assert fast["n_triangles"][0].as_py() > 0
 
 
 def test_pack_rejects_wide_ids():
