@@ -67,6 +67,69 @@ def q_doc_stats(sf_dir: str):
     )
 
 
+def q_doc_unicode_stats(sf_dir: str):
+    """UTF-8 codepoint-class stats on deterministically multibyte-ified
+    text: both sides apply the same substring replacements (ASCII ->
+    2/3/4-byte codepoints) so the kernel is exercised on genuine
+    multibyte data even though the corpus is ASCII; the oracle rebuilds
+    every count from length()/strlen()/RE2 class deletions."""
+    from luzzu_ray.ops.textstats import unicode_stats_batch
+
+    def widen(t: pa.Table) -> pa.Table:
+        tx = pc.fill_null(t["text"], "")
+        for pat, rep in (("e", "é"), ("x", "漢"), ("q", "\U0001f600")):
+            tx = pc.replace_substring(tx, pattern=pat, replacement=rep)
+        return unicode_stats_batch(
+            pa.table({"doc_id": t["doc_id"], "text": tx})
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        widen, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+BM25_TERMS = ["hash", "join", "vector", "scan"]
+BM25_TOPK = 20
+PAGERANK_ITERS = 3
+
+
+BPE_N_MERGES = 12
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed byte-level BPE merge TRAINING (12 rounds of
+    count-pairs -> distributed argmax -> incremental merge apply);
+    hard-verified against a committed fixture from the row-at-a-time
+    Python twin (iterative state is not SQL-expressible)."""
+    from luzzu_ray.ops.vocab import bpe_train
+
+    return bpe_train(_docs(sf_dir, ["doc_id", "text"]), BPE_N_MERGES)
+
+
+def q_part_cooc_pagerank(sf_dir: str):
+    """Exact fixed-point PageRank (3 integer power iterations, damping
+    85/100 as floor arithmetic) over the same-order part co-occurrence
+    graph; the oracle unrolls the identical iterations in SQL, so the
+    match is bit-exact with no float slack."""
+    from luzzu_ray.ops.graph import cooccurrence_edges, pagerank
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return pagerank(edges, n_iter=PAGERANK_ITERS)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 ranked retrieval (rational-idf variant) for a fixed 4-term
+    query: two narrow passes (corpus stats reduce, then broadcast-score
+    + per-block top-k prune); the oracle rebuilds df/dl/tf in SQL and
+    evaluates the literally-identical IEEE expression."""
+    from luzzu_ray.ops.vocab import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]), BM25_TERMS, k=BM25_TOPK,
+    )
+
+
 def q_doc_quality(sf_dir: str):
     from luzzu_ray.ops.textstats import quality_score_batch
 
@@ -3034,6 +3097,10 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
+        "doc_unicode_stats": q_doc_unicode_stats,
+        "bm25_topk": q_bm25_topk,
+        "part_cooc_pagerank": q_part_cooc_pagerank,
+        "bpe_merges": q_bpe_merges,
         "doc_quality": q_doc_quality,
         "doc_scrub": q_doc_scrub,
         "doc_lexical_stats": q_doc_lexical_stats,
@@ -3296,8 +3363,98 @@ def oracle_sql() -> dict[str, str]:
     # conformance at another scale factor sets GRAFT_ORACLE_SF_DIR.
     oracle_dir = os.environ.get(
         "GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    # BM25: one per-term fragment of the IEEE-deterministic score, with
+    # the exact operator shape of luzzu_ray.ops.vocab.bm25_topk
+    bm25_terms = "(" + " + ".join(
+        f"((2.0 * nd - 2.0 * df{j} + 1.0) / (2.0 * df{j} + 1.0))"
+        f" * ((tf{j} * 2.2) / (tf{j} + den))"
+        for j in range(len(BM25_TERMS))
+    ) + ")"
+    bm25_tfp = ", ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS tf{j}" for j, t in enumerate(BM25_TERMS)
+    )
+    bm25_dfs = ", ".join(
+        f"CAST((SELECT count(DISTINCT doc_id) FROM toks "
+        f"WHERE term = '{t}') AS DOUBLE) AS df{j}"
+        for j, t in enumerate(BM25_TERMS)
+    )
+    bm25_sql = f"""
+        WITH base AS (SELECT doc_id,
+               string_split(COALESCE(text, ''), ' ') AS w FROM documents),
+        toks AS (SELECT doc_id, unnest(w) AS term FROM base),
+        st AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                        AS nd,
+                      CAST((SELECT sum(len(w)) FROM base) AS DOUBLE)
+                        AS tot),
+        dfs AS (SELECT {bm25_dfs}),
+        tfp AS (SELECT doc_id, {bm25_tfp} FROM toks GROUP BY doc_id),
+        sc AS (SELECT b.doc_id,
+            0.3 + ((0.9 * CAST(len(b.w) AS DOUBLE)) * nd) / tot AS den,
+            tfp.* EXCLUDE (doc_id), st.*, dfs.*
+          FROM base b JOIN tfp USING (doc_id), st, dfs)
+        SELECT doc_id,
+          CAST(floor({bm25_terms} * 1000000.0) AS BIGINT) AS score_q6
+        FROM sc
+        QUALIFY row_number() OVER (ORDER BY score_q6 DESC, doc_id)
+          <= {BM25_TOPK}
+    """
+    # PageRank: unroll the fixed-point iterations (bit-exact integer
+    # floor arithmetic, same constants as luzzu_ray.ops.graph.pagerank)
+    from luzzu_ray.ops.graph import PAGERANK_BASE, PAGERANK_SCALE
+
+    pr_cte = (
+        "WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b "
+        "FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey), "
+        "d AS (SELECT a AS src, b AS dst FROM e "
+        "UNION ALL SELECT b, a FROM e), "
+        "deg AS (SELECT src AS node, count(*) AS dg FROM d GROUP BY src), "
+        f"r0 AS (SELECT node, CAST({PAGERANK_SCALE} AS BIGINT) AS r "
+        "FROM deg)"
+    )
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        pr_cte += (
+            f", s{i} AS (SELECT d.dst AS node, "
+            f"sum({prev}.r // deg.dg) AS s "
+            f"FROM d JOIN {prev} ON d.src = {prev}.node "
+            f"JOIN deg ON d.src = deg.node GROUP BY d.dst)"
+            f", r{i} AS (SELECT node, CAST({PAGERANK_BASE} "
+            f"+ (85 * s) // 100 AS BIGINT) AS r FROM s{i})"
+        )
+        prev = f"r{i}"
+    pagerank_sql = (
+        f"{pr_cte} SELECT node, r AS rank_q FROM {prev}"
+    )
     sqls = {
         "doc_stats": f"SELECT doc_id, {_STATS_FRAG} FROM documents",
+        "bm25_topk": bm25_sql,
+        "part_cooc_pagerank": pagerank_sql,
+        "doc_unicode_stats": r"""
+            WITH t2 AS (
+              SELECT doc_id,
+                replace(replace(replace(COALESCE(text, ''),
+                    'e', 'é'), 'x', '漢'), 'q', '😀') AS tx
+              FROM documents
+            )
+            SELECT doc_id, strlen(tx) AS n_bytes, length(tx) AS n_cp,
+              length(regexp_replace(tx, '[^\x00-\x7F]', '', 'g'))
+                AS n_ascii,
+              length(regexp_replace(tx, '[^\x{0080}-\x{07FF}]', '', 'g'))
+                AS n_2byte,
+              length(regexp_replace(
+                  tx, '[^\x{0800}-\x{D7FF}\x{E000}-\x{FFFF}]', '', 'g'))
+                AS n_3byte,
+              length(regexp_replace(tx, '[^\x{10000}-\x{10FFFF}]', '', 'g'))
+                AS n_4byte,
+              CASE WHEN length(tx) = 0 THEN 0 ELSE
+                (length(tx)
+                 - length(regexp_replace(tx, '[^\x00-\x7F]', '', 'g')))
+                * 10000 // length(tx) END AS nonascii_frac_q4
+            FROM t2
+        """,
         "doc_quality": (
             "SELECT doc_id, n_chars, n_words, n_symbol_bytes, n_digit_bytes, "
             "symbol_ratio_q6, digit_ratio_q6, keep FROM (" + _QUALITY_SQL + ")"
@@ -3495,6 +3652,10 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "quality_classifier": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/quality_classifier_sf001.parquet')"
+        ),
+        "bpe_merges": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/bpe_merges_sf001.parquet')"
         ),
         "documents_partitioned_roundtrip": (
             "SELECT lang, source, "

@@ -132,6 +132,51 @@ def count_if_cheap(ds: ray.data.Dataset) -> int | None:
     return None
 
 
+def count_upper_bound_if_cheap(ds: ray.data.Dataset) -> int | None:
+    """Row-count UPPER BOUND at metadata price, for shuffle-width sizing.
+
+    Walks the logical DAG through one-to-one operators (map_batches /
+    map / filter / project / limit) and unions down to leaves whose
+    ``infer_metadata()`` carries a row count (parquet footers, in-memory
+    tables).  Filters make the bound loose (survivors over-counted —
+    width merely tops out early); a row-EXPANDING map_batches makes it
+    an UNDER-estimate, so callers shuffling a post-expansion dataset
+    should size from the pre-expansion input or pass an explicit width.
+    Returns None when any path hits a non-walkable node (join,
+    aggregate, shuffle)."""
+    n = count_if_cheap(ds)
+    if n is not None:
+        return n
+    try:
+        from ray.data._internal.logical.operators.map_operator import (
+            AbstractOneToOne,
+        )
+        from ray.data._internal.logical.operators.n_ary_operator import (
+            Union as LUnion,
+        )
+
+        def walk(op) -> int | None:
+            md = op.infer_metadata()
+            if md is not None and md.num_rows is not None:
+                return int(md.num_rows)
+            deps = op.input_dependencies
+            if isinstance(op, AbstractOneToOne) and len(deps) == 1:
+                return walk(deps[0])
+            if isinstance(op, LUnion):
+                total = 0
+                for dep in deps:
+                    c = walk(dep)
+                    if c is None:
+                        return None
+                    total += c
+                return total
+            return None
+
+        return walk(ds._logical_plan.dag)
+    except Exception:  # pragma: no cover - internal API drift
+        return None
+
+
 def auto_partitions(
     ds: ray.data.Dataset,
     num_partitions: int | None,
@@ -139,12 +184,14 @@ def auto_partitions(
 ) -> int:
     """Resolve a shuffle width: an EXPLICIT num_partitions wins verbatim
     (callers tuning straggler granularity / block memory get exactly
-    what they asked for); otherwise size to the data when the row count
-    is metadata-cheap, else fall back to the cluster-derived cap."""
+    what they asked for); otherwise size to the data when a row-count
+    upper bound is metadata-cheap (bare reads, and read->map/filter/
+    union pipelines via the footer counts), else fall back to the
+    cluster-derived cap."""
     if num_partitions is not None:
         return num_partitions
     cap = _default_parts(None)
-    n = count_if_cheap(ds)
+    n = count_upper_bound_if_cheap(ds)
     return _size_partitions(n, cap, rows_per_partition) if n is not None else cap
 
 

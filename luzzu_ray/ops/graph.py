@@ -267,3 +267,229 @@ def triangle_counts(
         {"n_edges": pa.array([n_edges], pa.int64()),
          "n_triangles": pa.array([n_tri], pa.int64())}
     )
+
+
+# PageRank fixed-point constants: ranks are integer multiples of 1e-12,
+# damping 0.85 applied as exact integer ops (floor division), so every
+# iteration is bit-reproducible in any engine with integer division
+PAGERANK_SCALE = 10**12
+PAGERANK_BASE = (15 * PAGERANK_SCALE) // 100   # (1-d) * SCALE
+PAGERANK_BROADCAST_MAX_NODES = 20_000_000
+
+
+class _PRContrib:
+    """Per-edge-block PageRank contribution partials against a broadcast
+    (sorted nodes, rank//degree) pair: one searchsorted per block maps
+    src ids to contribution values, one bincount over block-local dst
+    codes emits (dst, s) partial rows — never a row per edge."""
+
+    def __init__(self, nodes_ref, contrib_ref):
+        self.nodes = (
+            ray.get(nodes_ref)
+            if isinstance(nodes_ref, ray.ObjectRef) else nodes_ref
+        )
+        self.contrib = (
+            ray.get(contrib_ref)
+            if isinstance(contrib_ref, ray.ObjectRef) else contrib_ref
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "node": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = self.contrib[np.searchsorted(self.nodes, src)]
+        dst_u, codes = np.unique(dst, return_inverse=True)
+        s = np.bincount(codes, weights=c.astype(np.float64))
+        # float64 bincount is exact for sums < 2^53; guard and redo in
+        # int64 via a sort when a block could breach it
+        if c.sum() >= (1 << 53):  # pragma: no cover - giant-block guard
+            order = np.argsort(dst, kind="stable")
+            s = np.add.reduceat(
+                c[order],
+                np.concatenate(([0], np.flatnonzero(np.diff(dst[order]) != 0) + 1)),
+            )
+            dst_u = dst[order][np.concatenate(
+                ([0], np.flatnonzero(np.diff(dst[order]) != 0) + 1))]
+        return pa.table({
+            "node": pa.array(dst_u),
+            "s": pa.array(s.astype(np.int64)),
+        })
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    n_iter: int = 3,
+    num_partitions: int | None = None,
+    broadcast_max_nodes: int = PAGERANK_BROADCAST_MAX_NODES,
+) -> pa.Table:
+    """Exact fixed-point PageRank over an undirected (a < b) edge list.
+
+    Integer power iteration: rank starts at SCALE per node; each round
+    every node sends ``floor(rank / degree)`` along its edges and
+    receives ``BASE + floor(85 * incoming / 100)``.  All operations are
+    int64 floor arithmetic, so the result is bit-identical across plans
+    AND in a DuckDB oracle that unrolls the same iterations.
+
+    Two plans, selected by the node count:
+
+    - **broadcast rank** (nodes fit a worker): the (sorted node ids,
+      contribution) arrays ship once per iteration via ``ray.put``;
+      edge blocks emit per-block (dst, partial-sum) rows through one
+      narrow keyed exchange, and the driver applies the damping to the
+      #nodes-row gather.  Edges never move after the initial
+      co-location.
+    - **join fallback** (node set too big for one worker): rank lives
+      as a dataset; each iteration is one native hash join
+      (edges ⋈ rank on src) plus one keyed-exchange grouped sum on
+      dst.  Property-tested bit-equal to the broadcast plan.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(edges, num_partitions)
+
+    def direct(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+        })
+
+    d = edges.map_batches(direct, batch_format="pyarrow").repartition(
+        num_blocks=width, keys=["src"]
+    ).materialize()
+
+    def deg_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "node": pa.array([], pa.int64()),
+                "dg": pa.array([], pa.int64()),
+            })
+        src = t["src"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(src, return_counts=True)
+        return pa.table({"node": pa.array(u), "dg": pa.array(cnt)})
+
+    # src-partitioned blocks hold complete per-node edge sets, so the
+    # block-local degree counts are final
+    deg_ds = d.map_batches(
+        deg_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).materialize()
+    n_nodes = deg_ds.count()
+
+    if n_nodes <= broadcast_max_nodes:
+        from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+
+        degt = pa.concat_tables(
+            t for t in (ray.get(ref) for ref in deg_ds.to_arrow_refs())
+            if t.num_rows  # skip schema-less empties from the key exchange
+        )
+        nodes = degt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = degt["dg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes)
+        nodes, dg = nodes[order], dg[order]
+        rank = np.full(len(nodes), PAGERANK_SCALE, dtype=np.int64)
+        nodes_ref = ray.put(nodes)
+        for _ in range(n_iter):
+            contrib_ref = ray.put(rank // dg)
+            parts = d.map_batches(
+                _PRContrib,
+                fn_constructor_args=(nodes_ref, contrib_ref),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None, concurrency=default_actor_pool(),
+            )
+            sums = np.zeros(len(nodes), dtype=np.int64)
+            for ref in parts.to_arrow_refs():
+                p = ray.get(ref)
+                if p.num_rows:
+                    idx = np.searchsorted(
+                        nodes, p["node"].to_numpy(zero_copy_only=False)
+                    )
+                    np.add.at(sums, idx, p["s"].to_numpy(zero_copy_only=False))
+            rank = PAGERANK_BASE + (85 * sums) // 100
+        return pa.table({
+            "node": pa.array(nodes), "rank_q": pa.array(rank)
+        })
+
+    # join fallback: rank as a dataset, one hash join + one keyed
+    # exchange per iteration.  Plain repartitions repack the
+    # key-exchanged blocks before Acero (schema-less empties).
+    dj = d.repartition(num_blocks=width).materialize()
+    deg_rp = deg_ds.repartition(num_blocks=width).materialize()
+    rank_ds = deg_rp.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "dg": t["dg"],
+            "r": pa.array(
+                np.full(t.num_rows, PAGERANK_SCALE, dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    ).repartition(num_blocks=width).materialize()
+    for _ in range(n_iter):
+        joined = dj.join(
+            rank_ds, join_type="inner", on=("src",), right_on=("node",),
+            num_partitions=width,
+        )
+
+        def contrib_partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    "node": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                })
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = (
+                t["r"].to_numpy(zero_copy_only=False)
+                // t["dg"].to_numpy(zero_copy_only=False)
+            )
+            u, codes = np.unique(dst, return_inverse=True)
+            s = np.bincount(codes, weights=c.astype(np.float64))
+            return pa.table({
+                "node": pa.array(u), "s": pa.array(s.astype(np.int64)),
+            })
+
+        def finish(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    "node": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                })
+            node = t["node"].to_numpy(zero_copy_only=False)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            u, codes = np.unique(node, return_inverse=True)
+            tot = np.bincount(codes, weights=s.astype(np.float64))
+            return pa.table({
+                "node": pa.array(u),
+                "s": pa.array(tot.astype(np.int64)),
+            })
+
+        sums = joined.map_batches(
+            contrib_partial, batch_format="pyarrow"
+        ).repartition(num_blocks=width, keys=["node"]).map_batches(
+            finish, batch_format="pyarrow", batch_size=None,
+        )
+
+        def damp(t: pa.Table) -> pa.Table:
+            s = t["s"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": t["node"],
+                "r": pa.array(PAGERANK_BASE + (85 * s) // 100),
+            })
+
+        new_rank = sums.map_batches(damp, batch_format="pyarrow")
+        # re-attach degrees for the next iteration (narrow join)
+        rank_ds = new_rank.repartition(num_blocks=width).materialize().join(
+            deg_rp, join_type="inner", on=("node",), num_partitions=width,
+        ).materialize()
+    return pa.concat_tables(
+        ray.get(ref) for ref in rank_ds.select_columns(
+            ["node", "r"]
+        ).rename_columns(["node", "rank_q"]).to_arrow_refs()
+    ).combine_chunks().sort_by("node")

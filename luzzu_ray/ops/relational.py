@@ -81,22 +81,33 @@ def grouped_sum_q(
         )
         return g.rename_columns(keys + list(agg_src))
 
-    from ray.data.aggregate import Sum
-
     sum_cols = list(float_cols.values()) + list(int_cols.values()) + (
         [count_as] if count_as else []
     )
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    # the final aggregate runs over PARTIAL rows (#batches x #groups);
-    # callers with low-cardinality keys should pass a small
-    # num_partitions, and otherwise the width follows the input size
-    # when the row count is metadata-cheap (the default 4x-CPU width
-    # costs ~50-100ms of fixed overhead per partition)
+    # final = one keyed hash exchange + a block-local group_by: equal
+    # keys co-locate, so per-block integer sums are globally final.
+    # This beats groupby().aggregate() ~8x on high-cardinality keys
+    # (147k orderkeys at sf0.1: 0.95s vs 7.4s) because the partial rows
+    # flow straight into Arrow's hash aggregation instead of Ray's
+    # per-key sort-based aggregator; low-cardinality callers still pass
+    # a small num_partitions to cap the exchange width.
     from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
-    return parts.groupby(
-        keys, num_partitions=auto_partitions(ds, num_partitions)
-    ).aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+    _ensure_hash_shuffle()
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t  # partial schema == final schema
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        return g.rename_columns(keys + sum_cols)
+
+    return parts.repartition(
+        num_blocks=auto_partitions(ds, num_partitions), keys=keys
+    ).map_batches(
+        final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 def topk(

@@ -296,3 +296,73 @@ def compression_ratio_py(text: str | None) -> tuple[int, int, int]:
     raw = len(b)
     comp = len(zlib.compress(b, ZLIB_LEVEL))
     return (raw, comp, comp * 10_000 // max(raw, 1))
+
+
+def unicode_stats_batch(t: pa.Table) -> pa.Table:
+    """UTF-8 codepoint-class stats per document, fully vectorized.
+
+    Codepoints are counted from lead bytes (any byte outside the
+    0b10xxxxxx continuation range), split into the four UTF-8 encoding
+    classes (ASCII, 2-, 3-, 4-byte sequences == codepoint ranges
+    U+0000-7F / U+0080-07FF / U+0800-FFFF / U+10000-10FFFF).  One
+    cumulative-sum pass per class over the batch's bytes; per-row sums
+    are two gathers on the row offsets — no Python loop.  NULL text
+    counts as empty (all zeros, like the SQL twin's COALESCE).
+
+    ``nonascii_frac_q4`` = floor(1e4 * (n_cp - n_ascii) / n_cp), 0 for
+    empty.  The DuckDB oracle reproduces every column from ``strlen``
+    / ``length`` / RE2 class deletions — exact integers, no float
+    slack.  (Removes the engine's documented ASCII-domain caveat for
+    the stats family: this kernel is correct on arbitrary UTF-8.)
+    """
+    data, offs = TX.utf8_view(t["text"])
+    n = t.num_rows
+    lo, hi = int(offs[0]), int(offs[-1])
+    b = data[lo:hi]
+    starts = offs[:-1] - lo
+    ends = offs[1:] - lo
+
+    def rowsum(mask: np.ndarray) -> np.ndarray:
+        if hi == lo:
+            return np.zeros(n, dtype=np.int64)
+        c = np.zeros(len(b) + 1, dtype=np.int64)
+        np.cumsum(mask, out=c[1:])
+        return c[ends] - c[starts]
+
+    n_ascii = rowsum(b < 0x80)
+    n_2b = rowsum((b >= 0xC0) & (b < 0xE0))
+    n_3b = rowsum((b >= 0xE0) & (b < 0xF0))
+    n_4b = rowsum(b >= 0xF0)
+    n_cp = n_ascii + n_2b + n_3b + n_4b
+    frac = (n_cp - n_ascii) * 10_000 // np.maximum(n_cp, 1)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_bytes": pa.array(ends - starts),
+        "n_cp": pa.array(n_cp),
+        "n_ascii": pa.array(n_ascii),
+        "n_2byte": pa.array(n_2b),
+        "n_3byte": pa.array(n_3b),
+        "n_4byte": pa.array(n_4b),
+        "nonascii_frac_q4": pa.array(frac),
+    })
+
+
+def unicode_stats_py(text: str | None) -> dict:
+    """Row-at-a-time twin of :func:`unicode_stats_batch`."""
+    if text is None:
+        text = ""
+    cps = [ord(c) for c in text]
+    n_ascii = sum(1 for c in cps if c < 0x80)
+    n_2b = sum(1 for c in cps if 0x80 <= c < 0x800)
+    n_3b = sum(1 for c in cps if 0x800 <= c < 0x10000)
+    n_4b = sum(1 for c in cps if c >= 0x10000)
+    n_cp = len(cps)
+    return {
+        "n_bytes": len(text.encode("utf-8")),
+        "n_cp": n_cp,
+        "n_ascii": n_ascii,
+        "n_2byte": n_2b,
+        "n_3byte": n_3b,
+        "n_4byte": n_4b,
+        "nonascii_frac_q4": (n_cp - n_ascii) * 10_000 // max(n_cp, 1),
+    }

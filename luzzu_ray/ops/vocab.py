@@ -760,3 +760,312 @@ def dup_trigram_positions(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# BM25 constants, expressed as exact decimal fractions of k1=1.2 b=0.75:
+# k1+1 = 2.2, k1*(1-b) = 0.3, k1*b = 0.9 — used as double literals in an
+# IEEE-deterministic score expression (see bm25_topk docstring)
+BM25_K1_PLUS1 = 2.2
+BM25_K1_1MB = 0.3
+BM25_K1B = 0.9
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Distributed BM25 ranked retrieval for a constant query.
+
+    Two narrow passes, no shuffle of tokens:
+
+    1. corpus statistics — per-block partials of (n_docs, total_tokens,
+       df per query term) reduce to one tiny row;
+    2. broadcast those integers into a scoring map stage: per-batch
+       term frequencies via one Arrow split + flatten + bincount per
+       term, then per-block top-k pruning so only k rows per block
+       reach the final (k × n_blocks)-row sort.
+
+    Exactness: the idf uses the RATIONAL core of the Robertson idf,
+    (2N - 2df + 1) / (2df + 1) — the argument of the usual log — so
+    the whole score is a composition of IEEE-exact ops (+ - * /) on
+    integer-valued doubles, with a FIXED left-to-right term order.
+    DuckDB evaluates the literally-identical expression bit-for-bit,
+    so ``score_q6 = floor(score * 1e6)`` carries no float slack.
+    (Monotone-transformed idf changes absolute scores vs log-idf but
+    is a recognized idf variant; ranking quality is comparable for
+    short queries.)  Tokenization is the corpus convention shared with
+    the tf-idf family: split on single spaces, case-sensitive.
+    """
+    mt = len(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tx = pc.fill_null(t[text_col], "")
+        split = pc.split_pattern(tx, " ")
+        dl = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split)
+        parents = np.repeat(np.arange(t.num_rows, dtype=np.int64), dl)
+        cols = {
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "total_tokens": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for j, term in enumerate(terms):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            hit_docs = np.unique(parents[m])
+            cols[f"df_{j}"] = pa.array([len(hit_docs)], pa.int64())
+        return pa.table(cols)
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tot = parts.sum(
+        ["n_docs", "total_tokens"] + [f"df_{j}" for j in range(mt)]
+    )
+    n_docs = int(tot["sum(n_docs)"])
+    total_tokens = int(tot["sum(total_tokens)"])
+    dfs = [int(tot[f"sum(df_{j})"]) for j in range(mt)]
+
+    nf = float(n_docs)
+    totf = float(total_tokens)
+
+    def score_block(t: pa.Table) -> pa.Table:
+        tx = pc.fill_null(t[text_col], "")
+        split = pc.split_pattern(tx, " ")
+        dl = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split)
+        n = t.num_rows
+        parents = np.repeat(np.arange(n, dtype=np.int64), dl)
+        dlf = dl.astype(np.float64)
+        # den_base = 0.3 + ((0.9 * dl) * N) / total   (left-assoc, as SQL)
+        den_base = BM25_K1_1MB + ((BM25_K1B * dlf) * nf) / totf
+        score = None
+        for j, term in enumerate(terms):
+            m = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(parents[m], minlength=n).astype(np.float64)
+            idf = (2.0 * nf - 2.0 * float(dfs[j]) + 1.0) / (
+                2.0 * float(dfs[j]) + 1.0
+            )
+            term_s = idf * ((tf * BM25_K1_PLUS1) / (tf + den_base))
+            score = term_s if score is None else score + term_s
+        q6 = np.floor(score * 1000000.0).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -q6))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "score_q6": pa.array(q6[order]),
+        })
+
+    pruned = ds.select_columns([id_col, text_col]).map_batches(
+        score_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pruned.sort(["score_q6", id_col], descending=[True, False]).limit(k)
+
+
+# byte-level BPE training: token ids pack into (a << 21) | b pair keys
+_BPE_ID_BITS = 21
+
+
+def _bpe_tokenize_block(t: pa.Table, text_col: str) -> pa.Table:
+    """UTF-8 bytes of each doc as a list<int32> token column."""
+    from luzzu_ray.functions import text as TX
+
+    data, offs = TX.utf8_view(t[text_col])
+    lo = int(offs[0])
+    vals = data[lo:int(offs[-1])].astype(np.int32)
+    la = pa.ListArray.from_arrays(
+        pa.array((offs - lo).astype(np.int32)), pa.array(vals)
+    )
+    return pa.table({"toks": la})
+
+
+def _list_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int32 values, zero-based int64 offsets) of a list<int32>
+    column; robust to sliced arrays (offsets re-based to the returned
+    values slice)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.asarray(arr.offsets)[: len(arr) + 1].astype(np.int64)
+    vals = np.asarray(arr.values)[offs[0]:offs[-1]]
+    return vals, offs - offs[0]
+
+
+def _pair_counts_block(t: pa.Table) -> pa.Table:
+    """Distinct (packed adjacent pair, count) rows for a block."""
+    empty = pa.table({
+        "pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+    })
+    if t.num_rows == 0:
+        return empty
+    vals, offs = _list_view(t["toks"])
+    if len(vals) < 2:
+        return empty
+    a = vals[:-1].astype(np.int64)
+    b = vals[1:].astype(np.int64)
+    valid = np.ones(len(a), dtype=bool)
+    # position i pairs vals[i] with vals[i+1]; i == doc_end-1 spans docs
+    ends = offs[1:-1] - 1
+    valid[ends[(ends >= 0) & (ends < len(a))]] = False
+    # a freshly-started doc of length 0 contributes nothing already
+    pairs = ((a << _BPE_ID_BITS) | b)[valid]
+    if len(pairs) == 0:
+        return empty
+    u, cnt = np.unique(pairs, return_counts=True)
+    return pa.table({"pair": pa.array(u), "n": pa.array(cnt.astype(np.int64))})
+
+
+def _apply_merge_block(t: pa.Table, a: int, b: int, new_id: int) -> pa.Table:
+    """Leftmost-greedy application of one merge (a, b) -> new_id."""
+    if t.num_rows == 0:
+        return t
+    vals, offs = _list_view(t["toks"])
+    vals = vals.astype(np.int32, copy=True)
+    if len(vals) < 2:
+        return t
+    m = (vals[:-1] == a) & (vals[1:] == b)
+    ends = offs[1:-1] - 1
+    m[ends[(ends >= 0) & (ends < len(m))]] = False
+    p = np.flatnonzero(m)
+    if a == b and len(p) > 1:
+        # overlapping runs ("aaa"): greedy keeps alternate matches
+        keep = np.ones(len(p), dtype=bool)
+        run_start = np.zeros(len(p), dtype=np.int64)
+        new_run = np.ones(len(p), dtype=bool)
+        new_run[1:] = np.diff(p) != 1
+        run_id = np.cumsum(new_run) - 1
+        first_of_run = p[new_run][run_id]
+        keep = ((p - first_of_run) % 2) == 0
+        p = p[keep]
+    if len(p) == 0:
+        return t
+    vals[p] = new_id
+    keep_mask = np.ones(len(vals), dtype=bool)
+    keep_mask[p + 1] = False
+    new_vals = vals[keep_mask]
+    removed_before = np.searchsorted(p + 1, offs, side="left")
+    new_offs = offs - removed_before
+    la = pa.ListArray.from_arrays(
+        pa.array((new_offs - new_offs[0]).astype(np.int32)),
+        pa.array(new_vals),
+    )
+    return pa.table({"toks": la})
+
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    n_merges: int,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Distributed byte-level BPE merge training (Sennrich et al. 2016).
+
+    The corpus lives as a list<int32> token dataset; each round is
+
+    1. one map pass emitting per-block DISTINCT (adjacent-pair, count)
+       partials (the exchange carries block vocabularies of pairs,
+       never token streams),
+    2. one narrow keyed exchange where co-located pair counts sum and
+       each reduce block emits its single best candidate (argmax is
+       distributive: max count, ties to the smallest packed pair id ==
+       lexicographic (a, b)), the driver comparing only
+       #partitions rows,
+    3. one incremental map pass applying JUST the new merge
+       (leftmost-greedy, vectorized; equal-token runs merge at
+       alternate positions) and rematerializing the token dataset.
+
+    Returns (step, tok_a, tok_b, new_id, pair_count).  Token ids must
+    stay under 2^21 (= 2M merges) for the packed pair key.  Verified
+    against an independent row-at-a-time Python twin via a committed
+    fixture (iterative state makes the loop non-SQL-expressible).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(ds, num_partitions)
+    toks = ds.select_columns([text_col]).map_batches(
+        lambda t: _bpe_tokenize_block(t, text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def best_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        pairs = t["pair"].to_numpy(zero_copy_only=False)
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        u, codes = np.unique(pairs, return_inverse=True)
+        tot = np.bincount(codes, weights=ns.astype(np.float64)).astype(np.int64)
+        j = np.lexsort((u, -tot))[0]
+        return pa.table({
+            "pair": pa.array([int(u[j])], pa.int64()),
+            "n": pa.array([int(tot[j])], pa.int64()),
+        })
+
+    steps, tas, tbs, nids, cnts = [], [], [], [], []
+    for step in range(n_merges):
+        cands = toks.map_batches(
+            _pair_counts_block, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        ).repartition(num_blocks=width, keys=["pair"]).map_batches(
+            best_block, batch_format="pyarrow", batch_size=None,
+        ).take_all()
+        if not cands:
+            break
+        best = max(cands, key=lambda r: (r["n"], -r["pair"]))
+        if best["n"] < 2:
+            break
+        pair, cnt = int(best["pair"]), int(best["n"])
+        a, b = pair >> _BPE_ID_BITS, pair & ((1 << _BPE_ID_BITS) - 1)
+        new_id = 256 + step
+        steps.append(step)
+        tas.append(a)
+        tbs.append(b)
+        nids.append(new_id)
+        cnts.append(cnt)
+        toks = toks.map_batches(
+            lambda t, a=a, b=b, ni=new_id: _apply_merge_block(t, a, b, ni),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ).materialize()
+    return pa.table({
+        "step": pa.array(steps, pa.int64()),
+        "tok_a": pa.array(tas, pa.int64()),
+        "tok_b": pa.array(tbs, pa.int64()),
+        "new_id": pa.array(nids, pa.int64()),
+        "pair_count": pa.array(cnts, pa.int64()),
+    })
+
+
+def bpe_train_py(texts: list[str | None], n_merges: int) -> list[tuple]:
+    """Row-at-a-time BPE twin: independent control flow (explicit python
+    scan with leftmost-greedy merging) for fixture generation."""
+    docs = [list((t or "").encode("utf-8")) for t in texts]
+    out = []
+    for step in range(n_merges):
+        counts: dict = {}
+        for d in docs:
+            for i in range(len(d) - 1):
+                k = (d[i], d[i + 1])
+                counts[k] = counts.get(k, 0) + 1
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], (-kv[0][0], -kv[0][1])))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        new_id = 256 + step
+        out.append((step, a, b, new_id, cnt))
+        for di, d in enumerate(docs):
+            nd = []
+            i = 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    nd.append(new_id)
+                    i += 2
+                else:
+                    nd.append(d[i])
+                    i += 1
+            docs[di] = nd
+    return out

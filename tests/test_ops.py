@@ -3253,3 +3253,133 @@ def test_line_dedup_all_boilerplate_doc_empty(ray_session):
     )
     assert out["text_clean"].tolist() == ["", "", "", "c d"]
     assert out["n_removed"].tolist() == [1, 1, 1, 0]
+
+
+def test_unicode_stats_scalar_twin_and_layout():
+    import numpy as np
+    import pyarrow as pa
+
+    from luzzu_ray.ops.textstats import unicode_stats_batch, unicode_stats_py
+
+    texts = [
+        "hello", "héllo wörld", "naïve — café ✓ 😀", "", None,
+        "漢字テスト", "𝔘𝔫𝔦𝔠𝔬𝔡𝔢", "mixed é漢😀 ascii", "߿ࠀ￿\U00010000",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = unicode_stats_batch(t)
+    cols = ["n_bytes", "n_cp", "n_ascii", "n_2byte", "n_3byte", "n_4byte",
+            "nonascii_frac_q4"]
+    for i, txt in enumerate(texts):
+        want = unicode_stats_py(txt)
+        got = {k: out[k][i].as_py() for k in cols}
+        assert got == want, (txt, got, want)
+    # layout invariance: any batch split yields identical per-row stats
+    parts = [unicode_stats_batch(t.slice(0, 4)), unicode_stats_batch(t.slice(4))]
+    merged = pa.concat_tables(parts)
+    assert merged.equals(out)
+    # sliced-offset view (non-zero arrow offset) also agrees
+    assert unicode_stats_batch(t.slice(3)).equals(out.slice(3))
+
+
+def test_pagerank_plans_agree_and_match_scalar_twin(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.graph import PAGERANK_BASE, PAGERANK_SCALE, pagerank
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 60, 500)
+    b = rng.integers(0, 60, 500)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    m = lo != hi
+    packed = np.unique((lo[m].astype(np.int64) << 8) | hi[m])
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(packed >> 8, pa.int64()),
+        "b": pa.array(packed & 255, pa.int64()),
+    })).repartition(num_blocks=3)
+    fast = pagerank(ds, n_iter=3, num_partitions=3)
+    slow = pagerank(ds, n_iter=3, num_partitions=3, broadcast_max_nodes=0)
+    fd = dict(zip(fast["node"].to_pylist(), fast["rank_q"].to_pylist()))
+    sd = dict(zip(slow["node"].to_pylist(), slow["rank_q"].to_pylist()))
+    assert fd == sd
+    # single-process integer twin
+    deg = collections.Counter()
+    adj = collections.defaultdict(list)
+    for p in packed:
+        x, y = int(p >> 8), int(p & 255)
+        adj[x].append(y)
+        adj[y].append(x)
+        deg[x] += 1
+        deg[y] += 1
+    r = {n: PAGERANK_SCALE for n in deg}
+    for _ in range(3):
+        s = {n: 0 for n in deg}
+        for n in deg:
+            c = r[n] // deg[n]
+            for nb in adj[n]:
+                s[nb] += c
+        r = {n: PAGERANK_BASE + (85 * s[n]) // 100 for n in deg}
+    assert r == fd
+
+
+def test_bm25_topk_block_layout_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.vocab import bm25_topk
+
+    docs = [
+        "hash join probe build", "vector scan filter", "hash hash hash",
+        "nothing relevant here", "join order join", "", "scan",
+        "vector vector hash join scan merge",
+    ] * 4
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    outs = []
+    for nb in (1, 3, 7):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=nb)
+        out = bm25_topk(ds, ["hash", "join", "vector", "scan"], k=10)
+        df = out.to_pandas().sort_values(["score_q6", "doc_id"],
+                                         ascending=[False, True])
+        outs.append(list(map(tuple, df.values)))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) == 10
+    # the all-terms doc repeats rank at the top tier
+    top_scores = {s for _, s in outs[0][:4]}
+    assert len(top_scores) == 1
+
+
+def test_bpe_train_matches_python_twin_any_layout(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.vocab import bpe_train, bpe_train_py
+
+    texts = [
+        "the cat sat on the mat", "the dog ate the food",
+        "aaaaab banana bandana", "mississippi", "", None, "the the the",
+    ] * 3
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    want = bpe_train_py(texts, 10)
+    assert want, "twin produced no merges"
+    for nb in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=nb)
+        out = bpe_train(ds, 10, num_partitions=3)
+        got = list(zip(
+            out["step"].to_pylist(), out["tok_a"].to_pylist(),
+            out["tok_b"].to_pylist(), out["new_id"].to_pylist(),
+            out["pair_count"].to_pylist(),
+        ))
+        assert got == want
+    # run-overlap case: pair_count records all 8 adjacent (a,a)
+    # positions; the apply step then merges greedily left-to-right
+    aa = bpe_train_py(["aaa aaa aaaaa"], 1)
+    assert aa[0][1] == aa[0][2] == ord("a") and aa[0][4] == 8

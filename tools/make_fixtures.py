@@ -174,10 +174,29 @@ def make_quality_clf(sf_dir: str) -> pa.Table:
     )
 
 
+def make_bpe(sf_dir: str) -> pa.Table:
+    """Row-at-a-time BPE trainer (explicit Python scan, independent of
+    the distributed kernels' vectorized merge application)."""
+    from luzzu_ray.ops.vocab import bpe_train_py
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    rows = bpe_train_py(docs["text"].to_pylist(), 12)
+    return pa.table({
+        "step": pa.array([r[0] for r in rows], pa.int64()),
+        "tok_a": pa.array([r[1] for r in rows], pa.int64()),
+        "tok_b": pa.array([r[2] for r in rows], pa.int64()),
+        "new_id": pa.array([r[3] for r in rows], pa.int64()),
+        "pair_count": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
+        ("bpe_merges", make_bpe),
         ("quality_classifier", make_quality_clf),
         ("image_features", make_image_features),
         ("image_resize_features", make_image_resize_features),
