@@ -88,6 +88,59 @@ def q_doc_unicode_stats(sf_dir: str):
     )
 
 
+def q_validate_documents(sf_dir: str):
+    """Per-rule violation counts over the document table — the Luzzu
+    daQ quality-observation table as one partial+final reduce (each
+    block ships one wide int64 row); rules share the engine's
+    constants with the SQL oracle's conditional counts."""
+    from luzzu_ray.ops.profile import validate_documents
+
+    return validate_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _users_of_type(sf_dir: str, event_type: str):
+    ev = _tbl(sf_dir, "events", ["user_id", "event_type"])
+    return ev.map_batches(
+        lambda t, et=event_type: t.filter(
+            pc.equal(t["event_type"], et)).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_users_intersect(sf_dir: str):
+    """SQL INTERSECT as a distributed set op: users who purchased AND
+    hit an error — per-block distinct on both sides, one keyed
+    exchange, vectorized membership in the co-located block."""
+    from luzzu_ray.ops.relational import distinct_set_op
+
+    return distinct_set_op(
+        _users_of_type(sf_dir, "purchase"),
+        _users_of_type(sf_dir, "error"), "user_id", "intersect",
+    )
+
+
+def q_users_except(sf_dir: str):
+    """SQL EXCEPT on the same engine: users with a large purchase who
+    never had a large error (every user has every event TYPE in the
+    fixture, so the value predicates make the difference non-trivial)."""
+    from luzzu_ray.ops.relational import distinct_set_op
+
+    ev = _tbl(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def side(et: str, vmin: float):
+        return ev.map_batches(
+            lambda t, et=et, vmin=vmin: t.filter(
+                pc.and_(pc.equal(t["event_type"], et),
+                        pc.greater_equal(t["value"], vmin))
+            ).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+
+    return distinct_set_op(
+        side("purchase", 90.0), side("error", 95.0), "user_id", "except",
+    )
+
+
 BM25_TERMS = ["hash", "join", "vector", "scan"]
 BM25_TOPK = 20
 PAGERANK_ITERS = 3
@@ -104,6 +157,27 @@ def q_bpe_merges(sf_dir: str):
     from luzzu_ray.ops.vocab import bpe_train
 
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), BPE_N_MERGES)
+
+
+def q_part_cooc_components(sf_dir: str):
+    """Standalone connected components over the part co-occurrence
+    graph (cluster = component-minimum node): exposes the union-find /
+    star-contraction engine the near-dup pipelines use internally as a
+    first-class graph query, against a transitive-closure SQL oracle."""
+    from luzzu_ray.ops.dedup import cluster_pairs
+    from luzzu_ray.ops.graph import cooccurrence_edges
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    out = cluster_pairs(edges)
+    if not isinstance(out, pa.Table):
+        out = pa.concat_tables(
+            t for t in (ray.get(r) for r in out.to_arrow_refs())
+            if t.num_rows
+        )
+    return out.select(["doc_id", "cluster"]).rename_columns(
+        ["node", "cluster"]
+    )
 
 
 def q_part_cooc_pagerank(sf_dir: str):
@@ -1197,6 +1271,13 @@ SHINGLE_MIN_DF = 2
 
 from luzzu_ray.ops.sketch import KMV_HASH_A, KMV_HASH_B
 
+def _pool():
+    """Cluster-sized autoscaling pool for full-scan map stages
+    (a fixed (1, 8) cap starves >8-CPU clusters)."""
+    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+    return default_actor_pool()
+
+
 VOCAB_TOPV = 50
 KMV_K = 256
 MIX_A = 0xBF58476D1CE4E5B9
@@ -1577,7 +1658,7 @@ def q_tpch_q5(sf_dir: str):
     named = j2.map_batches(
         LocalRevenue,
         fn_constructor_args=(supp_ref, asia_keys, asia_names),
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=_pool(),
     )
     out = grouped_sum_q(
         named, ["n_name"], float_cols={}, int_cols={"rev_q2": "revenue_q2"},
@@ -2492,6 +2573,85 @@ def _png_image_corpus(sf_dir: str):
     return ray.data.read_parquet(img_path)
 
 
+AUDIO_RATES = (8000, 16000, 22050)
+AUDIO_RESAMPLE_RATE = 8000
+
+
+def audio_samples_for_doc(doc_id: int):
+    """Deterministic (sample_rate, int16 samples) for a document id —
+    shared by the WAV corpus generator and the committed-fixture scalar
+    twin (tools/make_fixtures.py)."""
+    rng = np.random.Generator(np.random.PCG64(int(doc_id) * 31 + 7))
+    rate = AUDIO_RATES[int(doc_id) % 3]
+    n = 1200 + (int(doc_id) % 7) * 400
+    return rate, rng.integers(-(2**15), 2**15, n).astype(np.int16)
+
+
+def _wav_audio_corpus(sf_dir: str):
+    """Deterministic REAL-WAV corpus (one clip per document id), cached
+    as Parquet under /tmp and read back as a Dataset — same contract as
+    the PNG image corpus."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.wav import encode_wav
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    sig = f"{len(doc_ids)}-{min(doc_ids, default=0)}-{max(doc_ids, default=0)}"
+    aud_path = f"/tmp/luzzu_wav_audio/{tag}-{sig}.parquet"
+    if not os.path.exists(aud_path):
+        os.makedirs(os.path.dirname(aud_path), exist_ok=True)
+        rows = []
+        for d in doc_ids:
+            rate, s = audio_samples_for_doc(d)
+            rows.append(encode_wav(s, rate))
+        auds = pa.table({
+            "id": pa.array(doc_ids, pa.int64()),
+            "audio": pa.array(rows, pa.binary()),
+        })
+        tmp = f"{aud_path}.tmp.{os.getpid()}"
+        pq.write_table(auds, tmp)
+        os.replace(tmp, aud_path)
+
+    import ray.data
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    return ray.data.read_parquet(aud_path)
+
+
+def q_audio_features(sf_dir: str):
+    """Multimodal audio pipeline, HARD-verified: deterministic real-WAV
+    corpus -> actor-pool decode (dependency-free RIFF/PCM16 codec) ->
+    exact integer (sample_rate, duration_ms, rms_q6).  The oracle is a
+    committed parquet from an INDEPENDENT scalar twin that never
+    touches the codec (samples straight from the seeded generator)."""
+    from luzzu_ray.ops.multimodal import decode_audio
+
+    return decode_audio(
+        _wav_audio_corpus(sf_dir), mode="real", batch_size=128
+    ).select_columns(["id", "sample_rate", "duration_ms", "rms_q6"])
+
+
+def q_audio_resample_features(sf_dir: str):
+    """Multimodal audio chaining, HARD-verified: resample (EXACT
+    fixed-point linear interpolation, re-encoded WAV) -> decode ->
+    integer features; the committed oracle resamples the generator
+    samples with an independent scalar implementation."""
+    from luzzu_ray.ops.multimodal import decode_audio, resample_audio
+
+    ds = _wav_audio_corpus(sf_dir)
+    res = resample_audio(
+        ds, AUDIO_RESAMPLE_RATE, mode="real", batch_size=128
+    ).select_columns(["id", "audio"])
+    return decode_audio(res, mode="real", batch_size=128).select_columns(
+        ["id", "sample_rate", "duration_ms", "rms_q6"]
+    )
+
+
 def _features_q4_flat(decoded):
     """(id, width, height, f0_q4..f7_q4): features quantized to exact
     int64 (they are n/10000 by construction) so the driver's value hash
@@ -3100,7 +3260,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unicode_stats": q_doc_unicode_stats,
         "bm25_topk": q_bm25_topk,
         "part_cooc_pagerank": q_part_cooc_pagerank,
+        "part_cooc_components": q_part_cooc_components,
         "bpe_merges": q_bpe_merges,
+        "users_intersect": q_users_intersect,
+        "users_except": q_users_except,
+        "validate_documents": q_validate_documents,
         "doc_quality": q_doc_quality,
         "doc_scrub": q_doc_scrub,
         "doc_lexical_stats": q_doc_lexical_stats,
@@ -3135,6 +3299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_dedup_counts": q_streaming_dedup_counts,
         "embedding_neardup": q_embedding_neardup,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "audio_resample_features": q_audio_resample_features,
         "image_resize_features": q_image_resize_features,
         "video_frame_features": q_video_frame_features,
         "events_hourly_window": q_events_hourly_window,
@@ -3432,6 +3598,59 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": f"SELECT doc_id, {_STATS_FRAG} FROM documents",
         "bm25_topk": bm25_sql,
         "part_cooc_pagerank": pagerank_sql,
+        "users_intersect": (
+            "SELECT user_id FROM events WHERE event_type = 'purchase' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'error'"
+        ),
+        "validate_documents": f"""
+            WITH s AS (SELECT text IS NULL AS is_null, {_STATS_FRAG}
+                       FROM documents)
+            SELECT 'null_text' AS rule,
+              CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violations,
+              CAST(count(*) AS BIGINT) AS n_checked FROM s
+            UNION ALL SELECT 'empty',
+              CAST(sum(CASE WHEN NOT is_null AND n_chars = 0
+                       THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM s
+            UNION ALL SELECT 'too_short',
+              CAST(sum(CASE WHEN n_chars > 0 AND n_chars < 5
+                       THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM s
+            UNION ALL SELECT 'too_long',
+              CAST(sum(CASE WHEN n_chars > 20000 THEN 1 ELSE 0 END)
+                AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM s
+            UNION ALL SELECT 'symbol_heavy',
+              CAST(sum(CASE WHEN symbol_ratio_q6 > 300000
+                       THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM s
+            UNION ALL SELECT 'digit_heavy',
+              CAST(sum(CASE WHEN digit_ratio_q6 > 500000
+                       THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM s
+        """,
+        "users_except": (
+            "SELECT user_id FROM events "
+            "WHERE event_type = 'purchase' AND value >= 90.0 "
+            "EXCEPT "
+            "SELECT user_id FROM events "
+            "WHERE event_type = 'error' AND value >= 95.0"
+        ),
+        "part_cooc_components": (
+            "WITH RECURSIVE e AS (SELECT DISTINCT l1.l_partkey AS a, "
+            "l2.l_partkey AS b FROM lineitem l1 JOIN lineitem l2 "
+            "ON l1.l_orderkey = l2.l_orderkey "
+            "AND l1.l_partkey < l2.l_partkey), "
+            "edges AS (SELECT a AS u, b AS v FROM e "
+            "UNION SELECT b, a FROM e), "
+            "reach(u, v) AS (SELECT u, v FROM edges "
+            "UNION SELECT r.u, e2.v FROM reach r "
+            "JOIN edges e2 ON r.v = e2.u) "
+            "SELECT u AS node, least(u, min(v)) AS cluster "
+            "FROM reach GROUP BY u"
+        ),
         "doc_unicode_stats": r"""
             WITH t2 AS (
               SELECT doc_id,
@@ -4016,6 +4235,15 @@ FROM dfs GROUP BY df
         "image_features": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/image_features_sf001.parquet')"
+        ),
+        "audio_features": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/audio_features_sf001.parquet')"
+        ),
+        "audio_resample_features": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/audio_resample_features_sf001"
+            ".parquet')"
         ),
         "image_resize_features": (
             "SELECT * FROM read_parquet("

@@ -163,6 +163,14 @@ def main() -> None:
         "prefix_contained",
         "events_value_winsorized",
         "lines_urgency_salted",
+        # round-3 session-6 additions
+        "tpch_q18",
+        "part_cooc_triangles",
+        "part_cooc_pagerank",
+        "bm25_topk",
+        "doc_unicode_stats",
+        "bpe_merges",
+        "audio_features",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

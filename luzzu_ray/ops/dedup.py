@@ -39,6 +39,13 @@ import ray.data
 
 from luzzu_ray.ops.textstats import token_hashes_for_rows
 
+def _pool():
+    """Cluster-sized autoscaling pool for full-scan map stages
+    (a fixed (1, 8) cap starves >8-CPU clusters)."""
+    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+    return default_actor_pool()
+
+
 # ---------------------------------------------------------------------------
 # deterministic hash families (seeded once, shared by engine + tests)
 # ---------------------------------------------------------------------------
@@ -1668,7 +1675,7 @@ def ssjoin_pairs(
 
     prefixes = sets.map_batches(
         PrefixEmit, fn_constructor_kwargs={"ref": hot_ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=_pool(),
     )
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
@@ -1893,7 +1900,7 @@ def prefix_contained(
             batch_format="pyarrow", zero_copy_batch=True,
         ).map_batches(
             _ShortPrefixCounter, fn_constructor_args=(ref,),
-            concurrency=(1, 8), batch_format="pyarrow",
+            concurrency=_pool(), batch_format="pyarrow",
         ).take_all()
         tot = np.zeros(len(patterns), dtype=np.int64)
         for r in counts:

@@ -277,48 +277,47 @@ PAGERANK_BASE = (15 * PAGERANK_SCALE) // 100   # (1-d) * SCALE
 PAGERANK_BROADCAST_MAX_NODES = 20_000_000
 
 
-class _PRContrib:
+def _pr_contrib(t: pa.Table, nodes_ref, contrib_ref) -> pa.Table:
     """Per-edge-block PageRank contribution partials against a broadcast
     (sorted nodes, rank//degree) pair: one searchsorted per block maps
     src ids to contribution values, one bincount over block-local dst
-    codes emits (dst, s) partial rows — never a row per edge."""
-
-    def __init__(self, nodes_ref, contrib_ref):
-        self.nodes = (
-            ray.get(nodes_ref)
-            if isinstance(nodes_ref, ray.ObjectRef) else nodes_ref
+    codes emits (dst, s) partial rows — never a row per edge.  Runs as
+    a TASK (not an actor pool): the broadcast arrays resolve zero-copy
+    from the local object store per task, and tasks avoid paying an
+    actor-pool cold start on every power iteration."""
+    nodes = (
+        ray.get(nodes_ref)
+        if isinstance(nodes_ref, ray.ObjectRef) else nodes_ref
+    )
+    contrib = (
+        ray.get(contrib_ref)
+        if isinstance(contrib_ref, ray.ObjectRef) else contrib_ref
+    )
+    empty = pa.table({
+        "node": pa.array([], pa.int64()),
+        "s": pa.array([], pa.int64()),
+    })
+    if t.num_rows == 0:
+        return empty
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = contrib[np.searchsorted(nodes, src)]
+    dst_u, codes = np.unique(dst, return_inverse=True)
+    s = np.bincount(codes, weights=c.astype(np.float64))
+    # float64 bincount is exact for sums < 2^53; guard and redo in
+    # int64 via a sort when a block could breach it
+    if c.sum() >= (1 << 53):  # pragma: no cover - giant-block guard
+        order = np.argsort(dst, kind="stable")
+        s = np.add.reduceat(
+            c[order],
+            np.concatenate(([0], np.flatnonzero(np.diff(dst[order]) != 0) + 1)),
         )
-        self.contrib = (
-            ray.get(contrib_ref)
-            if isinstance(contrib_ref, ray.ObjectRef) else contrib_ref
-        )
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "node": pa.array([], pa.int64()),
-            "s": pa.array([], pa.int64()),
-        })
-        if t.num_rows == 0:
-            return empty
-        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = self.contrib[np.searchsorted(self.nodes, src)]
-        dst_u, codes = np.unique(dst, return_inverse=True)
-        s = np.bincount(codes, weights=c.astype(np.float64))
-        # float64 bincount is exact for sums < 2^53; guard and redo in
-        # int64 via a sort when a block could breach it
-        if c.sum() >= (1 << 53):  # pragma: no cover - giant-block guard
-            order = np.argsort(dst, kind="stable")
-            s = np.add.reduceat(
-                c[order],
-                np.concatenate(([0], np.flatnonzero(np.diff(dst[order]) != 0) + 1)),
-            )
-            dst_u = dst[order][np.concatenate(
-                ([0], np.flatnonzero(np.diff(dst[order]) != 0) + 1))]
-        return pa.table({
-            "node": pa.array(dst_u),
-            "s": pa.array(s.astype(np.int64)),
-        })
+        dst_u = dst[order][np.concatenate(
+            ([0], np.flatnonzero(np.diff(dst[order]) != 0) + 1))]
+    return pa.table({
+        "node": pa.array(dst_u),
+        "s": pa.array(s.astype(np.int64)),
+    })
 
 
 def pagerank(
@@ -385,8 +384,6 @@ def pagerank(
     n_nodes = deg_ds.count()
 
     if n_nodes <= broadcast_max_nodes:
-        from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
-
         degt = pa.concat_tables(
             t for t in (ray.get(ref) for ref in deg_ds.to_arrow_refs())
             if t.num_rows  # skip schema-less empties from the key exchange
@@ -400,10 +397,11 @@ def pagerank(
         for _ in range(n_iter):
             contrib_ref = ray.put(rank // dg)
             parts = d.map_batches(
-                _PRContrib,
-                fn_constructor_args=(nodes_ref, contrib_ref),
+                _pr_contrib,
+                fn_kwargs={"nodes_ref": nodes_ref,
+                           "contrib_ref": contrib_ref},
                 batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None, concurrency=default_actor_pool(),
+                batch_size=None,
             )
             sums = np.zeros(len(nodes), dtype=np.int64)
             for ref in parts.to_arrow_refs():

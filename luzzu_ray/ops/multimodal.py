@@ -157,31 +157,45 @@ class ImageDecodeStage:
 
 class AudioDecodeStage:
     """Actor-pool stage: binary audio column -> sample_rate / duration /
-    loudness features.  Same stub contract as ImageDecodeStage:
-    ``strict`` raises, ``fake`` decodes the FAKEAUD container, ``auto``
-    prefers a real codec when importable (none in this container).
+    loudness features.
+
+    The WAV path is a REAL codec (``luzzu_ray.ops.wav``: RIFF chunk
+    walker, PCM16, integer stereo downmix — stdlib-interop pinned in
+    tests), so audio decode on genuine container bytes is no longer
+    stubbed.  Modes mirror ImageDecodeStage:
+
+    - ``auto``  — RIFF bytes decode for real, FAKEAUD via the stub,
+      anything else degrades to zeros
+    - ``real``  — WAV only; non-WAV bytes degrade to zeros
+    - ``strict``— WAV only; non-WAV/undecodable bytes RAISE
+    - ``fake``  — FAKEAUD stub only
 
     Input columns: (id:int64, audio:binary).  Output adds
-    sample_rate:int32, duration_ms:int64, rms_q6:int64 (RMS of the
-    int16 payload, fixed-point).
+    sample_rate:int32, duration_ms:int64, rms_q6:int64.  The WAV
+    loudness is floor(sqrt(ssq/n) / 32768 * 1e6) with ssq an EXACT
+    int64 sum of squares, so the value is IEEE-deterministic and a
+    row-at-a-time twin reproduces it bit-for-bit.
     """
 
     def __init__(self, mode: str = "auto"):
-        self.decoder = None
-        if mode in ("auto", "real"):
-            try:  # pragma: no cover - torchaudio/soundfile absent here
-                import soundfile  # noqa: F401
+        if mode not in ("auto", "real", "strict", "fake"):
+            raise ValueError(f"unknown decode mode {mode!r}")
+        self.mode = mode
 
-                self.decoder = "soundfile"
-            except ImportError:
-                if mode == "real":
-                    raise NotImplementedError(
-                        "real audio decode requires soundfile; not available"
-                    )
-        if self.decoder is None:
-            if mode == "strict":
-                raise NotImplementedError("audio decode stubbed: no codec")
-            self.decoder = "fake"
+    @staticmethod
+    def _decode_wav(buf: bytes):
+        import math
+
+        from luzzu_ray.ops.wav import decode_wav
+
+        rate, s = decode_wav(buf)
+        n = len(s)
+        if n == 0:
+            return rate, 0, 0
+        ssq = int(np.dot(s.astype(np.int64), s.astype(np.int64)))
+        rms_q6 = int(math.floor(
+            math.sqrt(ssq / n) / 32768.0 * 1000000.0))
+        return rate, int(n * 1000 // max(rate, 1)), rms_q6
 
     def _decode_fake(self, buf: bytes):
         # any malformed container (bad magic, truncated header, odd
@@ -198,23 +212,18 @@ class AudioDecodeStage:
         dur_ms = int(n * 1000 // max(rate, 1))
         return rate, dur_ms, int(rms / 32768.0 * 1e6)
 
-    def _decode_real(self, buf: bytes):  # pragma: no cover - lib absent here
-        import io
-
-        import soundfile
-
-        data, rate = soundfile.read(io.BytesIO(buf), dtype="float64")
-        if data.size == 0:
-            return int(rate), 0, 0
-        rms = float(np.sqrt(np.mean(data.reshape(-1) ** 2)))
-        return int(rate), int(len(data) * 1000 // max(rate, 1)), int(rms * 1e6)
-
     def _decode(self, buf: bytes):
-        if self.decoder == "soundfile":  # pragma: no cover - lib absent
+        if buf[:4] == b"RIFF" and self.mode != "fake":
             try:
-                return self._decode_real(buf)
-            except Exception:
+                return self._decode_wav(buf)
+            except ValueError:
+                if self.mode == "strict":
+                    raise
                 return 0, 0, 0
+        if self.mode == "strict":
+            raise ValueError("non-WAV bytes in strict decode mode")
+        if self.mode == "real":
+            return 0, 0, 0
         return self._decode_fake(buf)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -437,4 +446,68 @@ def sample_frames(
         batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"every_k": every_k, "mode": mode},
+    )
+
+
+class ResampleAudioStage:
+    """Actor-pool stage: REAL WAV resampling to a target rate.
+
+    Decodes via the dependency-free RIFF/PCM16 codec, resamples with
+    EXACT fixed-point linear interpolation (``wav.resample_linear_q``:
+    int64 rational positions, bit-reproducible by any twin), and
+    re-encodes as WAV.  Modes mirror the decode stage: ``strict``
+    raises on non-WAV bytes, otherwise they pass through as empty.
+
+    Input (id:int64, audio:binary) -> ``audio`` replaced by the
+    resampled container, plus sample_rate:int32 (the new rate).
+    """
+
+    def __init__(self, target_rate: int, mode: str = "auto"):
+        if mode not in ("auto", "real", "strict"):
+            raise ValueError(f"unknown resample mode {mode!r}")
+        self.mode = mode
+        self.rate = int(target_rate)
+
+    def _one(self, buf: bytes) -> bytes:
+        from luzzu_ray.ops.wav import (
+            decode_wav, encode_wav, resample_linear_q,
+        )
+
+        if buf[:4] != b"RIFF":
+            if self.mode == "strict":
+                raise ValueError("non-WAV bytes in strict resample mode")
+            return b""
+        try:
+            src_rate, s = decode_wav(buf)
+        except ValueError:
+            if self.mode == "strict":
+                raise
+            return b""
+        return encode_wav(
+            resample_linear_q(s, src_rate, self.rate), self.rate
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bufs = t["audio"].combine_chunks()
+        out = []
+        for i in range(t.num_rows):  # binary decode is inherently per-item
+            v = bufs[i].as_py()
+            out.append(self._one(v) if v is not None else b"")
+        cols = {c: t[c] for c in t.column_names if c != "audio"}
+        cols["audio"] = pa.array(out, pa.binary())
+        cols["sample_rate"] = pa.array(
+            np.full(t.num_rows, self.rate, dtype=np.int32))
+        return pa.table(cols)
+
+
+def resample_audio(
+    ds: ray.data.Dataset, target_rate: int, mode: str = "auto",
+    batch_size: int = 256, concurrency=(1, 4),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ResampleAudioStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"target_rate": target_rate, "mode": mode},
     )

@@ -25,6 +25,7 @@ else upstream.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -170,3 +171,65 @@ def profile_table(
         Max("min_val", alias_name="min_val"),
         Max("max_val", alias_name="max_val"),
     )
+
+
+# per-rule validation report: rule name -> vectorized predicate over the
+# doc_stats signal table (True = violation).  Mirrors the Luzzu
+# metric-per-processor model: each rule is an independent accumulator
+# over the record stream, reduced to one (rule, count) observation.
+DOC_RULES = (
+    "null_text", "empty", "too_short", "too_long",
+    "symbol_heavy", "digit_heavy",
+)
+
+
+def _doc_rule_matrix(t: pa.Table) -> np.ndarray:
+    """(n_rules,) violation counts for one batch of documents."""
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.textstats import doc_stats_batch
+
+    is_null = pc.is_null(t["text"]).to_numpy(zero_copy_only=False)
+    s = doc_stats_batch(t)
+    n_chars = s["n_chars"].to_numpy(zero_copy_only=False)
+    sym = s["symbol_ratio_q6"].to_numpy(zero_copy_only=False)
+    dig = s["digit_ratio_q6"].to_numpy(zero_copy_only=False)
+    return np.array([
+        int(is_null.sum()),
+        int(((n_chars == 0) & ~is_null).sum()),
+        int(((n_chars > 0) & (n_chars < C.MIN_CHARS)).sum()),
+        int((n_chars > C.MAX_CHARS).sum()),
+        int((sym > int(C.SYMBOL_MAX * 1e6)).sum()),
+        int((dig > int(C.DIGIT_MAX * 1e6)).sum()),
+    ], dtype=np.int64)
+
+
+def validate_documents(ds: ray.data.Dataset) -> pa.Table:
+    """Per-rule violation counts over a document table — the Luzzu
+    quality-metadata observation table (daQ analog) as one narrow
+    partial+final reduce: each block contributes a 1-row wide partial
+    (one int64 per rule + n_checked), ``Dataset.sum`` combines, and
+    the driver reshapes the single wide row to long (rule,
+    n_violations, n_checked).  No exchange beyond the O(#blocks)
+    partials.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _doc_rule_matrix(t)
+        cols = {f"r{i}": pa.array([int(v)], pa.int64())
+                for i, v in enumerate(m)}
+        cols["n"] = pa.array([t.num_rows], pa.int64())
+        return pa.table(cols)
+
+    parts = ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tot = parts.sum([f"r{i}" for i in range(len(DOC_RULES))] + ["n"])
+    n_checked = int(tot["sum(n)"])
+    return pa.table({
+        "rule": pa.array(list(DOC_RULES), pa.string()),
+        "n_violations": pa.array(
+            [int(tot[f"sum(r{i})"]) for i in range(len(DOC_RULES))],
+            pa.int64()),
+        "n_checked": pa.array(
+            [n_checked] * len(DOC_RULES), pa.int64()),
+    })

@@ -16,6 +16,13 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+def _pool():
+    """Cluster-sized autoscaling pool for full-scan map stages
+    (a fixed (1, 8) cap starves >8-CPU clusters)."""
+    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+    return default_actor_pool()
+
+
 
 class BroadcastJoiner:
     """Actor-pool map-join: big-side batches probe a broadcast small table."""
@@ -34,13 +41,13 @@ def broadcast_join(
     small: pa.Table,
     key: str,
     small_cols: list[str],
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     ref = ray.put(small)
     return big.map_batches(
         BroadcastJoiner,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else _pool(),
         fn_constructor_kwargs={"small_ref": ref, "key": key, "small_cols": small_cols},
     )
 
@@ -1211,7 +1218,7 @@ def grouped_sigma_outliers(
 
     return prepped.map_batches(
         Flag, fn_constructor_kwargs={"bref": ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=_pool(),
     )
 
 
@@ -1394,7 +1401,7 @@ def bloom_semi_join(
 
     pruned = left.select_columns([left_key] + carry_cols).map_batches(
         Prefilter, fn_constructor_kwargs={"ref": bm_ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=_pool(),
     )
     return semi_join(
         pruned, right, left_key, right_key, carry_cols, num_partitions
@@ -2043,12 +2050,77 @@ def salted_inner_join(
 
     lsalted = left.map_batches(
         SaltLeft, fn_constructor_args=(hot_ref,),
-        concurrency=(1, 8), batch_format="pyarrow")
+        concurrency=_pool(), batch_format="pyarrow")
     rsalted = right.map_batches(
         SaltRight, fn_constructor_args=(hot_ref,),
-        concurrency=(1, 8), batch_format="pyarrow")
+        concurrency=_pool(), batch_format="pyarrow")
     joined = lsalted.join(
         rsalted, join_type="inner", on=(key, "_salt"),
         num_partitions=width,
     )
     return joined.drop_columns(["_salt"])
+
+
+def distinct_set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    col: str,
+    op: str,
+    right_col: str | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT`` / ``EXCEPT`` (DISTINCT set semantics) on one
+    column — the two set operators UNION (D2) didn't cover.
+
+    Both sides reduce to per-block DISTINCT values before the single
+    keyed exchange (only unique values move); each reduce block holds
+    every occurrence of its values, so one vectorized membership test
+    finishes the operator.  NULLs follow SQL set-op semantics: NULL is
+    a value, so it intersects with NULL and survives EXCEPT only when
+    absent on the right.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown set op {op!r}")
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    rcol = right_col or col
+    width = auto_partitions(left, num_partitions)
+    ltype = left.schema().types[left.schema().names.index(col)]
+
+    def conform(side: int, src: str):
+        def fn(t: pa.Table) -> pa.Table:
+            v = pc.unique(pc.cast(t[src], ltype))
+            return pa.table({
+                col: v,
+                "_side": pa.array(np.full(len(v), side, dtype=np.int8)),
+            })
+        return fn
+
+    both = left.select_columns([col]).map_batches(
+        conform(0, col), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([rcol]).map_batches(
+            conform(1, rcol), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    keep_hits = op == "intersect"
+
+    def block(t: pa.Table) -> pa.Table:
+        side = t["_side"].combine_chunks().to_numpy(zero_copy_only=False)
+        lv = pc.unique(t.filter(pa.array(side == 0))[col])
+        rv = t.filter(pa.array(side == 1))[col]
+        if len(lv) == 0:
+            return pa.table({col: pa.array([], ltype)})
+        # NULL-aware membership: skip_nulls=False makes null match null
+        hit = pc.is_in(lv, value_set=pc.unique(rv.combine_chunks()),
+                       skip_nulls=False)
+        return pa.table({
+            col: lv.filter(hit if keep_hits else pc.invert(hit))
+        })
+
+    return both.repartition(
+        num_blocks=width, keys=[col]
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)

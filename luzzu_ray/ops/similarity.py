@@ -18,6 +18,13 @@ import pyarrow as pa
 import ray
 import ray.data
 
+def _pool():
+    """Cluster-sized autoscaling pool for full-scan map stages
+    (a fixed (1, 8) cap starves >8-CPU clusters)."""
+    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+    return default_actor_pool()
+
+
 LSH_SEED = 7071
 LSH_PLANES = 12  # 4096 buckets
 
@@ -133,7 +140,7 @@ def ann_topk(
         BruteForceTopK,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=_pool(),
         fn_constructor_kwargs={"queries_ref": ref, "k": k},
     )
     merged = partials.repartition(
@@ -619,7 +626,7 @@ def sq8_ann_topk(
         _SQ8TopK,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=_pool(),
         fn_constructor_kwargs={"ref": ref, "k": k},
     )
     merged = partials.repartition(

@@ -19,6 +19,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+def _pool():
+    """Cluster-sized autoscaling pool for full-scan map stages
+    (a fixed (1, 8) cap starves >8-CPU clusters)."""
+    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+    return default_actor_pool()
+
+
 DEFAULT_EPS = 0.01
 
 
@@ -302,7 +309,7 @@ def frequent_words(
 
     counts = text.map_batches(
         Recount, fn_constructor_kwargs={"ref": cand_ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=_pool(),
     ).materialize()
     exact = counts.groupby(
         "word", num_partitions=auto_partitions(counts, num_partitions)

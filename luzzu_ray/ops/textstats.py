@@ -17,6 +17,13 @@ import ray.data
 from luzzu_ray import constants as C
 from luzzu_ray.functions import text as TX
 
+def _pool():
+    """Cluster-sized autoscaling pool for full-scan map stages
+    (a fixed (1, 8) cap starves >8-CPU clusters)."""
+    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+    return default_actor_pool()
+
+
 # fixed 64-bit FNV-style params for the rolling document fingerprint
 FP_BASE = np.uint64(1099511628211)
 FP_SEED = np.uint64(14695981039346656037)
@@ -237,7 +244,7 @@ def langid_documents(ds: ray.data.Dataset, model_ref=None) -> ray.data.Dataset:
         LangIdScorer,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=_pool(),
         fn_constructor_kwargs={"model_ref": model_ref},
     )
     return scored.select_columns(["doc_id", "lang", "lang_conf"])

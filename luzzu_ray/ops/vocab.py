@@ -20,6 +20,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+def _pool():
+    """Cluster-sized autoscaling pool for full-scan map stages
+    (a fixed (1, 8) cap starves >8-CPU clusters)."""
+    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+    return default_actor_pool()
+
+
 
 def _word_partial(t: pa.Table, text_col: str) -> pa.Table:
     """Per-block partial: (word, tf, df) over this block's rows.
@@ -246,7 +253,7 @@ def tfidf_top_terms(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         Scorer, fn_constructor_kwargs={"ref": df_ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=_pool(),
     )
 
 
@@ -382,7 +389,7 @@ def inverted_postings(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         Postings, fn_constructor_kwargs={"ref": vocab_ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        batch_format="pyarrow", concurrency=_pool(),
     )
 
 

@@ -190,8 +190,10 @@ def test_audio_decode_stage(ray_session):
     stage = AudioDecodeStage(mode="fake")
     for i in range(5):
         assert stage._decode_fake(rows[i]) == got[i]
-    with pytest.raises(NotImplementedError):
-        AudioDecodeStage(mode="strict")
+    # strict mode is WAV-only now: non-WAV bytes raise at decode time
+    strict = AudioDecodeStage(mode="strict")
+    with pytest.raises(ValueError):
+        strict._decode(rows[0])
 
 
 def test_audio_decode_malformed_containers(ray_session):
@@ -268,3 +270,88 @@ def test_resize_images(ray_session):
     # strict refuses non-PNG bytes at resize time, mirroring decode
     with pytest.raises(ValueError):
         ResizeImageStage(8, 4, mode="strict")._resize_one(rows[0])
+
+
+def test_wav_codec_roundtrip_and_stdlib_interop():
+    """Encode->decode identity, interop BOTH directions with the stdlib
+    wave module, stereo integer downmix, malformed rejection."""
+    import io
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from luzzu_ray.ops.wav import decode_wav, encode_wav, resample_linear_q
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-2**15, 2**15, 1000).astype(np.int16)
+    buf = encode_wav(s, 16000)
+    rate, s2 = decode_wav(buf)
+    assert rate == 16000 and np.array_equal(s, s2)
+    w = wave.open(io.BytesIO(buf))
+    assert (w.getframerate(), w.getnchannels(), w.getsampwidth()) == (16000, 1, 2)
+    assert np.array_equal(np.frombuffer(w.readframes(1000), dtype="<i2"), s)
+    bio = io.BytesIO()
+    ww = wave.open(bio, "wb")
+    ww.setnchannels(2)
+    ww.setsampwidth(2)
+    ww.setframerate(8000)
+    st = rng.integers(-2**15, 2**15, (300, 2)).astype(np.int16)
+    ww.writeframes(st.tobytes())
+    ww.close()
+    r2, mono = decode_wav(bio.getvalue())
+    want = (st.astype(np.int32).sum(axis=1) // 2).astype(np.int16)
+    assert r2 == 8000 and np.array_equal(mono, want)
+    for bad in (b"", b"RIFFxxxx", buf[:20]):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+    # fixed-point resample: scalar twin agreement on a few positions
+    rs = resample_linear_q(s, 16000, 8000)
+    assert len(rs) == 500
+    for i in (0, 7, 499):
+        num = i * 16000
+        idx = num // 8000
+        fn = num - idx * 8000
+        idx = min(idx, len(s) - 1)
+        nxt = min(idx + 1, len(s) - 1)
+        a, b = int(s[idx]), int(s[nxt])
+        assert int(rs[i]) == a + ((b - a) * fn) // 8000
+
+
+def test_audio_decode_real_wav_and_resample(ray_session):
+    """Real WAV corpus through the decode actor pool; resample chain
+    re-enters the real decode path; deterministic integer rms."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.multimodal import decode_audio, resample_audio
+    from luzzu_ray.ops.wav import encode_wav
+
+    rng = np.random.default_rng(9)
+    rows, want = [], {}
+    for i in range(6):
+        rate = (8000, 16000, 22050)[i % 3]
+        n = 400 + i * 150
+        s = rng.integers(-2**15, 2**15, n).astype(np.int16)
+        rows.append(encode_wav(s, rate))
+        ssq = int((s.astype(np.int64) ** 2).sum())
+        want[i] = (rate, n * 1000 // rate,
+                   int(math.floor(math.sqrt(ssq / n) / 32768.0 * 1e6)))
+    t = pa.table({"id": pa.array(range(6), pa.int64()),
+                  "audio": pa.array(rows, pa.binary())})
+    got = {r["id"]: (r["sample_rate"], r["duration_ms"], r["rms_q6"])
+           for r in decode_audio(
+               ray.data.from_arrow(t), mode="real").take_all()}
+    assert got == want
+    # resample to 8k, decode again for real: new rate everywhere,
+    # duration preserved within rounding
+    res = resample_audio(ray.data.from_arrow(t), 8000, mode="real")
+    out = {r["id"]: (r["sample_rate"], r["duration_ms"])
+           for r in decode_audio(
+               res.select_columns(["id", "audio"]), mode="real").take_all()}
+    for i in range(6):
+        assert out[i][0] == 8000
+        assert abs(out[i][1] - want[i][1]) <= 2

@@ -3383,3 +3383,61 @@ def test_bpe_train_matches_python_twin_any_layout(ray_session):
     # positions; the apply step then merges greedily left-to-right
     aa = bpe_train_py(["aaa aaa aaaaa"], 1)
     assert aa[0][1] == aa[0][2] == ord("a") and aa[0][4] == 8
+
+
+def test_distinct_set_op_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.relational import distinct_set_op
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "a", "b", "c", None, None], pa.string()),
+    })).repartition(num_blocks=3)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(["b", "d", None], pa.string()),
+    })).repartition(num_blocks=2)
+
+    def vals(ds):
+        out = []
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out.extend(b["k"].to_pylist())
+        return sorted(out, key=lambda x: (x is None, x))
+
+    inter = distinct_set_op(left, right, "k", "intersect", num_partitions=3)
+    assert vals(inter) == ["b", None]      # NULL intersects with NULL
+    exc = distinct_set_op(left, right, "k", "except", num_partitions=3)
+    assert vals(exc) == ["a", "c"]         # distinct, NULL removed
+    # no right-side nulls: left NULL survives EXCEPT
+    right2 = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a"], pa.string()),
+    }))
+    exc2 = distinct_set_op(left, right2, "k", "except", num_partitions=2)
+    assert vals(exc2) == ["b", "c", None]
+
+
+def test_validate_documents_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.profile import DOC_RULES, validate_documents
+
+    texts = ["ok text here", None, "", "ab", "x" * 25000,
+             "!!!! ???? ####", "12345 67890 11 22 33"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    for nb in (1, 3):
+        out = validate_documents(
+            ray.data.from_arrow(t).repartition(num_blocks=nb))
+        got = dict(zip(out["rule"].to_pylist(),
+                       out["n_violations"].to_pylist()))
+        assert set(got) == set(DOC_RULES)
+        assert got["null_text"] == 1
+        assert got["empty"] == 1
+        assert got["too_short"] == 1      # "ab"
+        assert got["too_long"] == 1       # 25k x
+        assert got["symbol_heavy"] == 1   # punctuation row
+        assert got["digit_heavy"] == 1    # digits row
+        assert out["n_checked"].to_pylist() == [len(texts)] * len(DOC_RULES)

@@ -192,11 +192,87 @@ def make_bpe(sf_dir: str) -> pa.Table:
     })
 
 
+def _audio_feature_row(rate: int, s) -> tuple[int, int, int]:
+    """Independent scalar twin of AudioDecodeStage._decode_wav: ssq via
+    a sequential Python loop (exact int), same IEEE final expression."""
+    import math
+
+    n = len(s)
+    if n == 0:
+        return rate, 0, 0
+    ssq = 0
+    for v in s.tolist():
+        ssq += v * v
+    return (rate, n * 1000 // rate,
+            int(math.floor(math.sqrt(ssq / n) / 32768.0 * 1000000.0)))
+
+
+def make_audio_features(sf_dir: str) -> pa.Table:
+    """Samples straight from the seeded generator — never through the
+    WAV codec the engine decodes with."""
+    from __ray_entry__ import audio_samples_for_doc
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    rows = [_audio_feature_row(*audio_samples_for_doc(d)) for d in ids]
+    return pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "sample_rate": pa.array([r[0] for r in rows], pa.int32()),
+        "duration_ms": pa.array([r[1] for r in rows], pa.int64()),
+        "rms_q6": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def make_audio_resample_features(sf_dir: str) -> pa.Table:
+    """Generator samples resampled by an INDEPENDENT scalar loop over
+    output positions (exact rational position arithmetic), bypassing
+    both the codec and the vectorized resampler."""
+    from __ray_entry__ import AUDIO_RESAMPLE_RATE, audio_samples_for_doc
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    out = []
+    dst = AUDIO_RESAMPLE_RATE
+    for d in ids:
+        src, s = audio_samples_for_doc(d)
+        sl = s.tolist()
+        n = len(sl)
+        if src == dst:
+            rs = sl
+        else:
+            m = max(1, (n * dst) // src)
+            rs = []
+            for i in range(m):
+                num = i * src
+                idx = num // dst
+                fn = num - idx * dst
+                idx = min(idx, n - 1)
+                nxt = min(idx + 1, n - 1)
+                a, b = sl[idx], sl[nxt]
+                v = a + ((b - a) * fn) // dst
+                # int16 wrap like the engine's astype(np.int16)
+                v = ((v + 2**15) % 2**16) - 2**15
+                rs.append(v)
+        out.append(_audio_feature_row(dst, np.array(rs, dtype=np.int64)))
+    return pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "sample_rate": pa.array([r[0] for r in out], pa.int32()),
+        "duration_ms": pa.array([r[1] for r in out], pa.int64()),
+        "rms_q6": pa.array([r[2] for r in out], pa.int64()),
+    })
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
         ("bpe_merges", make_bpe),
+        ("audio_features", make_audio_features),
+        ("audio_resample_features", make_audio_resample_features),
         ("quality_classifier", make_quality_clf),
         ("image_features", make_image_features),
         ("image_resize_features", make_image_resize_features),
