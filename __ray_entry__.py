@@ -88,6 +88,42 @@ def q_doc_unicode_stats(sf_dir: str):
     )
 
 
+def q_doc_sentence_stats(sf_dir: str):
+    """Sentence segmentation stats on deterministically punctuated text
+    (the corpus has no sentence terminators, so both sides apply the
+    same ' a ' -> '. ' substitution first): RE2 run counting + exact
+    integer mean length, reproduced by length/replace/regexp SQL."""
+    from luzzu_ray.ops.textstats import sentence_stats_batch
+
+    def widen(t: pa.Table) -> pa.Table:
+        tx = pc.replace_substring(
+            pc.fill_null(t["text"], ""), pattern=" a ", replacement=". ")
+        return sentence_stats_batch(
+            pa.table({"doc_id": t["doc_id"], "text": tx}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        widen, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_events_user_growth(sf_dir: str):
+    """Daily new-user counts + cumulative growth curve: partial
+    first-day per user before the one keyed exchange; the driver sees
+    only the #days-row series."""
+    from luzzu_ray.ops.events import user_growth
+
+    return user_growth(_tbl(sf_dir, "events", ["user_id", "ts"]))
+
+
+def q_doc_bigram_surprisal(sf_dir: str):
+    """Distributed bigram-LM training + exact integer per-doc scoring
+    (sum of fixed-point conditional probabilities — no libm, so the
+    SQL oracle rebuilds the model and matches bit-for-bit)."""
+    from luzzu_ray.ops.vocab import bigram_surprisal
+
+    return bigram_surprisal(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_validate_documents(sf_dir: str):
     """Per-rule violation counts over the document table — the Luzzu
     daQ quality-observation table as one partial+final reduce (each
@@ -3265,6 +3301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_intersect": q_users_intersect,
         "users_except": q_users_except,
         "validate_documents": q_validate_documents,
+        "doc_sentence_stats": q_doc_sentence_stats,
+        "events_user_growth": q_events_user_growth,
+        "doc_bigram_surprisal": q_doc_bigram_surprisal,
         "doc_quality": q_doc_quality,
         "doc_scrub": q_doc_scrub,
         "doc_lexical_stats": q_doc_lexical_stats,
@@ -3637,6 +3676,53 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT "
             "SELECT user_id FROM events "
             "WHERE event_type = 'error' AND value >= 95.0"
+        ),
+        "doc_sentence_stats": r"""
+            WITH t2 AS (
+              SELECT doc_id,
+                replace(COALESCE(text, ''), ' a ', '. ') AS tx
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(tx, '[^.]+')) AS BIGINT)
+                AS n_sentences,
+              CAST(length(tx) - (length(tx) -
+                   length(replace(tx, '.', ''))) AS BIGINT)
+                AS n_sentence_chars,
+              CAST((length(tx) - (length(tx) -
+                    length(replace(tx, '.', '')))) * 100
+                   // greatest(len(regexp_extract_all(tx, '[^.]+')), 1)
+                AS BIGINT) AS mean_sentence_len_q2
+            FROM t2
+        """,
+        "doc_bigram_surprisal": (
+            "WITH base AS (SELECT doc_id, "
+            "string_split(COALESCE(text, ''), ' ') AS w FROM documents), "
+            "tok AS (SELECT doc_id, unnest(w) AS term, "
+            "generate_subscripts(w, 1) AS i FROM base), "
+            "pairs AS (SELECT t1.doc_id, t1.term AS w1, t2.term AS w2 "
+            "FROM tok t1 JOIN tok t2 "
+            "ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1), "
+            "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb "
+            "FROM pairs GROUP BY w1, w2), "
+            "pcv AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp "
+            "FROM pairs GROUP BY w1), "
+            "terms AS (SELECT p.doc_id, "
+            "(1000000000 * bc.cb) // pcv.cp AS tq "
+            "FROM pairs p JOIN bc USING (w1, w2) JOIN pcv USING (w1)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(tq) AS BIGINT) AS score_q9 "
+            "FROM terms GROUP BY doc_id"
+        ),
+        "events_user_growth": (
+            "WITH f AS (SELECT user_id, "
+            "min(epoch_us(ts) // 86400000000) AS day "
+            "FROM events GROUP BY user_id), "
+            "g AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new "
+            "FROM f GROUP BY day) "
+            "SELECT CAST(day AS BIGINT) AS day, n_new, "
+            "CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS n_cum "
+            "FROM g"
         ),
         "part_cooc_components": (
             "WITH RECURSIVE e AS (SELECT DISTINCT l1.l_partkey AS a, "

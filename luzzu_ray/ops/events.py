@@ -1215,3 +1215,86 @@ def hourly_dense(
     return parts.repartition(
         num_blocks=width, keys=[type_col]
     ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def user_growth(
+    ds: ray.data.Dataset,
+    bucket_us: int = DAY_US,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Daily new-user counts and the cumulative user-growth curve:
+    (day, n_new, n_cum), day = floor(ts / bucket) of a user's FIRST
+    event.
+
+    Scale shape: map-side partial min-day per user collapses each
+    block to distinct users BEFORE the one keyed exchange; the reduce
+    block finalizes each user's first day and pre-aggregates to
+    (day, count) partials, so the driver sees only the #days-row
+    series — the running sum over it is O(#days), never a distributed
+    scan.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(ds, num_partitions)
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "day": pa.array([], pa.int64()),
+            })
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+                zero_copy_only=False) // bucket_us
+        )
+        order = np.lexsort((day, uid))
+        u, d = uid[order], day[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        return pa.table({
+            "user_id": pa.array(u[first]), "day": pa.array(d[first]),
+        })
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "day": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        # co-located: every (user, partial-min-day) row for a user is
+        # here; per-user global min, then per-day counts
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, uid))
+        us, ds_ = uid[order], d[order]
+        first = np.concatenate(([True], us[1:] != us[:-1]))
+        u, cnt = np.unique(ds_[first], return_counts=True)
+        return pa.table({
+            "day": pa.array(u), "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = ds.select_columns(["user_id", "ts"]).map_batches(
+        partial_min, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=width, keys=["user_id"]).map_batches(
+        day_counts, batch_format="pyarrow", batch_size=None,
+    )
+    rows = [t for t in (ray.get(r) for r in parts.to_arrow_refs())
+            if t.num_rows]
+    if not rows:
+        return pa.table({
+            "day": pa.array([], pa.int64()),
+            "n_new": pa.array([], pa.int64()),
+            "n_cum": pa.array([], pa.int64()),
+        })
+    merged = pa.concat_tables(rows)
+    day = merged["day"].to_numpy(zero_copy_only=False)
+    n = merged["n"].to_numpy(zero_copy_only=False)
+    u, inv = np.unique(day, return_inverse=True)
+    tot = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+    return pa.table({
+        "day": pa.array(u),
+        "n_new": pa.array(tot),
+        "n_cum": pa.array(np.cumsum(tot)),
+    })

@@ -383,6 +383,11 @@ def pagerank(
     ).materialize()
     n_nodes = deg_ds.count()
 
+    if n_nodes == 0:
+        return pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_q": pa.array([], pa.int64()),
+        })
     if n_nodes <= broadcast_max_nodes:
         degt = pa.concat_tables(
             t for t in (ray.get(ref) for ref in deg_ds.to_arrow_refs())

@@ -373,3 +373,25 @@ def unicode_stats_py(text: str | None) -> dict:
         "n_4byte": n_4b,
         "nonascii_frac_q4": (n_cp - n_ascii) * 10_000 // max(n_cp, 1),
     }
+
+
+def sentence_stats_batch(t: pa.Table, terminator: str = ".") -> pa.Table:
+    """Sentence segmentation stats per document, all-Arrow: sentence
+    count = RE2 count of maximal non-terminator runs, mean length as an
+    exact integer (q2).  NULL text counts as zero sentences."""
+    tx = pc.fill_null(t["text"], "")
+    n_chars = pc.cast(pc.utf8_length(tx), pa.int64())
+    n_term = pc.cast(
+        pc.count_substring(tx, pattern=terminator), pa.int64())
+    n_sent = pc.cast(
+        pc.count_substring_regex(tx, pattern=f"[^{terminator}]+"),
+        pa.int64())
+    chars = pc.subtract(n_chars, n_term).to_numpy(zero_copy_only=False)
+    sents = n_sent.to_numpy(zero_copy_only=False)
+    mean_q2 = chars * 100 // np.maximum(sents, 1)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_sentences": n_sent,
+        "n_sentence_chars": pa.array(chars),
+        "mean_sentence_len_q2": pa.array(mean_q2),
+    })

@@ -835,7 +835,8 @@ def bm25_topk(
     dfs = [int(tot[f"sum(df_{j})"]) for j in range(mt)]
 
     nf = float(n_docs)
-    totf = float(total_tokens)
+    # an empty corpus still scores (all zeros) instead of dividing by 0
+    totf = float(max(total_tokens, 1))
 
     def score_block(t: pa.Table) -> pa.Table:
         tx = pc.fill_null(t[text_col], "")
@@ -1076,3 +1077,131 @@ def bpe_train_py(texts: list[str | None], n_merges: int) -> list[tuple]:
                     i += 1
             docs[di] = nd
     return out
+
+
+def bigram_surprisal(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    scale: int = 10**9,
+) -> ray.data.Dataset:
+    """Distributed bigram-LM training + per-document scoring with an
+    EXACT integer score — the document-table twin of the transcript
+    perplexity stage, SQL-verifiable because no logarithm is involved:
+    each adjacent pair (a, b) contributes
+    ``floor(scale * c(a,b) / c(a,·))`` (its conditional probability as
+    a fixed-point integer), and the per-doc int64 sum is the score.
+    Higher = more predictable text (the monotone complement of
+    perplexity for fixed length).
+
+    Phase 1 (train): per-block (w1, w2, n) partials (the token stream
+    collapses before the exchange), one keyed combine, then the count
+    table collects to the driver and broadcasts via ``ray.put`` —
+    BROADCAST ASSUMPTION: the distinct-bigram table fits a worker
+    (Zipf; beyond memory, hash-join the pairs instead, as tf-idf
+    documents).
+
+    Phase 2 (score): exchange-free map — per batch, one Arrow
+    ``index_in`` of the batch's DISTINCT words against the broadcast
+    vocabulary, packed-key searchsorted for pair counts, one bincount
+    per batch for the doc sums.  Docs with no bigram (<= 1 token) are
+    omitted, matching the SQL GROUP BY over pair terms.  Bigrams
+    absent from the table (only possible when scoring text the model
+    was not trained on) contribute 0.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    parts = ds.select_columns([text_col]).map_batches(
+        lambda t: _bigram_partial(t, text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(["w1", "w2"]).aggregate([("n", "sum")])
+        return g.rename_columns(["w1", "w2", "n"])
+
+    counts = parts.repartition(
+        num_blocks=auto_partitions(parts, num_partitions),
+        keys=["w1", "w2"],
+    ).map_batches(combine, batch_format="pyarrow", batch_size=None)
+    ct = pa.concat_tables(
+        t for t in (ray.get(r) for r in counts.to_arrow_refs())
+        if t.num_rows
+    ).combine_chunks()
+
+    w1 = ct["w1"].combine_chunks()
+    w2 = ct["w2"].combine_chunks()
+    n = ct["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = pc.unique(pa.concat_arrays([w1, w2]))
+    v = len(vocab)
+    c1 = pc.index_in(w1, value_set=vocab).to_numpy(zero_copy_only=False)
+    c2 = pc.index_in(w2, value_set=vocab).to_numpy(zero_copy_only=False)
+    packed = c1.astype(np.int64) * v + c2.astype(np.int64)
+    order = np.argsort(packed)
+    packed, cb = packed[order], n[order]
+    cp = np.bincount(c1.astype(np.int64), weights=n.astype(np.float64),
+                     minlength=v).astype(np.int64)
+    model_ref = ray.put((vocab, packed, cb, cp))
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "score_q9": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        voc, pk, cbn, cpn = (
+            ray.get(model_ref)
+            if isinstance(model_ref, ray.ObjectRef) else model_ref
+        )
+        words = pc.split_pattern(
+            pc.fill_null(t[text_col], ""), " ").combine_chunks()
+        flat = words.flatten()
+        offs = words.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        if len(flat) == 0:
+            return empty
+        enc = pc.dictionary_encode(flat)
+        bcodes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bvocab = enc.dictionary
+        vmap_pa = pc.index_in(bvocab, value_set=voc)
+        vmap = np.asarray(vmap_pa.fill_null(-1).to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        codes = vmap[bcodes]
+        mask = np.ones(len(flat), dtype=bool)
+        has_tok = offs[1:] > offs[:-1]
+        mask[offs[1:][has_tok] - 1] = False
+        idx = np.flatnonzero(mask)
+        rowid = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), offs[1:] - offs[:-1]
+        )[idx]
+        a, b = codes[idx], codes[idx + 1]
+        known = (a >= 0) & (b >= 0)
+        key = a * len(voc) + b
+        pos = np.searchsorted(pk, key)
+        posc = np.minimum(pos, max(len(pk) - 1, 0))
+        found = known & (pos < len(pk)) & (pk[posc] == key)
+        term = np.zeros(len(idx), dtype=np.int64)
+        fa = a[found]
+        term[found] = (scale * cbn[posc[found]]) // cpn[fa]
+        nb = np.bincount(rowid, minlength=t.num_rows)
+        sq = np.bincount(
+            rowid, weights=term.astype(np.float64), minlength=t.num_rows
+        ).astype(np.int64)
+        keep = nb > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_bigrams": pa.array(nb[keep].astype(np.int64)),
+            "score_q9": pa.array(sq[keep]),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True,
+    )

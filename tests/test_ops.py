@@ -3441,3 +3441,98 @@ def test_validate_documents_counts(ray_session):
         assert got["symbol_heavy"] == 1   # punctuation row
         assert got["digit_heavy"] == 1    # digits row
         assert out["n_checked"].to_pylist() == [len(texts)] * len(DOC_RULES)
+
+
+def test_sentence_stats_scalar_twin():
+    import pyarrow as pa
+
+    from luzzu_ray.ops.textstats import sentence_stats_batch
+
+    texts = ["one. two. three", "nodots", "", None, "..", "a.b.c.", "x. "]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = sentence_stats_batch(t)
+    for i, txt in enumerate(texts):
+        tx = txt or ""
+        sents = [s for s in tx.split(".") if s]
+        n_chars = len(tx) - tx.count(".")
+        assert out["n_sentences"][i].as_py() == len(sents), txt
+        assert out["n_sentence_chars"][i].as_py() == n_chars
+        assert (out["mean_sentence_len_q2"][i].as_py()
+                == n_chars * 100 // max(len(sents), 1))
+
+
+def test_user_growth_matches_scalar(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.events import DAY_US, user_growth
+
+    rng = np.random.default_rng(5)
+    uid = rng.integers(0, 40, 500)
+    ts = rng.integers(0, 20 * DAY_US, 500)
+    t = pa.table({
+        "user_id": pa.array(uid, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    first = {}
+    for u, s in zip(uid.tolist(), ts.tolist()):
+        d = s // DAY_US
+        if u not in first or d < first[u]:
+            first[u] = d
+    counts = collections.Counter(first.values())
+    days = sorted(counts)
+    cum = np.cumsum([counts[d] for d in days]).tolist()
+    for nb in (1, 4):
+        out = user_growth(
+            ray.data.from_arrow(t).repartition(num_blocks=nb),
+            num_partitions=3)
+        assert out["day"].to_pylist() == days
+        assert out["n_new"].to_pylist() == [counts[d] for d in days]
+        assert out["n_cum"].to_pylist() == cum
+
+
+def test_bigram_surprisal_scalar_twin_any_layout(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.vocab import bigram_surprisal
+
+    texts = ["the cat sat", "the cat ran", "cat the cat", "solo", "",
+             None, "the the the cat"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    # scalar twin: explicit dict-based bigram model
+    cb = collections.Counter()
+    cp = collections.Counter()
+    for tx in texts:
+        ws = (tx or "").split(" ")
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] += 1
+            cp[a] += 1
+    want = {}
+    for i, tx in enumerate(texts):
+        ws = (tx or "").split(" ")
+        prs = list(zip(ws, ws[1:]))
+        if not prs:
+            continue
+        want[i] = (len(prs),
+                   sum((10**9 * cb[p]) // cp[p[0]] for p in prs))
+    for nb in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=nb)
+        out = bigram_surprisal(ds, num_partitions=2)
+        got = {}
+        for b in out.iter_batches(batch_format="pyarrow"):
+            for j in range(b.num_rows):
+                got[b["doc_id"][j].as_py()] = (
+                    b["n_bigrams"][j].as_py(), b["score_q9"][j].as_py())
+        assert got == want, (nb, got, want)
