@@ -1307,12 +1307,7 @@ SHINGLE_MIN_DF = 2
 
 from luzzu_ray.ops.sketch import KMV_HASH_A, KMV_HASH_B
 
-def _pool():
-    """Cluster-sized autoscaling pool for full-scan map stages
-    (a fixed (1, 8) cap starves >8-CPU clusters)."""
-    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
-    return default_actor_pool()
-
+from luzzu_ray.ops.common import pool as _pool
 
 VOCAB_TOPV = 50
 KMV_K = 256

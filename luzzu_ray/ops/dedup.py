@@ -39,12 +39,7 @@ import ray.data
 
 from luzzu_ray.ops.textstats import token_hashes_for_rows
 
-def _pool():
-    """Cluster-sized autoscaling pool for full-scan map stages
-    (a fixed (1, 8) cap starves >8-CPU clusters)."""
-    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
-    return default_actor_pool()
-
+from luzzu_ray.ops.common import pool as _pool
 
 # ---------------------------------------------------------------------------
 # deterministic hash families (seeded once, shared by engine + tests)

@@ -217,9 +217,15 @@ def triangle_counts(
             b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table({"p": pa.array(_pack(a, b))})
 
+        packed_parts = [
+            t["p"].to_numpy(zero_copy_only=False)
+            for t in (ray.get(r) for r in e1.map_batches(
+                pack_block, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows
+        ]
         packed = np.sort(
-            e1.map_batches(pack_block, batch_format="pyarrow")
-            .to_pandas()["p"].to_numpy()
+            np.concatenate(packed_parts) if packed_parts
+            else np.empty(0, dtype=np.int64)
         )
         from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
 
@@ -277,6 +283,30 @@ PAGERANK_BASE = (15 * PAGERANK_SCALE) // 100   # (1-d) * SCALE
 PAGERANK_BROADCAST_MAX_NODES = 20_000_000
 
 
+def _exact_group_sum(
+    keys: np.ndarray, vals: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(unique keys, EXACT int64 per-key sums).
+
+    Fast path: float64-weighted bincount, exact only while every
+    partial sum stays < 2^53 — proven by the a-priori bound
+    max(val) * n < 2^53 computed in PYTHON ints (an int64 total could
+    itself overflow).  Otherwise sort + ``np.add.reduceat`` in int64.
+    Residual bound (documented): a single key's true sum must stay
+    < 2^63 — for PageRank that means one node's incoming rank mass
+    below ~9.2e18, i.e. fewer than ~9.2M full-rank in-neighbors."""
+    if len(vals) == 0:
+        return keys[:0], vals[:0].astype(np.int64)
+    if int(vals.max()) * len(vals) < (1 << 53):
+        u, codes = np.unique(keys, return_inverse=True)
+        s = np.bincount(codes, weights=vals.astype(np.float64))
+        return u, s.astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    ks, vs = keys[order], vals[order].astype(np.int64)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(ks) != 0) + 1))
+    return ks[starts], np.add.reduceat(vs, starts)
+
+
 def _pr_contrib(t: pa.Table, nodes_ref, contrib_ref) -> pa.Table:
     """Per-edge-block PageRank contribution partials against a broadcast
     (sorted nodes, rank//degree) pair: one searchsorted per block maps
@@ -302,21 +332,10 @@ def _pr_contrib(t: pa.Table, nodes_ref, contrib_ref) -> pa.Table:
     src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
     dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
     c = contrib[np.searchsorted(nodes, src)]
-    dst_u, codes = np.unique(dst, return_inverse=True)
-    s = np.bincount(codes, weights=c.astype(np.float64))
-    # float64 bincount is exact for sums < 2^53; guard and redo in
-    # int64 via a sort when a block could breach it
-    if c.sum() >= (1 << 53):  # pragma: no cover - giant-block guard
-        order = np.argsort(dst, kind="stable")
-        s = np.add.reduceat(
-            c[order],
-            np.concatenate(([0], np.flatnonzero(np.diff(dst[order]) != 0) + 1)),
-        )
-        dst_u = dst[order][np.concatenate(
-            ([0], np.flatnonzero(np.diff(dst[order]) != 0) + 1))]
+    dst_u, s = _exact_group_sum(dst, c)
     return pa.table({
         "node": pa.array(dst_u),
-        "s": pa.array(s.astype(np.int64)),
+        "s": pa.array(s),
     })
 
 
@@ -452,11 +471,8 @@ def pagerank(
                 t["r"].to_numpy(zero_copy_only=False)
                 // t["dg"].to_numpy(zero_copy_only=False)
             )
-            u, codes = np.unique(dst, return_inverse=True)
-            s = np.bincount(codes, weights=c.astype(np.float64))
-            return pa.table({
-                "node": pa.array(u), "s": pa.array(s.astype(np.int64)),
-            })
+            u, s = _exact_group_sum(dst, c)
+            return pa.table({"node": pa.array(u), "s": pa.array(s)})
 
         def finish(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
@@ -464,14 +480,10 @@ def pagerank(
                     "node": pa.array([], pa.int64()),
                     "s": pa.array([], pa.int64()),
                 })
-            node = t["node"].to_numpy(zero_copy_only=False)
-            s = t["s"].to_numpy(zero_copy_only=False)
-            u, codes = np.unique(node, return_inverse=True)
-            tot = np.bincount(codes, weights=s.astype(np.float64))
-            return pa.table({
-                "node": pa.array(u),
-                "s": pa.array(tot.astype(np.int64)),
-            })
+            node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+            u, tot = _exact_group_sum(node, s)
+            return pa.table({"node": pa.array(u), "s": pa.array(tot)})
 
         sums = joined.map_batches(
             contrib_partial, batch_format="pyarrow"

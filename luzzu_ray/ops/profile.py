@@ -224,6 +224,9 @@ def validate_documents(ds: ray.data.Dataset) -> pa.Table:
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
     tot = parts.sum([f"r{i}" for i in range(len(DOC_RULES))] + ["n"])
+    if tot is None:  # empty input dataset
+        tot = {f"sum(r{i})": 0 for i in range(len(DOC_RULES))}
+        tot["sum(n)"] = 0
     n_checked = int(tot["sum(n)"])
     return pa.table({
         "rule": pa.array(list(DOC_RULES), pa.string()),

@@ -19,12 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-def _pool():
-    """Cluster-sized autoscaling pool for full-scan map stages
-    (a fixed (1, 8) cap starves >8-CPU clusters)."""
-    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
-    return default_actor_pool()
-
+from luzzu_ray.ops.common import pool as _pool
 
 DEFAULT_EPS = 0.01
 

@@ -17,12 +17,7 @@ import ray.data
 from luzzu_ray import constants as C
 from luzzu_ray.functions import text as TX
 
-def _pool():
-    """Cluster-sized autoscaling pool for full-scan map stages
-    (a fixed (1, 8) cap starves >8-CPU clusters)."""
-    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
-    return default_actor_pool()
-
+from luzzu_ray.ops.common import pool as _pool
 
 # fixed 64-bit FNV-style params for the rolling document fingerprint
 FP_BASE = np.uint64(1099511628211)

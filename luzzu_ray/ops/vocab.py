@@ -20,12 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-def _pool():
-    """Cluster-sized autoscaling pool for full-scan map stages
-    (a fixed (1, 8) cap starves >8-CPU clusters)."""
-    from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
-    return default_actor_pool()
-
+from luzzu_ray.ops.common import pool as _pool
 
 
 def _word_partial(t: pa.Table, text_col: str) -> pa.Table:
@@ -830,6 +825,9 @@ def bm25_topk(
     tot = parts.sum(
         ["n_docs", "total_tokens"] + [f"df_{j}" for j in range(mt)]
     )
+    if tot is None:  # empty input dataset
+        tot = {"sum(n_docs)": 0, "sum(total_tokens)": 0,
+               **{f"sum(df_{j})": 0 for j in range(mt)}}
     n_docs = int(tot["sum(n_docs)"])
     total_tokens = int(tot["sum(total_tokens)"])
     dfs = [int(tot[f"sum(df_{j})"]) for j in range(mt)]
@@ -936,14 +934,11 @@ def _apply_merge_block(t: pa.Table, a: int, b: int, new_id: int) -> pa.Table:
     p = np.flatnonzero(m)
     if a == b and len(p) > 1:
         # overlapping runs ("aaa"): greedy keeps alternate matches
-        keep = np.ones(len(p), dtype=bool)
-        run_start = np.zeros(len(p), dtype=np.int64)
         new_run = np.ones(len(p), dtype=bool)
         new_run[1:] = np.diff(p) != 1
         run_id = np.cumsum(new_run) - 1
         first_of_run = p[new_run][run_id]
-        keep = ((p - first_of_run) % 2) == 0
-        p = p[keep]
+        p = p[((p - first_of_run) % 2) == 0]
     if len(p) == 0:
         return t
     vals[p] = new_id
@@ -1129,10 +1124,17 @@ def bigram_surprisal(
         num_blocks=auto_partitions(parts, num_partitions),
         keys=["w1", "w2"],
     ).map_batches(combine, batch_format="pyarrow", batch_size=None)
-    ct = pa.concat_tables(
-        t for t in (ray.get(r) for r in counts.to_arrow_refs())
-        if t.num_rows
-    ).combine_chunks()
+    nonempty = [t for t in (ray.get(r) for r in counts.to_arrow_refs())
+                if t.num_rows]
+    if not nonempty:
+        # corpus contains no bigram at all (every doc <= 1 token):
+        # every doc is omitted per the contract below
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "score_q9": pa.array([], pa.int64()),
+        }))
+    ct = pa.concat_tables(nonempty).combine_chunks()
 
     w1 = ct["w1"].combine_chunks()
     w2 = ct["w2"].combine_chunks()
@@ -1191,9 +1193,9 @@ def bigram_surprisal(
         fa = a[found]
         term[found] = (scale * cbn[posc[found]]) // cpn[fa]
         nb = np.bincount(rowid, minlength=t.num_rows)
-        sq = np.bincount(
-            rowid, weights=term.astype(np.float64), minlength=t.num_rows
-        ).astype(np.int64)
+        # unbuffered int64 scatter-add: exact for any doc length
+        sq = np.zeros(t.num_rows, dtype=np.int64)
+        np.add.at(sq, rowid, term)
         keep = nb > 0
         ids = t[id_col].to_numpy(zero_copy_only=False)[keep]
         return pa.table({

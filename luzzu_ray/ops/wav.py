@@ -78,6 +78,10 @@ def decode_wav(buf: bytes) -> tuple[int, np.ndarray]:
             f"unsupported wav: format={audio_format} bits={bits} "
             f"channels={n_channels}"
         )
+    if not 0 < sample_rate <= 2**31 - 1:
+        # rate 0 would divide-by-zero downstream (duration, resample);
+        # > int31 would wrap the int32 sample_rate output column
+        raise ValueError(f"invalid wav sample rate {sample_rate}")
     usable = len(data) // (2 * n_channels) * (2 * n_channels)
     s = np.frombuffer(data[:usable], dtype="<i2")
     if n_channels > 1:

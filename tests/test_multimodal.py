@@ -355,3 +355,25 @@ def test_audio_decode_real_wav_and_resample(ray_session):
     for i in range(6):
         assert out[i][0] == 8000
         assert abs(out[i][1] - want[i][1]) <= 2
+
+
+def test_wav_rejects_zero_sample_rate():
+    """A parseable WAV advertising rate 0 raises ValueError (it would
+    divide-by-zero in duration/resample), and non-strict stages degrade
+    instead of dying."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from luzzu_ray.ops.multimodal import AudioDecodeStage, ResampleAudioStage
+    from luzzu_ray.ops.wav import decode_wav, encode_wav
+
+    buf = bytearray(encode_wav(np.zeros(10, dtype=np.int16), 8000))
+    # sample_rate field sits at offset 12(riff)+8(fmt hdr)+4
+    struct.pack_into("<I", buf, 24, 0)
+    bad = bytes(buf)
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+    assert AudioDecodeStage(mode="real")._decode(bad) == (0, 0, 0)
+    assert ResampleAudioStage(8000, mode="real")._one(bad) == b""
