@@ -115,6 +115,18 @@ def q_events_user_growth(sf_dir: str):
     return user_growth(_tbl(sf_dir, "events", ["user_id", "ts"]))
 
 
+TERM_POSITIONS_TERMS = ["hash", "join"]
+
+
+def q_term_positions(sf_dir: str):
+    """Positional postings (word, doc_id, pos) for a fixed term set —
+    phrase-query plumbing for the inverted index; exchange-free map."""
+    from luzzu_ray.ops.vocab import term_positions
+
+    return term_positions(
+        _docs(sf_dir, ["doc_id", "text"]), TERM_POSITIONS_TERMS)
+
+
 def q_doc_bigram_surprisal(sf_dir: str):
     """Distributed bigram-LM training + exact integer per-doc scoring
     (sum of fixed-point conditional probabilities — no libm, so the
@@ -180,6 +192,20 @@ def q_users_except(sf_dir: str):
 BM25_TERMS = ["hash", "join", "vector", "scan"]
 BM25_TOPK = 20
 PAGERANK_ITERS = 3
+WALK_LEN = 3
+
+
+def q_part_cooc_walks(sf_dir: str):
+    """Deterministic random walks (DeepWalk-style corpus sampling) from
+    every node of the part co-occurrence graph: the walk-step hash is a
+    pure integer function of (node, step), so the oracle unrolls the
+    same steps with row_number() neighbor ranks and identical modular
+    arithmetic."""
+    from luzzu_ray.ops.graph import cooccurrence_edges, random_walks
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return random_walks(edges, walk_len=WALK_LEN)
 
 
 BPE_N_MERGES = 12
@@ -3292,6 +3318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "part_cooc_pagerank": q_part_cooc_pagerank,
         "part_cooc_components": q_part_cooc_components,
+        "part_cooc_walks": q_part_cooc_walks,
         "bpe_merges": q_bpe_merges,
         "users_intersect": q_users_intersect,
         "users_except": q_users_except,
@@ -3299,6 +3326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentence_stats": q_doc_sentence_stats,
         "events_user_growth": q_events_user_growth,
         "doc_bigram_surprisal": q_doc_bigram_surprisal,
+        "term_positions": q_term_positions,
         "doc_quality": q_doc_quality,
         "doc_scrub": q_doc_scrub,
         "doc_lexical_stats": q_doc_lexical_stats,
@@ -3628,10 +3656,41 @@ def oracle_sql() -> dict[str, str]:
     pagerank_sql = (
         f"{pr_cte} SELECT node, r AS rank_q FROM {prev}"
     )
+    # Random walks: unroll WALK_LEN deterministic steps (row_number
+    # neighbor ranks + the engine's exact modular arithmetic)
+    from luzzu_ray.ops.graph import WALK_A, WALK_B, WALK_MOD
+
+    walk_cte = (
+        "WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b "
+        "FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey), "
+        "d AS (SELECT a AS src, b AS dst FROM e "
+        "UNION ALL SELECT b, a FROM e), "
+        "nb AS (SELECT src, dst, CAST(row_number() OVER "
+        "(PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk FROM d), "
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg "
+        "FROM d GROUP BY src), "
+        "w0 AS (SELECT node AS start, node AS cur FROM deg)"
+    )
+    sel = ["SELECT start, 0 AS step, cur AS node FROM w0"]
+    prevw = "w0"
+    for k in range(1, WALK_LEN + 1):
+        walk_cte += (
+            f", w{k} AS (SELECT {prevw}.start, nb.dst AS cur "
+            f"FROM {prevw} JOIN deg ON {prevw}.cur = deg.node "
+            f"JOIN nb ON nb.src = {prevw}.cur AND nb.rnk = "
+            f"(({prevw}.cur * {WALK_A} + {k} * {WALK_B}) "
+            f"% {WALK_MOD}) % deg.dg)"
+        )
+        sel.append(f"SELECT start, {k} AS step, cur AS node FROM w{k}")
+        prevw = f"w{k}"
+    walks_sql = walk_cte + " " + " UNION ALL ".join(sel)
     sqls = {
         "doc_stats": f"SELECT doc_id, {_STATS_FRAG} FROM documents",
         "bm25_topk": bm25_sql,
         "part_cooc_pagerank": pagerank_sql,
+        "part_cooc_walks": walks_sql,
         "users_intersect": (
             "SELECT user_id FROM events WHERE event_type = 'purchase' "
             "INTERSECT "
@@ -3690,6 +3749,14 @@ def oracle_sql() -> dict[str, str]:
                 AS BIGINT) AS mean_sentence_len_q2
             FROM t2
         """,
+        "term_positions": (
+            "WITH base AS (SELECT doc_id, "
+            "string_split(COALESCE(text, ''), ' ') AS w FROM documents), "
+            "tok AS (SELECT doc_id, unnest(w) AS word, "
+            "generate_subscripts(w, 1) AS i FROM base) "
+            "SELECT word, doc_id, CAST(i - 1 AS BIGINT) AS pos "
+            "FROM tok WHERE word IN ('hash', 'join')"
+        ),
         "doc_bigram_surprisal": (
             "WITH base AS (SELECT doc_id, "
             "string_split(COALESCE(text, ''), ' ') AS w FROM documents), "

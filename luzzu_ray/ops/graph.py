@@ -508,3 +508,104 @@ def pagerank(
             ["node", "r"]
         ).rename_columns(["node", "rank_q"]).to_arrow_refs()
     ).combine_chunks().sort_by("node")
+
+
+# deterministic walk-step hash: constants < 2^30 so cur * A + k * B
+# stays int64-exact for node ids < 2^31 (and HUGEINT-trivial in SQL)
+WALK_A = 0x2545F491
+WALK_B = 0x1E3779B9
+WALK_MOD = 1 << 61
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    walk_len: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic graph random walks (DeepWalk/node2vec-style corpus
+    sampling) from EVERY node, over an undirected (a < b) edge list.
+
+    Step k from node u moves to the ``((u * A + k * B) % 2^61) % deg(u)``-th
+    neighbor of u in ascending-id order — a pure integer function of
+    (node, step), so walks are reproducible anywhere, including in an
+    unrolled SQL oracle (row_number() neighbor ranks + the same modular
+    arithmetic).  Node ids must fit 31 bits (checked by the shared
+    ``_pack`` guard elsewhere); constants are < 2^30 so the hash is
+    int64-exact.
+
+    Scale shape: the CSR (sorted nodes, neighbor offsets, sorted
+    neighbor array — 12 bytes/edge) broadcasts once via ``ray.put``;
+    walking is ONE exchange-free map pass (all ``walk_len`` steps are
+    vectorized gathers inside the batch).  Output: (start, step, node)
+    rows, step 0..walk_len.  BROADCAST ASSUMPTION: the edge set fits a
+    worker (same ceiling as the triangle fast path); beyond that, walk
+    steps become per-step keyed joins against the edge table.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(edges, num_partitions)
+
+    def direct(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+        })
+
+    d = edges.map_batches(direct, batch_format="pyarrow").materialize()
+    src_parts, dst_parts = [], []
+    for ref in d.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            src_parts.append(t["src"].to_numpy(zero_copy_only=False))
+            dst_parts.append(t["dst"].to_numpy(zero_copy_only=False))
+    if not src_parts:
+        return ray.data.from_arrow(pa.table({
+            "start": pa.array([], pa.int64()),
+            "step": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64()),
+        }))
+    src = np.concatenate(src_parts)
+    dst = np.concatenate(dst_parts)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    nodes = np.unique(src)
+    # CSR offsets: neighbors of nodes[i] are dst[offs[i]:offs[i+1]]
+    offs = np.searchsorted(src, nodes)
+    offs = np.append(offs, len(src))
+    csr_ref = ray.put((nodes, offs, dst))
+
+    starts_ds = ray.data.from_arrow(
+        pa.table({"start": pa.array(nodes)})
+    ).repartition(num_blocks=min(width, max(1, len(nodes) // 65536 + 1)))
+
+    def walk(t: pa.Table, ref=csr_ref, T=walk_len) -> pa.Table:
+        ns, of, nb = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        start = t["start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(start)
+        if n == 0:
+            return pa.table({
+                "start": pa.array([], pa.int64()),
+                "step": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+            })
+        outs = [start]
+        cur = start
+        for k in range(1, T + 1):
+            pos = np.searchsorted(ns, cur)
+            deg = of[pos + 1] - of[pos]
+            r = ((cur * WALK_A + k * WALK_B) % WALK_MOD) % deg
+            cur = nb[of[pos] + r]
+            outs.append(cur)
+        return pa.table({
+            "start": pa.array(np.repeat(start, T + 1)),
+            "step": pa.array(np.tile(np.arange(T + 1, dtype=np.int64), n)),
+            "node": pa.array(np.stack(outs, axis=1).reshape(-1)),
+        })
+
+    return starts_ds.map_batches(
+        walk, batch_format="pyarrow", zero_copy_batch=True,
+    )

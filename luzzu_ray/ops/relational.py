@@ -1995,11 +1995,19 @@ def salted_inner_join(
             {key: g[key], "n": pc.cast(g[f"{key}_count"], pa.int64())}
         )
 
-    counts = left.map_batches(
+    def hot_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t  # partial schema == final schema
+        g = t.group_by(key).aggregate([("n", "sum")])
+        g = g.rename_columns([key, "n"])
+        # only hot keys leave the block: the take_all is O(#hot)
+        return g.filter(pc.greater(g["n"], hot_threshold))
+
+    hot_rows = left.map_batches(
         key_counts, batch_format="pyarrow", zero_copy_batch=True,
-    ).groupby(key, num_partitions=width).aggregate(
-        Sum("n", alias_name="n"))
-    hot_rows = counts.filter(expr=f"n > {hot_threshold}").take_all()
+    ).repartition(num_blocks=width, keys=[key]).map_batches(
+        hot_block, batch_format="pyarrow", batch_size=None,
+    ).take_all()
     # keep the hot set as a TYPED Arrow array: the key may be string,
     # date, uint64 — never assume int64
     hot_arr = pa.array([r[key] for r in hot_rows]) if hot_rows else None

@@ -3536,3 +3536,71 @@ def test_bigram_surprisal_scalar_twin_any_layout(ray_session):
                 got[b["doc_id"][j].as_py()] = (
                     b["n_bigrams"][j].as_py(), b["score_q9"][j].as_py())
         assert got == want, (nb, got, want)
+
+
+def test_random_walks_deterministic_twin(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.graph import WALK_A, WALK_B, WALK_MOD, random_walks
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 50, 400)
+    b = rng.integers(0, 50, 400)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    m = lo != hi
+    packed = np.unique((lo[m].astype(np.int64) << 8) | hi[m])
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(packed >> 8, pa.int64()),
+        "b": pa.array(packed & 255, pa.int64()),
+    })).repartition(num_blocks=3)
+    out = random_walks(ds, walk_len=3, num_partitions=2)
+    got = {}
+    for blk in out.iter_batches(batch_format="pyarrow"):
+        for i in range(blk.num_rows):
+            got[(blk["start"][i].as_py(), blk["step"][i].as_py())] = (
+                blk["node"][i].as_py())
+    # scalar twin: adjacency dict with ascending-id neighbors
+    adj = {}
+    for p in packed:
+        x, y = int(p >> 8), int(p & 255)
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    for u in adj:
+        adj[u].sort()
+    want = {}
+    for u in adj:
+        cur = u
+        want[(u, 0)] = u
+        for k in range(1, 4):
+            nbrs = adj[cur]
+            cur = nbrs[((cur * WALK_A + k * WALK_B) % WALK_MOD) % len(nbrs)]
+            want[(u, k)] = cur
+    assert got == want
+
+
+def test_term_positions_twin(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.vocab import term_positions
+
+    texts = ["a b a c", "b", "", None, "a a a"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = term_positions(
+        ray.data.from_arrow(t).repartition(num_blocks=2), ["a", "b"])
+    got = set()
+    for blk in out.iter_batches(batch_format="pyarrow"):
+        for i in range(blk.num_rows):
+            got.add((blk["word"][i].as_py(), blk["doc_id"][i].as_py(),
+                     blk["pos"][i].as_py()))
+    want = set()
+    for d, tx in enumerate(texts):
+        for p, w in enumerate((tx or "").split(" ")):
+            if w in ("a", "b"):
+                want.add((w, d, p))
+    assert got == want
