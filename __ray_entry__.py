@@ -242,6 +242,16 @@ def q_part_cooc_components(sf_dir: str):
     )
 
 
+def q_bpe_encode_counts(sf_dir: str):
+    """Tokenizer APPLY: train 12 BPE merges on the corpus, encode every
+    document with them, report pre/post token counts; fixture-oracled
+    against the independent pure-Python train+encode twin."""
+    from luzzu_ray.ops.vocab import bpe_encode_counts
+
+    return bpe_encode_counts(
+        _docs(sf_dir, ["doc_id", "text"]), BPE_N_MERGES)
+
+
 def q_part_cooc_pagerank(sf_dir: str):
     """Exact fixed-point PageRank (3 integer power iterations, damping
     85/100 as floor arithmetic) over the same-order part co-occurrence
@@ -433,6 +443,57 @@ def q_events_type_counts(sf_dir: str):
     return parts.groupby("event_type", num_partitions=4).aggregate(
         Sum("n", alias_name="n")
     )
+
+
+INCR_SPLIT_US = 1_705_276_800_000_000  # 2024-01-15: cutover between "runs"
+
+
+def q_events_type_counts_incremental(sf_dir: str):
+    """Incremental summary MAINTENANCE: yesterday's summary (events
+    before a cutover ts) is persisted to Parquet, today's delta is
+    aggregated alone, and the published table is the MERGE of the two —
+    one grouped sum over summary ∪ delta-summary, never a rescan of
+    old data.  Hash-matches the same full-recompute oracle as
+    ``events_type_counts``, proving the decomposition is exact."""
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    cut = pa.scalar(INCR_SPLIT_US, pa.timestamp("us"))
+    ev = _tbl(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(lo: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.less(t["ts"], cut) if lo else pc.greater_equal(
+                t["ts"], cut)
+            g = t.filter(m).group_by("event_type").aggregate(
+                [("event_type", "count")])
+            return pa.table(
+                {"event_type": g["event_type"],
+                 "n": pc.cast(g["event_type_count"], pa.int64())}
+            )
+        return fn
+
+    def agg(ds):
+        return ds.groupby("event_type", num_partitions=2).aggregate(
+            Sum("n", alias_name="n"))
+
+    import shutil
+
+    import ray.data
+
+    # "yesterday's run": aggregate the old range and persist it (fresh
+    # dir — write_parquet APPENDS files, which would double-count on a
+    # second call in the same process)
+    old_path = f"/tmp/luzzu_incr_summary/{os.getpid()}"
+    shutil.rmtree(old_path, ignore_errors=True)
+    agg(ev.map_batches(partial(True), batch_format="pyarrow")
+        ).write_parquet(old_path)
+    # "today's run": aggregate ONLY the delta, then merge with the
+    # reloaded summary — associativity makes the merge exact
+    delta = agg(ev.map_batches(partial(False), batch_format="pyarrow"))
+    old = ray.data.read_parquet(old_path)
+    return agg(old.union(delta))
 
 
 def q_events_sessions(sf_dir: str):
@@ -3320,6 +3381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cooc_components": q_part_cooc_components,
         "part_cooc_walks": q_part_cooc_walks,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode_counts": q_bpe_encode_counts,
         "users_intersect": q_users_intersect,
         "users_except": q_users_except,
         "validate_documents": q_validate_documents,
@@ -3335,6 +3397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sources_by_keep": q_top_sources_by_keep,
         "events_user_stats": q_events_user_stats,
         "events_type_counts": q_events_type_counts,
+        "events_type_counts_incremental": q_events_type_counts_incremental,
         "events_sessions": q_events_sessions,
         "events_sessions_salted": q_events_sessions_salted,
         "tpch_q1": q_tpch_q1,
@@ -3855,6 +3918,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY event_type"
         ),
+        "events_type_counts_incremental": (
+            # the full recompute IS the oracle: merging the persisted
+            # old summary with the delta must be indistinguishable
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY event_type"
+        ),
         "embedding_neardup": (
             "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a "
             "JOIN embeddings b ON a.vec_id < b.vec_id "
@@ -4023,6 +4092,10 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "bpe_merges": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/bpe_merges_sf001.parquet')"
+        ),
+        "bpe_encode_counts": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/bpe_encode_counts_sf001.parquet')"
         ),
         "documents_partitioned_roundtrip": (
             "SELECT lang, source, "

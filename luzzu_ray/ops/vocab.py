@@ -1260,3 +1260,74 @@ def term_positions(
     return ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def bpe_encode_counts(
+    ds: ray.data.Dataset,
+    n_merges: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Train byte-level BPE on the corpus, then ENCODE every document
+    with the learned merges — the tokenizer apply step that pairs with
+    ``bpe_train``.  Output: (id, n_bytes, n_tokens) where n_tokens is
+    the post-merge sequence length (the compression a tokenizer buys).
+
+    Encoding is exchange-free: the tiny ordered merge list rides the
+    task closure; each batch tokenizes to bytes and applies the merges
+    in training order with the same vectorized leftmost-greedy kernel
+    the trainer uses.  Verified against a committed fixture from the
+    independent row-at-a-time twin (training + encoding both
+    re-derived in pure Python)."""
+    merges = bpe_train(ds, n_merges, text_col=text_col,
+                       num_partitions=num_partitions)
+    mlist = list(zip(merges["tok_a"].to_pylist(),
+                     merges["tok_b"].to_pylist(),
+                     merges["new_id"].to_pylist()))
+
+    def enc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_bytes": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            })
+        toks = _bpe_tokenize_block(t, text_col)
+        _, offs0 = _list_view(toks["toks"])
+        n_bytes = offs0[1:] - offs0[:-1]
+        for a, b, ni in mlist:
+            toks = _apply_merge_block(toks, a, b, ni)
+        _, offs1 = _list_view(toks["toks"])
+        return pa.table({
+            id_col: t[id_col],
+            "n_bytes": pa.array(n_bytes.astype(np.int64)),
+            "n_tokens": pa.array((offs1[1:] - offs1[:-1]).astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        enc, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def bpe_encode_py(texts: list, n_merges: int) -> list[tuple[int, int]]:
+    """Row-at-a-time twin of :func:`bpe_encode_counts`: trains with
+    ``bpe_train_py`` and encodes each doc with an explicit scan."""
+    merges = bpe_train_py(texts, n_merges)
+    out = []
+    for tx in texts:
+        d = list((tx or "").encode("utf-8"))
+        nb = len(d)
+        for _, a, b, ni, _ in merges:
+            nd = []
+            i = 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    nd.append(ni)
+                    i += 2
+                else:
+                    nd.append(d[i])
+                    i += 1
+            d = nd
+        out.append((nb, len(d)))
+    return out

@@ -3604,3 +3604,29 @@ def test_term_positions_twin(ray_session):
             if w in ("a", "b"):
                 want.add((w, d, p))
     assert got == want
+
+
+def test_bpe_encode_counts_twin(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.vocab import bpe_encode_counts, bpe_encode_py
+
+    texts = ["the cat sat on the mat", "the dog ate the food",
+             "aaaaab banana bandana", "", None, "the the the"] * 2
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    want = bpe_encode_py(texts, 8)
+    out = bpe_encode_counts(
+        ray.data.from_arrow(t).repartition(num_blocks=3), 8,
+        num_partitions=2)
+    got = {}
+    for blk in out.iter_batches(batch_format="pyarrow"):
+        for i in range(blk.num_rows):
+            got[blk["doc_id"][i].as_py()] = (
+                blk["n_bytes"][i].as_py(), blk["n_tokens"][i].as_py())
+    assert got == {i: w for i, w in enumerate(want)}
+    # merges actually compress
+    assert any(got[i][1] < got[i][0] for i in got)

@@ -266,11 +266,28 @@ def make_audio_resample_features(sf_dir: str) -> pa.Table:
     })
 
 
+def make_bpe_encode(sf_dir: str) -> pa.Table:
+    """Pure-Python train + encode twin (explicit scans, independent of
+    the distributed vectorized kernels)."""
+    from luzzu_ray.ops.vocab import bpe_encode_py
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id")
+    rows = bpe_encode_py(docs["text"].to_pylist(), 12)
+    return pa.table({
+        "doc_id": pa.array(docs["doc_id"].to_pylist(), pa.int64()),
+        "n_bytes": pa.array([r[0] for r in rows], pa.int64()),
+        "n_tokens": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
         ("bpe_merges", make_bpe),
+        ("bpe_encode_counts", make_bpe_encode),
         ("audio_features", make_audio_features),
         ("audio_resample_features", make_audio_resample_features),
         ("quality_classifier", make_quality_clf),
