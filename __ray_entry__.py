@@ -42,7 +42,7 @@ def _docs(sf_dir: str, columns=None):
     return _tbl(sf_dir, "documents", columns)
 
 
-def _tbl(sf_dir: str, name: str, columns=None):
+def _tbl(sf_dir: str, name: str, columns=None, filter=None):
     import ray.data
 
     # a Dataset snapshots DataContext at creation: the shuffle strategy
@@ -50,8 +50,13 @@ def _tbl(sf_dir: str, name: str, columns=None):
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
+    # ``filter`` (a pyarrow dataset expression) pushes the predicate
+    # into the Parquet scanner: row groups whose statistics exclude the
+    # range never leave storage — the 100TB-correct place to prune
+    kwargs = {"filter": filter} if filter is not None else {}
     return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns,
+        **kwargs,
     )
 
 
@@ -1608,11 +1613,23 @@ def q_tpch_q6(sf_dir: str):
             "n_rows": pa.array([t.num_rows], pa.int64()),
         })
 
+    # date range pushed into the Parquet scanner: row groups whose
+    # l_shipdate statistics fall outside [lo, hi) never leave storage
+    # (the in-map mask stays as a correctness backstop — scanner
+    # filtering is exact, so it is a no-op on the surviving rows)
+    import pyarrow.dataset as pads
+
+    expr = (
+        (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    )
     parts = _tbl(
         sf_dir, "lineitem",
         ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=expr,
     ).map_batches(partial, batch_format="pyarrow")
     tot = parts.sum(["revenue_q4", "n_rows"])
+    if tot is None:  # fully pruned read
+        tot = {"sum(revenue_q4)": 0, "sum(n_rows)": 0}
     return pa.table({
         "revenue_q4": pa.array([int(tot["sum(revenue_q4)"])], pa.int64()),
         "n_rows": pa.array([int(tot["sum(n_rows)"])], pa.int64()),

@@ -15,6 +15,8 @@ Never ships raw token streams through the exchange.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -959,6 +961,8 @@ def bpe_train(
     n_merges: int,
     text_col: str = "text",
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> pa.Table:
     """Distributed byte-level BPE merge training (Sennrich et al. 2016).
 
@@ -980,16 +984,62 @@ def bpe_train(
     stay under 2^21 (= 2M merges) for the packed pair key.  Verified
     against an independent row-at-a-time Python twin via a committed
     fixture (iterative state makes the loop non-SQL-expressible).
+
+    ``checkpoint_dir`` makes the loop RESUMABLE (the runner's
+    lineage pattern applied to iterative state): every
+    ``checkpoint_every`` merges the tokenized corpus is written to
+    ``<dir>/toks-step<k>/`` and ``state.json`` is replaced LAST
+    (the atomic commit point), so a crash mid-training restarts from
+    the latest completed checkpoint instead of step 0 — a later call
+    with a larger ``n_merges`` continues where the last one stopped.
+    The caller must pass the SAME corpus; the state file records the
+    merges, whose replay on a different corpus would diverge loudly in
+    the verified outputs.
     """
+    import json
+    import shutil
+
     from luzzu_ray.ops.dedup import auto_partitions
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
     width = auto_partitions(ds, num_partitions)
-    toks = ds.select_columns([text_col]).map_batches(
-        lambda t: _bpe_tokenize_block(t, text_col),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
+
+    state_path = (
+        os.path.join(checkpoint_dir, "state.json") if checkpoint_dir
+        else None
+    )
+    merges: list[tuple[int, int, int, int, int]] = []
+    toks = None
+    if state_path and os.path.exists(state_path):
+        with open(state_path) as f:
+            st = json.load(f)
+        if st.get("version") != 1:
+            raise ValueError(f"unknown bpe checkpoint version in {state_path}")
+        merges = [tuple(m) for m in st["merges"]]
+        toks = ray.data.read_parquet(st["toks_path"]).materialize()
+    if toks is None:
+        toks = ds.select_columns([text_col]).map_batches(
+            lambda t: _bpe_tokenize_block(t, text_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+
+    def checkpoint(step: int, toks_ds) -> None:
+        if not checkpoint_dir:
+            return
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        toks_path = os.path.join(checkpoint_dir, f"toks-step{step}")
+        shutil.rmtree(toks_path, ignore_errors=True)
+        toks_ds.write_parquet(toks_path)
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": 1, "step": step,
+                       "toks_path": toks_path, "merges": merges}, f)
+        os.replace(tmp, state_path)  # state commits AFTER the data
+        for old in os.listdir(checkpoint_dir):
+            if old.startswith("toks-step") and old != f"toks-step{step}":
+                shutil.rmtree(os.path.join(checkpoint_dir, old),
+                              ignore_errors=True)
 
     def best_block(t: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -1007,8 +1057,7 @@ def bpe_train(
             "n": pa.array([int(tot[j])], pa.int64()),
         })
 
-    steps, tas, tbs, nids, cnts = [], [], [], [], []
-    for step in range(n_merges):
+    for step in range(len(merges), n_merges):
         cands = toks.map_batches(
             _pair_counts_block, batch_format="pyarrow", batch_size=None,
             zero_copy_batch=True,
@@ -1023,21 +1072,19 @@ def bpe_train(
         pair, cnt = int(best["pair"]), int(best["n"])
         a, b = pair >> _BPE_ID_BITS, pair & ((1 << _BPE_ID_BITS) - 1)
         new_id = 256 + step
-        steps.append(step)
-        tas.append(a)
-        tbs.append(b)
-        nids.append(new_id)
-        cnts.append(cnt)
+        merges.append((step, a, b, new_id, cnt))
         toks = toks.map_batches(
             lambda t, a=a, b=b, ni=new_id: _apply_merge_block(t, a, b, ni),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         ).materialize()
+        if (step + 1) % checkpoint_every == 0 or step + 1 == n_merges:
+            checkpoint(step + 1, toks)
     return pa.table({
-        "step": pa.array(steps, pa.int64()),
-        "tok_a": pa.array(tas, pa.int64()),
-        "tok_b": pa.array(tbs, pa.int64()),
-        "new_id": pa.array(nids, pa.int64()),
-        "pair_count": pa.array(cnts, pa.int64()),
+        "step": pa.array([m[0] for m in merges], pa.int64()),
+        "tok_a": pa.array([m[1] for m in merges], pa.int64()),
+        "tok_b": pa.array([m[2] for m in merges], pa.int64()),
+        "new_id": pa.array([m[3] for m in merges], pa.int64()),
+        "pair_count": pa.array([m[4] for m in merges], pa.int64()),
     })
 
 

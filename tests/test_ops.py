@@ -3630,3 +3630,26 @@ def test_bpe_encode_counts_twin(ray_session):
     assert got == {i: w for i, w in enumerate(want)}
     # merges actually compress
     assert any(got[i][1] < got[i][0] for i in got)
+
+
+def test_bpe_train_checkpoint_resume(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.vocab import bpe_train
+
+    texts = ["the cat sat on the mat", "the dog ate the food",
+             "aaaaab banana bandana", "mississippi", "the the the"] * 3
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(num_blocks=3)
+    full = bpe_train(ds, 8, num_partitions=2)
+    ck = str(tmp_path / "bpe_ckpt")
+    # stage 1: train only 4 merges with checkpointing
+    part = bpe_train(ds, 4, num_partitions=2, checkpoint_dir=ck)
+    assert part.num_rows == 4
+    # stage 2: a fresh call resumes at step 4 and finishes to 8
+    resumed = bpe_train(ds, 8, num_partitions=2, checkpoint_dir=ck)
+    assert resumed.equals(full)
+    # a third call with no remaining work replays from state alone
+    again = bpe_train(ds, 8, num_partitions=2, checkpoint_dir=ck)
+    assert again.equals(full)
