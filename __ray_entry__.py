@@ -141,6 +141,32 @@ def q_doc_bigram_surprisal(sf_dir: str):
     return bigram_surprisal(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_orders_fk_violations(sf_dir: str):
+    """Referential-integrity audit (Luzzu consistency-metric analog):
+    orders whose customer key has no match in a RESTRICTED customer
+    dimension (c_custkey % 7 <> 0 simulates a partially-loaded dim) —
+    the distributed ANTI join counts the dangling facts per order
+    priority.  Only distinct dim keys enter the exchange."""
+    from luzzu_ray.ops.relational import anti_join, grouped_sum_q
+
+    def restrict(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 7 != 0))
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = _tbl(sf_dir, "customer", ["c_custkey"]).map_batches(
+        restrict, batch_format="pyarrow",
+    )
+    dangling = anti_join(
+        orders, cust, left_key="o_custkey", right_key="c_custkey",
+        carry_cols=["o_orderpriority"],
+    )
+    return grouped_sum_q(
+        dangling, ["o_orderpriority"], float_cols={},
+        count_as="n_dangling", num_partitions=2,
+    )
+
+
 def q_validate_documents(sf_dir: str):
     """Per-rule violation counts over the document table — the Luzzu
     daQ quality-observation table as one partial+final reduce (each
@@ -239,7 +265,7 @@ def q_part_cooc_components(sf_dir: str):
     out = cluster_pairs(edges)
     if not isinstance(out, pa.Table):
         out = pa.concat_tables(
-            t for t in (ray.get(r) for r in out.to_arrow_refs())
+            t for t in ray.get(list(out.to_arrow_refs()))
             if t.num_rows
         )
     return out.select(["doc_id", "cluster"]).rename_columns(
@@ -459,9 +485,11 @@ def q_events_type_counts_incremental(sf_dir: str):
     aggregated alone, and the published table is the MERGE of the two —
     one grouped sum over summary ∪ delta-summary, never a rescan of
     old data.  Hash-matches the same full-recompute oracle as
-    ``events_type_counts``, proving the decomposition is exact."""
-    import pyarrow.parquet as pq
+    ``events_type_counts``, proving the decomposition is exact.
 
+    The summary path lives under /tmp because this sandbox is
+    single-node; on a cluster it must point at SHARED storage (the
+    write tasks and the later read tasks run on arbitrary nodes)."""
     from ray.data.aggregate import Sum
 
     cut = pa.scalar(INCR_SPLIT_US, pa.timestamp("us"))
@@ -498,7 +526,9 @@ def q_events_type_counts_incremental(sf_dir: str):
     # reloaded summary — associativity makes the merge exact
     delta = agg(ev.map_batches(partial(False), batch_format="pyarrow"))
     old = ray.data.read_parquet(old_path)
-    return agg(old.union(delta))
+    merged = agg(old.union(delta)).materialize()
+    shutil.rmtree(old_path, ignore_errors=True)  # summary consumed
+    return merged
 
 
 def q_events_sessions(sf_dir: str):
@@ -3402,6 +3432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_intersect": q_users_intersect,
         "users_except": q_users_except,
         "validate_documents": q_validate_documents,
+        "orders_fk_violations": q_orders_fk_violations,
         "doc_sentence_stats": q_doc_sentence_stats,
         "events_user_growth": q_events_user_growth,
         "doc_bigram_surprisal": q_doc_bigram_surprisal,
@@ -3810,6 +3841,13 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT "
             "SELECT user_id FROM events "
             "WHERE event_type = 'error' AND value >= 95.0"
+        ),
+        "orders_fk_violations": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "
+            "AS n_dangling FROM orders o "
+            "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 7 <> 0) "
+            "GROUP BY o_orderpriority"
         ),
         "doc_sentence_stats": r"""
             WITH t2 AS (

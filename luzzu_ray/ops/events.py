@@ -1280,7 +1280,7 @@ def user_growth(
     ).repartition(num_blocks=width, keys=["user_id"]).map_batches(
         day_counts, batch_format="pyarrow", batch_size=None,
     )
-    rows = [t for t in (ray.get(r) for r in parts.to_arrow_refs())
+    rows = [t for t in ray.get(list(parts.to_arrow_refs()))
             if t.num_rows]
     if not rows:
         return pa.table({

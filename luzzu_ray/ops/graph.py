@@ -219,8 +219,8 @@ def triangle_counts(
 
         packed_parts = [
             t["p"].to_numpy(zero_copy_only=False)
-            for t in (ray.get(r) for r in e1.map_batches(
-                pack_block, batch_format="pyarrow").to_arrow_refs())
+            for t in ray.get(list(e1.map_batches(
+                pack_block, batch_format="pyarrow").to_arrow_refs()))
             if t.num_rows
         ]
         packed = np.sort(
@@ -297,7 +297,9 @@ def _exact_group_sum(
     below ~9.2e18, i.e. fewer than ~9.2M full-rank in-neighbors."""
     if len(vals) == 0:
         return keys[:0], vals[:0].astype(np.int64)
-    if int(vals.max()) * len(vals) < (1 << 53):
+    # bound on |vals|: negative addends can exceed 2^53 in magnitude
+    # even when the (signed) max is tiny
+    if int(np.abs(vals).max()) * len(vals) < (1 << 53):
         u, codes = np.unique(keys, return_inverse=True)
         s = np.bincount(codes, weights=vals.astype(np.float64))
         return u, s.astype(np.int64)
@@ -409,7 +411,7 @@ def pagerank(
         })
     if n_nodes <= broadcast_max_nodes:
         degt = pa.concat_tables(
-            t for t in (ray.get(ref) for ref in deg_ds.to_arrow_refs())
+            t for t in ray.get(list(deg_ds.to_arrow_refs()))
             if t.num_rows  # skip schema-less empties from the key exchange
         )
         nodes = degt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -428,8 +430,7 @@ def pagerank(
                 batch_size=None,
             )
             sums = np.zeros(len(nodes), dtype=np.int64)
-            for ref in parts.to_arrow_refs():
-                p = ray.get(ref)
+            for p in ray.get(list(parts.to_arrow_refs())):
                 if p.num_rows:
                     idx = np.searchsorted(
                         nodes, p["node"].to_numpy(zero_copy_only=False)
@@ -504,9 +505,9 @@ def pagerank(
             deg_rp, join_type="inner", on=("node",), num_partitions=width,
         ).materialize()
     return pa.concat_tables(
-        ray.get(ref) for ref in rank_ds.select_columns(
+        ray.get(list(rank_ds.select_columns(
             ["node", "r"]
-        ).rename_columns(["node", "rank_q"]).to_arrow_refs()
+        ).rename_columns(["node", "rank_q"]).to_arrow_refs()))
     ).combine_chunks().sort_by("node")
 
 
@@ -529,9 +530,9 @@ def random_walks(
     neighbor of u in ascending-id order — a pure integer function of
     (node, step), so walks are reproducible anywhere, including in an
     unrolled SQL oracle (row_number() neighbor ranks + the same modular
-    arithmetic).  Node ids must fit 31 bits (checked by the shared
-    ``_pack`` guard elsewhere); constants are < 2^30 so the hash is
-    int64-exact.
+    arithmetic).  Node ids must fit 31 bits — CHECKED here (ids beyond
+    would silently wrap ``cur * WALK_A`` in int64); constants are
+    < 2^30 so the hash is int64-exact.
 
     Scale shape: the CSR (sorted nodes, neighbor offsets, sorted
     neighbor array — 12 bytes/edge) broadcasts once via ``ray.put``;
@@ -557,8 +558,7 @@ def random_walks(
 
     d = edges.map_batches(direct, batch_format="pyarrow").materialize()
     src_parts, dst_parts = [], []
-    for ref in d.to_arrow_refs():
-        t = ray.get(ref)
+    for t in ray.get(list(d.to_arrow_refs())):  # one concurrent fetch
         if t.num_rows:
             src_parts.append(t["src"].to_numpy(zero_copy_only=False))
             dst_parts.append(t["dst"].to_numpy(zero_copy_only=False))
@@ -570,6 +570,11 @@ def random_walks(
         }))
     src = np.concatenate(src_parts)
     dst = np.concatenate(dst_parts)
+    if src.max() >= (1 << _PACK_BITS) or src.min() < 0:
+        raise ValueError(
+            f"node ids must be in [0, 2^{_PACK_BITS}) for the exact "
+            "walk-step hash (cur * WALK_A must stay int64-exact)"
+        )
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
     nodes = np.unique(src)

@@ -1016,7 +1016,9 @@ def bpe_train(
             st = json.load(f)
         if st.get("version") != 1:
             raise ValueError(f"unknown bpe checkpoint version in {state_path}")
-        merges = [tuple(m) for m in st["merges"]]
+        # a checkpoint may hold MORE steps than this call asks for:
+        # training is a deterministic prefix, so truncation is exact
+        merges = [tuple(m) for m in st["merges"]][:n_merges]
         toks = ray.data.read_parquet(st["toks_path"]).materialize()
     if toks is None:
         toks = ds.select_columns([text_col]).map_batches(
@@ -1171,7 +1173,7 @@ def bigram_surprisal(
         num_blocks=auto_partitions(parts, num_partitions),
         keys=["w1", "w2"],
     ).map_batches(combine, batch_format="pyarrow", batch_size=None)
-    nonempty = [t for t in (ray.get(r) for r in counts.to_arrow_refs())
+    nonempty = [t for t in ray.get(list(counts.to_arrow_refs()))
                 if t.num_rows]
     if not nonempty:
         # corpus contains no bigram at all (every doc <= 1 token):
