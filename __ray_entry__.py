@@ -283,6 +283,119 @@ def q_bpe_encode_counts(sf_dir: str):
         _docs(sf_dir, ["doc_id", "text"]), BPE_N_MERGES)
 
 
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue by customer): the R-flag
+    filter collapses lineitem at the batch level, one native hash join
+    attaches o_custkey, a keyed grouped sum yields per-customer
+    revenue, and the top 20 join their names from a ray.put broadcast
+    of the customer dimension."""
+    import ray
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q, topk
+
+    li = _tbl(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice",
+               "l_discount"])
+
+    def returned(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(t["l_discount"], pa.float64())))
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "rev_q2": pc.cast(pc.floor(pc.multiply(rev, 100.0)),
+                              pa.int64()),
+        })
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.map_batches(returned, batch_format="pyarrow").join(
+        orders, join_type="inner", on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=auto_partitions(orders, None),
+    )
+    by_cust = grouped_sum_q(
+        joined, ["o_custkey"], float_cols={},
+        int_cols={"rev_q2": "revenue_q2"},
+    )
+    top = pa.concat_tables(
+        t for t in ray.get(list(
+            topk(by_cust, "revenue_q2", 20, "o_custkey").to_arrow_refs()
+        )) if t.num_rows
+    )
+    cust = pa.concat_tables(ray.get(list(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_name"]).to_arrow_refs()
+    )))
+    return top.join(cust, keys=["o_custkey"], right_keys=["c_custkey"],
+                    join_type="inner").select(
+        ["c_name", "o_custkey", "revenue_q2"])
+
+
+def q_docs_pct_rank_by_source(sf_dir: str):
+    """Per-source percentile-rank calibration of document length: raw
+    n_chars is source-relative; its within-source percentile is the
+    cross-source-comparable quality coordinate."""
+    from luzzu_ray.ops.relational import grouped_pct_rank
+
+    return grouped_pct_rank(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
+        group_col="source", value_col="n_chars", id_col="doc_id",
+    )
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promotion-type revenue share): the part
+    dimension rides a ray.put broadcast map-join into the lineitem
+    scan (no fact-side shuffle on the NEW p_partkey join key); revenue
+    split by p_type = 'PROMO'-class membership as exact fixed-point
+    integers so the share needs no float."""
+    import ray
+
+    part = pa.concat_tables(
+        ray.get(list(_tbl(sf_dir, "part", ["p_partkey", "p_type"])
+                     .to_arrow_refs()))
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    is_promo = pc.equal(part["p_type"], "ECONOMY").to_numpy(
+        zero_copy_only=False).astype(bool)
+    order = np.argsort(pk)
+    pk, is_promo = pk[order], is_promo[order]
+    side_ref = ray.put((pk, is_promo))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, promo = (
+            ray.get(side_ref)
+            if isinstance(side_ref, ray.ObjectRef) else side_ref
+        )
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(t["l_discount"], pa.float64()))),
+            100.0)), pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lpk)
+        posc = np.minimum(pos, max(len(keys) - 1, 0))
+        found = (pos < len(keys)) & (keys[posc] == lpk)
+        pm = found & promo[posc]
+        return pa.table({
+            "promo_rev_q2": pa.array([int(rev[pm].sum())], pa.int64()),
+            "total_rev_q2": pa.array([int(rev[found].sum())], pa.int64()),
+        })
+
+    parts = _tbl(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow")
+    tot = parts.sum(["promo_rev_q2", "total_rev_q2"])
+    if tot is None:
+        tot = {"sum(promo_rev_q2)": 0, "sum(total_rev_q2)": 0}
+    return pa.table({
+        "promo_rev_q2": pa.array([int(tot["sum(promo_rev_q2)"])], pa.int64()),
+        "total_rev_q2": pa.array([int(tot["sum(total_rev_q2)"])], pa.int64()),
+    })
+
+
 def q_part_cooc_pagerank(sf_dir: str):
     """Exact fixed-point PageRank (3 integer power iterations, damping
     85/100 as floor arithmetic) over the same-order part co-occurrence
@@ -524,9 +637,12 @@ def q_events_type_counts_incremental(sf_dir: str):
         ).write_parquet(old_path)
     # "today's run": aggregate ONLY the delta, then merge with the
     # reloaded summary — associativity makes the merge exact
+    from luzzu_ray.ops.relational import merge_summaries
+
     delta = agg(ev.map_batches(partial(False), batch_format="pyarrow"))
-    old = ray.data.read_parquet(old_path)
-    merged = agg(old.union(delta)).materialize()
+    merged = merge_summaries(
+        old_path, delta, keys=["event_type"], sum_cols=["n"],
+    ).materialize()
     shutil.rmtree(old_path, ignore_errors=True)  # summary consumed
     return merged
 
@@ -3538,6 +3654,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
+        "tpch_q14": q_tpch_q14,
+        "docs_pct_rank_by_source": q_docs_pct_rank_by_source,
+        "tpch_q10": q_tpch_q10,
         "orders_dow_counts": q_orders_dow_counts,
         "lineitem_unpivot": q_lineitem_unpivot,
         "lineitem_semi_bloom": q_lineitem_semi_bloom,
@@ -3841,6 +3960,33 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT "
             "SELECT user_id FROM events "
             "WHERE event_type = 'error' AND value >= 95.0"
+        ),
+        "tpch_q10": (
+            "WITH r AS (SELECT o.o_custkey, "
+            "sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) "
+            "* 100.0) AS BIGINT)) AS revenue_q2 "
+            "FROM lineitem l JOIN orders o "
+            "ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.l_returnflag = 'R' GROUP BY o.o_custkey) "
+            "SELECT c.c_name, r.o_custkey, "
+            "CAST(r.revenue_q2 AS BIGINT) AS revenue_q2 "
+            "FROM r JOIN customer c ON c.c_custkey = r.o_custkey "
+            "ORDER BY r.revenue_q2 DESC, r.o_custkey LIMIT 20"
+        ),
+        "docs_pct_rank_by_source": (
+            "SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "CAST((row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars, doc_id) - 1) * 10000 "
+            "// greatest(count(*) OVER (PARTITION BY source) - 1, 1) "
+            "AS BIGINT) AS pct_q4 FROM documents"
+        ),
+        "tpch_q14": (
+            "SELECT CAST(sum(CASE WHEN p.p_type = 'ECONOMY' THEN "
+            "CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0) "
+            "AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_rev_q2, "
+            "CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) "
+            "* 100.0) AS BIGINT)) AS BIGINT) AS total_rev_q2 "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey"
         ),
         "orders_fk_violations": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) "

@@ -171,6 +171,12 @@ def main() -> None:
         "doc_unicode_stats",
         "bpe_merges",
         "audio_features",
+        "part_cooc_walks",
+        "bpe_encode_counts",
+        "doc_bigram_surprisal",
+        "events_user_growth",
+        "users_intersect",
+        "validate_documents",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

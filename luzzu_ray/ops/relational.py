@@ -2127,3 +2127,88 @@ def distinct_set_op(
     return both.repartition(
         num_blocks=width, keys=[col]
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def merge_summaries(
+    old_summary_path: str,
+    delta: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    num_partitions: int = 2,
+) -> ray.data.Dataset:
+    """Incremental summary maintenance: publish ``old ∪ delta`` with one
+    grouped sum — additive summaries (counts, sums, any commutative
+    monoid stored as columns) update without rescanning old data.
+
+    ``old_summary_path`` must be readable by every node (shared storage
+    on a cluster); the caller persists the NEW merged summary for the
+    next increment.  Exactness is associativity: the merge is
+    bit-identical to a full recompute, which is how the conformance
+    oracle checks it.
+    """
+    from ray.data.aggregate import Sum
+
+    old = ray.data.read_parquet(old_summary_path)
+    return old.union(delta).groupby(
+        keys, num_partitions=num_partitions
+    ).aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+
+
+def grouped_pct_rank(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group percentile-rank normalization (quality-score
+    CALIBRATION for mixing corpora: a raw score is only comparable
+    within its source, its within-group percentile is comparable
+    across sources).  ``pct_q4 = (row_number - 1) * 10^4 //
+    (group_size - 1)`` with deterministic (value, id) ordering —
+    row-number-based so ties break exactly like the SQL twin, and a
+    singleton group is 0.
+
+    One keyed exchange co-locates each group; ranking is one lexsort
+    per reduce block.  Output: (group_col, id_col, value_col, pct_q4).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns([group_col, value_col, id_col])
+    gtype = picked.schema().types[0]
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], gtype),
+                id_col: pa.array([], pa.int64()),
+                value_col: pa.array([], pa.int64()),
+                "pct_q4": pa.array([], pa.int64()),
+            })
+        g = t[group_col].combine_chunks()
+        gcodes = pc.dictionary_encode(g).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v, gcodes))
+        gs, vs, isrt = gcodes[order], v[order], i[order]
+        new_g = np.concatenate(([True], gs[1:] != gs[:-1]))
+        starts = np.flatnonzero(new_g)
+        sizes = np.diff(np.append(starts, len(gs)))
+        rown = np.arange(len(gs), dtype=np.int64) - np.repeat(
+            starts, sizes)
+        denom = np.maximum(np.repeat(sizes, sizes) - 1, 1)
+        pct = rown * 10_000 // denom
+        return pa.table({
+            group_col: g.take(pa.array(order)),
+            id_col: pa.array(isrt),
+            value_col: pa.array(vs),
+            "pct_q4": pa.array(pct),
+        })
+
+    return picked.repartition(
+        num_blocks=width, keys=[group_col]
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)

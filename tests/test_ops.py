@@ -3653,3 +3653,63 @@ def test_bpe_train_checkpoint_resume(ray_session, tmp_path):
     # a third call with no remaining work replays from state alone
     again = bpe_train(ds, 8, num_partitions=2, checkpoint_dir=ck)
     assert again.equals(full)
+
+
+def test_count_upper_bound_walks_the_dag(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.dedup import count_upper_bound_if_cheap
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    n = ds.count()
+    # bare read: exact
+    assert count_upper_bound_if_cheap(ds) == n
+    # read -> map/filter/project chains: bounded by the read count
+    mapped = ds.map_batches(lambda t: t.slice(0, max(t.num_rows - 1, 0)),
+                            batch_format="pyarrow")
+    assert count_upper_bound_if_cheap(mapped) == n
+    proj = mapped.select_columns(["o_orderkey"])
+    assert count_upper_bound_if_cheap(proj) == n
+    # union sums both sides
+    assert count_upper_bound_if_cheap(proj.union(ds)) == 2 * n
+    # non-walkable node (groupby) gives up
+    agg = ds.groupby("o_orderpriority", num_partitions=2).count()
+    assert count_upper_bound_if_cheap(agg) is None
+    # in-memory table: known row count
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    assert count_upper_bound_if_cheap(ray.data.from_arrow(t)) == 3
+
+
+def test_grouped_pct_rank_layout_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_pct_rank
+
+    t = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 3 + ["c"], pa.string()),
+        "v": pa.array([5, 1, 3, 3, 2, 9, 9, 1, 7], pa.int64()),
+        "i": pa.array(list(range(9)), pa.int64()),
+    })
+    outs = []
+    for nb in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=nb)
+        out = grouped_pct_rank(ds, "g", "v", "i", num_partitions=3)
+        rows = set()
+        for b in out.iter_batches(batch_format="pyarrow"):
+            for j in range(b.num_rows):
+                rows.add((b["g"][j].as_py(), b["i"][j].as_py(),
+                          b["pct_q4"][j].as_py()))
+        outs.append(rows)
+    assert outs[0] == outs[1]
+    got = dict(((g, i), p) for g, i, p in outs[0])
+    # group a sorted by (v, i): ids 1(v1),4(v2),2(v3),3(v3),0(v5)
+    assert got[("a", 1)] == 0
+    assert got[("a", 4)] == 2500
+    assert got[("a", 2)] == 5000
+    assert got[("a", 3)] == 7500
+    assert got[("a", 0)] == 10000
+    # ties in b break by id: 7(v1)=0, 5(v9)=5000, 6(v9)=10000
+    assert got[("b", 7)] == 0 and got[("b", 5)] == 5000 and got[("b", 6)] == 10000
+    assert got[("c", 8)] == 0  # singleton
