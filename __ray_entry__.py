@@ -345,6 +345,21 @@ def q_docs_pct_rank_by_source(sf_dir: str):
     )
 
 
+WALK_WINDOW = 2
+
+
+def q_walk_skipgrams(sf_dir: str):
+    """DeepWalk data prep: ordered (center, context) skip-gram pair
+    counts within WALK_WINDOW steps of the deterministic walks; the
+    oracle self-joins the unrolled walk table on step distance."""
+    from luzzu_ray.ops.graph import cooccurrence_edges, walk_skipgram_counts
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return walk_skipgram_counts(
+        edges, walk_len=WALK_LEN, window=WALK_WINDOW)
+
+
 def q_tpch_q14(sf_dir: str):
     """TPC-H Q14 shape (promotion-type revenue share): the part
     dimension rides a ray.put broadcast map-join into the lineitem
@@ -3543,6 +3558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cooc_pagerank": q_part_cooc_pagerank,
         "part_cooc_components": q_part_cooc_components,
         "part_cooc_walks": q_part_cooc_walks,
+        "walk_skipgrams": q_walk_skipgrams,
         "bpe_merges": q_bpe_merges,
         "bpe_encode_counts": q_bpe_encode_counts,
         "users_intersect": q_users_intersect,
@@ -3916,11 +3932,21 @@ def oracle_sql() -> dict[str, str]:
         sel.append(f"SELECT start, {k} AS step, cur AS node FROM w{k}")
         prevw = f"w{k}"
     walks_sql = walk_cte + " " + " UNION ALL ".join(sel)
+    skipgram_sql = (
+        walk_cte + ", s AS (" + " UNION ALL ".join(sel) + ") "
+        "SELECT a.node AS center, b.node AS context, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM s a JOIN s b ON a.start = b.start "
+        "AND a.step <> b.step "
+        f"AND abs(a.step - b.step) <= {WALK_WINDOW} "
+        "GROUP BY a.node, b.node"
+    )
     sqls = {
         "doc_stats": f"SELECT doc_id, {_STATS_FRAG} FROM documents",
         "bm25_topk": bm25_sql,
         "part_cooc_pagerank": pagerank_sql,
         "part_cooc_walks": walks_sql,
+        "walk_skipgrams": skipgram_sql,
         "users_intersect": (
             "SELECT user_id FROM events WHERE event_type = 'purchase' "
             "INTERSECT "

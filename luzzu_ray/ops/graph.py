@@ -614,3 +614,75 @@ def random_walks(
     return starts_ds.map_batches(
         walk, batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def walk_skipgram_counts(
+    edges: ray.data.Dataset,
+    walk_len: int = 3,
+    window: int = 2,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Skip-gram training pairs from the deterministic walks — the
+    DeepWalk data-prep step: for every walk, each ORDERED (center,
+    context) pair within ``window`` steps contributes one count.
+
+    Pair generation happens inside the walk map itself (never relying
+    on downstream block boundaries), collapses to per-batch distinct
+    (center, context, n) partials, and one keyed exchange sums them —
+    the exchange carries pair vocabularies, not pair occurrences.
+    Output: (center, context, n).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    walks = random_walks(edges, walk_len=walk_len,
+                         num_partitions=num_partitions)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "center": pa.array([], pa.int64()),
+            "context": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        start = t["start"].to_numpy(zero_copy_only=False)
+        step = t["step"].to_numpy(zero_copy_only=False)
+        node = t["node"].to_numpy(zero_copy_only=False)
+        # rows for one start are contiguous and step-ordered by
+        # construction, but sort defensively (cheap, block-local)
+        order = np.lexsort((step, start))
+        start, step, node = start[order], step[order], node[order]
+        packed = []
+        for d in range(1, window + 1):
+            same = (start[d:] == start[:-d])
+            a = node[:-d][same]
+            b = node[d:][same]
+            packed.append((a << np.int64(_PACK_BITS)) | b)
+            packed.append((b << np.int64(_PACK_BITS)) | a)
+        allp = np.concatenate(packed) if packed else np.empty(0, np.int64)
+        if len(allp) == 0:
+            return empty
+        u, cnt = np.unique(allp, return_counts=True)
+        return pa.table({
+            "center": pa.array(u >> _PACK_BITS),
+            "context": pa.array(u & ((1 << _PACK_BITS) - 1)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    parts = walks.map_batches(
+        pair_partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    width = auto_partitions(parts, num_partitions)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(["center", "context"]).aggregate([("n", "sum")])
+        return g.rename_columns(["center", "context", "n"])
+
+    return parts.repartition(
+        num_blocks=width, keys=["center", "context"]
+    ).map_batches(combine, batch_format="pyarrow", batch_size=None)

@@ -3713,3 +3713,53 @@ def test_grouped_pct_rank_layout_invariance(ray_session):
     # ties in b break by id: 7(v1)=0, 5(v9)=5000, 6(v9)=10000
     assert got[("b", 7)] == 0 and got[("b", 5)] == 5000 and got[("b", 6)] == 10000
     assert got[("c", 8)] == 0  # singleton
+
+
+def test_walk_skipgram_counts_twin(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.graph import (
+        WALK_A, WALK_B, WALK_MOD, walk_skipgram_counts,
+    )
+
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 40, 300)
+    b = rng.integers(0, 40, 300)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    m = lo != hi
+    packed = np.unique((lo[m].astype(np.int64) << 8) | hi[m])
+    ds = ray.data.from_arrow(pa.table({
+        "a": pa.array(packed >> 8, pa.int64()),
+        "b": pa.array(packed & 255, pa.int64()),
+    })).repartition(num_blocks=3)
+    out = walk_skipgram_counts(ds, walk_len=3, window=2, num_partitions=2)
+    got = {}
+    for blk in out.iter_batches(batch_format="pyarrow"):
+        for i in range(blk.num_rows):
+            got[(blk["center"][i].as_py(), blk["context"][i].as_py())] = (
+                blk["n"][i].as_py())
+    # twin: replay walks and count ordered pairs within window 2
+    adj = {}
+    for p in packed:
+        x, y = int(p >> 8), int(p & 255)
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    for u in adj:
+        adj[u].sort()
+    want = collections.Counter()
+    for u in adj:
+        seq = [u]
+        cur = u
+        for k in range(1, 4):
+            nbrs = adj[cur]
+            cur = nbrs[((cur * WALK_A + k * WALK_B) % WALK_MOD) % len(nbrs)]
+            seq.append(cur)
+        for i in range(len(seq)):
+            for j in range(len(seq)):
+                if i != j and abs(i - j) <= 2:
+                    want[(seq[i], seq[j])] += 1
+    assert got == dict(want)
