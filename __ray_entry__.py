@@ -360,6 +360,129 @@ def q_walk_skipgrams(sf_dir: str):
         edges, walk_len=WALK_LEN, window=WALK_WINDOW)
 
 
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary quartiles per
+    customer): one keyed exchange builds the per-customer metric row,
+    then THREE independent distributed NTILE passes (the global_rank
+    range-partition protocol — no monolithic sort) assign quartile
+    codes, re-joined on the narrow (customer, tile) tables."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import global_rank
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    orders = _tbl(sf_dir, "orders",
+                  ["o_custkey", "o_orderdate", "o_totalprice"])
+    width = auto_partitions(orders, None)
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        day = (t["o_orderdate"].combine_chunks().cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 86_400_000_000)
+        spend = pc.cast(pc.floor(pc.multiply(
+            pc.cast(t["o_totalprice"], pa.float64()), 100.0)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        ks, ds_, sp = k[order], day[order], spend[order]
+        new = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ks))
+        rec = np.maximum.reduceat(ds_, starts)
+        frq = ends - starts
+        mon = np.add.reduceat(sp, starts)
+        return pa.table({
+            "o_custkey": pa.array(ks[starts]),
+            "recency_day": pa.array(rec.astype(np.int64)),
+            "freq": pa.array(frq.astype(np.int64)),
+            "monetary_q2": pa.array(mon.astype(np.int64)),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        ks = k[order]
+        rec = t["recency_day"].to_numpy(zero_copy_only=False)[order]
+        frq = t["freq"].to_numpy(zero_copy_only=False)[order]
+        mon = t["monetary_q2"].to_numpy(zero_copy_only=False)[order]
+        new = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new)
+        return pa.table({
+            "o_custkey": pa.array(ks[starts]),
+            "recency_day": pa.array(
+                np.maximum.reduceat(rec, starts).astype(np.int64)),
+            "freq": pa.array(
+                np.add.reduceat(frq, starts).astype(np.int64)),
+            "monetary_q2": pa.array(
+                np.add.reduceat(mon, starts).astype(np.int64)),
+        })
+
+    base = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=width, keys=["o_custkey"]).map_batches(
+        final, batch_format="pyarrow", batch_size=None,
+    ).repartition(num_blocks=8).materialize()
+
+    def tiles(col: str, name: str):
+        r = global_rank(base, col, "o_custkey", ntile=4)
+        return r.select_columns(["o_custkey", "tile"]).map_batches(
+            lambda t, nm=name: t.rename_columns(["o_custkey", nm]),
+            batch_format="pyarrow",
+        ).repartition(num_blocks=8).materialize()
+
+    out = base.join(
+        tiles("recency_day", "r_tile"), join_type="inner",
+        on=("o_custkey",), num_partitions=8,
+    ).materialize().join(
+        tiles("freq", "f_tile"), join_type="inner",
+        on=("o_custkey",), num_partitions=8,
+    ).materialize().join(
+        tiles("monetary_q2", "m_tile"), join_type="inner",
+        on=("o_custkey",), num_partitions=8,
+    )
+    return out.select_columns(
+        ["o_custkey", "recency_day", "freq", "monetary_q2",
+         "r_tile", "f_tile", "m_tile"])
+
+
+def q_orders_custkey_skew(sf_dir: str):
+    """Join-key SKEW diagnostic (the pre-flight check for the salted
+    join): per-key order counts reduce to a counts-of-counts histogram
+    — (orders_per_customer, n_customers) — in two narrow keyed
+    passes; the heavy tail of this table is what decides
+    hot_threshold/n_salt."""
+    from ray.data.aggregate import Sum
+
+    orders = _tbl(sf_dir, "orders", ["o_custkey"])
+
+    def per_key(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(k, return_counts=True)
+        return pa.table({
+            "o_custkey": pa.array(u),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    per = orders.map_batches(
+        per_key, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("o_custkey", num_partitions=4).aggregate(
+        Sum("n", alias_name="n"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        c = t["n"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({
+            "orders_per_customer": pa.array(u.astype(np.int64)),
+            "n_customers": pa.array(cnt.astype(np.int64)),
+        })
+
+    return per.map_batches(
+        hist_partial, batch_format="pyarrow"
+    ).groupby("orders_per_customer", num_partitions=2).aggregate(
+        Sum("n_customers", alias_name="n_customers"))
+
+
 def q_tpch_q14(sf_dir: str):
     """TPC-H Q14 shape (promotion-type revenue share): the part
     dimension rides a ray.put broadcast map-join into the lineitem
@@ -3671,6 +3794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
         "tpch_q14": q_tpch_q14,
+        "orders_custkey_skew": q_orders_custkey_skew,
+        "customer_rfm": q_customer_rfm,
         "docs_pct_rank_by_source": q_docs_pct_rank_by_source,
         "tpch_q10": q_tpch_q10,
         "orders_dow_counts": q_orders_dow_counts,
@@ -3986,6 +4111,26 @@ def oracle_sql() -> dict[str, str]:
             "EXCEPT "
             "SELECT user_id FROM events "
             "WHERE event_type = 'error' AND value >= 95.0"
+        ),
+        "customer_rfm": (
+            "WITH base AS (SELECT o_custkey, "
+            "CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT) "
+            "AS recency_day, CAST(count(*) AS BIGINT) AS freq, "
+            "CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT)) "
+            "AS BIGINT) AS monetary_q2 FROM orders GROUP BY o_custkey) "
+            "SELECT o_custkey, recency_day, freq, monetary_q2, "
+            "CAST(ntile(4) OVER (ORDER BY recency_day DESC, o_custkey) "
+            "AS BIGINT) AS r_tile, "
+            "CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey) "
+            "AS BIGINT) AS f_tile, "
+            "CAST(ntile(4) OVER (ORDER BY monetary_q2 DESC, o_custkey) "
+            "AS BIGINT) AS m_tile FROM base"
+        ),
+        "orders_custkey_skew": (
+            "WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT n AS orders_per_customer, "
+            "CAST(count(*) AS BIGINT) AS n_customers FROM k GROUP BY n"
         ),
         "tpch_q10": (
             "WITH r AS (SELECT o.o_custkey, "
