@@ -287,8 +287,9 @@ def q_tpch_q10(sf_dir: str):
     """TPC-H Q10 shape (returned-item revenue by customer): the R-flag
     filter collapses lineitem at the batch level, one native hash join
     attaches o_custkey, a keyed grouped sum yields per-customer
-    revenue, and the top 20 join their names from a ray.put broadcast
-    of the customer dimension."""
+    revenue, and the 20 winners' names come from a distributed
+    semi-filter of the customer dimension against the broadcast top-20
+    key set — the driver only ever holds ~20 rows per side."""
     import ray
 
     from luzzu_ray.ops.dedup import auto_partitions
@@ -320,14 +321,30 @@ def q_tpch_q10(sf_dir: str):
         joined, ["o_custkey"], float_cols={},
         int_cols={"rev_q2": "revenue_q2"},
     )
-    top = pa.concat_tables(
+    tops = [
         t for t in ray.get(list(
             topk(by_cust, "revenue_q2", 20, "o_custkey").to_arrow_refs()
         )) if t.num_rows
-    )
-    cust = pa.concat_tables(ray.get(list(
-        _tbl(sf_dir, "customer", ["c_custkey", "c_name"]).to_arrow_refs()
-    )))
+    ]
+    if not tops:
+        return pa.table({
+            "c_name": pa.array([], pa.string()),
+            "o_custkey": pa.array([], pa.int64()),
+            "revenue_q2": pa.array([], pa.int64()),
+        })
+    top = pa.concat_tables(tops)
+    # only the ~20 winners' dimension rows leave the scan
+    winners = pc.unique(top["o_custkey"].combine_chunks())
+    cust_parts = [
+        t for t in ray.get(list(
+            _tbl(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+                lambda t, w=winners: t.filter(
+                    pc.is_in(t["c_custkey"], value_set=w)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )) if t.num_rows
+    ]
+    cust = pa.concat_tables(cust_parts)
     return top.join(cust, keys=["o_custkey"], right_keys=["c_custkey"],
                     join_type="inner").select(
         ["c_name", "o_custkey", "revenue_q2"])
@@ -450,37 +467,23 @@ def q_orders_custkey_skew(sf_dir: str):
     """Join-key SKEW diagnostic (the pre-flight check for the salted
     join): per-key order counts reduce to a counts-of-counts histogram
     — (orders_per_customer, n_customers) — in two narrow keyed
-    passes; the heavy tail of this table is what decides
-    hot_threshold/n_salt."""
-    from ray.data.aggregate import Sum
+    passes on the shared grouped_sum_q combine; the heavy tail of
+    this table is what decides hot_threshold/n_salt."""
+    from luzzu_ray.ops.relational import grouped_sum_q
 
     orders = _tbl(sf_dir, "orders", ["o_custkey"])
+    per = grouped_sum_q(
+        orders, ["o_custkey"], float_cols={}, count_as="n",
+    )
 
-    def per_key(t: pa.Table) -> pa.Table:
-        k = t["o_custkey"].to_numpy(zero_copy_only=False)
-        u, cnt = np.unique(k, return_counts=True)
-        return pa.table({
-            "o_custkey": pa.array(u),
-            "n": pa.array(cnt.astype(np.int64)),
-        })
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"orders_per_customer": t["n"]})
 
-    per = orders.map_batches(
-        per_key, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("o_custkey", num_partitions=4).aggregate(
-        Sum("n", alias_name="n"))
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        c = t["n"].to_numpy(zero_copy_only=False)
-        u, cnt = np.unique(c, return_counts=True)
-        return pa.table({
-            "orders_per_customer": pa.array(u.astype(np.int64)),
-            "n_customers": pa.array(cnt.astype(np.int64)),
-        })
-
-    return per.map_batches(
-        hist_partial, batch_format="pyarrow"
-    ).groupby("orders_per_customer", num_partitions=2).aggregate(
-        Sum("n_customers", alias_name="n_customers"))
+    return grouped_sum_q(
+        per.map_batches(rename, batch_format="pyarrow"),
+        ["orders_per_customer"], float_cols={}, count_as="n_customers",
+        num_partitions=2,
+    )
 
 
 def q_tpch_q14(sf_dir: str):
@@ -507,6 +510,11 @@ def q_tpch_q14(sf_dir: str):
             ray.get(side_ref)
             if isinstance(side_ref, ray.ObjectRef) else side_ref
         )
+        if len(keys) == 0:  # empty dimension: nothing joins
+            return pa.table({
+                "promo_rev_q2": pa.array([0], pa.int64()),
+                "total_rev_q2": pa.array([0], pa.int64()),
+            })
         lpk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
             pc.cast(t["l_extendedprice"], pa.float64()),

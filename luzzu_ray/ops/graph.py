@@ -542,6 +542,42 @@ def random_walks(
     worker (same ceiling as the triangle fast path); beyond that, walk
     steps become per-step keyed joins against the edge table.
     """
+    built = _build_walk_csr(edges, num_partitions)
+    if built is None:
+        return ray.data.from_arrow(pa.table({
+            "start": pa.array([], pa.int64()),
+            "step": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64()),
+        }))
+    csr_ref, starts_ds = built
+
+    def walk(t: pa.Table, ref=csr_ref, T=walk_len) -> pa.Table:
+        csr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        start = t["start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(start)
+        if n == 0:
+            return pa.table({
+                "start": pa.array([], pa.int64()),
+                "step": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+            })
+        outs = _walk_steps(start, csr, T)
+        return pa.table({
+            "start": pa.array(np.repeat(start, T + 1)),
+            "step": pa.array(np.tile(np.arange(T + 1, dtype=np.int64), n)),
+            "node": pa.array(np.stack(outs, axis=1).reshape(-1)),
+        })
+
+    return starts_ds.map_batches(
+        walk, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def _build_walk_csr(edges: ray.data.Dataset, num_partitions: int | None):
+    """(csr_ref, starts_ds) for the walk family, or None on an empty
+    edge set.  The CSR (sorted nodes, neighbor offsets, ascending
+    neighbor array) broadcasts once via ``ray.put``; node ids are
+    validated to 31 bits (beyond would silently wrap the step hash)."""
     from luzzu_ray.ops.dedup import auto_partitions
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
@@ -563,11 +599,7 @@ def random_walks(
             src_parts.append(t["src"].to_numpy(zero_copy_only=False))
             dst_parts.append(t["dst"].to_numpy(zero_copy_only=False))
     if not src_parts:
-        return ray.data.from_arrow(pa.table({
-            "start": pa.array([], pa.int64()),
-            "step": pa.array([], pa.int64()),
-            "node": pa.array([], pa.int64()),
-        }))
+        return None
     src = np.concatenate(src_parts)
     dst = np.concatenate(dst_parts)
     if src.max() >= (1 << _PACK_BITS) or src.min() < 0:
@@ -582,38 +614,24 @@ def random_walks(
     offs = np.searchsorted(src, nodes)
     offs = np.append(offs, len(src))
     csr_ref = ray.put((nodes, offs, dst))
-
     starts_ds = ray.data.from_arrow(
         pa.table({"start": pa.array(nodes)})
     ).repartition(num_blocks=min(width, max(1, len(nodes) // 65536 + 1)))
+    return csr_ref, starts_ds
 
-    def walk(t: pa.Table, ref=csr_ref, T=walk_len) -> pa.Table:
-        ns, of, nb = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-        start = t["start"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(start)
-        if n == 0:
-            return pa.table({
-                "start": pa.array([], pa.int64()),
-                "step": pa.array([], pa.int64()),
-                "node": pa.array([], pa.int64()),
-            })
-        outs = [start]
-        cur = start
-        for k in range(1, T + 1):
-            pos = np.searchsorted(ns, cur)
-            deg = of[pos + 1] - of[pos]
-            r = ((cur * WALK_A + k * WALK_B) % WALK_MOD) % deg
-            cur = nb[of[pos] + r]
-            outs.append(cur)
-        return pa.table({
-            "start": pa.array(np.repeat(start, T + 1)),
-            "step": pa.array(np.tile(np.arange(T + 1, dtype=np.int64), n)),
-            "node": pa.array(np.stack(outs, axis=1).reshape(-1)),
-        })
 
-    return starts_ds.map_batches(
-        walk, batch_format="pyarrow", zero_copy_batch=True,
-    )
+def _walk_steps(start: np.ndarray, csr, T: int) -> list[np.ndarray]:
+    """The deterministic walk kernel: list of T+1 arrays (step 0..T)."""
+    ns, of, nb = csr
+    outs = [start]
+    cur = start
+    for k in range(1, T + 1):
+        pos = np.searchsorted(ns, cur)
+        deg = of[pos + 1] - of[pos]
+        r = ((cur * WALK_A + k * WALK_B) % WALK_MOD) % deg
+        cur = nb[of[pos] + r]
+        outs.append(cur)
+    return outs
 
 
 def walk_skipgram_counts(
@@ -632,38 +650,33 @@ def walk_skipgram_counts(
     the exchange carries pair vocabularies, not pair occurrences.
     Output: (center, context, n).
     """
-    from luzzu_ray.ops.dedup import auto_partitions
-    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+    from luzzu_ray.ops.relational import grouped_sum_q
 
-    _ensure_hash_shuffle()
-    walks = random_walks(edges, walk_len=walk_len,
-                         num_partitions=num_partitions)
+    empty = pa.table({
+        "center": pa.array([], pa.int64()),
+        "context": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    })
+    built = _build_walk_csr(edges, num_partitions)
+    if built is None:
+        return ray.data.from_arrow(empty)
+    csr_ref, starts_ds = built
 
-    def pair_partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "center": pa.array([], pa.int64()),
-            "context": pa.array([], pa.int64()),
-            "n": pa.array([], pa.int64()),
-        })
-        if t.num_rows == 0:
+    def walk_pairs(t: pa.Table, ref=csr_ref, T=walk_len) -> pa.Table:
+        """Walks AND their pairs in one batch: every walk's full step
+        sequence lives in this task's matrix, so no pair can straddle
+        a block boundary regardless of downstream block splitting."""
+        csr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        start = t["start"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(start) == 0:
             return empty
-        start = t["start"].to_numpy(zero_copy_only=False)
-        step = t["step"].to_numpy(zero_copy_only=False)
-        node = t["node"].to_numpy(zero_copy_only=False)
-        # rows for one start are contiguous and step-ordered by
-        # construction, but sort defensively (cheap, block-local)
-        order = np.lexsort((step, start))
-        start, step, node = start[order], step[order], node[order]
+        outs = _walk_steps(start, csr, T)
         packed = []
-        for d in range(1, window + 1):
-            same = (start[d:] == start[:-d])
-            a = node[:-d][same]
-            b = node[d:][same]
-            packed.append((a << np.int64(_PACK_BITS)) | b)
-            packed.append((b << np.int64(_PACK_BITS)) | a)
-        allp = np.concatenate(packed) if packed else np.empty(0, np.int64)
-        if len(allp) == 0:
-            return empty
+        for i in range(T + 1):
+            for j in range(max(0, i - window), min(T, i + window) + 1):
+                if i != j:
+                    packed.append(_pack(outs[i], outs[j]))
+        allp = np.concatenate(packed)
         u, cnt = np.unique(allp, return_counts=True)
         return pa.table({
             "center": pa.array(u >> _PACK_BITS),
@@ -671,18 +684,12 @@ def walk_skipgram_counts(
             "n": pa.array(cnt.astype(np.int64)),
         })
 
-    parts = walks.map_batches(
-        pair_partial, batch_format="pyarrow", batch_size=None,
+    parts = starts_ds.map_batches(
+        walk_pairs, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
-    width = auto_partitions(parts, num_partitions)
-
-    def combine(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        g = t.group_by(["center", "context"]).aggregate([("n", "sum")])
-        return g.rename_columns(["center", "context", "n"])
-
-    return parts.repartition(
-        num_blocks=width, keys=["center", "context"]
-    ).map_batches(combine, batch_format="pyarrow", batch_size=None)
+    # shared keyed-exchange + block-local combine (grouped_sum_q final)
+    return grouped_sum_q(
+        parts, ["center", "context"], float_cols={}, int_cols={"n": "n"},
+        num_partitions=num_partitions,
+    )

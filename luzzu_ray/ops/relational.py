@@ -2178,14 +2178,17 @@ def grouped_pct_rank(
     _ensure_hash_shuffle()
     width = auto_partitions(ds, num_partitions)
     picked = ds.select_columns([group_col, value_col, id_col])
-    gtype = picked.schema().types[0]
+    sch = picked.schema()
+    gtype = sch.types[0]
+    vtype = sch.types[1]
+    itype = sch.types[2]
 
     def block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({
                 group_col: pa.array([], gtype),
-                id_col: pa.array([], pa.int64()),
-                value_col: pa.array([], pa.int64()),
+                id_col: pa.array([], itype),
+                value_col: pa.array([], vtype),
                 "pct_q4": pa.array([], pa.int64()),
             })
         g = t[group_col].combine_chunks()

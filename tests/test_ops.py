@@ -3655,14 +3655,22 @@ def test_bpe_train_checkpoint_resume(ray_session, tmp_path):
     assert again.equals(full)
 
 
-def test_count_upper_bound_walks_the_dag(ray_session):
+def test_count_upper_bound_walks_the_dag(ray_session, tmp_path):
     import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
 
     from luzzu_ray.ops.dedup import count_upper_bound_if_cheap
 
-    ds = ray.data.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    p = str(tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(100), pa.int64()),
+        "o_orderpriority": pa.array(
+            [f"P{i % 3}" for i in range(100)], pa.string()),
+    }), p)
+    ds = ray.data.read_parquet(p)
     n = ds.count()
+    assert n == 100
     # bare read: exact
     assert count_upper_bound_if_cheap(ds) == n
     # read -> map/filter/project chains: bounded by the read count
