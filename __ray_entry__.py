@@ -2164,12 +2164,16 @@ def q_events_value_hour_regr(sf_dir: str):
     """Grouped least-squares regression (value_q2 vs hour-of-day per
     event type) emitted as EXACT integer rationals: the five integer
     moments come from the same layout-invariant combine as the
-    correlation op, and slope/intercept are reported as
-    (numerator, denominator) pairs — slope = slope_num / den,
-    intercept = icept_num / (n * den) — so the result is bit-exact
-    regardless of summation order and the SQL twin needs no float
-    division at all.  Bound: products stay within int64 while
-    n * max|x*y| < 2^63 (hour <= 23, value_q2 fixed-point)."""
+    correlation op; slope = slope_num / den, and the intercept is left
+    in COMPONENT form (sx, sy) — intercept = (sy - slope*sx) / n =
+    (sy*den - slope_num*sx) / (n*den) — so the largest product ever
+    materialized is n^2-scale (slope_num, den).  The earlier single
+    icept_num column was sy*den - slope_num*sx, an n^3-scale product
+    that overflows int64 once a group reaches ~3e4 rows with
+    value_q2 ~ 1e4 (ADVICE r03 medium); consumers reduce the rational
+    themselves with bigint math.  Bound: n^2 * max|x| * max|y| < 2^63
+    (hour <= 23, value_q2 fixed-point) — holds to n ~ 2e8 rows/group;
+    tested at a group size that overflowed the old form."""
     from luzzu_ray.ops.relational import grouped_corr_q
 
     ev = _tbl(sf_dir, "events", ["event_type", "ts", "value"])
@@ -2196,22 +2200,22 @@ def q_events_value_hour_regr(sf_dir: str):
             return pa.table({
                 "event_type": pa.array([], pa.string()),
                 "n": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.int64()),
+                "sy": pa.array([], pa.int64()),
                 "slope_num": pa.array([], pa.int64()),
-                "icept_num": pa.array([], pa.int64()),
                 "den": pa.array([], pa.int64()),
             })
         rows = t.to_pylist()
-        s_num, i_num, den = [], [], []
+        s_num, den = [], []
         for r in rows:  # #groups rows only; Python bigints
-            d = r["n"] * r["sxx"] - r["sx"] * r["sx"]
+            den.append(r["n"] * r["sxx"] - r["sx"] * r["sx"])
             s_num.append(r["n"] * r["sxy"] - r["sx"] * r["sy"])
-            i_num.append(r["sy"] * d - s_num[-1] * r["sx"])
-            den.append(d)
         return pa.table({
             "event_type": t["event_type"],
             "n": t["n"],
+            "sx": t["sx"],
+            "sy": t["sy"],
             "slope_num": pa.array(s_num, pa.int64()),
-            "icept_num": pa.array(i_num, pa.int64()),
             "den": pa.array(den, pa.int64()),
         })
 
@@ -4460,9 +4464,8 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "CAST(sum(hod * vq2) AS HUGEINT) AS sxy "
             "FROM p GROUP BY event_type) "
             "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy, "
             "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num, "
-            "CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx "
-            "AS BIGINT) AS icept_num, "
             "CAST(n * sxx - sx * sx AS BIGINT) AS den FROM m"
         ),
         "quality_classifier": (

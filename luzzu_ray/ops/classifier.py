@@ -80,16 +80,31 @@ class QualityClassifierStage:
 
     def __init__(self):
         self.w_uni, self.w_bi = build_weights()
-        # powers of the hash base up to the longest plausible token
+        # powers of the hash base, grown on demand (see _ensure_pows)
         self.max_len = 256
-        pows = np.empty(self.max_len + 1, dtype=np.uint64)
+        self.pows = self._cumpows(self.max_len)
+
+    @staticmethod
+    def _cumpows(n: int) -> np.ndarray:
+        pows = np.empty(n + 1, dtype=np.uint64)
         pows[0] = np.uint64(1)
         with np.errstate(over="ignore"):
             np.cumprod(
-                np.full(self.max_len, CLF_HASH_BASE, dtype=np.uint64),
-                out=pows[1:],
+                np.full(n, CLF_HASH_BASE, dtype=np.uint64), out=pows[1:]
             )
-        self.pows = pows
+        return pows
+
+    def _ensure_pows(self, need: int) -> None:
+        """Grow the base-power table to cover tokens of ``need`` bytes.
+
+        Real quality-filter input (URLs, base64 blobs, unsegmented CJK)
+        routinely exceeds any fixed cap, and the scalar twin
+        ``classify_row`` scores arbitrary lengths — so the batch kernel
+        must too (degrade-not-die; ADVICE r03 low).  uint64 cumprod
+        wraps mod 2^64, exactly matching the twin's ``% (1 << 64)``."""
+        if need > self.max_len:
+            self.max_len = max(need, self.max_len * 2)
+            self.pows = self._cumpows(self.max_len)
 
     def _word_hashes(
         self, data: np.ndarray, offsets: np.ndarray
@@ -121,8 +136,7 @@ class QualityClassifierStage:
         if n_words == 0:
             return (np.empty(0, np.uint64), np.empty(0, np.int64))
         wlen = np.bincount(word_id[valid], minlength=n_words)
-        if wlen.max() > self.max_len:
-            raise ValueError("token longer than supported max_len")
+        self._ensure_pows(int(wlen.max()))
         # position of each byte within its word
         start_pos = np.flatnonzero(starts)
         pos = np.arange(len(b), dtype=np.int64) - start_pos[word_id]

@@ -137,21 +137,27 @@ def count_if_cheap(ds: ray.data.Dataset) -> int | None:
 def count_upper_bound_if_cheap(ds: ray.data.Dataset) -> int | None:
     """Row-count UPPER BOUND at metadata price, for shuffle-width sizing.
 
-    Walks the logical DAG through one-to-one operators (map_batches /
-    map / filter / project / limit) and unions down to leaves whose
-    ``infer_metadata()`` carries a row count (parquet footers, in-memory
-    tables).  Filters make the bound loose (survivors over-counted —
-    width merely tops out early); a row-EXPANDING map_batches makes it
-    an UNDER-estimate, so callers shuffling a post-expansion dataset
-    should size from the pre-expansion input or pass an explicit width.
-    Returns None when any path hits a non-walkable node (join,
-    aggregate, shuffle)."""
+    Walks the logical DAG through one-to-one operators and unions down
+    to leaves whose ``infer_metadata()`` carries a row count (parquet
+    footers, in-memory tables).  Filters make the bound loose
+    (survivors over-counted — width merely tops out early).
+
+    Enforced contract (ADVICE r03): ``FlatMap`` is a HARD STOP — it is
+    row-expanding by intent, so the walk returns None rather than an
+    under-estimate.  ``map_batches`` CAN also expand rows but is this
+    repo's universal row-preserving-or-reducing partial idiom, so it
+    stays walkable — callers shuffling a deliberately row-expanding
+    map_batches chain must pass ``expanding=True`` to
+    :func:`auto_partitions` (which skips this bound entirely) or an
+    explicit width; every expanding producer in-repo materializes first
+    (exact count) or passes the flag."""
     n = count_if_cheap(ds)
     if n is not None:
         return n
     try:
         from ray.data._internal.logical.operators.map_operator import (
             AbstractOneToOne,
+            FlatMap,
         )
         from ray.data._internal.logical.operators.n_ary_operator import (
             Union as LUnion,
@@ -161,6 +167,8 @@ def count_upper_bound_if_cheap(ds: ray.data.Dataset) -> int | None:
             md = op.infer_metadata()
             if md is not None and md.num_rows is not None:
                 return int(md.num_rows)
+            if isinstance(op, FlatMap):
+                return None  # row-expanding by intent: no safe bound
             deps = op.input_dependencies
             if isinstance(op, AbstractOneToOne) and len(deps) == 1:
                 return walk(deps[0])
@@ -183,16 +191,27 @@ def auto_partitions(
     ds: ray.data.Dataset,
     num_partitions: int | None,
     rows_per_partition: int = 200_000,
+    expanding: bool = False,
 ) -> int:
     """Resolve a shuffle width: an EXPLICIT num_partitions wins verbatim
     (callers tuning straggler granularity / block memory get exactly
     what they asked for); otherwise size to the data when a row-count
     upper bound is metadata-cheap (bare reads, and read->map/filter/
     union pipelines via the footer counts), else fall back to the
-    cluster-derived cap."""
+    cluster-derived cap.
+
+    ``expanding=True`` declares that ``ds`` contains a row-EXPANDING
+    transform (pair generation, unpivot, shingling) downstream of the
+    countable leaves — the metadata bound would then be an
+    UNDER-estimate (oversized blocks, worker-memory risk at the 100 TB
+    posture), so the cluster-cap fallback is forced instead (ADVICE
+    r03: contract made enforceable at the call site, not a docstring
+    caveat)."""
     if num_partitions is not None:
         return num_partitions
     cap = _default_parts(None)
+    if expanding:
+        return cap
     n = count_upper_bound_if_cheap(ds)
     return _size_partitions(n, cap, rows_per_partition) if n is not None else cap
 

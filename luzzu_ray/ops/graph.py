@@ -282,6 +282,26 @@ PAGERANK_SCALE = 10**12
 PAGERANK_BASE = (15 * PAGERANK_SCALE) // 100   # (1-d) * SCALE
 PAGERANK_BROADCAST_MAX_NODES = 20_000_000
 
+# above this, 85 * sums wraps int64 (the DuckDB oracle computes in
+# HUGEINT, so a silent wrap would diverge quietly — ADVICE r03 low)
+_DAMP_SUM_MAX = (2**63 - 1 - PAGERANK_BASE * 100) // 85
+
+
+def _damp_q(sums: np.ndarray) -> np.ndarray:
+    """PAGERANK_BASE + (85 * sums) // 100 with no silent int64 wrap.
+
+    ``_exact_group_sum`` proves each per-key sum < 2^63, but the 85x
+    damping multiply tightens the real bound to ~1.08e17 (~1e5
+    full-rank in-neighbors on one hub node).  Beyond it we fall back to
+    Python bigints for the multiply; the damped RESULT (~0.85 * sum)
+    always fits int64, so the output dtype is unchanged."""
+    if sums.size and int(sums.max()) > _DAMP_SUM_MAX:
+        return np.fromiter(
+            (PAGERANK_BASE + (85 * int(s)) // 100 for s in sums.tolist()),
+            dtype=np.int64, count=len(sums),
+        )
+    return PAGERANK_BASE + (85 * sums) // 100
+
 
 def _exact_group_sum(
     keys: np.ndarray, vals: np.ndarray
@@ -436,7 +456,7 @@ def pagerank(
                         nodes, p["node"].to_numpy(zero_copy_only=False)
                     )
                     np.add.at(sums, idx, p["s"].to_numpy(zero_copy_only=False))
-            rank = PAGERANK_BASE + (85 * sums) // 100
+            rank = _damp_q(sums)
         return pa.table({
             "node": pa.array(nodes), "rank_q": pa.array(rank)
         })
@@ -496,7 +516,7 @@ def pagerank(
             s = t["s"].to_numpy(zero_copy_only=False)
             return pa.table({
                 "node": t["node"],
-                "r": pa.array(PAGERANK_BASE + (85 * s) // 100),
+                "r": pa.array(_damp_q(s)),
             })
 
         new_rank = sums.map_batches(damp, batch_format="pyarrow")

@@ -51,13 +51,14 @@ def _lines_block(
 ) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """(line_strings, doc_row_idx, line_idx) for one batch — vectorized.
 
-    Rows with NULL/empty text produce zero lines (callers pre-filter to
-    match the SQL twin's unnest semantics).
+    Rows with NULL/empty text produce zero lines — ENFORCED here, not
+    by caller pre-filtering: ``split_pattern('', ' ')`` yields [''], so
+    an empty row would otherwise surface one bogus empty line and
+    diverge from the SQL twin's unnest semantics (ADVICE r03 low).
     """
     n = t.num_rows
-    words = pc.split_pattern(
-        pc.fill_null(pc.cast(t[text_col], pa.string()), ""), " "
-    ).combine_chunks()
+    filled = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+    words = pc.split_pattern(filled, " ").combine_chunks()
     lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(words)
     total = int(lens.sum())
@@ -70,7 +71,17 @@ def _lines_block(
     lines = pc.binary_join(
         pa.ListArray.from_arrays(pa.array(offsets), flat), " "
     )
-    return lines, doc_of_word[starts], wi[starts] // words_per_line
+    line_doc = doc_of_word[starts]
+    line_idx = wi[starts] // words_per_line
+    nonempty = (
+        pc.binary_length(filled).to_numpy(zero_copy_only=False) > 0
+    )
+    keep = nonempty[line_doc] if len(line_doc) else nonempty[:0].astype(bool)
+    if not keep.all():
+        lines = pc.filter(lines, pa.array(keep))
+        line_doc = line_doc[keep]
+        line_idx = line_idx[keep]
+    return lines, line_doc, line_idx
 
 
 def _line_keys(lines: pa.Array) -> tuple[np.ndarray, np.ndarray]:

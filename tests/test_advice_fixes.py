@@ -1,0 +1,160 @@
+"""Regression tests for the round-3 ADVICE findings.
+
+Each test pins one fixed failure mode:
+- grouped regression: intercept reported in component form so no
+  n^3-scale int64 product is ever materialized (medium);
+- PageRank damping: 85x multiply guarded against silent int64 wrap;
+- quality classifier: tokens longer than the power-table cap are
+  scored, not fatal;
+- auto_partitions: expanding=True forces the cluster-cap fallback and
+  FlatMap is a hard stop for the metadata bound;
+- _lines_block: NULL/empty text yields zero lines without caller
+  pre-filtering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_regr_component_form_survives_overflow_scale(ray_session, tmp_path):
+    """A single group big enough that the old icept_num (= sy*den -
+    slope_num*sx, ~n^3 * var(hod) * E[vq2]) exceeds int64 must now run
+    clean and hash-match the DuckDB twin."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    n = 40_000
+    rng = np.random.default_rng(7)
+    hod = rng.integers(0, 24, size=n)
+    # ts chosen so (epoch_us // 3_600_000_000) % 24 == hod
+    ts = (hod + 24 * rng.integers(0, 1000, size=n)) * 3_600_000_000
+    value = rng.uniform(0, 10_000.0, size=n)
+    t = pa.table({
+        "event_type": pa.array(["click"] * n),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "value": pa.array(value, pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    # the OLD formulation provably overflows at this size
+    vq2 = np.floor(value * 100.0).astype(object)
+    h = hod.astype(object)
+    sy, sx = int(sum(vq2)), int(sum(h))
+    sxx, sxy = int(sum(h * h)), int(sum(h * vq2))
+    den = n * sxx - sx * sx
+    slope_num = n * sxy - sx * sy
+    assert abs(sy * den - slope_num * sx) >= 2**63  # old icept_num wraps
+
+    got = pa.Table.from_pylist(
+        E.q_events_value_hour_regr(str(tmp_path)).take_all()
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.execute(E.oracle_sql()["events_value_hour_regr"]).arrow()
+    g = {r["event_type"]: r for r in got.to_pylist()}
+    w = {r["event_type"]: r for r in want.to_pylist()}
+    assert g == w
+    r = g["click"]
+    assert (r["n"], r["sx"], r["sy"], r["slope_num"], r["den"]) == (
+        n, sx, sy, slope_num, den)
+
+
+def test_pagerank_damp_guard_matches_bigints():
+    from luzzu_ray.ops.graph import _DAMP_SUM_MAX, PAGERANK_BASE, _damp_q
+
+    # below the guard: plain vectorized path
+    small = np.array([0, 1, 10**12, _DAMP_SUM_MAX], dtype=np.int64)
+    got = _damp_q(small)
+    want = np.array(
+        [PAGERANK_BASE + (85 * int(s)) // 100 for s in small], dtype=np.int64
+    )
+    assert (got == want).all()
+    # above the guard: 85 * s wraps int64; the bigint path must not
+    big = np.array([_DAMP_SUM_MAX + 1, 2**62, 2**63 - 1], dtype=np.int64)
+    with np.errstate(over="ignore"):
+        wrapped = PAGERANK_BASE + (85 * big) // 100
+    exact = np.array(
+        [PAGERANK_BASE + (85 * int(s)) // 100 for s in big], dtype=np.int64
+    )
+    assert (wrapped != exact).any()  # the bug this guards against
+    got_big = _damp_q(big)
+    assert got_big.dtype == np.int64
+    assert (got_big == exact).all()
+
+
+def test_classifier_scores_arbitrarily_long_tokens():
+    from luzzu_ray.ops.classifier import QualityClassifierStage, classify_row
+
+    long_tok = "Q" * 700  # > the 256-byte initial pows table
+    url = "https://example.com/" + "x" * 300
+    texts = [
+        "plain words here",
+        long_tok,
+        f"lead {long_tok} tail words",
+        url + " trailing",
+        "",
+        None,
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    stage = QualityClassifierStage()
+    out = stage(t)
+    want = [classify_row(x) for x in texts]
+    assert out["clf_score"].to_pylist() == [s for s, _ in want]
+    assert out["clf_keep"].to_pylist() == [k for _, k in want]
+    # table grew to cover the longest token and stays grown
+    assert stage.max_len >= 700
+
+
+def test_auto_partitions_expanding_contract(ray_session, tmp_path):
+    import ray.data
+
+    from luzzu_ray.ops.dedup import (
+        _default_parts,
+        auto_partitions,
+        count_upper_bound_if_cheap,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table({"x": pa.array(range(50), pa.int64())}), p
+    )
+    ds = ray.data.read_parquet(p)
+    cap = _default_parts(None)
+    # small read: data-sized width, NOT the cap
+    assert auto_partitions(ds, None) == 4
+    # declared expanding: the bound is skipped, cap wins
+    assert auto_partitions(ds, None, expanding=True) == cap
+    # explicit width always wins, even with the flag
+    assert auto_partitions(ds, 7, expanding=True) == 7
+    # FlatMap is a hard stop for the metadata bound
+    fm = ds.flat_map(lambda row: [row, row])
+    assert count_upper_bound_if_cheap(fm) is None
+    assert auto_partitions(fm, None) == cap
+
+
+def test_lines_block_empty_and_null_rows_yield_no_lines():
+    from luzzu_ray.ops.lines import _lines_block
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c d e f g h i", "", None, "j k"], pa.string()),
+    })
+    lines, line_doc, line_idx = _lines_block(t, "text", "doc_id", 4)
+    # doc 1 -> 3 lines of <=4 words, doc 4 -> 1 line; docs 2/3 -> none
+    assert lines.to_pylist() == ["a b c d", "e f g h", "i", "j k"]
+    assert line_doc.tolist() == [0, 0, 0, 3]
+    assert line_idx.tolist() == [0, 1, 2, 0]
+    # all-empty batch: zero lines, not one per row
+    t2 = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["", None], pa.string()),
+    })
+    lines2, d2, i2 = _lines_block(t2, "text", "doc_id", 4)
+    assert len(lines2) == 0 and len(d2) == 0 and len(i2) == 0
