@@ -3685,7 +3685,45 @@ def entry() -> Any:
     return q_flagship_documents("/root/testdata/sf0.001")
 
 
+def _driver_last_audited() -> dict[str, int]:
+    """query name -> latest round whose CORRECTNESS_r{N}.json hashed it.
+
+    The driver's correctness gate covers only the FIRST 50 entries of
+    ``queries()`` (observed r01-r03), so :func:`queries` rotates
+    never/least-recently-audited entries to the front — each round the
+    window slides onto fresh evidence instead of re-hashing the same 50
+    (VERDICT r03 next-round #4).  Reads the driver's own output files
+    beside this module, so the rotation needs no per-round edits."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                names = list(json.load(f))
+        except Exception:
+            continue
+        for name in names:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    base = _queries_in_registry_order()
+    last = _driver_last_audited()
+    # stable sort: never-audited (round 0) first, then oldest audits
+    ordered = sorted(base, key=lambda name: last.get(name, 0))
+    return {name: base[name] for name in ordered}
+
+
+def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats": q_doc_stats,
         "doc_unicode_stats": q_doc_unicode_stats,
