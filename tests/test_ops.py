@@ -3822,3 +3822,52 @@ def test_lsh_neardup_equals_exact_sweep_high_threshold(ray_session):
 
     scaled = aug.map_batches(rescale, batch_format="pyarrow").materialize()
     assert pairs_of(lsh_neardup_pairs(scaled, threshold=0.9)) == lsh
+
+
+def test_tfidf_vocab_cap_bounds_driver_pull(ray_session):
+    """With vocab > vocab_cap the driver holds only the top-cap df rows
+    and every out-of-cap word scores with df = 1; with cap >= vocab the
+    result is exact.  Twin: pure-Python capped tf-idf."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.vocab import tfidf_top_terms
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        n = rng.integers(3, 12)
+        docs.append(" ".join(rng.choice(vocab, size=n)))
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+
+    def twin(cap, k=3):
+        df = collections.Counter()
+        for d in docs:
+            df.update(set(d.split(" ")))
+        kept = dict(sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:cap])
+        out = set()
+        for i, d in enumerate(docs):
+            tf = collections.Counter(d.split(" "))
+            scores = sorted(
+                ((w, tf[w] * len(docs) * 10_000 // kept.get(w, 1))
+                 for w in tf),
+                key=lambda ws: (-ws[1], ws[0]),
+            )[:k]
+            for r, (w, s) in enumerate(scores, 1):
+                out.add((i, w, s, r))
+        return out
+
+    for cap in (10, 1000):  # vocab(30) > 10, and cap >= vocab
+        ds = ray.data.from_arrow(t).repartition(num_blocks=4)
+        got = {
+            (r["doc_id"], r["term"], r["tfidf_score"], r["rnk"])
+            for r in tfidf_top_terms(ds, k=3, vocab_cap=cap).take_all()
+        }
+        assert got == twin(cap), f"cap={cap}"
