@@ -252,6 +252,22 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), BPE_N_MERGES)
 
 
+BPE_SAMPLE_K = 120
+
+
+def q_bpe_merges_sampled(sf_dir: str):
+    """BPE training on a deterministic bottom-k-by-hash sample (the
+    production composition: O(1) full-corpus passes instead of one per
+    merge — VERDICT r03 next-round #3); hard-verified against a
+    committed fixture from the Python twin over the SAME hash-sample."""
+    from luzzu_ray.ops.vocab import bpe_train_sampled
+
+    return bpe_train_sampled(
+        _docs(sf_dir, ["doc_id", "text"]), BPE_N_MERGES, BPE_SAMPLE_K,
+        hash_a=SAMPLE_A, hash_b=SAMPLE_B,
+    )
+
+
 def q_part_cooc_components(sf_dir: str):
     """Standalone connected components over the part co-occurrence
     graph (cluster = component-minimum node): exposes the union-find /
@@ -3858,6 +3874,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "part_cooc_walks": q_part_cooc_walks,
         "walk_skipgrams": q_walk_skipgrams,
         "bpe_merges": q_bpe_merges,
+        "bpe_merges_sampled": q_bpe_merges_sampled,
         "bpe_encode_counts": q_bpe_encode_counts,
         "users_intersect": q_users_intersect,
         "users_except": q_users_except,
@@ -4640,6 +4657,10 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "bpe_merges": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/bpe_merges_sf001.parquet')"
+        ),
+        "bpe_merges_sampled": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/bpe_merges_sampled_sf001.parquet')"
         ),
         "bpe_encode_counts": (
             "SELECT * FROM read_parquet("

@@ -3871,3 +3871,32 @@ def test_tfidf_vocab_cap_bounds_driver_pull(ray_session):
             for r in tfidf_top_terms(ds, k=3, vocab_cap=cap).take_all()
         }
         assert got == twin(cap), f"cap={cap}"
+
+
+def test_bpe_train_sampled_layout_invariant_and_matches_twin(ray_session):
+    """The hash-sample is deterministic across block layouts, so sampled
+    training yields identical merge tables however the corpus is split;
+    and it equals the Python twin trained on the same explicit sample."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from luzzu_ray.ops.vocab import bpe_train_py, bpe_train_sampled
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    a, b = 6364136223846793005, 1442695040888963407
+    ranked = sorted(
+        ((i * a + b) % (1 << 64), i, t)
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    )
+    want = bpe_train_py([t for _, _, t in ranked[:80]], 6)
+    outs = []
+    for blocks in (2, 7):
+        ds = ray.data.from_arrow(docs).repartition(num_blocks=blocks)
+        got = bpe_train_sampled(ds, 6, 80, hash_a=a, hash_b=b)
+        outs.append(got.to_pylist())
+    assert outs[0] == outs[1]
+    assert [tuple(r.values()) for r in outs[0]] == [tuple(m) for m in want]

@@ -192,6 +192,31 @@ def make_bpe(sf_dir: str) -> pa.Table:
     })
 
 
+def make_bpe_sampled(sf_dir: str) -> pa.Table:
+    """Twin of bpe_train_sampled: the bottom-k-by-hash sample drawn
+    with explicit Python integer arithmetic (same (h, doc_id) order as
+    relational.bottom_k_by_hash), then the row-at-a-time trainer."""
+    from luzzu_ray.ops.vocab import bpe_train_py
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    a, b = 6364136223846793005, 1442695040888963407
+    ranked = sorted(
+        ((i * a + b) % (1 << 64), i, t)
+        for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())
+    )
+    sample = [t for _, _, t in ranked[:120]]
+    rows = bpe_train_py(sample, 12)
+    return pa.table({
+        "step": pa.array([r[0] for r in rows], pa.int64()),
+        "tok_a": pa.array([r[1] for r in rows], pa.int64()),
+        "tok_b": pa.array([r[2] for r in rows], pa.int64()),
+        "new_id": pa.array([r[3] for r in rows], pa.int64()),
+        "pair_count": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
 def _audio_feature_row(rate: int, s) -> tuple[int, int, int]:
     """Independent scalar twin of AudioDecodeStage._decode_wav: ssq via
     a sequential Python loop (exact int), same IEEE final expression."""
@@ -287,6 +312,7 @@ def main(sf_dir: str) -> None:
     for name, fn in (
         ("langid_docs", make_langid),
         ("bpe_merges", make_bpe),
+        ("bpe_merges_sampled", make_bpe_sampled),
         ("bpe_encode_counts", make_bpe_encode),
         ("audio_features", make_audio_features),
         ("audio_resample_features", make_audio_resample_features),
