@@ -1423,22 +1423,18 @@ def q_join_orders_lineitem(sf_dir: str):
 
 
 def q_streaming_dedup(sf_dir: str):
-    """Shared-state Bloom dedup (T3 escape hatch): rows-only entry.
+    """Shared-state Bloom dedup (T3 escape hatch), DETERMINISTIC-order
+    variant: rows stream through one consumer actor in doc_id order, so
+    ``seen_before`` == "an equal-fingerprint row with smaller doc_id
+    exists" and a SQL window function is a HARD oracle (was rows-only
+    through r03; VERDICT next-round #5).  The parallel order-free
+    ShardedBloom path keeps its order-invariant totals check in
+    ``streaming_dedup_counts`` and its pytest coverage."""
+    from luzzu_ray.state import deterministic_streaming_dedup
 
-    Marks each document whose content fingerprint was already seen by
-    the shared index actor (order-dependent across batches, so only the
-    total count of unique rows is stable — suitable for the rows-only
-    check; exact semantics live in ops.dedup.exact_duplicates).
-    """
-    from luzzu_ray.state import ShardedBloom, StreamingDedupMarker
-
-    idx = ShardedBloom(n_shards=4, n_bits_log2=22, k=6)
-    marked = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        StreamingDedupMarker,
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=1,
-        fn_constructor_kwargs={"index_handle": idx},
+    marked = deterministic_streaming_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), order_col="doc_id",
+        n_bits_log2=22, k=6,
     )
     return marked.select_columns(["doc_id", "seen_before"])
 
@@ -5132,6 +5128,16 @@ FROM dfs GROUP BY df
         "minhash_dedup": _MINHASH_DEDUP_SQL,
         "simhash_dedup": _simhash_sql(),
         "doc_fingerprint": _FINGERPRINT_SQL,
+        "streaming_dedup": (
+            # deterministic processing order (doc_id) makes the per-row
+            # marks a plain window function; coalesce matches the
+            # fingerprint's NULL == '' normalization
+            "SELECT doc_id, row_number() OVER ("
+            "PARTITION BY norm ORDER BY doc_id) > 1 AS seen_before "
+            "FROM (SELECT doc_id, array_to_string("
+            "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'), "
+            "' ') AS norm FROM documents)"
+        ),
         "streaming_dedup_counts": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(count(*) - count(DISTINCT norm) AS BIGINT) AS n_seen_before "

@@ -36,38 +36,14 @@ def _hash2(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
-@ray.remote(num_cpus=0.5)
-class BloomDedupIndex:
-    """Bloom-filter membership actor: test-and-insert per batch."""
+class _BloomCore:
+    """The in-process Bloom filter: test-and-insert per key batch.
 
-    def __init__(self, n_bits_log2: int = 30, k: int = 6,
-                 state_path: str | None = None):
-        """``state_path`` resumes a filter persisted by :meth:`save`
-        (cross-run streaming dedup: yesterday's keys still mark as
-        duplicates); n_bits_log2/k are then taken from the state file
-        and validated, never trusted from the caller."""
-        if state_path is not None:
-            import pyarrow.parquet as pq
+    Plain class so BOTH the shared remote actor (``BloomDedupIndex``)
+    and the sequential deterministic consumer (``_SequentialMarker``)
+    reuse the identical probe/insert kernel."""
 
-            t = pq.read_table(state_path)
-            mask = int(t["mask"][0].as_py())
-            n_bits_log2 = mask.bit_length()
-            if (1 << n_bits_log2) - 1 != mask:
-                raise ValueError(f"corrupt bloom state: mask {mask:#x}")
-            self.mask = np.uint64(mask)
-            self.k = int(t["k"][0].as_py())
-            if not 1 <= self.k <= 64:
-                # k=0 would mark EVERY key as seen (the probe loop
-                # never runs) — silent total data loss on resume
-                raise ValueError(f"corrupt bloom state: k={self.k}")
-            bits = np.frombuffer(t["bits"][0].as_py(), dtype=np.uint8)
-            if len(bits) != 1 << (n_bits_log2 - 3):
-                raise ValueError(
-                    f"corrupt bloom state: {len(bits)} bytes for "
-                    f"2^{n_bits_log2} bits")
-            self.bits = bits.copy()
-            self.n_inserted = int(t["n_inserted"][0].as_py())
-            return
+    def __init__(self, n_bits_log2: int = 30, k: int = 6):
         self.mask = np.uint64((1 << n_bits_log2) - 1)
         self.k = k
         self.bits = np.zeros(1 << (n_bits_log2 - 3), dtype=np.uint8)
@@ -103,6 +79,41 @@ class BloomDedupIndex:
     def stats(self) -> dict:
         return {"n_inserted": self.n_inserted,
                 "fill": float((self.bits != 0).mean())}
+
+
+@ray.remote(num_cpus=0.5)
+class BloomDedupIndex(_BloomCore):
+    """Bloom-filter membership actor: test-and-insert per batch."""
+
+    def __init__(self, n_bits_log2: int = 30, k: int = 6,
+                 state_path: str | None = None):
+        """``state_path`` resumes a filter persisted by :meth:`save`
+        (cross-run streaming dedup: yesterday's keys still mark as
+        duplicates); n_bits_log2/k are then taken from the state file
+        and validated, never trusted from the caller."""
+        if state_path is not None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(state_path)
+            mask = int(t["mask"][0].as_py())
+            n_bits_log2 = mask.bit_length()
+            if (1 << n_bits_log2) - 1 != mask:
+                raise ValueError(f"corrupt bloom state: mask {mask:#x}")
+            self.mask = np.uint64(mask)
+            self.k = int(t["k"][0].as_py())
+            if not 1 <= self.k <= 64:
+                # k=0 would mark EVERY key as seen (the probe loop
+                # never runs) — silent total data loss on resume
+                raise ValueError(f"corrupt bloom state: k={self.k}")
+            bits = np.frombuffer(t["bits"][0].as_py(), dtype=np.uint8)
+            if len(bits) != 1 << (n_bits_log2 - 3):
+                raise ValueError(
+                    f"corrupt bloom state: {len(bits)} bytes for "
+                    f"2^{n_bits_log2} bits")
+            self.bits = bits.copy()
+            self.n_inserted = int(t["n_inserted"][0].as_py())
+            return
+        super().__init__(n_bits_log2, k)
 
     # -- persistence: cross-run streaming dedup -------------------------
     # A pipeline rerun (append-mode ingest) reloads yesterday's filter
@@ -197,3 +208,71 @@ class StreamingDedupMarker:
         )["fingerprint"].to_numpy(zero_copy_only=False).view(np.uint64)
         seen = self._seen(fp)
         return t.append_column("seen_before", pa.array(seen))
+
+
+@ray.remote(num_cpus=1)
+class _SequentialMarker:
+    """The deterministic streaming consumer: ONE actor whose mailbox
+    preserves submission order, so block i is fully marked before block
+    i+1 — the total processing order IS the semantics."""
+
+    def __init__(self, n_bits_log2: int, k: int, key_col: str):
+        self.core = _BloomCore(n_bits_log2, k)
+        self.key_col = key_col
+
+    def mark(self, t: pa.Table) -> pa.Table:
+        from luzzu_ray.ops.textstats import fingerprint_batch
+
+        if t.num_rows == 0:
+            # empty (possibly schema-less) exchange block: no state
+            # change; preserve whatever schema it carries
+            return t.append_column("seen_before", pa.array([], pa.bool_()))
+        fp = fingerprint_batch(
+            pa.table({"doc_id": pa.array(np.zeros(t.num_rows, np.int64)),
+                      "text": t[self.key_col]})
+        )["fingerprint"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "seen_before", pa.array(self.core.seen_and_add(fp))
+        )
+
+
+def deterministic_streaming_dedup(
+    ds,
+    order_col: str = "doc_id",
+    key_col: str = "text",
+    n_bits_log2: int = 22,
+    k: int = 6,
+):
+    """Streaming Bloom dedup with a REPRODUCIBLE processing order:
+    rows are range-sorted on ``order_col`` and streamed block-by-block
+    through ONE consumer actor, so ``seen_before`` means "a row with an
+    equal content fingerprint and smaller ``order_col`` exists" — marks
+    a SQL window function reproduces exactly (modulo the Bloom
+    false-positive rate, which is deterministic given the order and ~0
+    at any filter sizing that isn't overloaded).  This gives the
+    streaming T3 op a HARD oracle (VERDICT r03 next-round #5), where
+    the free-order ShardedBloom marker is only rows-only checkable.
+
+    Shape: the sort is one range exchange; the consumer is pipelined
+    (all block submissions in flight at once — the driver holds block
+    REFS, never rows) but inherently SERIAL because a total processing
+    order is the contract.  When arrival order doesn't matter, use
+    ``StreamingDedupMarker``/``ShardedBloom`` (parallel, order-free);
+    when exact first-by-key semantics matter without an order,
+    ``ops.dedup.exact_duplicates`` is the shuffle path.
+    """
+    import ray.data
+
+    marker = _SequentialMarker.remote(n_bits_log2, k, key_col)
+    # a sorted Dataset's blocks are range-ordered; submission order ==
+    # block order, and the actor mailbox preserves it.  Skip empty
+    # blocks via their METADATA (the range exchange emits schema-less
+    # empties that would poison the output schema) — the driver never
+    # touches rows, only refs.
+    mat = ds.sort(order_col).materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, md in bundle.blocks:
+            if md.num_rows is None or md.num_rows > 0:
+                refs.append(ref)
+    return ray.data.from_arrow_refs([marker.mark.remote(r) for r in refs])

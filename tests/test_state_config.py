@@ -265,3 +265,33 @@ def test_bloom_save_load_roundtrip(ray_session, tmp_path):
     b3 = BloomDedupIndex.remote(state_path=path)
     with pytest.raises(Exception, match="corrupt"):
         ray.get(b3.seen_and_add.remote(keys))
+
+
+def test_deterministic_streaming_dedup_layout_invariant(ray_session):
+    """Marks depend only on (fingerprint, order_col) — identical across
+    block layouts, and equal to the first-seen-by-doc_id twin."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.state import deterministic_streaming_dedup
+
+    texts = ["alpha beta", "gamma", "alpha beta", "delta", "gamma",
+             "epsilon", "alpha   BETA!"]  # last normalizes to a dup
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    want = {0: False, 1: False, 2: True, 3: False, 4: True,
+            5: False, 6: True}
+    results = []
+    for blocks in (1, 3, 7):
+        ds = ray.data.from_arrow(t).random_shuffle(seed=blocks).repartition(
+            num_blocks=blocks)
+        out = deterministic_streaming_dedup(
+            ds, order_col="doc_id", n_bits_log2=20)
+        got = {r["doc_id"]: r["seen_before"] for r in
+               out.select_columns(["doc_id", "seen_before"]).take_all()}
+        results.append(got)
+    assert results[0] == want
+    assert results[1] == want and results[2] == want
