@@ -3058,6 +3058,19 @@ def q_events_user_value_quantiles(sf_dir: str):
     )
 
 
+def q_events_user_value_quantiles_cont(sf_dir: str):
+    """Per-user CONTINUOUS (interpolated) median/p90 of event value —
+    bit-exact vs DuckDB quantile_cont by replicating its probed
+    interpolation expression on fixed-point integer-valued doubles
+    (VERDICT r03 next-round #6)."""
+    from luzzu_ray.ops.relational import grouped_quantiles_cont
+
+    return grouped_quantiles_cont(
+        _tbl(sf_dir, "events", ["user_id", "value"]), key="user_id",
+        value_col="value",
+    )
+
+
 def q_events_value_quantiles_sketch(sf_dir: str):
     """Approximate per-user quantiles via the mergeable log-binned
     histogram sketch (rows-only: approximate by design; the <=eps
@@ -4011,6 +4024,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "transcripts_jsonl": q_transcripts_jsonl,
         "ivf_kmeans_ann_topk": q_ivf_kmeans_ann_topk,
         "events_user_value_quantiles": q_events_user_value_quantiles,
+        "events_user_value_quantiles_cont": q_events_user_value_quantiles_cont,
         "events_value_quantiles_sketch": q_events_value_quantiles_sketch,
         "reservoir_sample_docs": q_reservoir_sample_docs,
     }
@@ -4993,6 +5007,14 @@ FROM dfs GROUP BY df
             "AS median_q4, "
             "quantile_disc(CAST(floor(value * 10000.0) AS BIGINT), 0.9) "
             "AS p90_q4, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY user_id"
+        ),
+        "events_user_value_quantiles_cont": (
+            "SELECT user_id, "
+            "quantile_cont(CAST(floor(value * 10000.0) AS BIGINT), 0.5) "
+            "AS median_cont, "
+            "quantile_cont(CAST(floor(value * 10000.0) AS BIGINT), 0.9) "
+            "AS p90_cont, CAST(count(*) AS BIGINT) AS n "
             "FROM events GROUP BY user_id"
         ),
         "reservoir_sample_docs": (

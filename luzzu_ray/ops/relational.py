@@ -179,6 +179,72 @@ def grouped_quantiles_q(
     return part.map_batches(per_block, batch_format="pyarrow", batch_size=None)
 
 
+def grouped_quantiles_cont(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    quantiles: dict[str, float] | None = None,
+    q: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact per-group CONTINUOUS (interpolated) quantiles — the
+    ``quantile_cont`` twin of :func:`grouped_quantiles_q`.
+
+    DuckDB's interpolation, probed on 200 random (n, frac) cases and
+    replicated LITERALLY so the float64 result is bit-identical:
+    ``p = (n - 1) * frac`` (double), ``lo = floor(p)``,
+    ``hi = min(lo + 1, n - 1)``, ``f = p - lo``, value =
+    ``v[lo] * (1 - f) + v[hi] * f`` — every operand is an
+    integer-valued double (row-level fixed-point < 2^53), so the only
+    rounding is the shared IEEE evaluation of the shared expression.
+
+    Same co-location contract as the discrete op: one hash exchange on
+    the group key, each group's rows in one block, one sorted segmented
+    pass computing every group's quantiles; for heavy-hitter keys use
+    the mergeable sketch in ``ops.sketch.approx_quantiles``.
+    Output: (key, <name>_cont float64 ..., n).
+    """
+    quantiles = quantiles or {"median": 0.5, "p90": 0.9}
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    scale = float(10 ** q)
+    out_names = [f"{name}_cont" for name in quantiles]
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {key: pa.array([], pa.int64())}
+            cols.update({n: pa.array([], pa.float64()) for n in out_names})
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        k = t[key].to_numpy(zero_copy_only=False)
+        vf = pc.cast(t[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        vq = np.floor(vf * scale).astype(np.int64)  # row-level fixed point
+        order = np.lexsort((vq, k))
+        k, vq = k[order], vq[order]
+        new_g = np.concatenate(([True], k[1:] != k[:-1]))
+        starts = np.flatnonzero(new_g)
+        counts = np.diff(np.concatenate((starts, [len(k)])))
+        cols = {key: pa.array(k[starts])}
+        vqf = vq.astype(np.float64)
+        for name, frac in quantiles.items():
+            p = (counts - 1).astype(np.float64) * frac
+            lo = np.floor(p).astype(np.int64)
+            hi = np.minimum(lo + 1, counts - 1)
+            f = p - lo
+            lov = vqf[starts + lo]
+            hiv = vqf[starts + hi]
+            cols[f"{name}_cont"] = pa.array(lov * (1.0 - f) + hiv * f)
+        cols["n"] = pa.array(counts.astype(np.int64))
+        return pa.table(cols)
+
+    picked = ds.select_columns([key, value_col])
+    part = picked.repartition(num_blocks=num_partitions, keys=[key])
+    return part.map_batches(per_block, batch_format="pyarrow", batch_size=None)
+
+
 def bottom_k_by_hash(
     ds: ray.data.Dataset,
     id_col: str,

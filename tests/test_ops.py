@@ -3900,3 +3900,37 @@ def test_bpe_train_sampled_layout_invariant_and_matches_twin(ray_session):
         outs.append(got.to_pylist())
     assert outs[0] == outs[1]
     assert [tuple(r.values()) for r in outs[0]] == [tuple(m) for m in want]
+
+
+def test_grouped_quantiles_cont_matches_duckdb(ray_session):
+    """Interpolated quantiles are bit-exact vs DuckDB quantile_cont,
+    including 1-row groups (f collapses to v[0]) and odd fractions."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_quantiles_cont
+
+    rng = np.random.default_rng(11)
+    n = 900
+    key = rng.integers(0, 40, size=n)
+    key[0] = 999  # a singleton group
+    val = rng.uniform(-50, 50, size=n)
+    t = pa.table({"k": pa.array(key, pa.int64()),
+                  "v": pa.array(val, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(num_blocks=5)
+    got = pa.Table.from_pylist(grouped_quantiles_cont(
+        ds, "k", "v", quantiles={"med": 0.5, "p90": 0.9, "odd": 0.123},
+        num_partitions=3,
+    ).take_all()).sort_by("k")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT k, quantile_cont(CAST(floor(v * 10000.0) AS BIGINT), 0.5) "
+        "AS med_cont, "
+        "quantile_cont(CAST(floor(v * 10000.0) AS BIGINT), 0.9) AS p90_cont, "
+        "quantile_cont(CAST(floor(v * 10000.0) AS BIGINT), 0.123) "
+        "AS odd_cont, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY k"
+    ).arrow().sort_by("k")
+    assert got.to_pylist() == want.to_pylist()
