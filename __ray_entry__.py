@@ -15,15 +15,21 @@ Design notes:
   and are instead value-verified in ``tests/`` against pure-Python
   twins.  Everything else — including minhash/simhash/ngram dedup,
   LSH/IVF ANN and the fingerprint groups — is hard-verified vs DuckDB.
-- DOMAIN NOTE (ASCII): the SQL oracles define words as ASCII
-  ``[A-Za-z0-9]+`` and count symbol CHARS, while the engine's byte
-  tables classify every non-ASCII byte as a word/alpha byte (so
-  multi-byte characters never split tokens); likewise the scrub parity
-  relies on RE2's ASCII ``\\b`` agreeing with Python/DuckDB on ASCII
-  text.  The sf fixtures are verified pure-ASCII, which is the domain
-  these oracles are exact on; ``tests/test_kernels.py::
-  test_non_ascii_engine_vs_sql_divergence`` pins the divergence on
-  non-ASCII input explicitly.
+- DOMAIN NOTE (UTF-8 vs ASCII): the case-INSENSITIVE kernels
+  (doc_stats/doc_quality word & symbol counts, pack_documents, the
+  scrub pack — both engine and DuckDB run RE2 on the same patterns)
+  are exact on ANY valid UTF-8 input: the oracles define words as
+  ``[A-Za-z0-9\\x{80}-\\x{10FFFF}]+`` (codepoint twin of the engine's
+  byte tables, which class every non-ASCII byte as a word byte so
+  multi-byte characters never split tokens) and measure densities in
+  BYTES via ``octet_length(encode(text))``.  Pinned by
+  ``tests/test_kernels.py::test_non_ascii_engine_vs_sql_agree`` plus a
+  multibyte-fixture conformance test.  Kernels that LOWERCASE
+  (vocab/tf-idf/fingerprint/minhash ``lower(text)`` + ``[a-z0-9]+``)
+  remain ASCII-domain: the engine lowercases bytes ASCII-only while
+  DuckDB ``lower()`` folds Unicode, so 'É' ≠ 'é' to the engine — the
+  sf fixtures are verified pure-ASCII, which is the domain those
+  oracles are exact on (divergence still pinned in the same test).
 - Nothing here calls ``ray.init``/``ray.shutdown``.
 """
 
@@ -4137,16 +4143,26 @@ def _scrub_sql() -> str:
     )
 
 
-_STATS_FRAG = """
+# UTF-8-exact twin of doc_stats_batch's byte classes: words are maximal
+# runs of [ASCII alnum | any non-ASCII codepoint] (identical segmentation
+# to the engine's BYTE_WORD table because token boundaries are ASCII
+# non-alnum bytes on both sides), symbols are ASCII non-alnum non-space
+# CHARS (1 byte each, so char count == the engine's byte count), and the
+# nonspace denominator is measured in BYTES (octet_length minus ASCII
+# space chars; RE2's [:space:] is ASCII-only, matching BYTE_SPACE).
+# Exact on ANY valid UTF-8 input, not just the ASCII sf fixtures —
+# pinned by tests/test_kernels.py::test_non_ascii_engine_vs_sql_agree.
+_STATS_FRAG = r"""
   length(text) AS n_chars,
-  len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
-  len(regexp_extract_all(text, '[^A-Za-z0-9[:space:]]')) AS n_symbol_bytes,
+  len(regexp_extract_all(text, '[A-Za-z0-9\x{80}-\x{10FFFF}]+')) AS n_words,
+  len(regexp_extract_all(text, '[^A-Za-z0-9\x{80}-\x{10FFFF}[:space:]]'))
+      AS n_symbol_bytes,
   len(regexp_extract_all(text, '[0-9]')) AS n_digit_bytes,
-  CAST(floor(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9[:space:]]')) AS DOUBLE)
-      / greatest(len(regexp_extract_all(text, '[^[:space:]]')), 1) * 1000000.0) AS BIGINT)
+  CAST(floor(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\x{80}-\x{10FFFF}[:space:]]')) AS DOUBLE)
+      / greatest(octet_length(encode(text)) - len(regexp_extract_all(text, '[[:space:]]')), 1) * 1000000.0) AS BIGINT)
       AS symbol_ratio_q6,
   CAST(floor(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
-      / greatest(len(regexp_extract_all(text, '[^[:space:]]')), 1) * 1000000.0) AS BIGINT)
+      / greatest(octet_length(encode(text)) - len(regexp_extract_all(text, '[[:space:]]')), 1) * 1000000.0) AS BIGINT)
       AS digit_ratio_q6
 """
 
@@ -4998,7 +5014,8 @@ FROM dfs GROUP BY df
             "CAST((sum(n_words) OVER (ORDER BY doc_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_words) "
             f"// {PACK_BUDGET} AS BIGINT) AS pack_id FROM ("
-            "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+            r"SELECT doc_id, len(regexp_extract_all(text, "
+            r"'[A-Za-z0-9\x{80}-\x{10FFFF}]+')) "
             "AS n_words FROM documents)"
         ),
         "events_user_value_quantiles": (

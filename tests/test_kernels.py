@@ -4,6 +4,7 @@ import numpy as np
 import pyarrow as pa
 
 import oracle
+from luzzu_ray import constants as C
 from luzzu_ray.functions import text as TX
 
 TEXTS = [
@@ -71,32 +72,51 @@ def test_null_and_sliced_arrays():
     assert list(TX.row_lengths(offs2)) == [0, 3]
 
 
-def test_non_ascii_engine_vs_sql_divergence():
-    """Pin the documented ASCII-only domain of the SQL oracles.
-
-    The engine's byte tables classify every non-ASCII byte as a
-    word/alpha byte (multi-byte chars never split tokens), while the
-    DuckDB oracle's `[A-Za-z0-9]+` word definition is ASCII-only.  On
-    pure-ASCII input (the sf fixtures, verified in datagen) both agree;
-    on non-ASCII input they MUST diverge exactly as documented in
-    __ray_entry__.py's domain note.
-    """
+def test_non_ascii_engine_vs_sql_agree():
+    """Pin the widened UTF-8 oracle domain of the case-insensitive
+    kernels (engine byte classes == extended-word-class SQL on ANY
+    valid UTF-8 input), per __ray_entry__.py's domain note."""
     import duckdb
+    import numpy as np
 
-    text = "élève café"  # 2 tokens to the engine, 3 ASCII runs to SQL
-    data, offs = TX.utf8_view(pa.array([text]))
-    _, _, tr_ = TX.token_segments(data, offs)
-    engine_words = int((tr_ == 0).sum())
-    assert engine_words == 2
-
-    sql_words = duckdb.sql(
-        "SELECT len(regexp_extract_all(?, '[A-Za-z0-9]+'))", params=[text]
-    ).fetchone()[0]
-    assert sql_words == 3  # 'l', 've', 'caf' — accents split/truncate runs
-
-    # and symbol counting: the engine sees 0 symbol bytes (non-ASCII ->
-    # word bytes), the SQL CHAR class sees 0 symbols too but counts
-    # chars not bytes — divergence shows up in nonspace denominators
+    texts = [
+        "élève café",                       # Latin-1 accents
+        "naïve — «quoted» text…",           # punctuation beyond ASCII
+        "日本語のテキスト 123 abc!",          # CJK + ASCII mix
+        "emoji \U0001f389\U0001f38a party!!",
+        "a b",                          # NBSP: word byte on both sides
+        "tabs\tand\nnewlines  ok",
+        "",
+        "   ",
+        "pure ascii 42%",
+    ]
+    data, offs = TX.utf8_view(pa.array(texts))
     cls = TX.byte_class_fractions(data, offs)
-    assert int(cls[0, 0]) == len(text.encode()) - text.count(" ")  # alpha BYTES
-    assert len(text) - text.count(" ") != int(cls[0, 0])  # chars != bytes
+    _, _, tr_ = TX.token_segments(data, offs)
+    n_words = np.bincount(tr_, minlength=len(texts))
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        words, symbols, digits, nonspace = con.execute(
+            r"""
+            SELECT len(regexp_extract_all(?, '[A-Za-z0-9\x{80}-\x{10FFFF}]+')),
+                   len(regexp_extract_all(?, '[^A-Za-z0-9\x{80}-\x{10FFFF}[:space:]]')),
+                   len(regexp_extract_all(?, '[0-9]')),
+                   octet_length(encode(?)) - len(regexp_extract_all(?, '[[:space:]]'))
+            """,
+            [t] * 5,
+        ).fetchone()
+        assert words == int(n_words[i]), t
+        assert symbols == int(cls[i, 3]), t
+        assert digits == int(cls[i, 1]), t
+        assert nonspace == int(cls[i, 0] + cls[i, 1] + cls[i, 3]), t
+
+    # NBSP sanity: 'a\xa0b' is ONE token on both sides (no split).
+    assert int(n_words[4]) == 1
+
+    # The LOWERCASING kernels stay ASCII-domain: the engine folds case
+    # byte-wise ASCII-only while DuckDB lower() folds Unicode, so the
+    # normalized token streams diverge on non-ASCII uppercase.
+    eng_lower = bytes(C.BYTE_LOWER[np.frombuffer("É".encode(), np.uint8)])
+    sql_lower = duckdb.sql("SELECT lower('É')").fetchone()[0].encode()
+    assert eng_lower == "É".encode()  # engine: unchanged
+    assert sql_lower == "é".encode()  # SQL: folded — documented divergence

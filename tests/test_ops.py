@@ -3934,3 +3934,48 @@ def test_grouped_quantiles_cont_matches_duckdb(ray_session):
         "AS odd_cont, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY k"
     ).arrow().sort_by("k")
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_multibyte_corpus_stats_quality_scrub_vs_oracle(ray_session, tmp_path):
+    """doc_stats / doc_quality / doc_scrub are hash-exact vs their
+    DuckDB oracles on a NON-ASCII corpus — the widened UTF-8 domain of
+    the case-insensitive kernels (domain note in __ray_entry__.py)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    texts = [
+        "élève café, naïve — «quoted» text…",
+        "日本語のテキスト 123 abc! reach me at bob@exämple.com",
+        "emoji \U0001f389\U0001f38a party!! call 555-867-5309 now",
+        "nbsp a b and ssn 123-45-6789 über alles",
+        "pure ascii fallback row 42% (control)",
+        "",
+        "ümlaut Über ÉLÈVE mixed CASE frakking rant",
+        "tabs\tand\nnewlines plus LS",
+    ]
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array([f"s{i % 2}" for i in range(n)]),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.register("documents", t)
+    sqls = E.oracle_sql()
+    for name, q in (
+        ("doc_stats", E.q_doc_stats),
+        ("doc_quality", E.q_doc_quality),
+        ("doc_scrub", E.q_doc_scrub),
+    ):
+        got = q(str(tmp_path)).to_pandas()
+        got = got[sorted(got.columns)].sort_values(
+            sorted(got.columns)).reset_index(drop=True)
+        want = con.execute(sqls[name]).fetchdf()
+        want = want[sorted(want.columns)].sort_values(
+            sorted(want.columns)).reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), name
+        assert got.equals(want), (name, got.compare(want))
