@@ -1550,6 +1550,60 @@ def _augment_embeddings(sf_dir: str):
     )
 
 
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-then-dedup) over the embeddings table: the
+    data-adapted k-means cells bound the quadratic, in-cell keep-min
+    marking at cos >= SEMDEDUP_THRESHOLD.  The oracle rebuilds the
+    centroids from the driver-side scalar twin of the deterministic
+    sampler and embeds them as literals (the ivf_kmeans pattern), so
+    sample, k-means, assignment AND the in-cluster marking are all
+    hash-checked."""
+    from luzzu_ray.ops.similarity import semantic_dedup
+
+    C = _kmeans_centroids_engine(sf_dir)
+    return semantic_dedup(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        C, threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
+def _semantic_dedup_sql(sf_dir: str) -> str | None:
+    from luzzu_ray.ops.similarity import kmeans_centroids
+
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        return None
+    C = kmeans_centroids(_km_sample_matrix_numpy(sf_dir))
+    vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for i, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cid, cvec) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, c.cid, list_dot_product(e.embedding, c.cvec) AS dot
+  FROM embeddings e CROSS JOIN cent c
+),
+codes AS (
+  SELECT vec_id, CAST(arg_max(cid, dot) AS BIGINT) AS cluster
+  FROM dots GROUP BY vec_id
+),
+x AS (
+  SELECT e.vec_id, codes.cluster, e.embedding
+  FROM embeddings e JOIN codes USING (vec_id)
+)
+SELECT x.vec_id, x.cluster,
+  coalesce(bool_or(
+    list_cosine_similarity(x.embedding, y.embedding)
+      >= {SEMDEDUP_THRESHOLD}), false) AS is_semdup
+FROM x LEFT JOIN x y
+  ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+GROUP BY x.vec_id, x.cluster
+"""
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
     """Embedding near-dup pairs via banded hyperplane LSH + exact
     in-bucket cosine verify (cos >= 0.85) — the SUBQUADRATIC
@@ -3934,6 +3988,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "streaming_dedup_counts": q_streaming_dedup_counts,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "audio_resample_features": q_audio_resample_features,
@@ -5389,7 +5444,8 @@ FROM dfs GROUP BY df
         "AS key_total FROM events GROUP BY user_id, event_type"
     )
     for qname, builder in (("pca_project2", _pca_sql),
-                           ("ivf_kmeans_ann_topk", _ivf_kmeans_sql)):
+                           ("ivf_kmeans_ann_topk", _ivf_kmeans_sql),
+                           ("semantic_dedup", _semantic_dedup_sql)):
         sql = builder(oracle_dir)
         if sql is not None:
             sqls[qname] = sql

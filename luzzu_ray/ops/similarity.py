@@ -582,6 +582,108 @@ def lsh_neardup_pairs(
     return _dedupe_pairs(pairs, ("cos", "max", pa.float64()), num_partitions)
 
 
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    threshold: float = 0.4,
+    num_partitions: int | None = None,
+    matmul_chunk: int = 4096,
+) -> ray.data.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    mark WITHIN-CLUSTER semantic duplicates — a vector is a dup iff some
+    same-cluster vector with a SMALLER id has cosine >= ``threshold``
+    (the keep-min representative convention shared with ``ops.dedup``).
+    Returns (vec_id, cluster, is_semdup).
+
+    This is the production path that makes embedding dedup tractable:
+    the cluster count k bounds the quadratic — per-cluster cost is
+    ~(n/k)^2 d on balanced clusters, so pick k ~ n / target_cluster_size
+    (SemDeDup used k = 50k for 5B embeddings).  Pass data-adapted
+    spherical k-means centroids (:func:`kmeans_centroids` over a
+    deterministic sample) for balanced cells; assignment is one
+    vectorized argmax per batch against the broadcast centroid matrix
+    (tiny — k x d floats, closed over like the IVF path).
+
+    Scale shape: ONE hash exchange keyed on cluster id co-locates each
+    cell; every reduce block computes only its clusters' pairwise
+    cosines, row-chunked (``matmul_chunk``) so per-task memory is the
+    cluster's vectors plus one score strip — no all-pairs sweep, no
+    driver materialization.  Cross-cluster near-dups at the boundary
+    are missed by design (the SemDeDup recall trade-off; the paper
+    measures it small at realistic k) — for recall-bounded pair output
+    use :func:`lsh_neardup_pairs` instead.
+    """
+    from luzzu_ray.ops.dedup import _hash_shuffle_ctx, auto_partitions
+
+    _hash_shuffle_ctx()
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        E = _as_matrix(t["embedding"])
+        if E.size == 0:
+            code = np.zeros(t.num_rows, dtype=np.int64)
+        else:
+            # argmax picks the LOWEST centroid id on ties, matching the
+            # oracle's ORDER BY dot DESC, cid tie-break
+            code = np.argmax(E @ C.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(code),
+                "embedding": t["embedding"],
+            }
+        )
+
+    assigned = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    def mark_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cluster": pa.array([], pa.int64()),
+             "is_semdup": pa.array([], pa.bool_())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("cluster", "ascending"), ("vec_id", "ascending")])
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        N = _normalize(_as_matrix(t["embedding"]))
+        dup = np.zeros(len(vid), dtype=bool)
+        bounds = np.flatnonzero(np.diff(cl)) + 1
+        for s, e in zip(
+            np.concatenate(([0], bounds)),
+            np.concatenate((bounds, [len(cl)])),
+        ):
+            M = N[s:e]
+            m = e - s
+            if m < 2:
+                continue
+            for lo in range(1, m, matmul_chunk):
+                hi = min(lo + matmul_chunk, m)
+                G = M[lo:hi] @ M.T  # (chunk, m)
+                # only columns j < row index i count (smaller vec_id)
+                mask = (
+                    np.arange(m)[None, :]
+                    < np.arange(lo, hi)[:, None]
+                )
+                dup[s + lo: s + hi] = ((G >= threshold) & mask).any(axis=1)
+        return pa.table(
+            {"vec_id": pa.array(vid), "cluster": pa.array(cl.astype(np.int64)),
+             "is_semdup": pa.array(dup)}
+        )
+
+    part = assigned.repartition(
+        num_blocks=auto_partitions(assigned, num_partitions),
+        keys=["cluster"],
+    )
+    return part.map_batches(
+        mark_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def grouped_vector_sums(
     ds: ray.data.Dataset,
     label_col: str = "label",

@@ -3979,3 +3979,49 @@ def test_multibyte_corpus_stats_quality_scrub_vs_oracle(ray_session, tmp_path):
             sorted(want.columns)).reset_index(drop=True)
         assert list(got.columns) == list(want.columns), name
         assert got.equals(want), (name, got.compare(want))
+
+
+def test_semantic_dedup_matches_brute_twin(ray_session):
+    """semantic_dedup equals the numpy brute-force twin (same-cluster,
+    smaller-id neighbor at cos >= thr) across block layouts and with a
+    tiny matmul_chunk (exercises the chunked score strips), including
+    planted near-duplicate vectors."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import (
+        _normalize, kmeans_centroids, semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 16
+    E = rng.normal(size=(n, d))
+    # plant near-dups: rows 50/51 and 300/301/302 nearly identical
+    E[51] = E[50] + rng.normal(scale=1e-3, size=d)
+    E[301] = E[300] + rng.normal(scale=1e-3, size=d)
+    E[302] = E[300] + rng.normal(scale=1e-3, size=d)
+    C = kmeans_centroids(E[:128], k=8, iters=5)
+    thr = 0.8
+
+    N = _normalize(E.astype(np.float64))
+    code = np.argmax(E @ C.T, axis=1)
+    want = np.zeros(n, dtype=bool)
+    for c in range(len(C)):
+        idx = np.where(code == c)[0]  # ascending == vec_id order
+        G = N[idx] @ N[idx].T
+        want[idx] = (np.tril(G, -1) >= thr).any(axis=1)
+    assert want[[51, 301, 302]].all() and not want[50]
+
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(E.astype(np.float32))),
+    })
+    for parts, chunk in ((1, 4096), (7, 3)):
+        got = (
+            semantic_dedup(
+                ray.data.from_arrow(t).repartition(parts),
+                C, threshold=thr, num_partitions=4, matmul_chunk=chunk,
+            )
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        )
+        assert list(got["cluster"]) == list(code.astype(np.int64)), (parts, chunk)
+        assert list(got["is_semdup"]) == list(want), (parts, chunk)
