@@ -1910,6 +1910,89 @@ def q_collapse_repeats(sf_dir: str):
     return collapse_repeat_tokens(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_events_distinct_hll(sf_dir: str):
+    """HyperLogLog register table over event_id — the classic mergeable
+    distinct sketch; every register value is a deterministic function of
+    the key SET, so the SQL twin matches bit-for-bit."""
+    from luzzu_ray.ops.sketch import hll_registers
+
+    return hll_registers(_tbl(sf_dir, "events", ["event_id"]), "event_id")
+
+
+def q_events_distinct_hll_est(sf_dir: str):
+    """One-row HLL estimate (exact-integer rational estimator — no
+    float summation, so block order can never flip a bit)."""
+    from luzzu_ray.ops.sketch import hll_estimate
+
+    return hll_estimate(_tbl(sf_dir, "events", ["event_id"]), "event_id")
+
+
+def _hll_sql_parts() -> str:
+    """Shared splitmix64 + register/rho CTE chain in HUGEINT (constant
+    multiplies are split 32/32 so no product exceeds INT128)."""
+    from luzzu_ray.ops.sketch import HLL_GAMMA, HLL_MIX1, HLL_MIX2, HLL_P
+
+    m = 1 << HLL_P
+    sent = 1 << (64 - HLL_P)
+    T = "18446744073709551616"
+
+    def mulmod(z: str, k: int) -> str:
+        return (
+            f"((({z}) % 4294967296) * {k} + "
+            f"((({z}) // 4294967296) * {k} % 4294967296) * 4294967296) % {T}"
+        )
+
+    return f"""
+h0 AS (
+  SELECT CAST((CAST(event_id AS HUGEINT) + {HLL_GAMMA}) % {T} AS HUGEINT) AS z
+  FROM events
+),
+x1 AS (SELECT xor(z, z // 1073741824) AS z FROM h0),
+h1 AS (SELECT CAST({mulmod('z', HLL_MIX1)} AS HUGEINT) AS z FROM x1),
+x2 AS (SELECT xor(z, z // 134217728) AS z FROM h1),
+h2 AS (SELECT CAST({mulmod('z', HLL_MIX2)} AS HUGEINT) AS z FROM x2),
+h AS (SELECT xor(z, z // 2147483648) AS h FROM h2),
+parts AS (
+  SELECT CAST(h % {m} AS BIGINT) AS register,
+         CAST(h // {m} AS BIGINT) | {sent} AS w
+  FROM h
+),
+regs AS (
+  SELECT register,
+         CAST(max(CAST(log2(CAST((w & -w) AS DOUBLE)) AS BIGINT) + 1)
+              AS BIGINT) AS rho
+  FROM parts GROUP BY register
+)"""
+
+
+def _hll_registers_sql() -> str:
+    return "WITH " + _hll_sql_parts() + "\nSELECT register, rho FROM regs"
+
+
+def _hll_estimate_sql() -> str:
+    from luzzu_ray.ops.sketch import HLL_P
+
+    m = 1 << HLL_P
+    T = "18446744073709551616"
+    return (
+        "WITH " + _hll_sql_parts() + f""",
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n_nonzero,
+         sum(CAST({T} AS HUGEINT)
+             // CAST(CAST(1 AS BIGINT) << rho AS HUGEINT)) AS dnz
+  FROM regs
+)
+SELECT CAST({m} AS BIGINT) AS m,
+  CAST({m} - n_nonzero AS BIGINT) AS n_zero_registers,
+  CAST((CAST(7213 AS HUGEINT) * {m ** 3} * {T})
+       // (10 * (1000 * {m} + 1079)
+           * (({m} - n_nonzero) * CAST({T} AS HUGEINT) + dnz))
+       AS BIGINT) AS est_raw
+FROM agg
+"""
+    )
+
+
 def q_events_value_distinct_kmv(sf_dir: str):
     """KMV bottom-k distinct-count sketch over quantized event values —
     O(k) state per block, O(k) bytes through one narrow exchange, and a
@@ -4080,6 +4163,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "events_value_bands": q_events_value_bands,
         "events_value_delta": q_events_value_delta,
         "events_value_distinct_kmv": q_events_value_distinct_kmv,
+        "events_distinct_hll": q_events_distinct_hll,
+        "events_distinct_hll_est": q_events_distinct_hll_est,
         "mixture_rebalance_docs": q_mixture_rebalance_docs,
         "shingle_df_profile": q_shingle_df_profile,
         "transcripts_jsonl": q_transcripts_jsonl,
@@ -4576,6 +4661,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
         "embedding_neardup_lsh": _neardup_lsh_sql(),
+        "events_distinct_hll": _hll_registers_sql(),
+        "events_distinct_hll_est": _hll_estimate_sql(),
         "events_props_stats": (
             "SELECT event_type, "
             "CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') "

@@ -514,3 +514,132 @@ def cms_token_counts(
         {"token": pa.array(probe_tokens, pa.string()),
          "est": pa.array(ests, pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet/Fusy/Gandouet/Meunier 2007)
+# ---------------------------------------------------------------------------
+
+HLL_P = 10                        # 1024 registers
+HLL_GAMMA = 0x9E3779B97F4A7C15    # splitmix64 constants (Steele et al.)
+HLL_MIX1 = 0xBF58476D1CE4E5B9
+HLL_MIX2 = 0x94D049BB133111EB
+
+
+def splitmix64(v: np.ndarray) -> np.ndarray:
+    """Full-avalanche 64-bit mix (splitmix64 finalizer).  The simple
+    affine hash the KMV sketch uses is NOT enough here: HLL reads
+    trailing-bit patterns, and an affine image of sequential ids is an
+    arithmetic progression mod 2^64 whose low bits are structured (a
+    measured ~2x estimator bias on the events fixture).  Every step is
+    exact uint64 arithmetic a SQL twin reproduces (xor + // shifts +
+    split-multiply mod 2^64 in HUGEINT)."""
+    with np.errstate(over="ignore"):
+        z = v + np.uint64(HLL_GAMMA)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(HLL_MIX1)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(HLL_MIX2)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hll_partial_factory(key_col: str, p: int):
+    m = 1 << p
+    sentinel = np.uint64(1) << np.uint64(64 - p)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(v)
+        reg = (h & np.uint64(m - 1)).astype(np.int64)
+        # sentinel bit caps rho at 65-p: rho is NEVER degenerate, and a
+        # SQL twin recovers it exactly as log2(w & -w) + 1 (w & -w is a
+        # power of two <= 2^(64-p), exact in float64)
+        w = (h >> np.uint64(p)) | sentinel
+        # lowest set bit isolated is a power of two <= 2^(64-p), exactly
+        # representable in float64, so log2 is exact — one vectorized op
+        with np.errstate(over="ignore"):
+            low = w & (~w + np.uint64(1))
+        rho = np.log2(low.astype(np.float64)).astype(np.int64) + 1
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, reg, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {"register": pa.array(nz.astype(np.int64)),
+             "rho": pa.array(regs[nz]),
+             "_mrg": pa.array(np.zeros(len(nz), dtype=np.int32))}
+        )
+
+    return partial, m
+
+
+def hll_registers(
+    ds: ray.data.Dataset, key_col: str, p: int = HLL_P
+) -> ray.data.Dataset:
+    """HyperLogLog register table: (register, rho) for every non-empty
+    register — register = low ``p`` hash bits, rho = trailing zeros of
+    the remaining bits (sentinel-capped) + 1, max-merged.
+
+    Scale shape: each block's partial is at most 2^p rows regardless of
+    block size (the register array IS the bounded sketch), so the single
+    narrow exchange moves <= blocks x 2^p tiny rows; registers from any
+    two corpus halves MERGE by per-register max (mergeability is the
+    whole point of the sketch — incremental maintenance composes with
+    pipelines.summaries).  Input keys must be integers (quantize floats
+    upstream, as kmv_distinct does).
+    """
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    partial, m = _hll_partial_factory(key_col, p)
+
+    def final(t: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(
+            regs,
+            t["register"].to_numpy(zero_copy_only=False),
+            t["rho"].to_numpy(zero_copy_only=False),
+        )
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {"register": pa.array(nz.astype(np.int64)),
+             "rho": pa.array(regs[nz])}
+        )
+
+    parts = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return parts.repartition(num_blocks=1, keys=["_mrg"]).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
+def hll_estimate(
+    ds: ray.data.Dataset, key_col: str, p: int = HLL_P
+) -> ray.data.Dataset:
+    """One-row HLL distinct estimate — DETERMINISTIC exact-integer
+    arithmetic so a SQL twin reproduces it bit-for-bit (HUGEINT math):
+
+        D   = sum over ALL 2^p registers of 2^(64 - rho_j)   (empty: 2^64)
+        est = floor(7213 * m^3 * 2^64 / (10 * (1000*m + 1079) * D))
+
+    which is the raw HLL estimator alpha_m * m^2 / sum(2^-rho) with
+    alpha_m = 0.7213 / (1 + 1.079/m) expressed as one exact rational —
+    no float summation anywhere, so block order can never flip a bit.
+    Output: (m, n_zero_registers, est_raw).  The small-range linear-
+    counting correction (m * ln(m / n_zero) when est <= 2.5m) is left to
+    the CONSUMER: ln() is not bit-reproducible across libms, and n_zero
+    is emitted precisely so callers can apply it.
+    """
+    m = 1 << p
+    regs = hll_registers(ds, key_col, p)
+
+    def estimate(t: pa.Table) -> pa.Table:
+        rho = t["rho"].to_numpy(zero_copy_only=False)
+        n_zero = m - len(rho)
+        d = int(n_zero) * (1 << 64) + sum(1 << (64 - int(r)) for r in rho)
+        est = (7213 * m * m * m * (1 << 64)) // (10 * (1000 * m + 1079) * d)
+        return pa.table(
+            {"m": pa.array([m], pa.int64()),
+             "n_zero_registers": pa.array([n_zero], pa.int64()),
+             "est_raw": pa.array([est], pa.int64())}
+        )
+
+    return regs.map_batches(estimate, batch_format="pyarrow", batch_size=None)

@@ -4025,3 +4025,40 @@ def test_semantic_dedup_matches_brute_twin(ray_session):
         )
         assert list(got["cluster"]) == list(code.astype(np.int64)), (parts, chunk)
         assert list(got["is_semdup"]) == list(want), (parts, chunk)
+
+
+def test_hll_mergeable_layoutproof_and_accurate(ray_session):
+    """HLL registers are layout-invariant, merge by per-register max
+    (sketch(A ∪ B) == merge(sketch(A), sketch(B))), and the raw
+    estimate lands within the ~3 sigma HLL error bound."""
+    import ray.data
+
+    from luzzu_ray.ops.sketch import HLL_P, hll_estimate, hll_registers
+
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64) * 7 + 3  # distinct, non-sequential
+    t = pa.table({"k": pa.array(ids)})
+
+    def regs_of(tbl, parts):
+        df = hll_registers(
+            ray.data.from_arrow(tbl).repartition(parts), "k"
+        ).to_pandas().sort_values("register").reset_index(drop=True)
+        return df
+
+    whole1 = regs_of(t, 1)
+    whole8 = regs_of(t, 8)
+    assert whole1.equals(whole8)
+
+    # mergeability: per-register max of the halves == whole
+    a = regs_of(t.slice(0, n // 2), 3).set_index("register")["rho"]
+    b = regs_of(t.slice(n // 2), 3).set_index("register")["rho"]
+    merged = a.to_frame().join(b, how="outer", lsuffix="_a", rsuffix="_b")
+    merged = merged.max(axis=1).astype(np.int64).sort_index()
+    got = whole1.set_index("register")["rho"].sort_index()
+    assert merged.equals(got)
+
+    est = hll_estimate(ray.data.from_arrow(t), "k").take_all()[0]
+    m = 1 << HLL_P
+    assert est["m"] == m
+    sigma = 1.04 / np.sqrt(m)
+    assert abs(est["est_raw"] - n) <= 3 * sigma * n, est
