@@ -564,6 +564,79 @@ def q_tpch_q14(sf_dir: str):
     })
 
 
+# (brand, max p_size, qty lo, qty hi) disjuncts of the Q19 predicate
+Q19_DISJUNCTS = (
+    ("Brand#1", 15, 1.0, 11.0),
+    ("Brand#2", 25, 10.0, 20.0),
+    ("Brand#3", 50, 20.0, 30.0),
+)
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+    OR-of-ANDs (brand x size-range x quantity-range) splits into a
+    PART-side precomputation — one boolean per disjunct per part row,
+    broadcast sorted by partkey — and a lineitem-side quantity test, so
+    the scan stage evaluates the whole disjunction as three vectorized
+    mask ANDs with zero joins or shuffles (the Q14/Q6 scan-side pattern:
+    at 100TB this is read-limited)."""
+    import ray
+
+    part = pa.concat_tables(
+        ray.get(list(_tbl(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+                     .to_arrow_refs()))
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    size = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flags = np.stack([
+        pc.equal(part["p_brand"], b).to_numpy(zero_copy_only=False)
+        & (size >= 1) & (size <= mx)
+        for b, mx, _, _ in Q19_DISJUNCTS
+    ], axis=1)  # (n_parts, 3)
+    order = np.argsort(pk)
+    side_ref = ray.put((pk[order], flags[order]))
+    qty_ranges = [(lo, hi) for _, _, lo, hi in Q19_DISJUNCTS]
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, fl = (
+            ray.get(side_ref)
+            if isinstance(side_ref, ray.ObjectRef) else side_ref
+        )
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = pc.cast(t["l_quantity"], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        rev = pc.cast(pc.floor(pc.multiply(pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(t["l_discount"], pa.float64()))),
+            100.0)), pa.int64()).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            m = np.zeros(len(lpk), dtype=bool)
+        else:
+            pos = np.searchsorted(keys, lpk)
+            posc = np.minimum(pos, len(keys) - 1)
+            found = (pos < len(keys)) & (keys[posc] == lpk)
+            m = np.zeros(len(lpk), dtype=bool)
+            for j, (lo, hi) in enumerate(qty_ranges):
+                m |= found & fl[posc, j] & (qty >= lo) & (qty <= hi)
+        return pa.table({
+            "revenue_q2": pa.array([int(rev[m].sum())], pa.int64()),
+            "n_rows": pa.array([int(m.sum())], pa.int64()),
+        })
+
+    parts = _tbl(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(partial, batch_format="pyarrow")
+    tot = parts.sum(["revenue_q2", "n_rows"])
+    if tot is None:
+        tot = {"sum(revenue_q2)": 0, "sum(n_rows)": 0}
+    return pa.table({
+        "revenue_q2": pa.array([int(tot["sum(revenue_q2)"])], pa.int64()),
+        "n_rows": pa.array([int(tot["sum(n_rows)"])], pa.int64()),
+    })
+
+
 def q_part_cooc_pagerank(sf_dir: str):
     """Exact fixed-point PageRank (3 integer power iterations, damping
     85/100 as floor arithmetic) over the same-order part co-occurrence
@@ -4136,6 +4209,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "inverted_postings": q_inverted_postings,
         "ssjoin_pairs": q_ssjoin_pairs,
         "tpch_q3": q_tpch_q3,
+        "tpch_q19": q_tpch_q19,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
@@ -5219,6 +5293,17 @@ FROM dfs GROUP BY df
         "video_frame_features": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/video_frame_features_sf001.parquet')"
+        ),
+        "tpch_q19": (
+            "SELECT CAST(sum(CAST(floor(l.l_extendedprice * "
+            "(1.0 - l.l_discount) * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS revenue_q2, CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+            "WHERE " + " OR ".join(
+                f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {mx} "
+                f"AND l.l_quantity BETWEEN {lo} AND {hi})"
+                for b, mx, lo, hi in Q19_DISJUNCTS
+            )
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ssjoin_pairs": (

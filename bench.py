@@ -177,6 +177,13 @@ def main() -> None:
         "events_user_growth",
         "users_intersect",
         "validate_documents",
+        # round-4 additions
+        "embedding_neardup_lsh",
+        "semantic_dedup",
+        "events_distinct_hll_est",
+        "bpe_merges_sampled",
+        "events_user_value_quantiles_cont",
+        "streaming_dedup",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
