@@ -649,6 +649,271 @@ def q_part_cooc_pagerank(sf_dir: str):
     return pagerank(edges, n_iter=PAGERANK_ITERS)
 
 
+Q17_BRAND = "Brand#1"
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue — a correlated
+    per-group-average filter): revenue of brand lineitems whose
+    quantity is below 20% of that part's average quantity.
+
+    Two read-limited fact passes (the classic shape — the filter
+    depends on a global per-part aggregate):
+
+    1. brand partkeys broadcast (sorted array, the Q14 idiom) prune the
+       scan; per-part (sum qty_q2, n) partials reduce through one keyed
+       exchange sized to the BRAND SLICE of the part dimension;
+    2. that agg table is dimension-sized (|part|/25), so it broadcasts
+       back as three sorted arrays and the second scan evaluates the
+       correlated predicate ``5*qty*n < sum`` per row with one
+       searchsorted — all-integer in q2 fixed point, so the oracle's
+       HAVING-style integer compare matches bit-for-bit.  (Beyond
+       broadcastable dimensions the fallback is the native hash join
+       of ``join_orders_lineitem`` on l_partkey.)
+    """
+    import ray
+
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    part = pa.concat_tables(
+        ray.get(list(_tbl(sf_dir, "part", ["p_partkey", "p_brand"])
+                     .to_arrow_refs()))
+    )
+    bpk = np.sort(
+        part.filter(pc.equal(part["p_brand"], Q17_BRAND))["p_partkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    bpk_ref = ray.put(bpk)
+
+    def brand_rows(t: pa.Table) -> pa.Table:
+        keys = ray.get(bpk_ref) if isinstance(bpk_ref, ray.ObjectRef) else bpk_ref
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            m = np.zeros(len(lpk), dtype=bool)
+        else:
+            pos = np.searchsorted(keys, lpk)
+            posc = np.minimum(pos, len(keys) - 1)
+            m = (pos < len(keys)) & (keys[posc] == lpk)
+        qq = pc.cast(pc.floor(pc.multiply(
+            pc.cast(t["l_quantity"], pa.float64()), 100.0)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        pq = pc.cast(pc.floor(pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()), 100.0)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": pa.array(lpk[m]),
+            "qty_q2": pa.array(qq[m]),
+            "price_q2": pa.array(pq[m]),
+        })
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    brand_li = _tbl(sf_dir, "lineitem", li_cols).map_batches(
+        brand_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    agg_rows = grouped_sum_q(
+        brand_li.select_columns(["l_partkey", "qty_q2"]),
+        ["l_partkey"], float_cols={}, int_cols={"qty_q2": "sum_qty_q2"},
+        count_as="n",
+    ).take_all()  # bounded: one row per BRAND part (dimension/25)
+    ak = np.array([r["l_partkey"] for r in agg_rows], dtype=np.int64)
+    order = np.argsort(ak)
+    ak = ak[order]
+    asum = np.array([r["sum_qty_q2"] for r in agg_rows],
+                    dtype=np.int64)[order]
+    an = np.array([r["n"] for r in agg_rows], dtype=np.int64)[order]
+    agg_ref = ray.put((ak, asum, an))
+
+    def low_qty(t: pa.Table) -> pa.Table:
+        keys, s, n = (
+            ray.get(agg_ref) if isinstance(agg_ref, ray.ObjectRef)
+            else agg_ref
+        )
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qq = t["qty_q2"].to_numpy(zero_copy_only=False)
+        pq = t["price_q2"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            m = np.zeros(len(lpk), dtype=bool)
+        else:
+            pos = np.searchsorted(keys, lpk)
+            posc = np.minimum(pos, len(keys) - 1)
+            found = (pos < len(keys)) & (keys[posc] == lpk)
+            # qty < 0.2 * avg  <=>  5 * qty * n < sum  (exact integers;
+            # bound 5 * 5000 * n fits int64 to n ~ 3.7e14 rows/part)
+            m = found & (5 * qq * n[posc] < s[posc])
+        return pa.table({
+            "rev_q2": pa.array([int(pq[m].sum())], pa.int64()),
+            "n_rows": pa.array([int(m.sum())], pa.int64()),
+        })
+
+    parts = brand_li.map_batches(low_qty, batch_format="pyarrow")
+    tot = parts.sum(["rev_q2", "n_rows"])
+    if tot is None:
+        tot = {"sum(rev_q2)": 0, "sum(n_rows)": 0}
+    return pa.table({
+        "rev_q2": pa.array([int(tot["sum(rev_q2)"])], pa.int64()),
+        "n_rows": pa.array([int(tot["sum(n_rows)"])], pa.int64()),
+    })
+
+
+Q22_PRIORITY = "1-URGENT"
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global-balance-gate + anti join): customers
+    whose balance exceeds the positive-balance average AND who never
+    placed an urgent order, counted per nation.
+
+    Three narrow steps: (1) one scalar reduce over the customer
+    dimension yields (sum of positive bal_q2, n_pos); (2) the gate
+    ``bal_q2 * n_pos > sum_pos`` filters customers map-side (exact
+    integers — the scalar subquery of the original, with the division
+    cleared so no float enters); (3) the distributed ANTI join against
+    urgent-order custkeys (right side pre-reduced to distinct keys
+    before its exchange) feeds a tiny per-nation aggregate."""
+    from luzzu_ray.ops.relational import anti_join, grouped_sum_q
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = _tbl(sf_dir, "customer", cust_cols)
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        bal = pc.cast(t["c_acctbal"], pa.float64())
+        pos = pc.greater(bal, 0.0)
+        bq = pc.cast(pc.floor(pc.multiply(bal, 100.0)), pa.int64())
+        kept = pc.if_else(pos, bq, pa.scalar(0, pa.int64()))
+        return pa.table({
+            "sum_pos": pa.array(
+                [int(pc.sum(kept).as_py() or 0)], pa.int64()),
+            "n_pos": pa.array(
+                [int(pc.sum(pc.cast(pos, pa.int64())).as_py() or 0)],
+                pa.int64()),
+        })
+
+    tot = cust.map_batches(
+        pos_partial, batch_format="pyarrow").sum(["sum_pos", "n_pos"])
+    if tot is None:
+        tot = {"sum(sum_pos)": 0, "sum(n_pos)": 0}
+    sum_pos = int(tot["sum(sum_pos)"])
+    n_pos = int(tot["sum(n_pos)"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        bal = pc.cast(t["c_acctbal"], pa.float64())
+        bq = pc.cast(pc.floor(pc.multiply(bal, 100.0)), pa.int64())
+        m = pc.and_(
+            pc.greater(bal, 0.0),
+            pc.greater(pc.multiply(bq, pa.scalar(n_pos, pa.int64())),
+                       pa.scalar(sum_pos, pa.int64())),
+        )
+        f = t.filter(m)
+        bqf = pc.cast(pc.floor(pc.multiply(
+            pc.cast(f["c_acctbal"], pa.float64()), 100.0)), pa.int64())
+        return pa.table({
+            "c_custkey": f["c_custkey"],
+            "c_nationkey": pc.cast(f["c_nationkey"], pa.int64()),
+            "bal_q2": bqf,
+        })
+
+    rich = cust.map_batches(gate, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    urgent = _tbl(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+    ).filter(expr=f"o_orderpriority == '{Q22_PRIORITY}'")
+    no_urgent = anti_join(
+        rich, urgent, "c_custkey", "o_custkey",
+        carry_cols=["c_nationkey", "bal_q2"],
+    )
+    return grouped_sum_q(
+        no_urgent, ["c_nationkey"], float_cols={},
+        int_cols={"bal_q2": "sum_bal_q2"}, count_as="n_cust",
+        num_partitions=4,
+    )
+
+
+Q16_EXCLUDED_BRAND = "Brand#1"
+Q16_SIZES = (5, 10, 15, 20, 25)
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier-variety report): distinct supplier
+    count per (brand, size) over qualifying parts, excluding
+    negative-balance ("complaint") suppliers.
+
+    Both filters ride the fact scan as broadcasts — the part dimension
+    as sorted (partkey -> brand code, size) arrays with the part-side
+    predicate pre-evaluated (the Q19 idiom), the excluded-supplier set
+    as one sorted key array (map-side anti filter, no supplier
+    exchange).  The scan emits block-DISTINCT (brand, size, suppkey)
+    triples, and :func:`grouped_distinct_count` finishes with one keyed
+    exchange carrying pair vocabularies, never fact rows."""
+    import ray
+
+    from luzzu_ray.ops.relational import grouped_distinct_count
+
+    part = pa.concat_tables(
+        ray.get(list(
+            _tbl(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+            .to_arrow_refs()))
+    )
+    size = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ok = (
+        pc.not_equal(part["p_brand"], Q16_EXCLUDED_BRAND)
+        .to_numpy(zero_copy_only=False).astype(bool)
+        & np.isin(size, np.array(Q16_SIZES, dtype=np.int64))
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brand_dict = part["p_brand"].combine_chunks().dictionary_encode()
+    bcodes = np.asarray(brand_dict.indices.to_numpy(zero_copy_only=False),
+                        dtype=np.int32)
+    bvals = brand_dict.dictionary  # pa.StringArray, broadcast with codes
+    order = np.argsort(pk)
+    side_ref = ray.put(
+        (pk[order], ok[order], bcodes[order], size[order], bvals))
+
+    supp = pa.concat_tables(
+        ray.get(list(_tbl(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+                     .to_arrow_refs()))
+    )
+    bad = np.sort(
+        supp.filter(pc.less(pc.cast(supp["s_acctbal"], pa.float64()), 0.0))
+        ["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    bad_ref = ray.put(bad)
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, okk, bc, sz, bv = (
+            ray.get(side_ref) if isinstance(side_ref, ray.ObjectRef)
+            else side_ref
+        )
+        badk = ray.get(bad_ref) if isinstance(bad_ref, ray.ObjectRef) else bad_ref
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0:
+            m = np.zeros(len(lpk), dtype=bool)
+            posc = np.zeros(len(lpk), dtype=np.int64)
+        else:
+            pos = np.searchsorted(keys, lpk)
+            posc = np.minimum(pos, len(keys) - 1)
+            m = (pos < len(keys)) & (keys[posc] == lpk) & okk[posc]
+        if len(badk):
+            bp = np.searchsorted(badk, lsk)
+            bpc = np.minimum(bp, len(badk) - 1)
+            m &= ~((bp < len(badk)) & (badk[bpc] == lsk))
+        out = pa.table({
+            "p_brand": pc.cast(pa.DictionaryArray.from_arrays(
+                pa.array(bc[posc[m]], pa.int32()), bv), pa.string()),
+            "p_size": pa.array(sz[posc[m]]),
+            "l_suppkey": pa.array(lsk[m]),
+        })
+        # block-local distinct before anything moves
+        return out.group_by(
+            ["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    triples = _tbl(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_distinct_count(
+        triples, ["p_brand", "p_size"], "l_suppkey", num_partitions=4,
+    )
+
+
 def q_bm25_topk(sf_dir: str):
     """BM25 ranked retrieval (rational-idf variant) for a fixed 4-term
     query: two narrow passes (corpus stats reduce, then broadcast-score
@@ -4210,6 +4475,9 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "ssjoin_pairs": q_ssjoin_pairs,
         "tpch_q3": q_tpch_q3,
         "tpch_q19": q_tpch_q19,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q16": q_tpch_q16,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
@@ -5304,6 +5572,41 @@ FROM dfs GROUP BY df
                 f"AND l.l_quantity BETWEEN {lo} AND {hi})"
                 for b, mx, lo, hi in Q19_DISJUNCTS
             )
+        ),
+        "tpch_q17": (
+            "WITH bl AS (SELECT l_partkey, "
+            "CAST(floor(l_quantity * 100.0) AS BIGINT) AS qq, "
+            "CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS pq "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE p_brand = '{Q17_BRAND}'), "
+            "a AS (SELECT l_partkey, sum(qq) AS s, count(*) AS n "
+            "FROM bl GROUP BY 1) "
+            "SELECT CAST(coalesce(sum(pq), 0) AS BIGINT) AS rev_q2, "
+            "CAST(count(*) AS BIGINT) AS n_rows "
+            "FROM bl JOIN a USING (l_partkey) WHERE 5 * qq * a.n < a.s"
+        ),
+        "tpch_q22": (
+            "WITH s AS (SELECT sum(CAST(floor(c_acctbal * 100.0) "
+            "AS BIGINT)) AS sp, count(*) AS np FROM customer "
+            "WHERE c_acctbal > 0.0) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(sum(CAST(floor(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)"
+            " AS sum_bal_q2, CAST(count(*) AS BIGINT) AS n_cust "
+            "FROM customer, s WHERE c_acctbal > 0.0 "
+            "AND CAST(floor(c_acctbal * 100.0) AS BIGINT) * s.np > s.sp "
+            "AND NOT EXISTS (SELECT 1 FROM orders o WHERE "
+            "o.o_custkey = c_custkey AND "
+            f"o.o_orderpriority = '{Q22_PRIORITY}') "
+            "GROUP BY 1"
+        ),
+        "tpch_q16": (
+            "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            f"WHERE p_brand <> '{Q16_EXCLUDED_BRAND}' "
+            "AND p_size IN (" + ", ".join(str(s) for s in Q16_SIZES) + ") "
+            "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+            "WHERE s_acctbal < 0.0) GROUP BY 1, 2"
         ),
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "ssjoin_pairs": (

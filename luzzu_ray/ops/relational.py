@@ -1843,14 +1843,14 @@ def grouped_count_share(
 
 def grouped_distinct_count(
     ds: ray.data.Dataset,
-    key: str,
+    key: str | list[str],
     value_col: str,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """EXACT per-group distinct count — SQL ``count(DISTINCT v) GROUP
-    BY k`` — the exact complement of the KMV estimator in
-    ``ops.sketch.kmv_distinct_by`` (use the sketch when a group's
-    distinct set exceeds block memory).
+    BY k`` (``key`` may be one column or a composite list) — the exact
+    complement of the KMV estimator in ``ops.sketch.kmv_distinct_by``
+    (use the sketch when a group's distinct set exceeds block memory).
 
     Scale shape: each block pre-reduces to its DISTINCT (key, value)
     pairs (one Arrow group_by, no Python), so the exchange carries
@@ -1862,34 +1862,35 @@ def grouped_distinct_count(
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
+    keys = [key] if isinstance(key, str) else list(key)
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[value_col]))
-        return t.select([key, value_col]).group_by(
-            [key, value_col]).aggregate([])
+        return t.select(keys + [value_col]).group_by(
+            keys + [value_col]).aggregate([])
 
-    parts = ds.select_columns([key, value_col]).map_batches(
+    parts = ds.select_columns(keys + [value_col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
     width = auto_partitions(parts, num_partitions)
     psch = parts.schema()
-    key_t = psch.types[psch.names.index(key)]
+    key_ts = {k: psch.types[psch.names.index(k)] for k in keys}
 
     def finalize(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(
-                {key: pa.array([], key_t),
+                {**{k: pa.array([], key_ts[k]) for k in keys},
                  "n_distinct": pa.array([], pa.int64())}
             )
-        d = t.group_by([key, value_col]).aggregate([])
-        g = d.group_by(key).aggregate([(value_col, "count")])
+        d = t.group_by(keys + [value_col]).aggregate([])
+        g = d.group_by(keys).aggregate([(value_col, "count")])
         return pa.table(
-            {key: g[key],
+            {**{k: g[k] for k in keys},
              "n_distinct": pc.cast(g[f"{value_col}_count"], pa.int64())}
         )
 
     return parts.repartition(
-        num_blocks=width, keys=[key]
+        num_blocks=width, keys=keys
     ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 

@@ -2687,6 +2687,35 @@ def test_grouped_distinct_count_and_division(ray_session):
     assert got_ids == full
 
 
+def test_grouped_distinct_count_composite_key(ray_session):
+    """Composite (multi-column) group keys equal SQL count(DISTINCT v)
+    GROUP BY k1, k2 across block layouts — the TPC-H Q16 shape."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_distinct_count
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    t = pa.table({
+        "brand": pa.array([f"B{i}" for i in rng.integers(0, 7, n)]),
+        "size": pa.array(rng.integers(1, 6, n).astype(np.int64)),
+        "supp": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+    })
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+      SELECT brand, size, CAST(count(DISTINCT supp) AS BIGINT)
+        AS n_distinct FROM t GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    for parts in (1, 7):
+        got = grouped_distinct_count(
+            ray.data.from_arrow(t).repartition(parts),
+            ["brand", "size"], "supp", num_partitions=3,
+        ).to_pandas().sort_values(["brand", "size"]).reset_index(drop=True)
+        assert got.equals(want), parts
+
+
 def test_grouped_mad_matches_duckdb(ray_session):
     """Two-pass exact MAD equals the SQL quantile_disc twin across
     layouts, including negative values and single-row groups."""
