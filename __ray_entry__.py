@@ -3452,6 +3452,16 @@ def q_shingle_df_profile(sf_dir: str):
     )
 
 
+def q_dup_span_docs(sf_dir: str):
+    """Exact cross-document duplicated-substring span signal (Lee et
+    al. 2022): per doc, total shingle positions and positions whose
+    shingle occurs in >= 2 distinct documents; one gram-keyed exchange
+    + one doc-keyed merge, df table never broadcast or driver-pulled."""
+    from luzzu_ray.ops.dedup import dup_span_docs
+
+    return dup_span_docs(_docs(sf_dir, ["doc_id", "text"]), min_df=2)
+
+
 def q_pack_documents(sf_dir: str):
     """Global ordered prefix-sum packing: concatenate documents in
     doc_id order and cut into PACK_BUDGET-token training contexts
@@ -4478,6 +4488,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "tpch_q16": q_tpch_q16,
+        "dup_span_docs": q_dup_span_docs,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
@@ -5474,6 +5485,29 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "ON o.o_custkey = c.c_custkey "
             "GROUP BY 1"
         ),
+        "dup_span_docs": """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ts
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                         for i in generate_series(1, len(ts) - 2)]) AS gram
+  FROM toks WHERE len(ts) >= 3
+),
+dupg AS (
+  SELECT gram FROM pos GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (
+  SELECT doc_id, count(*) AS n_dup FROM pos JOIN dupg USING (gram)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.ts) - 2, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_pos
+FROM toks t LEFT JOIN dup d USING (doc_id)
+""",
         "shingle_df_profile": f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts

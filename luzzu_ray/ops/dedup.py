@@ -1404,6 +1404,144 @@ def shingle_df_profile(
     ).map_batches(profile_merge, batch_format="pyarrow", batch_size=None)
 
 
+def dup_span_docs(
+    ds: ray.data.Dataset, min_df: int = 2, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-document duplicated-substring SPAN signal (the exact
+    cross-document substring-dedup statistic of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, at word-shingle granularity): for every doc,
+    ``n_grams`` = its SHINGLE_K-gram position count and ``n_dup_pos`` =
+    how many of those positions carry a gram that occurs in >=
+    ``min_df`` DISTINCT documents.  ``n_dup_pos / n_grams`` is the
+    fraction of the document that is corpus-duplicated text — the
+    pruning score the paper thresholds on.
+
+    Scale shape (no broadcast, no driver materialization — the df
+    table never leaves the cluster, unlike decontaminate's bounded
+    eval-side index):
+
+    1. map: per-block (gram_hash, doc_id, n_occ) pre-aggregates — the
+       exchange carries block-local gram vocabularies with occurrence
+       counts, never token streams; per-doc totals stay map-side
+       entirely (a doc is one row, so its gram count never needs an
+       exchange) and enter the final doc-keyed exchange as
+       (doc_id, n_grams, 0) rows;
+    2. ONE hash exchange on gram_hash: each reduce block combines its
+       grams' (doc, n_occ) partials, computes df = #distinct docs,
+       and emits (doc_id, 0, n_dup_pos) partials for grams with
+       df >= min_df;
+    3. one narrow doc-keyed exchange sums the two streams.
+
+    Same 64-bit gram-hash identity assumption as the minhash/shingle
+    family (distinct grams collide with probability ~n^2/2^64 —
+    negligible below ~10^8 distinct grams per corpus; the SQL oracle
+    uses string grams, so a collision would surface as a hash
+    mismatch, not pass silently)."""
+    _hash_shuffle_ctx()
+    num_partitions = auto_partitions(ds, num_partitions)
+    k = SHINGLE_K
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh, rid = _shingle_hashes(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # map-side per-doc totals (complete: a doc is one row)
+        _, tr = token_hashes_for_rows(t)
+        ntok = np.bincount(tr, minlength=t.num_rows) if len(tr) else (
+            np.zeros(t.num_rows, dtype=np.int64))
+        n_grams = np.maximum(ntok - (k - 1), 0).astype(np.int64)
+        # totals ride the gram exchange as passthrough rows; their key
+        # is a doc-derived pseudo-hash so they SPREAD over partitions
+        # (h=0 would funnel every doc's total into one reduce block)
+        with np.errstate(over="ignore"):
+            spread = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        totals = pa.table({
+            "h": pa.array(spread),
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "n_occ": pa.array(n_grams),
+            "is_total": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+        })
+        if not len(sh):
+            return totals
+        order = np.lexsort((sh, rid))
+        rs, ss = rid[order], sh[order]
+        first = np.concatenate(
+            ([True], (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(rs))
+        occ = pa.table({
+            "h": pa.array(ss[starts]),
+            "doc_id": pa.array(ids[rs[starts]].astype(np.int64)),
+            "n_occ": pa.array((ends - starts).astype(np.int64)),
+            "is_total": pa.array(np.zeros(len(starts), dtype=np.int8)),
+        })
+        return pa.concat_tables([occ, totals])
+
+    def dup_block(t: pa.Table) -> pa.Table:
+        """Reduce block co-located by gram hash: combine (h, doc)
+        partials, flag df >= min_df, emit per-doc dup partials; total
+        rows (is_total=1) pass through unchanged."""
+        tot = t.filter(pc.equal(t["is_total"], 1))
+        g = t.filter(pc.equal(t["is_total"], 0))
+        passthrough = pa.table({
+            "doc_id": tot["doc_id"],
+            "n_grams": tot["n_occ"],
+            "n_dup_pos": pa.array(
+                np.zeros(tot.num_rows, dtype=np.int64)),
+        })
+        if g.num_rows == 0:
+            return passthrough
+        h = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = g["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["n_occ"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d, c = h[order], d[order], c[order]
+        # combine multi-block partials of the same (h, doc)
+        first = np.concatenate(
+            ([True], (h[1:] != h[:-1]) | (d[1:] != d[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        hh, dd = h[starts], d[starts]
+        cc = np.add.reduceat(c, starts)
+        # df per gram = run length over hh (distinct docs per hash)
+        gfirst = np.concatenate(([True], hh[1:] != hh[:-1]))
+        gstarts = np.flatnonzero(gfirst)
+        df = np.diff(np.append(gstarts, len(hh)))
+        dup_gram = np.repeat(df >= min_df, df)
+        if not dup_gram.any():
+            return passthrough
+        dsel, csel = dd[dup_gram], cc[dup_gram]
+        # per-doc partial within this block
+        dorder = np.argsort(dsel, kind="stable")
+        dsel, csel = dsel[dorder], csel[dorder]
+        dstarts = np.flatnonzero(
+            np.concatenate(([True], dsel[1:] != dsel[:-1])))
+        dups = pa.table({
+            "doc_id": pa.array(dsel[dstarts].astype(np.int64)),
+            "n_grams": pa.array(
+                np.zeros(len(dstarts), dtype=np.int64)),
+            "n_dup_pos": pa.array(
+                np.add.reduceat(csel, dstarts).astype(np.int64)),
+        })
+        return pa.concat_tables([passthrough, dups])
+
+    def doc_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate(
+            [("n_grams", "sum"), ("n_dup_pos", "sum")])
+        return g.rename_columns(["doc_id", "n_grams", "n_dup_pos"])
+
+    parts = ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    dups = parts.repartition(
+        num_blocks=num_partitions, keys=["h"]
+    ).map_batches(dup_block, batch_format="pyarrow", batch_size=None)
+    return dups.repartition(
+        num_blocks=max(2, num_partitions // 4), keys=["doc_id"]
+    ).map_batches(doc_merge, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # Fuzzy (edit-distance<=1) prefix pair mining via deletion neighborhoods
 # ---------------------------------------------------------------------------

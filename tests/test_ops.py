@@ -1093,6 +1093,54 @@ def test_shingle_df_profile_matches_set_twin(ray_session):
     assert len(want) >= 3
 
 
+def test_dup_span_docs_matches_set_twin(ray_session):
+    """Per-doc duplicated-gram position counts equal a Python dict
+    twin across block layouts; short/empty docs report zero grams."""
+    import collections
+
+    import ray.data
+
+    from luzzu_ray.ops.dedup import SHINGLE_K, dup_span_docs
+
+    rng = np.random.default_rng(67)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(0, 20))))
+             for _ in range(300)]
+    texts[5] = ""           # zero-gram doc
+    texts[6] = "w0 w1"      # below SHINGLE_K tokens
+    # guaranteed cross-doc duplicate span (and an in-doc repeat in 8)
+    texts[7] = "w2 w3 w4 w5 w6"
+    texts[8] = "w2 w3 w4 w5 w6 w2 w3 w4 w5 w6"
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(300, dtype=np.int64)),
+         "text": pa.array(texts)}
+    )
+    df = collections.Counter()
+    grams: dict[int, list[tuple]] = {}
+    for d, s in enumerate(texts):
+        w = s.split()
+        gs = [tuple(w[i:i + SHINGLE_K])
+              for i in range(max(len(w) - SHINGLE_K + 1, 0))]
+        grams[d] = gs
+        for g in set(gs):
+            df[g] += 1
+    want = {
+        d: (len(gs), sum(1 for g in gs if df[g] >= 2))
+        for d, gs in grams.items()
+    }
+    for parts in (2, 9):
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_pos"])
+            for r in dup_span_docs(
+                ray.data.from_arrow(t).repartition(parts),
+                min_df=2, num_partitions=6,
+            ).take_all()
+        }
+        assert got == want, parts
+    assert want[5] == (0, 0) and want[6] == (0, 0)
+    assert want[7][1] > 0  # the planted duplicate binds
+
+
 def test_render_user_streams_matches_twin(ray_session):
     """Rendered transcripts equal a per-row Python twin, layout-invariant."""
     import ray.data
