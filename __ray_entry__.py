@@ -3452,6 +3452,24 @@ def q_shingle_df_profile(sf_dir: str):
     )
 
 
+DSIR_TARGET_SOURCE = "src0"
+DSIR_BUCKETS = 512
+
+
+def q_dsir_importance(sf_dir: str):
+    """DSIR-style domain-importance scoring (hashed-token likelihood
+    ratios vs the src0 target domain): one constant-bounded bucket
+    reduce + one stateless scoring map; the oracle refolds the bucket
+    hash per token in SQL (HUGEINT polynomial) and rebuilds the exact
+    integer weight table."""
+    from luzzu_ray.ops.vocab import dsir_importance
+
+    return dsir_importance(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "source"]),
+        target_source=DSIR_TARGET_SOURCE, n_buckets=DSIR_BUCKETS,
+    )
+
+
 def q_dup_span_docs(sf_dir: str):
     """Exact cross-document duplicated-substring span signal (Lee et
     al. 2022): per doc, total shingle positions and positions whose
@@ -4489,6 +4507,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": q_tpch_q22,
         "tpch_q16": q_tpch_q16,
         "dup_span_docs": q_dup_span_docs,
+        "dsir_importance": q_dsir_importance,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
@@ -5485,6 +5504,41 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "ON o.o_custkey = c.c_custkey "
             "GROUP BY 1"
         ),
+        "dsir_importance": f"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split(COALESCE(text, ''), ' ') AS w
+  FROM documents
+),
+tk AS (SELECT doc_id, source, unnest(w) AS t FROM d),
+hb AS (
+  SELECT doc_id, source,
+         CAST(reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             list_transform(generate_series(1, len(t)),
+                            i -> CAST(ascii(substr(t, i, 1)) AS HUGEINT))),
+           (acc, b) -> (acc * 1099511628211 + b)
+                       % 18446744073709551616::HUGEINT
+         ) % {DSIR_BUCKETS} AS BIGINT) AS b
+  FROM tk
+),
+cnt AS (
+  SELECT b,
+         count(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') AS tc,
+         count(*) AS rc
+  FROM hb GROUP BY b
+),
+tot AS (SELECT sum(tc) AS tt, sum(rc) AS rr FROM cnt),
+wt AS (
+  SELECT b, CAST((1000000::HUGEINT * (tc + 1) * (rr + {DSIR_BUCKETS}))
+                 // ((rc + 1) * (tt + {DSIR_BUCKETS})) AS BIGINT) AS w
+  FROM cnt, tot
+)
+SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(wt.w), 0) AS BIGINT) AS dsir_score
+FROM d LEFT JOIN hb USING (doc_id) LEFT JOIN wt ON hb.b = wt.b
+GROUP BY 1, 2
+""",
         "dup_span_docs": """
 WITH toks AS (
   SELECT doc_id,

@@ -1461,3 +1461,163 @@ def bpe_encode_py(texts: list, n_merges: int) -> list[tuple[int, int]]:
             d = nd
         out.append((nb, len(d)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-ngram importance weighting
+# ---------------------------------------------------------------------------
+
+DSIR_BASE = np.uint64(1099511628211)  # FNV-ish, SQL-foldable multiplier
+DSIR_MOD = 1 << 64
+
+
+def _dsir_bucket_block(
+    texts: pa.ChunkedArray, n_buckets: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket per token, row_id per token) for one batch.
+
+    Token = single-space split (SQL ``string_split`` convention: empty
+    text yields one empty token).  Bucket = polynomial byte hash
+    ``h = fold(h * BASE + byte) mod 2^64``, then ``h % n_buckets`` —
+    the fold is SQL-expressible (DuckDB ``reduce`` over the token's
+    chars with HUGEINT arithmetic), so the oracle rebuilds the exact
+    bucket ids with no committed fixture.  Arbitrary token lengths
+    supported (the power table extends on demand — the classifier's
+    256-byte cap bug class, avoided by construction).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    split = pc.split_pattern(pc.fill_null(texts, ""), " ")
+    flat = pc.list_flatten(split)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    n_rows = len(texts)
+    per_row = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+    rid = np.repeat(np.arange(n_rows, dtype=np.int64), per_row)
+    if len(flat) == 0:
+        return np.zeros(0, dtype=np.int64), rid
+    buf = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset: flat.offset + len(flat) + 1]
+    starts = offs[:-1].astype(np.int64)
+    ends = offs[1:].astype(np.int64)
+    lens = ends - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(len(flat), dtype=np.int64), rid
+    max_len = int(lens.max())
+    # powers of BASE mod 2^64, extended to this batch's longest token
+    pows = np.empty(max_len, dtype=np.uint64)
+    pows[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(1, max_len):
+            pows[i] = pows[i - 1] * DSIR_BASE
+        # byte positions: exponent = (token_end - 1 - byte_index)
+        pos = np.arange(total, dtype=np.int64)
+        tok_of_byte = np.repeat(np.arange(len(flat), dtype=np.int64), lens)
+        rel = pos - np.repeat(
+            np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+        exp = np.repeat(lens, lens) - 1 - rel
+        contrib = buf[np.repeat(starts, lens) + rel].astype(
+            np.uint64) * pows[exp]
+        h = np.zeros(len(flat), dtype=np.uint64)
+        nz = lens > 0
+        seg_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nz]
+        h[nz] = np.add.reduceat(contrib, seg_starts)
+    return (h % np.uint64(n_buckets)).astype(np.int64), rid
+
+
+def dsir_importance(
+    ds: ray.data.Dataset,
+    target_source: str,
+    n_buckets: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> ray.data.Dataset:
+    """DSIR-style data selection with importance resampling (Xie et
+    al. 2023, arXiv:2302.03169): score every document by how much its
+    hashed-token profile looks like a TARGET domain (the rows whose
+    ``source_col`` equals ``target_source``) relative to the raw
+    corpus.  Returns (doc_id, n_tokens, dsir_score) — rank/threshold
+    on the score to select target-like pretraining data.
+
+    The paper scores log p_target(x)/p_raw(x) under hashed n-gram
+    bag models; this engine keeps the architecture (hashed features,
+    two narrow passes, bounded broadcast) but replaces the per-token
+    LOG ratio with the add-one-smoothed likelihood RATIO quantized to
+    1e-6 — ``w[b] = floor(1e6 * (t_b+1)(R+B) / ((r_b+1)(T+B)))`` —
+    summed over tokens.  All-integer, so the DuckDB oracle rebuilds
+    the identical weights (the bucket hash itself is a SQL-foldable
+    polynomial — see :func:`_dsir_bucket_block`) with zero float
+    slack.
+
+    Scale shape: pass 1 reduces per-block bucket bincounts through one
+    ``n_buckets``-row-bounded keyed exchange and pulls exactly
+    ``n_buckets`` rows to the driver (a CONSTANT, not data-sized — cf.
+    the tf-idf top-V cap); the weight table broadcasts once via
+    ``ray.put``; pass 2 is a stateless scoring map."""
+    import ray
+
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b, rid = _dsir_bucket_block(
+            t[text_col].combine_chunks()
+            if isinstance(t[text_col], pa.ChunkedArray) else t[text_col],
+            n_buckets,
+        )
+        is_tgt = pc.equal(
+            pc.fill_null(t[source_col], ""), target_source
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        rc = np.bincount(b, minlength=n_buckets)
+        tc = np.bincount(b[is_tgt[rid]], minlength=n_buckets)
+        nz = (rc > 0) | (tc > 0)
+        return pa.table({
+            "b": pa.array(np.flatnonzero(nz).astype(np.int64)),
+            "tc": pa.array(tc[nz].astype(np.int64)),
+            "rc": pa.array(rc[nz].astype(np.int64)),
+        })
+
+    counts = grouped_sum_q(
+        ds.select_columns([text_col, source_col]).map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["b"], float_cols={}, int_cols={"tc": "tc", "rc": "rc"},
+        num_partitions=2,
+    ).take_all()  # bounded: <= n_buckets rows by construction
+    tcv = np.zeros(n_buckets, dtype=object)
+    rcv = np.zeros(n_buckets, dtype=object)
+    for r in counts:
+        tcv[r["b"]] = int(r["tc"])
+        rcv[r["b"]] = int(r["rc"])
+    T = int(sum(tcv))
+    R = int(sum(rcv))
+    # exact integer weights (Python ints — no intermediate overflow)
+    w = np.array(
+        [int(1_000_000 * (int(tcv[b]) + 1) * (R + n_buckets)
+             // ((int(rcv[b]) + 1) * (T + n_buckets)))
+         for b in range(n_buckets)],
+        dtype=np.int64,
+    )
+    w_ref = ray.put(w)
+
+    def score_block(t: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref) if isinstance(w_ref, ray.ObjectRef) else w_ref
+        col = t[text_col]
+        b, rid = _dsir_bucket_block(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col, n_buckets,
+        )
+        n = t.num_rows
+        ntok = np.bincount(rid, minlength=n).astype(np.int64)
+        score = np.zeros(n, dtype=np.int64)
+        if len(b):
+            np.add.at(score, rid, wt[b])
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(ntok),
+            "dsir_score": pa.array(score),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score_block, batch_format="pyarrow", zero_copy_batch=True)

@@ -1093,6 +1093,72 @@ def test_shingle_df_profile_matches_set_twin(ray_session):
     assert len(want) >= 3
 
 
+def test_dsir_importance_matches_scalar_twin(ray_session):
+    """DSIR scores equal a row-at-a-time Python twin (independent hash
+    fold + integer weight arithmetic) across block layouts, including
+    tokens far beyond 256 bytes (the classifier cap bug class) and
+    empty/NULL text."""
+    import ray.data
+
+    from luzzu_ray.ops.vocab import dsir_importance
+
+    NB = 64
+    B, M = 1099511628211, 1 << 64
+
+    def bucket(tok: str) -> int:
+        h = 0
+        for by in tok.encode():
+            h = (h * B + by) % M
+        return h % NB
+
+    rng = np.random.default_rng(71)
+    vocab = [f"w{i}" for i in range(50)] + ["x" * 700]  # a >256B token
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(0, 15))))
+             for _ in range(240)]
+    texts[0] = ""
+    texts[1] = None
+    src = [f"s{i % 4}" for i in range(240)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(240, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(src),
+    })
+    # twin: counts, weights, scores
+    tc = [0] * NB
+    rc = [0] * NB
+    toks_per_doc = []
+    for s, so in zip(texts, src):
+        toks = (s or "").split(" ")
+        toks_per_doc.append(toks)
+        for tok in toks:
+            b = bucket(tok)
+            rc[b] += 1
+            if so == "s1":
+                tc[b] += 1
+    T, R = sum(tc), sum(rc)
+    w = [1_000_000 * (tc[b] + 1) * (R + NB)
+         // ((rc[b] + 1) * (T + NB)) for b in range(NB)]
+    want = {
+        d: (len(toks), sum(w[bucket(tok)] for tok in toks))
+        for d, toks in enumerate(toks_per_doc)
+    }
+    for parts in (1, 8):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+            for r in dsir_importance(
+                ray.data.from_arrow(t).repartition(parts),
+                target_source="s1", n_buckets=NB,
+            ).take_all()
+        }
+        assert got == want, parts
+    # empty text = one empty token, per the string_split convention
+    assert want[0][0] == 1 and want[1][0] == 1
+    # target docs score higher on average than non-target
+    tgt = np.mean([want[d][1] for d in range(240) if src[d] == "s1"])
+    oth = np.mean([want[d][1] for d in range(240) if src[d] != "s1"])
+    assert tgt > oth
+
+
 def test_dup_span_docs_matches_set_twin(ray_session):
     """Per-doc duplicated-gram position counts equal a Python dict
     twin across block layouts; short/empty docs report zero grams."""
