@@ -3452,6 +3452,17 @@ def q_shingle_df_profile(sf_dir: str):
     )
 
 
+def q_label_prototypicality(sf_dir: str):
+    """Class-prototype cosine score per vector (data-pruning metric):
+    integer centroid sums via one (label x dim) exchange, stateless
+    broadcast scoring, floats confined to a three-op IEEE tail the
+    oracle evaluates identically."""
+    from luzzu_ray.ops.similarity import label_prototypicality
+
+    return label_prototypicality(
+        _tbl(sf_dir, "embeddings", ["vec_id", "label", "embedding"]))
+
+
 DSIR_TARGET_SOURCE = "src0"
 DSIR_BUCKETS = 512
 
@@ -4508,6 +4519,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": q_tpch_q16,
         "dup_span_docs": q_dup_span_docs,
         "dsir_importance": q_dsir_importance,
+        "label_prototypicality": q_label_prototypicality,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
@@ -5504,6 +5516,30 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "ON o.o_custkey = c.c_custkey "
             "GROUP BY 1"
         ),
+        "label_prototypicality": """
+WITH x AS (
+  SELECT vec_id, label,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+              AS BIGINT) AS vq,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+s AS (SELECT label, i, sum(CAST(vq AS HUGEINT)) AS sv FROM x GROUP BY 1, 2),
+ns AS (SELECT label, CAST(sum(sv * sv) AS DOUBLE) AS nsf
+       FROM s GROUP BY 1),
+dv AS (
+  SELECT x.vec_id, x.label, sum(CAST(x.vq AS HUGEINT) * s.sv) AS dot,
+         sum(CAST(x.vq AS HUGEINT) * x.vq) AS nv
+  FROM x JOIN s ON x.label = s.label AND x.i = s.i
+  GROUP BY 1, 2
+)
+SELECT dv.vec_id, CAST(dv.label AS BIGINT) AS label,
+       CAST(CASE WHEN CAST(dv.nv AS DOUBLE) * ns.nsf = 0.0 THEN 0
+            ELSE floor((CAST(dv.dot AS DOUBLE) * 1000000.0)
+                       / sqrt(CAST(dv.nv AS DOUBLE) * ns.nsf))
+            END AS BIGINT) AS proto_q6
+FROM dv JOIN ns ON dv.label = ns.label
+""",
         "dsir_importance": f"""
 WITH d AS (
   SELECT doc_id, source,

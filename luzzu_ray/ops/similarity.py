@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -1038,3 +1039,103 @@ def pca_project(
     return ds.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def label_prototypicality(
+    ds: ray.data.Dataset,
+    q: int = 4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Per-class PROTOTYPICALITY score (the data-pruning metric of
+    Sorscher et al. 2022, "Beyond neural scaling laws", arXiv:
+    2206.14486: distance-to-class-prototype ranks what to keep): for
+    every vector, the cosine between it and its label's centroid,
+    emitted as (vec_id, label, proto_q6).
+
+    Exactness contract: coordinates quantize to q fixed point, the
+    centroid is the INTEGER coordinate-sum vector (division by n
+    deferred — it cancels in cosine), and dot/norms are exact integer
+    sums.  The only floats are the final ``floor(dot * 1e6 /
+    sqrt(nv * ns))`` — three correctly-rounded IEEE ops on
+    integer-valued operands evaluated in the same tree shape by the
+    DuckDB oracle, so the match is bit-exact (the
+    ``grouped_sigma_outliers`` boundary-rule pattern).
+
+    Scale shape: one narrow (label x dim) exchange builds the sums
+    (:func:`grouped_vector_sums`); the pulled table is
+    #labels x dim rows (class-count-bounded, not data-bounded);
+    scoring is a stateless broadcast map.  The int64 dot bound
+    ``d * 10^q * max|s|`` is checked a priori from the pulled sums and
+    falls back to object-dtype (Python int) arithmetic when exceeded —
+    loud-exact, never silent wraparound."""
+    import ray
+
+    scale = float(10 ** q)
+    sums_rows = grouped_vector_sums(
+        ds, label_col=label_col, vec_col=vec_col, q=q,
+    ).take_all()  # bounded: n_labels x dim rows
+    by_label: dict[int, dict[int, int]] = {}
+    for r in sums_rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["dim"])] = int(r["s"])
+    labels = sorted(by_label)
+    if labels:
+        d = max(max(v) for v in by_label.values())
+        S = np.zeros((len(labels), d), dtype=np.int64)
+        for li, lab in enumerate(labels):
+            for dim, s in by_label[lab].items():
+                S[li, dim - 1] = s
+        ns_f = np.array(
+            [float(sum(int(s) * int(s) for s in S[li]))
+             for li in range(len(labels))], dtype=np.float64)
+        max_abs_s = int(np.abs(S).max()) if S.size else 0
+        exact_i64 = d * (10 ** q) * max_abs_s < 2 ** 62
+    else:
+        d, S, ns_f, exact_i64 = 0, np.zeros((0, 0), np.int64), (
+            np.zeros(0)), True
+    lab_index = {lab: i for i, lab in enumerate(labels)}
+    side_ref = ray.put((lab_index, S, ns_f, exact_i64))
+
+    def score(t: pa.Table) -> pa.Table:
+        lidx, Sm, nsf, fast = (
+            ray.get(side_ref) if isinstance(side_ref, ray.ObjectRef)
+            else side_ref
+        )
+        n = t.num_rows
+        out_lab = pc.cast(t[label_col], pa.int64())
+        if n == 0 or Sm.size == 0:
+            return pa.table({
+                id_col: t[id_col], "label": out_lab,
+                "proto_q6": pa.array(np.zeros(n, dtype=np.int64)),
+            })
+        emb = t[vec_col].combine_chunks()
+        V = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64) * scale
+        ).astype(np.int64).reshape(n, -1)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.array([lidx[x] for x in lab], dtype=np.int64)
+        Srow = Sm[li]  # (n, d) int64
+        if fast:
+            dot = (V * Srow).sum(axis=1)
+            nv = (V * V).sum(axis=1)
+        else:  # loud-exact fallback: Python ints, no silent wrap
+            Vo = V.astype(object)
+            dot = np.array(
+                [int(sum(Vo[i] * Srow[i].astype(object)))
+                 for i in range(n)], dtype=object)
+            nv = (Vo * Vo).sum(axis=1)
+        dot_f = np.asarray(dot, dtype=np.float64)
+        nv_f = np.asarray(nv, dtype=np.float64)
+        den_sq = nv_f * nsf[li]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sc = np.floor((dot_f * 1_000_000.0) / np.sqrt(den_sq))
+        sc = np.where(den_sq == 0.0, 0.0, sc)
+        return pa.table({
+            id_col: t[id_col], "label": out_lab,
+            "proto_q6": pa.array(sc.astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, label_col, vec_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)

@@ -1093,6 +1093,63 @@ def test_shingle_df_profile_matches_set_twin(ray_session):
     assert len(want) >= 3
 
 
+def test_label_prototypicality_matches_duckdb(ray_session):
+    """Prototype-cosine scores equal the SQL twin across layouts —
+    both the int64 fast path and the object-dtype overflow fallback
+    (huge coordinates force d * 10^q * max|s| past 2^62); zero vectors
+    score 0."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.similarity import label_prototypicality
+
+    rng = np.random.default_rng(73)
+
+    def run_case(mag: float):
+        n, d = 220, 8
+        V = (rng.random((n, d)) * 2 - 1) * mag
+        V[3] = 0.0  # zero vector -> proto_q6 = 0
+        lab = rng.integers(0, 4, n).astype(np.int32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "label": pa.array(lab),
+            "embedding": pa.array(
+                [row.tolist() for row in V.astype(np.float32)],
+                pa.list_(pa.float32())),
+        })
+        con = duckdb.connect()
+        con.register("embeddings", t)
+        want = con.execute("""
+WITH x AS (
+  SELECT vec_id, label,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+              AS BIGINT) AS vq,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+s AS (SELECT label, i, sum(CAST(vq AS HUGEINT)) AS sv FROM x GROUP BY 1, 2),
+ns AS (SELECT label, CAST(sum(sv * sv) AS DOUBLE) AS nsf FROM s GROUP BY 1),
+dv AS (SELECT x.vec_id, x.label, sum(CAST(x.vq AS HUGEINT) * s.sv) AS dot,
+              sum(CAST(x.vq AS HUGEINT) * x.vq) AS nv
+       FROM x JOIN s ON x.label = s.label AND x.i = s.i GROUP BY 1, 2)
+SELECT dv.vec_id,
+       CAST(CASE WHEN CAST(dv.nv AS DOUBLE) * ns.nsf = 0.0 THEN 0
+            ELSE floor((CAST(dv.dot AS DOUBLE) * 1000000.0)
+                       / sqrt(CAST(dv.nv AS DOUBLE) * ns.nsf)) END
+            AS BIGINT) AS proto_q6
+FROM dv JOIN ns ON dv.label = ns.label ORDER BY 1
+        """).df()
+        for parts in (1, 6):
+            got = label_prototypicality(
+                ray.data.from_arrow(t).repartition(parts)
+            ).to_pandas().sort_values("vec_id").reset_index(drop=True)
+            assert (got["proto_q6"].to_numpy()
+                    == want["proto_q6"].to_numpy()).all(), (mag, parts)
+            assert got.loc[3, "proto_q6"] == 0
+
+    run_case(1.0)    # int64 fast path
+    run_case(1e9)    # object-dtype fallback (a-priori bound exceeded)
+
+
 def test_dsir_importance_matches_scalar_twin(ray_session):
     """DSIR scores equal a row-at-a-time Python twin (independent hash
     fold + integer weight arithmetic) across block layouts, including
