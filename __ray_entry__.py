@@ -3452,6 +3452,90 @@ def q_shingle_df_profile(sf_dir: str):
     )
 
 
+KCORE_K = 80
+KCORE_ROUNDS = 8  # fixture converges in 5; extra unrolled rounds no-op
+
+
+def q_part_cooc_kcore(sf_dir: str):
+    """k-core membership of the part co-occurrence graph (distributed
+    peeling, data-dependent rounds, loud non-convergence): surviving
+    (node, core_deg); oracle unrolls KCORE_ROUNDS peel rounds in SQL —
+    rounds past the fixpoint are identity, so any convergence depth
+    <= KCORE_ROUNDS compares exactly."""
+    from luzzu_ray.ops.graph import cooccurrence_edges, kcore_nodes
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return kcore_nodes(edges, k=KCORE_K, max_rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql() -> str:
+    # every CTE MATERIALIZED: each e{r} is referenced three times per
+    # round, so default inlining would expand to 3^ROUNDS base scans
+    sql = (
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT l1.l_partkey AS a, "
+        "l2.l_partkey AS b FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey)"
+    )
+    for r in range(KCORE_ROUNDS):
+        sql += (
+            f", d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"(SELECT a AS node FROM e{r} UNION ALL "
+            f"SELECT b AS node FROM e{r}) GROUP BY 1)"
+            f", e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e "
+            f"JOIN d{r} da ON da.node = e.a AND da.deg >= {KCORE_K} "
+            f"JOIN d{r} db ON db.node = e.b AND db.deg >= {KCORE_K})"
+        )
+    R = KCORE_ROUNDS
+    return sql + (
+        f" SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM "
+        f"(SELECT a AS node FROM e{R} UNION ALL "
+        f"SELECT b AS node FROM e{R}) GROUP BY 1"
+    )
+
+
+def q_events_value_moments(sf_dir: str):
+    """Exact grouped higher-order moments (skewness/kurtosis core):
+    per event_type the integer sums of v, v^2, v^3 and v^4 at q1 fixed
+    point — the 4th power exceeds int64 when summed, so it rides the
+    exchange as two 32-bit LIMBS (hi = v4 div 2^32, lo = v4 mod 2^32;
+    full sum = hi*2^32 + lo, recombined by whoever consumes the
+    moments).  One map + one narrow keyed combine via grouped_sum_q.
+    Bounds (documented, loud): per-row |v_q1| < 55_108 so v^4 < 2^63;
+    per-group rows < 2^31 so the limb sums stay in int64 — beyond
+    that, add limbs, don't widen silently."""
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    LIMB = 1 << 32
+
+    def powers(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["value"], pa.float64())
+        vq = pc.cast(pc.floor(pc.multiply(v, 10.0)), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(vq) and int(np.abs(vq).max()) >= 55_108:
+            raise ValueError(
+                "v_q1^4 would exceed int64; rescale or add limbs")
+        v2 = vq * vq
+        v4 = v2 * v2
+        return pa.table({
+            "event_type": t["event_type"],
+            "s1": pa.array(vq),
+            "s2": pa.array(v2),
+            "s3": pa.array(v2 * vq),
+            "s4_hi": pa.array(v4 // LIMB),
+            "s4_lo": pa.array(v4 % LIMB),
+        })
+
+    ev = _tbl(sf_dir, "events", ["event_type", "value"]).map_batches(
+        powers, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sum_q(
+        ev, ["event_type"], float_cols={},
+        int_cols={c: c for c in ("s1", "s2", "s3", "s4_hi", "s4_lo")},
+        count_as="n", num_partitions=2,
+    )
+
+
 def q_label_prototypicality(sf_dir: str):
     """Class-prototype cosine score per vector (data-pruning metric):
     integer centroid sums via one (label x dim) exchange, stateless
@@ -4520,6 +4604,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "dup_span_docs": q_dup_span_docs,
         "dsir_importance": q_dsir_importance,
         "label_prototypicality": q_label_prototypicality,
+        "events_value_moments": q_events_value_moments,
+        "part_cooc_kcore": q_part_cooc_kcore,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
@@ -5516,6 +5602,27 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "ON o.o_custkey = c.c_custkey "
             "GROUP BY 1"
         ),
+        "part_cooc_kcore": _kcore_sql(),
+        "events_value_moments": """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(value * 10.0) AS BIGINT) AS vq
+  FROM events
+),
+p AS (
+  SELECT event_type, vq, vq * vq AS v2,
+         (vq * vq) * (vq * vq) AS v4
+  FROM v
+)
+SELECT event_type,
+       CAST(sum(vq) AS BIGINT) AS s1,
+       CAST(sum(v2) AS BIGINT) AS s2,
+       CAST(sum(v2 * vq) AS BIGINT) AS s3,
+       CAST(sum(v4 // 4294967296) AS BIGINT) AS s4_hi,
+       CAST(sum(v4 % 4294967296) AS BIGINT) AS s4_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1
+""",
         "label_prototypicality": """
 WITH x AS (
   SELECT vec_id, label,

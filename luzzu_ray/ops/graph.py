@@ -713,3 +713,71 @@ def walk_skipgram_counts(
         parts, ["center", "context"], float_cols={}, int_cols={"n": "n"},
         num_partitions=num_partitions,
     )
+
+
+def kcore_nodes(
+    edges: ray.data.Dataset,
+    k: int,
+    max_rounds: int = 16,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """k-CORE decomposition membership (Seidman 1983 / the distributed
+    peeling of Montresor et al. 2013): iteratively delete nodes of
+    degree < ``k`` until fixpoint; returns the surviving (node,
+    core_deg) table — core_deg is the node's degree INSIDE the core,
+    >= k by definition.
+
+    Shape per round (the standard distributed peel, every step a
+    narrow keyed exchange — no node or edge table ever reaches the
+    driver beyond two scalar counts):
+
+    1. degrees: unpivot edges to a node stream, one grouped count;
+    2. alive = degree >= k (a node table, narrow);
+    3. edge filter: two SEMI joins (a-side, b-side) against alive.
+
+    The edge set shrinks monotonically; rounds are data-dependent.
+    Raises (loud, never silently-unconverged) if the peel has not
+    reached fixpoint within ``max_rounds`` — callers that pair this
+    with an unrolled-SQL oracle pick the constant above the fixture's
+    convergence depth."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q, semi_join
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        return pa.table({"node": pa.concat_arrays(
+            [a.cast(pa.int64()), b.cast(pa.int64())])})
+
+    cur = edges.materialize()
+    for _ in range(max_rounds):
+        deg = grouped_sum_q(
+            cur.map_batches(unpivot, batch_format="pyarrow"),
+            ["node"], float_cols={}, count_as="core_deg",
+            num_partitions=num_partitions,
+        ).materialize()
+        n_dead = deg.filter(expr=f"core_deg < {k}").count()
+        if n_dead == 0:
+            return deg
+        empty_out = pa.schema(
+            [("node", pa.int64()), ("core_deg", pa.int64())]).empty_table()
+        alive = deg.filter(expr=f"core_deg >= {k}")
+        width = auto_partitions(cur, num_partitions)
+        cur = semi_join(
+            cur, alive, "a", "node", ["b"], num_partitions=width,
+        ).materialize()
+        # an emptied edge set loses its schema (keyed exchanges emit
+        # schema-less empty blocks) — the next join couldn't conform it
+        if cur.count() == 0:
+            return ray.data.from_arrow(empty_out)
+        cur = semi_join(
+            cur.repartition(num_blocks=max(2, width // 2)),
+            alive, "b", "node", ["a"], num_partitions=width,
+        ).materialize()
+        if cur.count() == 0:
+            return ray.data.from_arrow(empty_out)
+    raise ValueError(
+        f"k-core peel not converged within {max_rounds} rounds")

@@ -3346,6 +3346,69 @@ def test_cooccurrence_pairs_block_matches_bruteforce():
     assert empty.num_rows == 0 and empty.column_names == ["a", "b"]
 
 
+def test_kcore_matches_peel_twin(ray_session):
+    """Distributed k-core peel equals a Python peel twin on a crafted
+    clique+chain+random graph across layouts; over-tight max_rounds
+    raises loudly; fully-dissolving graphs return an empty core."""
+    import collections
+
+    import pytest
+    import ray.data
+
+    from luzzu_ray.ops.graph import kcore_nodes
+
+    rng = np.random.default_rng(83)
+    edges = set()
+    for i in range(12):            # 12-clique: the 4-core survivor
+        for j in range(i + 1, 12):
+            edges.add((i, j))
+    for i in range(12, 40):        # pendant chain: peels over many rounds
+        edges.add((i - 1, i))
+    for _ in range(60):            # random sparse noise
+        a, b = sorted(rng.integers(40, 90, 2).tolist())
+        if a != b:
+            edges.add((a, b))
+
+    def peel(es, k):
+        es = set(es)
+        rounds = 0
+        while True:
+            deg = collections.Counter()
+            for a, b in es:
+                deg[a] += 1
+                deg[b] += 1
+            dead = {v for v, d in deg.items() if d < k}
+            if not dead:
+                return deg, rounds
+            es = {(a, b) for a, b in es
+                  if a not in dead and b not in dead}
+            rounds += 1
+
+    want, rounds = peel(edges, 4)
+    assert rounds >= 2 and len(want) >= 12
+    ea = np.array(sorted(edges), dtype=np.int64)
+    t = pa.table({"a": pa.array(ea[:, 0]), "b": pa.array(ea[:, 1])})
+    for parts in (1, 5):
+        got = {
+            r["node"]: r["core_deg"]
+            for r in kcore_nodes(
+                ray.data.from_arrow(t).repartition(parts),
+                k=4, max_rounds=rounds + 2, num_partitions=3,
+            ).take_all()
+        }
+        assert got == dict(want), parts
+    with pytest.raises(ValueError, match="not converged"):
+        kcore_nodes(ray.data.from_arrow(t), k=4, max_rounds=1,
+                    num_partitions=3).take_all()
+    # a graph that dissolves completely returns an empty table
+    chain = pa.table({
+        "a": pa.array(np.arange(0, 9, dtype=np.int64)),
+        "b": pa.array(np.arange(1, 10, dtype=np.int64)),
+    })
+    assert kcore_nodes(ray.data.from_arrow(chain), k=3,
+                       max_rounds=10, num_partitions=2).count() == 0
+
+
 def test_triangle_counts_crafted_graph(ray_session):
     import pyarrow as pa
     import ray.data
