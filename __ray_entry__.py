@@ -1256,6 +1256,65 @@ def q_sq8_ann_topk(sf_dir: str):
     )
 
 
+def q_label_covariance(sf_dir: str):
+    """Per-class exact second-moment matrix (PCA/covariance prep):
+    one d x d integer Gram per (block, label), narrow keyed combine;
+    lockstep double-unnest self-join oracle."""
+    from luzzu_ray.ops.similarity import label_second_moments
+
+    return label_second_moments(
+        _tbl(sf_dir, "embeddings", ["label", "embedding"]),
+        num_partitions=4,
+    )
+
+
+RRF_C = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def q_ann_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of the exact
+    cosine ranking and the SQ8 compressed-index ranking: per (query,
+    vec) the integer score sum(1e6 // (RRF_C + rank)) over both lists,
+    re-cut to top-k per query.  All-integer, so the oracle composes the
+    two ANN SQL twins and reproduces the fusion bit-for-bit.  Shape:
+    two independent ANN passes (each already partial-top-k pruned), a
+    narrow (query, vec)-keyed sum over <= 2k rows/query, one grouped
+    top-k."""
+    from luzzu_ray.ops.relational import grouped_sum_q, grouped_topk
+    from luzzu_ray.ops.similarity import ann_topk, sq8_ann_topk
+
+    import ray.data
+
+    qids, mat = _query_vectors(sf_dir)
+    # each ANN op materializes its q x k result table (tiny by
+    # construction: the partial-top-k merge already happened inside)
+    a = ann_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        mat, qids, k=ANN_K)
+    b = sq8_ann_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        mat, qids, k=ANN_K)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        rank = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "query_id": pc.cast(t["query_id"], pa.int64()),
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "rrf": pa.array(1_000_000 // (RRF_C + rank)),
+        })
+
+    u = ray.data.from_arrow(a).map_batches(
+        contrib, batch_format="pyarrow"
+    ).union(ray.data.from_arrow(b).map_batches(
+        contrib, batch_format="pyarrow"))
+    s = grouped_sum_q(
+        u, ["query_id", "vec_id"], float_cols={},
+        int_cols={"rrf": "rrf"}, num_partitions=2,
+    )
+    return grouped_topk(
+        s, "query_id", "rrf", "vec_id", k=ANN_K, num_partitions=2)
+
+
 # --- rows-only entries (no SQL equivalent; value-tested in tests/) ---------
 
 def q_doc_fingerprint(sf_dir: str):
@@ -3452,6 +3511,107 @@ def q_shingle_df_profile(sf_dir: str):
     )
 
 
+Q2_REGION = "EUROPE"
+Q2_MAX_SIZE = 10
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 shape (min-cost supplier per part within a region,
+    WITH ties): grouped ARGMIN over a dimension-gated fact scan.
+
+    The supplier->nation->region chain and the part-size filter are
+    both dimension-sized, so they gate the scan as two sorted
+    broadcast key arrays (zero fact-side joins); each block prunes to
+    its per-part cheapest rows BEFORE the exchange (block-min rows are
+    a superset of global-min rows, so the prune is lossless), and one
+    l_partkey-keyed exchange finishes min + tie retention + distinct.
+    Output: DISTINCT (l_partkey, l_suppkey, price_q2) at each part's
+    minimum."""
+    import ray
+
+    sup = pa.concat_tables(
+        ray.get(list(_tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+                     .to_arrow_refs())))
+    nat = pa.concat_tables(
+        ray.get(list(_tbl(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+                     .to_arrow_refs())))
+    reg = pa.concat_tables(
+        ray.get(list(_tbl(sf_dir, "region", ["r_regionkey", "r_name"])
+                     .to_arrow_refs())))
+    rk = reg.filter(pc.equal(reg["r_name"], Q2_REGION))["r_regionkey"]
+    nk = nat.filter(pc.is_in(nat["n_regionkey"], value_set=rk.combine_chunks()))[
+        "n_nationkey"]
+    good_supp = np.sort(
+        sup.filter(pc.is_in(pc.cast(sup["s_nationkey"], pa.int32()),
+                            value_set=nk.combine_chunks()))
+        ["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    part = pa.concat_tables(
+        ray.get(list(_tbl(sf_dir, "part", ["p_partkey", "p_size"])
+                     .to_arrow_refs())))
+    good_part = np.sort(
+        part.filter(pc.less_equal(part["p_size"], Q2_MAX_SIZE))
+        ["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    side_ref = ray.put((good_supp, good_part))
+
+    def member(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        pos = np.searchsorted(keys, vals)
+        posc = np.minimum(pos, len(keys) - 1)
+        return (pos < len(keys)) & (keys[posc] == vals)
+
+    def argmin_rows(pk, sk, pq):
+        """DISTINCT per-part min-price rows of the given arrays."""
+        order = np.lexsort((sk, pq, pk))
+        pk, sk, pq = pk[order], sk[order], pq[order]
+        first = np.concatenate(([True], pk[1:] != pk[:-1]))
+        mn = pq[np.flatnonzero(first)]
+        is_min = pq == np.repeat(mn, np.diff(
+            np.append(np.flatnonzero(first), len(pk))))
+        pk, sk, pq = pk[is_min], sk[is_min], pq[is_min]
+        dup = np.concatenate(([False], (pk[1:] == pk[:-1])
+                              & (sk[1:] == sk[:-1])))
+        return pk[~dup], sk[~dup], pq[~dup]
+
+    def scan(t: pa.Table) -> pa.Table:
+        gs, gp = (
+            ray.get(side_ref) if isinstance(side_ref, ray.ObjectRef)
+            else side_ref
+        )
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pq = pc.cast(pc.floor(pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()), 100.0)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        m = member(gp, pk) & member(gs, sk)
+        pk2, sk2, pq2 = argmin_rows(pk[m], sk[m], pq[m])
+        return pa.table({
+            "l_partkey": pa.array(pk2), "l_suppkey": pa.array(sk2),
+            "price_q2": pa.array(pq2),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        pk2, sk2, pq2 = argmin_rows(
+            t["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False),
+            t["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False),
+            t["price_q2"].combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_partkey": pa.array(pk2), "l_suppkey": pa.array(sk2),
+            "price_q2": pa.array(pq2),
+        })
+
+    from luzzu_ray.ops.dedup import auto_partitions
+
+    pruned = _tbl(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.repartition(
+        num_blocks=auto_partitions(pruned, None), keys=["l_partkey"],
+    ).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
 KCORE_K = 80
 KCORE_ROUNDS = 8  # fixture converges in 5; extra unrolled rounds no-op
 
@@ -4606,6 +4766,9 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "label_prototypicality": q_label_prototypicality,
         "events_value_moments": q_events_value_moments,
         "part_cooc_kcore": q_part_cooc_kcore,
+        "tpch_q2": q_tpch_q2,
+        "ann_rrf_fusion": q_ann_rrf_fusion,
+        "label_covariance": q_label_covariance,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
@@ -5603,6 +5766,32 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "GROUP BY 1"
         ),
         "part_cooc_kcore": _kcore_sql(),
+        "label_covariance": """
+WITH x AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+              AS BIGINT) AS vq,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT CAST(a.label AS BIGINT) AS label,
+       CAST(a.i AS BIGINT) AS di, CAST(b.i AS BIGINT) AS dj,
+       CAST(sum(CAST(a.vq AS HUGEINT) * b.vq) AS BIGINT) AS s2
+FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2, 3
+""",
+        "tpch_q2": (
+            "WITH j AS (SELECT l_partkey, l_suppkey, "
+            "CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS price_q2 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            f"WHERE p_size <= {Q2_MAX_SIZE} AND r_name = '{Q2_REGION}') "
+            "SELECT DISTINCT l_partkey, l_suppkey, price_q2 FROM ("
+            "SELECT *, min(price_q2) OVER (PARTITION BY l_partkey) AS mn "
+            "FROM j) WHERE price_q2 = mn"
+        ),
         "events_value_moments": """
 WITH v AS (
   SELECT event_type,
@@ -6028,6 +6217,20 @@ FROM dfs GROUP BY df
             f"vec_id FROM dots QUALIFY rank <= {ANN_K}"
         ),
     }
+    sqls["ann_rrf_fusion"] = (
+        f"WITH exact_l AS ({sqls['ann_topk']}), "
+        f"sq8_l AS ({sqls['sq8_ann_topk']}), "
+        "u AS (SELECT query_id, vec_id, "
+        f"1000000 // ({RRF_C} + rank) AS c FROM exact_l "
+        "UNION ALL SELECT query_id, vec_id, "
+        f"1000000 // ({RRF_C} + rank) AS c FROM sq8_l), "
+        "s AS (SELECT CAST(query_id AS BIGINT) AS query_id, "
+        "CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(sum(c) AS BIGINT) AS rrf FROM u GROUP BY 1, 2) "
+        "SELECT query_id, rrf, vec_id, CAST(row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rrf DESC, vec_id) AS BIGINT) "
+        f"AS rnk FROM s QUALIFY rnk <= {ANN_K}"
+    )
     sqls["token_cooccurrence"] = (
         "WITH toks AS (SELECT DISTINCT doc_id, "
         "unnest(string_split(text, ' ')) AS tok FROM documents), "

@@ -1139,3 +1139,81 @@ def label_prototypicality(
 
     return ds.select_columns([id_col, label_col, vec_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def label_second_moments(
+    ds: ray.data.Dataset,
+    q: int = 4,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-class exact SECOND-MOMENT matrices over fixed-point
+    coordinates — the covariance/PCA building block (center with the
+    :func:`grouped_vector_sums` firsts downstream; the moments stay
+    integer so the reduction is order-invariant and a SQL lockstep
+    self-join oracle matches bit-for-bit).
+
+    Output: (label, di, dj, s2) for the upper triangle di <= dj, where
+    s2 = sum over the class of vq[di] * vq[dj].
+
+    Scale shape: each block computes one d x d integer Gram product
+    per label (vectorized matmul over the label's rows) and emits
+    #labels x d(d+1)/2 narrow partial rows; ONE keyed combine
+    finishes.  Vectors never enter the exchange.  Guard: per-block
+    ``max(vq)^2 * rows < 2^63`` checked a priori — loud error, never
+    silent wrap (beyond it, re-quantize or add limbs)."""
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    scale = float(10 ** q)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"label": pa.array([], pa.int64()),
+             "di": pa.array([], pa.int64()),
+             "dj": pa.array([], pa.int64()),
+             "s2": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        emb = t[vec_col].combine_chunks()
+        offs = emb.offsets.to_numpy().astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        d = int(lens[0])
+        if not (lens == d).all():
+            raise ValueError("ragged embedding lists")
+        V = np.floor(
+            emb.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64) * scale
+        ).astype(np.int64).reshape(-1, d)
+        vmax = int(np.abs(V).max()) if V.size else 0
+        if vmax * vmax * len(V) >= 2 ** 63:
+            raise ValueError(
+                "block Gram sum would exceed int64; lower q or add limbs")
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        labs, V = lab[order], V[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], labs[1:] != labs[:-1])))
+        ends = np.append(starts[1:], len(labs))
+        iu, ju = np.triu_indices(d)
+        out_l, out_i, out_j, out_s = [], [], [], []
+        for s, e in zip(starts, ends):
+            G = V[s:e].T @ V[s:e]
+            out_l.append(np.full(len(iu), labs[s], dtype=np.int64))
+            out_i.append(iu.astype(np.int64) + 1)
+            out_j.append(ju.astype(np.int64) + 1)
+            out_s.append(G[iu, ju])
+        return pa.table({
+            "label": pa.array(np.concatenate(out_l)),
+            "di": pa.array(np.concatenate(out_i)),
+            "dj": pa.array(np.concatenate(out_j)),
+            "s2": pa.array(np.concatenate(out_s)),
+        })
+
+    parts = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sum_q(
+        parts, ["label", "di", "dj"], float_cols={},
+        int_cols={"s2": "s2"}, num_partitions=num_partitions,
+    )

@@ -1150,6 +1150,49 @@ FROM dv JOIN ns ON dv.label = ns.label ORDER BY 1
     run_case(1e9)    # object-dtype fallback (a-priori bound exceeded)
 
 
+def test_label_second_moments_matches_numpy_twin(ray_session):
+    """Per-label integer Gram moments equal a NumPy twin across block
+    layouts; the per-block overflow guard trips loudly on huge
+    coordinates."""
+    import pytest
+    import ray.data
+
+    from luzzu_ray.ops.similarity import label_second_moments
+
+    rng = np.random.default_rng(79)
+    n, d = 180, 6
+    V = (rng.random((n, d)) * 2 - 1).astype(np.float32)
+    lab = rng.integers(0, 3, n).astype(np.int32)
+    t = pa.table({
+        "label": pa.array(lab),
+        "embedding": pa.array([r.tolist() for r in V],
+                              pa.list_(pa.float32())),
+    })
+    Vq = np.floor(V.astype(np.float64) * 10000.0).astype(np.int64)
+    want = {}
+    for lb in np.unique(lab):
+        G = Vq[lab == lb].T @ Vq[lab == lb]
+        for i in range(d):
+            for j in range(i, d):
+                want[(int(lb), i + 1, j + 1)] = int(G[i, j])
+    for parts in (1, 7):
+        got = {
+            (r["label"], r["di"], r["dj"]): r["s2"]
+            for r in label_second_moments(
+                ray.data.from_arrow(t).repartition(parts),
+                num_partitions=3,
+            ).take_all()
+        }
+        assert got == want, parts
+    big = pa.table({
+        "label": pa.array([0, 0], pa.int32()),
+        "embedding": pa.array([[1e12] * d, [1e12] * d],
+                              pa.list_(pa.float32())),
+    })
+    with pytest.raises(Exception, match="exceed int64"):
+        label_second_moments(ray.data.from_arrow(big)).take_all()
+
+
 def test_dsir_importance_matches_scalar_twin(ray_session):
     """DSIR scores equal a row-at-a-time Python twin (independent hash
     fold + integer weight arithmetic) across block layouts, including
