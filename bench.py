@@ -184,6 +184,14 @@ def main() -> None:
         "bpe_merges_sampled",
         "events_user_value_quantiles_cont",
         "streaming_dedup",
+        # round-4 session-2 additions
+        "dup_span_docs",
+        "dsir_importance",
+        "label_prototypicality",
+        "tpch_q17",
+        "tpch_q2",
+        "ann_rrf_fusion",
+        "events_value_moments",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
