@@ -4639,6 +4639,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
     return {
+        # newest queries first: never-driver-audited entries tie at
+        # round 0 in the rotation sort, and registry order breaks the
+        # tie — brand-new code carries the least evidence, so it takes
+        # window priority over older never-audited entries
+        "tpch_q17": q_tpch_q17,
+        "tpch_q22": q_tpch_q22,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q2": q_tpch_q2,
+        "dup_span_docs": q_dup_span_docs,
+        "dsir_importance": q_dsir_importance,
+        "label_prototypicality": q_label_prototypicality,
+        "label_covariance": q_label_covariance,
+        "events_value_moments": q_events_value_moments,
+        "part_cooc_kcore": q_part_cooc_kcore,
+        "ann_rrf_fusion": q_ann_rrf_fusion,
         "doc_stats": q_doc_stats,
         "doc_unicode_stats": q_doc_unicode_stats,
         "bm25_topk": q_bm25_topk,
@@ -4758,17 +4773,6 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "ssjoin_pairs": q_ssjoin_pairs,
         "tpch_q3": q_tpch_q3,
         "tpch_q19": q_tpch_q19,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q22": q_tpch_q22,
-        "tpch_q16": q_tpch_q16,
-        "dup_span_docs": q_dup_span_docs,
-        "dsir_importance": q_dsir_importance,
-        "label_prototypicality": q_label_prototypicality,
-        "events_value_moments": q_events_value_moments,
-        "part_cooc_kcore": q_part_cooc_kcore,
-        "tpch_q2": q_tpch_q2,
-        "ann_rrf_fusion": q_ann_rrf_fusion,
-        "label_covariance": q_label_covariance,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,

@@ -1094,11 +1094,11 @@ def label_prototypicality(
     else:
         d, S, ns_f, exact_i64 = 0, np.zeros((0, 0), np.int64), (
             np.zeros(0)), True
-    lab_index = {lab: i for i, lab in enumerate(labels)}
-    side_ref = ray.put((lab_index, S, ns_f, exact_i64))
+    lab_sorted = np.array(labels, dtype=np.int64)  # sorted by construction
+    side_ref = ray.put((lab_sorted, S, ns_f, exact_i64))
 
     def score(t: pa.Table) -> pa.Table:
-        lidx, Sm, nsf, fast = (
+        lkeys, Sm, nsf, fast = (
             ray.get(side_ref) if isinstance(side_ref, ray.ObjectRef)
             else side_ref
         )
@@ -1115,7 +1115,9 @@ def label_prototypicality(
             .astype(np.float64) * scale
         ).astype(np.int64).reshape(n, -1)
         lab = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        li = np.array([lidx[x] for x in lab], dtype=np.int64)
+        # labels were collected from this same dataset, so every row's
+        # label is present in the sorted key array
+        li = np.searchsorted(lkeys, lab)
         Srow = Sm[li]  # (n, d) int64
         if fast:
             dot = (V * Srow).sum(axis=1)
