@@ -1256,6 +1256,35 @@ def q_sq8_ann_topk(sf_dir: str):
     )
 
 
+TOP_WORDS_K = 5
+
+
+def q_top_words_by_lang(sf_dir: str):
+    """Per-language top-k vocabulary report (the per-domain token
+    profile of a corpus mix): block-local (lang, word) count partials
+    -> one keyed combine -> grouped top-k with block-local pruning.
+    The exchange carries block vocabularies, never token streams."""
+    from luzzu_ray.ops.relational import grouped_sum_q, grouped_topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        split = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        n_tok = pc.list_value_length(split).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split)
+        lang = pa.chunked_array([t["lang"]]).combine_chunks().take(
+            pa.array(np.repeat(np.arange(t.num_rows), n_tok)))
+        g = pa.table({"lang": lang, "word": flat}).group_by(
+            ["lang", "word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "word", "n"])
+
+    counts = grouped_sum_q(
+        _docs(sf_dir, ["lang", "text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "word"], float_cols={}, int_cols={"n": "n"},
+    )
+    return grouped_topk(
+        counts, "lang", "n", "word", k=TOP_WORDS_K, num_partitions=2)
+
+
 def q_label_covariance(sf_dir: str):
     """Per-class exact second-moment matrix (PCA/covariance prep):
     one d x d integer Gram per (block, label), narrow keyed combine;
@@ -4654,6 +4683,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "events_value_moments": q_events_value_moments,
         "part_cooc_kcore": q_part_cooc_kcore,
         "ann_rrf_fusion": q_ann_rrf_fusion,
+        "top_words_by_lang": q_top_words_by_lang,
         "doc_stats": q_doc_stats,
         "doc_unicode_stats": q_doc_unicode_stats,
         "bm25_topk": q_bm25_topk,
@@ -5770,6 +5800,17 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "GROUP BY 1"
         ),
         "part_cooc_kcore": _kcore_sql(),
+        "top_words_by_lang": f"""
+WITH tk AS (
+  SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) AS word
+  FROM documents
+),
+c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+      FROM tk GROUP BY 1, 2)
+SELECT lang, n, word, CAST(row_number() OVER (
+  PARTITION BY lang ORDER BY n DESC, word) AS BIGINT) AS rnk
+FROM c QUALIFY rnk <= {TOP_WORDS_K}
+""",
         "label_covariance": """
 WITH x AS MATERIALIZED (
   SELECT vec_id, label,
