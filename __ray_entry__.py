@@ -2800,6 +2800,644 @@ def q_tpch_q5(sf_dir: str):
     return out.sort("revenue_q2", descending=True)
 
 
+Q7_NATION_A, Q7_NATION_B = 1, 2                   # nationkeys of the pair
+Q7_LO_US, Q7_HI_US = 820_454_400_000_000, Q6_HI_US  # [1996-01-01, 1998-01-01)
+Q8_TYPE, Q8_REGIONKEY, Q8_NATIONKEY = "PROMO", 1, 6  # AMERICA; share nation
+Q8_LO_US, Q8_HI_US = 788_918_400_000_000, Q3_CUTOFF_US  # [1995, 1997)
+Q9_NAME_SUBSTR = "gizmo"
+Q11_NATIONKEY, Q11_FRACTION_DEN = 7, 1000         # value > total/1000
+Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+Q15_LO_US, Q15_HI_US = 825_638_400_000_000, 833_587_200_000_000  # 96-03..06
+Q20_NAME_PREFIX, Q20_NATIONKEY = "small", 3
+Q20_LO_US, Q20_HI_US = 820_454_400_000_000, Q3_CUTOFF_US  # [1996, 1997)
+Q20_MIN_QTY_Q2 = 40 * 100                         # sum(l_quantity) > 40
+Q21_LATE_US = 60 * 86_400_000_000                 # ship > order + 60 days
+
+
+def _supp_nation_ref(sf_dir: str):
+    """suppkey -> nationkey as a dense int64 array behind one ray.put
+    (the supplier dimension is 10x smaller than customer — the same
+    broadcast-once justification as tpch_q5)."""
+    import ray
+
+    supp = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    nk = np.full(max(s["s_suppkey"] for s in supp) + 1, -1, np.int64)
+    for s in supp:
+        nk[s["s_suppkey"]] = s["s_nationkey"]
+    return ray.put(nk)
+
+
+class _SuppNationTagger:
+    """Shared broadcast probe: appends supp_nk (the line's supplier
+    nationkey) to each batch, optionally keeping only a nation set."""
+
+    def __init__(self, supp_ref, keep_nations=None):
+        import ray
+
+        self.nk = (ray.get(supp_ref)
+                   if isinstance(supp_ref, ray.ObjectRef) else supp_ref)
+        self.keep = keep_nations
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snk = np.where(
+            (sk >= 0) & (sk < len(self.nk)),
+            self.nk[np.clip(sk, 0, max(len(self.nk) - 1, 0))], -1)
+        t = t.append_column("supp_nk", pa.array(snk, pa.int64()))
+        if self.keep is not None:
+            t = t.filter(pa.array(np.isin(snk, self.keep)))
+        return t
+
+
+def _rev_q2(t: pa.Table) -> pa.Array:
+    """Row-level fixed-point revenue: floor(ep * (1 - disc) * 100)."""
+    return pc.cast(pc.floor(pc.multiply(pc.multiply(
+        pc.cast(t["l_extendedprice"], pa.float64()),
+        pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64()))),
+        100.0)), pa.int64())
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape (volume shipping between two nations): supplier
+    nation rides the shared broadcast tagger (keeps only the two
+    nations — ~2/25 of lineitem survives before any exchange), the
+    date range is pushed into the Parquet scanner, then two native hash
+    joins (orders for custkey, customer for nationkey), a vectorized
+    nation-pair predicate, and a tiny grouped combine by
+    (supp_nation, cust_nation, year)."""
+    import pyarrow.dataset as pads
+
+    from luzzu_ray.ops.common import year_from_epoch_us
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    lo = pa.scalar(Q7_LO_US, pa.timestamp("us"))
+    hi = pa.scalar(Q7_HI_US, pa.timestamp("us"))
+    names = {int(n["n_nationkey"]): n["n_name"]
+             for n in _tbl(sf_dir, "nation").take_all()}
+    supp_ref = _supp_nation_ref(sf_dir)
+
+    expr = (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    li = _tbl(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"],
+        filter=expr,
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        us = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_suppkey": t["l_suppkey"],
+            "l_year": pa.array(year_from_epoch_us(us), pa.int64()),
+            "rev_q2": _rev_q2(t),
+        })
+
+    li2 = li.map_batches(
+        shape, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _SuppNationTagger,
+        fn_constructor_args=(supp_ref,
+                             np.array([Q7_NATION_A, Q7_NATION_B], np.int64)),
+        batch_format="pyarrow", concurrency=_pool(),
+    ).drop_columns(["l_suppkey"])
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = li2.join(
+        orders, join_type="inner", on=("l_orderkey",),
+        right_on=("o_orderkey",), num_partitions=auto_partitions(li, None),
+    )
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = j1.join(
+        cust, join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=auto_partitions(cust, None),
+    )
+
+    name_a, name_b = names[Q7_NATION_A], names[Q7_NATION_B]
+
+    def pair(t: pa.Table) -> pa.Table:
+        snk = t["supp_nk"].to_numpy(zero_copy_only=False)
+        cnk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((snk == Q7_NATION_A) & (cnk == Q7_NATION_B)) | (
+            (snk == Q7_NATION_B) & (cnk == Q7_NATION_A))
+        t2 = t.filter(pa.array(keep))
+        sn = t2["supp_nk"].to_numpy(zero_copy_only=False)
+        is_a = sn == Q7_NATION_A
+        return pa.table({
+            "supp_nation": pa.array(
+                np.where(is_a, name_a, name_b)),
+            "cust_nation": pa.array(
+                np.where(is_a, name_b, name_a)),
+            "l_year": t2["l_year"],
+            "rev_q2": t2["rev_q2"],
+        })
+
+    shaped = j2.map_batches(pair, batch_format="pyarrow")
+    return grouped_sum_q(
+        shaped, ["supp_nation", "cust_nation", "l_year"],
+        float_cols={}, int_cols={"rev_q2": "revenue_q2"}, num_partitions=4,
+    )
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape (national market share): part filtered to one
+    type meets lineitem in a native partkey hash join (the part
+    dimension grows with scale, so no broadcast), orders join carries
+    the scanner-pruned date window and order year, customer join brings
+    the nationkey for the region predicate (nation/region stay a
+    driver-side few-KB lookup), and the share is emitted as exact
+    integer (nation_vol_q2, total_vol_q2) per year so no float ratio
+    can diverge."""
+    import pyarrow.dataset as pads
+
+    from luzzu_ray.ops.common import year_from_epoch_us
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    lo = pa.scalar(Q8_LO_US, pa.timestamp("us"))
+    hi = pa.scalar(Q8_HI_US, pa.timestamp("us"))
+    nation = _tbl(sf_dir, "nation").take_all()
+    region_nations = np.array(
+        sorted(int(n["n_nationkey"]) for n in nation
+               if int(n["n_regionkey"]) == Q8_REGIONKEY), np.int64)
+    supp_ref = _supp_nation_ref(sf_dir)
+
+    part = _tbl(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], Q8_TYPE)).select(
+            ["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).repartition(num_blocks=8).materialize()
+
+    li = _tbl(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"],
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_suppkey": t["l_suppkey"],
+            "vol_q2": _rev_q2(t),
+        })
+
+    j0 = li.map_batches(
+        shape, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        part, join_type="inner", on=("l_partkey",), right_on=("p_partkey",),
+        num_partitions=auto_partitions(li, None),
+    )
+    j0 = j0.map_batches(
+        _SuppNationTagger, fn_constructor_args=(supp_ref,),
+        batch_format="pyarrow", concurrency=_pool(),
+    ).drop_columns(["l_suppkey"])
+
+    expr = (pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi)
+    orders = _tbl(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=expr,
+    )
+
+    def oshape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_year": pa.array(year_from_epoch_us(us), pa.int64()),
+        })
+
+    j1 = j0.join(
+        orders.map_batches(oshape, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=auto_partitions(li, None),
+    )
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = j1.join(
+        cust, join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=auto_partitions(cust, None),
+    )
+
+    def split(t: pa.Table) -> pa.Table:
+        cnk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t2 = t.filter(pa.array(np.isin(cnk, region_nations)))
+        vol = t2["vol_q2"].to_numpy(zero_copy_only=False)
+        is_n = t2["supp_nk"].to_numpy(zero_copy_only=False) == Q8_NATIONKEY
+        return pa.table({
+            "o_year": t2["o_year"],
+            "nation_vol_q2": pa.array(np.where(is_n, vol, 0), pa.int64()),
+            "total_vol_q2": pa.array(vol, pa.int64()),
+        })
+
+    shaped = j2.map_batches(split, batch_format="pyarrow")
+    return grouped_sum_q(
+        shaped, ["o_year"], float_cols={},
+        int_cols={"nation_vol_q2": "nation_vol_q2",
+                  "total_vol_q2": "total_vol_q2"},
+        num_partitions=4,
+    )
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by nation and year): the
+    name-filtered part dimension joins lineitem natively on partkey
+    carrying its fixed-point retail price (the cost stand-in — the
+    corpus has no partsupp), order year arrives via a second native
+    join, supplier nation via the shared broadcast tagger, and profit
+    is exact integer arithmetic per row:
+    floor(ep*(1-disc)*100) - floor(retail*100)*floor(qty)."""
+    from luzzu_ray.ops.common import year_from_epoch_us
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    names = {int(n["n_nationkey"]): n["n_name"]
+             for n in _tbl(sf_dir, "nation").take_all()}
+    supp_ref = _supp_nation_ref(sf_dir)
+
+    def pshape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.match_substring(t["p_name"], Q9_NAME_SUBSTR))
+        return pa.table({
+            "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "retail_q2": pc.cast(pc.floor(pc.multiply(pc.cast(
+                t["p_retailprice"], pa.float64()), 100.0)), pa.int64()),
+        })
+
+    part = _tbl(
+        sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]
+    ).map_batches(
+        pshape, batch_format="pyarrow", zero_copy_batch=True,
+    ).repartition(num_blocks=8).materialize()
+
+    li = _tbl(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount", "l_quantity"],
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_suppkey": t["l_suppkey"],
+            "rev_q2": _rev_q2(t),
+            "qty_units": pc.cast(pc.floor(pc.cast(
+                t["l_quantity"], pa.float64())), pa.int64()),
+        })
+
+    j0 = li.map_batches(
+        shape, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        part, join_type="inner", on=("l_partkey",), right_on=("p_partkey",),
+        num_partitions=auto_partitions(li, None),
+    )
+
+    def profit(t: pa.Table) -> pa.Table:
+        p = pc.subtract(
+            t["rev_q2"], pc.multiply(t["retail_q2"], t["qty_units"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "profit_q2": pc.cast(p, pa.int64()),
+        })
+
+    j0 = j0.map_batches(profit, batch_format="pyarrow").map_batches(
+        _SuppNationTagger, fn_constructor_args=(supp_ref,),
+        batch_format="pyarrow", concurrency=_pool(),
+    ).drop_columns(["l_suppkey"])
+
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def oshape(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_year": pa.array(year_from_epoch_us(us), pa.int64()),
+        })
+
+    j1 = j0.join(
+        orders.map_batches(oshape, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        join_type="inner", on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=auto_partitions(li, None),
+    )
+
+    name_items = sorted(names.items())
+    nk_keys = np.array([k for k, _ in name_items], np.int64)
+    nk_names = pa.array([v for _, v in name_items], pa.string())
+
+    def named(t: pa.Table) -> pa.Table:
+        snk = t["supp_nk"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nk_keys, snk)
+        pos = np.clip(pos, 0, max(len(nk_keys) - 1, 0))
+        return pa.table({
+            "supp_nation": pc.take(nk_names, pa.array(pos, pa.int64())),
+            "o_year": t["o_year"],
+            "profit_q2": t["profit_q2"],
+        })
+
+    shaped = j1.map_batches(named, batch_format="pyarrow")
+    return grouped_sum_q(
+        shaped, ["supp_nation", "o_year"], float_cols={},
+        int_cols={"profit_q2": "profit_q2"}, num_partitions=4,
+    )
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (important stock): per-part value from one
+    nation's suppliers (broadcast tagger filter — no exchange), a
+    grouped fixed-point combine by partkey, then the HAVING-vs-global
+    -scalar predicate: the aggregated per-part table is materialized
+    once (narrow: one row per surviving part), its streamed .sum()
+    becomes the broadcast threshold, and value*DEN > total filters it.
+    value_q2*1000 stays far under 2^63 (total itself fits int64 and
+    DEN=10^3, bound in docstring vs the 9.2e18 ceiling)."""
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    supp_ref = _supp_nation_ref(sf_dir)
+    li = _tbl(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_extendedprice"])
+    pre = li.map_batches(
+        _SuppNationTagger,
+        fn_constructor_args=(supp_ref, np.array([Q11_NATIONKEY], np.int64)),
+        batch_format="pyarrow", concurrency=_pool(),
+    ).map_batches(
+        lambda t: t.select(["l_partkey", "l_extendedprice"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    v = grouped_sum_q(
+        pre, ["l_partkey"], float_cols={"l_extendedprice": "value_q2"}, q=2,
+    ).materialize()
+    tot = v.sum("value_q2") or 0
+    thr = pa.scalar(int(tot), pa.int64())
+    den = pa.scalar(Q11_FRACTION_DEN, pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(pc.multiply(t["value_q2"], den), thr))
+
+    return v.map_batches(keep, batch_format="pyarrow")
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT outer
+    hash join customer -> priority-filtered orders (zero-order
+    customers survive with a null right side), per-block COUNT of
+    non-null orderkeys per custkey (the join exchange already
+    co-located each key), then the distribution-of-group-sizes second
+    aggregate — a tiny groupby on c_count."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.relational import outer_hash_join
+
+    orders = _tbl(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.not_equal(
+            t["o_orderpriority"], Q13_EXCLUDED_PRIORITY)).select(
+                ["o_custkey", "o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j = outer_hash_join(
+        _tbl(sf_dir, "customer", ["c_custkey"]),
+        orders, left_key="c_custkey", right_key="o_custkey",
+        left_cols=[], right_cols=["o_orderkey"], how="left",
+    )
+
+    def per_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_custkey").aggregate([("o_orderkey", "count")])
+        cg = pa.table({"c_count": pc.cast(g["o_orderkey_count"],
+                                          pa.int64())})
+        h = cg.group_by("c_count").aggregate([([], "count_all")])
+        return pa.table({"c_count": h["c_count"],
+                         "n": pc.cast(h["count_all"], pa.int64())})
+
+    parts = j.map_batches(per_cust, batch_format="pyarrow",
+                          batch_size=None)
+    return parts.groupby("c_count", num_partitions=4).aggregate(
+        Sum("n", alias_name="custdist"))
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape (top supplier): scanner-pruned three-month
+    window, per-supplier fixed-point revenue combine, the global max
+    read from the narrow aggregated table (streamed .max, no row pull),
+    ties kept via an equality filter, supplier names attached with the
+    small-side broadcast join."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.relational import broadcast_join, grouped_sum_q
+
+    lo = pa.scalar(Q15_LO_US, pa.timestamp("us"))
+    hi = pa.scalar(Q15_HI_US, pa.timestamp("us"))
+    expr = (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    li = _tbl(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=expr,
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        return pa.table({
+            "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "rev_q2": _rev_q2(t),
+        })
+
+    r = grouped_sum_q(
+        li.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True),
+        ["s_suppkey"], float_cols={},
+        int_cols={"rev_q2": "total_revenue_q2"},
+    ).materialize()
+    mx = r.max("total_revenue_q2")
+    if mx is None:  # empty window
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue_q2": pa.array([], pa.int64())})
+    top = r.map_batches(
+        lambda t: t.filter(pc.equal(t["total_revenue_q2"],
+                                    pa.scalar(int(mx), pa.int64()))),
+        batch_format="pyarrow",
+    )
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    return broadcast_join(
+        top, supp, key="s_suppkey", small_cols=["s_name"], concurrency=2,
+    ).select_columns(["s_suppkey", "s_name", "total_revenue_q2"])
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (potential part promotion): name-prefix-filtered
+    parts join the scanner-date-pruned lineitem natively on partkey
+    (part scales with the corpus — no broadcast), per (supp, part)
+    fixed-point quantity combine with the HAVING threshold, a second
+    narrow distinct-suppkey combine, and the nation-filtered supplier
+    dimension rides the small-side broadcast join (inner semantics
+    applies the nation predicate)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import broadcast_join, grouped_sum_q
+
+    lo = pa.scalar(Q20_LO_US, pa.timestamp("us"))
+    hi = pa.scalar(Q20_HI_US, pa.timestamp("us"))
+    part = _tbl(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(pc.starts_with(t["p_name"], Q20_NAME_PREFIX))
+        .select(["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).repartition(num_blocks=8).materialize()
+
+    expr = (pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)
+    li = _tbl(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=expr,
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        return pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "l_quantity": t["l_quantity"],
+        })
+
+    j = li.map_batches(
+        shape, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        part, join_type="inner", on=("l_partkey",), right_on=("p_partkey",),
+        num_partitions=auto_partitions(li, None),
+    )
+    g = grouped_sum_q(
+        j, ["l_suppkey", "l_partkey"],
+        float_cols={"l_quantity": "sum_qty_q2"}, q=2,
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["sum_qty_q2"],
+                                      pa.scalar(Q20_MIN_QTY_Q2, pa.int64())))
+        .select(["l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    distinct = grouped_sum_q(
+        g, ["l_suppkey"], float_cols={}, count_as="_n", num_partitions=8,
+    ).map_batches(
+        lambda t: pa.table({"s_suppkey": t["l_suppkey"]}),
+        batch_format="pyarrow",
+    )
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    supp = supp.filter(
+        pc.equal(supp["s_nationkey"], Q20_NATIONKEY)).select(
+        ["s_suppkey", "s_name"])
+    return broadcast_join(
+        distinct, supp, key="s_suppkey", small_cols=["s_name"],
+        concurrency=2,
+    )
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): 'late' :=
+    l_shipdate > o_orderdate + 60 days (the corpus has no
+    commit/receipt dates).  One native join brings o_orderdate onto
+    status-'F' lines, then a SINGLE orderkey exchange co-locates each
+    order and a vectorized per-block kernel does the whole EXISTS /
+    NOT-EXISTS dance: per (order, supp) any-late collapse, per-order
+    supplier / late-supplier counts via np.unique + reduceat, and the
+    multi-supplier-single-late-supplier predicate — no per-order Python
+    loop.  Survivor suppkeys flow into the standard count combine and
+    the supplier-name broadcast join."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import broadcast_join, grouped_sum_q
+
+    orders = _tbl(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(
+            ["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = li.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).join(
+        orders, join_type="inner", on=("l_orderkey",),
+        right_on=("o_orderkey",), num_partitions=auto_partitions(li, None),
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        late = pc.greater(
+            t["ship_us"],
+            pc.add(pc.cast(t["o_orderdate"], pa.int64()),
+                   pa.scalar(Q21_LATE_US, pa.int64())))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "late": pc.cast(late, pa.int64()),
+        })
+
+    flagged = j.map_batches(flag, batch_format="pyarrow").repartition(
+        num_blocks=auto_partitions(li, None), keys=["l_orderkey"],
+    )
+
+    def per_order(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64())})
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("late", "max")])
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        lt = g["late_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, sk, lt = ok[order], sk[order], lt[order]
+        _, start = np.unique(ok, return_index=True)
+        counts = np.diff(np.append(start, len(ok)))
+        n_late = np.add.reduceat(lt, start) if len(ok) else np.array([],
+                                                                     np.int64)
+        keep = ((lt == 1)
+                & (np.repeat(counts, counts) > 1)
+                & (np.repeat(n_late, counts) == 1))
+        return pa.table({"l_suppkey": pa.array(sk[keep], pa.int64())})
+
+    waits = flagged.map_batches(per_order, batch_format="pyarrow",
+                                batch_size=None)
+    counts = grouped_sum_q(
+        waits, ["l_suppkey"], float_cols={}, count_as="numwait",
+        num_partitions=8,
+    ).map_batches(
+        lambda t: pa.table({"s_suppkey": t["l_suppkey"],
+                            "numwait": t["numwait"]}),
+        batch_format="pyarrow",
+    )
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    return broadcast_join(
+        counts, supp, key="s_suppkey", small_cols=["s_name"], concurrency=2,
+    ).select_columns(["s_suppkey", "s_name", "numwait"])
+
+
 def q_ssjoin_pairs(sf_dir: str):
     """EXACT set-similarity join (recall exactly 1, unlike the banded
     minhash path): prefix-filter candidate generation under a two-tier
@@ -4672,6 +5310,14 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "tpch_q17": q_tpch_q17,
         "tpch_q22": q_tpch_q22,
         "tpch_q16": q_tpch_q16,
@@ -5093,6 +5739,121 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY a.node, b.node"
     )
     sqls = {
+        "tpch_q7": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "
+            "* 100.0) AS BIGINT)) AS BIGINT) AS revenue_q2 "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            f"WHERE l_shipdate >= make_timestamp({Q7_LO_US}) "
+            f"AND l_shipdate < make_timestamp({Q7_HI_US}) "
+            f"AND ((n1.n_nationkey = {Q7_NATION_A} "
+            f"AND n2.n_nationkey = {Q7_NATION_B}) "
+            f"OR (n1.n_nationkey = {Q7_NATION_B} "
+            f"AND n2.n_nationkey = {Q7_NATION_A})) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "tpch_q8": (
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            f"CAST(sum(CASE WHEN s_nationkey = {Q8_NATIONKEY} THEN "
+            "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) "
+            "AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_vol_q2, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "
+            "* 100.0) AS BIGINT)) AS BIGINT) AS total_vol_q2 "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            f"WHERE p_type = '{Q8_TYPE}' "
+            f"AND n2.n_regionkey = {Q8_REGIONKEY} "
+            f"AND o_orderdate >= make_timestamp({Q8_LO_US}) "
+            f"AND o_orderdate < make_timestamp({Q8_HI_US}) "
+            "GROUP BY 1"
+        ),
+        "tpch_q9": (
+            "SELECT n_name AS supp_nation, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "
+            "* 100.0) AS BIGINT) "
+            "- CAST(floor(p_retailprice * 100.0) AS BIGINT) "
+            "* CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS profit_q2 "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            f"WHERE p_name LIKE '%{Q9_NAME_SUBSTR}%' "
+            "GROUP BY 1, 2"
+        ),
+        "tpch_q11": (
+            "WITH v AS (SELECT l_partkey, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) "
+            "AS BIGINT) AS value_q2 "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            f"WHERE s_nationkey = {Q11_NATIONKEY} GROUP BY 1) "
+            "SELECT l_partkey, value_q2 FROM v "
+            f"WHERE value_q2 * {Q11_FRACTION_DEN} > "
+            "(SELECT CAST(sum(value_q2) AS BIGINT) FROM v)"
+        ),
+        "tpch_q13": (
+            "WITH c AS (SELECT c_custkey, "
+            "CAST(count(o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            f"AND o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}' "
+            "GROUP BY 1) "
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist "
+            "FROM c GROUP BY 1"
+        ),
+        "tpch_q15": (
+            "WITH r AS (SELECT CAST(l_suppkey AS BIGINT) AS s_suppkey, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "
+            "* 100.0) AS BIGINT)) AS BIGINT) AS total_revenue_q2 "
+            "FROM lineitem "
+            f"WHERE l_shipdate >= make_timestamp({Q15_LO_US}) "
+            f"AND l_shipdate < make_timestamp({Q15_HI_US}) GROUP BY 1) "
+            "SELECT r.s_suppkey, s.s_name, r.total_revenue_q2 "
+            "FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey "
+            "WHERE r.total_revenue_q2 = "
+            "(SELECT max(total_revenue_q2) FROM r)"
+        ),
+        "tpch_q20": (
+            "SELECT DISTINCT s.s_suppkey, s.s_name "
+            "FROM supplier s JOIN ("
+            "SELECT l_suppkey FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            f"WHERE p_name LIKE '{Q20_NAME_PREFIX}%' "
+            f"AND l_shipdate >= make_timestamp({Q20_LO_US}) "
+            f"AND l_shipdate < make_timestamp({Q20_HI_US}) "
+            "GROUP BY l_suppkey, l_partkey "
+            "HAVING sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) "
+            f"> {Q20_MIN_QTY_Q2}"
+            ") q ON s.s_suppkey = q.l_suppkey "
+            f"WHERE s.s_nationkey = {Q20_NATIONKEY}"
+        ),
+        "tpch_q21": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "g AS (SELECT l_orderkey, l_suppkey, max(late) AS late "
+            "FROM l GROUP BY 1, 2), "
+            "o AS (SELECT l_orderkey, count(*) AS n_supp, "
+            "sum(late) AS n_late FROM g GROUP BY 1) "
+            "SELECT CAST(g.l_suppkey AS BIGINT) AS s_suppkey, s.s_name, "
+            "CAST(count(*) AS BIGINT) AS numwait "
+            "FROM g JOIN o ON g.l_orderkey = o.l_orderkey "
+            "JOIN supplier s ON g.l_suppkey = s.s_suppkey "
+            "WHERE g.late = 1 AND o.n_supp > 1 AND o.n_late = 1 "
+            "GROUP BY 1, 2"
+        ),
         "doc_stats": f"SELECT doc_id, {_STATS_FRAG} FROM documents",
         "bm25_topk": bm25_sql,
         "part_cooc_pagerank": pagerank_sql,

@@ -120,3 +120,30 @@ def test_non_ascii_engine_vs_sql_agree():
     sql_lower = duckdb.sql("SELECT lower('É')").fetchone()[0].encode()
     assert eng_lower == "É".encode()  # engine: unchanged
     assert sql_lower == "é".encode()  # SQL: folded — documented divergence
+
+
+def test_year_from_epoch_us_matches_datetime():
+    """The integer civil-from-days year kernel (Hinnant) agrees with
+    Python's proleptic-Gregorian datetime on a dense sweep across leap
+    years, century rules, and pre-epoch dates."""
+    import datetime as dt
+
+    from luzzu_ray.ops.common import year_from_epoch_us
+
+    # every 17 days over 1899..2101 (covers 1900 non-leap, 2000 leap,
+    # negative epochs) plus exact year boundaries
+    days = np.arange(-26_000, 48_000, 17, dtype=np.int64)
+    bounds = [
+        int((dt.datetime(y, 1, 1, tzinfo=dt.timezone.utc)
+             - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc))
+            .total_seconds()) // 86_400
+        for y in (1900, 1970, 2000, 2001, 2100)
+    ]
+    days = np.concatenate([days, np.array(bounds, np.int64),
+                           np.array(bounds, np.int64) - 1])
+    us = days * 86_400_000_000 + 12 * 3_600_000_000  # mid-day, no edge
+    got = year_from_epoch_us(us)
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    want = np.array(
+        [(epoch + dt.timedelta(days=int(d))).year for d in days], np.int64)
+    assert (got == want).all()
