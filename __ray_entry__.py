@@ -2805,7 +2805,7 @@ Q7_LO_US, Q7_HI_US = 820_454_400_000_000, Q6_HI_US  # [1996-01-01, 1998-01-01)
 Q8_TYPE, Q8_REGIONKEY, Q8_NATIONKEY = "PROMO", 1, 6  # AMERICA; share nation
 Q8_LO_US, Q8_HI_US = 788_918_400_000_000, Q3_CUTOFF_US  # [1995, 1997)
 Q9_NAME_SUBSTR = "gizmo"
-Q11_NATIONKEY, Q11_FRACTION_DEN = 7, 1000         # value > total/1000
+Q11_NATIONKEY, Q11_MEAN_MULT = 7, 2   # keep parts above 2x the mean share
 Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
 Q15_LO_US, Q15_HI_US = 825_638_400_000_000, 833_587_200_000_000  # 96-03..06
 Q20_NAME_PREFIX, Q20_NATIONKEY = "small", 3
@@ -3156,10 +3156,14 @@ def q_tpch_q11(sf_dir: str):
     nation's suppliers (broadcast tagger filter — no exchange), a
     grouped fixed-point combine by partkey, then the HAVING-vs-global
     -scalar predicate: the aggregated per-part table is materialized
-    once (narrow: one row per surviving part), its streamed .sum()
-    becomes the broadcast threshold, and value*DEN > total filters it.
-    value_q2*1000 stays far under 2^63 (total itself fits int64 and
-    DEN=10^3, bound in docstring vs the 9.2e18 ceiling)."""
+    once (narrow: one row per surviving part), its streamed .sum() and
+    .count() become the driver-side threshold
+    thr = (MULT * total) // n_parts (parts above MULT x the mean share
+    — scale-invariant, unlike TPC-H's fixed fraction), and a plain
+    value_q2 > thr filter applies it.  The threshold is exact Python
+    integer arithmetic on the driver and the row predicate is a single
+    int64 comparison, so no product can overflow at any corpus size;
+    DuckDB reproduces the floor division in HUGEINT."""
     from luzzu_ray.ops.relational import grouped_sum_q
 
     supp_ref = _supp_nation_ref(sf_dir)
@@ -3176,12 +3180,12 @@ def q_tpch_q11(sf_dir: str):
     v = grouped_sum_q(
         pre, ["l_partkey"], float_cols={"l_extendedprice": "value_q2"}, q=2,
     ).materialize()
-    tot = v.sum("value_q2") or 0
-    thr = pa.scalar(int(tot), pa.int64())
-    den = pa.scalar(Q11_FRACTION_DEN, pa.int64())
+    tot = int(v.sum("value_q2") or 0)
+    n_parts = max(v.count(), 1)
+    thr = pa.scalar((Q11_MEAN_MULT * tot) // n_parts, pa.int64())
 
     def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(pc.multiply(t["value_q2"], den), thr))
+        return t.filter(pc.greater(t["value_q2"], thr))
 
     return v.map_batches(keep, batch_format="pyarrow")
 
@@ -5799,8 +5803,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             f"WHERE s_nationkey = {Q11_NATIONKEY} GROUP BY 1) "
             "SELECT l_partkey, value_q2 FROM v "
-            f"WHERE value_q2 * {Q11_FRACTION_DEN} > "
-            "(SELECT CAST(sum(value_q2) AS BIGINT) FROM v)"
+            f"WHERE value_q2 > (SELECT ({Q11_MEAN_MULT} * sum(value_q2))"
+            " // count(*) FROM v)"
         ),
         "tpch_q13": (
             "WITH c AS (SELECT c_custkey, "

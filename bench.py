@@ -192,6 +192,12 @@ def main() -> None:
         "tpch_q2",
         "ann_rrf_fusion",
         "events_value_moments",
+        # round-4 session-3 additions
+        "tpch_q7",
+        "tpch_q8",
+        "tpch_q9",
+        "tpch_q13",
+        "tpch_q21",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
