@@ -1697,6 +1697,93 @@ def _ivf_kmeans_sql(sf_dir: str) -> str | None:
     return _ivf_ann_sql(C)
 
 
+def q_pq_ann_topk(sf_dir: str):
+    """Product-quantization (PQ/ADC) ANN: per-subspace codebooks
+    trained on the same deterministic distributed sample as the
+    k-means IVF path, 4-bit codes per subspace (8 bytes/vector in the
+    scorer), integer query LUTs so the additive ADC score is exact
+    int64 — no float summation anywhere after encoding.  The oracle
+    rebuilds codebooks AND LUTs from the driver-side scalar twin of
+    the sampler and replays assignment + scoring + ranking in SQL."""
+    from luzzu_ray.ops.similarity import pq_ann_topk
+
+    qids, mat = _query_vectors(sf_dir)
+    books = _pq_codebooks_engine(sf_dir)
+    return pq_ann_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        mat, qids, books, k=ANN_K,
+    )
+
+
+def _pq_codebooks_engine(sf_dir: str) -> np.ndarray:
+    """Engine-side PQ training: DISTRIBUTED bottom-k-by-hash sample ->
+    seeded per-subspace Lloyd's (same sample constants as the k-means
+    IVF path, so one sample pass can feed both indexes)."""
+    from luzzu_ray.ops.relational import bottom_k_by_hash
+    from luzzu_ray.ops.similarity import pq_codebooks
+
+    top = bottom_k_by_hash(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        id_col="vec_id", k=IVF_KM_SAMPLE_K, carry_cols=["embedding"],
+        hash_a=SAMPLE_A, hash_b=SAMPLE_B,
+    )
+    sample = np.array(top["embedding"].to_pylist(), dtype=np.float64)
+    return pq_codebooks(sample)
+
+
+def _pq_ann_sql(sf_dir: str) -> str | None:
+    """Data-derived PQ oracle: codebook and integer-LUT literals are
+    rebuilt from the scalar twin of the sampler (independent of the
+    engine's distributed path), assignment is replayed with
+    (score DESC, cid ASC) tie-breaks, and the ADC score is a plain
+    integer SUM of literal LUT entries — order-insensitive by
+    construction."""
+    from luzzu_ray.ops.similarity import pq_codebooks, pq_query_luts
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    books = pq_codebooks(_km_sample_matrix_numpy(sf_dir))
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], N_ANN_QUERIES))
+    qids = t["vec_id"].to_pylist()
+    luts = pq_query_luts(
+        books, np.array(t["embedding"].to_pylist(), np.float64))
+    m, ksub, dsub = books.shape
+    cb_vals = ", ".join(
+        f"({j}, {c}, [" + ", ".join(
+            repr(float(x)) for x in books[j, c]) + "])"
+        for j in range(m) for c in range(ksub)
+    )
+    lut_vals = ", ".join(
+        f"({qids[qi]}, {j}, {c}, {int(luts[qi, j, c])})"
+        for qi in range(len(qids)) for j in range(m) for c in range(ksub)
+    )
+    return f"""
+WITH cb(m, cid, cvec) AS (VALUES {cb_vals}),
+lut(query_id, m, cid, dq) AS (VALUES {lut_vals}),
+norm AS (SELECT vec_id,
+  list_transform(embedding,
+                 x -> x / sqrt(list_dot_product(embedding, embedding))) AS e
+  FROM embeddings),
+sub AS (SELECT vec_id, m, list_slice(e, m*{dsub}+1, m*{dsub}+{dsub}) AS es
+  FROM norm CROSS JOIN (SELECT unnest(range({m})) AS m)),
+dist AS (SELECT vec_id, sub.m, cb.cid,
+  list_dot_product(es, cvec) - 0.5 * list_dot_product(cvec, cvec) AS sc
+  FROM sub JOIN cb ON sub.m = cb.m),
+codes AS (SELECT vec_id, m, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                             ORDER BY sc DESC, cid) = 1),
+scores AS (SELECT l.query_id, c.vec_id, CAST(sum(l.dq) AS BIGINT) AS score_q
+  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid GROUP BY 1, 2)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+  ORDER BY score_q DESC, vec_id) AS BIGINT) AS rank, vec_id
+FROM scores QUALIFY rank <= {ANN_K}
+"""
+
+
 def q_flagship_documents(sf_dir: str):
     """Full flagship pipeline over the documents-as-transcripts corpus,
     projected to its SQL-checkable outputs: identity, byte-exact
@@ -5314,6 +5401,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "pq_ann_topk": q_pq_ann_topk,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -7164,6 +7252,7 @@ FROM dfs GROUP BY df
     )
     for qname, builder in (("pca_project2", _pca_sql),
                            ("ivf_kmeans_ann_topk", _ivf_kmeans_sql),
+                           ("pq_ann_topk", _pq_ann_sql),
                            ("semantic_dedup", _semantic_dedup_sql)):
         sql = builder(oracle_dir)
         if sql is not None:

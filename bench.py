@@ -193,6 +193,7 @@ def main() -> None:
         "ann_rrf_fusion",
         "events_value_moments",
         # round-4 session-3 additions
+        "pq_ann_topk",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",

@@ -901,6 +901,159 @@ def sq8_ann_topk(
     return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
+# ---------------------------------------------------------------------------
+# product quantization (PQ / ADC) ANN — Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", IEEE TPAMI 2011
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_KSUB = 16    # centroids per subspace -> 4-bit codes, 8 bytes/vector
+PQ_SEED = 6163
+PQ_LUT_Q = 9    # query-side LUT dots quantized to 1e-9 (exact int sums)
+
+
+def _pq_assign(S: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_c ||s - c||^2 == argmax_c (s.c - 0.5*||c||^2); exact ties
+    resolve to the LOWEST centroid id (np.argmax returns the first
+    maximum), matching the SQL oracle's (score DESC, cid ASC) order."""
+    score = S @ C.T - 0.5 * (C * C).sum(axis=1)
+    return np.argmax(score, axis=1).astype(np.int64)
+
+
+def pq_codebooks(
+    sample: np.ndarray, m: int = PQ_M, ksub: int = PQ_KSUB,
+    iters: int = 10, seed: int = PQ_SEED,
+) -> np.ndarray:
+    """(m, ksub, d/m) per-subspace L2 Lloyd's codebooks trained on a
+    UNIT-NORMALIZED deterministic sample — vectors are normalized
+    before splitting so the additive ADC score approximates cosine.
+    Seeded init + empty-cluster keep-old makes the index reproducible;
+    the sample should come from a deterministic sampler
+    (relational.bottom_k_by_hash), mirroring kmeans_centroids."""
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.zeros((m, ksub, dsub), np.float64)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(n, size=min(ksub, n), replace=False)]
+        for _ in range(iters):
+            code = _pq_assign(S, C)
+            for c in range(len(C)):
+                members = S[code == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, :len(C)] = C
+    return books
+
+
+def pq_query_luts(
+    books: np.ndarray, query_matrix: np.ndarray, q: int = PQ_LUT_Q,
+) -> np.ndarray:
+    """(nq, m, ksub) int64 asymmetric-distance lookup tables:
+    floor(q_sub . c * 10^q).  Quantizing each PER-SUBSPACE dot to an
+    integer makes the ADC score an exact integer SUM — immune to
+    cross-engine float summation order (the oracle embeds these same
+    integers as literals and sums them in SQL)."""
+    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    m, ksub, dsub = books.shape
+    out = np.zeros((len(Q), m, ksub), np.int64)
+    scale = float(10 ** q)
+    for j in range(m):
+        d = Q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+        out[:, j, :] = np.floor(d * scale).astype(np.int64)
+    return out
+
+
+class _PQTopK:
+    """Actor-pool stage: encode each batch to PQ codes (one small
+    matmul per subspace against the broadcast codebooks, resolved once
+    per actor) and score every query via integer LUT gathers — the
+    batch's float content is touched exactly once (encode); scoring is
+    pure int64."""
+
+    def __init__(self, ref, k: int):
+        st = ray.get(ref) if not isinstance(ref, dict) else ref
+        self.books = st["books"]
+        self.luts = st["luts"]          # (nq, m, ksub) int64
+        self.qids = np.asarray(st["qids"], dtype=np.int64)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "score_q": pa.array([], pa.int64())}
+        )
+        vec_id = t["vec_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        E = _normalize(_as_matrix(t["embedding"]))
+        if E.size == 0:
+            return empty
+        m, ksub, dsub = self.books.shape
+        n = len(E)
+        score = np.zeros((len(self.qids), n), np.int64)
+        for j in range(m):
+            codes = _pq_assign(E[:, j * dsub:(j + 1) * dsub], self.books[j])
+            score += self.luts[:, j, codes]
+        k = min(self.k, n)
+        top = np.argpartition(-score, kth=k - 1, axis=1)[:, :k]  # (nq, k)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            idx = top[qi]
+            out_q.append(np.full(k, self.qids[qi], dtype=np.int64))
+            out_v.append(vec_id[idx])
+            out_s.append(score[qi, idx])
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q)),
+             "vec_id": pa.array(np.concatenate(out_v)),
+             "score_q": pa.array(np.concatenate(out_s))}
+        )
+
+
+def pq_ann_topk(
+    ds: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: list[int],
+    codebooks: np.ndarray,
+    k: int = 10,
+) -> pa.Table:
+    """PQ/ADC approximate top-k: 4-bit-per-subspace codes make each
+    vector 8 bytes in the scorer (vs 512 for raw float64), queries ride
+    one broadcast of (codebooks, integer LUTs), and the usual partial
+    top-k lists merge through one narrow query_id exchange.  Returns
+    (query_id, rank, vec_id); ranks break score ties by vec_id."""
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    luts = pq_query_luts(codebooks, query_matrix)
+    ref = ray.put({"books": codebooks, "luts": luts,
+                   "qids": list(query_ids)})
+    partials = ds.map_batches(
+        _PQTopK,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=_pool(),
+        fn_constructor_kwargs={"ref": ref, "k": k},
+    )
+    merged = partials.repartition(
+        num_blocks=max(1, min(8, len(list(query_ids)))), keys=["query_id"]
+    ).map_batches(
+        lambda t: _final_topk(t, k, score_col="score_q"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    tbl = pa.Table.from_pylist(
+        merged.take_all(),  # exactly q x k rows
+        schema=pa.schema(
+            [("query_id", pa.int64()), ("rank", pa.int64()),
+             ("vec_id", pa.int64())]
+        ),
+    )
+    return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def embedding_gram(
     ds: ray.data.Dataset,
     vec_col: str = "embedding",

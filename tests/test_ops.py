@@ -4368,3 +4368,61 @@ def test_hll_mergeable_layoutproof_and_accurate(ray_session):
     assert est["m"] == m
     sigma = 1.04 / np.sqrt(m)
     assert abs(est["est_raw"] - n) <= 3 * sigma * n, est
+
+
+def test_pq_ann_topk_twin_match_and_partition_invariance(ray_session):
+    """PQ/ADC ANN: byte-identical across block layouts (the integer
+    LUT score removes float merge-order risk), exactly equal to a
+    per-row scalar twin (encode -> integer LUT sum -> lexsort rank),
+    and semantically sane: every top-5 hit lands in the query's true
+    cluster.  Strict self-hit is NOT asserted — PQ code ties are
+    broken by vec_id, so a same-code lower-id neighbor may outrank
+    the query itself; that's correct ADC semantics."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import (
+        _normalize, _pq_assign, pq_ann_topk, pq_codebooks, pq_query_luts,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((5, 32)) * 4
+    E = np.concatenate(
+        [centers[i] + 0.3 * rng.standard_normal((80, 32)) for i in range(5)]
+    ).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(E), dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(E.reshape(-1)), 32
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    books = pq_codebooks(E[rng.choice(len(E), 200, replace=False)])
+    Q = E[[3, 200]].astype(np.float64)
+
+    runs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        runs.append(pq_ann_topk(ds, Q, [3, 200], books, k=5).to_pylist())
+    assert runs[0] == runs[1]
+    got = runs[0]
+
+    # scalar twin: same codebooks, same integer LUTs, lexsort ranking
+    X = _normalize(E.astype(np.float64))
+    luts = pq_query_luts(books, Q)
+    m, ksub, dsub = books.shape
+    score = np.zeros((2, len(X)), np.int64)
+    for j in range(m):
+        code = _pq_assign(X[:, j * dsub:(j + 1) * dsub], books[j])
+        score += luts[:, j, code]
+    want = []
+    for qi, qid in enumerate((3, 200)):
+        order = np.lexsort((np.arange(len(X)), -score[qi]))[:5]
+        want += [{"query_id": qid, "rank": r + 1, "vec_id": int(v)}
+                 for r, v in enumerate(order)]
+    assert got == want
+
+    # top-5 hits stay inside the query's true cluster (80-row groups)
+    for qid in (3, 200):
+        hits = [r["vec_id"] for r in got if r["query_id"] == qid]
+        assert all(v // 80 == qid // 80 for v in hits), (qid, hits)
