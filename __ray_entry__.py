@@ -1784,6 +1784,102 @@ FROM scores QUALIFY rank <= {ANN_K}
 """
 
 
+def q_ivfpq_ann_topk(sf_dir: str):
+    """IVF-PQ ANN (the production composition): data-adapted k-means
+    coarse cells prune the corpus sub-linearly, PQ/ADC integer LUTs
+    score the survivors at 8 bytes/vector.  Both index artifacts train
+    on the same deterministic distributed sample; the oracle rebuilds
+    centroid AND codebook AND LUT literals from the scalar twin and
+    replays cell probe + assignment + integer scoring in SQL."""
+    from luzzu_ray.ops.similarity import ivfpq_ann_topk
+
+    qids, mat = _query_vectors(sf_dir)
+    return ivfpq_ann_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        mat, qids, _pq_codebooks_engine(sf_dir),
+        _kmeans_centroids_engine(sf_dir), k=ANN_K,
+    )
+
+
+def _ivfpq_sql(sf_dir: str) -> str | None:
+    """Composed data-derived oracle: the IVF candidate CTEs (centroid
+    literals, arg-max cell codes, top-n_probe query cells) feed the PQ
+    scoring CTEs (codebook + integer LUT literals) — candidates only,
+    exactly like the engine composition."""
+    from luzzu_ray.ops.similarity import (
+        IVF_NPROBE,
+        kmeans_centroids,
+        pq_codebooks,
+        pq_query_luts,
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    sample = _km_sample_matrix_numpy(sf_dir)
+    cents = kmeans_centroids(sample)
+    books = pq_codebooks(sample)
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], N_ANN_QUERIES))
+    qids = t["vec_id"].to_pylist()
+    luts = pq_query_luts(
+        books, np.array(t["embedding"].to_pylist(), np.float64))
+    m, ksub, dsub = books.shape
+    cent_vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for i, row in enumerate(cents)
+    )
+    cb_vals = ", ".join(
+        f"({j}, {c}, [" + ", ".join(
+            repr(float(x)) for x in books[j, c]) + "])"
+        for j in range(m) for c in range(ksub)
+    )
+    lut_vals = ", ".join(
+        f"({qids[qi]}, {j}, {c}, {int(luts[qi, j, c])})"
+        for qi in range(len(qids)) for j in range(m) for c in range(ksub)
+    )
+    return f"""
+WITH cent(ccid, cvec0) AS (VALUES {cent_vals}),
+cdots AS (
+  SELECT e.vec_id, c.ccid, list_dot_product(e.embedding, c.cvec0) AS dot
+  FROM embeddings e CROSS JOIN cent c
+),
+ccodes AS (SELECT vec_id, arg_max(ccid, dot) AS code
+           FROM cdots GROUP BY vec_id),
+qp AS (
+  SELECT vec_id AS query_id, ccid FROM cdots WHERE vec_id < {N_ANN_QUERIES}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, ccid)
+          <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN ccodes ON e.vec_id = ccodes.vec_id
+  WHERE ccodes.code IN (SELECT DISTINCT ccid FROM qp)
+),
+cb(m, cid, cvec) AS (VALUES {cb_vals}),
+lut(query_id, m, cid, dq) AS (VALUES {lut_vals}),
+norm AS (SELECT vec_id,
+  list_transform(embedding,
+                 x -> x / sqrt(list_dot_product(embedding, embedding))) AS e
+  FROM cand),
+sub AS (SELECT vec_id, m, list_slice(e, m*{dsub}+1, m*{dsub}+{dsub}) AS es
+  FROM norm CROSS JOIN (SELECT unnest(range({m})) AS m)),
+dist AS (SELECT vec_id, sub.m, cb.cid,
+  list_dot_product(es, cvec) - 0.5 * list_dot_product(cvec, cvec) AS sc
+  FROM sub JOIN cb ON sub.m = cb.m),
+codes AS (SELECT vec_id, m, cid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                             ORDER BY sc DESC, cid) = 1),
+scores AS (SELECT l.query_id, c.vec_id, CAST(sum(l.dq) AS BIGINT) AS score_q
+  FROM codes c JOIN lut l ON l.m = c.m AND l.cid = c.cid GROUP BY 1, 2)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+  ORDER BY score_q DESC, vec_id) AS BIGINT) AS rank, vec_id
+FROM scores QUALIFY rank <= {ANN_K}
+"""
+
+
 def q_flagship_documents(sf_dir: str):
     """Full flagship pipeline over the documents-as-transcripts corpus,
     projected to its SQL-checkable outputs: identity, byte-exact
@@ -5402,6 +5498,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
         "pq_ann_topk": q_pq_ann_topk,
+        "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -7253,6 +7350,7 @@ FROM dfs GROUP BY df
     for qname, builder in (("pca_project2", _pca_sql),
                            ("ivf_kmeans_ann_topk", _ivf_kmeans_sql),
                            ("pq_ann_topk", _pq_ann_sql),
+                           ("ivfpq_ann_topk", _ivfpq_sql),
                            ("semantic_dedup", _semantic_dedup_sql)):
         sql = builder(oracle_dir)
         if sql is not None:

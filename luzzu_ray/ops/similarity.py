@@ -242,21 +242,20 @@ def kmeans_centroids(
     return C
 
 
-def ivf_ann_topk(
+def ivf_cell_filter(
     ds: ray.data.Dataset,
     query_matrix: np.ndarray,
-    query_ids: list[int],
-    k: int = 10,
-    dim: int = 64,
+    centroids: np.ndarray,
     n_probe: int = IVF_NPROBE,
-    centroids: np.ndarray | None = None,
-) -> pa.Table:
-    """IVF approximate top-k: vectors are assigned to their max-dot
-    (== max-cosine, centroids are unit norm) cell in one vectorized
-    argmax per batch; only vectors in the union of every query's
-    top-``n_probe`` cells are exact-searched.  Recall < 1 by design;
-    expected search fraction ≈ n_probe / n_centroids."""
-    C = ivf_centroids(dim) if centroids is None else np.asarray(centroids)
+) -> ray.data.Dataset:
+    """Coarse-quantizer candidate pruning: vectors are assigned to
+    their max-dot (== max-cosine, centroids are unit norm) cell in one
+    vectorized argmax per batch; only vectors in the union of every
+    query's top-``n_probe`` cells survive.  Expected survivor fraction
+    ≈ n_probe / n_centroids — this is the piece that keeps ANN search
+    sub-linear at corpus scale, shared by the exact (IVF) and
+    PQ-compressed (IVF-PQ) rerankers."""
+    C = np.asarray(centroids)
     Q = np.asarray(query_matrix, dtype=np.float64)
     qdots = Q @ C.T  # (q, k)
     want: set[int] = set()
@@ -275,7 +274,22 @@ def ivf_ann_topk(
         code = np.argmax(E @ C.T, axis=1).astype(np.int64)
         return t.filter(pc.is_in(pa.array(code), value_set=want_arr))
 
-    filtered = ds.map_batches(cell_filter, batch_format="pyarrow")
+    return ds.map_batches(cell_filter, batch_format="pyarrow")
+
+
+def ivf_ann_topk(
+    ds: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    n_probe: int = IVF_NPROBE,
+    centroids: np.ndarray | None = None,
+) -> pa.Table:
+    """IVF approximate top-k: coarse cell pruning (ivf_cell_filter),
+    then exact cosine over the survivors.  Recall < 1 by design."""
+    C = ivf_centroids(dim) if centroids is None else np.asarray(centroids)
+    filtered = ivf_cell_filter(ds, query_matrix, C, n_probe)
     return ann_topk(filtered, query_matrix, query_ids, k)
 
 
@@ -1052,6 +1066,25 @@ def pq_ann_topk(
         ),
     )
     return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def ivfpq_ann_topk(
+    ds: ray.data.Dataset,
+    query_matrix: np.ndarray,
+    query_ids: list[int],
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = IVF_NPROBE,
+) -> pa.Table:
+    """IVF-PQ: the production ANN shape at corpus scale — the coarse
+    quantizer prunes to ~n_probe/n_cells of the corpus BEFORE any
+    scoring (sub-linear candidate set), then PQ/ADC integer scoring
+    ranks the survivors at 8 bytes per vector.  Composition of
+    ivf_cell_filter and pq_ann_topk; both index artifacts come from
+    the same deterministic sample."""
+    filtered = ivf_cell_filter(ds, query_matrix, centroids, n_probe)
+    return pq_ann_topk(filtered, query_matrix, query_ids, codebooks, k)
 
 
 def embedding_gram(
