@@ -3982,6 +3982,24 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+CTX_WINDOW_TURNS = 2
+
+
+def q_sft_context_examples(sf_dir: str):
+    """Training-example construction: docs chunk into overlapping
+    token windows (the corpus's stand-in for conversation turns), one
+    conv-keyed exchange co-locates them, and each chunk gets the
+    concatenation of its previous CTX_WINDOW_TURNS chunks as
+    context_text (NULL for openers) — next-turn-prediction example
+    building as a pure batch transform."""
+    from luzzu_ray.ops.vocab import chunk_documents, context_examples
+
+    chunks = chunk_documents(
+        _docs(sf_dir, ["doc_id", "text"]), CHUNK_W, CHUNK_S
+    ).select_columns(["doc_id", "chunk_idx", "chunk_text"])
+    return context_examples(chunks, CTX_WINDOW_TURNS)
+
+
 def q_events_funnel(sf_dir: str):
     """Two-step conversion funnel: first click -> first purchase at or
     after it, converted within 1 h; co-located per-user segment mins."""
@@ -5499,6 +5517,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # window priority over older never-audited entries
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
+        "sft_context_examples": q_sft_context_examples,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -6565,6 +6584,22 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "CAST(least(i * {S} + {W}, t) - i * {S} AS BIGINT) "
             "AS n_tokens FROM e"
         ).replace("{W}", str(CHUNK_W)).replace("{S}", str(CHUNK_S)),
+        "sft_context_examples": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, "
+            "len(string_split(text, ' ')) AS t FROM documents), "
+            "k AS (SELECT doc_id, w, t, 1 + (greatest(t - {W}, 0) "
+            "+ {S} - 1) // {S} AS nk FROM d), "
+            "e AS (SELECT doc_id, w, t, "
+            "unnest(generate_series(0, nk - 1)) AS i FROM k), "
+            "chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "array_to_string(list_slice(w, i * {S} + 1, "
+            "least(i * {S} + {W}, t)), ' ') AS chunk_text FROM e) "
+            "SELECT doc_id, chunk_idx, chunk_text AS target_text, "
+            "string_agg(chunk_text, ' | ') OVER (PARTITION BY doc_id "
+            "ORDER BY chunk_idx ROWS BETWEEN {CW} PRECEDING AND "
+            "1 PRECEDING) AS context_text FROM chunks"
+        ).replace("{W}", str(CHUNK_W)).replace("{S}", str(CHUNK_S))
+        .replace("{CW}", str(CTX_WINDOW_TURNS)),
         "events_funnel": (
             "WITH a AS (SELECT user_id, min(ts) AS ts_a FROM events "
             "WHERE event_type = 'click' GROUP BY user_id), "

@@ -194,6 +194,8 @@ def main() -> None:
         "events_value_moments",
         # round-4 session-3 additions
         "pq_ann_topk",
+        "ivfpq_ann_topk",
+        "sft_context_examples",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",

@@ -1621,3 +1621,78 @@ def dsir_importance(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def context_examples(
+    chunks: ray.data.Dataset,
+    window_turns: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+    sep: str = " | ",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Training-example construction (SFT context building): for each
+    turn/chunk, the concatenation of up to ``window_turns`` PRECEDING
+    turns of the same conversation becomes ``context_text`` and the
+    turn itself ``target_text`` — the preprocessing step that turns a
+    flat turn table into next-turn-prediction examples.
+
+    One keyed exchange co-locates each conversation; per block, rows
+    sort by (id, idx) once and contexts build from ``window_turns``
+    vectorized shifted takes.  Within a sorted group the prev-validity
+    masks are NESTED (a valid prev at distance w implies one at w-1),
+    so each row's context is exactly the join of its last v valid
+    parts — selected from the w candidate emit-null joins with w
+    ``if_else`` kernels (pyarrow 16.1's ``null_handling='skip'``
+    DROPS all-null rows instead of emitting "", so it cannot be used
+    element-wise).  No per-row Python, no per-group loop.  A turn with
+    an empty frame (the conversation opener) gets a NULL context,
+    matching SQL ``string_agg OVER (ROWS BETWEEN w PRECEDING AND
+    1 PRECEDING)``.
+
+    Skew note: one conversation lands in one reduce block; the repo's
+    salting protocol applies if a single conversation outgrows a block
+    (same contract as conversation reassembly).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    # chunking upstream is row-expanding: metadata row counts would
+    # under-size the exchange
+    width = auto_partitions(chunks, num_partitions, expanding=True)
+
+    def block(t: pa.Table) -> pa.Table:
+        t = t.sort_by([(id_col, "ascending"), (idx_col, "ascending")])
+        n = t.num_rows
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        txt = t[text_col].combine_chunks()
+        pos = np.arange(n, dtype=np.int64)
+        parts, valids = [], []
+        for w in range(window_turns, 0, -1):  # oldest turn first
+            valid = np.zeros(n, dtype=bool)
+            if n > w:
+                valid[w:] = ids[w:] == ids[:-w]
+            shifted = txt.take(pa.array(np.maximum(pos - w, 0)))
+            parts.append(pc.if_else(pa.array(valid), shifted,
+                                    pa.nulls(n, pa.string())))
+            valids.append(valid)
+        n_prev = (np.sum(valids, axis=0) if valids
+                  else np.zeros(n, dtype=np.int64))
+        ctx = pa.nulls(n, pa.string())
+        for v in range(1, window_turns + 1):
+            tail = parts[window_turns - v:]
+            jv = tail[0] if v == 1 else pc.binary_join_element_wise(
+                *tail, sep, null_handling="emit_null")
+            ctx = pc.if_else(pa.array(n_prev == v), jv, ctx)
+        return pa.table({
+            id_col: t[id_col],
+            idx_col: t[idx_col],
+            "target_text": txt,
+            "context_text": ctx,
+        })
+
+    return chunks.repartition(
+        num_blocks=width, keys=[id_col]
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)

@@ -4426,3 +4426,44 @@ def test_pq_ann_topk_twin_match_and_partition_invariance(ray_session):
     for qid in (3, 200):
         hits = [r["vec_id"] for r in got if r["query_id"] == qid]
         assert all(v // 80 == qid // 80 for v in hits), (qid, hits)
+
+
+def test_context_examples_matches_pandas_twin(ray_session):
+    """context_examples == a pandas groupby-shift twin on a multi-conv
+    fixture, invariant to block layout; openers get NULL context."""
+    import pandas as pd
+    import ray.data
+
+    from luzzu_ray.ops.vocab import context_examples
+
+    rows = []
+    rng = np.random.default_rng(11)
+    for conv in range(25):
+        for i in range(int(rng.integers(1, 8))):
+            rows.append({"doc_id": conv, "chunk_idx": i,
+                         "chunk_text": f"c{conv}t{i}"})
+    t = pa.Table.from_pylist(rows)
+
+    def twin(df: pd.DataFrame, w: int) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+        parts = [df.groupby("doc_id")["chunk_text"].shift(k)
+                 for k in range(w, 0, -1)]
+        ctx = [
+            " | ".join(p.iloc[i] for p in parts if isinstance(p.iloc[i], str))
+            or None
+            for i in range(len(df))
+        ]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "chunk_idx": df["chunk_idx"],
+            "target_text": df["chunk_text"], "context_text": ctx,
+        })
+
+    want = twin(t.to_pandas(), 2)
+    outs = []
+    for parts_n in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(parts_n)
+        got = context_examples(ds, 2).to_pandas().sort_values(
+            ["doc_id", "chunk_idx"]).reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    assert outs[0].equals(want), (outs[0].head(), want.head())
