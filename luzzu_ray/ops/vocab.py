@@ -1696,3 +1696,63 @@ def context_examples(
     return chunks.repartition(
         num_blocks=width, keys=[id_col]
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def vocab_coverage(
+    ds: ray.data.Dataset,
+    v: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document coverage of the corpus top-V vocabulary —
+    (id, n_tokens, n_oov) — the tokenizer-coverage / OOV-rate
+    diagnostic run before committing to a vocab size.
+
+    The vocabulary comes from the word_stats_topv combine (narrow
+    per-block partials, one hash groupby, top-V sort); the resulting
+    word set is BOUNDED BY V by construction, so pulling it to the
+    driver and re-broadcasting via ray.put is a capped transfer (the
+    same contract as the tf-idf top-V cap), and the coverage pass
+    itself is exchange-free: one split + one is_in + one reduceat per
+    batch."""
+
+    vocab_rows = word_stats_topv(ds, v, text_col).take_all()  # <= v rows
+    vocab_arr = pa.array([r["word"] for r in vocab_rows], pa.string())
+    ref = ray.put(vocab_arr)
+
+    class Cover:
+        def __init__(self, vocab_ref):
+            self.vocab = (ray.get(vocab_ref)
+                          if not isinstance(vocab_ref, pa.Array)
+                          else vocab_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            words = pc.split_pattern(t[text_col], " ").combine_chunks()
+            offs = words.offsets.to_numpy().astype(np.int64)
+            flat = words.flatten()
+            n_tok = offs[1:] - offs[:-1]
+            if len(flat):
+                oov = pc.invert(
+                    pc.is_in(flat, value_set=self.vocab)
+                ).to_numpy(zero_copy_only=False).astype(np.int64)
+                starts = offs[:-1] - offs[0]
+                n_oov = np.add.reduceat(oov, starts, dtype=np.int64)
+                n_oov[n_tok == 0] = 0
+            else:
+                n_oov = np.zeros(n, dtype=np.int64)
+            return pa.table({
+                id_col: t[id_col],
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "n_oov": pa.array(n_oov),
+            })
+
+    from luzzu_ray.ops.common import pool
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.filter(pc.is_valid(t[text_col])),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        Cover, fn_constructor_args=(ref,),
+        batch_format="pyarrow", concurrency=pool(),
+    )
