@@ -196,6 +196,7 @@ def main() -> None:
         "pq_ann_topk",
         "ivfpq_ann_topk",
         "sft_context_examples",
+        "vocab_coverage",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",

@@ -9,7 +9,9 @@ Each test pins one fixed failure mode:
 - auto_partitions: expanding=True forces the cluster-cap fallback and
   FlatMap is a hard stop for the metadata bound;
 - _lines_block: NULL/empty text yields zero lines without caller
-  pre-filtering.
+  pre-filtering;
+- outer_hash_join: exchange width comes from the WALKED row-count
+  bound, so filtered sides don't trigger the cluster-cap fallback.
 """
 
 from __future__ import annotations
@@ -158,3 +160,41 @@ def test_lines_block_empty_and_null_rows_yield_no_lines():
     })
     lines2, d2, i2 = _lines_block(t2, "text", "doc_id", 4)
     assert len(lines2) == 0 and len(d2) == 0 and len(i2) == 0
+
+
+def test_outer_join_width_walks_filtered_sides(ray_session, tmp_path):
+    """outer_hash_join must size its unioned exchange from the WALKED
+    row-count bound: a read -> filter-map right side resolves to the
+    parquet footer count instead of falling back to the cluster cap
+    (which cost tpch_q13 ~128 partitions of fixed shuffle overhead on
+    a 165k-row join)."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import count_upper_bound_if_cheap
+
+    p = str(tmp_path / "r.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(range(200), pa.int64()),
+                  "v": pa.array(range(200), pa.int64())}), p
+    )
+    filtered = ray.data.read_parquet(p).map_batches(
+        lambda t: t.filter(pa.compute.greater(t["v"], 100)),
+        batch_format="pyarrow",
+    )
+    # the walked bound survives the filter map (over-counts, never None)
+    assert count_upper_bound_if_cheap(filtered) == 200
+
+    from luzzu_ray.ops.relational import outer_hash_join
+
+    left = ray.data.read_parquet(p)
+    out = outer_hash_join(
+        left, filtered, left_key="k", right_key="k",
+        left_cols=[], right_cols=["v"], how="left",
+    ).materialize()
+    # correctness unchanged: every left row survives; matches carry v
+    rows = out.take_all()
+    assert len(rows) == 200
+    n_matched = sum(r["v"] is not None for r in rows)
+    assert n_matched == 99  # v in 101..199
+    # the exchange was data-sized: a 400-row join never needs the cap
+    assert out.num_blocks() <= 8
