@@ -4927,6 +4927,96 @@ def q_image_resize_features(sf_dir: str):
     return _features_q4_flat(decoded)
 
 
+PHASH_K = 40           # distinct base images; ids collide mod K
+PHASH_N_PERTURB = 16   # +-1 pixel tweaks per derived image
+
+
+def neardup_pixels_for_doc(doc_id: int) -> np.ndarray:
+    """Deterministic near-duplicate pixel grid: the base image is
+    ``image_pixels_for_doc(doc_id % PHASH_K)`` with PHASH_N_PERTURB
+    seeded +-1 single-channel tweaks — same-base images hash equal
+    under aHash (a +-1 luma nudge cannot cross the tile-mean threshold
+    except on exact ties, and the twin replays the identical pixels
+    either way).  Single source of truth for the corpus generator AND
+    the committed-fixture scalar twin."""
+    base = image_pixels_for_doc(int(doc_id) % PHASH_K).copy()
+    rng = np.random.Generator(np.random.PCG64(int(doc_id) * 104729 + 17))
+    ys = rng.integers(0, base.shape[0], PHASH_N_PERTURB)
+    xs = rng.integers(0, base.shape[1], PHASH_N_PERTURB)
+    cs = rng.integers(0, 3, PHASH_N_PERTURB)
+    dl = rng.integers(0, 2, PHASH_N_PERTURB) * 2 - 1
+    v = base[ys, xs, cs].astype(np.int64) + dl
+    base[ys, xs, cs] = np.clip(v, 0, 255).astype(np.uint8)
+    return base
+
+
+def _png_neardup_image_corpus(sf_dir: str):
+    """REAL-PNG near-duplicate corpus (one image per doc id, pixels
+    from ``neardup_pixels_for_doc``), cached like the base corpus."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.png import encode_png
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    sig = f"{len(doc_ids)}-{min(doc_ids, default=0)}-{max(doc_ids, default=0)}"
+    img_path = f"/tmp/luzzu_png_neardup/{tag}-{sig}.parquet"
+    if not os.path.exists(img_path):
+        os.makedirs(os.path.dirname(img_path), exist_ok=True)
+        imgs = pa.table(
+            {
+                "id": pa.array(doc_ids, pa.int64()),
+                "image": pa.array(
+                    [encode_png(neardup_pixels_for_doc(d),
+                                filter_type="mixed")
+                     for d in doc_ids],
+                    pa.binary(),
+                ),
+            }
+        )
+        tmp = f"{img_path}.tmp.{os.getpid()}"
+        pq.write_table(imgs, tmp)
+        os.replace(tmp, img_path)
+
+    import ray.data
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    return ray.data.read_parquet(img_path)
+
+
+def q_image_phash_dedup(sf_dir: str):
+    """Perceptual-hash image dedup: real PNG decode -> 64-bit aHash
+    (exact integer tile-mean fingerprint) -> ONE hash-keyed exchange
+    -> keep = lowest id per hash group.  The committed oracle rebuilds
+    hashes from generator pixels (never the codec) and groups in
+    pandas, so a codec or kernel bug cannot self-confirm.  Output
+    (id, ahash, keep)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.multimodal import image_ahash
+
+    corpus = _png_neardup_image_corpus(sf_dir)
+    hashed = image_ahash(corpus, mode="real")
+
+    def keep_block(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        hs = t["ahash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hs))  # (hash, id) — run head = min id
+        first = np.concatenate(
+            ([True], hs[order][1:] != hs[order][:-1])
+        ) if len(ids) else np.array([], bool)
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order[first]] = True
+        return t.append_column("keep", pa.array(keep))
+
+    return hashed.repartition(
+        num_blocks=auto_partitions(corpus, None), keys=["ahash"]
+    ).map_batches(keep_block, batch_format="pyarrow", batch_size=None)
+
+
 VID_N_FRAMES, VID_FW, VID_FH, VID_EVERY_K = 4, 32, 24, 2
 
 
@@ -5529,6 +5619,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
         "vocab_coverage": q_vocab_coverage,
+        "image_phash_dedup": q_image_phash_dedup,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -7019,6 +7110,10 @@ FROM dfs GROUP BY df
         "image_features": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/image_features_sf001.parquet')"
+        ),
+        "image_phash_dedup": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/image_phash_dedup_sf001.parquet')"
         ),
         "audio_features": (
             "SELECT * FROM read_parquet("

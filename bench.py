@@ -197,6 +197,7 @@ def main() -> None:
         "ivfpq_ann_topk",
         "sft_context_examples",
         "vocab_coverage",
+        "image_phash_dedup",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",

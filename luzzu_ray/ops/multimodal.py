@@ -511,3 +511,88 @@ def resample_audio(
         concurrency=concurrency,
         fn_constructor_kwargs={"target_rate": target_rate, "mode": mode},
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (aHash) image dedup
+# ---------------------------------------------------------------------------
+
+AHASH_GRID = 8
+
+
+def ahash_from_pixels(px: np.ndarray, grid: int = AHASH_GRID) -> np.uint64:
+    """64-bit average hash of an (H, W, 3) uint8 pixel grid — the
+    classic near-duplicate image fingerprint: integer BT.601 luma
+    (299R + 587G + 114B, kept UNDIVIDED), exact grid x grid tile sums,
+    bit i set iff tile i's mean luma exceeds the global mean, compared
+    as the exact cross-product ``tile_sum * n_tiles > total_sum`` so
+    no division ever happens.  All arithmetic is int64 (well under
+    2^63 for any real image) and shared verbatim by the engine stage
+    and the committed-fixture scalar twin.  Dims are cropped to the
+    largest grid multiple."""
+    h, w = px.shape[:2]
+    th, tw = h // grid, w // grid
+    if th == 0 or tw == 0:
+        return np.uint64(0)
+    px = px[: th * grid, : tw * grid]
+    p = px.astype(np.int64)
+    y = 299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]
+    tiles = y.reshape(grid, th, grid, tw).sum(axis=(1, 3)).reshape(-1)
+    total = int(y.sum())
+    bits = tiles * (grid * grid) > total
+    hval = np.uint64(0)
+    for i in np.flatnonzero(bits):
+        hval |= np.uint64(1) << np.uint64(i)
+    return hval
+
+
+class ImageAHashStage:
+    """Actor-pool stage: (id, image:binary PNG) -> (id, ahash:int64).
+
+    Real PNG decode per item (binary decode is inherently per-item;
+    the hash kernel itself is vectorized over pixels), undecodable
+    bytes degrade to hash 0 in 'real' mode / raise in 'strict'."""
+
+    def __init__(self, mode: str = "real"):
+        if mode not in ("real", "strict"):
+            raise ValueError(f"unknown ahash mode {mode!r}")
+        self.mode = mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from luzzu_ray.ops.png import PNG_SIG, decode_png
+
+        bufs = t["image"].combine_chunks()
+        out = np.zeros(t.num_rows, dtype=np.uint64)
+        for i in range(t.num_rows):
+            v = bufs[i].as_py()
+            if v is None or not v.startswith(PNG_SIG):
+                if self.mode == "strict":
+                    raise ValueError("non-PNG bytes in strict ahash mode")
+                continue
+            try:
+                px = decode_png(v)
+            except ValueError:
+                if self.mode == "strict":
+                    raise
+                continue
+            if px.ndim == 2:  # grayscale -> replicate channels
+                px = np.repeat(px[:, :, None], 3, axis=2)
+            out[i] = ahash_from_pixels(px[:, :, :3])
+        return pa.table(
+            {"id": t["id"], "ahash": pa.array(out.view(np.int64))}
+        )
+
+
+def image_ahash(
+    ds: "ray.data.Dataset", mode: str = "real", batch_size: int = 128,
+) -> "ray.data.Dataset":
+    """Perceptual hashes for a binary-PNG column: one actor-pool pass,
+    no exchange; compose with a hash-keyed group for exact-aHash dedup
+    or with the simhash banding machinery for hamming-tolerant
+    candidate pairs."""
+    from luzzu_ray.ops.common import pool
+
+    return ds.map_batches(
+        ImageAHashStage, fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=pool(),
+    )

@@ -307,10 +307,33 @@ def make_bpe_encode(sf_dir: str) -> pa.Table:
     })
 
 
+def make_image_phash(sf_dir: str) -> pa.Table:
+    """Scalar twin of image_phash_dedup: hashes from GENERATOR pixels
+    (``neardup_pixels_for_doc`` — never the PNG codec the engine
+    decodes with), keep = lowest id per hash via plain python."""
+    from __ray_entry__ import neardup_pixels_for_doc
+    from luzzu_ray.ops.multimodal import ahash_from_pixels
+
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    hashes = [int(np.uint64(ahash_from_pixels(
+        neardup_pixels_for_doc(d))).view(np.int64)) for d in doc_ids]
+    mins: dict[int, int] = {}
+    for d, h in zip(doc_ids, hashes):
+        mins[h] = min(mins.get(h, d), d)
+    return pa.table({
+        "id": pa.array(doc_ids, pa.int64()),
+        "ahash": pa.array(hashes, pa.int64()),
+        "keep": pa.array([mins[h] == d for d, h in zip(doc_ids, hashes)]),
+    })
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
+        ("image_phash_dedup", make_image_phash),
         ("bpe_merges", make_bpe),
         ("bpe_merges_sampled", make_bpe_sampled),
         ("bpe_encode_counts", make_bpe_encode),
