@@ -5017,6 +5017,21 @@ def q_image_phash_dedup(sf_dir: str):
     ).map_batches(keep_block, batch_format="pyarrow", batch_size=None)
 
 
+def q_image_neardup_pairs(sf_dir: str):
+    """Hamming-tolerant image near-dup pairs: real PNG decode ->
+    aHash -> the generic 64-bit-signature banding machinery
+    (4 x 16-bit bands, exact pigeonhole recall for hamming <= 3,
+    XOR + table-popcount verify).  The oracle self-joins the committed
+    codec-bypassing hash fixture in SQL with the same band predicate
+    and DuckDB's two's-complement bit_count/xor — so banding, verify
+    AND the decode path are all independently checked."""
+    from luzzu_ray.ops.dedup import signature_neardup_pairs
+    from luzzu_ray.ops.multimodal import image_ahash
+
+    hashed = image_ahash(_png_neardup_image_corpus(sf_dir), mode="real")
+    return signature_neardup_pairs(hashed, id_col="id", sig_col="ahash")
+
+
 VID_N_FRAMES, VID_FW, VID_FH, VID_EVERY_K = 4, 32, 24, 2
 
 
@@ -5620,6 +5635,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "sft_context_examples": q_sft_context_examples,
         "vocab_coverage": q_vocab_coverage,
         "image_phash_dedup": q_image_phash_dedup,
+        "image_neardup_pairs": q_image_neardup_pairs,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -7114,6 +7130,18 @@ FROM dfs GROUP BY df
         "image_phash_dedup": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/image_phash_dedup_sf001.parquet')"
+        ),
+        "image_neardup_pairs": (
+            "WITH h AS (SELECT id, ahash FROM read_parquet("
+            "'/root/repo/tests/fixtures/image_phash_dedup_sf001.parquet'))"
+            " SELECT x.id AS a, y.id AS b, "
+            "CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming "
+            "FROM h x JOIN h y ON x.id < y.id "
+            "AND (((x.ahash >> 0) & 65535) = ((y.ahash >> 0) & 65535) "
+            "OR ((x.ahash >> 16) & 65535) = ((y.ahash >> 16) & 65535) "
+            "OR ((x.ahash >> 32) & 65535) = ((y.ahash >> 32) & 65535) "
+            "OR ((x.ahash >> 48) & 65535) = ((y.ahash >> 48) & 65535)) "
+            "WHERE bit_count(xor(x.ahash, y.ahash)) <= 3"
         ),
         "audio_features": (
             "SELECT * FROM read_parquet("

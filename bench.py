@@ -198,6 +198,7 @@ def main() -> None:
         "sft_context_examples",
         "vocab_coverage",
         "image_phash_dedup",
+        "image_neardup_pairs",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",

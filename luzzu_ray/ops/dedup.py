@@ -1246,6 +1246,55 @@ def simhash_dedup(
     return _labels_to_dedup_table(labels)
 
 
+def signature_neardup_pairs(
+    ds: ray.data.Dataset,
+    num_partitions: int | None = None,
+    bucket_cap: int = BUCKET_CAP,
+    id_col: str = "doc_id",
+    sig_col: str = "sim",
+) -> ray.data.Dataset:
+    """Distinct (a, b, hamming) pairs over a PRECOMPUTED 64-bit
+    signature column (image aHash, audio fingerprint, any 64-bit
+    sketch) — the simhash banding machinery generalized past text:
+    4 x 16-bit band bucketing (exact pigeonhole recall for
+    hamming <= 3), salt-split oversized buckets, in-bucket XOR +
+    table-popcount verify, one distinct-pair exchange."""
+    _hash_shuffle_ctx()
+
+    def rows(t: pa.Table) -> pa.Table:
+        doc = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sim = t[sig_col].combine_chunks().to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        chunks = np.zeros((len(doc), SIMHASH_BANDS), dtype=np.int64)
+        for b in range(SIMHASH_BANDS):
+            chunks[:, b] = (
+                (sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(
+                    np.arange(SIMHASH_BANDS, dtype=np.int32), len(doc))),
+                "bucket": pa.array(chunks.reshape(-1)),
+                "doc_id": pa.array(
+                    np.repeat(doc, SIMHASH_BANDS).astype(np.int64)),
+                "sim": pa.array(np.repeat(sim, SIMHASH_BANDS).view(np.int64)),
+            }
+        )
+
+    bands = ds.select_columns([id_col, sig_col]).map_batches(
+        rows, batch_format="pyarrow"
+    ).materialize()
+    part = bands.repartition(
+        num_blocks=auto_partitions(bands, num_partitions),
+        keys=["band", "bucket"],
+    )
+    pairs = part.map_batches(
+        _simhash_pairs_block, fn_kwargs={"bucket_cap": bucket_cap},
+        batch_format="pyarrow", batch_size=None,
+    )
+    return _dedupe_pairs(pairs, ("hamming", "min", pa.int64()), num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination: drop training docs that share any word
 # k-shingle with a (small) evaluation corpus — the classic pre-training
