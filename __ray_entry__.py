@@ -5017,6 +5017,102 @@ def q_image_phash_dedup(sf_dir: str):
     ).map_batches(keep_block, batch_format="pyarrow", batch_size=None)
 
 
+AFP_K = 40             # distinct base clips; ids collide mod K
+AFP_N_PERTURB = 16     # +-1 sample tweaks per derived clip
+
+
+def neardup_samples_for_doc(doc_id: int):
+    """Deterministic near-duplicate PCM clip: the base clip is
+    ``audio_samples_for_doc(doc_id % AFP_K)`` with AFP_N_PERTURB
+    seeded +-1 sample tweaks — same-base clips fingerprint equal
+    (a +-1 nudge cannot cross a window-energy threshold except on
+    exact ties; the twin replays identical samples either way).
+    Single source of truth for corpus generator AND fixture twin."""
+    rate, base = audio_samples_for_doc(int(doc_id) % AFP_K)
+    base = base.copy()
+    rng = np.random.Generator(np.random.PCG64(int(doc_id) * 2654435761 + 3))
+    idx = rng.integers(0, len(base), AFP_N_PERTURB)
+    dl = rng.integers(0, 2, AFP_N_PERTURB) * 2 - 1
+    v = base[idx].astype(np.int64) + dl
+    base[idx] = np.clip(v, -(2**15), 2**15 - 1).astype(np.int16)
+    return rate, base
+
+
+def _wav_neardup_audio_corpus(sf_dir: str):
+    """REAL-WAV near-duplicate corpus, cached like the base corpus."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.wav import encode_wav
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    sig = f"{len(doc_ids)}-{min(doc_ids, default=0)}-{max(doc_ids, default=0)}"
+    aud_path = f"/tmp/luzzu_wav_neardup/{tag}-{sig}.parquet"
+    if not os.path.exists(aud_path):
+        os.makedirs(os.path.dirname(aud_path), exist_ok=True)
+        rows = []
+        for d in doc_ids:
+            rate, s = neardup_samples_for_doc(d)
+            rows.append(encode_wav(s, rate))
+        auds = pa.table({
+            "id": pa.array(doc_ids, pa.int64()),
+            "audio": pa.array(rows, pa.binary()),
+        })
+        tmp = f"{aud_path}.tmp.{os.getpid()}"
+        pq.write_table(auds, tmp)
+        os.replace(tmp, aud_path)
+
+    import ray.data
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    return ray.data.read_parquet(aud_path)
+
+
+def q_audio_fp_dedup(sf_dir: str):
+    """Audio fingerprint dedup: real WAV decode -> 64-bit energy
+    fingerprint (exact integer window-mean signature) -> one
+    hash-keyed exchange -> keep = lowest id per fingerprint group.
+    Oracle: committed codec-bypassing fixture (generator samples).
+    Output (id, afp, keep)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.multimodal import audio_fingerprint
+
+    corpus = _wav_neardup_audio_corpus(sf_dir)
+    hashed = audio_fingerprint(corpus, mode="real")
+
+    def keep_block(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        hs = t["afp"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hs))
+        first = np.concatenate(
+            ([True], hs[order][1:] != hs[order][:-1])
+        ) if len(ids) else np.array([], bool)
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order[first]] = True
+        return t.append_column("keep", pa.array(keep))
+
+    return hashed.repartition(
+        num_blocks=auto_partitions(corpus, None), keys=["afp"]
+    ).map_batches(keep_block, batch_format="pyarrow", batch_size=None)
+
+
+def q_audio_neardup_pairs(sf_dir: str):
+    """Hamming-tolerant audio near-dup pairs: WAV decode -> energy
+    fingerprint -> the shared 64-bit-signature banding machinery; the
+    oracle self-joins the committed fingerprint fixture with the band
+    predicate and bit_count/xor, exactly like the image twin."""
+    from luzzu_ray.ops.dedup import signature_neardup_pairs
+    from luzzu_ray.ops.multimodal import audio_fingerprint
+
+    hashed = audio_fingerprint(_wav_neardup_audio_corpus(sf_dir),
+                               mode="real")
+    return signature_neardup_pairs(hashed, id_col="id", sig_col="afp")
+
+
 def q_image_neardup_pairs(sf_dir: str):
     """Hamming-tolerant image near-dup pairs: real PNG decode ->
     aHash -> the generic 64-bit-signature banding machinery
@@ -5636,6 +5732,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": q_vocab_coverage,
         "image_phash_dedup": q_image_phash_dedup,
         "image_neardup_pairs": q_image_neardup_pairs,
+        "audio_fp_dedup": q_audio_fp_dedup,
+        "audio_neardup_pairs": q_audio_neardup_pairs,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -7130,6 +7228,22 @@ FROM dfs GROUP BY df
         "image_phash_dedup": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/image_phash_dedup_sf001.parquet')"
+        ),
+        "audio_fp_dedup": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/audio_fp_dedup_sf001.parquet')"
+        ),
+        "audio_neardup_pairs": (
+            "WITH h AS (SELECT id, afp FROM read_parquet("
+            "'/root/repo/tests/fixtures/audio_fp_dedup_sf001.parquet'))"
+            " SELECT x.id AS a, y.id AS b, "
+            "CAST(bit_count(xor(x.afp, y.afp)) AS BIGINT) AS hamming "
+            "FROM h x JOIN h y ON x.id < y.id "
+            "AND (((x.afp >> 0) & 65535) = ((y.afp >> 0) & 65535) "
+            "OR ((x.afp >> 16) & 65535) = ((y.afp >> 16) & 65535) "
+            "OR ((x.afp >> 32) & 65535) = ((y.afp >> 32) & 65535) "
+            "OR ((x.afp >> 48) & 65535) = ((y.afp >> 48) & 65535)) "
+            "WHERE bit_count(xor(x.afp, y.afp)) <= 3"
         ),
         "image_neardup_pairs": (
             "WITH h AS (SELECT id, ahash FROM read_parquet("

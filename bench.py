@@ -199,6 +199,8 @@ def main() -> None:
         "vocab_coverage",
         "image_phash_dedup",
         "image_neardup_pairs",
+        "audio_fp_dedup",
+        "audio_neardup_pairs",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",

@@ -596,3 +596,70 @@ def image_ahash(
         ImageAHashStage, fn_constructor_kwargs={"mode": mode},
         batch_format="pyarrow", batch_size=batch_size, concurrency=pool(),
     )
+
+
+AFP_WINDOWS = 64
+
+
+def afp_from_samples(s: np.ndarray, windows: int = AFP_WINDOWS) -> np.uint64:
+    """64-bit audio energy fingerprint: the aHash idea transplanted to
+    PCM — `windows` equal sample windows (crop remainder), window
+    energy = sum |sample| in int64, bit i set iff window i's mean
+    energy exceeds the clip mean via the exact cross-product
+    ``win_sum * n_windows > total`` (no division).  Shared verbatim by
+    the engine stage and the committed-fixture scalar twin."""
+    n = len(s) // windows
+    if n == 0:
+        return np.uint64(0)
+    e = np.abs(s[: n * windows].astype(np.int64)).reshape(
+        windows, n).sum(axis=1)
+    total = int(e.sum())
+    bits = e * windows > total
+    hval = np.uint64(0)
+    for i in np.flatnonzero(bits):
+        hval |= np.uint64(1) << np.uint64(i)
+    return hval
+
+
+class AudioFingerprintStage:
+    """Actor-pool stage: (id, audio:binary WAV) -> (id, afp:int64);
+    undecodable bytes degrade to 0 in 'real' mode / raise in 'strict'."""
+
+    def __init__(self, mode: str = "real"):
+        if mode not in ("real", "strict"):
+            raise ValueError(f"unknown afp mode {mode!r}")
+        self.mode = mode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from luzzu_ray.ops.wav import decode_wav
+
+        bufs = t["audio"].combine_chunks()
+        out = np.zeros(t.num_rows, dtype=np.uint64)
+        for i in range(t.num_rows):
+            v = bufs[i].as_py()
+            if v is None:
+                continue
+            try:
+                _rate, s = decode_wav(v)
+            except ValueError:
+                if self.mode == "strict":
+                    raise
+                continue
+            out[i] = afp_from_samples(s)
+        return pa.table(
+            {"id": t["id"], "afp": pa.array(out.view(np.int64))}
+        )
+
+
+def audio_fingerprint(
+    ds: "ray.data.Dataset", mode: str = "real", batch_size: int = 128,
+) -> "ray.data.Dataset":
+    """Energy fingerprints for a binary-WAV column — one actor-pool
+    pass, no exchange; compose with signature_neardup_pairs for
+    hamming-tolerant audio near-dup candidates."""
+    from luzzu_ray.ops.common import pool
+
+    return ds.map_batches(
+        AudioFingerprintStage, fn_constructor_kwargs={"mode": mode},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=pool(),
+    )

@@ -329,11 +329,35 @@ def make_image_phash(sf_dir: str) -> pa.Table:
     })
 
 
+def make_audio_fp(sf_dir: str) -> pa.Table:
+    """Scalar twin of audio_fp_dedup: fingerprints from GENERATOR
+    samples (``neardup_samples_for_doc`` — never the WAV codec)."""
+    from __ray_entry__ import neardup_samples_for_doc
+    from luzzu_ray.ops.multimodal import afp_from_samples
+
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    hashes = []
+    for d in doc_ids:
+        _rate, s = neardup_samples_for_doc(d)
+        hashes.append(int(np.uint64(afp_from_samples(s)).view(np.int64)))
+    mins: dict[int, int] = {}
+    for d, h in zip(doc_ids, hashes):
+        mins[h] = min(mins.get(h, d), d)
+    return pa.table({
+        "id": pa.array(doc_ids, pa.int64()),
+        "afp": pa.array(hashes, pa.int64()),
+        "keep": pa.array([mins[h] == d for d, h in zip(doc_ids, hashes)]),
+    })
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
         ("image_phash_dedup", make_image_phash),
+        ("audio_fp_dedup", make_audio_fp),
         ("bpe_merges", make_bpe),
         ("bpe_merges_sampled", make_bpe_sampled),
         ("bpe_encode_counts", make_bpe_encode),
