@@ -5138,6 +5138,91 @@ def video_frame_pixels(doc_id: int, frame: int) -> np.ndarray:
     return rng.integers(0, 256, (VID_FH, VID_FW, 3), dtype=np.uint8)
 
 
+VFP_K = 40             # distinct base videos; ids collide mod K
+
+
+def neardup_video_frames_for_doc(doc_id: int) -> list:
+    """Deterministic near-duplicate frame list: base frames from
+    ``video_frame_pixels(doc_id % VFP_K, f)`` with 4 seeded +-1 pixel
+    tweaks per frame — same-base videos fingerprint equal off exact
+    ties.  Single source of truth for corpus generator AND twin."""
+    rng = np.random.Generator(np.random.PCG64(int(doc_id) * 6700417 + 29))
+    frames = []
+    for f in range(VID_N_FRAMES):
+        px = video_frame_pixels(int(doc_id) % VFP_K, f).copy()
+        ys = rng.integers(0, px.shape[0], 4)
+        xs = rng.integers(0, px.shape[1], 4)
+        cs = rng.integers(0, 3, 4)
+        dl = rng.integers(0, 2, 4) * 2 - 1
+        v = px[ys, xs, cs].astype(np.int64) + dl
+        px[ys, xs, cs] = np.clip(v, 0, 255).astype(np.uint8)
+        frames.append(px)
+    return frames
+
+
+def _png_neardup_video_corpus(sf_dir: str):
+    """VIDPNG near-duplicate corpus, cached like the base corpus."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.multimodal import encode_png_video
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    sig = f"{len(doc_ids)}-{min(doc_ids, default=0)}-{max(doc_ids, default=0)}"
+    vid_path = f"/tmp/luzzu_png_neardup_videos/{tag}-{sig}.parquet"
+    if not os.path.exists(vid_path):
+        os.makedirs(os.path.dirname(vid_path), exist_ok=True)
+        vids = pa.table(
+            {
+                "id": pa.array(doc_ids, pa.int64()),
+                "video": pa.array(
+                    [encode_png_video(neardup_video_frames_for_doc(d))
+                     for d in doc_ids],
+                    pa.binary(),
+                ),
+            }
+        )
+        tmp = f"{vid_path}.tmp.{os.getpid()}"
+        pq.write_table(vids, tmp)
+        os.replace(tmp, vid_path)
+
+    import ray.data
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    return ray.data.read_parquet(vid_path)
+
+
+def q_video_fp_dedup(sf_dir: str):
+    """Video fingerprint dedup: VIDPNG real-PNG frame decode ->
+    frame-order Horner combine of per-frame aHashes -> one hash-keyed
+    exchange -> keep = lowest id per fingerprint group.  Oracle:
+    committed codec-bypassing fixture.  Output (id, vfp, keep)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.multimodal import video_fingerprint
+
+    corpus = _png_neardup_video_corpus(sf_dir)
+    hashed = video_fingerprint(corpus, every_k=VID_EVERY_K, mode="real")
+
+    def keep_block(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        hs = t["vfp"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hs))
+        first = np.concatenate(
+            ([True], hs[order][1:] != hs[order][:-1])
+        ) if len(ids) else np.array([], bool)
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order[first]] = True
+        return t.append_column("keep", pa.array(keep))
+
+    return hashed.repartition(
+        num_blocks=auto_partitions(corpus, None), keys=["vfp"]
+    ).map_batches(keep_block, batch_format="pyarrow", batch_size=None)
+
+
 def _png_video_corpus(sf_dir: str):
     """Deterministic VIDPNG corpus: one video of VID_N_FRAMES real PNG
     frames per document id, cached under /tmp like the image corpus."""
@@ -5734,6 +5819,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "image_neardup_pairs": q_image_neardup_pairs,
         "audio_fp_dedup": q_audio_fp_dedup,
         "audio_neardup_pairs": q_audio_neardup_pairs,
+        "video_fp_dedup": q_video_fp_dedup,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -7232,6 +7318,10 @@ FROM dfs GROUP BY df
         "audio_fp_dedup": (
             "SELECT * FROM read_parquet("
             "'/root/repo/tests/fixtures/audio_fp_dedup_sf001.parquet')"
+        ),
+        "video_fp_dedup": (
+            "SELECT * FROM read_parquet("
+            "'/root/repo/tests/fixtures/video_fp_dedup_sf001.parquet')"
         ),
         "audio_neardup_pairs": (
             "WITH h AS (SELECT id, afp FROM read_parquet("

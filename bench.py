@@ -201,6 +201,7 @@ def main() -> None:
         "image_neardup_pairs",
         "audio_fp_dedup",
         "audio_neardup_pairs",
+        "video_fp_dedup",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",

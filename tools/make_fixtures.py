@@ -352,12 +352,35 @@ def make_audio_fp(sf_dir: str) -> pa.Table:
     })
 
 
+def make_video_fp(sf_dir: str) -> pa.Table:
+    """Scalar twin of video_fp_dedup: fingerprints from GENERATOR frame
+    pixels (``neardup_video_frames_for_doc`` — never the codec)."""
+    from __ray_entry__ import VID_EVERY_K, neardup_video_frames_for_doc
+    from luzzu_ray.ops.multimodal import vfp_from_frame_pixels
+
+    doc_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    hashes = [int(np.uint64(vfp_from_frame_pixels(
+        neardup_video_frames_for_doc(d), VID_EVERY_K)).view(np.int64))
+        for d in doc_ids]
+    mins: dict[int, int] = {}
+    for d, h in zip(doc_ids, hashes):
+        mins[h] = min(mins.get(h, d), d)
+    return pa.table({
+        "id": pa.array(doc_ids, pa.int64()),
+        "vfp": pa.array(hashes, pa.int64()),
+        "keep": pa.array([mins[h] == d for d, h in zip(doc_ids, hashes)]),
+    })
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
         ("image_phash_dedup", make_image_phash),
         ("audio_fp_dedup", make_audio_fp),
+        ("video_fp_dedup", make_video_fp),
         ("bpe_merges", make_bpe),
         ("bpe_merges_sampled", make_bpe_sampled),
         ("bpe_encode_counts", make_bpe_encode),
