@@ -5602,6 +5602,93 @@ def q_docs_weighted_sample(sf_dir: str):
         keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_documents_jsonl_roundtrip(sf_dir: str):
+    """JSONL SINK + source conformance: the documents table is written
+    with ``Dataset.write_json`` ONCE (sharded files, cached per source
+    (mtime, size)), read back through ``ray.data.read_json``, and
+    projected to the same byte-checkable stats as the CSV roundtrip —
+    proving the fourth serialization (and the engine's own JSON sink)
+    end to end against the Parquet-side oracle."""
+    import hashlib
+
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    cache = f"/tmp/luzzu_jsonl_{tag}"
+    marker = os.path.join(cache, ".complete-v1")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(cache, ignore_errors=True)
+        _tbl(sf_dir, "documents").write_json(cache)
+        open(marker, "w").close()
+    ds = ray.data.read_json(
+        [os.path.join(cache, f) for f in sorted(os.listdir(cache))
+         if f.endswith(".json")]
+    )
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+             "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+             "lang": pc.cast(t["lang"], pa.string()),
+             "source": pc.cast(t["source"], pa.string())}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def q_ann_recall_eval(sf_dir: str):
+    """Index-quality evaluation: per-query recall counts of the PQ
+    index against the exact cosine ranking — |approx top-k ∩ exact
+    top-k| per query.  Both rankings are full distributed pipelines;
+    the intersection runs on the two q x k result tables (tiny by
+    contract).  The oracle composes the two SQL twins and LEFT-joins
+    the overlap so zero-recall queries still appear."""
+    exact = q_ann_topk(sf_dir)
+    approx = q_pq_ann_topk(sf_dir)
+    ex: dict[int, set] = {}
+    for r in exact.to_pylist():
+        ex.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    ap: dict[int, set] = {}
+    for r in approx.to_pylist():
+        ap.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+    qids = sorted(ex)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "n_overlap": pa.array(
+            [len(ex[q] & ap.get(q, set())) for q in qids], pa.int64()),
+    })
+
+
+def _ann_recall_sql(sf_dir: str) -> str | None:
+    pq_sql = _pq_ann_sql(sf_dir)
+    if pq_sql is None:
+        return None
+    exact_sql = (
+        "SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, "
+        "e.vec_id) AS BIGINT) AS rank, e.vec_id "
+        "FROM embeddings e, (SELECT vec_id AS query_id, embedding "
+        f"FROM embeddings WHERE vec_id < {N_ANN_QUERIES}) q "
+        f"QUALIFY rank <= {ANN_K}"
+    )
+    return (
+        f"WITH exact AS ({exact_sql}), approx AS ({pq_sql}), "
+        "ov AS (SELECT e.query_id, count(*) AS n FROM exact e "
+        "JOIN approx a ON e.query_id = a.query_id "
+        "AND e.vec_id = a.vec_id GROUP BY 1) "
+        "SELECT q.query_id, CAST(coalesce(ov.n, 0) AS BIGINT) "
+        "AS n_overlap FROM (SELECT DISTINCT query_id FROM exact) q "
+        "LEFT JOIN ov ON q.query_id = ov.query_id"
+    )
+
+
 def q_documents_csv_roundtrip(sf_dir: str):
     """CSV source/sink conformance: the documents table is written to
     CSV ONCE (deterministic, cached per sf dir under /tmp), read back
@@ -5820,6 +5907,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "audio_fp_dedup": q_audio_fp_dedup,
         "audio_neardup_pairs": q_audio_neardup_pairs,
         "video_fp_dedup": q_video_fp_dedup,
+        "documents_jsonl_roundtrip": q_documents_jsonl_roundtrip,
+        "ann_recall_eval": q_ann_recall_eval,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -7684,6 +7773,7 @@ FROM dfs GROUP BY df
         "SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) "
         "AS n_chars, lang, source FROM documents"
     )
+    sqls["documents_jsonl_roundtrip"] = sqls["documents_csv_roundtrip"]
     sqls["docs_weighted_sample"] = (
         f"SELECT doc_id FROM documents WHERE "
         f"((CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
@@ -7738,6 +7828,7 @@ FROM dfs GROUP BY df
                            ("ivf_kmeans_ann_topk", _ivf_kmeans_sql),
                            ("pq_ann_topk", _pq_ann_sql),
                            ("ivfpq_ann_topk", _ivfpq_sql),
+                           ("ann_recall_eval", _ann_recall_sql),
                            ("semantic_dedup", _semantic_dedup_sql)):
         sql = builder(oracle_dir)
         if sql is not None:

@@ -202,6 +202,8 @@ def main() -> None:
         "audio_fp_dedup",
         "audio_neardup_pairs",
         "video_fp_dedup",
+        "documents_jsonl_roundtrip",
+        "ann_recall_eval",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",
