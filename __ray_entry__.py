@@ -4010,6 +4010,21 @@ def q_sft_context_examples(sf_dir: str):
     return context_examples(chunks, CTX_WINDOW_TURNS)
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel3(sf_dir: str):
+    """Ordered 3-step funnel (view -> click -> purchase): per user the
+    chained first-occurrence timestamps, each gated on the previous
+    step's time; one user exchange, k vectorized segment mins."""
+    from luzzu_ray.ops.events import funnel_k_steps
+
+    return funnel_k_steps(
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        FUNNEL_STEPS,
+    )
+
+
 def q_events_funnel(sf_dir: str):
     """Two-step conversion funnel: first click -> first purchase at or
     after it, converted within 1 h; co-located per-user segment mins."""
@@ -5909,6 +5924,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "video_fp_dedup": q_video_fp_dedup,
         "documents_jsonl_roundtrip": q_documents_jsonl_roundtrip,
         "ann_recall_eval": q_ann_recall_eval,
+        "events_funnel3": q_events_funnel3,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -7005,6 +7021,22 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "1 PRECEDING) AS context_text FROM chunks"
         ).replace("{W}", str(CHUNK_W)).replace("{S}", str(CHUNK_S))
         .replace("{CW}", str(CTX_WINDOW_TURNS)),
+        "events_funnel3": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events "
+            f"WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM events e "
+            f"JOIN s1 USING (user_id) WHERE e.event_type = "
+            f"'{FUNNEL_STEPS[1]}' AND e.ts >= s1.ts_1 GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS ts_3 FROM events e "
+            f"JOIN s2 USING (user_id) WHERE e.event_type = "
+            f"'{FUNNEL_STEPS[2]}' AND e.ts >= s2.ts_2 GROUP BY 1) "
+            "SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3, "
+            "CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END) "
+            "+ (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) "
+            "AS BIGINT) AS n_completed "
+            "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id "
+            "LEFT JOIN s3 ON s2.user_id = s3.user_id"
+        ),
         "events_funnel": (
             "WITH a AS (SELECT user_id, min(ts) AS ts_a FROM events "
             "WHERE event_type = 'click' GROUP BY user_id), "

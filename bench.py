@@ -204,6 +204,7 @@ def main() -> None:
         "video_fp_dedup",
         "documents_jsonl_roundtrip",
         "ann_recall_eval",
+        "events_funnel3",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",

@@ -1298,3 +1298,76 @@ def user_growth(
         "n_new": pa.array(tot),
         "n_cum": pa.array(np.cumsum(tot)),
     })
+
+
+def funnel_k_steps(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-user ORDERED k-step funnel: ts_1 = the user's first
+    ``steps[0]`` event; ts_i = their first ``steps[i-1]`` event with
+    ts >= ts_{i-1}.  Users who never performed step 1 are dropped;
+    later steps are NULL once the chain breaks.  One hash exchange on
+    user_id; per block, ONE sort + k vectorized threshold-gated
+    segment mins (``np.minimum.reduceat``) — no per-user Python, k is
+    the funnel length (constant), not data-sized.
+
+    Output: (user_id, ts_1..ts_k, n_completed).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    step_arr = pa.array(steps)
+    big = np.iinfo(np.int64).max
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=step_arr))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_type": t["event_type"]})
+
+    def block(t: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.array([], pa.int64())}
+        for i in range(len(steps)):
+            cols[f"ts_{i + 1}"] = pa.array([], pa.timestamp("us"))
+        cols["n_completed"] = pa.array([], pa.int64())
+        if t.num_rows == 0:
+            return pa.table(cols)
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ety = t["event_type"].combine_chunks()
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        masks = [
+            pc.equal(ety, s).to_numpy(zero_copy_only=False).astype(bool)
+            for s in steps
+        ]
+        thr = np.zeros(len(starts), dtype=np.int64)  # ts are positive us
+        step_ts = []
+        n_completed = np.zeros(len(starts), dtype=np.int64)
+        for m in masks:
+            vals = np.where(m & (ts >= thr[seg]), ts, big)
+            t_i = np.minimum.reduceat(vals, starts)
+            step_ts.append(t_i)
+            n_completed += (t_i != big).astype(np.int64)
+            thr = t_i  # big threshold blocks all later steps
+        entered = step_ts[0] != big
+        out = {"user_id": pa.array(uid[starts][entered])}
+        for i, t_i in enumerate(step_ts):
+            col = t_i[entered]
+            out[f"ts_{i + 1}"] = pa.Array.from_pandas(
+                np.where(col == big, None, col), type=pa.int64()
+            ).cast(pa.timestamp("us"))
+        out["n_completed"] = pa.array(n_completed[entered])
+        return pa.table(out)
+
+    return ds.select_columns(["user_id", "ts", "event_type"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(
+        num_blocks=num_partitions, keys=["user_id"]
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)
