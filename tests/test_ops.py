@@ -4467,3 +4467,51 @@ def test_context_examples_matches_pandas_twin(ray_session):
         outs.append(got)
     assert outs[0].equals(outs[1])
     assert outs[0].equals(want), (outs[0].head(), want.head())
+
+
+def test_funnel_k_steps_chain_gating(ray_session):
+    """funnel_k_steps: step i only counts at/after step i-1, a broken
+    chain NULLs all later steps, non-entrants are dropped, and the
+    result is invariant to block layout."""
+    import datetime as dt
+
+    import ray.data
+
+    from luzzu_ray.ops.events import funnel_k_steps
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, kind, sec):
+        return {"user_id": uid, "event_type": kind,
+                "ts": T0 + dt.timedelta(seconds=sec)}
+
+    rows = [
+        # user 1: full ordered chain
+        ev(1, "view", 10), ev(1, "click", 20), ev(1, "purchase", 30),
+        # user 2: click BEFORE the first view -> chain breaks at step 2
+        ev(2, "click", 5), ev(2, "view", 10), ev(2, "purchase", 20),
+        # user 3: purchase before click -> step 3 NULL
+        ev(3, "view", 1), ev(3, "purchase", 2), ev(3, "click", 3),
+        # user 4: never viewed -> dropped
+        ev(4, "click", 1), ev(4, "purchase", 2),
+        # user 5: simultaneous view+click (ts >= is inclusive)
+        ev(5, "view", 7), ev(5, "click", 7), ev(5, "purchase", 9),
+    ]
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                     t["ts"].cast(pa.timestamp("us")))
+
+    outs = []
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = {r["user_id"]: r for r in funnel_k_steps(
+            ds, ["view", "click", "purchase"]).take_all()}
+        outs.append(got)
+    assert outs[0] == outs[1]
+    got = outs[0]
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1]["n_completed"] == 3
+    assert got[2]["n_completed"] == 1 and got[2]["ts_2"] is None \
+        and got[2]["ts_3"] is None
+    assert got[3]["n_completed"] == 2 and got[3]["ts_3"] is None
+    assert got[5]["n_completed"] == 3  # inclusive >= at equal ts
