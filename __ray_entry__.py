@@ -994,6 +994,26 @@ def q_dedup_exact(sf_dir: str):
     return exact_duplicates(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_dedup_normalized(sf_dir: str):
+    """Exact dedup on NORMALIZED text (lowercase, whitespace-collapse,
+    trim) — the key real web pipelines hash, catching trivially-
+    reformatted copies that byte-exact dedup misses; the normalize
+    kernel fuses into the content-key map so only 24-byte keys enter
+    the exchange."""
+    from luzzu_ray.ops.dedup import exact_duplicates
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table({"doc_id": t["doc_id"], "text": x})
+
+    return exact_duplicates(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            norm, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def q_keep_rate_by_lang_source(sf_dir: str):
     from luzzu_ray.ops.textstats import quality_score_batch
 
@@ -5925,6 +5945,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "documents_jsonl_roundtrip": q_documents_jsonl_roundtrip,
         "ann_recall_eval": q_ann_recall_eval,
         "events_funnel3": q_events_funnel3,
+        "dedup_normalized": q_dedup_normalized,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -6667,6 +6688,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_lexical_stats": _lexical_sql(),
         "dedup_exact": (
             "SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) "
+            "AS is_dup FROM documents"
+        ),
+        "dedup_normalized": (
+            "SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY "
+            "trim(regexp_replace(lower(text), ' +', ' ', 'g'), ' ')) "
             "AS is_dup FROM documents"
         ),
         "keep_rate_by_lang_source": (
