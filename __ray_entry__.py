@@ -994,6 +994,56 @@ def q_dedup_exact(sf_dir: str):
     return exact_duplicates(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_training_data_pipeline(sf_dir: str):
+    """END-TO-END training-data prep in one pipeline — the composition
+    a reference user actually runs: C4-style quality filter -> exact
+    dedup -> fixed-budget context packing.  Shaped for 100 TB: text is
+    read and scanned ONCE (quality verdict, word count and the two
+    64-bit content keys all come out of the same pass), only 32-byte
+    (doc_id, k1, k2, n_words) rows enter the dedup exchange, survivors
+    flow into the distributed prefix-sum packer (range buckets +
+    broadcast offsets) — the payload never shuffles.
+    Output: (doc_id, n_tokens, pack_id) for kept, unique docs."""
+    from luzzu_ray.ops.dedup import auto_partitions, content_key_batch
+    from luzzu_ray.ops.relational import ordered_prefix_pack
+    from luzzu_ray.ops.textstats import quality_score_batch
+
+    def scan(t: pa.Table) -> pa.Table:
+        s = quality_score_batch(t)
+        kept = t.filter(s["keep"])
+        sk = s.filter(s["keep"])
+        keys = content_key_batch(kept)
+        return pa.table({
+            "doc_id": keys["doc_id"], "k1": keys["k1"], "k2": keys["k2"],
+            "n_words": sk["n_words"],
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    keys = docs.map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # 32-byte rows; count sizes the shuffle
+
+    def uniq_block(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        k1 = t["k1"].to_numpy(zero_copy_only=False)
+        k2 = t["k2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k2, k1))
+        same = np.zeros(len(ids), dtype=bool)
+        if len(ids) > 1:
+            same[1:] = (k1[order][1:] == k1[order][:-1]) & (
+                k2[order][1:] == k2[order][:-1])
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order[~same]] = True
+        return t.filter(pa.array(keep)).select(["doc_id", "n_words"])
+
+    uniq = keys.repartition(
+        num_blocks=auto_partitions(keys, None, 1_000_000), keys=["k1"]
+    ).map_batches(uniq_block, batch_format="pyarrow", batch_size=None)
+    return ordered_prefix_pack(
+        uniq, "doc_id", "n_words", PACK_BUDGET, num_buckets=PACK_BUCKETS
+    )
+
+
 def q_dedup_normalized(sf_dir: str):
     """Exact dedup on NORMALIZED text (lowercase, whitespace-collapse,
     trim) — the key real web pipelines hash, catching trivially-
@@ -5946,6 +5996,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "ann_recall_eval": q_ann_recall_eval,
         "events_funnel3": q_events_funnel3,
         "dedup_normalized": q_dedup_normalized,
+        "training_data_pipeline": q_training_data_pipeline,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -6694,6 +6745,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY "
             "trim(regexp_replace(lower(text), ' +', ' ', 'g'), ' ')) "
             "AS is_dup FROM documents"
+        ),
+        "training_data_pipeline": (
+            "WITH q AS (SELECT * FROM (" + _QUALITY_SQL + ") WHERE keep), "
+            "kept AS (SELECT d.doc_id, d.text, q.n_words FROM documents d "
+            "JOIN q ON d.doc_id = q.doc_id), "
+            "uniq AS (SELECT doc_id, n_words FROM (SELECT doc_id, n_words, "
+            "doc_id = min(doc_id) OVER (PARTITION BY text) AS is_first "
+            "FROM kept) WHERE is_first) "
+            "SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens, "
+            "CAST((sum(n_words) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_words) "
+            f"// {PACK_BUDGET} AS BIGINT) AS pack_id FROM uniq"
         ),
         "keep_rate_by_lang_source": (
             "SELECT lang, source, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) "

@@ -205,6 +205,7 @@ def main() -> None:
         "documents_jsonl_roundtrip",
         "ann_recall_eval",
         "events_funnel3",
+        "training_data_pipeline",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",
