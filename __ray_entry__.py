@@ -1854,6 +1854,78 @@ FROM scores QUALIFY rank <= {ANN_K}
 """
 
 
+KMEANS_FULL_K, KMEANS_FULL_ITERS = 8, 3
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed integer Lloyd's k-means over the FULL embedding
+    table (not a sample): per iteration one streamed map pass + one
+    k x d narrow exchange; deterministic lowest-id init; truncating
+    positive integer division for updates.  The oracle unrolls all
+    ITERS iterations in SQL with the identical integer arithmetic
+    (dots exact in DOUBLE below 2^53), so assignment, update and
+    convergence are all hard-checked."""
+    from luzzu_ray.ops.similarity import kmeans_lloyd_int
+
+    return kmeans_lloyd_int(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        KMEANS_FULL_K, KMEANS_FULL_ITERS,
+    )
+
+
+def _kmeans_clusters_sql() -> str:
+    """Unrolled integer-Lloyd oracle: v/vu once, then per iteration an
+    assignment CTE (exact-double dot scores, ties by cid) and an
+    update CTE (per-(cid,dim) sums, trunc division, empty clusters
+    keep the old centroid)."""
+    dbl = "list_transform({0}, y -> CAST(y AS DOUBLE))"
+    parts = [
+        "WITH v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000.0) "
+        "AS BIGINT)) AS xq FROM embeddings), "
+        "vu AS (SELECT vec_id, unnest(xq) AS x, "
+        "generate_subscripts(xq, 1) AS dim FROM v), "
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"xq AS cq FROM v ORDER BY vec_id LIMIT {KMEANS_FULL_K})"
+    ]
+    prev = "c0"
+    for i in range(1, KMEANS_FULL_ITERS + 1):
+        score = (
+            f"list_dot_product({dbl.format('c.cq')}, {dbl.format('c.cq')})"
+            f" - 2.0 * list_dot_product({dbl.format('v.xq')}, "
+            f"{dbl.format('c.cq')})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT v.vec_id, c.cid, {score} AS score "
+            f"FROM v CROSS JOIN {prev} c), "
+            f"g{i} AS (SELECT vec_id, cid FROM a{i} QUALIFY row_number() "
+            "OVER (PARTITION BY vec_id ORDER BY score, cid) = 1), "
+            f"u{i} AS (SELECT g.cid, vu.dim, CAST(sum(vu.x) AS BIGINT) "
+            f"AS s, CAST(count(*) AS BIGINT) AS n FROM g{i} g "
+            "JOIN vu ON g.vec_id = vu.vec_id GROUP BY 1, 2), "
+            f"cn{i} AS (SELECT cid, list(s // n ORDER BY dim) AS cq "
+            f"FROM u{i} GROUP BY cid), "
+            f"c{i} AS (SELECT p.cid, coalesce(cn.cq, p.cq) AS cq "
+            f"FROM {prev} p LEFT JOIN cn{i} cn ON p.cid = cn.cid)"
+        )
+        prev = f"c{i}"
+    score = (
+        f"list_dot_product({dbl.format('c.cq')}, {dbl.format('c.cq')})"
+        f" - 2.0 * list_dot_product({dbl.format('v.xq')}, "
+        f"{dbl.format('c.cq')})"
+    )
+    parts.append(
+        f"af AS (SELECT v.vec_id, c.cid, {score} AS score "
+        f"FROM v CROSS JOIN {prev} c)"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY score, cid) = 1"
+    )
+
+
 def q_ivfpq_ann_topk(sf_dir: str):
     """IVF-PQ ANN (the production composition): data-adapted k-means
     coarse cells prune the corpus sub-linearly, PQ/ADC integer LUTs
@@ -5997,6 +6069,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "events_funnel3": q_events_funnel3,
         "dedup_normalized": q_dedup_normalized,
         "training_data_pipeline": q_training_data_pipeline,
+        "kmeans_clusters": q_kmeans_clusters,
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -7895,6 +7968,7 @@ FROM dfs GROUP BY df
         "AS n_chars, lang, source FROM documents"
     )
     sqls["documents_jsonl_roundtrip"] = sqls["documents_csv_roundtrip"]
+    sqls["kmeans_clusters"] = _kmeans_clusters_sql()
     sqls["docs_weighted_sample"] = (
         f"SELECT doc_id FROM documents WHERE "
         f"((CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "

@@ -206,6 +206,7 @@ def main() -> None:
         "ann_recall_eval",
         "events_funnel3",
         "training_data_pipeline",
+        "kmeans_clusters",
         "tpch_q7",
         "tpch_q8",
         "tpch_q9",

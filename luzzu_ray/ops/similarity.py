@@ -1087,6 +1087,135 @@ def ivfpq_ann_topk(
     return pq_ann_topk(filtered, query_matrix, query_ids, codebooks, k)
 
 
+KMEANS_INT_Q = 1_000_000  # quantization scale for the integer Lloyd
+
+
+def _kmeans_int_quant(E: np.ndarray) -> np.ndarray:
+    """floor((v + 1.0) * 10^6) — the +1 offset keeps every coordinate
+    POSITIVE so truncating and flooring integer division agree
+    (DuckDB's ``//`` truncates toward zero, numpy floors; k-means is
+    translation-invariant, so the offset changes nothing else)."""
+    return np.floor((E.astype(np.float64) + 1.0) * KMEANS_INT_Q).astype(
+        np.int64)
+
+
+def _kmeans_int_assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_c ||x-c||^2 == argmin_c (c.c - 2 x.c), pure int64 (bound:
+    64 dims x (1.5e6)^2 x 3 ~ 4e14 << 2^63); exact ties resolve to the
+    LOWEST centroid id, matching the oracle's (score, cid) order."""
+    score = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+    return np.argmin(score, axis=1).astype(np.int64)
+
+
+def kmeans_lloyd_int(
+    ds: ray.data.Dataset,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """DISTRIBUTED Lloyd's k-means over the FULL dataset in exact
+    integer arithmetic — the iterative-algorithm shape done
+    Ray-Data-first: per iteration, one map pass computes per-block
+    (cluster, dim, sum, n) partials against the broadcast centroids,
+    one NARROW exchange (k x d groups, never data-sized) finalizes
+    them, and the k x d centroid table returns to the driver to become
+    the next broadcast.  Init = the k lowest-id vectors (deterministic,
+    no RNG); update = truncating integer division of positive sums, so
+    a SQL oracle can replay every iteration bit-exactly.  The corpus
+    streams from storage each pass (iters + 1 read passes — at 100 TB
+    re-reading beats materializing a quantized copy).
+
+    Returns the final (id, cluster) assignment Dataset.
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    base = ds.select_columns([id_col, vec_col])
+
+    def first_k_block(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.take(pa.array(np.argsort(ids, kind="stable")[:k]))
+
+    # deterministic init = the k LOWEST-id vectors, found with a
+    # per-block bottom-k prune + one single-block re-prune (never a
+    # global sort; ~k rows per block through the funnel)
+    init = pa.concat_tables(ray.get(list(
+        base.map_batches(first_k_block, batch_format="pyarrow")
+        .repartition(num_blocks=1)
+        .map_batches(first_k_block, batch_format="pyarrow",
+                     batch_size=None)
+        .to_arrow_refs()
+    )))
+    init = first_k_block(init)  # multi-ref safety: re-prune driver-side
+    C = _kmeans_int_quant(_as_matrix(init[vec_col]))
+
+    for _ in range(iters):
+        C_ref = ray.put(C)
+
+        class Partial:
+            def __init__(self, ref):
+                self.C = ray.get(ref) if isinstance(
+                    ref, ray.ObjectRef) else ref
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                X = _kmeans_int_quant(_as_matrix(t[vec_col]))
+                if X.size == 0:
+                    return pa.table({
+                        "cid": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    })
+                code = _kmeans_int_assign(X, self.C)
+                kk, dd = self.C.shape
+                sums = np.zeros((kk, dd), np.int64)
+                np.add.at(sums, code, X)
+                cnt = np.bincount(code, minlength=kk).astype(np.int64)
+                cid = np.repeat(np.arange(kk, dtype=np.int64), dd)
+                return pa.table({
+                    "cid": pa.array(cid),
+                    "dim": pa.array(np.tile(np.arange(dd, dtype=np.int64),
+                                            kk)),
+                    "s": pa.array(sums.reshape(-1)),
+                    "n": pa.array(np.repeat(cnt, dd)),
+                })
+
+        parts = base.map_batches(
+            Partial, fn_constructor_args=(C_ref,),
+            batch_format="pyarrow", concurrency=_pool(),
+        )
+        tot = parts.groupby(["cid", "dim"], num_partitions=4).aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n"),
+        ).take_all()  # exactly k x d rows
+        C_next = C.copy()  # empty cluster keeps its old centroid
+        for r in tot:
+            if r["n"] > 0:
+                # positive sums: trunc == floor == DuckDB //
+                C_next[int(r["cid"]), int(r["dim"])] = (
+                    int(r["s"]) // int(r["n"]))
+        C = C_next
+
+    C_ref = ray.put(C)
+
+    class Assign:
+        def __init__(self, ref):
+            self.C = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            X = _kmeans_int_quant(_as_matrix(t[vec_col]))
+            code = (_kmeans_int_assign(X, self.C) if X.size
+                    else np.zeros(0, np.int64))
+            return pa.table({id_col: t[id_col], "cluster": pa.array(code)})
+
+    return base.map_batches(
+        Assign, fn_constructor_args=(C_ref,),
+        batch_format="pyarrow", concurrency=_pool(),
+    )
+
+
 def embedding_gram(
     ds: ray.data.Dataset,
     vec_col: str = "embedding",

@@ -4515,3 +4515,39 @@ def test_funnel_k_steps_chain_gating(ray_session):
         and got[2]["ts_3"] is None
     assert got[3]["n_completed"] == 2 and got[3]["ts_3"] is None
     assert got[5]["n_completed"] == 3  # inclusive >= at equal ts
+
+
+def test_kmeans_lloyd_int_layout_invariant_and_converges(ray_session):
+    """Integer Lloyd over the full dataset: byte-identical assignments
+    across block layouts (all arithmetic int64), and on well-separated
+    clusters the assignment recovers the true partition."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import kmeans_lloyd_int
+
+    rng = np.random.default_rng(31)
+    centers = rng.uniform(-0.4, 0.4, (3, 16))
+    # ids 0..2 are one seed per true cluster (the deterministic
+    # lowest-id init must start in distinct basins), then 40 members
+    # per cluster interleaved
+    true_lab = np.concatenate(
+        ([0, 1, 2], np.arange(120) % 3)).astype(np.int64)
+    E = (centers[true_lab]
+         + rng.uniform(-0.02, 0.02, (len(true_lab), 16))).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(E), dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(E.reshape(-1)), 16).cast(pa.list_(pa.float32())),
+    })
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = kmeans_lloyd_int(ds, 3, 3).to_pandas().sort_values(
+            "vec_id").reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    lab = outs[0]["cluster"].to_numpy()
+    # the assignment is exactly the true partition (up to the id map
+    # fixed by the seeds: seed i -> cluster label lab[i])
+    assert len({lab[0], lab[1], lab[2]}) == 3
+    assert (lab == np.array([lab[0], lab[1], lab[2]])[true_lab]).all()
