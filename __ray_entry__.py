@@ -3146,7 +3146,8 @@ def _supp_nation_ref(sf_dir: str):
     import ray
 
     supp = _tbl(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
-    nk = np.full(max(s["s_suppkey"] for s in supp) + 1, -1, np.int64)
+    nk = np.full(
+        max((s["s_suppkey"] for s in supp), default=-1) + 1, -1, np.int64)
     for s in supp:
         nk[s["s_suppkey"]] = s["s_nationkey"]
     return ray.put(nk)
@@ -3165,9 +3166,12 @@ class _SuppNationTagger:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        snk = np.where(
-            (sk >= 0) & (sk < len(self.nk)),
-            self.nk[np.clip(sk, 0, max(len(self.nk) - 1, 0))], -1)
+        if len(self.nk) == 0:  # degenerate empty dimension
+            snk = np.full(len(sk), -1, np.int64)
+        else:
+            snk = np.where(
+                (sk >= 0) & (sk < len(self.nk)),
+                self.nk[np.clip(sk, 0, len(self.nk) - 1)], -1)
         t = t.append_column("supp_nk", pa.array(snk, pa.int64()))
         if self.keep is not None:
             t = t.filter(pa.array(np.isin(snk, self.keep)))
