@@ -6006,6 +6006,74 @@ GROUP BY p.tok
 """
 
 
+def q_conv_structure_audit(sf_dir: str):
+    """Conversation-structure audit over the deterministic MULTI-TURN
+    corpus (documents_as_multiturn): per conv_id the role-alternation
+    repeat count, misplaced-tool-turn count, opener validity and the
+    combined structure verdict — the transcript analogue of Luzzu's
+    syntactic-validity metrics, computed in one conv-keyed exchange
+    with shifted-compare kernels (no per-group Python)."""
+    from luzzu_ray.ops.transcripts import conv_structure_audit
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return conv_structure_audit(documents_as_multiturn(sf_dir))
+
+
+def _multiturn_sql() -> str:
+    """SQL twin of sources.documents_as_multiturn: rebuilds the
+    multi-turn corpus from the documents table with the identical
+    pure-function-of-doc_id derivation (roles, injected violations,
+    text slices, timestamps)."""
+    from luzzu_ray.sources import (
+        MULTITURN_SLICE_STEP as STEP,
+        MULTITURN_SLICE_W as W,
+        MULTITURN_TS0 as TS0,
+    )
+
+    role_case = """CASE
+  WHEN doc_id % 11 = 0 AND (2 + doc_id % 3) >= 3 AND i = 2 THEN 'tool'
+  WHEN doc_id % 7 = 0 AND (2 + doc_id % 3) >= 3 AND i = 2
+       THEN CASE WHEN doc_id % 5 = 0 THEN 'user' ELSE 'assistant' END
+  WHEN doc_id % 5 = 0 THEN CASE WHEN i = 0 THEN 'system'
+       WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END
+  ELSE CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END
+END"""
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       CAST(i AS INT) AS turn_idx,
+       ({role_case}) AS role,
+       substr(text, 1 + CAST(i AS INT) * {STEP}, {W}) AS text,
+       CASE WHEN ({role_case}) = 'tool' THEN 'search' END AS tool,
+       make_timestamp({TS0} + doc_id * 1000000 + i * 60000000) AS ts
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, 1 + doc_id % 3)) AS i
+      FROM documents)
+"""
+
+
+_CONV_AUDIT_SQL_TMPL = """
+WITH m AS ({multiturn}),
+t AS (SELECT conv_id, turn_idx, role,
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM m)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND role = prev
+                         THEN 1 END), 0) AS BIGINT) AS n_role_repeats,
+  CAST(coalesce(sum(CASE WHEN role = 'tool'
+                          AND (prev IS NULL OR prev <> 'assistant')
+                         THEN 1 END), 0) AS BIGINT) AS n_bad_tool,
+  bool_or(turn_idx = 0 AND role IN ('user', 'system')) AS starts_ok,
+  (bool_or(turn_idx = 0 AND role IN ('user', 'system'))
+   AND coalesce(sum(CASE WHEN prev IS NOT NULL AND role = prev
+                         THEN 1 END), 0) = 0
+   AND coalesce(sum(CASE WHEN role = 'tool'
+                          AND (prev IS NULL OR prev <> 'assistant')
+                         THEN 1 END), 0) = 0) AS structure_ok
+FROM t GROUP BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -6059,6 +6127,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "conv_structure_audit": q_conv_structure_audit,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8032,4 +8101,7 @@ FROM dfs GROUP BY df
         sql = builder(oracle_dir)
         if sql is not None:
             sqls[qname] = sql
+    sqls["conv_structure_audit"] = _CONV_AUDIT_SQL_TMPL.format(
+        multiturn=_multiturn_sql()
+    )
     return sqls

@@ -1,0 +1,103 @@
+"""Conversation-structure operators over multi-turn transcript tables.
+
+Luzzu's syntactic-validity / consistency metrics flag records whose
+structure violates the schema contract (README.md:7 ``[paper]``); the
+transcript analogue is CONVERSATION-level structure: roles must
+alternate, a conversation opens with ``user`` or ``system``, and a
+``tool`` turn only makes sense directly after an ``assistant`` turn
+(the turn that issued the call).  These are the rules an agent-
+transcript quality filter runs before any content heuristic.
+
+Scale shape: ONE conv_id co-location exchange (the flagship's
+conversation-reassembly assumption), then each block audits its
+conversations with one lexsort + shifted compares — no per-group
+Python, no second exchange; output is one narrow row per conversation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+AUDIT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_role_repeats", pa.int64()),
+        ("n_bad_tool", pa.int64()),
+        ("starts_ok", pa.bool_()),
+        ("structure_ok", pa.bool_()),
+    ]
+)
+
+
+def _audit_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return AUDIT_SCHEMA.empty_table()
+    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
+    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    role = pc.dictionary_encode(t["role"].combine_chunks())
+    r = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    rdict = role.dictionary.to_pylist()
+
+    def rcode(name: str) -> int:
+        return rdict.index(name) if name in rdict else -1
+
+    tool_c, asst_c = rcode("tool"), rcode("assistant")
+    user_c, sys_c = rcode("user"), rcode("system")
+
+    order = np.lexsort((ti, c))
+    c, r = c[order], r[order]
+    first = np.concatenate(([True], c[1:] != c[:-1]))
+    gid = np.cumsum(first) - 1
+    n_groups = int(gid[-1]) + 1
+
+    n_turns = np.bincount(gid, minlength=n_groups)
+    # consecutive same-role turns within a conversation
+    rep_pos = (~first[1:]) & (r[1:] == r[:-1])
+    n_rep = np.bincount(gid[1:][rep_pos], minlength=n_groups)
+    # tool turns whose previous turn is not an assistant turn
+    prev_r = np.concatenate(([-1], r[:-1]))
+    bad_tool_pos = (r == tool_c) & (first | (prev_r != asst_c))
+    n_bad = np.bincount(gid[bad_tool_pos], minlength=n_groups)
+    first_role = r[first]
+    starts_ok = (first_role == user_c) | (first_role == sys_c)
+    ok = starts_ok & (n_rep == 0) & (n_bad == 0)
+
+    return pa.table(
+        {
+            "conv_id": pc.take(conv.dictionary, pa.array(c[first])),
+            "n_turns": pa.array(n_turns.astype(np.int64)),
+            "n_role_repeats": pa.array(n_rep.astype(np.int64)),
+            "n_bad_tool": pa.array(n_bad.astype(np.int64)),
+            "starts_ok": pa.array(starts_ok),
+            "structure_ok": pa.array(ok),
+        }
+    )
+
+
+def conv_structure_audit(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-conversation role-structure audit.
+
+    Output per ``conv_id``: ``n_turns``, ``n_role_repeats`` (consecutive
+    same-role turn pairs under ``turn_idx`` order), ``n_bad_tool``
+    (``tool`` turns not directly preceded by an ``assistant`` turn),
+    ``starts_ok`` (opener is ``user`` or ``system``) and the combined
+    ``structure_ok`` verdict.  SQL twin: ``lag(role) OVER (PARTITION BY
+    conv_id ORDER BY turn_idx)`` + one grouped aggregate.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["conv_id", "turn_idx", "role"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    return part.map_batches(
+        _audit_block, batch_format="pyarrow", batch_size=None
+    )

@@ -1,0 +1,132 @@
+"""Conversation-structure audit: hand-built verdicts + layout invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _tbl(rows):
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+
+
+CASES = [
+    # clean user/assistant alternation
+    ("a", [(0, "user"), (1, "assistant"), (2, "user")],
+     dict(n_role_repeats=0, n_bad_tool=0, starts_ok=True, structure_ok=True)),
+    # system opener then alternation
+    ("b", [(0, "system"), (1, "user"), (2, "assistant")],
+     dict(n_role_repeats=0, n_bad_tool=0, starts_ok=True, structure_ok=True)),
+    # double user turn
+    ("c", [(0, "user"), (1, "user"), (2, "assistant")],
+     dict(n_role_repeats=1, n_bad_tool=0, starts_ok=True, structure_ok=False)),
+    # tool turn correctly after assistant
+    ("d", [(0, "user"), (1, "assistant"), (2, "tool"), (3, "assistant")],
+     dict(n_role_repeats=0, n_bad_tool=0, starts_ok=True, structure_ok=True)),
+    # tool turn after user = misplaced; also opener is assistant
+    ("e", [(0, "assistant"), (1, "user"), (2, "tool")],
+     dict(n_role_repeats=0, n_bad_tool=1, starts_ok=False,
+          structure_ok=False)),
+    # tool turn opens the conversation = misplaced
+    ("f", [(0, "tool"), (1, "assistant")],
+     dict(n_role_repeats=0, n_bad_tool=1, starts_ok=False,
+          structure_ok=False)),
+    # consecutive tool turns: second lacks a directly-preceding assistant
+    ("g", [(0, "user"), (1, "assistant"), (2, "tool"), (3, "tool")],
+     dict(n_role_repeats=1, n_bad_tool=1, starts_ok=True,
+          structure_ok=False)),
+]
+
+
+def _rows():
+    rows = []
+    for conv, turns, _ in CASES:
+        rows += [(conv, i, r) for i, r in turns]
+    return rows
+
+
+def test_audit_block_verdicts():
+    from luzzu_ray.ops.transcripts import _audit_block
+
+    out = _audit_block(_tbl(_rows())).to_pandas().set_index("conv_id")
+    for conv, turns, want in CASES:
+        row = out.loc[conv]
+        assert row["n_turns"] == len(turns), conv
+        for k, v in want.items():
+            assert row[k] == v, (conv, k, row[k], v)
+
+
+def test_audit_block_layout_invariance():
+    from luzzu_ray.ops.transcripts import _audit_block
+
+    rows = _rows()
+    base = (
+        _audit_block(_tbl(rows)).to_pandas()
+        .sort_values("conv_id").reset_index(drop=True)
+    )
+    rng = np.random.Generator(np.random.PCG64(7))
+    for _ in range(5):
+        perm = rng.permutation(len(rows))
+        shuf = _audit_block(_tbl([rows[i] for i in perm])).to_pandas()
+        shuf = shuf.sort_values("conv_id").reset_index(drop=True)
+        assert shuf.equals(base)
+
+
+def test_audit_distributed_matches_block(ray_session):
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import _audit_block, conv_structure_audit
+
+    rows = _rows()
+    t = _tbl(rows)
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = (
+        conv_structure_audit(ds, num_partitions=3).to_pandas()
+        .sort_values("conv_id").reset_index(drop=True)
+    )
+    want = (
+        _audit_block(t).to_pandas()
+        .sort_values("conv_id").reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_multiturn_adapter_role_rules(ray_session, tmp_path):
+    """The adapter's derivation obeys its documented pure-function rules."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.sources import documents_as_multiturn
+
+    ids = list(range(100))
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array(["x" * 200 for _ in ids])}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = documents_as_multiturn(str(tmp_path)).to_pandas()
+    out["doc_id"] = out["conv_id"].astype(int)
+    for did, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("turn_idx")
+        assert len(grp) == 2 + did % 3
+        roles = list(grp["role"])
+        if did % 5 == 0:
+            assert roles[0] == "system"
+        else:
+            assert roles[0] == "user"
+        if len(roles) >= 3 and did % 11 == 0:
+            assert roles[2] == "tool"
+            assert grp["tool"].iloc[2] == "search"
+        elif len(roles) >= 3 and did % 7 == 0:
+            assert roles[2] == roles[1]
+        assert grp["tool"].drop(
+            grp.index[[2]] if len(roles) >= 3 else []
+        ).isna().all()
