@@ -2355,6 +2355,59 @@ GROUP BY x.vec_id, x.cluster
 """
 
 
+KNN_GRAPH_K = 5
+
+
+def q_knn_graph(sf_dir: str):
+    """Cell-bounded kNN graph: every vector's top-5 cosine neighbors
+    within its data-adapted k-means cell — the all-vectors
+    graph-construction step (SemDeDup / kNN-graph clustering), with
+    the cell count bounding the quadratic.  The oracle rebuilds the
+    centroids from the scalar-twin sampler and replays assignment +
+    per-cell self-join ranking in SQL."""
+    from luzzu_ray.ops.similarity import knn_graph
+
+    C = _kmeans_centroids_engine(sf_dir)
+    return knn_graph(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        C, k=KNN_GRAPH_K,
+    )
+
+
+def _knn_graph_sql(sf_dir: str) -> str | None:
+    from luzzu_ray.ops.similarity import kmeans_centroids
+
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        return None
+    C = kmeans_centroids(_km_sample_matrix_numpy(sf_dir))
+    vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for i, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cid, cvec) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, c.cid, list_dot_product(e.embedding, c.cvec) AS dot
+  FROM embeddings e CROSS JOIN cent c
+),
+codes AS (
+  SELECT vec_id, CAST(arg_max(cid, dot) AS BIGINT) AS cluster
+  FROM dots GROUP BY vec_id
+),
+x AS (
+  SELECT e.vec_id, codes.cluster, e.embedding
+  FROM embeddings e JOIN codes USING (vec_id)
+)
+SELECT a.vec_id,
+  CAST(row_number() OVER (PARTITION BY a.vec_id
+       ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC,
+                b.vec_id) AS BIGINT) AS rank,
+  b.vec_id AS nbr_id
+FROM x a JOIN x b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+QUALIFY rank <= {KNN_GRAPH_K}
+"""
+
+
 def q_embedding_neardup_lsh(sf_dir: str):
     """Embedding near-dup pairs via banded hyperplane LSH + exact
     in-bucket cosine verify (cos >= 0.85) — the SUBQUADRATIC
@@ -6128,6 +6181,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
         "conv_structure_audit": q_conv_structure_audit,
+        "knn_graph": q_knn_graph,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8097,7 +8151,8 @@ FROM dfs GROUP BY df
                            ("pq_ann_topk", _pq_ann_sql),
                            ("ivfpq_ann_topk", _ivfpq_sql),
                            ("ann_recall_eval", _ann_recall_sql),
-                           ("semantic_dedup", _semantic_dedup_sql)):
+                           ("semantic_dedup", _semantic_dedup_sql),
+                           ("knn_graph", _knn_graph_sql)):
         sql = builder(oracle_dir)
         if sql is not None:
             sqls[qname] = sql

@@ -699,6 +699,110 @@ def semantic_dedup(
     )
 
 
+def knn_graph(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    k: int = 5,
+    num_partitions: int | None = None,
+    matmul_chunk: int = 4096,
+) -> ray.data.Dataset:
+    """Cell-bounded k-nearest-neighbor GRAPH: every vector's top-k
+    cosine neighbors within its coarse k-means cell.  Returns
+    (vec_id, rank, nbr_id); ties broken by ascending ``nbr_id``
+    (SQL ``row_number() OVER (... ORDER BY cos DESC, vec_id)``).
+
+    This is the all-vectors complement of :func:`ann_topk` (which
+    serves a small designated query set) and the graph-building step
+    of SemDeDup-style pipelines (Abbas et al. 2023) and kNN-graph
+    clustering: the cell count bounds the per-cell quadratic exactly
+    as in :func:`semantic_dedup` — per-cell cost ~(n/k_cells)^2 d, so
+    at 10^9 vectors pick k_cells ~ n / target_cell_size.  Neighbors in
+    OTHER cells are missed by design (the IVF recall trade-off; probe
+    expansion would re-run assignment with nprobe > 1).
+
+    Scale shape: one vectorized centroid argmax per batch (broadcast
+    k_cells x d matrix), ONE hash exchange keyed on cell id, per-block
+    chunked matmul with row-wise argpartition top-k — no all-pairs
+    sweep, no driver materialization; output is n x k narrow rows.
+    """
+    from luzzu_ray.ops.dedup import _hash_shuffle_ctx, auto_partitions
+
+    _hash_shuffle_ctx()
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        E = _as_matrix(t["embedding"])
+        code = (
+            np.argmax(E @ C.T, axis=1).astype(np.int64)
+            if E.size
+            else np.zeros(t.num_rows, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(code),
+                "embedding": t["embedding"],
+            }
+        )
+
+    assigned = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "rank": pa.array([], pa.int64()),
+         "nbr_id": pa.array([], pa.int64())}
+    )
+
+    def knn_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("cluster", "ascending"), ("vec_id", "ascending")])
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        N = _normalize(_as_matrix(t["embedding"]))
+        out_v, out_r, out_n = [], [], []
+        bounds = np.flatnonzero(np.diff(cl)) + 1
+        for s, e in zip(
+            np.concatenate(([0], bounds)),
+            np.concatenate((bounds, [len(cl)])),
+        ):
+            M, ids, m = N[s:e], vid[s:e], e - s
+            if m < 2:
+                continue
+            kk = min(k, m - 1)
+            for lo in range(0, m, matmul_chunk):
+                hi = min(lo + matmul_chunk, m)
+                G = M[lo:hi] @ M.T  # (chunk, m)
+                G[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self
+                part = np.argpartition(-G, kth=kk - 1, axis=1)[:, :kk]
+                cos = np.take_along_axis(G, part, axis=1)
+                # row-wise order: cos DESC, then neighbor id ASC
+                order = np.lexsort((ids[part], -cos), axis=-1)
+                nbr = np.take_along_axis(part, order, axis=1)
+                out_v.append(np.repeat(ids[lo:hi], kk))
+                out_r.append(np.tile(np.arange(1, kk + 1), hi - lo))
+                out_n.append(ids[nbr].ravel())
+        if not out_v:
+            return empty
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+                "rank": pa.array(np.concatenate(out_r).astype(np.int64)),
+                "nbr_id": pa.array(np.concatenate(out_n).astype(np.int64)),
+            }
+        )
+
+    part = assigned.repartition(
+        num_blocks=auto_partitions(assigned, num_partitions),
+        keys=["cluster"],
+    )
+    return part.map_batches(
+        knn_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def grouped_vector_sums(
     ds: ray.data.Dataset,
     label_col: str = "label",

@@ -4551,3 +4551,51 @@ def test_kmeans_lloyd_int_layout_invariant_and_converges(ray_session):
     # fixed by the seeds: seed i -> cluster label lab[i])
     assert len({lab[0], lab[1], lab[2]}) == 3
     assert (lab == np.array([lab[0], lab[1], lab[2]])[true_lab]).all()
+
+
+def test_knn_graph_matches_brute_twin(ray_session):
+    """knn_graph equals the numpy per-cell brute-force twin (top-k by
+    cosine DESC, nbr_id ASC within each coarse cell) across block
+    layouts, tiny matmul chunks, and cells smaller than k."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import (
+        _normalize, kmeans_centroids, knn_graph,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d, k = 300, 12, 4
+    E = rng.normal(size=(n, d))
+    C = kmeans_centroids(E[:96], k=24, iters=5)  # many cells -> some tiny
+
+    N = _normalize(E.astype(np.float64))
+    code = np.argmax(E @ C.T, axis=1)
+    want = []
+    for c in range(len(C)):
+        idx = np.where(code == c)[0]
+        if len(idx) < 2:
+            continue
+        G = N[idx] @ N[idx].T
+        np.fill_diagonal(G, -np.inf)
+        for r, i in enumerate(idx):
+            order = sorted(range(len(idx)),
+                           key=lambda j: (-G[r, j], idx[j]))
+            for rank, j in enumerate(order[: min(k, len(idx) - 1)], 1):
+                want.append((int(i), rank, int(idx[j])))
+    want = sorted(want)
+    assert len({c for c in code}) > 5 and len(want) > 200
+
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(E.astype(np.float32))),
+    })
+    for parts, chunk in ((1, 4096), (6, 7)):
+        got = knn_graph(
+            ray.data.from_arrow(t).repartition(parts),
+            C, k=k, num_partitions=3, matmul_chunk=chunk,
+        ).to_pandas()
+        got_rows = sorted(
+            (int(a), int(r), int(b))
+            for a, r, b in zip(got["vec_id"], got["rank"], got["nbr_id"])
+        )
+        assert got_rows == want, (parts, chunk)
