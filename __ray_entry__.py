@@ -2731,14 +2731,18 @@ def q_events_distinct_hll_est(sf_dir: str):
     return hll_estimate(_tbl(sf_dir, "events", ["event_id"]), "event_id")
 
 
-def _hll_sql_parts() -> str:
+def _hll_sql_parts(group: str = "") -> str:
     """Shared splitmix64 + register/rho CTE chain in HUGEINT (constant
-    multiplies are split 32/32 so no product exceeds INT128)."""
+    multiplies are split 32/32 so no product exceeds INT128).  Pass a
+    column name in ``group`` to carry it through for the grouped
+    variant (regs then key on (group, register))."""
     from luzzu_ray.ops.sketch import HLL_GAMMA, HLL_MIX1, HLL_MIX2, HLL_P
 
     m = 1 << HLL_P
     sent = 1 << (64 - HLL_P)
     T = "18446744073709551616"
+    g = f"{group}, " if group else ""
+    gby = f" GROUP BY {group}, register" if group else " GROUP BY register"
 
     def mulmod(z: str, k: int) -> str:
         return (
@@ -2748,24 +2752,24 @@ def _hll_sql_parts() -> str:
 
     return f"""
 h0 AS (
-  SELECT CAST((CAST(event_id AS HUGEINT) + {HLL_GAMMA}) % {T} AS HUGEINT) AS z
+  SELECT {g}CAST((CAST(event_id AS HUGEINT) + {HLL_GAMMA}) % {T} AS HUGEINT) AS z
   FROM events
 ),
-x1 AS (SELECT xor(z, z // 1073741824) AS z FROM h0),
-h1 AS (SELECT CAST({mulmod('z', HLL_MIX1)} AS HUGEINT) AS z FROM x1),
-x2 AS (SELECT xor(z, z // 134217728) AS z FROM h1),
-h2 AS (SELECT CAST({mulmod('z', HLL_MIX2)} AS HUGEINT) AS z FROM x2),
-h AS (SELECT xor(z, z // 2147483648) AS h FROM h2),
+x1 AS (SELECT {g}xor(z, z // 1073741824) AS z FROM h0),
+h1 AS (SELECT {g}CAST({mulmod('z', HLL_MIX1)} AS HUGEINT) AS z FROM x1),
+x2 AS (SELECT {g}xor(z, z // 134217728) AS z FROM h1),
+h2 AS (SELECT {g}CAST({mulmod('z', HLL_MIX2)} AS HUGEINT) AS z FROM x2),
+h AS (SELECT {g}xor(z, z // 2147483648) AS h FROM h2),
 parts AS (
-  SELECT CAST(h % {m} AS BIGINT) AS register,
+  SELECT {g}CAST(h % {m} AS BIGINT) AS register,
          CAST(h // {m} AS BIGINT) | {sent} AS w
   FROM h
 ),
 regs AS (
-  SELECT register,
+  SELECT {g}register,
          CAST(max(CAST(log2(CAST((w & -w) AS DOUBLE)) AS BIGINT) + 1)
               AS BIGINT) AS rho
-  FROM parts GROUP BY register
+  FROM parts{gby}
 )"""
 
 
@@ -2787,6 +2791,43 @@ agg AS (
   FROM regs
 )
 SELECT CAST({m} AS BIGINT) AS m,
+  CAST({m} - n_nonzero AS BIGINT) AS n_zero_registers,
+  CAST((CAST(7213 AS HUGEINT) * {m ** 3} * {T})
+       // (10 * (1000 * {m} + 1079)
+           * (({m} - n_nonzero) * CAST({T} AS HUGEINT) + dnz))
+       AS BIGINT) AS est_raw
+FROM agg
+"""
+    )
+
+
+def q_events_user_distinct_hll(sf_dir: str):
+    """GROUPED HLL: per-user distinct-event estimate — bounded
+    per-group register state through one keyed exchange, exact-integer
+    estimator (limb-decomposed 2^(64-rho) sums) the SQL twin matches
+    bit-for-bit."""
+    from luzzu_ray.ops.sketch import hll_estimate_by
+
+    return hll_estimate_by(
+        _tbl(sf_dir, "events", ["user_id", "event_id"]),
+        "user_id", "event_id",
+    )
+
+
+def _hll_estimate_by_sql() -> str:
+    from luzzu_ray.ops.sketch import HLL_P
+
+    m = 1 << HLL_P
+    T = "18446744073709551616"
+    return (
+        "WITH " + _hll_sql_parts(group="user_id") + f""",
+agg AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS n_nonzero,
+         sum(CAST({T} AS HUGEINT)
+             // CAST(CAST(1 AS BIGINT) << rho AS HUGEINT)) AS dnz
+  FROM regs GROUP BY user_id
+)
+SELECT user_id, CAST({m} AS BIGINT) AS m,
   CAST({m} - n_nonzero AS BIGINT) AS n_zero_registers,
   CAST((CAST(7213 AS HUGEINT) * {m ** 3} * {T})
        // (10 * (1000 * {m} + 1079)
@@ -6182,6 +6223,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # window priority over older never-audited entries
         "conv_structure_audit": q_conv_structure_audit,
         "knn_graph": q_knn_graph,
+        "events_user_distinct_hll": q_events_user_distinct_hll,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -6995,6 +7037,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_lsh": _neardup_lsh_sql(),
         "events_distinct_hll": _hll_registers_sql(),
         "events_distinct_hll_est": _hll_estimate_sql(),
+        "events_user_distinct_hll": _hll_estimate_by_sql(),
         "events_props_stats": (
             "SELECT event_type, "
             "CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') "

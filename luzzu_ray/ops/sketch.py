@@ -643,3 +643,114 @@ def hll_estimate(
         )
 
     return regs.map_batches(estimate, batch_format="pyarrow", batch_size=None)
+
+
+def hll_estimate_by(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    p: int = HLL_P,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """GROUPED HyperLogLog: ndistinct(key) estimate PER GROUP with the
+    same exact-integer estimator as :func:`hll_estimate` (bit-for-bit
+    SQL-reproducible; the consumer applies linear counting from the
+    emitted ``n_zero_registers`` if it wants the small-range fix).
+
+    Scale shape: each block ships at most ``distinct_groups_in_block x
+    2^p`` (group, register, rho) rows — the register array IS the
+    bounded per-group state — one hash exchange co-locates groups, and
+    the identical kernel max-merges + finalizes.  The per-group sum of
+    2^(64-rho) is limb-decomposed (hi for rho <= 32, lo for rho >= 33;
+    each term <= 2^31, so both limbs are exact int64 segment sums) and
+    only the final rational division runs in Python ints — O(#groups)
+    big-int ops, never O(#groups x m).
+    Output: (group_col, m, n_zero_registers, est_raw).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    sch = ds.schema()
+    gtype = sch.types[sch.names.index(group_col)]
+    m = 1 << p
+    sentinel = np.uint64(1) << np.uint64(64 - p)
+
+    def stage(t: pa.Table, finalize: bool) -> pa.Table:
+        if t.num_rows == 0:
+            if finalize:
+                return pa.table(
+                    {group_col: pa.array([], gtype),
+                     "m": pa.array([], pa.int64()),
+                     "n_zero_registers": pa.array([], pa.int64()),
+                     "est_raw": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {group_col: pa.array([], gtype),
+                 "register": pa.array([], pa.int64()),
+                 "rho": pa.array([], pa.int64())}
+            )
+        enc = pc.dictionary_encode(t[group_col].combine_chunks())
+        gc = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if "register" in t.schema.names:
+            reg = t["register"].to_numpy(zero_copy_only=False)
+            rho = t["rho"].to_numpy(zero_copy_only=False)
+        else:
+            v = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = splitmix64(v)
+            reg = (h & np.uint64(m - 1)).astype(np.int64)
+            w = (h >> np.uint64(p)) | sentinel
+            with np.errstate(over="ignore"):
+                low = w & (~w + np.uint64(1))
+            rho = np.log2(low.astype(np.float64)).astype(np.int64) + 1
+        # max-rho per (group, register): sort rho DESC within the pair
+        order = np.lexsort((-rho, reg, gc))
+        gs, rs, hs = gc[order], reg[order], rho[order]
+        first = np.concatenate(
+            ([True], (gs[1:] != gs[:-1]) | (rs[1:] != rs[:-1]))
+        )
+        gs, rs, hs = gs[first], rs[first], hs[first]
+        if not finalize:
+            return pa.table(
+                {group_col: pc.take(enc.dictionary, pa.array(gs)),
+                 "register": pa.array(rs), "rho": pa.array(hs)}
+            )
+        newseg = np.concatenate(([True], gs[1:] != gs[:-1]))
+        starts = np.flatnonzero(newseg)
+        seg = np.cumsum(newseg) - 1
+        n_nonzero = np.bincount(seg, minlength=len(starts))
+        term_hi = np.where(
+            hs <= 32, np.int64(1) << (32 - np.clip(hs, 1, 32)), 0
+        )
+        term_lo = np.where(
+            hs >= 33, np.int64(1) << (64 - np.clip(hs, 33, 64)), 0
+        )
+        hi_s = np.add.reduceat(term_hi, starts)
+        lo_s = np.add.reduceat(term_lo, starts)
+        num = 7213 * m * m * m * TWO64
+        den0 = 10 * (1000 * m + 1079)
+        ests = np.fromiter(
+            (
+                num // (den0 * ((m - int(nz)) * TWO64
+                                + (int(h) << 32) + int(lo)))
+                for nz, h, lo in zip(n_nonzero, hi_s, lo_s)
+            ),
+            dtype=np.int64, count=len(starts),
+        )
+        return pa.table(
+            {group_col: pc.take(enc.dictionary, pa.array(gs[starts])),
+             "m": pa.array(np.full(len(starts), m, dtype=np.int64)),
+             "n_zero_registers": pa.array((m - n_nonzero).astype(np.int64)),
+             "est_raw": pa.array(ests)}
+        )
+
+    parts = ds.select_columns([group_col, key_col]).map_batches(
+        lambda t: stage(t, False),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return parts.repartition(
+        num_blocks=num_partitions, keys=[group_col]
+    ).map_batches(
+        lambda t: stage(t, True), batch_format="pyarrow", batch_size=None
+    )

@@ -4599,3 +4599,41 @@ def test_knn_graph_matches_brute_twin(ray_session):
             for a, r, b in zip(got["vec_id"], got["rank"], got["nbr_id"])
         )
         assert got_rows == want, (parts, chunk)
+
+
+def test_hll_estimate_by_matches_global_per_group(ray_session):
+    """Grouped HLL: each group's (n_zero, est_raw) equals the GLOBAL
+    estimator run on that group's rows alone, and the result is
+    layout-invariant across block splits."""
+    import ray.data
+
+    from luzzu_ray.ops.sketch import hll_estimate, hll_estimate_by
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    g = rng.integers(0, 7, size=n).astype(np.int64)
+    k = (rng.integers(0, 1 << 40, size=n)).astype(np.int64)
+    t = pa.table({"grp": pa.array(g), "key": pa.array(k)})
+
+    def by(parts):
+        return (
+            hll_estimate_by(
+                ray.data.from_arrow(t).repartition(parts), "grp", "key",
+                num_partitions=3,
+            )
+            .to_pandas().sort_values("grp").reset_index(drop=True)
+        )
+
+    got1, got8 = by(1), by(8)
+    assert got1.equals(got8)
+    for gi in range(7):
+        sub = t.filter(pa.array(g == gi))
+        want = hll_estimate(
+            ray.data.from_arrow(sub), "key"
+        ).to_pandas().iloc[0]
+        row = got1[got1["grp"] == gi].iloc[0]
+        assert row["n_zero_registers"] == want["n_zero_registers"], gi
+        assert row["est_raw"] == want["est_raw"], gi
+        # sanity: estimate lands near the true distinct count
+        true = len(np.unique(k[g == gi]))
+        assert abs(row["est_raw"] - true) < 0.2 * true
