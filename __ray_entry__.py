@@ -2046,24 +2046,89 @@ def q_flagship_documents(sf_dir: str):
         actor_pool=(max(1, hi // 2), hi),
         num_partitions=_size_partitions(n, default_num_partitions()),
     )
+    return labeled.map_batches(_prefix_project, batch_format="pyarrow")
+
+
+def _prefix_project(t: pa.Table) -> pa.Table:
+    """Project a labeled flagship output to its SQL-checkable columns:
+    identity, byte-exact scrubbed text, and the prefix verdict (keep /
+    first-failing reason restricted to the SQL-expressible prefix of
+    TURN_REASON_ORDER)."""
     prefix = pa.array(FLAGSHIP_SQL_REASONS)
+    reason = t["drop_reason"]
+    in_prefix = pc.fill_null(pc.is_in(reason, value_set=prefix), False)
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+            "keep_prefix": pc.invert(in_prefix),
+            "drop_reason_prefix": pc.if_else(
+                in_prefix, reason, pa.nulls(t.num_rows, pa.string())
+            ),
+            "text_scrubbed": t["text_scrubbed"],
+        }
+    )
 
-    def project(t: pa.Table) -> pa.Table:
-        reason = t["drop_reason"]
-        in_prefix = pc.fill_null(pc.is_in(reason, value_set=prefix), False)
-        return pa.table(
-            {
-                "conv_id": t["conv_id"],
-                "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
-                "keep_prefix": pc.invert(in_prefix),
-                "drop_reason_prefix": pc.if_else(
-                    in_prefix, reason, pa.nulls(t.num_rows, pa.string())
-                ),
-                "text_scrubbed": t["text_scrubbed"],
-            }
+
+def q_flagship_multiturn(sf_dir: str):
+    """The REAL flagship pipeline (normalize -> fused turn-level actor
+    chain -> conv reassembly with in-group turn_idx sort -> verdict ->
+    scrub) over the deterministic MULTI-TURN corpus — the first hard-
+    oracled query that exercises conversation reassembly on genuinely
+    multi-turn input.  Projected to the SQL-checkable prefix verdict +
+    byte-exact scrubbed text (conv-level rules disabled: their 'valid'
+    counts depend on non-SQL-expressible model signals)."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.dedup import _size_partitions
+    from luzzu_ray.pipelines.filter_pipeline import (
+        default_num_partitions,
+        run_flagship,
+    )
+    from luzzu_ray.sources import documents_as_multiturn
+
+    ds = documents_as_multiturn(sf_dir)
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    n = 3 * n_docs  # 2-4 turns/doc
+    hi = max(2, min(8, n // 2000 + 1))
+    labeled = run_flagship(
+        ds, skip_giant_detection=True, conv_min_turns=1,
+        actor_pool=(max(1, hi // 2), hi),
+        num_partitions=_size_partitions(n, default_num_partitions()),
+    )
+    return labeled.map_batches(_prefix_project, batch_format="pyarrow")
+
+
+def _flagship_multiturn_sql() -> str:
+    """Oracle: rebuild the multi-turn corpus in SQL, apply the prefix
+    rule CASE per turn, and replay the scrub chain over each turn's
+    text (conv_id/turn_idx carried through every scrub CTE)."""
+    from luzzu_ray import constants as C
+
+    case = (
+        "CASE WHEN m.text IS NULL THEN 'malformed' "
+        "WHEN length(m.text) = 0 THEN 'empty' "
+        f"WHEN length(m.text) < {C.MIN_CHARS} THEN 'too_short' "
+        f"WHEN length(m.text) > {C.MAX_CHARS} THEN 'too_long' "
+        "ELSE NULL END"
+    )
+    sql = f"WITH m AS ({_multiturn_sql()}), " \
+          "s0 AS (SELECT conv_id, turn_idx, text AS t0 FROM m)"
+    for i, (name, pat, repl) in enumerate(C.SCRUB_PACK):
+        sql += (
+            f", s{i + 1} AS (SELECT conv_id, turn_idx, "
+            f"regexp_replace(t{i}, $rx${pat}$rx$, '{repl}', 'g') AS t{i + 1} "
+            f"FROM s{i})"
         )
-
-    return labeled.map_batches(project, batch_format="pyarrow")
+    n = len(C.SCRUB_PACK)
+    return (
+        sql
+        + f" SELECT m.conv_id, m.turn_idx, (({case}) IS NULL) AS keep_prefix, "
+        f"({case}) AS drop_reason_prefix, s{n}.t{n} AS text_scrubbed "
+        f"FROM m JOIN s{n} USING (conv_id, turn_idx)"
+    )
 
 
 
@@ -6224,6 +6289,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "conv_structure_audit": q_conv_structure_audit,
         "knn_graph": q_knn_graph,
         "events_user_distinct_hll": q_events_user_distinct_hll,
+        "flagship_multiturn": q_flagship_multiturn,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8202,4 +8268,5 @@ FROM dfs GROUP BY df
     sqls["conv_structure_audit"] = _CONV_AUDIT_SQL_TMPL.format(
         multiturn=_multiturn_sql()
     )
+    sqls["flagship_multiturn"] = _flagship_multiturn_sql()
     return sqls
