@@ -2101,6 +2101,46 @@ def q_flagship_multiturn(sf_dir: str):
     return labeled.map_batches(_prefix_project, batch_format="pyarrow")
 
 
+def q_render_conversations(sf_dir: str):
+    """SFT corpus rendering: each multi-turn conversation to one
+    model-ready string ('role: text' lines joined by newline in
+    turn_idx order) — ordered string_agg as Arrow kernels through one
+    conv exchange."""
+    from luzzu_ray.ops.transcripts import render_conversations
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return render_conversations(documents_as_multiturn(sf_dir))
+
+
+def q_sft_multiturn_examples(sf_dir: str):
+    """Next-turn-prediction example building over the REAL multi-turn
+    corpus: each turn paired with the join of its preceding
+    CTX_WINDOW_TURNS turns (NULL for openers) — the generic
+    context_examples op applied to conversations instead of chunked
+    documents."""
+    from luzzu_ray.ops.vocab import context_examples
+    from luzzu_ray.sources import documents_as_multiturn
+
+    ds = documents_as_multiturn(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"]
+    )
+    return context_examples(
+        ds, CTX_WINDOW_TURNS,
+        id_col="conv_id", idx_col="turn_idx", text_col="text",
+    )
+
+
+def q_events_running_total(sf_dir: str):
+    """Per-user unbounded-preceding running totals (cumulative value
+    sum + row count in stream order) — the classic windowed scan, one
+    user exchange + segment-reset cumsum, exact int64."""
+    from luzzu_ray.ops.events import running_user_total
+
+    return running_user_total(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
 def _flagship_multiturn_sql() -> str:
     """Oracle: rebuild the multi-turn corpus in SQL, apply the prefix
     rule CASE per turn, and replay the scrub chain over each turn's
@@ -6290,6 +6330,9 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "events_user_distinct_hll": q_events_user_distinct_hll,
         "flagship_multiturn": q_flagship_multiturn,
+        "render_conversations": q_render_conversations,
+        "sft_multiturn_examples": q_sft_multiturn_examples,
+        "events_running_total": q_events_running_total,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8269,4 +8312,28 @@ FROM dfs GROUP BY df
         multiturn=_multiturn_sql()
     )
     sqls["flagship_multiturn"] = _flagship_multiturn_sql()
+    sqls["render_conversations"] = f"""
+WITH m AS ({_multiturn_sql()})
+SELECT conv_id,
+  string_agg(role || ': ' || coalesce(text, ''), chr(10)
+             ORDER BY turn_idx) AS transcript,
+  CAST(count(*) AS BIGINT) AS n_turns
+FROM m GROUP BY conv_id
+"""
+    sqls["sft_multiturn_examples"] = f"""
+WITH m AS ({_multiturn_sql()})
+SELECT conv_id, turn_idx, text AS target_text,
+  string_agg(text, ' | ') OVER (PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN {CTX_WINDOW_TURNS} PRECEDING AND 1 PRECEDING)
+    AS context_text
+FROM m
+"""
+    sqls["events_running_total"] = (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "
+        "AS BIGINT) AS run_sum_q4, "
+        "CAST(count(*) OVER w AS BIGINT) AS run_n FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
     return sqls

@@ -1371,3 +1371,57 @@ def funnel_k_steps(
     ).repartition(
         num_blocks=num_partitions, keys=["user_id"]
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def running_user_total(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Unbounded-preceding running total per user: for every event the
+    cumulative quantized value sum and running row count in (ts,
+    event_id) order — SQL ``SUM(...) OVER (PARTITION BY user_id ORDER
+    BY ts, event_id ROWS UNBOUNDED PRECEDING)``, exact int64.
+
+    One user co-location exchange, per block one lexsort + one cumsum
+    with vectorized segment resets.  Output: (event_id, user_id,
+    run_sum_q4, run_n)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "run_sum_q4": pa.array([], pa.int64()),
+                 "run_n": pa.array([], pa.int64())}
+            )
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        vq = np.floor(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 10_000.0
+        ).astype(np.int64)
+        n = len(uid)
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        cs = np.cumsum(vq)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        run = cs - base[gid]
+        pos = np.arange(n, dtype=np.int64) - starts[gid] + 1
+        return pa.table(
+            {"event_id": t["event_id"],
+             "user_id": t["user_id"],
+             "run_sum_q4": pa.array(run),
+             "run_n": pa.array(pos)}
+        )
+
+    return ds.select_columns(["event_id", "user_id", "ts", "value"]).repartition(
+        num_blocks=num_partitions, keys=["user_id"]
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)

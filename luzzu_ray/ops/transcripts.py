@@ -79,6 +79,75 @@ def _audit_block(t: pa.Table) -> pa.Table:
     )
 
 
+RENDER_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("transcript", pa.string()),
+        ("n_turns", pa.int64()),
+    ]
+)
+
+
+def _render_conv_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return RENDER_SCHEMA.empty_table()
+    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
+    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ti, c))
+    c = c[order]
+    lines = t["line"].combine_chunks().take(pa.array(order))
+    first = np.concatenate(([True], c[1:] != c[:-1]))
+    starts = np.flatnonzero(first)
+    offsets = np.concatenate((starts, [len(c)])).astype(np.int32)
+    groups = pa.ListArray.from_arrays(pa.array(offsets), lines)
+    return pa.table(
+        {
+            "conv_id": pc.take(conv.dictionary, pa.array(c[starts])),
+            "transcript": pc.binary_join(groups, "\n"),
+            "n_turns": pa.array(np.diff(offsets).astype(np.int64)),
+        }
+    )
+
+
+def render_conversations(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Render each conversation to ONE model-ready training string:
+    ``role: text`` lines joined with newlines in ``turn_idx`` order —
+    the step that turns a flat turn table into SFT corpus documents.
+    NULL turn text renders as the empty string (SQL ``coalesce``).
+
+    Per-row formatting and per-group joins are both Arrow kernels
+    (``binary_join_element_wise`` then ListArray offsets +
+    ``binary_join``); one conv_id exchange, no per-group Python.  SQL
+    twin: ``string_agg(role || ': ' || coalesce(text, ''), chr(10)
+    ORDER BY turn_idx) GROUP BY conv_id``.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            t["role"], pc.fill_null(t["text"], ""), ": "
+        )
+        return pa.table(
+            {"conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+             "line": line}
+        )
+
+    picked = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+    part = picked.map_batches(
+        fmt, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=num_partitions, keys=["conv_id"])
+    return part.map_batches(
+        _render_conv_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 def conv_structure_audit(
     ds: ray.data.Dataset, num_partitions: int | None = None
 ) -> ray.data.Dataset:

@@ -4637,3 +4637,36 @@ def test_hll_estimate_by_matches_global_per_group(ray_session):
         # sanity: estimate lands near the true distinct count
         true = len(np.unique(k[g == gi]))
         assert abs(row["est_raw"] - true) < 0.2 * true
+
+
+def test_running_user_total_matches_pandas_twin(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from luzzu_ray.ops.events import running_user_total
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, size=n).astype(np.int64),
+        "ts": rng.integers(0, 10**9, size=n).astype("datetime64[us]"),
+        "value": rng.uniform(0, 100, size=n),
+    })
+    vq = np.floor(df["value"].to_numpy() * 10_000.0).astype(np.int64)
+    d2 = df.assign(vq=vq).sort_values(["user_id", "ts", "event_id"])
+    want = d2.assign(
+        run_sum_q4=d2.groupby("user_id")["vq"].cumsum(),
+        run_n=d2.groupby("user_id").cumcount() + 1,
+    )[["event_id", "run_sum_q4", "run_n"]].sort_values("event_id")
+
+    for parts in (1, 7):
+        got = (
+            running_user_total(
+                ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                num_partitions=4,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        assert list(got["run_sum_q4"]) == list(want["run_sum_q4"]), parts
+        assert list(got["run_n"]) == list(want["run_n"]), parts

@@ -130,3 +130,40 @@ def test_multiturn_adapter_role_rules(ray_session, tmp_path):
         assert grp["tool"].drop(
             grp.index[[2]] if len(roles) >= 3 else []
         ).isna().all()
+
+
+def test_render_conversations_layout_invariance(ray_session):
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import render_conversations
+
+    rows = _rows()
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array(
+                [None if i % 9 == 0 else f"t{i}" for i in range(len(rows))]
+            ),
+        }
+    )
+    outs = []
+    for parts in (1, 6):
+        got = (
+            render_conversations(
+                ray.data.from_arrow(t).repartition(parts), num_partitions=3
+            )
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    row_a = outs[0][outs[0]["conv_id"] == "a"].iloc[0]
+    assert row_a["n_turns"] == 3
+    assert row_a["transcript"].count("\n") == 2
+    # null text renders as empty string after the role prefix
+    assert any(
+        line.endswith(": ")
+        for out_row in outs[0].itertuples()
+        for line in out_row.transcript.split("\n")
+    )
