@@ -2130,6 +2130,52 @@ def q_sft_multiturn_examples(sf_dir: str):
     )
 
 
+def q_quality_score_auc(sf_dir: str):
+    """Exact ROC-AUC of the heuristic quality score vs the keep label
+    (Mann-Whitney U with average-rank ties, exact integers) — the
+    "does the score rank kept docs above dropped ones" eval; bounded
+    quantized-score domain makes the global rank statistic computable
+    without a global sort."""
+    from luzzu_ray.ops.relational import binary_auc
+    from luzzu_ray.ops.textstats import quality_score_batch
+
+    def score(t: pa.Table) -> pa.Table:
+        s = quality_score_batch(t)
+        score_q6 = pc.subtract(
+            pa.scalar(2_000_000, pa.int64()),
+            pc.add(s["symbol_ratio_q6"], s["digit_ratio_q6"]),
+        )
+        return pa.table({"score_q6": score_q6, "keep": s["keep"]})
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return binary_auc(scored, "score_q6", "keep")
+
+
+_QUALITY_AUC_SQL = """
+WITH q AS ({quality}),
+s AS (SELECT 2000000 - symbol_ratio_q6 - digit_ratio_q6 AS score,
+             keep AS label FROM q),
+g AS (SELECT score,
+        CAST(coalesce(count(*) FILTER (label), 0) AS BIGINT) AS np,
+        CAST(coalesce(count(*) FILTER (NOT label), 0) AS BIGINT) AS nn
+      FROM s GROUP BY score),
+o AS (SELECT score, np, nn,
+        CAST(coalesce(sum(nn) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cumneg
+      FROM g)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+  CAST(sum(nn) AS BIGINT) AS n_neg,
+  CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS u2,
+  CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+       ELSE CAST((sum(np * (2 * cumneg + nn)) * 1000000)
+                 // (2 * sum(np) * sum(nn)) AS BIGINT) END AS auc_q6
+FROM o
+"""
+
+
 def q_events_running_total(sf_dir: str):
     """Per-user unbounded-preceding running totals (cumulative value
     sum + row count in stream order) — the classic windowed scan, one
@@ -6333,6 +6379,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "render_conversations": q_render_conversations,
         "sft_multiturn_examples": q_sft_multiturn_examples,
         "events_running_total": q_events_running_total,
+        "quality_score_auc": q_quality_score_auc,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8328,6 +8375,7 @@ SELECT conv_id, turn_idx, text AS target_text,
     AS context_text
 FROM m
 """
+    sqls["quality_score_auc"] = _QUALITY_AUC_SQL.format(quality=_QUALITY_SQL)
     sqls["events_running_total"] = (
         "SELECT event_id, user_id, "
         "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "

@@ -2289,3 +2289,90 @@ def grouped_pct_rank(
     return picked.repartition(
         num_blocks=width, keys=[group_col]
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def binary_auc(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact ROC-AUC of an INTEGER score against a boolean label — the
+    Mann-Whitney U statistic with average-rank tie handling, reported
+    as exact integers: ``u2 = 2U = sum_v np_v * (2*cumneg_<v + nn_v)``
+    over ascending distinct score values v, and ``auc_q6 =
+    (u2 * 10^6) // (2 * n_pos * n_neg)`` (NULL when one class is
+    empty).  The quality-filter eval metric: "does the score actually
+    rank kept docs above dropped ones".
+
+    Scale shape: per-block (score, n_pos, n_neg) partials (bounded by
+    the block's distinct scores), one gather into a single reduce block
+    bounded by the DISTINCT-SCORE DOMAIN — callers must pass a
+    quantized score whose domain is bounded (e.g. ratio scores in
+    [0, 2e6]), which is what makes a global rank statistic computable
+    without a global sort.  The final U accumulation falls back to
+    Python ints when the a-priori bound 2 * n * n_pos >= 2^63 would
+    risk int64 overflow (the repo's _exact_group_sum convention).
+    """
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"score": pa.array([], pa.int64()),
+                 "np_": pa.array([], pa.int64()),
+                 "nn_": pa.array([], pa.int64()),
+                 "_mrg": pa.array([], pa.int32())}
+            )
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(bool)
+        u, inv = np.unique(s, return_inverse=True)
+        npos = np.bincount(inv, weights=lab, minlength=len(u))
+        tot = np.bincount(inv, minlength=len(u))
+        return pa.table(
+            {"score": pa.array(u),
+             "np_": pa.array(npos.astype(np.int64)),
+             "nn_": pa.array((tot - npos).astype(np.int64)),
+             "_mrg": pa.array(np.zeros(len(u), dtype=np.int32))}
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        np_in = t["np_"].to_numpy(zero_copy_only=False)
+        nn_in = t["nn_"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(s, return_inverse=True)
+        # int64 scatter-adds (float bincount weights would lose
+        # exactness past 2^53 per-score totals at corpus scale)
+        npos = np.zeros(len(u), dtype=np.int64)
+        nneg = np.zeros(len(u), dtype=np.int64)
+        np.add.at(npos, inv, np_in)
+        np.add.at(nneg, inv, nn_in)
+        n_pos, n_neg = int(npos.sum()), int(nneg.sum())
+        n = n_pos + n_neg
+        if n_pos == 0 or n_neg == 0:
+            u2, auc = (0, None)
+        elif 2 * n * n_pos < 2**63:
+            cumneg = np.concatenate(([0], np.cumsum(nneg)[:-1]))
+            u2 = int((npos * (2 * cumneg + nneg)).sum())
+            auc = (u2 * 1_000_000) // (2 * n_pos * n_neg)
+        else:  # exactness beyond the int64 bound: Python-int accumulation
+            u2, cum = 0, 0
+            for p, q in zip(npos.tolist(), nneg.tolist()):
+                u2 += p * (2 * cum + q)
+                cum += q
+            auc = (u2 * 1_000_000) // (2 * n_pos * n_neg)
+        return pa.table(
+            {"n_pos": pa.array([n_pos], pa.int64()),
+             "n_neg": pa.array([n_neg], pa.int64()),
+             "u2": pa.array([u2], pa.int64()),
+             "auc_q6": pa.array([auc], pa.int64())}
+        )
+
+    parts = ds.select_columns([score_col, label_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return parts.repartition(num_blocks=1, keys=["_mrg"]).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -4670,3 +4670,46 @@ def test_running_user_total_matches_pandas_twin(ray_session):
         )
         assert list(got["run_sum_q4"]) == list(want["run_sum_q4"]), parts
         assert list(got["run_n"]) == list(want["run_n"]), parts
+
+
+def test_binary_auc_matches_sklearn_style_twin(ray_session):
+    """binary_auc equals a rank-based scalar twin (average-rank
+    Mann-Whitney) on random tied integer scores, for any layout, and
+    the Python-int fallback path agrees with the vectorized path."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import binary_auc
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    s = rng.integers(0, 50, size=n).astype(np.int64)  # heavy ties
+    # label correlated with score so AUC is informative
+    lab = (s + rng.integers(0, 30, size=n)) > 40
+
+    # scalar twin: average ranks
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(n, dtype=np.float64)
+    sv = s[order]
+    i = 0
+    r = 1
+    while i < n:
+        j = i
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (r + (r + (j - i) - 1)) / 2.0
+        r += j - i
+        i = j
+    n_pos = int(lab.sum())
+    n_neg = n - n_pos
+    u = ranks[lab].sum() - n_pos * (n_pos + 1) / 2.0
+    want_u2 = int(round(2 * u))
+    want_auc = (want_u2 * 1_000_000) // (2 * n_pos * n_neg)
+
+    t = pa.table({"sc": pa.array(s), "lb": pa.array(lab)})
+    for parts in (1, 9):
+        got = binary_auc(
+            ray.data.from_arrow(t).repartition(parts), "sc", "lb"
+        ).to_pandas().iloc[0]
+        assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+        assert got["u2"] == want_u2, parts
+        assert got["auc_q6"] == want_auc, parts
