@@ -2130,6 +2130,46 @@ def q_sft_multiturn_examples(sf_dir: str):
     )
 
 
+def q_events_session_hours(sf_dir: str):
+    """Interval-to-bucket attribution: each 30-min-gap user session
+    unnested to the hour buckets its span overlaps — one user
+    exchange, vectorized repeat/arange expansion; output bounded by
+    span hours, not event count."""
+    from luzzu_ray.ops.events import session_hours
+
+    return session_hours(_tbl(sf_dir, "events", ["user_id", "ts", "event_id"]))
+
+
+_SESSION_HOURS_SQL = """
+WITH b AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+      AS sidx
+  FROM b
+),
+g AS (
+  SELECT user_id, sidx,
+         min(epoch_us(ts)) // 3600000000 AS h0,
+         max(epoch_us(ts)) // 3600000000 AS h1
+  FROM s GROUP BY user_id, sidx
+)
+SELECT user_id, CAST(sidx AS BIGINT) AS session_idx,
+  CAST((h0 + i) * 3600000000 AS BIGINT) AS hour_us
+FROM (SELECT user_id, sidx, h0,
+             unnest(generate_series(0, h1 - h0)) AS i
+      FROM g)
+"""
+
+
 def q_quality_score_auc(sf_dir: str):
     """Exact ROC-AUC of the heuristic quality score vs the keep label
     (Mann-Whitney U with average-rank ties, exact integers) — the
@@ -6380,6 +6420,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "sft_multiturn_examples": q_sft_multiturn_examples,
         "events_running_total": q_events_running_total,
         "quality_score_auc": q_quality_score_auc,
+        "events_session_hours": q_events_session_hours,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8376,6 +8417,7 @@ SELECT conv_id, turn_idx, text AS target_text,
 FROM m
 """
     sqls["quality_score_auc"] = _QUALITY_AUC_SQL.format(quality=_QUALITY_SQL)
+    sqls["events_session_hours"] = _SESSION_HOURS_SQL
     sqls["events_running_total"] = (
         "SELECT event_id, user_id, "
         "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "

@@ -1425,3 +1425,68 @@ def running_user_total(
     return ds.select_columns(["event_id", "user_id", "ts", "value"]).repartition(
         num_blocks=num_partitions, keys=["user_id"]
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def session_hours(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Interval-to-bucket attribution: each user session (30-min gap
+    rule, as :func:`sessionize`) unnested to every HOUR bucket its
+    [first_event, last_event] interval overlaps — the session-hour
+    attribution join (billing/usage attribution).  Output:
+    (user_id, session_idx, hour_us) with hour_us = hour-start epoch
+    microseconds; rows are bounded by total session-span hours, not by
+    event count.
+
+    One user co-location exchange; per block one lexsort, session
+    boundary detection, then a vectorized repeat/arange expansion of
+    each session's hour range — no per-session Python."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    HOUR = 3_600_000_000
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "session_idx": pa.array([], pa.int64()),
+                 "hour_us": pa.array([], pa.int64())}
+            )
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        new_u = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        new_sess = new_u | (gap > SESSION_GAP_US)
+        s_starts = np.flatnonzero(new_sess)
+        s_ends = np.concatenate((s_starts[1:] - 1, [len(ts) - 1]))
+        # session index within its user (0-based)
+        sid = np.cumsum(new_sess) - 1
+        user_first_sid = sid[np.flatnonzero(new_u)]
+        ug = np.cumsum(new_u) - 1
+        sidx_all = sid - user_first_sid[ug]
+        h0 = ts[s_starts] // HOUR
+        h1 = ts[s_ends] // HOUR
+        counts = (h1 - h0 + 1).astype(np.int64)
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(len(s_starts)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        step = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+        return pa.table(
+            {"user_id": pa.array(uid[s_starts][rep]),
+             "session_idx": pa.array(sidx_all[s_starts][rep]),
+             "hour_us": pa.array((h0[rep] + step) * HOUR)}
+        )
+
+    picked = ds.select_columns(["user_id", "ts", "event_id"])
+    return picked.repartition(
+        num_blocks=num_partitions, keys=["user_id"]
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)

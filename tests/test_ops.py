@@ -4713,3 +4713,58 @@ def test_binary_auc_matches_sklearn_style_twin(ray_session):
         assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
         assert got["u2"] == want_u2, parts
         assert got["auc_q6"] == want_auc, parts
+
+
+def test_session_hours_layout_invariance_and_span(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from luzzu_ray.ops.events import SESSION_GAP_US, session_hours
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    HOUR = 3_600_000_000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, size=n).astype(np.int64),
+        "ts": rng.integers(0, 50 * HOUR, size=n).astype("datetime64[us]"),
+    })
+    t = pa.Table.from_pandas(df)
+    outs = []
+    for parts in (1, 8):
+        got = (
+            session_hours(
+                ray.data.from_arrow(t).repartition(parts), num_partitions=4
+            )
+            .to_pandas()
+            .sort_values(["user_id", "session_idx", "hour_us"])
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    # scalar twin per user
+    us = df.sort_values(["user_id", "ts", "event_id"])
+    want = []
+    for uid, grp in us.groupby("user_id"):
+        tsv = grp["ts"].astype("int64").to_numpy()
+        sidx = -1
+        prev = None
+        spans = []
+        for x in tsv:
+            if prev is None or x - prev > SESSION_GAP_US:
+                sidx += 1
+                spans.append([x, x])
+            else:
+                spans[-1][1] = x
+            prev = x
+        for i, (a, b) in enumerate(spans):
+            for h in range(a // HOUR, b // HOUR + 1):
+                want.append((int(uid), i, h * HOUR))
+    want = sorted(want)
+    got_rows = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in zip(
+            outs[0]["user_id"], outs[0]["session_idx"], outs[0]["hour_us"]
+        )
+    )
+    assert got_rows == want
