@@ -2130,6 +2130,114 @@ def q_sft_multiturn_examples(sf_dir: str):
     )
 
 
+def q_langid_confusion(sf_dir: str):
+    """Model-eval confusion matrix: labeled lang vs the langid actor
+    pool's prediction, counted per (true, predicted) pair — the
+    "how good is the classifier" diagnostic.  HARD-verified by joining
+    the committed langid fixture (row-at-a-time scalar twin) back to
+    the labeled documents in SQL."""
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.common import pool
+    from luzzu_ray.stages.actors import LangIdScorer
+
+    base = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": t["text"],
+             "lang_true": t["lang"]}
+        )
+
+    scored = base.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        LangIdScorer,
+        batch_format="pyarrow", batch_size=4096, concurrency=pool(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lang_true": pa.array([], pa.string()),
+                 "lang_pred": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        a = pc.dictionary_encode(t["lang_true"].combine_chunks())
+        b = pc.dictionary_encode(t["lang"].combine_chunks())
+        ai = a.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bi = b.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = len(b.dictionary)
+        code = ai * nb + bi
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {"lang_true": pc.take(a.dictionary, pa.array(u // nb)),
+             "lang_pred": pc.take(b.dictionary, pa.array(u % nb)),
+             "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    parts = scored.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    return parts.groupby(["lang_true", "lang_pred"]).aggregate(
+        Sum("n", alias_name="n_docs")
+    )
+
+
+EPOCH_SHUFFLE_SEED = 7
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-keyed global shuffle order (the training
+    data-loader primitive: 'the exact position of every doc in epoch
+    E'): shuffle_key = splitmix64(doc_id + E*gamma) viewed signed,
+    then the distributed global_rank protocol (sampled range
+    partitioning, O(B) driver offsets — no monolithic sort)."""
+    from luzzu_ray.ops.relational import global_rank
+    from luzzu_ray.ops.sketch import HLL_GAMMA, splitmix64
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = splitmix64(
+                did + np.uint64(EPOCH_SHUFFLE_SEED) * np.uint64(HLL_GAMMA)
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "shuffle_key": pa.array(h.view(np.int64))}
+        )
+
+    keyed = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    return global_rank(keyed, "shuffle_key", "doc_id")
+
+
+def _epoch_shuffle_sql() -> str:
+    from luzzu_ray.ops.sketch import HLL_GAMMA
+
+    T = "18446744073709551616"
+    off = (EPOCH_SHUFFLE_SEED * HLL_GAMMA) % (1 << 64)
+    chain = _splitmix_chain_sql(
+        "documents",
+        f"(CAST(doc_id AS HUGEINT) + {off}) % {T}",
+        carry="doc_id",
+    )
+    return f"""
+WITH {chain},
+sk AS (
+  SELECT doc_id,
+    CAST(CASE WHEN h >= {1 << 63} THEN h - {T} ELSE h END AS BIGINT)
+      AS shuffle_key
+  FROM h
+)
+SELECT doc_id, shuffle_key,
+  CAST(row_number() OVER (ORDER BY shuffle_key DESC, doc_id) AS BIGINT)
+    AS rnk
+FROM sk
+"""
+
+
 def q_events_session_hours(sf_dir: str):
     """Interval-to-bucket attribution: each 30-min-gap user session
     unnested to the hour buckets its span overlaps — one user
@@ -2920,6 +3028,34 @@ def q_events_distinct_hll_est(sf_dir: str):
     from luzzu_ray.ops.sketch import hll_estimate
 
     return hll_estimate(_tbl(sf_dir, "events", ["event_id"]), "event_id")
+
+
+def _splitmix_chain_sql(src: str, key_expr: str, carry: str = "") -> str:
+    """splitmix64 over ``key_expr`` from ``src`` as a HUGEINT CTE chain
+    ending in ``h(h)`` (constant multiplies are split 32/32 so no
+    product exceeds INT128); ``carry`` columns ride along."""
+    from luzzu_ray.ops.sketch import HLL_GAMMA, HLL_MIX1, HLL_MIX2
+
+    T = "18446744073709551616"
+    g = f"{carry}, " if carry else ""
+
+    def mulmod(z: str, k: int) -> str:
+        return (
+            f"((({z}) % 4294967296) * {k} + "
+            f"((({z}) // 4294967296) * {k} % 4294967296) * 4294967296) % {T}"
+        )
+
+    return f"""
+h0 AS (
+  SELECT {g}CAST((CAST({key_expr} AS HUGEINT) + {HLL_GAMMA}) % {T}
+                 AS HUGEINT) AS z
+  FROM {src}
+),
+x1 AS (SELECT {g}xor(z, z // 1073741824) AS z FROM h0),
+h1 AS (SELECT {g}CAST({mulmod('z', HLL_MIX1)} AS HUGEINT) AS z FROM x1),
+x2 AS (SELECT {g}xor(z, z // 134217728) AS z FROM h1),
+h2 AS (SELECT {g}CAST({mulmod('z', HLL_MIX2)} AS HUGEINT) AS z FROM x2),
+h AS (SELECT {g}xor(z, z // 2147483648) AS h FROM h2)"""
 
 
 def _hll_sql_parts(group: str = "") -> str:
@@ -6421,6 +6557,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "events_running_total": q_events_running_total,
         "quality_score_auc": q_quality_score_auc,
         "events_session_hours": q_events_session_hours,
+        "langid_confusion": q_langid_confusion,
+        "epoch_shuffle": q_epoch_shuffle,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8418,6 +8556,13 @@ FROM m
 """
     sqls["quality_score_auc"] = _QUALITY_AUC_SQL.format(quality=_QUALITY_SQL)
     sqls["events_session_hours"] = _SESSION_HOURS_SQL
+    sqls["langid_confusion"] = (
+        "SELECT d.lang AS lang_true, f.lang AS lang_pred, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents d JOIN "
+        "read_parquet('/root/repo/tests/fixtures/"
+        "langid_docs_sf001.parquet') f USING (doc_id) GROUP BY 1, 2"
+    )
+    sqls["epoch_shuffle"] = _epoch_shuffle_sql()
     sqls["events_running_total"] = (
         "SELECT event_id, user_id, "
         "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "

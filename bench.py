@@ -212,6 +212,16 @@ def main() -> None:
         "tpch_q9",
         "tpch_q13",
         "tpch_q21",
+        # round-4 session-4 additions
+        "conv_structure_audit",
+        "knn_graph",
+        "events_user_distinct_hll",
+        "flagship_multiturn",
+        "render_conversations",
+        "sft_multiturn_examples",
+        "events_running_total",
+        "quality_score_auc",
+        "events_session_hours",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
