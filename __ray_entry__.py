@@ -2130,6 +2130,48 @@ def q_sft_multiturn_examples(sf_dir: str):
     )
 
 
+def q_events_hll_incremental(sf_dir: str):
+    """Incremental DISTINCT-COUNT maintenance: the old range's HLL
+    register table persists to Parquet, the delta range sketches alone,
+    and the published estimate finalizes the UNION of the two register
+    tables (per-register max-merge) — never a rescan of old data.
+    Hash-matches the full-recompute oracle (events_distinct_hll_est's
+    SQL), proving registers(A ∪ B) == merge(registers(A),
+    registers(B)) end to end."""
+    import shutil
+
+    import ray.data
+
+    from luzzu_ray.ops.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    cut = pa.scalar(INCR_SPLIT_US, pa.timestamp("us"))
+    ev = _tbl(sf_dir, "events", ["event_id", "ts"])
+
+    def split(lo: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.less(t["ts"], cut) if lo else pc.greater_equal(
+                t["ts"], cut)
+            return pa.table({"event_id": t.filter(m)["event_id"]})
+        return fn
+
+    old_path = f"/tmp/luzzu_incr_hll/{os.getpid()}"
+    shutil.rmtree(old_path, ignore_errors=True)
+    hll_registers(
+        ev.map_batches(split(True), batch_format="pyarrow"), "event_id"
+    ).write_parquet(old_path)
+    delta = hll_registers(
+        ev.map_batches(split(False), batch_format="pyarrow"), "event_id"
+    )
+    merged = hll_estimate_from_registers(
+        ray.data.read_parquet(old_path).union(delta)
+    ).materialize()
+    shutil.rmtree(old_path, ignore_errors=True)
+    return merged
+
+
 def q_langid_confusion(sf_dir: str):
     """Model-eval confusion matrix: labeled lang vs the langid actor
     pool's prediction, counted per (true, predicted) pair — the
@@ -6559,6 +6601,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "events_session_hours": q_events_session_hours,
         "langid_confusion": q_langid_confusion,
         "epoch_shuffle": q_epoch_shuffle,
+        "events_hll_incremental": q_events_hll_incremental,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8563,6 +8606,8 @@ FROM m
         "langid_docs_sf001.parquet') f USING (doc_id) GROUP BY 1, 2"
     )
     sqls["epoch_shuffle"] = _epoch_shuffle_sql()
+    # incremental maintenance must equal the full recompute
+    sqls["events_hll_incremental"] = _hll_estimate_sql()
     sqls["events_running_total"] = (
         "SELECT event_id, user_id, "
         "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "

@@ -628,11 +628,28 @@ def hll_estimate(
     the CONSUMER: ln() is not bit-reproducible across libms, and n_zero
     is emitted precisely so callers can apply it.
     """
+    return hll_estimate_from_registers(hll_registers(ds, key_col, p), p)
+
+
+def hll_estimate_from_registers(
+    regs: ray.data.Dataset, p: int = HLL_P
+) -> ray.data.Dataset:
+    """Finalize a (register, rho) table into the one-row exact-integer
+    estimate of :func:`hll_estimate`.  The input may be the UNION of
+    several runs' register tables (duplicate registers max-merge here)
+    — mergeability is what makes the sketch maintainable incrementally:
+    registers(A ∪ B) == max-merge(registers(A), registers(B))."""
     m = 1 << p
-    regs = hll_registers(ds, key_col, p)
 
     def estimate(t: pa.Table) -> pa.Table:
-        rho = t["rho"].to_numpy(zero_copy_only=False)
+        arr = np.zeros(m, dtype=np.int64)
+        if t.num_rows:
+            np.maximum.at(
+                arr,
+                t["register"].to_numpy(zero_copy_only=False),
+                t["rho"].to_numpy(zero_copy_only=False),
+            )
+        rho = arr[arr > 0]
         n_zero = m - len(rho)
         d = int(n_zero) * (1 << 64) + sum(1 << (64 - int(r)) for r in rho)
         est = (7213 * m * m * m * (1 << 64)) // (10 * (1000 * m + 1079) * d)
@@ -642,7 +659,9 @@ def hll_estimate(
              "est_raw": pa.array([est], pa.int64())}
         )
 
-    return regs.map_batches(estimate, batch_format="pyarrow", batch_size=None)
+    return regs.repartition(num_blocks=1).map_batches(
+        estimate, batch_format="pyarrow", batch_size=None
+    )
 
 
 def hll_estimate_by(
