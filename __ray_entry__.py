@@ -2109,7 +2109,10 @@ def q_render_conversations(sf_dir: str):
     from luzzu_ray.ops.transcripts import render_conversations
     from luzzu_ray.sources import documents_as_multiturn
 
-    return render_conversations(documents_as_multiturn(sf_dir))
+    return render_conversations(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
 
 
 def q_sft_multiturn_examples(sf_dir: str):
@@ -2127,6 +2130,7 @@ def q_sft_multiturn_examples(sf_dir: str):
     return context_examples(
         ds, CTX_WINDOW_TURNS,
         id_col="conv_id", idx_col="turn_idx", text_col="text",
+        num_partitions=_multiturn_width(sf_dir),
     )
 
 
@@ -6479,7 +6483,26 @@ def q_conv_structure_audit(sf_dir: str):
     from luzzu_ray.ops.transcripts import conv_structure_audit
     from luzzu_ray.sources import documents_as_multiturn
 
-    return conv_structure_audit(documents_as_multiturn(sf_dir))
+    return conv_structure_audit(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+def _multiturn_width(sf_dir: str) -> int:
+    """Shuffle width for multiturn-adapter consumers: the adapter is a
+    row-EXPANDING map (2-4 turns/doc), so per the auto_partitions
+    contract its consumers size explicitly from the 3x-docs bound
+    instead of walking the (under-counting) DAG."""
+    import pyarrow.parquet as pq
+
+    from luzzu_ray.ops.dedup import _size_partitions
+    from luzzu_ray.pipelines.filter_pipeline import default_num_partitions
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")
+    ).num_rows
+    return _size_partitions(3 * n_docs, default_num_partitions())
 
 
 def _multiturn_sql() -> str:
