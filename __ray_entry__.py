@@ -2134,6 +2134,34 @@ def q_sft_multiturn_examples(sf_dir: str):
     )
 
 
+def q_conv_turn_stats(sf_dir: str):
+    """Per-conversation content statistics over the multi-turn corpus:
+    turn count, per-role counts, total/max turn chars — conversation-
+    level completeness metrics in one conv exchange of pure
+    bincount/scatter kernels."""
+    from luzzu_ray.ops.transcripts import conv_turn_stats
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return conv_turn_stats(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+_CONV_STATS_SQL_TMPL = """
+WITH m AS ({multiturn})
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(coalesce(count(*) FILTER (role = 'user'), 0) AS BIGINT) AS n_user,
+  CAST(coalesce(count(*) FILTER (role = 'assistant'), 0) AS BIGINT)
+    AS n_assistant,
+  CAST(coalesce(count(*) FILTER (role = 'tool'), 0) AS BIGINT) AS n_tool,
+  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars,
+  CAST(max(coalesce(length(text), 0)) AS BIGINT) AS max_turn_chars
+FROM m GROUP BY conv_id
+"""
+
+
 def q_events_hll_incremental(sf_dir: str):
     """Incremental DISTINCT-COUNT maintenance: the old range's HLL
     register table persists to Parquet, the delta range sketches alone,
@@ -6625,6 +6653,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": q_langid_confusion,
         "epoch_shuffle": q_epoch_shuffle,
         "events_hll_incremental": q_events_hll_incremental,
+        "conv_turn_stats": q_conv_turn_stats,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8631,6 +8660,9 @@ FROM m
     sqls["epoch_shuffle"] = _epoch_shuffle_sql()
     # incremental maintenance must equal the full recompute
     sqls["events_hll_incremental"] = _hll_estimate_sql()
+    sqls["conv_turn_stats"] = _CONV_STATS_SQL_TMPL.format(
+        multiturn=_multiturn_sql()
+    )
     sqls["events_running_total"] = (
         "SELECT event_id, user_id, "
         "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "

@@ -79,6 +79,76 @@ def _audit_block(t: pa.Table) -> pa.Table:
     )
 
 
+STATS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_user", pa.int64()),
+        ("n_assistant", pa.int64()),
+        ("n_tool", pa.int64()),
+        ("sum_chars", pa.int64()),
+        ("max_turn_chars", pa.int64()),
+    ]
+)
+
+
+def _turn_stats_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return STATS_SCHEMA.empty_table()
+    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
+    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    role = t["role"].combine_chunks()
+    nch = pc.fill_null(
+        pc.utf8_length(t["text"].combine_chunks()), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_groups = int(c.max()) + 1
+    n_turns = np.bincount(c, minlength=n_groups)
+    out = {"n_turns": n_turns}
+    for name in ("user", "assistant", "tool"):
+        mask = pc.equal(role, name).to_numpy(zero_copy_only=False)
+        out[f"n_{name}"] = np.bincount(
+            c, weights=mask.astype(np.float64), minlength=n_groups
+        ).astype(np.int64)
+    sum_chars = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(sum_chars, c, nch)
+    max_chars = np.zeros(n_groups, dtype=np.int64)
+    np.maximum.at(max_chars, c, nch)
+    # dictionary order == group index order (indices index the dict)
+    return pa.table(
+        {
+            "conv_id": conv.dictionary,
+            "n_turns": pa.array(out["n_turns"].astype(np.int64)),
+            "n_user": pa.array(out["n_user"]),
+            "n_assistant": pa.array(out["n_assistant"]),
+            "n_tool": pa.array(out["n_tool"]),
+            "sum_chars": pa.array(sum_chars),
+            "max_turn_chars": pa.array(max_chars),
+        }
+    )
+
+
+def conv_turn_stats(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-conversation content statistics: turn count, per-role turn
+    counts, total and max turn length (chars) — the conversation-level
+    completeness metrics (Luzzu's per-dataset observations over the
+    record stream).  One conv_id exchange; per block pure
+    bincount/scatter kernels keyed on the dictionary codes, order-free
+    (no sort needed — all statistics are commutative).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["conv_id", "role", "text"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    return part.map_batches(
+        _turn_stats_block, batch_format="pyarrow", batch_size=None
+    )
+
+
 RENDER_SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),

@@ -167,3 +167,47 @@ def test_render_conversations_layout_invariance(ray_session):
         for out_row in outs[0].itertuples()
         for line in out_row.transcript.split("\n")
     )
+
+
+def test_conv_turn_stats_matches_pandas_twin(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import conv_turn_stats
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame({
+        "conv_id": [f"c{int(x)}" for x in rng.integers(0, 60, size=n)],
+        "role": rng.choice(["user", "assistant", "tool", "system"], size=n),
+        "text": [
+            None if i % 17 == 0 else "x" * int(rng.integers(0, 50))
+            for i in range(n)
+        ],
+    })
+    nch = df["text"].str.len().fillna(0).astype(int)
+    want = (
+        df.assign(nch=nch)
+        .groupby("conv_id")
+        .agg(
+            n_turns=("role", "size"),
+            n_user=("role", lambda r: (r == "user").sum()),
+            n_assistant=("role", lambda r: (r == "assistant").sum()),
+            n_tool=("role", lambda r: (r == "tool").sum()),
+            sum_chars=("nch", "sum"),
+            max_turn_chars=("nch", "max"),
+        )
+        .reset_index()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    for parts in (1, 7):
+        got = (
+            conv_turn_stats(
+                ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                num_partitions=4,
+            )
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        for col in want.columns:
+            assert list(got[col]) == list(want[col]), (parts, col)
