@@ -1516,12 +1516,13 @@ def q_ngram_jaccard(sf_dir: str):
 # (1-j^2)^32 ~ 6e-7 at the 0.6 threshold).  Tokens = ASCII-lowered
 # [a-z0-9]+ runs (identical to the engine's byte classes on the
 # pure-ASCII fixtures); shingles joined with spaces are injective.
-def _jaccard_pairs_sql(thr_q6: int) -> str:
-    """All-pairs exact word-shingle Jaccard CTE, threshold at q6."""
+def _jaccard_pairs_sql(thr_q6: int, src: str = "documents") -> str:
+    """All-pairs exact word-shingle Jaccard CTE, threshold at q6, over
+    any (doc_id, text) source expression."""
     return f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT doc_id,
@@ -2132,6 +2133,61 @@ def q_sft_multiturn_examples(sf_dir: str):
         id_col="conv_id", idx_col="turn_idx", text_col="text",
         num_partitions=_multiturn_width(sf_dir),
     )
+
+
+def q_conv_minhash_dedup(sf_dir: str):
+    """CONVERSATION-level near-dup dedup: conversations render to one
+    training string each (render_conversations), then flow through the
+    standard MinHash-LSH + exact-Jaccard-verify + connected-components
+    chain — 'find conversations that are near-copies of each other',
+    the conv-granularity production dedup.  The oracle retargets the
+    all-pairs Jaccard + transitive-closure SQL at the rendered corpus,
+    so rendering, banding recall, verification and clustering are all
+    hash-checked together."""
+    from luzzu_ray.ops.dedup import minhash_dedup
+    from luzzu_ray.ops.transcripts import render_conversations
+    from luzzu_ray.sources import documents_as_multiturn
+
+    rend = render_conversations(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+    def adapt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(t["conv_id"], pa.int64()),
+             "text": t["transcript"]}
+        )
+
+    return minhash_dedup(
+        rend.map_batches(adapt, batch_format="pyarrow"),
+        jaccard_threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _conv_minhash_sql() -> str:
+    render = f"""(
+WITH m AS ({_multiturn_sql()})
+SELECT CAST(conv_id AS BIGINT) AS doc_id,
+  string_agg(role || ': ' || coalesce(text, ''), chr(10)
+             ORDER BY turn_idx) AS text
+FROM m GROUP BY conv_id
+)"""
+    return _jaccard_pairs_sql(
+        int(JACCARD_THRESHOLD * 1e6), src=render
+    ) + """,
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster,
+       u <> least(u, min(v)) AS is_dup
+FROM reach GROUP BY u
+"""
 
 
 def q_conv_turn_stats(sf_dir: str):
@@ -6654,6 +6710,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "events_hll_incremental": q_events_hll_incremental,
         "conv_turn_stats": q_conv_turn_stats,
+        "conv_minhash_dedup": q_conv_minhash_dedup,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8663,6 +8720,7 @@ FROM m
     sqls["conv_turn_stats"] = _CONV_STATS_SQL_TMPL.format(
         multiturn=_multiturn_sql()
     )
+    sqls["conv_minhash_dedup"] = _conv_minhash_sql()
     sqls["events_running_total"] = (
         "SELECT event_id, user_id, "
         "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "
