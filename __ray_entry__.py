@@ -2135,6 +2135,18 @@ def q_sft_multiturn_examples(sf_dir: str):
     )
 
 
+def q_events_centered_window(sf_dir: str):
+    """Centered rolling window (ROWS w PRECEDING AND w FOLLOWING) per
+    user — the smoothing frame that needs future rows; prefix sums +
+    clamped segment bounds in the co-located block, exact int64."""
+    from luzzu_ray.ops.events import CENTER_WINDOW, centered_user_window
+
+    return centered_user_window(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        CENTER_WINDOW,
+    )
+
+
 def q_conv_minhash_dedup(sf_dir: str):
     """CONVERSATION-level near-dup dedup: conversations render to one
     training string each (render_conversations), then flow through the
@@ -6711,6 +6723,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "events_hll_incremental": q_events_hll_incremental,
         "conv_turn_stats": q_conv_turn_stats,
         "conv_minhash_dedup": q_conv_minhash_dedup,
+        "events_centered_window": q_events_centered_window,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8721,6 +8734,16 @@ FROM m
         multiturn=_multiturn_sql()
     )
     sqls["conv_minhash_dedup"] = _conv_minhash_sql()
+    from luzzu_ray.ops.events import CENTER_WINDOW as _CW
+
+    sqls["events_centered_window"] = (
+        "SELECT event_id, user_id, "
+        "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "
+        "AS BIGINT) AS cwsum_q4, "
+        "CAST(count(*) OVER w AS BIGINT) AS cwn FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {_CW} PRECEDING AND {_CW} FOLLOWING)"
+    )
     sqls["events_running_total"] = (
         "SELECT event_id, user_id, "
         "CAST(sum(CAST(floor(value * 10000.0) AS BIGINT)) OVER w "

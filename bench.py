@@ -222,6 +222,11 @@ def main() -> None:
         "events_running_total",
         "quality_score_auc",
         "events_session_hours",
+        "conv_turn_stats",
+        "conv_minhash_dedup",
+        "events_hll_incremental",
+        "langid_confusion",
+        "epoch_shuffle",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

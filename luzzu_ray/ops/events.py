@@ -1490,3 +1490,64 @@ def session_hours(
     return picked.repartition(
         num_blocks=num_partitions, keys=["user_id"]
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+CENTER_WINDOW = 3
+
+
+def centered_user_window(
+    ds: ray.data.Dataset,
+    w: int = CENTER_WINDOW,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """CENTERED rolling window per user: for every event the quantized
+    value sum and row count over ``ROWS BETWEEN w PRECEDING AND w
+    FOLLOWING`` in (ts, event_id) order — the smoothing frame that
+    needs FUTURE rows, which the co-located per-user block supplies
+    for free (prefix sums + clamped segment bounds; exact int64).
+    Output: (event_id, user_id, cwsum_q4, cwn)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "cwsum_q4": pa.array([], pa.int64()),
+                 "cwn": pa.array([], pa.int64())}
+            )
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        vq = np.floor(
+            t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 10_000.0
+        ).astype(np.int64)
+        n = len(uid)
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        starts = np.flatnonzero(first)
+        gid = np.cumsum(first) - 1
+        seg_start = starts[gid]
+        seg_end = np.concatenate((starts[1:], [n]))[gid]  # exclusive
+        i = np.arange(n, dtype=np.int64)
+        lo = np.maximum(i - w, seg_start)
+        hi = np.minimum(i + w + 1, seg_end)  # exclusive
+        cs = np.concatenate(([0], np.cumsum(vq)))
+        return pa.table(
+            {"event_id": t["event_id"],
+             "user_id": t["user_id"],
+             "cwsum_q4": pa.array(cs[hi] - cs[lo]),
+             "cwn": pa.array(hi - lo)}
+        )
+
+    return ds.select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    ).repartition(
+        num_blocks=num_partitions, keys=["user_id"]
+    ).map_batches(block, batch_format="pyarrow", batch_size=None)

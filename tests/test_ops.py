@@ -4768,3 +4768,40 @@ def test_session_hours_layout_invariance_and_span(ray_session):
         )
     )
     assert got_rows == want
+
+
+def test_centered_user_window_matches_pandas_twin(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from luzzu_ray.ops.events import centered_user_window
+
+    rng = np.random.default_rng(21)
+    n, w = 4000, 3
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 30, size=n).astype(np.int64),
+        "ts": rng.integers(0, 10**9, size=n).astype("datetime64[us]"),
+        "value": rng.uniform(0, 10, size=n),
+    })
+    vq = np.floor(df["value"].to_numpy() * 10_000.0).astype(np.int64)
+    d2 = df.assign(vq=vq).sort_values(["user_id", "ts", "event_id"])
+    roll = d2.groupby("user_id")["vq"].rolling(
+        window=2 * w + 1, center=True, min_periods=1
+    ).sum().reset_index(level=0, drop=True)
+    cnt = d2.groupby("user_id")["vq"].rolling(
+        window=2 * w + 1, center=True, min_periods=1
+    ).count().reset_index(level=0, drop=True)
+    want = d2.assign(cwsum=roll.astype(np.int64), cwn=cnt.astype(np.int64))
+    want = want.sort_values("event_id")
+
+    for parts in (1, 6):
+        got = (
+            centered_user_window(
+                ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                w, num_partitions=4,
+            )
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        assert list(got["cwsum_q4"]) == list(want["cwsum"]), parts
+        assert list(got["cwn"]) == list(want["cwn"]), parts
