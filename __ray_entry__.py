@@ -2135,6 +2135,52 @@ def q_sft_multiturn_examples(sf_dir: str):
     )
 
 
+def q_source_divergence(sf_dir: str):
+    """Per-source chi-square divergence vs the corpus word
+    distribution over the top-V vocabulary — the domain-shift /
+    mixture-debugging statistic, all-integer so the HUGEINT twin
+    matches bit-for-bit."""
+    from luzzu_ray.ops.vocab import source_divergence
+
+    return source_divergence(
+        _docs(sf_dir, ["source", "text"]), VOCAB_TOPV
+    )
+
+
+def _source_divergence_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY word
+  ORDER BY ct DESC, word LIMIT {VOCAB_TOPV}
+),
+tot AS (SELECT CAST(sum(ct) AS HUGEINT) AS nt FROM vocab),
+sc AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS cs
+  FROM toks JOIN vocab USING (word) GROUP BY 1, 2
+),
+ns AS (SELECT source, CAST(sum(cs) AS HUGEINT) AS nsv FROM sc
+       GROUP BY source),
+grid AS (
+  SELECT n.source, v.word, v.ct, coalesce(s.cs, 0) AS cs
+  FROM ns n CROSS JOIN vocab v
+  LEFT JOIN sc s ON s.source = n.source AND s.word = v.word
+),
+terms AS (
+  SELECT g.source,
+    ((CAST(g.cs AS HUGEINT) * t.nt - n.nsv * g.ct)
+     * (CAST(g.cs AS HUGEINT) * t.nt - n.nsv * g.ct) * 1000000)
+    // (n.nsv * g.ct * t.nt) AS term
+  FROM grid g JOIN ns n USING (source), tot t
+)
+SELECT t2.source, CAST(n.nsv AS BIGINT) AS n_tokens,
+  CAST(sum(t2.term) AS BIGINT) AS chi2_q6
+FROM terms t2 JOIN ns n USING (source) GROUP BY 1, 2
+"""
+
+
 def q_events_centered_window(sf_dir: str):
     """Centered rolling window (ROWS w PRECEDING AND w FOLLOWING) per
     user — the smoothing frame that needs future rows; prefix sums +
@@ -6724,6 +6770,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "conv_turn_stats": q_conv_turn_stats,
         "conv_minhash_dedup": q_conv_minhash_dedup,
         "events_centered_window": q_events_centered_window,
+        "source_divergence": q_source_divergence,
         "pq_ann_topk": q_pq_ann_topk,
         "ivfpq_ann_topk": q_ivfpq_ann_topk,
         "sft_context_examples": q_sft_context_examples,
@@ -8734,6 +8781,7 @@ FROM m
         multiturn=_multiturn_sql()
     )
     sqls["conv_minhash_dedup"] = _conv_minhash_sql()
+    sqls["source_divergence"] = _source_divergence_sql()
     from luzzu_ray.ops.events import CENTER_WINDOW as _CW
 
     sqls["events_centered_window"] = (

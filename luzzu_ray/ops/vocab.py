@@ -1756,3 +1756,128 @@ def vocab_coverage(
         Cover, fn_constructor_args=(ref,),
         batch_format="pyarrow", concurrency=pool(),
     )
+
+
+def source_divergence(
+    ds: ray.data.Dataset,
+    v: int,
+    text_col: str = "text",
+    source_col: str = "source",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Domain-shift diagnostic: per-source chi-square divergence of the
+    word distribution vs the whole corpus, over the top-V vocabulary —
+    "which sources look least like the mixture" (the statistic behind
+    importance-resampling / mixture-debugging decisions).
+
+    All-integer definition so a HUGEINT SQL twin matches bit-for-bit
+    (no libm, no float summation): with c_s = source count of word w,
+    n_s = source total over V, c_t / n_t the corpus analogues,
+
+        chi2_q6 = sum over ALL V words of
+                  ((c_s*n_t - n_s*c_t)^2 * 10^6) // (n_s * c_t * n_t)
+
+    (floor per term; zero-count words included — they contribute the
+    expected-mass term).  Sources with no in-vocab token emit no row
+    (they have no distribution to compare).
+
+    Scale shape: the V-row vocabulary broadcasts once (ray.put); per
+    block one split + index_in + bincount produces (source, widx, c)
+    partials bounded by sources_in_block x V; one exchange on source;
+    the final per-source loop is O(V) Python-int ops (V is the SPEC
+    constant, not data-dependent).  Output: (source, n_tokens,
+    chi2_q6)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    vocab_tbl = pa.Table.from_pylist(
+        word_stats_topv(ds, v, text_col=text_col).take_all()
+    )
+    words = vocab_tbl["word"].to_pylist()
+    ct = np.asarray(vocab_tbl["tf"].to_pylist(), dtype=np.int64)
+    n_t = int(ct.sum())
+    vset = pa.array(words, pa.string())
+    ref = ray.put({"vset": vset, "nwords": len(words)})
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {source_col: pa.array([], pa.string()),
+             "widx": pa.array([], pa.int64()),
+             "c": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        side = ray.get(ref)
+        toks = pc.split_pattern(t[text_col], " ").combine_chunks()
+        flat = toks.flatten()
+        per_row = (toks.offsets.to_numpy()[1:]
+                   - toks.offsets.to_numpy()[:-1]).astype(np.int64)
+        widx = pc.index_in(flat, value_set=side["vset"])
+        wnp = widx.to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(wnp)
+        if not ok.any():
+            return empty
+        wv = wnp[ok].astype(np.int64)
+        senc = pc.dictionary_encode(t[source_col].combine_chunks())
+        sidx = np.repeat(
+            senc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            per_row,
+        )[ok]
+        nv = side["nwords"]
+        code = sidx * nv + wv
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {source_col: pc.take(senc.dictionary, pa.array(u // nv)),
+             "widx": pa.array((u % nv).astype(np.int64)),
+             "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    parts = ds.select_columns([source_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    nv = len(words)
+    ct_list = [int(x) for x in ct]
+
+    def final(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {source_col: pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64()),
+             "chi2_q6": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        senc = pc.dictionary_encode(t[source_col].combine_chunks())
+        si = senc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wi = t["widx"].to_numpy(zero_copy_only=False)
+        cc = t["c"].to_numpy(zero_copy_only=False)
+        n_src = len(senc.dictionary)
+        grid = np.zeros((n_src, nv), dtype=np.int64)
+        np.add.at(grid, (si, wi), cc)
+        n_s = grid.sum(axis=1)
+        chi = []
+        for s in range(n_src):
+            ns = int(n_s[s])
+            acc = 0
+            row = grid[s]
+            for w in range(nv):
+                d = int(row[w]) * n_t - ns * ct_list[w]
+                acc += (d * d * 1_000_000) // (ns * ct_list[w] * n_t)
+            if acc >= 2**63:
+                raise ValueError(
+                    "source_divergence: chi2_q6 exceeds int64 "
+                    f"({acc}); rescale the quantization"
+                )
+            chi.append(acc)
+        return pa.table(
+            {source_col: senc.dictionary,
+             "n_tokens": pa.array(n_s),
+             "chi2_q6": pa.array(np.array(chi, dtype=np.int64))}
+        )
+
+    return parts.repartition(
+        num_blocks=auto_partitions(parts, None), keys=[source_col]
+    ).map_batches(final, batch_format="pyarrow", batch_size=None)

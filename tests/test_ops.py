@@ -4805,3 +4805,37 @@ def test_centered_user_window_matches_pandas_twin(ray_session):
         )
         assert list(got["cwsum_q4"]) == list(want["cwsum"]), parts
         assert list(got["cwn"]) == list(want["cwn"]), parts
+
+
+def test_source_divergence_layout_invariance_and_zero_source(ray_session):
+    """Identical-to-corpus sources score ~0; a skewed source scores
+    higher; results are block-layout invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.vocab import source_divergence
+
+    rows = []
+    for i in range(200):
+        rows.append(("mix", "alpha beta gamma delta"))
+    for i in range(200):
+        rows.append(("same", "alpha beta gamma delta"))
+    for i in range(200):
+        rows.append(("skew", "alpha alpha alpha alpha"))
+    t = pa.table(
+        {"source": pa.array([r[0] for r in rows]),
+         "text": pa.array([r[1] for r in rows])}
+    )
+    outs = []
+    for parts in (1, 8):
+        got = (
+            source_divergence(
+                ray.data.from_arrow(t).repartition(parts), 4,
+                num_partitions=3,
+            )
+            .to_pandas().sort_values("source").reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    d = outs[0].set_index("source")["chi2_q6"]
+    assert d["mix"] == d["same"]
+    assert d["skew"] > d["mix"] * 2
