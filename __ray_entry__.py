@@ -6647,6 +6647,21 @@ def _multiturn_width(sf_dir: str) -> int:
     return _size_partitions(3 * n_docs, default_num_partitions())
 
 
+def q_conv_structure_audit_salted(sf_dir: str):
+    """Skew-proof structure audit: chunked per-(conv, turn-range)
+    partials + exact boundary merge — identical semantics to
+    conv_structure_audit (same SQL oracle), but no reduce block ever
+    holds a giant conversation's full history.  chunk_turns=2 on this
+    corpus forces boundaries on nearly every conversation."""
+    from luzzu_ray.ops.transcripts import conv_structure_audit_salted
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return conv_structure_audit_salted(
+        documents_as_multiturn(sf_dir), chunk_turns=2,
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
 def _multiturn_sql() -> str:
     """SQL twin of sources.documents_as_multiturn: rebuilds the
     multi-turn corpus from the documents table with the identical
@@ -6756,6 +6771,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
         "conv_structure_audit": q_conv_structure_audit,
+        "conv_structure_audit_salted": q_conv_structure_audit_salted,
         "knn_graph": q_knn_graph,
         "events_user_distinct_hll": q_events_user_distinct_hll,
         "flagship_multiturn": q_flagship_multiturn,
@@ -8747,6 +8763,10 @@ FROM dfs GROUP BY df
         if sql is not None:
             sqls[qname] = sql
     sqls["conv_structure_audit"] = _CONV_AUDIT_SQL_TMPL.format(
+        multiturn=_multiturn_sql()
+    )
+    # the salted path must satisfy the IDENTICAL oracle
+    sqls["conv_structure_audit_salted"] = _CONV_AUDIT_SQL_TMPL.format(
         multiturn=_multiturn_sql()
     )
     sqls["flagship_multiturn"] = _flagship_multiturn_sql()

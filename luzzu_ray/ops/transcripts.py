@@ -12,6 +12,15 @@ Scale shape: ONE conv_id co-location exchange (the flagship's
 conversation-reassembly assumption), then each block audits its
 conversations with one lexsort + shifted compares — no per-group
 Python, no second exchange; output is one narrow row per conversation.
+
+Skew contract (all ops in this module): one conversation lands in one
+reduce block.  A conversation that outgrows a block takes the repo's
+salted-chunk protocol (chunked partials + boundary merge, as the
+flagship's giant-conversation path and sessionize_salted do) — the
+audit's shifted compares and the renderer's ordered join both
+decompose the same way (per-chunk partials + one boundary row per
+chunk).  Not wired here because the target corpus's conversations are
+bounded (FIXTURES.md); the flagship path is the precedent to follow.
 """
 
 from __future__ import annotations
@@ -147,6 +156,173 @@ def conv_turn_stats(
     return part.map_batches(
         _turn_stats_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def conv_structure_audit_salted(
+    ds: ray.data.Dataset,
+    chunk_turns: int = 512,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Skew-proof structure audit: identical semantics to
+    :func:`conv_structure_audit`, but no reduce block ever holds one
+    giant conversation's full history — the repo's salted-chunk
+    protocol (sessionize_salted / giant-verdict precedent) applied to
+    the role-structure rules.
+
+    Phase A keys on (conv_id, turn_idx // chunk_turns): each chunk
+    emits ONE partial row (within-chunk repeat / misplaced-tool counts
+    over non-first positions, first/last role, turn count).  Phase B
+    co-locates the narrow per-chunk rows per conversation and adds the
+    boundary terms: a repeat when a chunk's first role equals the
+    previous chunk's last role, a misplaced tool when a chunk opens
+    with a tool turn whose previous chunk did not end in an assistant
+    turn (the conversation opener counts as having no previous turn).
+    Property-tested equal to the unsalted audit including tiny chunks.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def chunk_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "chunk_id": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "rep_in": pa.array([], pa.int64()),
+                 "bad_in": pa.array([], pa.int64()),
+                 "first_role": pa.array([], pa.int8()),
+                 "last_role": pa.array([], pa.int8())}
+            )
+        conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
+        c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ti = t["turn_idx"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        r = _role_codes(t["role"])
+        ch = ti // chunk_turns
+        order = np.lexsort((ti, ch, c))
+        c, ch, r = c[order], ch[order], r[order]
+        first = np.concatenate(
+            ([True], (c[1:] != c[:-1]) | (ch[1:] != ch[:-1]))
+        )
+        gid = np.cumsum(first) - 1
+        n_g = int(gid[-1]) + 1
+        n = np.bincount(gid, minlength=n_g)
+        rep = (~first[1:]) & (r[1:] == r[:-1])
+        rep_in = np.bincount(gid[1:][rep], minlength=n_g)
+        prev_r = np.concatenate(([-1], r[:-1]))
+        bad = (~first) & (r == _AUDIT_TOOL) & (prev_r != _AUDIT_ASSISTANT)
+        bad_in = np.bincount(gid[bad], minlength=n_g)
+        starts = np.flatnonzero(first)
+        ends = np.concatenate((starts[1:] - 1, [len(c) - 1]))
+        return pa.table(
+            {"conv_id": pc.take(conv.dictionary, pa.array(c[starts])),
+             "chunk_id": pa.array(ch[starts]),
+             "n": pa.array(n.astype(np.int64)),
+             "rep_in": pa.array(rep_in.astype(np.int64)),
+             "bad_in": pa.array(bad_in.astype(np.int64)),
+             "first_role": pa.array(r[starts].astype(np.int8)),
+             "last_role": pa.array(r[ends].astype(np.int8))}
+        )
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return AUDIT_SCHEMA.empty_table()
+        conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
+        c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = t["chunk_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ch, c))
+        c, ch = c[order], ch[order]
+        take = pa.array(order)
+        n = t["n"].take(take).to_numpy(zero_copy_only=False)
+        rep_in = t["rep_in"].take(take).to_numpy(zero_copy_only=False)
+        bad_in = t["bad_in"].take(take).to_numpy(zero_copy_only=False)
+        fr = t["first_role"].take(take).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lr = t["last_role"].take(take).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        first = np.concatenate(([True], c[1:] != c[:-1]))
+        gid = np.cumsum(first) - 1
+        n_g = int(gid[-1]) + 1
+        n_turns = np.zeros(n_g, dtype=np.int64)
+        np.add.at(n_turns, gid, n)
+        n_rep = np.zeros(n_g, dtype=np.int64)
+        np.add.at(n_rep, gid, rep_in)
+        n_bad = np.zeros(n_g, dtype=np.int64)
+        np.add.at(n_bad, gid, bad_in)
+        # boundary terms between consecutive chunks of one conversation
+        prev_last = np.concatenate(([-1], lr[:-1]))
+        brep = (~first) & (fr == prev_last)
+        np.add.at(n_rep, gid[brep], 1)
+        bbad = (~first) & (fr == _AUDIT_TOOL) & (
+            prev_last != _AUDIT_ASSISTANT
+        )
+        # conversation opener: tool-first is misplaced by definition
+        obad = first & (fr == _AUDIT_TOOL)
+        np.add.at(n_bad, gid[bbad | obad], 1)
+        first_role = fr[first]
+        starts_ok = (first_role == _AUDIT_USER) | (
+            first_role == _AUDIT_SYSTEM
+        )
+        ok = starts_ok & (n_rep == 0) & (n_bad == 0)
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {"conv_id": pc.take(conv.dictionary, pa.array(c[starts])),
+             "n_turns": pa.array(n_turns),
+             "n_role_repeats": pa.array(n_rep),
+             "n_bad_tool": pa.array(n_bad),
+             "starts_ok": pa.array(starts_ok),
+             "structure_ok": pa.array(ok)}
+        )
+
+    picked = ds.select_columns(["conv_id", "turn_idx", "role"])
+
+    def add_chunk_key(t: pa.Table) -> pa.Table:
+        ck = pc.binary_join_element_wise(
+            t["conv_id"],
+            pc.cast(
+                pc.divide(
+                    pc.cast(t["turn_idx"], pa.int64()),
+                    pa.scalar(chunk_turns, pa.int64()),
+                ),
+                pa.string(),
+            ),
+            "#",
+        )
+        return t.append_column("_ck", ck)
+
+    partials = picked.map_batches(
+        add_chunk_key, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(
+        num_blocks=num_partitions, keys=["_ck"]
+    ).map_batches(chunk_partial, batch_format="pyarrow", batch_size=None)
+    return partials.repartition(
+        num_blocks=num_partitions, keys=["conv_id"]
+    ).map_batches(merge_block, batch_format="pyarrow", batch_size=None)
+
+
+# fixed role codes shared by the salted audit's two phases (the
+# unsalted audit derives codes per block from its dictionary; here the
+# codes must survive an exchange, so they are pinned)
+MULTITURN_ROLES_AUDIT = ("user", "assistant", "system", "tool")
+_AUDIT_USER, _AUDIT_ASSISTANT, _AUDIT_SYSTEM, _AUDIT_TOOL = 0, 1, 2, 3
+
+
+def _role_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Map role strings to the pinned audit codes (-1 for unknown)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    idx = pc.index_in(
+        col, value_set=pa.array(list(MULTITURN_ROLES_AUDIT))
+    )
+    out = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+    out = np.where(np.isnan(out), -1, out)
+    return out.astype(np.int64)
 
 
 RENDER_SCHEMA = pa.schema(

@@ -211,3 +211,41 @@ def test_conv_turn_stats_matches_pandas_twin(ray_session):
         )
         for col in want.columns:
             assert list(got[col]) == list(want[col]), (parts, col)
+
+
+def test_salted_audit_equals_unsalted(ray_session):
+    """conv_structure_audit_salted == conv_structure_audit on random
+    conversations over the canonical role domain, including
+    chunk_turns far below conversation length (many boundaries)."""
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import (
+        conv_structure_audit,
+        conv_structure_audit_salted,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    rows = []
+    for conv in range(40):
+        n = int(rng.integers(1, 30))
+        for i in range(n):
+            role = ["user", "assistant", "system", "tool"][
+                int(rng.integers(0, 4))
+            ]
+            rows.append((f"c{conv}", i, role))
+    t = _tbl(rows)
+    base = (
+        conv_structure_audit(
+            ray.data.from_arrow(t).repartition(4), num_partitions=3
+        )
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    for chunk in (512, 4, 1):
+        salted = (
+            conv_structure_audit_salted(
+                ray.data.from_arrow(t).repartition(4),
+                chunk_turns=chunk, num_partitions=3,
+            )
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        assert salted.equals(base), chunk
