@@ -2248,6 +2248,41 @@ FROM reach GROUP BY u
 """
 
 
+def q_events_value_trimmed(sf_dir: str):
+    """Per-user TRIMMED statistics (rows inside the [p10, p90]
+    discrete-quantile cut points; exact integer n_kept/sum) — the
+    robust-mean building block, one co-located exchange."""
+    from luzzu_ray.ops.relational import grouped_trimmed_sum_q
+
+    return grouped_trimmed_sum_q(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "value"]),
+        "user_id", "value", "event_id", lo=0.1, hi=0.9,
+    )
+
+
+def q_conv_dedup_exact(sf_dir: str):
+    """EXACT dedup at conversation granularity: rendered transcripts
+    (role-prefixed, turn-ordered) reduce to 128-bit content keys and
+    flow through the standard keep-min exact-dedup exchange — byte-
+    identical conversations dedup as units."""
+    from luzzu_ray.ops.dedup import exact_duplicates
+    from luzzu_ray.ops.transcripts import render_conversations
+    from luzzu_ray.sources import documents_as_multiturn
+
+    rend = render_conversations(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+    def adapt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(t["conv_id"], pa.int64()),
+             "text": t["transcript"]}
+        )
+
+    return exact_duplicates(rend.map_batches(adapt, batch_format="pyarrow"))
+
+
 def q_conv_turn_stats(sf_dir: str):
     """Per-conversation content statistics over the multi-turn corpus:
     turn count, per-role counts, total/max turn chars — conversation-
@@ -6785,6 +6820,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "events_hll_incremental": q_events_hll_incremental,
         "conv_turn_stats": q_conv_turn_stats,
         "conv_minhash_dedup": q_conv_minhash_dedup,
+        "conv_dedup_exact": q_conv_dedup_exact,
+        "events_value_trimmed": q_events_value_trimmed,
         "events_centered_window": q_events_centered_window,
         "source_divergence": q_source_divergence,
         "pq_ann_topk": q_pq_ann_topk,
@@ -8801,7 +8838,34 @@ FROM m
         multiturn=_multiturn_sql()
     )
     sqls["conv_minhash_dedup"] = _conv_minhash_sql()
+    sqls["conv_dedup_exact"] = f"""
+WITH m AS ({_multiturn_sql()}),
+r AS (
+  SELECT CAST(conv_id AS BIGINT) AS doc_id,
+    string_agg(role || ': ' || coalesce(text, ''), chr(10)
+               ORDER BY turn_idx) AS text
+  FROM m GROUP BY conv_id
+)
+SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
+FROM r
+"""
     sqls["source_divergence"] = _source_divergence_sql()
+    sqls["events_value_trimmed"] = """
+WITH v AS (
+  SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS vq
+  FROM events
+),
+cut AS (
+  SELECT user_id, quantile_disc(vq, 0.1) AS plo,
+         quantile_disc(vq, 0.9) AS phi
+  FROM v GROUP BY user_id
+)
+SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(sum(v.vq) AS BIGINT) AS sum_q4
+FROM v JOIN cut USING (user_id)
+WHERE v.vq BETWEEN cut.plo AND cut.phi
+GROUP BY v.user_id
+"""
     from luzzu_ray.ops.events import CENTER_WINDOW as _CW
 
     sqls["events_centered_window"] = (

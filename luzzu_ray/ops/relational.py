@@ -2376,3 +2376,69 @@ def binary_auc(
     return parts.repartition(num_blocks=1, keys=["_mrg"]).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+def grouped_trimmed_sum_q(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    id_col: str,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    q: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group TRIMMED statistics: rows whose fixed-point value falls
+    inside the group's [lo, hi] discrete-quantile cut points are kept
+    and reported as exact integers (n_kept, sum_q{q}) — the robust-mean
+    building block (the caller divides; no float mean is emitted, so a
+    SQL twin matches bit-for-bit).  Value-based trim: ties AT a cut
+    point are all kept, exactly like SQL ``BETWEEN quantile_disc(lo)
+    AND quantile_disc(hi)``.
+
+    Same single-exchange co-located-group shape, quantile formula and
+    escape-hatch notes as :func:`grouped_winsorize_q`.
+    Output: (key, n_kept, sum_q{q})."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    scale = float(10 ** q)
+    sname = f"sum_q{q}"
+
+    def per_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()),
+                 "n_kept": pa.array([], pa.int64()),
+                 sname: pa.array([], pa.int64())}
+            )
+        k = t[key].to_numpy(zero_copy_only=False)
+        vf = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        vq = np.floor(vf * scale).astype(np.int64)
+        order = np.lexsort((vq, k))
+        ks, vs = k[order], vq[order]
+        new_g = np.concatenate(([True], ks[1:] != ks[:-1]))
+        starts = np.flatnonzero(new_g)
+        counts = np.diff(np.concatenate((starts, [len(ks)])))
+        lo_i = starts + np.maximum(
+            np.ceil(lo * counts).astype(np.int64) - 1, 0)
+        hi_i = starts + np.maximum(
+            np.ceil(hi * counts).astype(np.int64) - 1, 0)
+        seg = np.repeat(np.arange(len(starts)), counts)
+        keep = (vs >= vs[lo_i][seg]) & (vs <= vs[hi_i][seg])
+        n_kept = np.add.reduceat(keep.astype(np.int64), starts)
+        sums = np.add.reduceat(np.where(keep, vs, 0), starts)
+        return pa.table(
+            {key: pa.array(ks[starts]),
+             "n_kept": pa.array(n_kept),
+             sname: pa.array(sums)}
+        )
+
+    picked = ds.select_columns([id_col, key, value_col])
+    part = picked.repartition(num_blocks=num_partitions, keys=[key])
+    return part.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    )
