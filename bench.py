@@ -227,6 +227,11 @@ def main() -> None:
         "events_hll_incremental",
         "langid_confusion",
         "epoch_shuffle",
+        "events_centered_window",
+        "source_divergence",
+        "conv_structure_audit_salted",
+        "conv_dedup_exact",
+        "events_value_trimmed",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
