@@ -1551,8 +1551,9 @@ _JACCARD_PAIRS_SQL = _jaccard_pairs_sql(int(JACCARD_THRESHOLD * 1e6))
 _NGRAM_JACCARD_SQL = _JACCARD_PAIRS_SQL + "SELECT a, b, jaccard_q6 FROM pairs"
 
 # Connected components of the verified pair graph via transitive closure
-# (recursive CTE) — cluster = component minimum, roots included.
-_MINHASH_DEDUP_SQL = _JACCARD_PAIRS_SQL + """,
+# (recursive CTE) — cluster = component minimum, roots included.  Shared
+# by every oracle that clusters a `pairs(a, b)` CTE.
+_CLOSURE_SQL = """,
 edges AS (
   SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
 ),
@@ -1565,6 +1566,8 @@ SELECT u AS doc_id, least(u, min(v)) AS cluster,
        u <> least(u, min(v)) AS is_dup
 FROM reach GROUP BY u
 """
+
+_MINHASH_DEDUP_SQL = _JACCARD_PAIRS_SQL + _CLOSURE_SQL
 
 
 def _simhash_sql() -> str:
@@ -2233,19 +2236,7 @@ FROM m GROUP BY conv_id
 )"""
     return _jaccard_pairs_sql(
         int(JACCARD_THRESHOLD * 1e6), src=render
-    ) + """,
-edges AS (
-  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
-),
-reach(u, v) AS (
-  SELECT u, v FROM edges
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-)
-SELECT u AS doc_id, least(u, min(v)) AS cluster,
-       u <> least(u, min(v)) AS is_dup
-FROM reach GROUP BY u
-"""
+    ) + _CLOSURE_SQL
 
 
 def q_events_value_trimmed(sf_dir: str):
@@ -2255,8 +2246,8 @@ def q_events_value_trimmed(sf_dir: str):
     from luzzu_ray.ops.relational import grouped_trimmed_sum_q
 
     return grouped_trimmed_sum_q(
-        _tbl(sf_dir, "events", ["event_id", "user_id", "value"]),
-        "user_id", "value", "event_id", lo=0.1, hi=0.9,
+        _tbl(sf_dir, "events", ["user_id", "value"]),
+        "user_id", "value", lo=0.1, hi=0.9,
     )
 
 
@@ -3282,34 +3273,17 @@ h AS (SELECT {g}xor(z, z // 2147483648) AS h FROM h2)"""
 
 
 def _hll_sql_parts(group: str = "") -> str:
-    """Shared splitmix64 + register/rho CTE chain in HUGEINT (constant
-    multiplies are split 32/32 so no product exceeds INT128).  Pass a
-    column name in ``group`` to carry it through for the grouped
-    variant (regs then key on (group, register))."""
-    from luzzu_ray.ops.sketch import HLL_GAMMA, HLL_MIX1, HLL_MIX2, HLL_P
+    """Shared splitmix64 (via _splitmix_chain_sql) + register/rho CTE
+    tail.  Pass a column name in ``group`` to carry it through for the
+    grouped variant (regs then key on (group, register))."""
+    from luzzu_ray.ops.sketch import HLL_P
 
     m = 1 << HLL_P
     sent = 1 << (64 - HLL_P)
-    T = "18446744073709551616"
     g = f"{group}, " if group else ""
     gby = f" GROUP BY {group}, register" if group else " GROUP BY register"
-
-    def mulmod(z: str, k: int) -> str:
-        return (
-            f"((({z}) % 4294967296) * {k} + "
-            f"((({z}) // 4294967296) * {k} % 4294967296) * 4294967296) % {T}"
-        )
-
-    return f"""
-h0 AS (
-  SELECT {g}CAST((CAST(event_id AS HUGEINT) + {HLL_GAMMA}) % {T} AS HUGEINT) AS z
-  FROM events
-),
-x1 AS (SELECT {g}xor(z, z // 1073741824) AS z FROM h0),
-h1 AS (SELECT {g}CAST({mulmod('z', HLL_MIX1)} AS HUGEINT) AS z FROM x1),
-x2 AS (SELECT {g}xor(z, z // 134217728) AS z FROM h1),
-h2 AS (SELECT {g}CAST({mulmod('z', HLL_MIX2)} AS HUGEINT) AS z FROM x2),
-h AS (SELECT {g}xor(z, z // 2147483648) AS h FROM h2),
+    chain = _splitmix_chain_sql("events", "event_id", carry=group)
+    return f"""{chain},
 parts AS (
   SELECT {g}CAST(h % {m} AS BIGINT) AS register,
          CAST(h // {m} AS BIGINT) | {sent} AS w

@@ -2382,7 +2382,6 @@ def grouped_trimmed_sum_q(
     ds: ray.data.Dataset,
     key: str,
     value_col: str,
-    id_col: str,
     lo: float = 0.1,
     hi: float = 0.9,
     q: int = 4,
@@ -2437,7 +2436,8 @@ def grouped_trimmed_sum_q(
              sname: pa.array(sums)}
         )
 
-    picked = ds.select_columns([id_col, key, value_col])
+    # only (key, value) cross the exchange — the output is per-group
+    picked = ds.select_columns([key, value_col])
     part = picked.repartition(num_blocks=num_partitions, keys=[key])
     return part.map_batches(
         per_block, batch_format="pyarrow", batch_size=None

@@ -776,14 +776,17 @@ def knn_graph(
                 hi = min(lo + matmul_chunk, m)
                 G = M[lo:hi] @ M.T  # (chunk, m)
                 G[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf  # self
-                part = np.argpartition(-G, kth=kk - 1, axis=1)[:, :kk]
-                cos = np.take_along_axis(G, part, axis=1)
-                # row-wise order: cos DESC, then neighbor id ASC
-                order = np.lexsort((ids[part], -cos), axis=-1)
-                nbr = np.take_along_axis(part, order, axis=1)
+                # FULL row-wise order by (cos DESC, neighbor id ASC):
+                # a partial select (argpartition) would pick an
+                # ARBITRARY subset among equal cosines at the
+                # k-boundary — on a dedup corpus (exact-duplicate
+                # vectors are the norm) that breaks the documented
+                # row_number(ORDER BY cos DESC, vec_id) tie semantics
+                idmat = np.broadcast_to(ids, (hi - lo, m))
+                order = np.lexsort((idmat, -G), axis=-1)[:, :kk]
                 out_v.append(np.repeat(ids[lo:hi], kk))
                 out_r.append(np.tile(np.arange(1, kk + 1), hi - lo))
-                out_n.append(ids[nbr].ravel())
+                out_n.append(ids[order].ravel())
         if not out_v:
             return empty
         return pa.table(

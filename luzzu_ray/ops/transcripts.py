@@ -110,7 +110,10 @@ def _turn_stats_block(t: pa.Table) -> pa.Table:
     nch = pc.fill_null(
         pc.utf8_length(t["text"].combine_chunks()), 0
     ).to_numpy(zero_copy_only=False).astype(np.int64)
-    n_groups = int(c.max()) + 1
+    # a dictionary-typed input passes through dictionary_encode as-is
+    # and may carry UNUSED dictionary entries: size by the dictionary
+    # and emit only the groups with rows (n_turns > 0)
+    n_groups = len(conv.dictionary)
     n_turns = np.bincount(c, minlength=n_groups)
     out = {"n_turns": n_turns}
     for name in ("user", "assistant", "tool"):
@@ -122,16 +125,16 @@ def _turn_stats_block(t: pa.Table) -> pa.Table:
     np.add.at(sum_chars, c, nch)
     max_chars = np.zeros(n_groups, dtype=np.int64)
     np.maximum.at(max_chars, c, nch)
-    # dictionary order == group index order (indices index the dict)
+    present = np.flatnonzero(n_turns > 0)
     return pa.table(
         {
-            "conv_id": conv.dictionary,
-            "n_turns": pa.array(out["n_turns"].astype(np.int64)),
-            "n_user": pa.array(out["n_user"]),
-            "n_assistant": pa.array(out["n_assistant"]),
-            "n_tool": pa.array(out["n_tool"]),
-            "sum_chars": pa.array(sum_chars),
-            "max_turn_chars": pa.array(max_chars),
+            "conv_id": pc.take(conv.dictionary, pa.array(present)),
+            "n_turns": pa.array(n_turns[present].astype(np.int64)),
+            "n_user": pa.array(out["n_user"][present]),
+            "n_assistant": pa.array(out["n_assistant"][present]),
+            "n_tool": pa.array(out["n_tool"][present]),
+            "sum_chars": pa.array(sum_chars[present]),
+            "max_turn_chars": pa.array(max_chars[present]),
         }
     )
 
@@ -193,15 +196,22 @@ def conv_structure_audit_salted(
                  "n": pa.array([], pa.int64()),
                  "rep_in": pa.array([], pa.int64()),
                  "bad_in": pa.array([], pa.int64()),
-                 "first_role": pa.array([], pa.int8()),
-                 "last_role": pa.array([], pa.int8())}
+                 "first_role": pa.array([], pa.string()),
+                 "last_role": pa.array([], pa.string())}
             )
         conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
         c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ti = t["turn_idx"].combine_chunks().to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        r = _role_codes(t["role"])
+        # per-block dictionary codes keep DISTINCT unknown roles
+        # distinct (a fixed code table would conflate them); the codes
+        # never cross the exchange — boundary roles travel as STRINGS
+        role = pc.dictionary_encode(t["role"].combine_chunks())
+        r = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rdict = role.dictionary.to_pylist()
+        tool_c = rdict.index("tool") if "tool" in rdict else -2
+        asst_c = rdict.index("assistant") if "assistant" in rdict else -3
         ch = ti // chunk_turns
         order = np.lexsort((ti, ch, c))
         c, ch, r = c[order], ch[order], r[order]
@@ -213,8 +223,8 @@ def conv_structure_audit_salted(
         n = np.bincount(gid, minlength=n_g)
         rep = (~first[1:]) & (r[1:] == r[:-1])
         rep_in = np.bincount(gid[1:][rep], minlength=n_g)
-        prev_r = np.concatenate(([-1], r[:-1]))
-        bad = (~first) & (r == _AUDIT_TOOL) & (prev_r != _AUDIT_ASSISTANT)
+        prev_r = np.concatenate(([-9], r[:-1]))
+        bad = (~first) & (r == tool_c) & (prev_r != asst_c)
         bad_in = np.bincount(gid[bad], minlength=n_g)
         starts = np.flatnonzero(first)
         ends = np.concatenate((starts[1:] - 1, [len(c) - 1]))
@@ -224,8 +234,8 @@ def conv_structure_audit_salted(
              "n": pa.array(n.astype(np.int64)),
              "rep_in": pa.array(rep_in.astype(np.int64)),
              "bad_in": pa.array(bad_in.astype(np.int64)),
-             "first_role": pa.array(r[starts].astype(np.int8)),
-             "last_role": pa.array(r[ends].astype(np.int8))}
+             "first_role": pc.take(role.dictionary, pa.array(r[starts])),
+             "last_role": pc.take(role.dictionary, pa.array(r[ends]))}
         )
 
     def merge_block(t: pa.Table) -> pa.Table:
@@ -240,12 +250,23 @@ def conv_structure_audit_salted(
         n = t["n"].take(take).to_numpy(zero_copy_only=False)
         rep_in = t["rep_in"].take(take).to_numpy(zero_copy_only=False)
         bad_in = t["bad_in"].take(take).to_numpy(zero_copy_only=False)
-        fr = t["first_role"].take(take).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        lr = t["last_role"].take(take).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
+        # roles crossed the exchange as strings: dictionary-encode the
+        # two columns TOGETHER so equal strings share one code
+        both = pa.chunked_array(
+            [t["first_role"].take(take).combine_chunks(),
+             t["last_role"].take(take).combine_chunks()]
+        ).combine_chunks()  # ONE array -> one shared dictionary
+        benc = pc.dictionary_encode(both)
+        codes = benc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = len(c)
+        fr, lr = codes[:m], codes[m:]
+        bdict = benc.dictionary.to_pylist()
+        tool_c = bdict.index("tool") if "tool" in bdict else -2
+        asst_c = bdict.index("assistant") if "assistant" in bdict else -3
+        user_c = bdict.index("user") if "user" in bdict else -4
+        sys_c = bdict.index("system") if "system" in bdict else -5
         first = np.concatenate(([True], c[1:] != c[:-1]))
         gid = np.cumsum(first) - 1
         n_g = int(gid[-1]) + 1
@@ -256,19 +277,15 @@ def conv_structure_audit_salted(
         n_bad = np.zeros(n_g, dtype=np.int64)
         np.add.at(n_bad, gid, bad_in)
         # boundary terms between consecutive chunks of one conversation
-        prev_last = np.concatenate(([-1], lr[:-1]))
+        prev_last = np.concatenate(([-9], lr[:-1]))
         brep = (~first) & (fr == prev_last)
         np.add.at(n_rep, gid[brep], 1)
-        bbad = (~first) & (fr == _AUDIT_TOOL) & (
-            prev_last != _AUDIT_ASSISTANT
-        )
+        bbad = (~first) & (fr == tool_c) & (prev_last != asst_c)
         # conversation opener: tool-first is misplaced by definition
-        obad = first & (fr == _AUDIT_TOOL)
+        obad = first & (fr == tool_c)
         np.add.at(n_bad, gid[bbad | obad], 1)
         first_role = fr[first]
-        starts_ok = (first_role == _AUDIT_USER) | (
-            first_role == _AUDIT_SYSTEM
-        )
+        starts_ok = (first_role == user_c) | (first_role == sys_c)
         ok = starts_ok & (n_rep == 0) & (n_bad == 0)
         starts = np.flatnonzero(first)
         return pa.table(
@@ -304,25 +321,6 @@ def conv_structure_audit_salted(
     return partials.repartition(
         num_blocks=num_partitions, keys=["conv_id"]
     ).map_batches(merge_block, batch_format="pyarrow", batch_size=None)
-
-
-# fixed role codes shared by the salted audit's two phases (the
-# unsalted audit derives codes per block from its dictionary; here the
-# codes must survive an exchange, so they are pinned)
-MULTITURN_ROLES_AUDIT = ("user", "assistant", "system", "tool")
-_AUDIT_USER, _AUDIT_ASSISTANT, _AUDIT_SYSTEM, _AUDIT_TOOL = 0, 1, 2, 3
-
-
-def _role_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Map role strings to the pinned audit codes (-1 for unknown)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    idx = pc.index_in(
-        col, value_set=pa.array(list(MULTITURN_ROLES_AUDIT))
-    )
-    out = idx.to_numpy(zero_copy_only=False).astype(np.float64)
-    out = np.where(np.isnan(out), -1, out)
-    return out.astype(np.int64)
 
 
 RENDER_SCHEMA = pa.schema(

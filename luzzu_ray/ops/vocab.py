@@ -1793,9 +1793,16 @@ def source_divergence(
     _ensure_hash_shuffle()
     num_partitions = auto_partitions(ds, num_partitions)
 
-    vocab_tbl = pa.Table.from_pylist(
-        word_stats_topv(ds, v, text_col=text_col).take_all()
-    )
+    vocab_rows = word_stats_topv(ds, v, text_col=text_col).take_all()
+    if not vocab_rows:  # empty corpus: no distribution to compare
+        return ray.data.from_arrow(
+            pa.table(
+                {source_col: pa.array([], pa.string()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "chi2_q6": pa.array([], pa.int64())}
+            )
+        )
+    vocab_tbl = pa.Table.from_pylist(vocab_rows)
     words = vocab_tbl["word"].to_pylist()
     ct = np.asarray(vocab_tbl["tf"].to_pylist(), dtype=np.int64)
     n_t = int(ct.sum())

@@ -4839,3 +4839,26 @@ def test_source_divergence_layout_invariance_and_zero_source(ray_session):
     d = outs[0].set_index("source")["chi2_q6"]
     assert d["mix"] == d["same"]
     assert d["skew"] > d["mix"] * 2
+
+
+def test_knn_graph_tie_break_at_k_boundary(ray_session):
+    """Equal-cosine candidates at the k-boundary resolve by LOWEST
+    vec_id (the SQL row_number tie rule): 50 identical vectors must
+    each pick neighbors with the 5 smallest other ids."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import knn_graph
+
+    n, d, k = 50, 8, 5
+    E = np.tile(np.arange(1, d + 1, dtype=np.float64), (n, 1))
+    C = np.ones((1, d))  # one cell
+    t = pa.table({
+        "vec_id": pa.array(np.arange(100, 100 + n, dtype=np.int64)),
+        "embedding": pa.array(list(E.astype(np.float32))),
+    })
+    got = knn_graph(
+        ray.data.from_arrow(t).repartition(3), C, k=k, num_partitions=2
+    ).to_pandas()
+    for vid, grp in got.groupby("vec_id"):
+        others = [x for x in range(100, 100 + n) if x != vid][:k]
+        assert sorted(grp["nbr_id"]) == others, vid

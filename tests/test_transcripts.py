@@ -249,3 +249,55 @@ def test_salted_audit_equals_unsalted(ray_session):
             .to_pandas().sort_values("conv_id").reset_index(drop=True)
         )
         assert salted.equals(base), chunk
+
+
+def test_salted_audit_distinct_unknown_roles(ray_session):
+    """Two consecutive DISTINCT unknown roles are NOT a repeat — the
+    salted path must not conflate unknown roles into one class."""
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import (
+        conv_structure_audit,
+        conv_structure_audit_salted,
+    )
+
+    rows = [("z", 0, "user"), ("z", 1, "foo"), ("z", 2, "bar"),
+            ("z", 3, "foo"), ("y", 0, "user"), ("y", 1, "foo"),
+            ("y", 2, "foo")]
+    t = _tbl(rows)
+    base = (
+        conv_structure_audit(
+            ray.data.from_arrow(t).repartition(2), num_partitions=2
+        ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert base.loc[base["conv_id"] == "z", "n_role_repeats"].iloc[0] == 0
+    assert base.loc[base["conv_id"] == "y", "n_role_repeats"].iloc[0] == 1
+    for chunk in (2, 1):
+        salted = (
+            conv_structure_audit_salted(
+                ray.data.from_arrow(t).repartition(2),
+                chunk_turns=chunk, num_partitions=2,
+            ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        assert salted.equals(base), chunk
+
+
+def test_conv_turn_stats_dictionary_input(ray_session):
+    """A dictionary-typed conv_id with unused dictionary entries must
+    not crash or emit phantom rows."""
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import _turn_stats_block
+
+    dict_arr = pa.DictionaryArray.from_arrays(
+        pa.array([0, 0], pa.int32()),
+        pa.array(["a", "unused"], pa.string()),
+    )
+    t = pa.table({
+        "conv_id": dict_arr,
+        "role": pa.array(["user", "assistant"]),
+        "text": pa.array(["hi", "yo"]),
+    })
+    out = _turn_stats_block(t).to_pandas()
+    assert list(out["conv_id"]) == ["a"]
+    assert list(out["n_turns"]) == [2]
