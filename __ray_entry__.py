@@ -2344,6 +2344,37 @@ def q_events_hll_incremental(sf_dir: str):
     return merged
 
 
+def q_ppl_docs(sf_dir: str):
+    """Per-document perplexity through the REAL two-stage actor chain
+    (langid pool feeds lang_idx to the KenLM-style scorer pool) —
+    HARD-verified via a committed fixture from the row-at-a-time
+    scalar twins (models.langid_row / models.ppl_row, independent
+    control flow from the batched kernels).  ppl quantized so the
+    driver hash never depends on float formatting."""
+    from luzzu_ray.ops.common import pool
+    from luzzu_ray.stages.actors import LangIdScorer, PerplexityScorer
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    scored = ds.map_batches(
+        LangIdScorer,
+        batch_format="pyarrow", batch_size=4096, concurrency=pool(),
+    ).map_batches(
+        PerplexityScorer,
+        batch_format="pyarrow", batch_size=4096, concurrency=pool(),
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"],
+             "ppl_q4": pc.cast(
+                 pc.floor(pc.multiply(
+                     pc.cast(t["ppl"], pa.float64()), 10_000.0)),
+                 pa.int64())}
+        )
+
+    return scored.map_batches(quantize, batch_format="pyarrow")
+
+
 def q_langid_confusion(sf_dir: str):
     """Model-eval confusion matrix: labeled lang vs the langid actor
     pool's prediction, counted per (true, predicted) pair — the
@@ -6790,6 +6821,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "quality_score_auc": q_quality_score_auc,
         "events_session_hours": q_events_session_hours,
         "langid_confusion": q_langid_confusion,
+        "ppl_docs": q_ppl_docs,
         "epoch_shuffle": q_epoch_shuffle,
         "events_hll_incremental": q_events_hll_incremental,
         "conv_turn_stats": q_conv_turn_stats,
@@ -8806,6 +8838,10 @@ FROM m
         "langid_docs_sf001.parquet') f USING (doc_id) GROUP BY 1, 2"
     )
     sqls["epoch_shuffle"] = _epoch_shuffle_sql()
+    sqls["ppl_docs"] = (
+        "SELECT doc_id, lang, ppl_q4 FROM read_parquet("
+        "'/root/repo/tests/fixtures/ppl_docs_sf001.parquet')"
+    )
     # incremental maintenance must equal the full recompute
     sqls["events_hll_incremental"] = _hll_estimate_sql()
     sqls["conv_turn_stats"] = _CONV_STATS_SQL_TMPL.format(

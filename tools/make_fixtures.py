@@ -61,6 +61,30 @@ def make_langid(sf_dir: str) -> pa.Table:
     )
 
 
+def make_ppl(sf_dir: str) -> pa.Table:
+    """Row-at-a-time langid + perplexity twin (``models.langid_row`` /
+    ``models.ppl_row`` — independent control flow from the batched
+    engine kernels, which tests pin bit-identical)."""
+    from luzzu_ray import models
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs, ppls = [], []
+    for t in texts:
+        lang, _ = models.langid_row(t)
+        langs.append(lang)
+        ppls.append(int(np.floor(np.float64(models.ppl_row(t, lang))
+                                 * 10_000.0)))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()),
+         "lang": pa.array(langs, pa.string()),
+         "ppl_q4": pa.array(ppls, pa.int64())}
+    )
+
+
 def _feat_table(ids, pixel_fn, width: int, height: int) -> pa.Table:
     from luzzu_ray.ops.multimodal import _payload_features
 
@@ -378,6 +402,7 @@ def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
+        ("ppl_docs", make_ppl),
         ("image_phash_dedup", make_image_phash),
         ("audio_fp_dedup", make_audio_fp),
         ("video_fp_dedup", make_video_fp),
