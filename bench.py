@@ -232,6 +232,7 @@ def main() -> None:
         "conv_structure_audit_salted",
         "conv_dedup_exact",
         "events_value_trimmed",
+        "ppl_docs",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
