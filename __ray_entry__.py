@@ -6796,6 +6796,60 @@ def _driver_last_audited() -> dict[str, int]:
     return last
 
 
+REPETITION_W = 8
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition battery (Rae et al. 2021): per-doc
+    duplicate-line counts/chars over W-word-window lines, modal-bigram
+    concentration, distinct-5-gram count — all exact integers, one
+    exchange-free vectorized pass."""
+    from luzzu_ray.ops.textstats import repetition_stats
+
+    return repetition_stats(
+        _docs(sf_dir, ["doc_id", "text"]), words_per_line=REPETITION_W
+    )
+
+
+def _doc_repetition_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      generate_subscripts(string_split(text, ' '), 1) AS wi FROM d),
+nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words
+       FROM w GROUP BY 1),
+l AS (SELECT doc_id, (wi - 1) // {REPETITION_W} AS line_idx,
+      string_agg(word, ' ' ORDER BY wi) AS line FROM w GROUP BY 1, 2),
+lc AS (SELECT doc_id, line, count(*) AS cnt FROM l GROUP BY 1, 2),
+lstat AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+  CAST(sum(cnt) - count(*) AS BIGINT) AS n_dup_lines,
+  CAST(sum((cnt - 1) * length(line)) AS BIGINT) AS dup_line_chars
+  FROM lc GROUP BY 1),
+sq AS (SELECT doc_id, word,
+       lead(word, 1) OVER (PARTITION BY doc_id ORDER BY wi) AS w1,
+       lead(word, 2) OVER (PARTITION BY doc_id ORDER BY wi) AS w2,
+       lead(word, 3) OVER (PARTITION BY doc_id ORDER BY wi) AS w3,
+       lead(word, 4) OVER (PARTITION BY doc_id ORDER BY wi) AS w4
+       FROM w),
+bgc AS (SELECT doc_id, word, w1, count(*) AS cnt FROM sq
+        WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+topbg AS (SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram_count
+          FROM bgc GROUP BY 1),
+g5 AS (SELECT doc_id, CAST(count(DISTINCT
+         word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4)
+       AS BIGINT) AS n_distinct_5grams
+       FROM sq WHERE w4 IS NOT NULL GROUP BY 1)
+SELECT nw.doc_id, nw.n_words, ls.n_lines, ls.n_dup_lines,
+  ls.dup_line_chars,
+  CAST(greatest(nw.n_words - 1, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(tb.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+  CAST(greatest(nw.n_words - 4, 0) AS BIGINT) AS n_5grams,
+  CAST(coalesce(g5.n_distinct_5grams, 0) AS BIGINT) AS n_distinct_5grams
+FROM nw JOIN lstat ls USING (doc_id)
+LEFT JOIN topbg tb USING (doc_id) LEFT JOIN g5 USING (doc_id)
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _queries_in_registry_order()
     last = _driver_last_audited()
@@ -6810,6 +6864,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "doc_repetition": q_doc_repetition,
         "conv_structure_audit": q_conv_structure_audit,
         "conv_structure_audit_salted": q_conv_structure_audit_salted,
         "knn_graph": q_knn_graph,
@@ -8860,6 +8915,7 @@ SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_dup
 FROM r
 """
     sqls["source_divergence"] = _source_divergence_sql()
+    sqls["doc_repetition"] = _doc_repetition_sql()
     sqls["events_value_trimmed"] = """
 WITH v AS (
   SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS vq

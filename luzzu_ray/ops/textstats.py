@@ -390,3 +390,162 @@ def sentence_stats_batch(t: pa.Table, terminator: str = ".") -> pa.Table:
         "n_sentence_chars": pa.array(chars),
         "mean_sentence_len_q2": pa.array(mean_q2),
     })
+
+
+def repetition_stats_batch(
+    t: pa.Table, words_per_line: int = 8
+) -> pa.Table:
+    """Gopher-style repetition battery per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters), emitted as
+    EXACT integers so every fraction reconstructs without float
+    division and a DuckDB twin matches bit-for-bit:
+
+    - ``n_words``            single-space split count (>= 1 always —
+      ``split('', ' ') == ['']``, same as SQL ``string_split``);
+    - ``n_lines`` / ``n_dup_lines`` / ``dup_line_chars``  W-word-window
+      "lines" (the same corpus-agnostic derivation as
+      :mod:`luzzu_ray.ops.lines`); a line occurrence is a duplicate if
+      its text appeared earlier in the SAME doc, so
+      ``n_dup_lines = n_lines - n_distinct_lines`` and
+      ``dup_line_chars`` sums ``(cnt - 1) * char_len(line)`` — the
+      "fraction of characters in duplicate lines" numerator;
+    - ``n_bigrams`` / ``top_bigram_count``  occurrences of the modal
+      word bigram (the "fraction of tokens in the most common 2-gram"
+      concentration statistic) — tie-free because only the max COUNT is
+      reported;
+    - ``n_5grams`` / ``n_distinct_5grams``  the duplicate-5-gram
+      fraction is ``1 - distinct/total``.
+
+    Embarrassingly parallel, no exchange; per batch: one dictionary
+    encode of the flat word array, one lexsort per n-gram width on raw
+    code tuples (never a composite id — overflow-proof past 2^21
+    distinct tokens, same discipline as ``dup_trigram_positions``),
+    run-length counts scattered per doc with exact integer ``np.add.at``
+    / ``np.maximum.at``.  Line equality compares MATERIALIZED line
+    strings via one extra dictionary encode (lines are m/W-bounded, not
+    m), so multibyte text and odd spacing behave exactly like the SQL
+    twin's ``string_agg`` groups.
+    """
+    n = t.num_rows
+    id_col = t["doc_id"]
+    empty = pa.array([], pa.int64())
+    if n == 0:
+        return pa.table({
+            "doc_id": empty, "n_words": empty, "n_lines": empty,
+            "n_dup_lines": empty, "dup_line_chars": empty,
+            "n_bigrams": empty, "top_bigram_count": empty,
+            "n_5grams": empty, "n_distinct_5grams": empty,
+        })
+    filled = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+    words = pc.split_pattern(filled, " ").combine_chunks()
+    flat = words.flatten()
+    offs = words.offsets.to_numpy().astype(np.int64)
+    per_row = offs[1:] - offs[:-1]
+    m = int(offs[-1])
+    rid = np.repeat(np.arange(n, dtype=np.int64), per_row)
+    wi = np.arange(m, dtype=np.int64) - offs[:-1][rid]
+
+    # ---- W-word lines: per-(doc, line-text) run lengths ----
+    starts = np.flatnonzero(wi % words_per_line == 0)
+    l_offsets = np.append(starts, m).astype(np.int32)
+    lines = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(l_offsets), flat), " ")
+    line_doc = rid[starts]
+    lcodes = pc.dictionary_encode(lines).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    llen = pc.utf8_length(lines).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((lcodes, line_doc))
+    ld, lc_s = line_doc[order], lcodes[order]
+    new_run = np.ones(len(ld), dtype=bool)
+    new_run[1:] = (ld[1:] != ld[:-1]) | (lc_s[1:] != lc_s[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_starts, len(ld)))
+    run_doc = ld[run_starts]
+    run_linelen = llen[order][run_starts]
+    n_lines = np.bincount(line_doc, minlength=n).astype(np.int64)
+    n_distinct_lines = np.bincount(run_doc, minlength=n).astype(np.int64)
+    dup_line_chars = np.zeros(n, dtype=np.int64)
+    np.add.at(dup_line_chars, run_doc, (run_len - 1) * run_linelen)
+
+    # ---- word n-grams on dictionary codes ----
+    codes = pc.dictionary_encode(flat).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    top_bigram = np.zeros(n, dtype=np.int64)
+    if m >= 2:
+        valid = np.flatnonzero(rid[:-1] == rid[1:])
+        if len(valid):
+            kd = rid[valid]
+            c0, c1 = codes[valid], codes[valid + 1]
+            o2 = np.lexsort((c1, c0, kd))
+            kd, c0, c1 = kd[o2], c0[o2], c1[o2]
+            nr = np.ones(len(kd), dtype=bool)
+            nr[1:] = ((kd[1:] != kd[:-1]) | (c0[1:] != c0[:-1])
+                      | (c1[1:] != c1[:-1]))
+            rs = np.flatnonzero(nr)
+            rl = np.diff(np.append(rs, len(kd)))
+            np.maximum.at(top_bigram, kd[rs], rl)
+    n_distinct_5 = np.zeros(n, dtype=np.int64)
+    if m >= 5:
+        valid5 = np.flatnonzero(rid[:-4] == rid[4:])
+        if len(valid5):
+            kd5 = rid[valid5]
+            cs = [codes[valid5 + j] for j in range(5)]
+            o5 = np.lexsort((cs[4], cs[3], cs[2], cs[1], cs[0], kd5))
+            kd5 = kd5[o5]
+            cs = [c[o5] for c in cs]
+            nr5 = np.ones(len(kd5), dtype=bool)
+            nr5[1:] = kd5[1:] != kd5[:-1]
+            for c in cs:
+                nr5[1:] |= c[1:] != c[:-1]
+            n_distinct_5 = np.bincount(
+                kd5[np.flatnonzero(nr5)], minlength=n).astype(np.int64)
+    return pa.table({
+        "doc_id": id_col,
+        "n_words": pa.array(per_row.astype(np.int64)),
+        "n_lines": pa.array(n_lines),
+        "n_dup_lines": pa.array(n_lines - n_distinct_lines),
+        "dup_line_chars": pa.array(dup_line_chars),
+        "n_bigrams": pa.array(np.maximum(per_row - 1, 0).astype(np.int64)),
+        "top_bigram_count": pa.array(top_bigram),
+        "n_5grams": pa.array(np.maximum(per_row - 4, 0).astype(np.int64)),
+        "n_distinct_5grams": pa.array(n_distinct_5),
+    })
+
+
+def repetition_stats(
+    ds: ray.data.Dataset, words_per_line: int = 8
+) -> ray.data.Dataset:
+    """Per-document repetition battery — see
+    :func:`repetition_stats_batch`.  Stateless vectorized map, no
+    exchange; at 100 TB this is a pure streaming pass."""
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: repetition_stats_batch(t, words_per_line),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def repetition_stats_py(
+    text: str | None, words_per_line: int = 8
+) -> dict:
+    """Row-at-a-time twin of :func:`repetition_stats_batch`."""
+    from collections import Counter
+
+    words = (text or "").split(" ")
+    nw = len(words)
+    lines = [" ".join(words[i:i + words_per_line])
+             for i in range(0, nw, words_per_line)]
+    lcnt = Counter(lines)
+    bigrams = Counter(zip(words, words[1:]))
+    g5 = set(zip(words, words[1:], words[2:], words[3:], words[4:]))
+    return {
+        "n_words": nw,
+        "n_lines": len(lines),
+        "n_dup_lines": len(lines) - len(lcnt),
+        "dup_line_chars": sum(
+            (c - 1) * len(l) for l, c in lcnt.items()),
+        "n_bigrams": max(nw - 1, 0),
+        "top_bigram_count": max(bigrams.values(), default=0),
+        "n_5grams": max(nw - 4, 0),
+        "n_distinct_5grams": len(g5) if nw >= 5 else 0,
+    }

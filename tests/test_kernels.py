@@ -147,3 +147,31 @@ def test_year_from_epoch_us_matches_datetime():
     want = np.array(
         [(epoch + dt.timedelta(days=int(d))).year for d in days], np.int64)
     assert (got == want).all()
+
+
+def test_repetition_stats_batch_matches_scalar_twin():
+    import pyarrow as pa
+
+    from luzzu_ray.ops.textstats import (
+        repetition_stats_batch, repetition_stats_py)
+
+    texts = [
+        "", "a", None,
+        "a a a a a a a a a a a a a a a a",          # one repeated line
+        "the cat sat on the mat the cat sat on the mat",
+        "x y " * 30,                                 # trailing-space words
+        "héllo wörld héllo wörld héllo wörld héllo", # multibyte chars
+        "a  b   c a  b   c",                         # empty-string words
+        "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8 tail",
+        " ".join(f"t{i % 7}" for i in range(100)),
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    for w in (3, 8):
+        out = repetition_stats_batch(t, words_per_line=w).to_pydict()
+        for i, tx in enumerate(texts):
+            exp = repetition_stats_py(tx, words_per_line=w)
+            got = {k: out[k][i] for k in exp}
+            assert got == exp, (w, i, tx, got, exp)
