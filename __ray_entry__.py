@@ -6850,6 +6850,112 @@ LEFT JOIN topbg tb USING (doc_id) LEFT JOIN g5 USING (doc_id)
 """
 
 
+def q_source_overlap(sf_dir: str):
+    """Pairwise Jaccard overlap between sources' distinct word
+    vocabularies — the corpus-mix / cross-source-contamination
+    diagnostic.  Word-keyed bitmask OR-combine, distributed mask->pair
+    expansion; the driver holds only the s*(s+1)/2 final pair rows."""
+    from luzzu_ray.ops.vocab import source_vocab_overlap
+
+    return source_vocab_overlap(_docs(sf_dir, ["source", "text"]))
+
+
+def _source_overlap_sql() -> str:
+    return """
+WITH w AS (SELECT DISTINCT source,
+       unnest(string_split(coalesce(text, ''), ' ')) AS word
+       FROM documents),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+p AS (SELECT a.source AS source_a, b.source AS source_b,
+      CAST(count(*) AS BIGINT) AS n_common
+      FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT x.source AS source_a, y.source AS source_b,
+  x.n AS n_a, y.n AS n_b,
+  CAST(coalesce(p.n_common, 0) AS BIGINT) AS n_common,
+  CAST(x.n + y.n - coalesce(p.n_common, 0) AS BIGINT) AS n_union,
+  CAST((coalesce(p.n_common, 0) * 1000000)
+       // (x.n + y.n - coalesce(p.n_common, 0)) AS BIGINT) AS jaccard_q6
+FROM ns x JOIN ns y ON x.source < y.source
+LEFT JOIN p ON p.source_a = x.source AND p.source_b = y.source
+"""
+
+
+def q_neardup_cluster_sizes(sf_dir: str):
+    """Histogram of minhash near-dup cluster sizes — the post-dedup
+    sanity check (a heavy tail of giant clusters means boilerplate,
+    not true near-duplication).  Composes the full banding -> exact
+    verify -> components chain with two narrow grouped counts."""
+    from luzzu_ray.ops.dedup import cluster_size_hist, minhash_dedup
+
+    return cluster_size_hist(minhash_dedup(
+        _docs(sf_dir, ["doc_id", "text"]),
+        jaccard_threshold=JACCARD_THRESHOLD,
+    ))
+
+
+_CLUSTER_SIZES_SQL = """,
+edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u
+),
+sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY 1)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1
+"""
+
+
+def q_source_len_ks(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov distance of each source's
+    document-length distribution against the rest of the corpus — the
+    distribution-drift diagnostic run before mixing a new source in.
+    One (source, n_chars)-keyed grouped count is the only exchange; the
+    numerator is kept as Python ints (it exceeds int64 by design at
+    billion-row groups)."""
+    from luzzu_ray.ops.relational import grouped_ks_vs_rest
+
+    return grouped_ks_vs_rest(
+        _docs(sf_dir, ["source", "n_chars"]), "source", "n_chars"
+    )
+
+
+def _source_len_ks_sql() -> str:
+    return """
+WITH v AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+           FROM documents),
+vc AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+grps AS (SELECT DISTINCT g FROM vc),
+grid AS (SELECT DISTINCT x FROM vc),
+cnt AS (SELECT gr.g, gd.x, coalesce(vc.c, 0) AS c
+        FROM grps gr CROSS JOIN grid gd
+        LEFT JOIN vc ON vc.g = gr.g AND vc.x = gd.x),
+cum AS (SELECT g, x,
+        CAST(sum(c) OVER (PARTITION BY g ORDER BY x) AS HUGEINT) AS cum_g
+        FROM cnt),
+allc AS (SELECT x, sum(c) AS ca FROM vc GROUP BY x),
+cumall AS (SELECT x, CAST(sum(ca) OVER (ORDER BY x) AS HUGEINT) AS cum_t
+           FROM allc),
+tots AS (SELECT g, CAST(sum(c) AS HUGEINT) AS n_g FROM vc GROUP BY g),
+ntot AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM vc)
+SELECT t.g AS source,
+  CAST(t.n_g AS BIGINT) AS n_group,
+  CAST(n.n - t.n_g AS BIGINT) AS n_rest,
+  CAST(CASE WHEN t.n_g = 0 OR n.n = t.n_g THEN 0 ELSE
+    max(abs(c.cum_g * (n.n - t.n_g) - (a.cum_t - c.cum_g) * t.n_g))
+      * 1000000 // (t.n_g * (n.n - t.n_g)) END AS BIGINT) AS ks_q6
+FROM cum c JOIN cumall a USING (x) JOIN tots t ON t.g = c.g, ntot n
+GROUP BY t.g, t.n_g, n.n
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _queries_in_registry_order()
     last = _driver_last_audited()
@@ -6865,6 +6971,9 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
         "doc_repetition": q_doc_repetition,
+        "source_overlap": q_source_overlap,
+        "neardup_cluster_sizes": q_neardup_cluster_sizes,
+        "source_len_ks": q_source_len_ks,
         "conv_structure_audit": q_conv_structure_audit,
         "conv_structure_audit_salted": q_conv_structure_audit_salted,
         "knn_graph": q_knn_graph,
@@ -8916,6 +9025,9 @@ FROM r
 """
     sqls["source_divergence"] = _source_divergence_sql()
     sqls["doc_repetition"] = _doc_repetition_sql()
+    sqls["source_overlap"] = _source_overlap_sql()
+    sqls["neardup_cluster_sizes"] = _JACCARD_PAIRS_SQL + _CLUSTER_SIZES_SQL
+    sqls["source_len_ks"] = _source_len_ks_sql()
     sqls["events_value_trimmed"] = """
 WITH v AS (
   SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS vq

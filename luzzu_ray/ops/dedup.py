@@ -2122,3 +2122,44 @@ def prefix_contained(
     if out_parts:
         out = out.union(_rd.from_arrow(pa.concat_tables(out_parts)))
     return out
+
+
+def cluster_size_hist(
+    res: pa.Table | ray.data.Dataset,
+) -> pa.Table | ray.data.Dataset:
+    """Histogram of near-dup cluster sizes from a dedup labeling
+    ((doc_id, cluster, is_dup) — the :func:`minhash_dedup` /
+    :func:`simhash_dedup` output): (cluster_size, n_clusters) rows.
+
+    The shape of this distribution is the standard post-dedup sanity
+    check (a heavy tail of giant clusters usually means boilerplate or
+    a degenerate shingle domain, not true near-duplication).  Two
+    narrow grouped counts — the input labeling is already bounded by
+    the clustered-doc count, so both exchanges are trivial at any
+    scale."""
+
+    def hist_table(t: pa.Table) -> pa.Table:
+        sizes = t.group_by("cluster").aggregate([("doc_id", "count")])
+        h = sizes.group_by("doc_id_count").aggregate([("cluster", "count")])
+        out = pa.table({
+            "cluster_size": pc.cast(h["doc_id_count"], pa.int64()),
+            "n_clusters": pc.cast(h["cluster_count"], pa.int64()),
+        })
+        return out.sort_by("cluster_size")
+
+    if isinstance(res, pa.Table):
+        return hist_table(res)
+    from ray.data.aggregate import Count
+
+    sizes = res.groupby("cluster", num_partitions=4).aggregate(
+        Count(alias_name="cluster_size"))
+    hist = sizes.groupby("cluster_size", num_partitions=4).aggregate(
+        Count(alias_name="n_clusters"))
+
+    def cast_block(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_size": pc.cast(t["cluster_size"], pa.int64()),
+            "n_clusters": pc.cast(t["n_clusters"], pa.int64()),
+        })
+
+    return hist.map_batches(cast_block, batch_format="pyarrow")

@@ -2442,3 +2442,91 @@ def grouped_trimmed_sum_q(
     return part.map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def grouped_ks_vs_rest(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """EXACT two-sample Kolmogorov-Smirnov distance of each group's
+    integer-value distribution against the REST of the dataset — the
+    distribution-drift diagnostic ("does source A's length profile
+    differ from everything else?").
+
+    Output: (group, n_group, n_rest, ks_q6) with
+    ``ks_q6 = max_x |F_g(x) - F_rest(x)| * 1e6`` computed as exact
+    rationals: the max of ``|cum_g(x) * n_rest - cum_rest(x) * n_g|``
+    over the distinct-value grid, floor-divided by ``n_g * n_rest`` in
+    PYTHON ints (the numerator reaches n_g*n_rest*1e6 ~ 1e24 at
+    billion-row groups — past int64 by design, never materialized in a
+    fixed-width column).
+
+    Scale shape: one (group, value)-keyed grouped count is the only
+    exchange; the driver holds the VALUE-COUNT table (groups x distinct
+    values — doc-length-style domains, not row counts; the same bound
+    as a grouped histogram finalize).  ECDFs only step at observed
+    values, so evaluating on the distinct-value grid is exact.
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             value_col: pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        g = t.group_by([group_col, value_col]).aggregate(
+            [(value_col, "count")])
+        return pa.table({
+            group_col: g[group_col],
+            value_col: pc.cast(g[value_col], pa.int64()),
+            "c": pc.cast(g[f"{value_col}_count"], pa.int64()),
+        })
+
+    parts = ds.select_columns([group_col, value_col]).map_batches(
+        vc_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    vc = parts.groupby(
+        [group_col, value_col],
+        num_partitions=auto_partitions(parts, num_partitions),
+    ).aggregate(Sum("c", alias_name="c")).take_all()
+
+    from collections import defaultdict
+
+    counts: dict = defaultdict(dict)
+    for r in vc:
+        counts[r[group_col]][r[value_col]] = int(r["c"])
+    grid = sorted({v for m in counts.values() for v in m})
+    tot_of = {v: sum(m.get(v, 0) for m in counts.values()) for v in grid}
+    n_total = sum(tot_of.values())
+    groups = sorted(counts)
+    out_g, out_n, out_r, out_ks = [], [], [], []
+    for g in groups:
+        m = counts[g]
+        n_g = sum(m.values())
+        n_r = n_total - n_g
+        cum_g = 0
+        cum_t = 0
+        best = 0
+        for v in grid:
+            cum_g += m.get(v, 0)
+            cum_t += tot_of[v]
+            cum_r = cum_t - cum_g
+            best = max(best, abs(cum_g * n_r - cum_r * n_g))
+        out_g.append(g)
+        out_n.append(n_g)
+        out_r.append(n_r)
+        out_ks.append(best * 1_000_000 // (n_g * n_r) if n_g and n_r
+                      else 0)
+    return pa.table({
+        group_col: pa.array(out_g),
+        "n_group": pa.array(out_n, pa.int64()),
+        "n_rest": pa.array(out_r, pa.int64()),
+        "ks_q6": pa.array(out_ks, pa.int64()),
+    })

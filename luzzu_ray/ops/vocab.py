@@ -1888,3 +1888,144 @@ def source_divergence(
     return parts.repartition(
         num_blocks=auto_partitions(parts, None), keys=[source_col]
     ).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# pairwise source vocabulary overlap (corpus-mix / contamination diagnostic)
+# ---------------------------------------------------------------------------
+
+def source_vocab_overlap(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    source_col: str = "source",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Pairwise Jaccard overlap between the DISTINCT word vocabularies
+    of every source pair — the corpus-mix / cross-source-contamination
+    diagnostic ("how much does source A's vocabulary look like B's?").
+
+    Output: one row per unordered source pair (source_a < source_b)
+    with exact integers (n_a, n_b, n_common, n_union) and
+    ``jaccard_q6 = n_common * 1e6 // n_union``.
+
+    Scale shape (100 TB posture):
+    - sources are discovered first (a narrow distinct pass; the list is
+      tiny — dozens of corpus components) and assigned BITS, capped at
+      62 so a per-word presence set is one int64 bitmask;
+    - the exchange carries one (word, mask) row per distinct word per
+      block — bounded by block vocabulary, never the token stream
+      (the ``word_stats_topv`` discipline);
+    - after the word-keyed OR-combine, masks EXPAND DISTRIBUTED into
+      (bit_i, bit_j) pair partials (<= s^2 rows per block) and reduce
+      by a narrow groupby — the driver only ever holds the s*(s+1)/2
+      final pair rows, never a mask histogram (which could approach
+      2^s distinct subsets on a many-source corpus).
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    sources = sorted(
+        s for s in ds.select_columns([source_col]).unique(source_col)
+        if s is not None
+    )
+    if len(sources) > 62:
+        raise ValueError(
+            f"source_vocab_overlap supports <= 62 sources (int64 "
+            f"bitmask), got {len(sources)}"
+        )
+    bit_of = {s: i for i, s in enumerate(sources)}
+
+    def word_mask_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "mask": pa.array([], pa.int64())})
+        enc_s = pc.dictionary_encode(t[source_col].combine_chunks())
+        sbits = np.array(
+            [bit_of.get(v, -1) for v in enc_s.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        row_bit = sbits[
+            enc_s.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        filled = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        words = pc.split_pattern(filled, " ").combine_chunks()
+        flat = words.flatten()
+        offs = words.offsets.to_numpy().astype(np.int64)
+        per_row = offs[1:] - offs[:-1]
+        rid = np.repeat(np.arange(n, dtype=np.int64), per_row)
+        enc_w = pc.dictionary_encode(flat)
+        codes = enc_w.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tok_bit = row_bit[rid]
+        keep = tok_bit >= 0
+        u = np.unique(codes[keep] * 64 + tok_bit[keep])
+        acc = np.zeros(len(enc_w.dictionary), dtype=np.int64)
+        np.bitwise_or.at(acc, u // 64, np.int64(1) << (u % 64))
+        nz = np.flatnonzero(acc)
+        return pa.table({
+            "word": enc_w.dictionary.take(pa.array(nz)),
+            "mask": pa.array(acc[nz]),
+        })
+
+    parts = ds.select_columns([source_col, text_col]).map_batches(
+        word_mask_partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(t["word"].combine_chunks())
+        codes = enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        masks = t["mask"].to_numpy(zero_copy_only=False)
+        acc = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.bitwise_or.at(acc, codes, masks)
+        um, cnt = np.unique(acc, return_counts=True)
+        ii, jj, nn = [], [], []
+        for mask, c in zip(um, cnt):
+            bits = np.flatnonzero(
+                (mask >> np.arange(62, dtype=np.int64)) & 1)
+            for a_i, a in enumerate(bits):
+                ii.append(a); jj.append(a); nn.append(c)
+                for b in bits[a_i + 1:]:
+                    ii.append(a); jj.append(b); nn.append(c)
+        return pa.table({"i": pa.array(ii, pa.int64()),
+                         "j": pa.array(jj, pa.int64()),
+                         "n": pa.array(nn, pa.int64())})
+
+    pair_counts = parts.repartition(
+        num_blocks=auto_partitions(parts, num_partitions), keys=["word"]
+    ).map_batches(
+        pair_partial, batch_format="pyarrow", batch_size=None
+    ).groupby(["i", "j"], num_partitions=4).aggregate(Sum("n", alias_name="n")).take_all()
+
+    n_of = {(r["i"], r["j"]): r["n"] for r in pair_counts}
+    rows = []
+    for a in range(len(sources)):
+        for b in range(a + 1, len(sources)):
+            n_a = n_of.get((a, a), 0)
+            n_b = n_of.get((b, b), 0)
+            n_common = n_of.get((a, b), 0)
+            n_union = n_a + n_b - n_common
+            rows.append({
+                "source_a": sources[a], "source_b": sources[b],
+                "n_a": n_a, "n_b": n_b, "n_common": n_common,
+                "n_union": n_union,
+                "jaccard_q6": (n_common * 1_000_000 // n_union
+                               if n_union else 0),
+            })
+    return pa.table({
+        "source_a": pa.array([r["source_a"] for r in rows], pa.string()),
+        "source_b": pa.array([r["source_b"] for r in rows], pa.string()),
+        "n_a": pa.array([r["n_a"] for r in rows], pa.int64()),
+        "n_b": pa.array([r["n_b"] for r in rows], pa.int64()),
+        "n_common": pa.array([r["n_common"] for r in rows], pa.int64()),
+        "n_union": pa.array([r["n_union"] for r in rows], pa.int64()),
+        "jaccard_q6": pa.array(
+            [r["jaccard_q6"] for r in rows], pa.int64()),
+    })

@@ -4862,3 +4862,131 @@ def test_knn_graph_tie_break_at_k_boundary(ray_session):
     for vid, grp in got.groupby("vec_id"):
         others = [x for x in range(100, 100 + n) if x != vid][:k]
         assert sorted(grp["nbr_id"]) == others, vid
+
+
+def test_source_vocab_overlap_matches_bruteforce(ray_session):
+    """Pairwise vocabulary Jaccard equals a pure-Python set sweep and
+    is block-layout invariant (the word-keyed bitmask OR-combine must
+    not depend on which blocks a source's docs land in)."""
+    import ray.data
+
+    from luzzu_ray.ops.vocab import source_vocab_overlap
+
+    corpora = {
+        "a": ["red green blue", "blue cyan", "red red red"],
+        "b": ["green blue yellow", "yellow pink"],
+        "c": ["violet", "violet ultra", ""],
+        "d": ["red green blue cyan yellow pink violet ultra"],
+    }
+    rows_s, rows_t = [], []
+    for s, docs in corpora.items():
+        for d in docs:
+            rows_s.append(s)
+            rows_t.append(d)
+    t = pa.table({"source": pa.array(rows_s), "text": pa.array(rows_t)})
+
+    vocab = {
+        s: set(w for d in docs for w in d.split(" "))
+        for s, docs in corpora.items()
+    }
+    outs = []
+    for parts in (1, 7):
+        got = (
+            source_vocab_overlap(ray.data.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .sort_values(["source_a", "source_b"])
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got = outs[0]
+    names = sorted(corpora)
+    want_pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1:]
+    ]
+    assert list(zip(got["source_a"], got["source_b"])) == want_pairs
+    for _, r in got.iterrows():
+        va, vb = vocab[r["source_a"]], vocab[r["source_b"]]
+        assert r["n_a"] == len(va) and r["n_b"] == len(vb)
+        assert r["n_common"] == len(va & vb)
+        assert r["n_union"] == len(va | vb)
+        assert r["jaccard_q6"] == len(va & vb) * 1_000_000 // len(va | vb)
+
+
+def test_grouped_ks_vs_rest_matches_bruteforce(ray_session):
+    """Exact KS-vs-rest equals the quadratic ECDF sweep; an
+    identically-distributed group scores 0; layout invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_ks_vs_rest
+
+    rng = np.random.default_rng(7)
+    # 'same' mirrors the pooled rest exactly when paired with 'twin'
+    vals_a = rng.integers(0, 40, 300)
+    groups = ["a"] * 300 + ["b"] * 200 + ["c"] * 100
+    vals = np.concatenate([vals_a,
+                           rng.integers(20, 60, 200),
+                           rng.integers(0, 5, 100)])
+    t = pa.table({
+        "g": pa.array(groups),
+        "x": pa.array(vals, pa.int64()),
+    })
+
+    def brute(g):
+        mine = vals[np.array(groups) == g]
+        rest = vals[np.array(groups) != g]
+        grid = np.unique(vals)
+        best = 0
+        for v in grid:
+            num = abs(
+                int((mine <= v).sum()) * len(rest)
+                - int((rest <= v).sum()) * len(mine)
+            )
+            best = max(best, num)
+        return best * 1_000_000 // (len(mine) * len(rest))
+
+    outs = []
+    for parts in (1, 6):
+        got = (
+            grouped_ks_vs_rest(
+                ray.data.from_arrow(t).repartition(parts), "g", "x",
+                num_partitions=3,
+            )
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got = outs[0].set_index("g")
+    for g, n in (("a", 300), ("b", 200), ("c", 100)):
+        assert got.loc[g, "n_group"] == n
+        assert got.loc[g, "n_rest"] == 600 - n
+        assert got.loc[g, "ks_q6"] == brute(g)
+    # disjoint supports => c is far from the rest; a overlaps heavily
+    assert got.loc["c", "ks_q6"] > got.loc["a", "ks_q6"]
+
+
+def test_cluster_size_hist_table_and_dataset_paths_agree(ray_session):
+    """The Arrow-table fast path and the Dataset groupby path produce
+    the same (cluster_size, n_clusters) histogram."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import cluster_size_hist
+
+    labeling = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(10)]),
+        "cluster": pa.array(
+            ["c0", "c0", "c0", "c1", "c1", "c2", "c2", "c3", "c4", "c5"]
+        ),
+        "is_dup": pa.array([False, True, True, False, True,
+                            False, True, False, False, False]),
+    })
+    want = {3: 1, 2: 2, 1: 3}
+    tbl = cluster_size_hist(labeling)
+    got_t = dict(zip(tbl["cluster_size"].to_pylist(),
+                     tbl["n_clusters"].to_pylist()))
+    assert got_t == want
+    ds_out = cluster_size_hist(
+        ray.data.from_arrow(labeling).repartition(4)
+    ).to_pandas()
+    got_d = dict(zip(ds_out["cluster_size"], ds_out["n_clusters"]))
+    assert got_d == want
