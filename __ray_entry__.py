@@ -6956,6 +6956,109 @@ GROUP BY t.g, t.n_g, n.n
 """
 
 
+PR_LEN_THRESHOLD = 200
+
+
+def q_clf_pr_curve(sf_dir: str):
+    """Exact precision/recall curve of the hashed-linear classifier
+    score against the length-rule verdict (n_chars >= 200) — one row
+    per distinct score threshold with exact integer confusion counts
+    and q6 metrics (the threshold-picking companion to the ROC-AUC
+    eval).  Label and score come from the SAME batch (no join); the
+    reduce block is bounded by the distinct-score domain."""
+    from luzzu_ray.ops.classifier import QualityClassifierStage
+    from luzzu_ray.ops.relational import binary_pr_curve
+    from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
+
+    class _PRStage(QualityClassifierStage):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = super().__call__(t)
+            return out.append_column(
+                "label",
+                pc.greater_equal(t["n_chars"],
+                                 pa.scalar(PR_LEN_THRESHOLD, pa.int64())),
+            )
+
+    scored = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        _PRStage, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, max(2, cluster_cpus() // 2)),
+    )
+    return binary_pr_curve(scored, "clf_score", "label")
+
+
+_CLF_PR_SQL = f"""
+WITH clf AS (SELECT doc_id, clf_score FROM read_parquet(
+    '/root/repo/tests/fixtures/quality_classifier_sf001.parquet')),
+s AS (SELECT clf.clf_score AS score,
+             d.n_chars >= {PR_LEN_THRESHOLD} AS label
+      FROM clf JOIN documents d USING (doc_id)),
+g AS (SELECT score,
+        CAST(coalesce(count(*) FILTER (label), 0) AS BIGINT) AS np,
+        CAST(coalesce(count(*) FILTER (NOT label), 0) AS BIGINT) AS nn
+      FROM s GROUP BY score),
+tot AS (SELECT CAST(sum(np) AS BIGINT) AS p,
+               CAST(sum(nn) AS BIGINT) AS nn_tot FROM g),
+c AS (SELECT score,
+        CAST(sum(np) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+        CAST(sum(nn) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+      FROM g)
+SELECT c.score, c.tp, c.fp,
+  CAST(t.p - c.tp AS BIGINT) AS fn,
+  CAST(t.nn_tot - c.fp AS BIGINT) AS tn,
+  CAST(c.tp * 1000000 // (c.tp + c.fp) AS BIGINT) AS precision_q6,
+  CAST(CASE WHEN t.p = 0 THEN NULL
+       ELSE c.tp * 1000000 // t.p END AS BIGINT) AS recall_q6,
+  CAST(2 * c.tp * 1000000
+       // (2 * c.tp + c.fp + t.p - c.tp) AS BIGINT) AS f1_q6
+FROM c, tot t
+"""
+
+
+def q_filter_agreement(sf_dir: str):
+    """Cohen's kappa between the hashed-linear classifier verdict and
+    the heuristic C4-rule verdict, both computed from the SAME batch
+    (row-aligned, no join) — "does the learned filter agree with the
+    rules beyond chance?".  Per-block 2x2 cells, single-row gather;
+    kappa in Python ints (n^2 passes int64 at ~3e9 rows)."""
+    from luzzu_ray.ops.classifier import classify_with_heuristic
+    from luzzu_ray.ops.relational import rater_agreement
+
+    return rater_agreement(
+        classify_with_heuristic(_docs(sf_dir, ["doc_id", "text"])),
+        "heur_keep", "clf_keep",
+    )
+
+
+_FILTER_AGREEMENT_SQL = """
+WITH q AS ({quality}),
+clf AS (SELECT doc_id, clf_keep FROM read_parquet(
+    '/root/repo/tests/fixtures/quality_classifier_sf001.parquet')),
+j AS (SELECT q.keep AS a, clf.clf_keep AS b
+      FROM q JOIN clf USING (doc_id)),
+cells AS (SELECT
+  CAST(coalesce(count(*) FILTER (a AND b), 0) AS HUGEINT) AS n11,
+  CAST(coalesce(count(*) FILTER (a AND NOT b), 0) AS HUGEINT) AS n10,
+  CAST(coalesce(count(*) FILTER (NOT a AND b), 0) AS HUGEINT) AS n01,
+  CAST(coalesce(count(*) FILTER (NOT a AND NOT b), 0) AS HUGEINT) AS n00
+  FROM j),
+k AS (SELECT *, n11 + n10 + n01 + n00 AS n,
+        (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+      FROM cells),
+kd AS (SELECT *,
+        (n * (n11 + n00) - pe_num) * 1000000 AS knum,
+        n * n - pe_num AS kden
+       FROM k)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+  CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_q6,
+  CAST(CASE WHEN kden = 0 THEN NULL ELSE
+    (knum - (((knum % kden) + kden) % kden)) // kden
+  END AS BIGINT) AS kappa_q6
+FROM kd
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _queries_in_registry_order()
     last = _driver_last_audited()
@@ -6974,6 +7077,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q_source_overlap,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
         "source_len_ks": q_source_len_ks,
+        "clf_pr_curve": q_clf_pr_curve,
+        "filter_agreement": q_filter_agreement,
         "conv_structure_audit": q_conv_structure_audit,
         "conv_structure_audit_salted": q_conv_structure_audit_salted,
         "knn_graph": q_knn_graph,
@@ -9028,6 +9133,9 @@ FROM r
     sqls["source_overlap"] = _source_overlap_sql()
     sqls["neardup_cluster_sizes"] = _JACCARD_PAIRS_SQL + _CLUSTER_SIZES_SQL
     sqls["source_len_ks"] = _source_len_ks_sql()
+    sqls["clf_pr_curve"] = _CLF_PR_SQL
+    sqls["filter_agreement"] = _FILTER_AGREEMENT_SQL.format(
+        quality=_QUALITY_SQL)
     sqls["events_value_trimmed"] = """
 WITH v AS (
   SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS vq

@@ -191,3 +191,33 @@ def classify_documents(
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+class AgreementStage(QualityClassifierStage):
+    """Classifier verdict + heuristic C4-rule verdict from the SAME
+    input batch (row-aligned by construction — no join needed): adds
+    ``heur_keep`` from :func:`luzzu_ray.ops.textstats.quality_score_batch`
+    next to (doc_id, clf_score, clf_keep)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:  # noqa: D102
+        from luzzu_ray.ops.textstats import quality_score_batch
+
+        out = super().__call__(t)
+        return out.append_column(
+            "heur_keep", quality_score_batch(t)["keep"])
+
+
+def classify_with_heuristic(
+    ds: ray.data.Dataset, concurrency: tuple[int, int] | None = None
+) -> ray.data.Dataset:
+    """(doc_id, clf_score, clf_keep, heur_keep) per document — the
+    input to filter-agreement evals (:func:`rater_agreement`)."""
+    from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
+
+    if concurrency is None:
+        concurrency = (1, max(2, cluster_cpus() // 2))
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        AgreementStage,
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+    )

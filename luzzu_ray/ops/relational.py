@@ -2530,3 +2530,164 @@ def grouped_ks_vs_rest(
         "n_rest": pa.array(out_r, pa.int64()),
         "ks_q6": pa.array(out_ks, pa.int64()),
     })
+
+
+def binary_pr_curve(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+) -> ray.data.Dataset:
+    """Exact precision/recall curve of an INTEGER score against a
+    boolean label: one row per distinct score value v with the
+    confusion counts of the rule "keep iff score >= v" and exact-
+    rational q6 metrics (``precision_q6 = tp*1e6 // (tp+fp)``,
+    ``recall_q6 = tp*1e6 // n_pos``, ``f1_q6 = 2*tp*1e6 //
+    (2*tp+fp+fn)``) — the threshold-picking companion to
+    :func:`binary_auc` ("where on the score axis do we cut?").
+
+    Scale shape: identical to :func:`binary_auc` — per-block
+    (score, n_pos, n_neg) partials bounded by the block's distinct
+    scores, one gather into a reduce block bounded by the QUANTIZED
+    SCORE DOMAIN (callers pass q6-style scores), reverse-cumulative
+    sums there.  Metric division falls back to Python ints when
+    ``n * 1e6`` approaches int64 (the _exact_group_sum convention).
+    """
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"score": pa.array([], pa.int64()),
+                 "np_": pa.array([], pa.int64()),
+                 "nn_": pa.array([], pa.int64()),
+                 "_mrg": pa.array([], pa.int32())}
+            )
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t[label_col].to_numpy(zero_copy_only=False).astype(bool)
+        u, inv = np.unique(s, return_inverse=True)
+        npos = np.bincount(inv, weights=lab, minlength=len(u))
+        tot = np.bincount(inv, minlength=len(u))
+        return pa.table(
+            {"score": pa.array(u),
+             "np_": pa.array(npos.astype(np.int64)),
+             "nn_": pa.array((tot - npos).astype(np.int64)),
+             "_mrg": pa.array(np.zeros(len(u), dtype=np.int32))}
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        np_in = t["np_"].to_numpy(zero_copy_only=False)
+        nn_in = t["nn_"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(s, return_inverse=True)
+        npos = np.zeros(len(u), dtype=np.int64)
+        nneg = np.zeros(len(u), dtype=np.int64)
+        np.add.at(npos, inv, np_in)
+        np.add.at(nneg, inv, nn_in)
+        n_pos, n_neg = int(npos.sum()), int(nneg.sum())
+        # keep iff score >= v: reverse cumulative over descending v
+        tp = npos[::-1].cumsum()[::-1]
+        fp = nneg[::-1].cumsum()[::-1]
+        fn = n_pos - tp
+        if (n_pos + n_neg) * 2_000_000 < 2**63:
+            prec = tp * 1_000_000 // (tp + fp)  # tp+fp >= 1 at observed v
+            rec = (tp * 1_000_000 // n_pos if n_pos
+                   else np.full(len(u), -1))
+            f1 = 2 * tp * 1_000_000 // (2 * tp + fp + fn)
+            rec_arr = (pa.array(rec, pa.int64()) if n_pos else
+                       pa.nulls(len(u), pa.int64()))
+        else:  # exactness beyond int64: Python-int division
+            prec = [p * 1_000_000 // (p + q)
+                    for p, q in zip(tp.tolist(), fp.tolist())]
+            rec = ([p * 1_000_000 // n_pos for p in tp.tolist()]
+                   if n_pos else None)
+            f1 = [2 * p * 1_000_000 // (2 * p + q + r) for p, q, r
+                  in zip(tp.tolist(), fp.tolist(), fn.tolist())]
+            rec_arr = (pa.array(rec, pa.int64()) if n_pos else
+                       pa.nulls(len(u), pa.int64()))
+        return pa.table(
+            {"score": pa.array(u, pa.int64()),
+             "tp": pa.array(tp, pa.int64()),
+             "fp": pa.array(fp, pa.int64()),
+             "fn": pa.array(fn, pa.int64()),
+             "tn": pa.array(n_neg - fp, pa.int64()),
+             "precision_q6": pa.array(np.asarray(prec), pa.int64()),
+             "recall_q6": rec_arr,
+             "f1_q6": pa.array(np.asarray(f1), pa.int64())}
+        )
+
+    parts = ds.select_columns([score_col, label_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return parts.repartition(num_blocks=1, keys=["_mrg"]).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
+def rater_agreement(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+) -> ray.data.Dataset:
+    """Cohen's kappa between two boolean verdict columns — the
+    filter-agreement eval ("does the learned classifier agree with the
+    heuristic rules beyond chance?").  Output is one row:
+    (n, n11, n10, n01, n00, po_q6, kappa_q6) with
+    ``kappa = (n*(n11+n00) - (r1*c1 + r0*c0)) / (n^2 - (r1*c1+r0*c0))``
+    computed in PYTHON ints (n^2 passes int64 at ~3e9 rows by design)
+    and floored to q6; NULL when chance agreement is 1 (a constant
+    rater).
+
+    Scale shape: per-block 2x2 cell counts (4 ints), one single-row
+    gather — no data-bearing exchange at all.
+    """
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"n11": z, "n10": z, "n01": z, "n00": z,
+                             "_mrg": pa.array([], pa.int32())})
+        a = t[col_a].to_numpy(zero_copy_only=False).astype(bool)
+        b = t[col_b].to_numpy(zero_copy_only=False).astype(bool)
+        cell = np.bincount(a.astype(np.int64) * 2 + b, minlength=4)
+        return pa.table({
+            "n11": pa.array([int(cell[3])], pa.int64()),
+            "n10": pa.array([int(cell[2])], pa.int64()),
+            "n01": pa.array([int(cell[1])], pa.int64()),
+            "n00": pa.array([int(cell[0])], pa.int64()),
+            "_mrg": pa.array([0], pa.int32()),
+        })
+
+    def final(t: pa.Table) -> pa.Table:
+        n11 = int(pc.sum(t["n11"]).as_py() or 0)
+        n10 = int(pc.sum(t["n10"]).as_py() or 0)
+        n01 = int(pc.sum(t["n01"]).as_py() or 0)
+        n00 = int(pc.sum(t["n00"]).as_py() or 0)
+        n = n11 + n10 + n01 + n00
+        r1, r0 = n11 + n10, n01 + n00
+        c1, c0 = n11 + n01, n10 + n00
+        pe_num = r1 * c1 + r0 * c0  # /n^2
+        po_q6 = (n11 + n00) * 1_000_000 // n if n else None
+        den = n * n - pe_num
+        kappa_q6 = ((n * (n11 + n00) - pe_num) * 1_000_000 // den
+                    if den else None)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "n11": pa.array([n11], pa.int64()),
+            "n10": pa.array([n10], pa.int64()),
+            "n01": pa.array([n01], pa.int64()),
+            "n00": pa.array([n00], pa.int64()),
+            "po_q6": pa.array([po_q6], pa.int64()),
+            "kappa_q6": pa.array([kappa_q6], pa.int64()),
+        })
+
+    parts = ds.select_columns([col_a, col_b]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return parts.repartition(num_blocks=1, keys=["_mrg"]).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

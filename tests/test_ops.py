@@ -4990,3 +4990,83 @@ def test_cluster_size_hist_table_and_dataset_paths_agree(ray_session):
     ).to_pandas()
     got_d = dict(zip(ds_out["cluster_size"], ds_out["n_clusters"]))
     assert got_d == want
+
+
+def test_binary_pr_curve_matches_bruteforce(ray_session):
+    """The threshold sweep equals a per-threshold brute-force confusion
+    count, layout invariant, with exact q6 floor-divided metrics."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import binary_pr_curve
+
+    rng = np.random.default_rng(11)
+    scores = rng.integers(-50, 50, 400)
+    labels = (scores + rng.integers(-30, 30, 400)) > 0
+    t = pa.table({"s": pa.array(scores, pa.int64()),
+                  "lab": pa.array(labels)})
+    outs = []
+    for parts in (1, 5):
+        got = (
+            binary_pr_curve(
+                ray.data.from_arrow(t).repartition(parts), "s", "lab")
+            .to_pandas().sort_values("score").reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got = outs[0]
+    n_pos = int(labels.sum())
+    assert list(got["score"]) == sorted(set(scores.tolist()))
+    for _, r in got.iterrows():
+        v = r["score"]
+        tp = int((labels & (scores >= v)).sum())
+        fp = int((~labels & (scores >= v)).sum())
+        assert r["tp"] == tp and r["fp"] == fp
+        assert r["fn"] == n_pos - tp
+        assert r["tn"] == int((~labels).sum()) - fp
+        assert r["precision_q6"] == tp * 1_000_000 // (tp + fp)
+        assert r["recall_q6"] == tp * 1_000_000 // n_pos
+        assert r["f1_q6"] == 2 * tp * 1_000_000 // (2 * tp + fp + n_pos - tp)
+
+
+def test_rater_agreement_kappa_including_negative(ray_session):
+    """Cohen's kappa matches hand arithmetic; a below-chance pairing
+    yields a NEGATIVE kappa floor-divided like Python (the SQL twin
+    reproduces floor semantics via positive-mod), layout invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import rater_agreement
+
+    def run(a_vals, b_vals, parts):
+        t = pa.table({"a": pa.array(a_vals), "b": pa.array(b_vals)})
+        return (
+            rater_agreement(
+                ray.data.from_arrow(t).repartition(parts), "a", "b")
+            .to_pandas().iloc[0]
+        )
+
+    def kappa_brute(a_vals, b_vals):
+        n11 = sum(1 for x, y in zip(a_vals, b_vals) if x and y)
+        n10 = sum(1 for x, y in zip(a_vals, b_vals) if x and not y)
+        n01 = sum(1 for x, y in zip(a_vals, b_vals) if not x and y)
+        n00 = sum(1 for x, y in zip(a_vals, b_vals) if not (x or y))
+        n = n11 + n10 + n01 + n00
+        pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        den = n * n - pe
+        return ((n * (n11 + n00) - pe) * 1_000_000 // den
+                if den else None)
+
+    rng = np.random.default_rng(3)
+    a = rng.random(500) < 0.6
+    agree = (rng.random(500) < 0.8)
+    b = np.where(agree, a, ~a)
+    r1 = run(a.tolist(), b.tolist(), 1)
+    r7 = run(a.tolist(), b.tolist(), 7)
+    assert dict(r1) == dict(r7)
+    assert r1["kappa_q6"] == kappa_brute(a.tolist(), b.tolist())
+    assert r1["kappa_q6"] > 0
+    # below-chance: b is mostly the negation of a -> negative kappa,
+    # floor division must round toward -inf (Python semantics)
+    b_neg = np.where(rng.random(500) < 0.9, ~a, a)
+    r = run(a.tolist(), b_neg.tolist(), 4)
+    want = kappa_brute(a.tolist(), b_neg.tolist())
+    assert r["kappa_q6"] == want and want < 0
