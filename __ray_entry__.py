@@ -7059,6 +7059,59 @@ FROM kd
 """
 
 
+def q_role_transitions(sf_dir: str):
+    """Corpus-level role-transition matrix over the multi-turn corpus
+    — (prev_role, role, n) counts with '<start>' marking conversation
+    openers; one conv exchange + shifted compare, then a trivially
+    narrow grouped sum (<= (R+1)*R rows)."""
+    from luzzu_ray.ops.transcripts import role_transition_counts
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return role_transition_counts(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+_ROLE_TRANSITIONS_SQL_TMPL = """
+WITH m AS ({multiturn}),
+t AS (SELECT coalesce(
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+        '<start>') AS prev_role, role
+      FROM m)
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_tool_usage(sf_dir: str):
+    """Per-tool usage statistics over the multi-turn corpus: calls,
+    distinct conversations (exact — the conv exchange co-locates each
+    conversation), and well-placed calls (directly after an assistant
+    turn); per-block bincounts + a tool-keyed grouped sum."""
+    from luzzu_ray.ops.transcripts import tool_usage_stats
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return tool_usage_stats(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+_TOOL_USAGE_SQL_TMPL = """
+WITH m AS ({multiturn}),
+t AS (SELECT conv_id, tool,
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM m)
+SELECT tool,
+  CAST(count(*) AS BIGINT) AS n_calls,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  CAST(coalesce(sum(CASE WHEN prev = 'assistant' THEN 1 END), 0)
+       AS BIGINT) AS n_well_placed
+FROM t WHERE tool IS NOT NULL GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _queries_in_registry_order()
     last = _driver_last_audited()
@@ -7079,6 +7132,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "source_len_ks": q_source_len_ks,
         "clf_pr_curve": q_clf_pr_curve,
         "filter_agreement": q_filter_agreement,
+        "role_transitions": q_role_transitions,
+        "tool_usage": q_tool_usage,
         "conv_structure_audit": q_conv_structure_audit,
         "conv_structure_audit_salted": q_conv_structure_audit_salted,
         "knn_graph": q_knn_graph,
@@ -9136,6 +9191,10 @@ FROM r
     sqls["clf_pr_curve"] = _CLF_PR_SQL
     sqls["filter_agreement"] = _FILTER_AGREEMENT_SQL.format(
         quality=_QUALITY_SQL)
+    sqls["role_transitions"] = _ROLE_TRANSITIONS_SQL_TMPL.format(
+        multiturn=_multiturn_sql())
+    sqls["tool_usage"] = _TOOL_USAGE_SQL_TMPL.format(
+        multiturn=_multiturn_sql())
     sqls["events_value_trimmed"] = """
 WITH v AS (
   SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS vq

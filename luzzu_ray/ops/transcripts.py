@@ -414,3 +414,160 @@ def conv_structure_audit(
     return part.map_batches(
         _audit_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def _transition_block(t: pa.Table) -> pa.Table:
+    """Per-block (prev_role, role, n) partial counts; turn 0 of each
+    conversation counts as a '<start>' -> role transition."""
+    empty = pa.table({"prev_role": pa.array([], pa.string()),
+                      "role": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
+    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    role = pc.dictionary_encode(t["role"].combine_chunks())
+    r = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ti, c))
+    cs, rs = c[order], r[order]
+    prev = np.empty(len(rs), dtype=np.int64)
+    prev[0] = -1
+    prev[1:] = np.where(cs[1:] == cs[:-1], rs[:-1], -1)
+    key = (prev + 1) * (len(role.dictionary) + 1) + rs
+    uk, cnt = np.unique(key, return_counts=True)
+    names = ["<start>"] + role.dictionary.to_pylist()
+    base = len(role.dictionary) + 1
+    return pa.table({
+        "prev_role": pa.array([names[int(k) // base] for k in uk]),
+        "role": pa.array(
+            [role.dictionary[int(k) % base].as_py() for k in uk]),
+        "n": pa.array(cnt.astype(np.int64)),
+    })
+
+
+def role_transition_counts(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Corpus-level role-transition matrix: (prev_role, role, n) counts
+    under ``turn_idx`` order, with ``prev_role = '<start>'`` for each
+    conversation's opening turn — the structure fingerprint of an
+    agent-transcript corpus ("how often does tool follow assistant?").
+
+    Scale shape: one conv_id exchange (conversations co-located), per
+    block a lexsort + shifted compare emits <= (R+1)*R partial rows (R
+    = role-vocabulary size, ~4), then a trivially narrow grouped sum.
+    SQL twin: ``lag(role) OVER (PARTITION BY conv_id ORDER BY
+    turn_idx)`` + group count.
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["conv_id", "turn_idx", "role"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    parts = part.map_batches(
+        _transition_block, batch_format="pyarrow", batch_size=None
+    )
+    agg = parts.groupby(["prev_role", "role"], num_partitions=4).aggregate(
+        Sum("n", alias_name="n"))
+
+    def cast_block(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "prev_role": pc.cast(t["prev_role"], pa.string()),
+            "role": pc.cast(t["role"], pa.string()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return agg.map_batches(cast_block, batch_format="pyarrow")
+
+
+def _tool_stats_block(t: pa.Table) -> pa.Table:
+    """Per-block per-tool partials: call count, distinct-conv count
+    (exact — a conversation lives in one block), well-placed count
+    (directly after an ``assistant`` turn)."""
+    empty = pa.table({"tool": pa.array([], pa.string()),
+                      "n_calls": pa.array([], pa.int64()),
+                      "n_convs": pa.array([], pa.int64()),
+                      "n_well_placed": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
+    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    role = pc.dictionary_encode(t["role"].combine_chunks())
+    r = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    rdict = role.dictionary.to_pylist()
+    asst_c = rdict.index("assistant") if "assistant" in rdict else -2
+    order = np.lexsort((ti, c))
+    cs, rs = c[order], r[order]
+    prev = np.empty(len(rs), dtype=np.int64)
+    prev[0] = -1
+    prev[1:] = np.where(cs[1:] == cs[:-1], rs[:-1], -1)
+    tool = pc.dictionary_encode(
+        t["tool"].combine_chunks().take(pa.array(order)))
+    valid = np.asarray(tool.indices.is_valid())
+    tl = pc.fill_null(tool.indices, -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_tools = len(tool.dictionary)
+    if n_tools == 0 or not valid.any():
+        return empty
+    n_calls = np.bincount(tl[valid], minlength=n_tools)
+    well = np.bincount(
+        tl[valid & (prev == asst_c)], minlength=n_tools
+    ) if asst_c >= 0 else np.zeros(n_tools, dtype=np.int64)
+    uc = np.unique(
+        cs[valid] * np.int64(n_tools) + tl[valid])
+    n_convs = np.bincount(
+        (uc % n_tools).astype(np.int64), minlength=n_tools)
+    return pa.table({
+        "tool": pc.cast(tool.dictionary, pa.string()),
+        "n_calls": pa.array(n_calls.astype(np.int64)),
+        "n_convs": pa.array(n_convs.astype(np.int64)),
+        "n_well_placed": pa.array(well.astype(np.int64)),
+    })
+
+
+def tool_usage_stats(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-tool usage statistics over an agent-transcript corpus:
+    ``n_calls`` (turns naming the tool), ``n_convs`` (distinct
+    conversations using it — exact because the conv_id exchange
+    co-locates each conversation in one block, so per-block distincts
+    sum), and ``n_well_placed`` (calls directly after an ``assistant``
+    turn, the only structurally valid position).
+
+    Scale shape: one conv_id exchange, per-block bincount kernels,
+    then a grouped sum over the tiny tool vocabulary.
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["conv_id", "turn_idx", "role", "tool"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    parts = part.map_batches(
+        _tool_stats_block, batch_format="pyarrow", batch_size=None
+    )
+    agg = parts.groupby("tool", num_partitions=4).aggregate(
+        Sum("n_calls", alias_name="n_calls"),
+        Sum("n_convs", alias_name="n_convs"),
+        Sum("n_well_placed", alias_name="n_well_placed"),
+    )
+
+    def cast_block(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tool": pc.cast(t["tool"], pa.string()),
+            "n_calls": pc.cast(t["n_calls"], pa.int64()),
+            "n_convs": pc.cast(t["n_convs"], pa.int64()),
+            "n_well_placed": pc.cast(t["n_well_placed"], pa.int64()),
+        })
+
+    return agg.map_batches(cast_block, batch_format="pyarrow")

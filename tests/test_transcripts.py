@@ -301,3 +301,94 @@ def test_conv_turn_stats_dictionary_input(ray_session):
     out = _turn_stats_block(t).to_pandas()
     assert list(out["conv_id"]) == ["a"]
     assert list(out["n_turns"]) == [2]
+
+
+def test_role_transition_counts_matches_bruteforce(ray_session):
+    """Transition matrix equals a per-conversation Python sweep
+    (openers counted as '<start>' -> role), layout invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import role_transition_counts
+
+    convs = {
+        "c1": ["user", "assistant", "tool", "assistant"],
+        "c2": ["system", "user", "assistant"],
+        "c3": ["user", "user", "assistant"],   # repeat violation
+        "c4": ["assistant"],
+        "c5": ["user", "assistant", "user", "assistant", "tool"],
+    }
+    rows = [(cid, i, r) for cid, roles in convs.items()
+            for i, r in enumerate(roles)]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+    })
+    want: dict = {}
+    for roles in convs.values():
+        seq = ["<start>"] + roles
+        for a, b in zip(seq, seq[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    outs = []
+    for parts in (1, 6):
+        got = (
+            role_transition_counts(
+                ray.data.from_arrow(t).repartition(parts),
+                num_partitions=3)
+            .to_pandas()
+            .sort_values(["prev_role", "role"]).reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got_map = {(r["prev_role"], r["role"]): r["n"]
+               for _, r in outs[0].iterrows()}
+    assert got_map == want
+
+
+def test_tool_usage_stats_matches_bruteforce(ray_session):
+    """Per-tool calls / distinct convs / well-placed counts equal a
+    Python sweep on a multi-tool corpus; distinct-conv exactness
+    survives input-block splits (the conv exchange co-locates)."""
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import tool_usage_stats
+
+    # (conv, [(role, tool)...]): search appears twice in c1 (one conv),
+    # calc is well-placed once and misplaced once across two convs
+    convs = {
+        "c1": [("user", None), ("assistant", None), ("tool", "search"),
+               ("assistant", None), ("tool", "search")],
+        "c2": [("user", None), ("tool", "calc"), ("assistant", None)],
+        "c3": [("user", None), ("assistant", None), ("tool", "calc")],
+        "c4": [("user", None), ("assistant", None)],
+    }
+    rows = [(cid, i, r, tl) for cid, turns in convs.items()
+            for i, (r, tl) in enumerate(turns)]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "tool": pa.array([r[3] for r in rows], pa.string()),
+    })
+    want = {
+        "search": {"n_calls": 2, "n_convs": 1, "n_well_placed": 2},
+        "calc": {"n_calls": 2, "n_convs": 2, "n_well_placed": 1},
+    }
+    outs = []
+    for parts in (1, 8):
+        got = (
+            tool_usage_stats(
+                ray.data.from_arrow(t).repartition(parts),
+                num_partitions=3)
+            .to_pandas().sort_values("tool").reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got_map = {
+        r["tool"]: {"n_calls": r["n_calls"], "n_convs": r["n_convs"],
+                    "n_well_placed": r["n_well_placed"]}
+        for _, r in outs[0].iterrows()
+    }
+    assert got_map == want
