@@ -7112,6 +7112,45 @@ FROM t WHERE tool IS NOT NULL GROUP BY 1
 """
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_containment_pairs(sf_dir: str):
+    """Ordered near-dup pairs by exact word-shingle CONTAINMENT
+    (|A∩B|/|A| >= 0.9, a != b) — the asymmetric dedup signal Jaccard
+    misses (a short doc quoted whole inside a long one).  Prefix-filter
+    candidates (recall exactly 1) against a full-postings index, then
+    exact intersection verify with orientation kept."""
+    from luzzu_ray.ops.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        threshold=CONTAINMENT_THRESHOLD,
+    )
+
+
+def _containment_pairs_sql() -> str:
+    thr_q6 = int(CONTAINMENT_THRESHOLD * 1e6)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in generate_series(1, len(ts) - 2)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+  CAST(len(list_intersect(a.shingles, b.shingles)) * 1000000
+       // len(a.shingles) AS BIGINT) AS containment_q6
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1000000
+      // len(a.shingles) >= {thr_q6}
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _queries_in_registry_order()
     last = _driver_last_audited()
@@ -7134,6 +7173,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "filter_agreement": q_filter_agreement,
         "role_transitions": q_role_transitions,
         "tool_usage": q_tool_usage,
+        "containment_pairs": q_containment_pairs,
         "conv_structure_audit": q_conv_structure_audit,
         "conv_structure_audit_salted": q_conv_structure_audit_salted,
         "knn_graph": q_knn_graph,
@@ -9195,6 +9235,7 @@ FROM r
         multiturn=_multiturn_sql())
     sqls["tool_usage"] = _TOOL_USAGE_SQL_TMPL.format(
         multiturn=_multiturn_sql())
+    sqls["containment_pairs"] = _containment_pairs_sql()
     sqls["events_value_trimmed"] = """
 WITH v AS (
   SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS vq

@@ -2163,3 +2163,221 @@ def cluster_size_hist(
         })
 
     return hist.map_batches(cast_block, batch_format="pyarrow")
+
+
+def _containment_q6(inter: np.ndarray, na: np.ndarray) -> np.ndarray:
+    """floor(|A∩B| * 1e6 / |A|) in exact int64 (inter <= na <= doc
+    shingle count, so the product stays far under 2^63)."""
+    return np.where(na > 0, inter * 1_000_000 // np.maximum(na, 1), -1)
+
+
+class _BroadcastContainmentVerifier:
+    """Actor-pool stage: containment of A (column a) in B (column b)
+    against a broadcast doc_id -> packed-shingle-set index."""
+
+    def __init__(self, index_ref):
+        import ray
+
+        self.index = (ray.get(index_ref)
+                      if not isinstance(index_ref, dict) else index_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "containment_q6": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        get = self.index.get
+        bufs_a = [get(x, b"") for x in t["a"].to_pylist()]
+        bufs_b = [get(x, b"") for x in t["b"].to_pylist()]
+        inter, na, _ = _intersect_counts(bufs_a, bufs_b, t.num_rows)
+        return pa.table(
+            {"a": t["a"], "b": t["b"],
+             "containment_q6": pa.array(_containment_q6(inter, na))}
+        )
+
+
+def _verify_joined_containment(t: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "containment_q6": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    na = t["n_a"].to_numpy(zero_copy_only=False)
+    inter, _, _ = _intersect_counts(
+        t["sh_a"].to_pylist(), t["sh_b"].to_pylist(), t.num_rows
+    )
+    return pa.table(
+        {"a": t["a"], "b": t["b"],
+         "containment_q6": pa.array(_containment_q6(inter, na))}
+    )
+
+
+def containment_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+    broadcast_max: int = CANDIDATE_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """(a, b, containment_q6): ORDERED pairs where doc a's word-shingle
+    set is contained in doc b's at >= threshold —
+    ``|A∩B| * 1e6 // |A| >= thr_q6``, a != b.  Catches the asymmetric
+    near-dups Jaccard misses (a short doc quoted whole inside a long
+    one has high containment but LOW Jaccard, so minhash banding never
+    candidates it).
+
+    Candidates by the containment prefix filter (pigeonhole): if
+    ``|A∩B| >= ceil(t*|A|)`` then A shares at least one of its FIRST
+    ``|A| - ceil(t*|A|) + 1`` shingles (under the fixed ascending-hash
+    global order) with B — so probes emit only prefixes while the index
+    side emits every shingle.  The full-postings index is the inherent
+    cost of a containment join (same exchange class as
+    :func:`luzzu_ray.ops.vocab.inverted_postings`); recall is exactly 1.
+
+    SKEW NOTE: a hot shingle makes its bucket |probes| x |docs| —
+    inherent to exact prefix joins; the refinement path is ssjoin's
+    two-tier rarest-first token order (`ssjoin_pairs`), which empties
+    hot shingles out of prefixes.  Verification reuses the
+    broadcast-vs-sequential-join auto-routing of
+    :func:`exact_jaccard_pairs`, orientation kept (containment is
+    asymmetric: both (a,b) and (b,a) are evaluated independently).
+    """
+    import ray
+
+    _hash_shuffle_ctx()
+    thr_q6 = int(threshold * 1e6)
+
+    sets = ds.select_columns(["doc_id", "text"]).map_batches(
+        _shingle_sets_batch, batch_format="pyarrow"
+    ).materialize()
+    num_partitions = auto_partitions(sets, num_partitions)
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sh": pa.array([], pa.uint64()),
+             "doc_id": pa.array([], pa.int64()),
+             "is_probe": pa.array([], pa.bool_())}
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_sh, out_doc, out_probe = [], [], []
+        for i in range(t.num_rows):
+            vals = np.frombuffer(t["shingles"][i].as_py(), dtype="<u8")
+            n = len(vals)
+            if n == 0:
+                continue
+            p = n - (thr_q6 * n + 999_999) // 1_000_000 + 1
+            p = max(1, min(n, p))
+            out_sh.append(vals)
+            out_doc.append(np.full(n, doc[i], dtype=np.int64))
+            probe = np.zeros(n, dtype=bool)
+            probe[:p] = True  # packed buffers are sorted ascending
+            out_probe.append(probe)
+        if not out_sh:
+            return empty
+        return pa.table(
+            {"sh": pa.array(np.concatenate(out_sh).astype(np.uint64)),
+             "doc_id": pa.array(np.concatenate(out_doc)),
+             "is_probe": pa.array(np.concatenate(out_probe))}
+        )
+
+    posts = sets.map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "z": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("sh", "ascending")])
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        probe = t["is_probe"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], sh[1:] != sh[:-1])))
+        bounds = np.concatenate((starts, [len(sh)]))
+        out_a, out_b = [], []
+        for i in range(len(starts)):
+            s, e = bounds[i], bounds[i + 1]
+            probes = doc[s:e][probe[s:e]]
+            if len(probes) == 0 or e - s < 2:
+                continue
+            allv = doc[s:e]
+            a = np.repeat(probes, len(allv))
+            b = np.tile(allv, len(probes))
+            keep = a != b
+            out_a.append(a[keep])
+            out_b.append(b[keep])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(np.concatenate(out_b)),
+             "z": pa.array(np.zeros(len(a), dtype=np.int64))}
+        )
+
+    part = posts.repartition(
+        num_blocks=auto_partitions(posts, None), keys=["sh"]
+    )
+    cand = _dedupe_pairs(
+        part.map_batches(bucket_pairs, batch_format="pyarrow",
+                         batch_size=None),
+        ("z", "min", pa.int64()), num_partitions,
+    )
+
+    cand_mat = cand.select_columns(["a", "b"]).materialize()
+    ids: set[int] = set()
+    small = True
+    for blk in cand_mat.iter_batches(batch_format="pyarrow"):
+        ids.update(blk["a"].to_pylist())
+        ids.update(blk["b"].to_pylist())
+        if len(ids) > broadcast_max:
+            small = False
+            ids.clear()
+            break
+
+    if small:
+        need = pa.array(sorted(ids), pa.int64())
+        index: dict[int, bytes] = {}
+        for blk in sets.map_batches(
+            lambda tt, need=need: tt.filter(
+                pc.is_in(tt["doc_id"], value_set=need)),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow"):
+            index.update(
+                zip(blk["doc_id"].to_pylist(), blk["shingles"].to_pylist()))
+        index_ref = ray.put(index)
+        from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
+
+        verified = cand_mat.map_batches(
+            _BroadcastContainmentVerifier,
+            batch_format="pyarrow", batch_size=8192,
+            concurrency=default_actor_pool(),
+            fn_constructor_kwargs={"index_ref": index_ref},
+        )
+    else:
+        sh_a = sets.map_batches(
+            lambda t: t.rename_columns(["a", "sh_a", "n_a"]),
+            batch_format="pyarrow",
+        )
+        sh_b = sets.map_batches(
+            lambda t: t.rename_columns(["b", "sh_b", "n_b"]),
+            batch_format="pyarrow",
+        )
+        pairs = cand_mat.repartition(num_blocks=num_partitions)
+        j1 = pairs.join(sh_a, join_type="inner", on=("a",),
+                        num_partitions=num_partitions).materialize()
+        j2 = j1.join(sh_b, join_type="inner", on=("b",),
+                     num_partitions=num_partitions)
+        verified = j2.map_batches(
+            _verify_joined_containment, batch_format="pyarrow")
+
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["containment_q6"], thr_q6)),
+        batch_format="pyarrow",
+    )

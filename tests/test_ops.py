@@ -5070,3 +5070,66 @@ def test_rater_agreement_kappa_including_negative(ray_session):
     r = run(a.tolist(), b_neg.tolist(), 4)
     want = kappa_brute(a.tolist(), b_neg.tolist())
     assert r["kappa_q6"] == want and want < 0
+
+
+def test_containment_pairs_catches_asymmetric_neardups(ray_session):
+    """A short doc quoted whole inside a long one has high containment
+    but low Jaccard: containment_pairs must find it (recall 1 via the
+    prefix filter), match a brute-force shingle sweep exactly, and be
+    block-layout invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import containment_pairs
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(400)]
+
+    def mk(n):
+        return " ".join(rng.choice(words, n))
+
+    quote = mk(12)                       # 10 trigram shingles
+    long_host = mk(150) + " " + quote + " " + mk(150)
+    docs = {
+        1: quote,                        # contained in 2 (low jaccard)
+        2: long_host,
+        3: mk(40),
+        4: mk(40),
+        5: quote + " " + mk(3),          # mostly the quote
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values())),
+    })
+
+    def shingles(text):
+        import re
+        ts = re.findall(r"[a-z0-9]+", text.lower())
+        return {" ".join(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    thr = 0.8
+    want = {}
+    for a, ta in docs.items():
+        for b, tb in docs.items():
+            if a == b:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            cq6 = len(sa & sb) * 1_000_000 // len(sa)
+            if cq6 >= int(thr * 1e6):
+                want[(a, b)] = cq6
+    assert (1, 2) in want                 # the asymmetric case exists
+    sa, sb = shingles(docs[1]), shingles(docs[2])
+    assert len(sa & sb) / len(sa | sb) < 0.2   # and jaccard is low
+
+    outs = []
+    for parts in (1, 4):
+        got = (
+            containment_pairs(
+                ray.data.from_arrow(t).repartition(parts),
+                threshold=thr, num_partitions=3)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got_map = {(r["a"], r["b"]): r["containment_q6"]
+               for _, r in outs[0].iterrows()}
+    assert got_map == want
