@@ -7112,6 +7112,62 @@ FROM t WHERE tool IS NOT NULL GROUP BY 1
 """
 
 
+TRUNCATE_BUDGET = 20
+TOP_DUP_TURNS_K = 20
+
+
+def q_conv_truncate(sf_dir: str):
+    """Context-window truncation over the multi-turn corpus: per
+    conversation mark the longest SUFFIX of turns fitting a 20-token
+    budget (keep the most recent history) — one conv exchange +
+    segment-reset reverse cumsum, no per-group Python."""
+    from luzzu_ray.ops.transcripts import truncate_conversations
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return truncate_conversations(
+        documents_as_multiturn(sf_dir), TRUNCATE_BUDGET,
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+_CONV_TRUNCATE_SQL_TMPL = r"""
+WITH m AS ({multiturn}),
+t AS (SELECT conv_id, turn_idx,
+        CAST(len(regexp_extract_all(
+          coalesce(text, ''),
+          '[A-Za-z0-9\x{{80}}-\x{{10FFFF}}]+')) AS BIGINT) AS n_tokens
+      FROM m),
+r AS (SELECT *, sum(n_tokens) OVER (
+        PARTITION BY conv_id ORDER BY turn_idx DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rcum
+      FROM t)
+SELECT conv_id, turn_idx, n_tokens, rcum <= {budget} AS kept FROM r
+"""
+
+
+def q_top_dup_turns(sf_dir: str):
+    """The 20 most-duplicated exact assistant-turn texts across the
+    multi-turn corpus (boilerplate detection): exact totals AND exact
+    distinct-conversation counts via a (text, conv)-keyed reduce before
+    the text rollup; deterministic (count desc, text asc) tie-break."""
+    from luzzu_ray.ops.transcripts import top_duplicate_turns
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return top_duplicate_turns(
+        documents_as_multiturn(sf_dir), k=TOP_DUP_TURNS_K,
+        role="assistant", num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+_TOP_DUP_TURNS_SQL_TMPL = """
+WITH m AS ({multiturn})
+SELECT text, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM m WHERE role = 'assistant'
+GROUP BY text ORDER BY n_turns DESC, text ASC LIMIT {k}
+"""
+
+
 CONTAINMENT_THRESHOLD = 0.9
 
 
@@ -7174,6 +7230,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "role_transitions": q_role_transitions,
         "tool_usage": q_tool_usage,
         "containment_pairs": q_containment_pairs,
+        "conv_truncate": q_conv_truncate,
+        "top_dup_turns": q_top_dup_turns,
         "conv_structure_audit": q_conv_structure_audit,
         "conv_structure_audit_salted": q_conv_structure_audit_salted,
         "knn_graph": q_knn_graph,
@@ -9236,6 +9294,10 @@ FROM r
     sqls["tool_usage"] = _TOOL_USAGE_SQL_TMPL.format(
         multiturn=_multiturn_sql())
     sqls["containment_pairs"] = _containment_pairs_sql()
+    sqls["conv_truncate"] = _CONV_TRUNCATE_SQL_TMPL.format(
+        multiturn=_multiturn_sql(), budget=TRUNCATE_BUDGET)
+    sqls["top_dup_turns"] = _TOP_DUP_TURNS_SQL_TMPL.format(
+        multiturn=_multiturn_sql(), k=TOP_DUP_TURNS_K)
     sqls["events_value_trimmed"] = """
 WITH v AS (
   SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS vq

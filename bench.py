@@ -233,6 +233,16 @@ def main() -> None:
         "conv_dedup_exact",
         "events_value_trimmed",
         "ppl_docs",
+        # round-4 session-5 additions
+        "source_overlap",
+        "neardup_cluster_sizes",
+        "source_len_ks",
+        "clf_pr_curve",
+        "filter_agreement",
+        "role_transitions",
+        "tool_usage",
+        "containment_pairs",
+        "doc_repetition",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -571,3 +571,155 @@ def tool_usage_stats(
         })
 
     return agg.map_batches(cast_block, batch_format="pyarrow")
+
+
+def _truncate_block(t: pa.Table, budget: int) -> pa.Table:
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "kept": pa.array([], pa.bool_())})
+    if t.num_rows == 0:
+        return empty
+    from luzzu_ray.functions.text import token_segments, utf8_view
+
+    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
+    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    data, offs = utf8_view(
+        pc.fill_null(pc.cast(t["text"], pa.string()), "").combine_chunks())
+    _, _, rid = token_segments(data, offs)
+    n_tok = np.bincount(rid, minlength=t.num_rows).astype(np.int64)
+    # reverse order within each conversation: descending turn_idx
+    order = np.lexsort((-ti, c))
+    cs = c[order]
+    seg_start = np.concatenate(([True], cs[1:] != cs[:-1]))
+    csum = np.cumsum(n_tok[order])
+    base = np.zeros(len(cs), dtype=np.int64)
+    starts = np.flatnonzero(seg_start)
+    # subtract the cumsum just before each segment start (segment reset)
+    offs_before = np.where(starts > 0, csum[starts - 1], 0)
+    base[starts] = offs_before
+    np.maximum.accumulate(base, out=base)
+    rcum = csum - base
+    kept_sorted = rcum <= budget
+    kept = np.empty(len(cs), dtype=bool)
+    kept[order] = kept_sorted
+    return pa.table({
+        "conv_id": pc.cast(t["conv_id"], pa.string()),
+        "turn_idx": pc.cast(t["turn_idx"], pa.int32()),
+        "n_tokens": pa.array(n_tok),
+        "kept": pa.array(kept),
+    })
+
+
+def truncate_conversations(
+    ds: ray.data.Dataset, token_budget: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Context-window truncation: per conversation, mark the LONGEST
+    SUFFIX of turns whose total word-token count fits ``token_budget``
+    (keep the most recent history — the standard chat-training
+    truncation).  A turn is kept iff the inclusive reverse-cumulative
+    token sum from the conversation's end is <= budget; a suffix turn
+    longer than the whole budget therefore drops everything before it
+    too.  Output one row per turn: (conv_id, turn_idx, n_tokens, kept).
+
+    Scale shape: one conv_id exchange, per block one lexsort +
+    segment-reset reverse cumsum (no per-group Python).  SQL twin:
+    ``sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+    ROWS UNBOUNDED PRECEDING) <= budget``.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["conv_id", "turn_idx", "text"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    return part.map_batches(
+        _truncate_block, fn_kwargs={"budget": token_budget},
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+def top_duplicate_turns(
+    ds: ray.data.Dataset, k: int = 20, role: str | None = "assistant",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """The k most-duplicated exact turn texts across conversations —
+    boilerplate detection ("which canned replies does the corpus
+    repeat?").  Output: (text, n_turns, n_convs) by descending
+    n_turns, ties broken by text ascending.
+
+    Scale shape: per-block (text, n, conv-set-size) partials are NOT
+    enough for exact distinct-conv counts, so the exchange is keyed on
+    the TURN TEXT (bounded by distinct turn texts, the dedup-exchange
+    bound) with (text, conv_id) pre-distincted per block; the final
+    top-k is a driver-side k-row selection over per-block winners.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"text": pa.array([], pa.string()),
+                          "conv_id": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        if role is not None:
+            t = t.filter(pc.equal(t["role"], role))
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["text", "conv_id"]).aggregate([("turn_idx", "count")])
+        return pa.table({
+            "text": pc.cast(g["text"], pa.string()),
+            "conv_id": pc.cast(g["conv_id"], pa.string()),
+            "n": pc.cast(g["turn_idx_count"], pa.int64()),
+        })
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    # (text, conv) partials are distinct only WITHIN a block — the same
+    # pair recurs across input blocks, so distinct-conv counting needs
+    # a (text, conv)-keyed reduce FIRST, then the text-keyed rollup
+    width = auto_partitions(parts, num_partitions)
+    pairs = parts.groupby(
+        ["text", "conv_id"], num_partitions=width,
+    ).aggregate(Sum("n", alias_name="n")).materialize()
+    agg = pairs.groupby(
+        "text", num_partitions=width,
+    ).aggregate(Sum("n", alias_name="n_turns"),
+                Count(alias_name="n_convs"))
+
+    def top_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"text": pa.array([], pa.string()),
+                             "n_turns": pa.array([], pa.int64()),
+                             "n_convs": pa.array([], pa.int64())})
+        t = pa.table({
+            "text": pc.cast(t["text"], pa.string()),
+            "n_turns": pc.cast(t["n_turns"], pa.int64()),
+            "n_convs": pc.cast(t["n_convs"], pa.int64()),
+        })
+        idx = pc.select_k_unstable(
+            t, k, [("n_turns", "descending"), ("text", "ascending")])
+        return t.take(idx)
+
+    winners = agg.map_batches(
+        top_block, batch_format="pyarrow", batch_size=None
+    ).take_all()  # <= k rows per reduce block
+    tbl = pa.Table.from_pylist(
+        winners,
+        schema=pa.schema([("text", pa.string()), ("n_turns", pa.int64()),
+                          ("n_convs", pa.int64())]),
+    )
+    idx = pc.select_k_unstable(
+        tbl, k, [("n_turns", "descending"), ("text", "ascending")])
+    out = tbl.take(idx)
+    return out.sort_by([("n_turns", "descending"), ("text", "ascending")])

@@ -392,3 +392,88 @@ def test_tool_usage_stats_matches_bruteforce(ray_session):
         for _, r in outs[0].iterrows()
     }
     assert got_map == want
+
+
+def test_truncate_conversations_longest_suffix(ray_session):
+    """Kept turns form the longest suffix fitting the budget; an
+    oversized turn mid-suffix blocks everything before it; layout
+    invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import truncate_conversations
+
+    convs = {
+        # token counts per turn: 3, 4, 5 -> budget 10 keeps idx 1, 2
+        "c1": ["a b c", "a b c d", "a b c d e"],
+        # a 12-token turn at idx 1 blocks idx 0; idx 1 itself > budget
+        # so only idx 2 (2 tokens) survives
+        "c2": ["a b", " ".join(["w"] * 12), "x y"],
+        # everything fits
+        "c3": ["one", "two three"],
+        # empty text counts 0 tokens
+        "c4": ["", "a", ""],
+    }
+    want_kept = {
+        ("c1", 0): False, ("c1", 1): True, ("c1", 2): True,
+        ("c2", 0): False, ("c2", 1): False, ("c2", 2): True,
+        ("c3", 0): True, ("c3", 1): True,
+        ("c4", 0): True, ("c4", 1): True, ("c4", 2): True,
+    }
+    rows = [(cid, i, s) for cid, turns in convs.items()
+            for i, s in enumerate(turns)]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    outs = []
+    for parts in (1, 5):
+        got = (
+            truncate_conversations(
+                ray.data.from_arrow(t).repartition(parts), 10,
+                num_partitions=3)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got_map = {(r["conv_id"], r["turn_idx"]): bool(r["kept"])
+               for _, r in outs[0].iterrows()}
+    assert got_map == want_kept
+    ntok = {(r["conv_id"], r["turn_idx"]): r["n_tokens"]
+            for _, r in outs[0].iterrows()}
+    assert ntok[("c2", 1)] == 12 and ntok[("c4", 0)] == 0
+
+
+def test_top_duplicate_turns_distinct_convs_across_blocks(ray_session):
+    """n_convs is an exact distinct count even when one conversation's
+    duplicate turns are split across many input blocks (the (text,
+    conv)-keyed reduce must precede the rollup)."""
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import top_duplicate_turns
+
+    rows = []
+    # "canned" appears 6x in conv A and 1x in conv B -> n_convs must
+    # be 2 no matter how blocks split conv A
+    for i in range(6):
+        rows.append(("A", i, "assistant", "canned"))
+    rows.append(("B", 0, "assistant", "canned"))
+    rows.append(("B", 1, "assistant", "unique reply"))
+    rows.append(("C", 0, "user", "canned"))  # wrong role: excluded
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+    })
+    for parts in (1, 9):
+        got = top_duplicate_turns(
+            ray.data.from_arrow(t).repartition(parts), k=5,
+            role="assistant", num_partitions=3,
+        ).to_pandas()
+        assert list(got["text"]) == ["canned", "unique reply"]
+        assert list(got["n_turns"]) == [7, 1]
+        assert list(got["n_convs"]) == [2, 1]
