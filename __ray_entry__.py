@@ -7168,6 +7168,38 @@ GROUP BY text ORDER BY n_turns DESC, text ASC LIMIT {k}
 """
 
 
+def q_conv_time_stats(sf_dir: str):
+    """Per-conversation timing statistics over the multi-turn corpus:
+    wall duration, largest inter-turn gap, out-of-order timestamp count
+    (clock-skew quality signal) — exact microsecond int64, one conv
+    exchange + lexsort segment kernels."""
+    from luzzu_ray.ops.transcripts import conv_time_stats
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return conv_time_stats(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+_CONV_TIME_SQL_TMPL = """
+WITH m AS ({multiturn}),
+t AS (SELECT conv_id, epoch_us(ts) AS tsu,
+        lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+          AS prev
+      FROM m)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(max(tsu) - min(tsu) AS BIGINT) AS duration_us,
+  CAST(coalesce(max(CASE WHEN prev IS NOT NULL AND tsu - prev > 0
+                         THEN tsu - prev END), 0) AS BIGINT)
+    AS max_gap_us,
+  CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND tsu < prev
+                         THEN 1 END), 0) AS BIGINT) AS n_ts_ooo
+FROM t GROUP BY conv_id
+"""
+
+
 CONTAINMENT_THRESHOLD = 0.9
 
 
@@ -7232,6 +7264,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q_containment_pairs,
         "conv_truncate": q_conv_truncate,
         "top_dup_turns": q_top_dup_turns,
+        "conv_time_stats": q_conv_time_stats,
         "conv_structure_audit": q_conv_structure_audit,
         "conv_structure_audit_salted": q_conv_structure_audit_salted,
         "knn_graph": q_knn_graph,
@@ -9298,6 +9331,8 @@ FROM r
         multiturn=_multiturn_sql(), budget=TRUNCATE_BUDGET)
     sqls["top_dup_turns"] = _TOP_DUP_TURNS_SQL_TMPL.format(
         multiturn=_multiturn_sql(), k=TOP_DUP_TURNS_K)
+    sqls["conv_time_stats"] = _CONV_TIME_SQL_TMPL.format(
+        multiturn=_multiturn_sql())
     sqls["events_value_trimmed"] = """
 WITH v AS (
   SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS vq

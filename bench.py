@@ -243,6 +243,9 @@ def main() -> None:
         "tool_usage",
         "containment_pairs",
         "doc_repetition",
+        "conv_truncate",
+        "top_dup_turns",
+        "conv_time_stats",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

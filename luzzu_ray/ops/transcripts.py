@@ -723,3 +723,74 @@ def top_duplicate_turns(
         tbl, k, [("n_turns", "descending"), ("text", "ascending")])
     out = tbl.take(idx)
     return out.sort_by([("n_turns", "descending"), ("text", "ascending")])
+
+
+TIME_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("duration_us", pa.int64()),
+        ("max_gap_us", pa.int64()),
+        ("n_ts_ooo", pa.int64()),
+    ]
+)
+
+
+def _time_stats_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return TIME_SCHEMA.empty_table()
+    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
+    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    order = np.lexsort((ti, c))
+    cs, tss = c[order], ts[order]
+    first = np.concatenate(([True], cs[1:] != cs[:-1]))
+    gid = np.cumsum(first) - 1
+    n_groups = int(gid[-1]) + 1
+    n_turns = np.bincount(gid, minlength=n_groups)
+    tmin = np.full(n_groups, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(tmin, gid, tss)
+    tmax = np.full(n_groups, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(tmax, gid, tss)
+    gaps = np.where(first, np.int64(0), tss - np.concatenate(([0], tss[:-1])))
+    max_gap = np.zeros(n_groups, dtype=np.int64)
+    np.maximum.at(max_gap, gid, gaps)
+    # a turn whose ts precedes its predecessor's (in turn_idx order) is
+    # out-of-order — a lineage/clock-skew quality signal
+    ooo = (~first) & (gaps < 0)
+    n_ooo = np.bincount(gid[ooo], minlength=n_groups)
+    return pa.table(
+        {
+            "conv_id": pc.take(conv.dictionary, pa.array(cs[first])),
+            "n_turns": pa.array(n_turns.astype(np.int64)),
+            "duration_us": pa.array(tmax - tmin),
+            "max_gap_us": pa.array(max_gap),
+            "n_ts_ooo": pa.array(n_ooo.astype(np.int64)),
+        }
+    )
+
+
+def conv_time_stats(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-conversation timing statistics: turn count, wall duration
+    (max-min ts), the largest inter-turn gap under ``turn_idx`` order
+    (clamped at 0 for backwards steps), and the count of out-of-order
+    timestamps (a turn earlier than its predecessor — clock skew or
+    broken lineage, a transcript-quality signal).  Exact microsecond
+    int64 arithmetic; one conv_id exchange, lexsort + segment kernels.
+    SQL twin: ``lag(ts) OVER (PARTITION BY conv_id ORDER BY
+    turn_idx)`` + grouped max/count.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["conv_id", "turn_idx", "ts"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    return part.map_batches(
+        _time_stats_block, batch_format="pyarrow", batch_size=None
+    )

@@ -477,3 +477,48 @@ def test_top_duplicate_turns_distinct_convs_across_blocks(ray_session):
         assert list(got["text"]) == ["canned", "unique reply"]
         assert list(got["n_turns"]) == [7, 1]
         assert list(got["n_convs"]) == [2, 1]
+
+
+def test_conv_time_stats_gaps_and_out_of_order(ray_session):
+    """Duration, max positive gap and out-of-order counts equal hand
+    arithmetic, including a conversation whose timestamps go backwards
+    (negative gaps never inflate max_gap_us); layout invariant."""
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import conv_time_stats
+
+    US = 1_000_000
+    convs = {
+        "a": [0, 60 * US, 600 * US],          # gaps 60s, 540s
+        "b": [100 * US, 40 * US, 50 * US],    # ooo at idx 1; gap +10s
+        "c": [5 * US],                        # single turn
+    }
+    rows = [(cid, i, ts) for cid, tss in convs.items()
+            for i, ts in enumerate(tss)]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    want = {
+        "a": (3, 600 * US, 540 * US, 0),
+        "b": (3, 60 * US, 10 * US, 1),
+        "c": (1, 0, 0, 0),
+    }
+    outs = []
+    for parts in (1, 4):
+        got = (
+            conv_time_stats(
+                ray.data.from_arrow(t).repartition(parts),
+                num_partitions=3)
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got_map = {
+        r["conv_id"]: (r["n_turns"], r["duration_us"], r["max_gap_us"],
+                       r["n_ts_ooo"])
+        for _, r in outs[0].iterrows()
+    }
+    assert got_map == want
