@@ -1553,7 +1553,7 @@ _NGRAM_JACCARD_SQL = _JACCARD_PAIRS_SQL + "SELECT a, b, jaccard_q6 FROM pairs"
 # Connected components of the verified pair graph via transitive closure
 # (recursive CTE) — cluster = component minimum, roots included.  Shared
 # by every oracle that clusters a `pairs(a, b)` CTE.
-_CLOSURE_SQL = """,
+_CLOSURE_CTES = """,
 edges AS (
   SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
 ),
@@ -1562,6 +1562,9 @@ reach(u, v) AS (
   UNION
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
 )
+"""
+
+_CLOSURE_SQL = _CLOSURE_CTES + """
 SELECT u AS doc_id, least(u, min(v)) AS cluster,
        u <> least(u, min(v)) AS is_dup
 FROM reach GROUP BY u
@@ -6894,16 +6897,8 @@ def q_neardup_cluster_sizes(sf_dir: str):
     ))
 
 
-_CLUSTER_SIZES_SQL = """,
-edges AS (
-  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
-),
-reach(u, v) AS (
-  SELECT u, v FROM edges
-  UNION
-  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-),
-labels AS (
+_CLUSTER_SIZES_SQL = _CLOSURE_CTES + """
+, labels AS (
   SELECT u AS doc_id, least(u, min(v)) AS cluster FROM reach GROUP BY u
 ),
 sizes AS (SELECT cluster, count(*) AS cluster_size FROM labels GROUP BY 1)
@@ -6966,9 +6961,11 @@ def q_clf_pr_curve(sf_dir: str):
     and q6 metrics (the threshold-picking companion to the ROC-AUC
     eval).  Label and score come from the SAME batch (no join); the
     reduce block is bounded by the distinct-score domain."""
-    from luzzu_ray.ops.classifier import QualityClassifierStage
+    from luzzu_ray.ops.classifier import (
+        QualityClassifierStage,
+        classify_documents,
+    )
     from luzzu_ray.ops.relational import binary_pr_curve
-    from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
 
     class _PRStage(QualityClassifierStage):
         def __call__(self, t: pa.Table) -> pa.Table:
@@ -6979,9 +6976,9 @@ def q_clf_pr_curve(sf_dir: str):
                                  pa.scalar(PR_LEN_THRESHOLD, pa.int64())),
             )
 
-    scored = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
-        _PRStage, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, max(2, cluster_cpus() // 2)),
+    scored = classify_documents(
+        _docs(sf_dir, ["doc_id", "text", "n_chars"]),
+        stage_cls=_PRStage, columns=["doc_id", "text", "n_chars"],
     )
     return binary_pr_curve(scored, "clf_score", "label")
 

@@ -180,14 +180,21 @@ class QualityClassifierStage:
 
 
 def classify_documents(
-    ds: ray.data.Dataset, concurrency: tuple[int, int] | None = None
+    ds: ray.data.Dataset,
+    concurrency: tuple[int, int] | None = None,
+    stage_cls: type = None,
+    columns: list[str] | None = None,
 ) -> ray.data.Dataset:
+    """Actor-pool classifier run; ``stage_cls`` swaps in a
+    QualityClassifierStage subclass (the one place the pool wiring and
+    sizing convention live), ``columns`` widens the projection when the
+    subclass consumes extra input columns."""
     from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
 
     if concurrency is None:
         concurrency = (1, max(2, cluster_cpus() // 2))
-    return ds.select_columns(["doc_id", "text"]).map_batches(
-        QualityClassifierStage,
+    return ds.select_columns(columns or ["doc_id", "text"]).map_batches(
+        stage_cls or QualityClassifierStage,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency,
     )
@@ -212,12 +219,4 @@ def classify_with_heuristic(
 ) -> ray.data.Dataset:
     """(doc_id, clf_score, clf_keep, heur_keep) per document — the
     input to filter-agreement evals (:func:`rater_agreement`)."""
-    from luzzu_ray.pipelines.filter_pipeline import cluster_cpus
-
-    if concurrency is None:
-        concurrency = (1, max(2, cluster_cpus() // 2))
-    return ds.select_columns(["doc_id", "text"]).map_batches(
-        AgreementStage,
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    return classify_documents(ds, concurrency, stage_cls=AgreementStage)

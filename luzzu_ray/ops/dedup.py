@@ -1022,27 +1022,31 @@ def _verify_joined_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def exact_jaccard_pairs(
+def _route_pair_verify(
     ds: ray.data.Dataset,
     cand: ray.data.Dataset,
-    jaccard_threshold: float,
+    verifier_cls,
+    joined_fn,
     num_partitions: int | None = None,
     broadcast_max: int = CANDIDATE_BROADCAST_MAX,
+    sets: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
-    """(a, b, jaccard_q6) for candidate pairs verified by EXACT word-
-    shingle Jaccard >= threshold.
+    """Shared candidate-pair verification routing (used by both the
+    Jaccard and the containment verify; the metric lives in the
+    kernels).  Two paths:
 
-    Per-doc shingle sets are computed in the map stage (no shuffle — a
-    doc's set comes from its own row, packed as binary).  Two paths:
-
-    - candidate docs <= ``broadcast_max``: the packed index is built
-      once, broadcast via ``ray.put`` and consulted by an actor pool —
-      the classic small-side map-join, one corpus scan, zero shuffles.
+    - candidate docs <= ``broadcast_max``: the packed shingle index is
+      built once, broadcast via ``ray.put`` and consulted by the
+      ``verifier_cls`` actor pool — the classic small-side map-join,
+      one corpus scan, zero shuffles.
     - beyond that: two SEQUENTIAL hash joins of the pair table against
-      the shingle table (sequential with a materialize between, so only
-      one join's aggregator pool is live at a time — two concurrent
-      pools can starve a small cluster).  The driver never holds
-      shingle sets on this path.
+      the shingle table (materialize between, so only one join's
+      aggregator pool is live at a time — two concurrent pools can
+      starve a small cluster), finished by ``joined_fn``.  The driver
+      never holds shingle sets on this path.
+
+    ``sets``: optionally a pre-materialized ``_shingle_sets_batch``
+    dataset to reuse (skips re-scanning ``ds``).
     """
     import ray
 
@@ -1059,52 +1063,78 @@ def exact_jaccard_pairs(
             ids.clear()
             break
     pairs = cand_mat.select_columns(["a", "b"])
-    thr = int(jaccard_threshold * 1e6)
 
     if small:
         need = pa.array(sorted(ids), pa.int64())
         index: dict[int, bytes] = {}
-        sh = ds.select_columns(["doc_id", "text"]).map_batches(
-            _shingle_sets_batch, fn_kwargs={"need": need},
-            batch_format="pyarrow",
-        )
+        if sets is None:
+            sh = ds.select_columns(["doc_id", "text"]).map_batches(
+                _shingle_sets_batch, fn_kwargs={"need": need},
+                batch_format="pyarrow",
+            )
+        else:
+            sh = sets.map_batches(
+                lambda t, need=need: t.filter(
+                    pc.is_in(t["doc_id"], value_set=need)),
+                batch_format="pyarrow",
+            )
         for b in sh.iter_batches(batch_format="pyarrow"):
             index.update(zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()))
         index_ref = ray.put(index)
         from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
 
-        verified = pairs.map_batches(
-            _BroadcastJaccardVerifier,
+        return pairs.map_batches(
+            verifier_cls,
             batch_format="pyarrow",
             batch_size=8192,
             concurrency=default_actor_pool(),
             fn_constructor_kwargs={"index_ref": index_ref},
         )
-    else:
-        shingles = ds.select_columns(["doc_id", "text"]).map_batches(
+
+    if sets is None:
+        sets = ds.select_columns(["doc_id", "text"]).map_batches(
             _shingle_sets_batch, batch_format="pyarrow"
         ).materialize()  # consumed by both join sides
-        sh_a = shingles.map_batches(
-            lambda t: t.rename_columns(["a", "sh_a", "n_a"]),
-            batch_format="pyarrow",
-        )
-        sh_b = shingles.map_batches(
-            lambda t: t.rename_columns(["b", "sh_b", "n_b"]),
-            batch_format="pyarrow",
-        )
-        # key-repartitioned datasets carry schema-less EMPTY blocks (Ray's
-        # map operator skips empty blocks, so they cannot be re-typed) and
-        # Acero rejects them as join input; a plain repartition packs the
-        # rows back into uniformly-typed blocks first.
-        pairs = pairs.repartition(num_blocks=num_partitions)
-        # joins run SEQUENTIALLY (materialize between): two live aggregator
-        # pools can starve a small cluster's CPUs
-        j1 = pairs.join(sh_a, join_type="inner", on=("a",),
-                        num_partitions=num_partitions).materialize()
-        j2 = j1.join(sh_b, join_type="inner", on=("b",),
-                     num_partitions=num_partitions)
-        verified = j2.map_batches(_verify_joined_batch, batch_format="pyarrow")
+    sh_a = sets.map_batches(
+        lambda t: t.rename_columns(["a", "sh_a", "n_a"]),
+        batch_format="pyarrow",
+    )
+    sh_b = sets.map_batches(
+        lambda t: t.rename_columns(["b", "sh_b", "n_b"]),
+        batch_format="pyarrow",
+    )
+    # key-repartitioned datasets carry schema-less EMPTY blocks (Ray's
+    # map operator skips empty blocks, so they cannot be re-typed) and
+    # Acero rejects them as join input; a plain repartition packs the
+    # rows back into uniformly-typed blocks first.
+    pairs = pairs.repartition(num_blocks=num_partitions)
+    # joins run SEQUENTIALLY (materialize between): two live aggregator
+    # pools can starve a small cluster's CPUs
+    j1 = pairs.join(sh_a, join_type="inner", on=("a",),
+                    num_partitions=num_partitions).materialize()
+    j2 = j1.join(sh_b, join_type="inner", on=("b",),
+                 num_partitions=num_partitions)
+    return j2.map_batches(joined_fn, batch_format="pyarrow")
 
+
+def exact_jaccard_pairs(
+    ds: ray.data.Dataset,
+    cand: ray.data.Dataset,
+    jaccard_threshold: float,
+    num_partitions: int | None = None,
+    broadcast_max: int = CANDIDATE_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """(a, b, jaccard_q6) for candidate pairs verified by EXACT word-
+    shingle Jaccard >= threshold.  Per-doc shingle sets are computed in
+    the map stage (no shuffle — a doc's set comes from its own row,
+    packed as binary); verification routing (broadcast index vs two
+    sequential hash joins) is :func:`_route_pair_verify`.
+    """
+    thr = int(jaccard_threshold * 1e6)
+    verified = _route_pair_verify(
+        ds, cand, _BroadcastJaccardVerifier, _verify_joined_batch,
+        num_partitions, broadcast_max,
+    )
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard_q6"], thr)),
         batch_format="pyarrow",
@@ -2330,53 +2360,11 @@ def containment_pairs(
         ("z", "min", pa.int64()), num_partitions,
     )
 
-    cand_mat = cand.select_columns(["a", "b"]).materialize()
-    ids: set[int] = set()
-    small = True
-    for blk in cand_mat.iter_batches(batch_format="pyarrow"):
-        ids.update(blk["a"].to_pylist())
-        ids.update(blk["b"].to_pylist())
-        if len(ids) > broadcast_max:
-            small = False
-            ids.clear()
-            break
-
-    if small:
-        need = pa.array(sorted(ids), pa.int64())
-        index: dict[int, bytes] = {}
-        for blk in sets.map_batches(
-            lambda tt, need=need: tt.filter(
-                pc.is_in(tt["doc_id"], value_set=need)),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow"):
-            index.update(
-                zip(blk["doc_id"].to_pylist(), blk["shingles"].to_pylist()))
-        index_ref = ray.put(index)
-        from luzzu_ray.pipelines.filter_pipeline import default_actor_pool
-
-        verified = cand_mat.map_batches(
-            _BroadcastContainmentVerifier,
-            batch_format="pyarrow", batch_size=8192,
-            concurrency=default_actor_pool(),
-            fn_constructor_kwargs={"index_ref": index_ref},
-        )
-    else:
-        sh_a = sets.map_batches(
-            lambda t: t.rename_columns(["a", "sh_a", "n_a"]),
-            batch_format="pyarrow",
-        )
-        sh_b = sets.map_batches(
-            lambda t: t.rename_columns(["b", "sh_b", "n_b"]),
-            batch_format="pyarrow",
-        )
-        pairs = cand_mat.repartition(num_blocks=num_partitions)
-        j1 = pairs.join(sh_a, join_type="inner", on=("a",),
-                        num_partitions=num_partitions).materialize()
-        j2 = j1.join(sh_b, join_type="inner", on=("b",),
-                     num_partitions=num_partitions)
-        verified = j2.map_batches(
-            _verify_joined_containment, batch_format="pyarrow")
-
+    verified = _route_pair_verify(
+        ds, cand.select_columns(["a", "b"]),
+        _BroadcastContainmentVerifier, _verify_joined_containment,
+        num_partitions, broadcast_max, sets=sets,
+    )
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["containment_q6"], thr_q6)),
         batch_format="pyarrow",

@@ -2477,10 +2477,9 @@ def grouped_ks_vs_rest(
     _ensure_hash_shuffle()
 
     def vc_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({group_col: pa.array([], pa.string()),
-                             value_col: pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64())})
+        # no empty-block special case: Arrow group_by on a 0-row table
+        # preserves input types, where a hardcoded schema would diverge
+        # for non-string group columns
         g = t.group_by([group_col, value_col]).aggregate(
             [(value_col, "count")])
         return pa.table({
@@ -2592,20 +2591,17 @@ def binary_pr_curve(
         fn = n_pos - tp
         if (n_pos + n_neg) * 2_000_000 < 2**63:
             prec = tp * 1_000_000 // (tp + fp)  # tp+fp >= 1 at observed v
-            rec = (tp * 1_000_000 // n_pos if n_pos
-                   else np.full(len(u), -1))
             f1 = 2 * tp * 1_000_000 // (2 * tp + fp + fn)
-            rec_arr = (pa.array(rec, pa.int64()) if n_pos else
-                       pa.nulls(len(u), pa.int64()))
+            rec_arr = (pa.array(tp * 1_000_000 // n_pos, pa.int64())
+                       if n_pos else pa.nulls(len(u), pa.int64()))
         else:  # exactness beyond int64: Python-int division
             prec = [p * 1_000_000 // (p + q)
                     for p, q in zip(tp.tolist(), fp.tolist())]
-            rec = ([p * 1_000_000 // n_pos for p in tp.tolist()]
-                   if n_pos else None)
             f1 = [2 * p * 1_000_000 // (2 * p + q + r) for p, q, r
                   in zip(tp.tolist(), fp.tolist(), fn.tolist())]
-            rec_arr = (pa.array(rec, pa.int64()) if n_pos else
-                       pa.nulls(len(u), pa.int64()))
+            rec_arr = (pa.array(
+                [p * 1_000_000 // n_pos for p in tp.tolist()], pa.int64())
+                if n_pos else pa.nulls(len(u), pa.int64()))
         return pa.table(
             {"score": pa.array(u, pa.int64()),
              "tp": pa.array(tp, pa.int64()),

@@ -42,14 +42,27 @@ AUDIT_SCHEMA = pa.schema(
 )
 
 
-def _audit_block(t: pa.Table) -> pa.Table:
-    if t.num_rows == 0:
-        return AUDIT_SCHEMA.empty_table()
+
+def _conv_sorted(t: pa.Table):
+    """Shared per-block scaffolding: dictionary-encode ``conv_id`` and
+    lexsort rows by (conversation, turn_idx).  Returns (conv_dictarray,
+    cs, order, first) where ``cs = codes[order]`` and ``first`` marks
+    each conversation's opening row in sorted order."""
     conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
     c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((ti, c))
+    cs = c[order]
+    first = np.concatenate(([True], cs[1:] != cs[:-1]))
+    return conv, cs, order, first
+
+
+def _audit_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return AUDIT_SCHEMA.empty_table()
+    conv, c, order, first = _conv_sorted(t)
     role = pc.dictionary_encode(t["role"].combine_chunks())
-    r = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    r = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
     rdict = role.dictionary.to_pylist()
 
     def rcode(name: str) -> int:
@@ -58,9 +71,6 @@ def _audit_block(t: pa.Table) -> pa.Table:
     tool_c, asst_c = rcode("tool"), rcode("assistant")
     user_c, sys_c = rcode("user"), rcode("system")
 
-    order = np.lexsort((ti, c))
-    c, r = c[order], r[order]
-    first = np.concatenate(([True], c[1:] != c[:-1]))
     gid = np.cumsum(first) - 1
     n_groups = int(gid[-1]) + 1
 
@@ -424,16 +434,11 @@ def _transition_block(t: pa.Table) -> pa.Table:
                       "n": pa.array([], pa.int64())})
     if t.num_rows == 0:
         return empty
-    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
-    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    conv, cs, order, first = _conv_sorted(t)
     role = pc.dictionary_encode(t["role"].combine_chunks())
-    r = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((ti, c))
-    cs, rs = c[order], r[order]
-    prev = np.empty(len(rs), dtype=np.int64)
-    prev[0] = -1
-    prev[1:] = np.where(cs[1:] == cs[:-1], rs[:-1], -1)
+    rs = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    prev = np.where(first, np.int64(-1),
+                    np.concatenate(([np.int64(-1)], rs[:-1])))
     key = (prev + 1) * (len(role.dictionary) + 1) + rs
     uk, cnt = np.unique(key, return_counts=True)
     names = ["<start>"] + role.dictionary.to_pylist()
@@ -495,18 +500,13 @@ def _tool_stats_block(t: pa.Table) -> pa.Table:
                       "n_well_placed": pa.array([], pa.int64())})
     if t.num_rows == 0:
         return empty
-    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
-    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+    conv, cs, order, first = _conv_sorted(t)
     role = pc.dictionary_encode(t["role"].combine_chunks())
-    r = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    rs = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)[order]
     rdict = role.dictionary.to_pylist()
     asst_c = rdict.index("assistant") if "assistant" in rdict else -2
-    order = np.lexsort((ti, c))
-    cs, rs = c[order], r[order]
-    prev = np.empty(len(rs), dtype=np.int64)
-    prev[0] = -1
-    prev[1:] = np.where(cs[1:] == cs[:-1], rs[:-1], -1)
+    prev = np.where(first, np.int64(-1),
+                    np.concatenate(([np.int64(-1)], rs[:-1])))
     tool = pc.dictionary_encode(
         t["tool"].combine_chunks().take(pa.array(order)))
     valid = np.asarray(tool.indices.is_valid())
@@ -739,14 +739,9 @@ TIME_SCHEMA = pa.schema(
 def _time_stats_block(t: pa.Table) -> pa.Table:
     if t.num_rows == 0:
         return TIME_SCHEMA.empty_table()
-    conv = pc.dictionary_encode(t["conv_id"].combine_chunks())
-    c = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    ti = t["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
-    ts = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy(
-        zero_copy_only=False)
-    order = np.lexsort((ti, c))
-    cs, tss = c[order], ts[order]
-    first = np.concatenate(([True], cs[1:] != cs[:-1]))
+    conv, cs, order, first = _conv_sorted(t)
+    tss = pc.cast(t["ts"].combine_chunks(), pa.int64()).to_numpy(
+        zero_copy_only=False)[order]
     gid = np.cumsum(first) - 1
     n_groups = int(gid[-1]) + 1
     n_turns = np.bincount(gid, minlength=n_groups)
