@@ -7165,6 +7165,29 @@ GROUP BY text ORDER BY n_turns DESC, text ASC LIMIT {k}
 """
 
 
+def q_cross_source_dups(sf_dir: str):
+    """Near-dup pair counts by unordered source pair — the "which
+    sources copy from each other" matrix; exact-verified pair graph +
+    two sequential doc->source hash joins (the map is corpus-sized:
+    joined, never broadcast), one narrow grouped count."""
+    from luzzu_ray.ops.dedup import cross_source_dup_matrix
+
+    return cross_source_dup_matrix(
+        _docs(sf_dir, ["doc_id", "text", "source"]),
+        jaccard_threshold=JACCARD_THRESHOLD,
+    )
+
+
+_CROSS_SOURCE_DUPS_SQL = """,
+s AS (SELECT p.a, p.b, da.source AS sa, db.source AS sb
+      FROM pairs p JOIN documents da ON da.doc_id = p.a
+      JOIN documents db ON db.doc_id = p.b)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_conv_time_stats(sf_dir: str):
     """Per-conversation timing statistics over the multi-turn corpus:
     wall duration, largest inter-turn gap, out-of-order timestamp count
@@ -7262,6 +7285,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "conv_truncate": q_conv_truncate,
         "top_dup_turns": q_top_dup_turns,
         "conv_time_stats": q_conv_time_stats,
+        "cross_source_dups": q_cross_source_dups,
         "conv_structure_audit": q_conv_structure_audit,
         "conv_structure_audit_salted": q_conv_structure_audit_salted,
         "knn_graph": q_knn_graph,
@@ -9330,6 +9354,7 @@ FROM r
         multiturn=_multiturn_sql(), k=TOP_DUP_TURNS_K)
     sqls["conv_time_stats"] = _CONV_TIME_SQL_TMPL.format(
         multiturn=_multiturn_sql())
+    sqls["cross_source_dups"] = _JACCARD_PAIRS_SQL + _CROSS_SOURCE_DUPS_SQL
     sqls["events_value_trimmed"] = """
 WITH v AS (
   SELECT user_id, CAST(floor(value * 10000.0) AS BIGINT) AS vq

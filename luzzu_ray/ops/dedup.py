@@ -2369,3 +2369,65 @@ def containment_pairs(
         lambda t: t.filter(pc.greater_equal(t["containment_q6"], thr_q6)),
         batch_format="pyarrow",
     )
+
+
+def cross_source_dup_matrix(
+    ds: ray.data.Dataset,
+    jaccard_threshold: float = 0.6,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Near-dup pair counts by UNORDERED source pair — "which corpus
+    components copy from each other?".  Composes the exact-verified
+    near-dup pair graph (:func:`ngram_jaccard_pairs`) with two
+    SEQUENTIAL hash joins against the (doc_id, source) projection (the
+    doc->source map is corpus-sized, so it is joined, never broadcast
+    or driver-pulled), normalizes each pair to (least, greatest) source
+    order, and reduces with one narrow grouped count.
+
+    Output: (source_a, source_b, n_pairs) with source_a <= source_b —
+    the diagonal counts within-source duplication.
+    """
+    from ray.data.aggregate import Count
+
+    _hash_shuffle_ctx()
+    pairs = ngram_jaccard_pairs(
+        ds, jaccard_threshold, num_partitions
+    ).materialize()
+    num_partitions = auto_partitions(pairs, num_partitions)
+    src = ds.select_columns(["doc_id", "source"]).materialize()
+    src_a = src.map_batches(
+        lambda t: t.rename_columns(["a", "src_a"]), batch_format="pyarrow",
+    )
+    src_b = src.map_batches(
+        lambda t: t.rename_columns(["b", "src_b"]), batch_format="pyarrow",
+    )
+    p = pairs.select_columns(["a", "b"]).repartition(
+        num_blocks=num_partitions)
+    j1 = p.join(src_a, join_type="inner", on=("a",),
+                num_partitions=num_partitions).materialize()
+    j2 = j1.join(src_b, join_type="inner", on=("b",),
+                 num_partitions=num_partitions)
+
+    def norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"source_a": pa.array([], pa.string()),
+                             "source_b": pa.array([], pa.string())})
+        sa = pc.cast(t["src_a"], pa.string())
+        sb = pc.cast(t["src_b"], pa.string())
+        return pa.table({
+            "source_a": pc.min_element_wise(sa, sb),
+            "source_b": pc.max_element_wise(sa, sb),
+        })
+
+    agg = j2.map_batches(norm, batch_format="pyarrow").groupby(
+        ["source_a", "source_b"], num_partitions=4,
+    ).aggregate(Count(alias_name="n_pairs"))
+
+    def cast_block(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source_a": pc.cast(t["source_a"], pa.string()),
+            "source_b": pc.cast(t["source_b"], pa.string()),
+            "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+        })
+
+    return agg.map_batches(cast_block, batch_format="pyarrow")

@@ -5133,3 +5133,37 @@ def test_containment_pairs_catches_asymmetric_neardups(ray_session):
     got_map = {(r["a"], r["b"]): r["containment_q6"]
                for _, r in outs[0].iterrows()}
     assert got_map == want
+
+
+def test_cross_source_dup_matrix_counts_and_orientation(ray_session):
+    """Pair counts land under the (least, greatest) source pair and
+    the diagonal counts within-source duplication; layout invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import cross_source_dup_matrix
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen")
+    docs = [
+        (1, base, "web"),
+        (2, base + " phi", "web"),           # near-dup of 1 (web-web)
+        (3, base + " chi", "books"),         # near-dup of 1,2 (cross)
+        (4, other, "books"),
+        (5, other + " x y", "web"),          # near-dup of 4 (cross)
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs]),
+        "source": pa.array([d[2] for d in docs]),
+    })
+    want = {("books", "web"): 3, ("web", "web"): 1}
+    for parts in (1, 4):
+        got = cross_source_dup_matrix(
+            ray.data.from_arrow(t).repartition(parts),
+            jaccard_threshold=0.6, num_partitions=3,
+        ).to_pandas()
+        got_map = {(r["source_a"], r["source_b"]): r["n_pairs"]
+                   for _, r in got.iterrows()}
+        assert got_map == want, parts
