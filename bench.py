@@ -246,6 +246,7 @@ def main() -> None:
         "conv_truncate",
         "top_dup_turns",
         "conv_time_stats",
+        "cross_source_dups",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
