@@ -147,6 +147,60 @@ def q_doc_bigram_surprisal(sf_dir: str):
     return bigram_surprisal(_docs(sf_dir, ["doc_id", "text"]))
 
 
+CCNET_FRAC_HEAD = 0.2
+CCNET_FRAC_MIDDLE = 0.3
+
+
+def q_ccnet_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020)
+    per language: bigram-LM scores with lang carried through the
+    exchange-free score map (no join), exact per-lang quantile_disc
+    cutoffs broadcast into a map-side CASE — all integers, so the SQL
+    twin replays model, normalization, cutoffs and bucket rule
+    bit-for-bit."""
+    from luzzu_ray.ops.vocab import ccnet_ppl_buckets
+
+    return ccnet_ppl_buckets(
+        _docs(sf_dir, ["doc_id", "text", "lang"]),
+        frac_head=CCNET_FRAC_HEAD, frac_middle=CCNET_FRAC_MIDDLE,
+    )
+
+
+def _ccnet_sql() -> str:
+    # replicate the op's float arithmetic exactly (1.0-0.2-0.3 is
+    # 0.5000000000000001, NOT 0.5 — the embedded repr keeps the oracle
+    # on the same double as the engine's ceil(frac*n)-1 index)
+    ch = 1.0 - CCNET_FRAC_HEAD
+    cm = 1.0 - CCNET_FRAC_HEAD - CCNET_FRAC_MIDDLE
+    return f"""
+WITH base AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+              FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS term,
+        generate_subscripts(w, 1) AS i FROM base),
+pairs AS (SELECT t1.doc_id, t1.term AS w1, t2.term AS w2
+          FROM tok t1 JOIN tok t2
+          ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       FROM pairs GROUP BY w1, w2),
+pcv AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp
+        FROM pairs GROUP BY w1),
+terms AS (SELECT p.doc_id, (1000000000 * bc.cb) // pcv.cp AS tq
+          FROM pairs p JOIN bc USING (w1, w2) JOIN pcv USING (w1)),
+s AS (SELECT doc_id, count(*) AS nb, sum(tq) AS sq
+      FROM terms GROUP BY doc_id),
+a AS (SELECT s.doc_id, d.lang, CAST(s.sq // s.nb AS BIGINT) AS avg_q9
+      FROM s JOIN documents d USING (doc_id)),
+c AS (SELECT lang, quantile_disc(avg_q9, {ch!r}) AS ch,
+             quantile_disc(avg_q9, {cm!r}) AS cm
+      FROM a GROUP BY lang)
+SELECT a.doc_id, a.lang, a.avg_q9,
+  CASE WHEN a.avg_q9 >= c.ch THEN 'head'
+       WHEN a.avg_q9 >= c.cm THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM a JOIN c USING (lang)
+"""
+
+
 def q_orders_fk_violations(sf_dir: str):
     """Referential-integrity audit (Luzzu consistency-metric analog):
     orders whose customer key has no match in a RESTRICTED customer
@@ -7273,6 +7327,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "doc_repetition": q_doc_repetition,
         "source_overlap": q_source_overlap,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
@@ -9281,6 +9336,7 @@ FROM dfs GROUP BY df
         sql = builder(oracle_dir)
         if sql is not None:
             sqls[qname] = sql
+    sqls["ccnet_ppl_buckets"] = _ccnet_sql()
     sqls["conv_structure_audit"] = _CONV_AUDIT_SQL_TMPL.format(
         multiturn=_multiturn_sql()
     )

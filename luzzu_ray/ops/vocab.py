@@ -1210,6 +1210,7 @@ def bigram_surprisal(
     text_col: str = "text",
     num_partitions: int | None = None,
     scale: int = 10**9,
+    carry_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Distributed bigram-LM training + per-document scoring with an
     EXACT integer score — the document-table twin of the transcript
@@ -1234,11 +1235,17 @@ def bigram_surprisal(
     omitted, matching the SQL GROUP BY over pair terms.  Bigrams
     absent from the table (only possible when scoring text the model
     was not trained on) contribute 0.
+
+    ``carry_cols`` ride along row-wise through the exchange-free score
+    map (zero extra shuffle — the co-resident batch already holds
+    them), so per-doc grouping attributes (language, source) reach the
+    scored output without a join.
     """
     from luzzu_ray.ops.dedup import auto_partitions
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
+    carry = list(carry_cols or [])
     parts = ds.select_columns([text_col]).map_batches(
         lambda t: _bigram_partial(t, text_col),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -1259,11 +1266,16 @@ def bigram_surprisal(
     if not nonempty:
         # corpus contains no bigram at all (every doc <= 1 token):
         # every doc is omitted per the contract below
-        return ray.data.from_arrow(pa.table({
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        cols = {
             id_col: pa.array([], pa.int64()),
             "n_bigrams": pa.array([], pa.int64()),
             "score_q9": pa.array([], pa.int64()),
-        }))
+        }
+        for c in carry:
+            cols[c] = pa.array([], types[c])
+        return ray.data.from_arrow(pa.table(cols))
     ct = pa.concat_tables(nonempty).combine_chunks()
 
     w1 = ct["w1"].combine_chunks()
@@ -1281,11 +1293,14 @@ def bigram_surprisal(
     model_ref = ray.put((vocab, packed, cb, cp))
 
     def score(t: pa.Table) -> pa.Table:
-        empty = pa.table({
+        cols = {
             id_col: pa.array([], pa.int64()),
             "n_bigrams": pa.array([], pa.int64()),
             "score_q9": pa.array([], pa.int64()),
-        })
+        }
+        for c in carry:
+            cols[c] = t[c].slice(0, 0).combine_chunks()
+        empty = pa.table(cols)
         if t.num_rows == 0:
             return empty
         voc, pk, cbn, cpn = (
@@ -1328,15 +1343,100 @@ def bigram_surprisal(
         np.add.at(sq, rowid, term)
         keep = nb > 0
         ids = t[id_col].to_numpy(zero_copy_only=False)[keep]
-        return pa.table({
+        out = {
             id_col: pa.array(ids),
             "n_bigrams": pa.array(nb[keep].astype(np.int64)),
             "score_q9": pa.array(sq[keep]),
-        })
+        }
+        keep_pa = pa.array(keep)
+        for c in carry:
+            out[c] = t[c].filter(keep_pa).combine_chunks()
+        return pa.table(out)
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns([id_col, text_col] + carry).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True,
     )
+
+
+def ccnet_ppl_buckets(
+    ds: ray.data.Dataset,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    frac_head: float = 0.2,
+    frac_middle: float = 0.3,
+) -> ray.data.Dataset:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.,
+    LREC 2020): score every document with the distributed bigram LM,
+    then split each language's documents into ``head`` (the most
+    LM-predictable ``frac_head`` fraction — lowest perplexity),
+    ``middle`` (next ``frac_middle``) and ``tail`` (the rest) by exact
+    per-group discrete quantile cutoffs of the length-normalized score.
+
+    All integer end to end, so DuckDB replays it bit-for-bit: the
+    per-doc score is ``score_q9 // n_bigrams`` (higher = more
+    predictable, the monotone complement of perplexity at fixed
+    length), cutoffs are ``quantile_disc`` order statistics at
+    ``1 - frac_head`` and ``1 - frac_head - frac_middle``, and the
+    bucket rule is ``avg >= cut``.  Docs with no bigram (<= 1 token)
+    are omitted, matching the LM contract.
+
+    Scale shape: one corpus scan (train partials + exchange-free score
+    with ``group_col`` carried row-wise — no join), the scored NARROW
+    3-column table materialized once so cutoffs and assignment reuse
+    it (object store spills; the alternative is a second full text
+    scan), one group-keyed exchange for the cutoffs (#groups rows
+    out), cutoff table broadcast into a map-side CASE.  Languages are
+    hot keys: at 10^12 docs per group the exact-quantile co-location
+    assumption breaks — swap the cutoff stage for
+    ``luzzu_ray.ops.sketch.approx_quantiles`` (mergeable, bounded
+    memory) and keep everything else unchanged.
+    """
+    from luzzu_ray.ops.relational import grouped_quantiles_q
+
+    cut_head = 1.0 - frac_head
+    cut_mid = 1.0 - frac_head - frac_middle
+
+    scored = bigram_surprisal(
+        ds, id_col=id_col, text_col=text_col, carry_cols=[group_col])
+
+    def add_avg(t: pa.Table) -> pa.Table:
+        sq = t["score_q9"].to_numpy(zero_copy_only=False)
+        nb = t["n_bigrams"].to_numpy(zero_copy_only=False)
+        avg = sq // np.maximum(nb, 1)  # nb >= 1 by the LM contract
+        return pa.table({
+            id_col: t[id_col],
+            group_col: t[group_col],
+            "avg_q9": pa.array(avg.astype(np.int64)),
+        })
+
+    avgd = scored.map_batches(
+        add_avg, batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    cuts = grouped_quantiles_q(
+        avgd, key=group_col, value_col="avg_q9",
+        quantiles={"cut_head": cut_head, "cut_mid": cut_mid}, q=0,
+    ).take_all()  # bounded by #distinct groups (languages)
+    groups = [r[group_col] for r in cuts]
+    ch = np.array([r["cut_head_q0"] for r in cuts], dtype=np.int64)
+    cm = np.array([r["cut_mid_q0"] for r in cuts], dtype=np.int64)
+    gset = pa.array(groups, pa.string())
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("bucket", pa.array([], pa.string()))
+        # every group present here fed the cutoff table, so no null idx
+        idx = pc.index_in(t[group_col], value_set=gset).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        avg = t["avg_q9"].to_numpy(zero_copy_only=False)
+        bucket = np.where(
+            avg >= ch[idx], "head",
+            np.where(avg >= cm[idx], "middle", "tail"))
+        return t.append_column("bucket", pa.array(bucket))
+
+    return avgd.map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def term_positions(

@@ -3844,6 +3844,67 @@ def test_bigram_surprisal_scalar_twin_any_layout(ray_session):
         assert got == want, (nb, got, want)
 
 
+def test_ccnet_ppl_buckets_scalar_twin_any_layout(ray_session):
+    import collections
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.vocab import ccnet_ppl_buckets
+
+    texts = ["the cat sat", "the cat ran", "cat the cat", "solo", "",
+             None, "the the the cat", "a b", "b a", "a a a",
+             "x y z x y", "z z z"]
+    langs = ["en", "en", "en", "en", "en", "en", "en",
+             "fr", "fr", "fr", "de", "de"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    # scalar twin: corpus-wide LM, per-lang quantile_disc cutoffs
+    cb, cp = collections.Counter(), collections.Counter()
+    for tx in texts:
+        ws = (tx or "").split(" ")
+        for a, b in zip(ws, ws[1:]):
+            cb[(a, b)] += 1
+            cp[a] += 1
+    avg = {}
+    for i, tx in enumerate(texts):
+        ws = (tx or "").split(" ")
+        prs = list(zip(ws, ws[1:]))
+        if prs:
+            avg[i] = sum(
+                (10**9 * cb[p]) // cp[p[0]] for p in prs) // len(prs)
+    fh, fm = 0.2, 0.3
+    c_head, c_mid = 1.0 - fh, 1.0 - fh - fm
+    want = {}
+    for lg in set(langs):
+        vals = sorted(avg[i] for i in avg if langs[i] == lg)
+        if not vals:
+            continue
+        n = len(vals)
+        qh = vals[max(math.ceil(c_head * n) - 1, 0)]
+        qm = vals[max(math.ceil(c_mid * n) - 1, 0)]
+        for i in avg:
+            if langs[i] != lg:
+                continue
+            b = ("head" if avg[i] >= qh
+                 else "middle" if avg[i] >= qm else "tail")
+            want[i] = (lg, avg[i], b)
+    for nb in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=nb)
+        out = ccnet_ppl_buckets(ds, frac_head=fh, frac_middle=fm)
+        got = {}
+        for blk in out.iter_batches(batch_format="pyarrow"):
+            for j in range(blk.num_rows):
+                got[blk["doc_id"][j].as_py()] = (
+                    blk["lang"][j].as_py(), blk["avg_q9"][j].as_py(),
+                    blk["bucket"][j].as_py())
+        assert got == want, (nb, got, want)
+
+
 def test_random_walks_deterministic_twin(ray_session):
     import numpy as np
     import pyarrow as pa
