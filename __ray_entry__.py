@@ -5260,6 +5260,16 @@ def q_shingle_df_profile(sf_dir: str):
     )
 
 
+def q_doc_novelty_frac(sf_dir: str):
+    """Per-doc cross-corpus novelty (fraction of the doc's distinct
+    shingles with corpus df == 1) — the Self-BLEU-style diversity /
+    memorization diagnostic; one gram-keyed exchange that collapses to
+    per-doc partials in the reduce block, one narrow finalize."""
+    from luzzu_ray.ops.dedup import doc_novelty_frac
+
+    return doc_novelty_frac(_docs(sf_dir, ["doc_id", "text"]))
+
+
 Q2_REGION = "EUROPE"
 Q2_MAX_SIZE = 10
 
@@ -7328,6 +7338,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+        "doc_novelty_frac": q_doc_novelty_frac,
         "doc_repetition": q_doc_repetition,
         "source_overlap": q_source_overlap,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
@@ -8848,6 +8859,26 @@ dfs AS (
 )
 SELECT CAST(df AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n_shingles
 FROM dfs GROUP BY df
+""",
+        "doc_novelty_frac": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in generate_series(1, len(ts) - 2)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+g AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+dfs AS (SELECT g, count(*) AS df FROM g GROUP BY g)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_unique,
+  CAST(1000000 * count(*) FILTER (WHERE df = 1) // count(*) AS BIGINT)
+    AS novelty_q6
+FROM g JOIN dfs USING (g) GROUP BY doc_id
 """,
         "pack_documents": (
             "SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens, "

@@ -1483,6 +1483,105 @@ def shingle_df_profile(
     ).map_batches(profile_merge, batch_format="pyarrow", batch_size=None)
 
 
+def doc_novelty_frac(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-document cross-corpus NOVELTY: the fraction of a doc's
+    distinct word SHINGLE_K-shingles that occur in no other document
+    (corpus df == 1) — the per-doc complement of the corpus-wide
+    ``shingle_df_profile`` (a doc assembled from boilerplate scores 0,
+    unique prose scores 1), the Self-BLEU-style diversity diagnostic
+    (Zhu et al. 2018) as exact integers.  Docs with fewer than
+    SHINGLE_K word tokens emit no row (no shingle exists), matching
+    the SQL twin's ``len(ts) >= k`` gate.
+
+    Shape: per-block distinct (shingle_hash, doc_id) pairs (globally
+    distinct — a doc lives in one input row), ONE gram-keyed exchange
+    computes df per hash and collapses immediately to per-doc
+    (n, n_unique) partials (<= num_partitions rows per doc), then one
+    narrow doc-keyed exchange finalizes.  Shingle payloads never leave
+    their reduce block; the exchange carries 16-byte rows.  Same
+    hash-vs-string caveat as every shingle op here: two distinct grams
+    colliding in 64 bits would merge (probability ~ n^2/2^64,
+    non-adversarial inputs only).
+    """
+    _hash_shuffle_ctx()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        sh, rid = _shingle_hashes(t)
+        empty = pa.table({
+            "h": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+        })
+        if not len(sh):
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sh, rid))
+        rs, ss = rid[order], sh[order]
+        first = np.concatenate(
+            ([True], (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1]))
+        )
+        return pa.table({
+            "h": pa.array(ss[first]),
+            "doc_id": pa.array(ids[rs[first]].astype(np.int64)),
+        })
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "u": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(h)])))
+        uniq_row = np.repeat(counts == 1, counts)
+        docs, n = np.unique(d, return_counts=True)
+        u = np.zeros(len(docs), dtype=np.int64)
+        if uniq_row.any():
+            ud, uc = np.unique(d[uniq_row], return_counts=True)
+            u[np.searchsorted(docs, ud)] = uc
+        return pa.table({
+            "doc_id": pa.array(docs.astype(np.int64)),
+            "n": pa.array(n.astype(np.int64)),
+            "u": pa.array(u),
+        })
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_shingles": pa.array([], pa.int64()),
+                "n_unique": pa.array([], pa.int64()),
+                "novelty_q6": pa.array([], pa.int64()),
+            })
+        g = t.group_by("doc_id").aggregate([("n", "sum"), ("u", "sum")])
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        u = g["u_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_shingles": pa.array(n.astype(np.int64)),
+            "n_unique": pa.array(u.astype(np.int64)),
+            "novelty_q6": pa.array((10**6 * u // n).astype(np.int64)),
+        })
+
+    pr = ds.select_columns(["doc_id", "text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+    partials = pr.repartition(
+        num_blocks=num_partitions, keys=["h"]
+    ).map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+    return partials.repartition(
+        num_blocks=max(2, num_partitions // 4), keys=["doc_id"]
+    ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
 def dup_span_docs(
     ds: ray.data.Dataset, min_df: int = 2, num_partitions: int | None = None
 ) -> ray.data.Dataset:

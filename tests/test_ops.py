@@ -3905,6 +3905,58 @@ def test_ccnet_ppl_buckets_scalar_twin_any_layout(ray_session):
         assert got == want, (nb, got, want)
 
 
+def test_doc_novelty_frac_scalar_twin_any_layout(ray_session):
+    import collections
+    import re
+
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.dedup import SHINGLE_K, doc_novelty_frac
+
+    texts = [
+        "click here to subscribe now please",   # boilerplate base
+        "click here to subscribe now thanks",   # shares 3 shingles
+        "entirely novel prose about marmots eating clover",
+        "short doc",                            # < K tokens -> no row
+        "",
+        None,
+        "click here to subscribe now please",   # exact dup of 0
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    df = collections.Counter()
+    per_doc = {}
+    for i, tx in enumerate(texts):
+        ws = re.findall(r"[a-z0-9]+", (tx or "").lower())
+        sh = {
+            " ".join(ws[j:j + SHINGLE_K])
+            for j in range(len(ws) - SHINGLE_K + 1)
+        }
+        if sh:
+            per_doc[i] = sh
+            for s in sh:
+                df[s] += 1
+    want = {}
+    for i, sh in per_doc.items():
+        n = len(sh)
+        u = sum(1 for s in sh if df[s] == 1)
+        want[i] = (n, u, 10**6 * u // n)
+    for nb in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=nb)
+        out = doc_novelty_frac(ds, num_partitions=3)
+        got = {}
+        for blk in out.iter_batches(batch_format="pyarrow"):
+            for j in range(blk.num_rows):
+                got[blk["doc_id"][j].as_py()] = (
+                    blk["n_shingles"][j].as_py(),
+                    blk["n_unique"][j].as_py(),
+                    blk["novelty_q6"][j].as_py())
+        assert got == want, (nb, got, want)
+
+
 def test_random_walks_deterministic_twin(ray_session):
     import numpy as np
     import pyarrow as pa
