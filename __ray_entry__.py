@@ -5260,6 +5260,46 @@ def q_shingle_df_profile(sf_dir: str):
     )
 
 
+KANON_K = 5
+KANON_BAND = 100
+
+
+def q_kanon_risky_docs(sf_dir: str):
+    """k-anonymity audit (Sweeney 2002) over quasi-identifiers
+    (lang, source, length band): the documents whose QI combination is
+    shared by fewer than K rows — the privacy complement of the PII
+    scrub (scrubbing text does not stop joining on metadata).  One
+    QI-keyed exchange, whole-block group-size filter, no join."""
+    from luzzu_ray.ops.relational import small_group_rows
+
+    def band(t: pa.Table) -> pa.Table:
+        b = t["n_chars"].to_numpy(zero_copy_only=False) // KANON_BAND
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "source": t["source"],
+            "band": pa.array(b.astype(np.int64)),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+    return small_group_rows(
+        docs.map_batches(band, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        keys=["lang", "source", "band"], max_n=KANON_K,
+    )
+
+
+def q_doc_token_diversity(sf_dir: str):
+    """Exact per-doc Simpson repeat index over word tokens — the
+    integer stand-in for token entropy (no logarithm, so the oracle is
+    bit-exact); exchange-free vectorized map."""
+    from luzzu_ray.ops.textstats import token_diversity_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_diversity_batch, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_doc_novelty_frac(sf_dir: str):
     """Per-doc cross-corpus novelty (fraction of the doc's distinct
     shingles with corpus df == 1) — the Self-BLEU-style diversity /
@@ -7339,6 +7379,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # window priority over older never-audited entries
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "doc_novelty_frac": q_doc_novelty_frac,
+        "doc_token_diversity": q_doc_token_diversity,
+        "kanon_risky_docs": q_kanon_risky_docs,
         "doc_repetition": q_doc_repetition,
         "source_overlap": q_source_overlap,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
@@ -8859,6 +8901,32 @@ dfs AS (
 )
 SELECT CAST(df AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n_shingles
 FROM dfs GROUP BY df
+""",
+        "kanon_risky_docs": f"""
+WITH a AS (
+  SELECT doc_id, lang, source, n_chars // {KANON_BAND} AS band
+  FROM documents
+),
+g AS (SELECT lang, source, band, count(*) AS k
+      FROM a GROUP BY lang, source, band)
+SELECT a.doc_id, a.lang, a.source, CAST(a.band AS BIGINT) AS band,
+       CAST(g.k AS BIGINT) AS k
+FROM a JOIN g USING (lang, source, band) WHERE g.k < {KANON_K}
+""",
+        "doc_token_diversity": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+),
+c AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_distinct,
+  CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs,
+  CAST(CASE WHEN sum(c) >= 2
+       THEN (1000000000 * sum(c * (c - 1))) // (sum(c) * (sum(c) - 1))
+       ELSE 0 END AS BIGINT) AS simpson_q9
+FROM c GROUP BY doc_id
 """,
         "doc_novelty_frac": """
 WITH toks AS (

@@ -2687,3 +2687,52 @@ def rater_agreement(
     return parts.repartition(num_blocks=1, keys=["_mrg"]).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+def small_group_rows(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    max_n: int,
+    k_as: str = "k",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Rows whose group (by ``keys``) has FEWER than ``max_n`` members,
+    with the group size attached — the k-anonymity risk filter
+    (Sweeney 2002): a record whose quasi-identifier combination is
+    shared by < k rows is re-identifiable and must be suppressed or
+    generalized before release.
+
+    One hash exchange co-locates each quasi-identifier group, then a
+    whole-block lexsort counts groups and emits only the at-risk rows
+    (no join, no second pass); output size is bounded by
+    ``max_n * #small_groups``, typically a tiny fraction of the input.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(k_as, pa.array([], pa.int64()))
+        arrs = [
+            t[c].to_numpy(zero_copy_only=False) for c in keys
+        ]
+        order = np.lexsort(arrs[::-1])
+        new_g = np.zeros(t.num_rows, dtype=bool)
+        new_g[0] = True
+        for a in arrs:
+            s = a[order]
+            new_g[1:] |= s[1:] != s[:-1]
+        starts = np.flatnonzero(new_g)
+        counts = np.diff(np.concatenate((starts, [t.num_rows])))
+        kk = np.repeat(counts, counts)
+        risky = kk < max_n
+        out = t.take(pa.array(order[risky]))
+        return out.append_column(
+            k_as, pa.array(kk[risky].astype(np.int64)))
+
+    part = ds.repartition(num_blocks=num_partitions, keys=keys)
+    return part.map_batches(
+        block, batch_format="pyarrow", batch_size=None)

@@ -75,6 +75,65 @@ def token_hashes_for_rows(t: pa.Table):
     return TX.token_hashes(data, ts_, tl_), tr_
 
 
+def token_diversity_batch(t: pa.Table) -> pa.Table:
+    """Exact Simpson repeat index per document: with per-token counts
+    c over the doc's word tokens, ``rep_pairs = sum c*(c-1)`` and
+    ``simpson_q9 = floor(1e9 * rep_pairs / (n*(n-1)))`` — the
+    probability two tokens drawn without replacement coincide
+    (1 - Simpson is Gini-Simpson diversity; Simpson 1949).  Entirely
+    integer (no logarithm, unlike Shannon entropy), so the SQL twin
+    matches bit-for-bit; the 1e9-scaled product stays in int64 up to
+    rep_pairs ~ 9.2e9 (n ~ 96k tokens) and falls back to Python-int
+    arithmetic above the a-priori bound instead of wrapping.
+
+    Exchange-free map: one lexsort of (row, token_hash) per batch
+    finds per-doc token runs; docs with zero tokens emit no row
+    (matching the SQL GROUP BY).  Same 64-bit hash-vs-string caveat
+    as the shingle family.
+    """
+    n_rows = t.num_rows
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "n_distinct": pa.array([], pa.int64()),
+        "rep_pairs": pa.array([], pa.int64()),
+        "simpson_q9": pa.array([], pa.int64()),
+    })
+    if n_rows == 0:
+        return empty
+    th, tr = token_hashes_for_rows(t)
+    if not len(th):
+        return empty
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((th, tr))
+    rs, hs = tr[order], th[order]
+    first = np.concatenate(
+        ([True], (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])))
+    starts = np.flatnonzero(first)
+    c = np.diff(np.concatenate((starts, [len(hs)]))).astype(np.int64)
+    run_row = rs[starts]
+    n = np.bincount(tr, minlength=n_rows).astype(np.int64)
+    nd = np.bincount(run_row, minlength=n_rows).astype(np.int64)
+    rp = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(rp, run_row, c * (c - 1))
+    keep = n > 0
+    n_k, nd_k, rp_k = n[keep], nd[keep], rp[keep]
+    den = n_k * (n_k - 1)
+    scale = 10**9
+    simpson = np.zeros(len(n_k), dtype=np.int64)
+    ok = (den > 0) & (rp_k <= (2**63 - 1) // scale)
+    simpson[ok] = (scale * rp_k[ok]) // den[ok]
+    for i in np.flatnonzero((den > 0) & ~ok):
+        simpson[i] = (scale * int(rp_k[i])) // int(den[i])
+    return pa.table({
+        "doc_id": pa.array(ids[keep].astype(np.int64)),
+        "n_tokens": pa.array(n_k),
+        "n_distinct": pa.array(nd_k),
+        "rep_pairs": pa.array(rp_k),
+        "simpson_q9": pa.array(simpson),
+    })
+
+
 def fingerprint_batch(t: pa.Table) -> pa.Table:
     """Order-sensitive 64-bit rolling hash over a doc's token hashes.
 

@@ -3957,6 +3957,81 @@ def test_doc_novelty_frac_scalar_twin_any_layout(ray_session):
         assert got == want, (nb, got, want)
 
 
+def test_token_diversity_scalar_twin(ray_session):
+    import collections
+    import re
+
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.textstats import token_diversity_batch
+
+    texts = ["the the the", "a b c d", "one", "", None,
+             "spam spam eggs spam", "x X x!"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    want = {}
+    for i, tx in enumerate(texts):
+        ws = re.findall(r"[a-z0-9]+", (tx or "").lower())
+        if not ws:
+            continue
+        c = collections.Counter(ws)
+        n = len(ws)
+        rp = sum(v * (v - 1) for v in c.values())
+        s = (10**9 * rp) // (n * (n - 1)) if n >= 2 else 0
+        want[i] = (n, len(c), rp, s)
+    for nb in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=nb)
+        out = ds.map_batches(token_diversity_batch,
+                             batch_format="pyarrow")
+        got = {}
+        for blk in out.iter_batches(batch_format="pyarrow"):
+            for j in range(blk.num_rows):
+                got[blk["doc_id"][j].as_py()] = (
+                    blk["n_tokens"][j].as_py(),
+                    blk["n_distinct"][j].as_py(),
+                    blk["rep_pairs"][j].as_py(),
+                    blk["simpson_q9"][j].as_py())
+        assert got == want, (nb, got, want)
+
+
+def test_small_group_rows_twin_any_layout(ray_session):
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from luzzu_ray.ops.relational import small_group_rows
+
+    rng = np.random.default_rng(7)
+    n = 400
+    lang = rng.choice(["en", "fr", "de", "es"], n)
+    band = rng.integers(0, 6, n)
+    t = pa.table({
+        "rid": pa.array(range(n), pa.int64()),
+        "lang": pa.array(lang.tolist(), pa.string()),
+        "band": pa.array(band.astype(np.int64)),
+    })
+    sizes = collections.Counter(zip(lang.tolist(), band.tolist()))
+    k = 12
+    want = {
+        i: sizes[(lang[i], band[i])]
+        for i in range(n) if sizes[(lang[i], band[i])] < k
+    }
+    for nb in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(num_blocks=nb)
+        out = small_group_rows(ds, ["lang", "band"], k,
+                               num_partitions=3)
+        got = {}
+        for blk in out.iter_batches(batch_format="pyarrow"):
+            for j in range(blk.num_rows):
+                got[blk["rid"][j].as_py()] = blk["k"][j].as_py()
+        assert got == want, (nb, len(got), len(want))
+
+
 def test_random_walks_deterministic_twin(ray_session):
     import numpy as np
     import pyarrow as pa
