@@ -5260,6 +5260,108 @@ def q_shingle_df_profile(sf_dir: str):
     )
 
 
+def q_pii_leak_by_role(sf_dir: str):
+    """PII leak rate by ROLE over the multi-turn corpus: per-class
+    scrub-pack match counts summed per role plus the count of turns
+    leaking anything — which side of the conversation (user paste-ins
+    vs model regurgitation vs tool output) carries the PII.  The
+    fixed-order RE2 chain runs exactly as in the flagship scrub stage;
+    partials collapse to <= #roles rows per block before one tiny
+    exchange."""
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.sources import documents_as_multiturn
+    from luzzu_ray.stages.turn_stages import scrub_batch
+
+    turns = documents_as_multiturn(sf_dir).select_columns(
+        ["role", "text"])
+    scrubbed = turns.map_batches(
+        scrub_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    cls = list(C.SCRUB_CLASSES)
+
+    def with_any(t: pa.Table) -> pa.Table:
+        tot = np.zeros(t.num_rows, dtype=np.int64)
+        for c in cls:
+            tot += t[f"scrub_{c}"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        keep = {"role": t["role"]}
+        keep.update({f"scrub_{c}": t[f"scrub_{c}"] for c in cls})
+        keep["any_pii"] = pa.array((tot > 0).astype(np.int64))
+        return pa.table(keep)
+
+    proj = scrubbed.map_batches(
+        with_any, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sum_q(
+        proj, ["role"], float_cols={},
+        int_cols={**{f"scrub_{c}": f"n_{c}" for c in cls},
+                  "any_pii": "n_turns_with_pii"},
+        count_as="n_turns", num_partitions=2,
+    )
+
+
+def _pii_leak_sql() -> str:
+    from luzzu_ray import constants as C
+
+    sql = (f"WITH m AS ({_multiturn_sql()}), "
+           "s0 AS (SELECT role, coalesce(text, '') AS t0 FROM m)")
+    for i, (name, pat, repl) in enumerate(C.SCRUB_PACK):
+        sql += (
+            f", s{i+1} AS (SELECT *, "
+            f"len(regexp_extract_all(t{i}, $rx${pat}$rx$)) AS c_{name}, "
+            f"regexp_replace(t{i}, $rx${pat}$rx$, '{repl}', 'g') AS t{i+1} "
+            f"FROM s{i})"
+        )
+    n = len(C.SCRUB_PACK)
+    names = [x[0] for x in C.SCRUB_PACK]
+    any_expr = " + ".join(f"c_{nm}" for nm in names)
+    return (
+        sql + " SELECT role, "
+        + ", ".join(f"CAST(sum(c_{nm}) AS BIGINT) AS n_{nm}"
+                    for nm in names)
+        + f", CAST(count(*) FILTER (WHERE {any_expr} > 0) AS BIGINT) "
+          "AS n_turns_with_pii, "
+        + f"CAST(count(*) AS BIGINT) AS n_turns FROM s{n} GROUP BY role"
+    )
+
+
+def q_events_hourly_spikes(sf_dir: str):
+    """Hourly-rate anomaly flags: hours whose event count exceeds the
+    all-hours mean by more than 3 standard deviations — evaluated as
+    the EXACT integer predicate ``(n*N - S)^2 > 9*N*(N*Q - S^2)``
+    (no sqrt, no float), so the HUGEINT SQL twin matches bit-for-bit.
+    Distributed partial counts collapse to <= #hours rows through one
+    narrow exchange; the driver sees only the bounded hourly series
+    and computes the two moments with Python ints (overflow-free)."""
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    ev = _tbl(sf_dir, "events", ["ts"])
+
+    def hour(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"hour": pa.array(us // 3_600_000_000)})
+
+    counts = grouped_sum_q(
+        ev.map_batches(hour, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["hour"], float_cols={}, count_as="n", num_partitions=2,
+    ).take_all()  # bounded by distinct hours in the corpus
+    hours = [int(r["hour"]) for r in counts]
+    ns = [int(r["n"]) for r in counts]
+    big_n = len(ns)
+    s, qq = sum(ns), sum(v * v for v in ns)
+    var9 = 9 * big_n * (big_n * qq - s * s)
+    spike = [
+        1 if (v * big_n > s and (v * big_n - s) ** 2 > var9) else 0
+        for v in ns
+    ]
+    return pa.table({
+        "hour": pa.array(hours, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+        "is_spike": pa.array(spike, pa.int64()),
+    })
+
+
 KANON_K = 5
 KANON_BAND = 100
 
@@ -7381,6 +7483,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "doc_novelty_frac": q_doc_novelty_frac,
         "doc_token_diversity": q_doc_token_diversity,
         "kanon_risky_docs": q_kanon_risky_docs,
+        "pii_leak_by_role": q_pii_leak_by_role,
+        "events_hourly_spikes": q_events_hourly_spikes,
         "doc_repetition": q_doc_repetition,
         "source_overlap": q_source_overlap,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
@@ -8902,6 +9006,16 @@ dfs AS (
 SELECT CAST(df AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS n_shingles
 FROM dfs GROUP BY df
 """,
+        "events_hourly_spikes": """
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+                  count(*) AS n FROM events GROUP BY 1),
+st AS (SELECT count(*) AS nh, sum(n) AS s, sum(n * n) AS q FROM h)
+SELECT CAST(hour AS BIGINT) AS hour, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN n * nh > s
+            AND (n * nh - s) * (n * nh - s) > 9 * nh * (nh * q - s * s)
+       THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM h, st
+""",
         "kanon_risky_docs": f"""
 WITH a AS (
   SELECT doc_id, lang, source, n_chars // {KANON_BAND} AS band
@@ -9436,6 +9550,7 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
         if sql is not None:
             sqls[qname] = sql
     sqls["ccnet_ppl_buckets"] = _ccnet_sql()
+    sqls["pii_leak_by_role"] = _pii_leak_sql()
     sqls["conv_structure_audit"] = _CONV_AUDIT_SQL_TMPL.format(
         multiturn=_multiturn_sql()
     )
