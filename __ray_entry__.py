@@ -5362,6 +5362,285 @@ def q_events_hourly_spikes(sf_dir: str):
     })
 
 
+ABLATE_STOP_MIN_Q6 = 50_000   # stopword fraction < 5%  -> not prose
+ABLATE_MIN_WORDS = 10         # fewer word tokens       -> fragment
+
+
+def q_assistant_copy_rate(sf_dir: str):
+    """Assistant regurgitation audit: per conversation, the fraction of
+    each user turn's distinct word-trigrams that reappear in the
+    IMMEDIATELY FOLLOWING assistant turn — the model-copies-the-user
+    signal SFT curation drops on.  A (user@i, assistant@i+1) pair
+    qualifies only when both turns have >= SHINGLE_K tokens (matching
+    the SQL twin's shingle-CTE domain).
+
+    The multiturn adapter expands each doc's turns CONTIGUOUSLY inside
+    one block, so pairing, per-turn distinct-shingle sets and the
+    intersection counts are all block-local (sort-merge over
+    (pair, gram) keys, no per-pair Python loop) and the per-conv rows
+    are FINAL without any exchange — the zero-shuffle shape this op
+    keeps at 100 TB as long as the conversation source is
+    doc-partitioned."""
+    from luzzu_ray.ops.dedup import _shingle_hashes
+    from luzzu_ray.sources import documents_as_multiturn
+
+    turns = documents_as_multiturn(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"])
+
+    def per_conv(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+            "n_user_grams": pa.array([], pa.int64()),
+            "n_matched": pa.array([], pa.int64()),
+            "copy_rate_q6": pa.array([], pa.int64()),
+        })
+        n = t.num_rows
+        if n == 0:
+            return empty
+        gram, rid = _shingle_hashes(t)
+        pg = np.empty(len(gram), dtype=[("r", "<i8"), ("g", "<u8")])
+        pg["r"], pg["g"] = rid, gram
+        pg = np.unique(pg)
+        has_gram = np.zeros(n, dtype=bool)
+        has_gram[np.unique(pg["r"])] = True
+        conv = t["conv_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        role = t["role"].combine_chunks().to_numpy(zero_copy_only=False)
+        cand = np.zeros(n, dtype=bool)
+        cand[:-1] = ((role[:-1] == "user") & (role[1:] == "assistant")
+                     & (conv[:-1] == conv[1:])
+                     & has_gram[:-1] & has_gram[1:])
+        pr = np.flatnonzero(cand)
+        if len(pr) == 0:
+            return empty
+        row_pid = np.full(n, -1, dtype=np.int64)
+        pid = np.arange(len(pr), dtype=np.int64)
+        # a row can be the assistant of pair k and the user of pair k+1;
+        # keep the two sides in separate row->pid maps
+        row_pid[pr] = pid
+        asst_pid = np.full(n, -1, dtype=np.int64)
+        asst_pid[pr + 1] = pid
+        u_sel = row_pid[pg["r"]] >= 0
+        a_sel = asst_pid[pg["r"]] >= 0
+        u_keys = np.empty(int(u_sel.sum()),
+                          dtype=[("p", "<i8"), ("g", "<u8")])
+        u_keys["p"] = row_pid[pg["r"][u_sel]]
+        u_keys["g"] = pg["g"][u_sel]
+        a_keys = np.empty(int(a_sel.sum()),
+                          dtype=[("p", "<i8"), ("g", "<u8")])
+        a_keys["p"] = asst_pid[pg["r"][a_sel]]
+        a_keys["g"] = pg["g"][a_sel]
+        n_user = np.bincount(u_keys["p"], minlength=len(pr))
+        both = np.sort(np.concatenate([u_keys, a_keys]))
+        eq = both[1:] == both[:-1]
+        n_match = np.bincount(both["p"][:-1][eq], minlength=len(pr))
+        uc, cid = np.unique(conv[pr], return_inverse=True)
+        c_pairs = np.bincount(cid, minlength=len(uc))
+        c_user = np.bincount(cid, weights=n_user,
+                             minlength=len(uc)).astype(np.int64)
+        c_match = np.bincount(cid, weights=n_match,
+                              minlength=len(uc)).astype(np.int64)
+        rate = np.floor(c_match / np.maximum(c_user, 1) * 1e6)
+        return pa.table({
+            "conv_id": pa.array(uc, pa.string()),
+            "n_pairs": pa.array(c_pairs.astype(np.int64)),
+            "n_user_grams": pa.array(c_user),
+            "n_matched": pa.array(c_match),
+            "copy_rate_q6": pa.array(rate.astype(np.int64)),
+        })
+
+    return turns.map_batches(per_conv, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def q_surprisal_by_role(sf_dir: str):
+    """Per-ROLE predictability profile of the conversation corpus: the
+    exact integer bigram-LM surprisal (see ``bigram_surprisal``) scored
+    per TURN, aggregated by role — do assistant turns come out more
+    templated (higher conditional-probability mass) than user turns?
+    Turn ids pack as ``doc_id * 4 + turn_idx`` (nt <= 4) so the scorer
+    keeps its int64 id path; role rides the exchange-free score map as
+    a carry column and collapses to <= 4 rows per block before one tiny
+    exchange."""
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.ops.vocab import bigram_surprisal
+    from luzzu_ray.sources import documents_as_multiturn
+
+    turns = documents_as_multiturn(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["conv_id"], pa.int64())
+        ti = pc.cast(t["turn_idx"], pa.int64())
+        key = pc.add(pc.multiply(did, 4), ti)
+        return pa.table({"turn_key": key, "role": t["role"],
+                         "text": t["text"]})
+
+    scored = bigram_surprisal(
+        turns.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        id_col="turn_key", carry_cols=["role"],
+    )
+    return grouped_sum_q(
+        scored, ["role"], float_cols={},
+        int_cols={"n_bigrams": "n_bigrams", "score_q9": "score_q9"},
+        count_as="n_turns_scored", num_partitions=2,
+    )
+
+
+def _surprisal_by_role_sql() -> str:
+    return f"""
+WITH m AS ({_multiturn_sql()}),
+base AS (SELECT conv_id, turn_idx, role,
+                string_split(COALESCE(text, ''), ' ') AS w FROM m),
+tok AS (SELECT conv_id, turn_idx, role, unnest(w) AS term,
+               generate_subscripts(w, 1) AS i FROM base),
+pairs AS (SELECT t1.conv_id, t1.turn_idx, t1.role,
+                 t1.term AS w1, t2.term AS w2
+          FROM tok t1 JOIN tok t2
+            ON t1.conv_id = t2.conv_id AND t1.turn_idx = t2.turn_idx
+           AND t2.i = t1.i + 1),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       FROM pairs GROUP BY w1, w2),
+pcv AS (SELECT w1, CAST(count(*) AS BIGINT) AS cp
+        FROM pairs GROUP BY w1),
+terms AS (SELECT p.conv_id, p.turn_idx, p.role,
+                 (1000000000 * bc.cb) // pcv.cp AS tq
+          FROM pairs p JOIN bc USING (w1, w2) JOIN pcv USING (w1)),
+per_turn AS (SELECT conv_id, turn_idx, any_value(role) AS role,
+                    count(*) AS nb, sum(tq) AS sq
+             FROM terms GROUP BY conv_id, turn_idx)
+SELECT role,
+  CAST(sum(nb) AS BIGINT) AS n_bigrams,
+  CAST(sum(sq) AS BIGINT) AS score_q9,
+  CAST(count(*) AS BIGINT) AS n_turns_scored
+FROM per_turn GROUP BY role
+"""
+
+
+def _copy_rate_sql() -> str:
+    return f"""
+WITH m AS ({_multiturn_sql()}),
+toks AS (
+  SELECT conv_id, turn_idx, role,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ts
+  FROM m
+),
+sh AS (
+  SELECT conv_id, turn_idx, role,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in generate_series(1, len(ts) - 2)])
+             AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+p AS (
+  SELECT u.conv_id,
+         len(u.shingles) AS n_user,
+         len(list_intersect(u.shingles, a.shingles)) AS n_match
+  FROM sh u JOIN sh a
+    ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1
+  WHERE u.role = 'user' AND a.role = 'assistant'
+)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(n_user) AS BIGINT) AS n_user_grams,
+  CAST(sum(n_match) AS BIGINT) AS n_matched,
+  CAST(floor(CAST(sum(n_match) AS DOUBLE)
+       / greatest(sum(n_user), 1) * 1000000.0) AS BIGINT) AS copy_rate_q6
+FROM p GROUP BY conv_id
+"""
+
+
+def q_filter_ablation_grid(sf_dir: str):
+    """Filter-ablation grid: per-source drop counts for each quality
+    rule applied INDEPENDENTLY (short/long/symbol/digit/low-stopword/
+    few-words) plus the all-rules pass count — the "which filter costs
+    how much data, where" report every quality-filter rollout starts
+    with.  All six flags come out of the same single text scan (the
+    doc-stats byte-class pass and the lexical token pass share the
+    batch), collapse to <= #sources rows per block, one tiny exchange."""
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.ops.textstats import doc_stats_batch, lexical_stats_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        s = doc_stats_batch(t)
+        lx = lexical_stats_batch(t)
+        n_chars = s["n_chars"].to_numpy(zero_copy_only=False)
+        sym = s["symbol_ratio_q6"].to_numpy(zero_copy_only=False)
+        dig = s["digit_ratio_q6"].to_numpy(zero_copy_only=False)
+        stop = lx["stop_ratio_q6"].to_numpy(zero_copy_only=False)
+        nw = lx["n_word_tokens"].to_numpy(zero_copy_only=False)
+        f_short = n_chars < C.MIN_CHARS
+        f_long = n_chars > C.MAX_CHARS
+        f_sym = sym > int(C.SYMBOL_MAX * 1e6)
+        f_dig = dig > int(C.DIGIT_MAX * 1e6)
+        f_stop = stop < ABLATE_STOP_MIN_Q6
+        f_words = nw < ABLATE_MIN_WORDS
+        f_all = ~(f_short | f_long | f_sym | f_dig | f_stop | f_words)
+        return pa.table({
+            "source": t["source"],
+            "f_short": pa.array(f_short.astype(np.int64)),
+            "f_long": pa.array(f_long.astype(np.int64)),
+            "f_symbol": pa.array(f_sym.astype(np.int64)),
+            "f_digit": pa.array(f_dig.astype(np.int64)),
+            "f_low_stop": pa.array(f_stop.astype(np.int64)),
+            "f_few_words": pa.array(f_words.astype(np.int64)),
+            "f_pass": pa.array(f_all.astype(np.int64)),
+        })
+
+    return grouped_sum_q(
+        docs.map_batches(flags, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["source"], float_cols={},
+        int_cols={"f_short": "n_short", "f_long": "n_long",
+                  "f_symbol": "n_symbol", "f_digit": "n_digit",
+                  "f_low_stop": "n_low_stop", "f_few_words": "n_few_words",
+                  "f_pass": "n_pass_all"},
+        count_as="n_docs", num_partitions=2,
+    )
+
+
+def _ablation_sql() -> str:
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.textstats import STOPWORDS
+
+    stops = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return f"""
+WITH s AS (SELECT source, {_STATS_FRAG},
+    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS words
+  FROM documents),
+f AS (SELECT source,
+    CASE WHEN n_chars < {C.MIN_CHARS} THEN 1 ELSE 0 END AS f_short,
+    CASE WHEN n_chars > {C.MAX_CHARS} THEN 1 ELSE 0 END AS f_long,
+    CASE WHEN symbol_ratio_q6 > {int(C.SYMBOL_MAX * 1e6)}
+         THEN 1 ELSE 0 END AS f_symbol,
+    CASE WHEN digit_ratio_q6 > {int(C.DIGIT_MAX * 1e6)}
+         THEN 1 ELSE 0 END AS f_digit,
+    CASE WHEN floor(CAST(len(list_filter(words,
+           x -> list_contains({stops}, x))) AS DOUBLE)
+           / greatest(len(words), 1) * 1000000.0) < {ABLATE_STOP_MIN_Q6}
+         THEN 1 ELSE 0 END AS f_low_stop,
+    CASE WHEN len(words) < {ABLATE_MIN_WORDS} THEN 1 ELSE 0 END
+        AS f_few_words
+  FROM s)
+SELECT source,
+  CAST(sum(f_short) AS BIGINT) AS n_short,
+  CAST(sum(f_long) AS BIGINT) AS n_long,
+  CAST(sum(f_symbol) AS BIGINT) AS n_symbol,
+  CAST(sum(f_digit) AS BIGINT) AS n_digit,
+  CAST(sum(f_low_stop) AS BIGINT) AS n_low_stop,
+  CAST(sum(f_few_words) AS BIGINT) AS n_few_words,
+  CAST(sum(CASE WHEN f_short + f_long + f_symbol + f_digit
+                     + f_low_stop + f_few_words = 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM f GROUP BY source
+"""
+
+
 KANON_K = 5
 KANON_BAND = 100
 
@@ -7485,6 +7764,9 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "kanon_risky_docs": q_kanon_risky_docs,
         "pii_leak_by_role": q_pii_leak_by_role,
         "events_hourly_spikes": q_events_hourly_spikes,
+        "filter_ablation_grid": q_filter_ablation_grid,
+        "assistant_copy_rate": q_assistant_copy_rate,
+        "surprisal_by_role": q_surprisal_by_role,
         "doc_repetition": q_doc_repetition,
         "source_overlap": q_source_overlap,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
@@ -9551,6 +9833,9 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
             sqls[qname] = sql
     sqls["ccnet_ppl_buckets"] = _ccnet_sql()
     sqls["pii_leak_by_role"] = _pii_leak_sql()
+    sqls["filter_ablation_grid"] = _ablation_sql()
+    sqls["assistant_copy_rate"] = _copy_rate_sql()
+    sqls["surprisal_by_role"] = _surprisal_by_role_sql()
     sqls["conv_structure_audit"] = _CONV_AUDIT_SQL_TMPL.format(
         multiturn=_multiturn_sql()
     )
