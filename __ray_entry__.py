@@ -5453,6 +5453,59 @@ def q_assistant_copy_rate(sf_dir: str):
                              zero_copy_batch=True)
 
 
+BUCKETED_N = 16
+
+
+def q_bucketed_join_orders(sf_dir: str):
+    """Shuffle-FREE co-partitioned join (`ops/bucketed.py`): orders and
+    lineitem are first written hash-bucketed on orderkey (hive
+    ``bucket=N`` layout + manifest — the 100-TB storage contract where
+    buckets are the resume unit), then joined with ONE task per bucket
+    and aggregated to per-order revenue INSIDE each task (a key's rows
+    never span buckets, so the group-by is final with zero exchange).
+    The oracle is the plain SQL join — the bucket layout must be
+    transparent to the result."""
+    import shutil
+
+    from luzzu_ray.ops.bucketed import bucket_write, bucketed_join
+
+    base = f"/tmp/luzzu_buckets/{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    bucket_write(
+        _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "o_orderkey", BUCKETED_N, f"{base}/orders",
+    )
+    bucket_write(
+        _tbl(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"]),
+        "l_orderkey", BUCKETED_N, f"{base}/lineitem",
+    )
+
+    def per_order(j: pa.Table) -> pa.Table:
+        rev = pc.cast(pc.floor(pc.multiply(
+            pc.multiply(
+                pc.cast(j["l_extendedprice"], pa.float64()),
+                pc.subtract(pa.scalar(1.0),
+                            pc.cast(j["l_discount"], pa.float64())),
+            ),
+            10000.0,
+        )), pa.int64())
+        t = pa.table({
+            "orderkey": j["o_orderkey"],
+            "custkey": j["o_custkey"],
+            "rev": rev,
+        })
+        g = t.group_by(["orderkey", "custkey"]).aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        return g.rename_columns(
+            ["orderkey", "custkey", "revenue_q4", "n_lines"])
+
+    return bucketed_join(
+        f"{base}/orders", f"{base}/lineitem",
+        "o_orderkey", "l_orderkey", per_bucket=per_order,
+    )
+
+
 def q_surprisal_by_role(sf_dir: str):
     """Per-ROLE predictability profile of the conversation corpus: the
     exact integer bigram-LM surprisal (see ``bigram_surprisal``) scored
@@ -7767,6 +7820,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "filter_ablation_grid": q_filter_ablation_grid,
         "assistant_copy_rate": q_assistant_copy_rate,
         "surprisal_by_role": q_surprisal_by_role,
+        "bucketed_join_orders": q_bucketed_join_orders,
         "doc_repetition": q_doc_repetition,
         "source_overlap": q_source_overlap,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
@@ -9836,6 +9890,14 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
     sqls["filter_ablation_grid"] = _ablation_sql()
     sqls["assistant_copy_rate"] = _copy_rate_sql()
     sqls["surprisal_by_role"] = _surprisal_by_role_sql()
+    sqls["bucketed_join_orders"] = (
+        "SELECT o_orderkey AS orderkey, o_custkey AS custkey, "
+        "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "
+        "* 10000.0) AS BIGINT)) AS BIGINT) AS revenue_q4, "
+        "CAST(count(*) AS BIGINT) AS n_lines "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY 1, 2"
+    )
     sqls["conv_structure_audit"] = _CONV_AUDIT_SQL_TMPL.format(
         multiturn=_multiturn_sql()
     )

@@ -5355,3 +5355,49 @@ def test_cross_source_dup_matrix_counts_and_orientation(ray_session):
         got_map = {(r["source_a"], r["source_b"]): r["n_pairs"]
                    for _, r in got.iterrows()}
         assert got_map == want, parts
+
+
+def test_bucketed_join_equals_plain_join_and_validates(ray_session, tmp_path):
+    """bucket_write + bucketed_join == pyarrow plain join (any bucket
+    count, including buckets with rows on only one side), and a layout
+    mismatch raises instead of joining wrong."""
+    import pytest
+    import ray
+
+    from luzzu_ray.ops.bucketed import (
+        bucket_write, bucketed_join, read_manifest)
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 5, 8, 13, 21, 34], pa.int64()),
+        "lv": pa.array(list(range(8)), pa.int64()),
+    })
+    right = pa.table({
+        "k2": pa.array([2, 2, 3, 34, 34, 34, 99], pa.int64()),
+        "rv": pa.array([10, 11, 12, 13, 14, 15, 16], pa.int64()),
+    })
+    expect = left.join(right, keys=["k"], right_keys=["k2"],
+                       join_type="inner")
+    expect = expect.to_pandas().sort_values(
+        ["k", "lv", "rv"]).reset_index(drop=True)
+
+    for nb in (2, 7):
+        ld = str(tmp_path / f"l{nb}")
+        rd = str(tmp_path / f"r{nb}")
+        bucket_write(ray.data.from_arrow(left), "k", nb, ld)
+        bucket_write(ray.data.from_arrow(right), "k2", nb, rd)
+        assert read_manifest(ld)["n_buckets"] == nb
+        got = bucketed_join(ld, rd, "k", "k2").to_pandas()
+        got = got[["k", "lv", "rv"]].sort_values(
+            ["k", "lv", "rv"]).reset_index(drop=True)
+        assert got.equals(expect[["k", "lv", "rv"]]), nb
+
+    # mismatched bucket counts must refuse to join
+    ld = str(tmp_path / "l_a")
+    rd = str(tmp_path / "r_b")
+    bucket_write(ray.data.from_arrow(left), "k", 4, ld)
+    bucket_write(ray.data.from_arrow(right), "k2", 8, rd)
+    with pytest.raises(ValueError, match="n_buckets"):
+        bucketed_join(ld, rd, "k", "k2")
+    # and so must a key that differs from the layout's bucketing key
+    with pytest.raises(ValueError, match="keys"):
+        bucketed_join(ld, ld, "lv", "k")
