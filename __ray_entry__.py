@@ -5328,8 +5328,10 @@ def _pii_leak_sql() -> str:
 def q_events_hourly_spikes(sf_dir: str):
     """Hourly-rate anomaly flags: hours whose event count exceeds the
     all-hours mean by more than 3 standard deviations — evaluated as
-    the EXACT integer predicate ``(n*N - S)^2 > 9*N*(N*Q - S^2)``
-    (no sqrt, no float), so the HUGEINT SQL twin matches bit-for-bit.
+    the EXACT integer predicate ``(n*N - S)^2 > 9*(N*Q - S^2)``
+    (``N*Q - S^2 = N^2 * var_pop``, so this is exactly
+    ``(n - mean)^2 > 9 * var``; no sqrt, no float), so the HUGEINT SQL
+    twin matches bit-for-bit.
     Distributed partial counts collapse to <= #hours rows through one
     narrow exchange; the driver sees only the bounded hourly series
     and computes the two moments with Python ints (overflow-free)."""
@@ -5350,7 +5352,7 @@ def q_events_hourly_spikes(sf_dir: str):
     ns = [int(r["n"]) for r in counts]
     big_n = len(ns)
     s, qq = sum(ns), sum(v * v for v in ns)
-    var9 = 9 * big_n * (big_n * qq - s * s)
+    var9 = 9 * (big_n * qq - s * s)
     spike = [
         1 if (v * big_n > s and (v * big_n - s) ** 2 > var9) else 0
         for v in ns
@@ -5451,6 +5453,195 @@ def q_assistant_copy_rate(sf_dir: str):
 
     return turns.map_batches(per_conv, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def q_fertility_by_lang(sf_dir: str):
+    """Tokenizer-fertility profile per language: BPE-style pre-token
+    count vs codepoint count (chars/token is the standard fertility
+    diagnostic for vocab coverage across languages).  One text scan,
+    partials collapse to <= #langs per block, one tiny exchange; the
+    final ratio divides the already-bounded per-lang totals with Python
+    ints (no int64 product overflow at any corpus size)."""
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.ops.textstats import lexical_stats_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        lx = lexical_stats_batch(t)
+        return pa.table({
+            "lang": t["lang"],
+            "n_bpe_tokens": lx["n_bpe_tokens"],
+            "n_chars": pc.cast(
+                pc.fill_null(pc.utf8_length(t["text"]), 0), pa.int64()),
+        })
+
+    g = grouped_sum_q(
+        docs.map_batches(per_doc, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["lang"], float_cols={},
+        int_cols={"n_bpe_tokens": "n_bpe_tokens", "n_chars": "n_chars"},
+        count_as="n_docs", num_partitions=2,
+    )
+
+    def ratio(t: pa.Table) -> pa.Table:
+        # <= #langs rows reach this map; Python-int division keeps the
+        # chars*1e6 product exact beyond int64
+        ch = [int(x) for x in t["n_chars"].to_pylist()]
+        tk = [int(x) for x in t["n_bpe_tokens"].to_pylist()]
+        fert = [c * 1_000_000 // max(k, 1) for c, k in zip(ch, tk)]
+        return t.append_column(
+            "chars_per_token_q6", pa.array(fert, pa.int64()))
+
+    return g.map_batches(ratio, batch_format="pyarrow")
+
+
+def _fertility_sql() -> str:
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]+"
+    return f"""
+WITH b AS (
+  SELECT lang,
+    len(regexp_extract_all(coalesce(text, ''), '{bpe}')) AS nb,
+    length(coalesce(text, '')) AS nc
+  FROM documents
+)
+SELECT lang,
+  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(nc) AS BIGINT) AS n_chars,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nc) * 1000000 // greatest(sum(nb), 1) AS BIGINT)
+      AS chars_per_token_q6
+FROM b GROUP BY lang
+"""
+
+
+DOC_LEN_SIGMA2 = 4  # 2-sigma (squared): uniform-ish lengths have no 3-sigma tail
+
+
+def q_doc_len_outliers(sf_dir: str):
+    """EXACT 2-sigma per-source length outliers with no sqrt and no
+    float: flag doc iff ``(len*n - S)^2 > 4*(n*Q - S^2)`` over its
+    source's moments (``n*Q - S^2 = n^2 * var_pop``, so the predicate
+    is exactly ``(len - mean)^2 > 4 * var``).  The engine never materializes the n^2-scale
+    squares row-wise — the per-source predicate is monotone in
+    ``|len*n - S|``, so the driver turns each source's moments into two
+    integer CUTOFFS (``isqrt`` in unbounded Python ints, exact at
+    perfect-square ties) and broadcasts the tiny (source -> lo, hi)
+    table into a vectorized compare; the HUGEINT SQL twin evaluates the
+    raw predicate directly.  Moments read ONLY the pre-computed n_chars
+    column (no text scan).  Partial-sum bound: per-source
+    n * max_len^2 < 2^63 (n < 2.3e10 at the 20k-char cap) — beyond
+    that, swap the Q partial for the limb-decomposed pattern of
+    events_value_moments."""
+    import math
+
+    import ray
+
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def sq(t: pa.Table) -> pa.Table:
+        v = pc.cast(t["n_chars"], pa.int64())
+        return pa.table({
+            "source": t["source"], "len": v,
+            "len_sq": pc.multiply(v, v),
+        })
+
+    moments = grouped_sum_q(
+        docs.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], float_cols={},
+        int_cols={"len": "s", "len_sq": "q"},
+        count_as="n", num_partitions=2,
+    ).take_all()  # <= #sources rows
+
+    cuts: dict[str, tuple[int, int]] = {}
+    for r in moments:
+        n, s, qq = int(r["n"]), int(r["s"]), int(r["q"])
+        k = DOC_LEN_SIGMA2 * (n * qq - s * s)
+        m = math.isqrt(k)
+        # |len*n - S| >= m+1  <=>  (len*n - S)^2 > K, exactly
+        hi = -((-(s + m + 1)) // n)     # ceil((S + m + 1) / n)
+        lo = (s - m - 1) // n           # floor((S - m - 1) / n)
+        cuts[r["source"]] = (lo, hi)
+    cuts_ref = ray.put(cuts)
+
+    def flag(t: pa.Table) -> pa.Table:
+        table = ray.get(cuts_ref) if isinstance(
+            cuts_ref, ray.ObjectRef) else cuts_ref
+        src = t["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        ln = pc.cast(t["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        usrc, inv = np.unique(src, return_inverse=True)
+        lo = np.array([table[s][0] for s in usrc], dtype=np.int64)[inv]
+        hi = np.array([table[s][1] for s in usrc], dtype=np.int64)[inv]
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "is_outlier": pa.array((ln <= lo) | (ln >= hi)),
+        })
+
+    return docs.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+_DOC_LEN_OUTLIERS_SQL = """
+WITH st AS (
+  SELECT source, count(*) AS n, sum(n_chars) AS s,
+         sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, n_chars,
+  (CAST(n_chars AS HUGEINT) * n - s) * (CAST(n_chars AS HUGEINT) * n - s)
+      > 4 * (n * q - s * s) AS is_outlier
+FROM documents d JOIN st ON d.source = st.source
+"""
+
+
+def q_source_sampling_weights(sf_dir: str):
+    """Temperature-scaled mixture-sampling weights per source (the
+    multilingual-LM alpha=0.5 upsampling rule): weight = sqrt(total
+    chars) — IEEE sqrt is exactly rounded, so the quantized weight is
+    bit-stable across engines — and the normalized share divides the
+    QUANTIZED integer weights (order-free integer arithmetic; a float
+    normalization would depend on summation order)."""
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    docs = _tbl(sf_dir, "documents", ["source", "n_chars"])
+    g = grouped_sum_q(
+        docs, ["source"], float_cols={},
+        int_cols={"n_chars": "n_chars"}, count_as="n_docs",
+        num_partitions=2,
+    ).take_all()  # <= #sources rows
+    srcs = [r["source"] for r in g]
+    chars = [int(r["n_chars"]) for r in g]
+    ndocs = [int(r["n_docs"]) for r in g]
+    wq = [int(np.floor(np.sqrt(np.float64(c)) * 1e6)) for c in chars]
+    tot = sum(wq)
+    share = [w * 1_000_000 // max(tot, 1) for w in wq]
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_docs": pa.array(ndocs, pa.int64()),
+        "n_chars": pa.array(chars, pa.int64()),
+        "weight_q6": pa.array(wq, pa.int64()),
+        "share_q6": pa.array(share, pa.int64()),
+    })
+
+
+_SOURCE_SAMPLING_SQL = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+w AS (SELECT *, CAST(floor(sqrt(CAST(n_chars AS DOUBLE)) * 1000000.0)
+                     AS BIGINT) AS weight_q6 FROM g)
+SELECT source, n_docs, n_chars, weight_q6,
+  CAST(weight_q6 * 1000000
+       // greatest((SELECT sum(weight_q6) FROM w), 1) AS BIGINT)
+      AS share_q6
+FROM w
+"""
 
 
 BUCKETED_N = 16
@@ -7821,6 +8012,9 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "assistant_copy_rate": q_assistant_copy_rate,
         "surprisal_by_role": q_surprisal_by_role,
         "bucketed_join_orders": q_bucketed_join_orders,
+        "fertility_by_lang": q_fertility_by_lang,
+        "doc_len_outliers": q_doc_len_outliers,
+        "source_sampling_weights": q_source_sampling_weights,
         "doc_repetition": q_doc_repetition,
         "source_overlap": q_source_overlap,
         "neardup_cluster_sizes": q_neardup_cluster_sizes,
@@ -9348,7 +9542,7 @@ WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
 st AS (SELECT count(*) AS nh, sum(n) AS s, sum(n * n) AS q FROM h)
 SELECT CAST(hour AS BIGINT) AS hour, CAST(n AS BIGINT) AS n,
   CAST(CASE WHEN n * nh > s
-            AND (n * nh - s) * (n * nh - s) > 9 * nh * (nh * q - s * s)
+            AND (n * nh - s) * (n * nh - s) > 9 * (nh * q - s * s)
        THEN 1 ELSE 0 END AS BIGINT) AS is_spike
 FROM h, st
 """,
@@ -9890,6 +10084,9 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
     sqls["filter_ablation_grid"] = _ablation_sql()
     sqls["assistant_copy_rate"] = _copy_rate_sql()
     sqls["surprisal_by_role"] = _surprisal_by_role_sql()
+    sqls["fertility_by_lang"] = _fertility_sql()
+    sqls["doc_len_outliers"] = _DOC_LEN_OUTLIERS_SQL
+    sqls["source_sampling_weights"] = _SOURCE_SAMPLING_SQL
     sqls["bucketed_join_orders"] = (
         "SELECT o_orderkey AS orderkey, o_custkey AS custkey, "
         "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "

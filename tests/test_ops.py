@@ -5401,3 +5401,34 @@ def test_bucketed_join_equals_plain_join_and_validates(ray_session, tmp_path):
     # and so must a key that differs from the layout's bucketing key
     with pytest.raises(ValueError, match="keys"):
         bucketed_join(ld, ld, "lv", "k")
+
+
+def test_doc_len_outliers_exact_tie_and_fire(ray_session, tmp_path):
+    """Pins the integer-cutoff derivation of q_doc_len_outliers: one
+    outlier among m equal peers sits at exactly z^2 = m, so a group of
+    4 peers + 1 extreme is an EXACT 2-sigma tie (must NOT flag — the
+    predicate is strict, and K is a perfect square, exercising the
+    isqrt tie branch), while 6 peers + 1 extreme (z^2 = 6 > 4) must
+    flag exactly the extreme doc."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    rows = []
+    # group "tie": 4 equal + 1 extreme -> exact 2-sigma, no outlier
+    for i, ln in enumerate([5, 5, 5, 5, 13]):
+        rows.append((i, "tie", ln))
+    # group "fire": 6 equal + 1 extreme -> z^2 = 6, outlier fires
+    for i, ln in enumerate([7, 7, 7, 7, 7, 7, 400]):
+        rows.append((100 + i, "fire", ln))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows]),
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        "text": pa.array(["x" * r[2] for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = E.q_doc_len_outliers(str(tmp_path)).to_pandas()
+    flagged = sorted(got[got["is_outlier"]]["doc_id"].tolist())
+    assert flagged == [106]
