@@ -5455,6 +5455,108 @@ def q_assistant_copy_rate(sf_dir: str):
                              zero_copy_batch=True)
 
 
+EQUIDEPTH_BINS = 4
+
+
+def q_events_value_equidepth(sf_dir: str):
+    """Exact global equi-depth histogram of event value (quartile
+    edges + per-bin counts) — one bounded-domain value-count exchange,
+    everything else derived driver-side in Python ints (see
+    ``global_equidepth_histogram``)."""
+    from luzzu_ray.ops.relational import global_equidepth_histogram
+
+    return global_equidepth_histogram(
+        _tbl(sf_dir, "events", ["value"]), "value",
+        n_bins=EQUIDEPTH_BINS, q=4,
+    )
+
+
+_EQUIDEPTH_SQL = """
+WITH v AS (SELECT CAST(floor(value * 10000.0) AS BIGINT) AS vq
+           FROM events),
+c AS (SELECT quantile_disc(vq, 0.25) AS c1, quantile_disc(vq, 0.5) AS c2,
+             quantile_disc(vq, 0.75) AS c3, max(vq) AS m FROM v),
+binned AS (SELECT CASE WHEN vq <= c1 THEN 0 WHEN vq <= c2 THEN 1
+                       WHEN vq <= c3 THEN 2 ELSE 3 END AS bin
+           FROM v, c),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY bin)
+SELECT b.bin,
+  CASE b.bin WHEN 0 THEN c.c1 WHEN 1 THEN c.c2 WHEN 2 THEN c.c3
+       ELSE c.m END AS hi_q,
+  coalesce(g.n, 0) AS n
+FROM (SELECT unnest(generate_series(0, 3)) AS bin) b
+CROSS JOIN c LEFT JOIN g USING (bin)
+"""
+
+
+def q_events_user_simpson(sf_dir: str):
+    """Per-user Simpson concentration of event types (the exact
+    match-probability diversity index: ``sum_t n_t*(n_t-1) /
+    (n*(n-1))`` as a q9 fixed-point integer — rational arithmetic, no
+    log, so the HUGEINT SQL twin is bit-exact).  Two NARROW exchanges:
+    (user, type) counts, then per-user combine; the q9 product runs
+    int64-vectorized for users under ~96k events and falls back to
+    unbounded Python ints above (exactness at any user size)."""
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    ev = _tbl(sf_dir, "events", ["user_id", "event_type"])
+    per_type = grouped_sum_q(
+        ev, ["user_id", "event_type"], float_cols={}, count_as="cnt",
+    )
+
+    def contrib(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "nn1": pa.array((c * (c - 1)).astype(np.int64)),
+            "cnt": t["cnt"],
+        })
+
+    per_user = grouped_sum_q(
+        per_type.map_batches(contrib, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["user_id"], float_cols={},
+        int_cols={"nn1": "nn1", "cnt": "n_events"},
+        count_as="n_types",
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nn1 = t["nn1"].to_numpy(zero_copy_only=False)
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        denom = n * (n - 1)
+        safe = nn1 < (2**63) // 10**9
+        out = np.zeros(len(nn1), dtype=np.int64)
+        np.floor_divide(nn1 * 10**9, np.maximum(denom, 1), out=out,
+                        where=safe)
+        for i in np.flatnonzero(~safe):
+            out[i] = int(nn1[i]) * 10**9 // max(int(denom[i]), 1)
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_events": t["n_events"],
+            "n_types": t["n_types"],
+            "simpson_q9": pa.array(np.where(denom > 0, out, 0)),
+        })
+
+    return per_user.map_batches(finalize, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
+_USER_SIMPSON_SQL = """
+WITH pt AS (SELECT user_id, event_type, count(*) AS c
+            FROM events GROUP BY user_id, event_type),
+pu AS (SELECT user_id,
+         sum(CAST(c AS HUGEINT) * (c - 1)) AS nn1,
+         sum(c) AS n, count(*) AS n_types
+       FROM pt GROUP BY user_id)
+SELECT user_id,
+  CAST(n AS BIGINT) AS n_events,
+  CAST(n_types AS BIGINT) AS n_types,
+  CAST(CASE WHEN n > 1 THEN nn1 * 1000000000 // (n * (n - 1))
+       ELSE 0 END AS BIGINT) AS simpson_q9
+FROM pu
+"""
+
+
 def q_fertility_by_lang(sf_dir: str):
     """Tokenizer-fertility profile per language: BPE-style pre-token
     count vs codepoint count (chars/token is the standard fertility
@@ -8013,6 +8115,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "surprisal_by_role": q_surprisal_by_role,
         "bucketed_join_orders": q_bucketed_join_orders,
         "fertility_by_lang": q_fertility_by_lang,
+        "events_value_equidepth": q_events_value_equidepth,
+        "events_user_simpson": q_events_user_simpson,
         "doc_len_outliers": q_doc_len_outliers,
         "source_sampling_weights": q_source_sampling_weights,
         "doc_repetition": q_doc_repetition,
@@ -10085,6 +10189,8 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
     sqls["assistant_copy_rate"] = _copy_rate_sql()
     sqls["surprisal_by_role"] = _surprisal_by_role_sql()
     sqls["fertility_by_lang"] = _fertility_sql()
+    sqls["events_value_equidepth"] = _EQUIDEPTH_SQL
+    sqls["events_user_simpson"] = _USER_SIMPSON_SQL
     sqls["doc_len_outliers"] = _DOC_LEN_OUTLIERS_SQL
     sqls["source_sampling_weights"] = _SOURCE_SAMPLING_SQL
     sqls["bucketed_join_orders"] = (

@@ -356,6 +356,89 @@ def stratified_bottom_k(
     )
 
 
+def global_equidepth_histogram(
+    ds: ray.data.Dataset,
+    value_col: str,
+    n_bins: int = 4,
+    q: int = 4,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """EXACT global equi-depth (equal-count) histogram over a
+    fixed-point-quantized value column — bin edges are the DISCRETE
+    quantiles (DuckDB ``quantile_disc``: element at sorted index
+    ``ceil(frac * n) - 1``), bin k holds rows with
+    ``edge[k-1] < v <= edge[k]`` (last bin unbounded above).
+
+    One value-count exchange (``(vq, count)`` partials per block, the
+    same bounded-domain contract as ``top_fraction_by_score`` /
+    the CMS histogram ops: rows reaching the driver are bounded by the
+    quantized value DOMAIN, not by n), then every output — edges and
+    bin counts alike — is derived from the count table with Python-int
+    cumulative scans (no second data pass, no overflow)."""
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    scale = float(10 ** q)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        vq = pc.cast(pc.floor(pc.multiply(
+            pc.cast(t[value_col], pa.float64()), scale)), pa.int64())
+        g = pa.table({"vq": vq}).group_by("vq").aggregate(
+            [("vq", "count")])
+        return g.rename_columns(["vq", "n"])
+
+    counts = (
+        ds.select_columns([value_col])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .repartition(num_blocks=max(4, num_partitions // 8), keys=["vq"])
+        .map_batches(
+            lambda t: t.group_by("vq").aggregate([("n", "sum")])
+            .rename_columns(["vq", "n"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .take_all()
+    )
+    empty = pa.table({
+        "bin": pa.array([], pa.int64()),
+        "hi_q": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    })
+    if not counts:
+        return empty
+    vals = sorted((int(c["vq"]), int(c["n"])) for c in counts)
+    n_total = sum(n for _, n in vals)
+    edges = []
+    cum, vi = 0, 0
+    for k in range(1, n_bins):
+        target = -((-k * n_total) // n_bins)  # ceil(k * n / n_bins)
+        while cum < target:
+            cum += vals[vi][1]
+            vi += 1
+        edges.append(vals[vi - 1][0])
+    edges.append(vals[-1][0])  # global max closes the last bin
+    bins, his, ns = [], [], []
+    lo_idx = 0
+    consumed = 0
+    for b, hi in enumerate(edges):
+        cnt = 0
+        while lo_idx < len(vals) and (vals[lo_idx][0] <= hi
+                                      or b == n_bins - 1):
+            cnt += vals[lo_idx][1]
+            lo_idx += 1
+        consumed += cnt
+        bins.append(b)
+        his.append(hi)
+        ns.append(cnt)
+    assert consumed == n_total
+    return pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "hi_q": pa.array(his, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+    })
+
+
 def top_fraction_by_score(
     ds: ray.data.Dataset,
     score_col: str,
