@@ -5455,6 +5455,66 @@ def q_assistant_copy_rate(sf_dir: str):
                              zero_copy_batch=True)
 
 
+def q_neardup_index_probe(sf_dir: str):
+    """New-crawl-vs-corpus near-dup through a PERSISTED banding index
+    (`dedup.neardup_probe_index`): even doc_ids play the existing
+    corpus (index built + written once, bucket layout), odd doc_ids the
+    incoming slice (probed shuffle-free), exact-verified pairs out.
+    Oracle = all cross-parity pairs at exact word-shingle Jaccard >=
+    0.6 (banding recall bound (1-j^2)^32 ~ 6e-7 documented on
+    ngram_jaccard_pairs)."""
+    import shutil
+
+    from luzzu_ray.ops.dedup import neardup_probe_index
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def parity(t: pa.Table, want: int) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64())
+        return t.filter(
+            pc.equal(pc.bit_wise_and(did, pa.scalar(1, pa.int64())), want))
+
+    corpus = docs.map_batches(parity, fn_kwargs={"want": 0},
+                              batch_format="pyarrow", zero_copy_batch=True)
+    new = docs.map_batches(parity, fn_kwargs={"want": 1},
+                           batch_format="pyarrow", zero_copy_batch=True)
+    base = f"/tmp/luzzu_ndidx/{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    return neardup_probe_index(
+        corpus, new, f"{base}/index", f"{base}/probe",
+        jaccard_threshold=JACCARD_THRESHOLD,
+    )
+
+
+def _neardup_probe_sql() -> str:
+    thr = int(JACCARD_THRESHOLD * 1e6)
+    return """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                        for i in generate_series(1, len(ts) - 2)])
+             AS shingles
+  FROM toks WHERE len(ts) >= 3
+)
+SELECT e.doc_id AS corpus_id, o.doc_id AS new_id,
+  CAST(floor(
+    CAST(len(list_intersect(e.shingles, o.shingles)) AS DOUBLE)
+    / CAST(len(e.shingles) + len(o.shingles)
+           - len(list_intersect(e.shingles, o.shingles)) AS DOUBLE)
+    * 1000000.0) AS BIGINT) AS jaccard_q6
+FROM sh e JOIN sh o ON e.doc_id % 2 = 0 AND o.doc_id % 2 = 1
+WHERE CAST(floor(
+    CAST(len(list_intersect(e.shingles, o.shingles)) AS DOUBLE)
+    / CAST(len(e.shingles) + len(o.shingles)
+           - len(list_intersect(e.shingles, o.shingles)) AS DOUBLE)
+    * 1000000.0) AS BIGINT) >= {thr}
+""".replace("{thr}", str(thr))
+
+
 EQUIDEPTH_BINS = 4
 
 
@@ -8116,6 +8176,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_orders": q_bucketed_join_orders,
         "fertility_by_lang": q_fertility_by_lang,
         "events_value_equidepth": q_events_value_equidepth,
+        "neardup_index_probe": q_neardup_index_probe,
         "events_user_simpson": q_events_user_simpson,
         "doc_len_outliers": q_doc_len_outliers,
         "source_sampling_weights": q_source_sampling_weights,
@@ -10190,6 +10251,7 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
     sqls["surprisal_by_role"] = _surprisal_by_role_sql()
     sqls["fertility_by_lang"] = _fertility_sql()
     sqls["events_value_equidepth"] = _EQUIDEPTH_SQL
+    sqls["neardup_index_probe"] = _neardup_probe_sql()
     sqls["events_user_simpson"] = _USER_SIMPSON_SQL
     sqls["doc_len_outliers"] = _DOC_LEN_OUTLIERS_SQL
     sqls["source_sampling_weights"] = _SOURCE_SAMPLING_SQL

@@ -2530,3 +2530,117 @@ def cross_source_dup_matrix(
         })
 
     return agg.map_batches(cast_block, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# persisted near-dup index + cross-corpus probe
+# ---------------------------------------------------------------------------
+
+def neardup_probe_index(
+    corpus: ray.data.Dataset,
+    new: ray.data.Dataset,
+    index_dir: str,
+    probe_dir: str,
+    jaccard_threshold: float = 0.6,
+    n_buckets: int = 32,
+    num_partitions: int | None = None,
+    reuse_index: bool = False,
+) -> ray.data.Dataset:
+    """Cross-corpus near-dup against a PERSISTED banding index — the
+    "dedup the new crawl against the existing corpus" primitive.
+    ``reuse_index=True`` skips the build when ``index_dir`` already
+    holds a compatible manifest (the amortization point: one corpus
+    index, many probes).
+
+    Phase 1 (build, once per corpus): verification-grade minhash band
+    rows (r=2, b=32; miss probability (1-j^2)^32, ~6e-7 at j=0.6) are
+    written as a hash-bucketed layout (`ops/bucketed.py`) keyed on the
+    salted band-bucket value — a reusable on-disk index whose buckets
+    are the resume unit, amortized across every future probe.
+
+    Phase 2 (probe, per new slice): the new slice's band rows are
+    co-partitioned with the SAME layout and candidate generation is a
+    shuffle-free :func:`bucketed_join` (one task per bucket).  The
+    per-band salt (`_BAND_SALT`) makes the bucket value alone a sound
+    join key: equal values across DIFFERENT bands are a ~2^-64
+    collision, and any false candidate dies in the exact verify.
+
+    Phase 3: candidates dedupe through one narrow (a, b) exchange and
+    are EXACTLY verified by word-shingle Jaccard
+    (:func:`exact_jaccard_pairs`) over the union corpus.
+
+    Output: (corpus_id, new_id, jaccard_q6), jaccard >= threshold.
+
+    SCALE NOTE: a bucketed-join task holds its hottest band-bucket's
+    cross product; verification-grade buckets are tiny on natural text,
+    but an adversarial all-identical corpus needs the BUCKET_CAP
+    salt-split of the standard candidate path applied at build time.
+    """
+    from .bucketed import bucket_write, bucketed_join
+
+    def band_rows(t: pa.Table, out_id: str) -> pa.Table:
+        b = _minhash_band_rows(
+            t, n_bands=N_BANDS_VERIFY, band_r=BAND_R_VERIFY,
+            with_sig=False,
+        )
+        return pa.table({"key": b["bucket"], out_id: b["doc_id"]})
+
+    import os
+
+    from .bucketed import MANIFEST_NAME, read_manifest
+
+    have_index = (
+        reuse_index
+        and os.path.exists(os.path.join(index_dir, MANIFEST_NAME))
+    )
+    if have_index:
+        m = read_manifest(index_dir)
+        if m["key"] != "key" or int(m["n_buckets"]) != n_buckets:
+            raise ValueError(
+                f"existing index at {index_dir} has layout {m}, "
+                f"expected key='key', n_buckets={n_buckets}"
+            )
+    else:
+        bucket_write(
+            corpus.map_batches(
+                band_rows, fn_kwargs={"out_id": "corpus_id"},
+                batch_format="pyarrow",
+            ),
+            "key", n_buckets, index_dir,
+        )
+    bucket_write(
+        new.map_batches(
+            band_rows, fn_kwargs={"out_id": "new_id"},
+            batch_format="pyarrow",
+        ),
+        "key", n_buckets, probe_dir,
+    )
+
+    def local_pairs(j: pa.Table) -> pa.Table:
+        g = j.select(["corpus_id", "new_id"]).group_by(
+            ["corpus_id", "new_id"]).aggregate([])
+        return g.rename_columns(["a", "b"])
+
+    cand = bucketed_join(
+        index_dir, probe_dir, "key", "key", per_bucket=local_pairs,
+    ).materialize()  # narrow (a, b) pairs; count sizes the dedupe
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return t.group_by(["a", "b"]).aggregate([])
+
+    cand = cand.repartition(
+        num_blocks=auto_partitions(cand, num_partitions), keys=["a", "b"]
+    ).map_batches(distinct_block, batch_format="pyarrow",
+                  batch_size=None)
+
+    both = corpus.union(new)
+    verified = exact_jaccard_pairs(
+        both, cand, jaccard_threshold, num_partitions
+    )
+    return verified.map_batches(
+        lambda t: t.rename_columns(["corpus_id", "new_id", "jaccard_q6"]),
+        batch_format="pyarrow",
+    )

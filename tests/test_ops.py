@@ -5432,3 +5432,59 @@ def test_doc_len_outliers_exact_tie_and_fire(ray_session, tmp_path):
     got = E.q_doc_len_outliers(str(tmp_path)).to_pandas()
     flagged = sorted(got[got["is_outlier"]]["doc_id"].tolist())
     assert flagged == [106]
+
+
+def test_neardup_probe_reuses_persisted_index(ray_session, tmp_path):
+    """neardup_probe_index(reuse_index=True): the second probe must
+    consume the index built by the first call WITHOUT rewriting it
+    (byte mtimes untouched), return identical pairs, and refuse an
+    index whose layout disagrees with the requested bucketing."""
+    import os
+
+    import pytest
+    import ray
+
+    import pyarrow.compute as pc
+
+    from luzzu_ray.ops.bucketed import MANIFEST_NAME
+    from luzzu_ray.ops.dedup import neardup_probe_index
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pa.table({
+        "doc_id": pa.array([0, 2, 4, 1, 3], pa.int64()),
+        "text": pa.array([
+            base, base + " extra", "completely different words here now",
+            base + " indeed", "nothing shared with anything else at all",
+        ]),
+    })
+    ds = ray.data.from_arrow(docs)
+    corpus = ds.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), 0)),
+        batch_format="pyarrow")
+    new = ds.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), 1)),
+        batch_format="pyarrow")
+    idx, pr = str(tmp_path / "idx"), str(tmp_path / "probe")
+
+    got1 = neardup_probe_index(
+        corpus, new, idx, pr, jaccard_threshold=0.6, n_buckets=4,
+    ).to_pandas().sort_values(["corpus_id", "new_id"]).reset_index(
+        drop=True)
+    assert len(got1) >= 1  # doc 1 is a near-dup of docs 0 and 2
+    mtime = os.path.getmtime(os.path.join(idx, MANIFEST_NAME))
+
+    got2 = neardup_probe_index(
+        corpus, new, idx, str(tmp_path / "probe2"),
+        jaccard_threshold=0.6, n_buckets=4, reuse_index=True,
+    ).to_pandas().sort_values(["corpus_id", "new_id"]).reset_index(
+        drop=True)
+    assert got2.equals(got1)
+    assert os.path.getmtime(os.path.join(idx, MANIFEST_NAME)) == mtime
+
+    with pytest.raises(ValueError, match="layout"):
+        neardup_probe_index(
+            corpus, new, idx, str(tmp_path / "probe3"),
+            jaccard_threshold=0.6, n_buckets=8, reuse_index=True,
+        )
