@@ -247,6 +247,23 @@ def main() -> None:
         "top_dup_turns",
         "conv_time_stats",
         "cross_source_dups",
+        # round-4 session-6 additions
+        "ccnet_ppl_buckets",
+        "doc_novelty_frac",
+        "doc_token_diversity",
+        "kanon_risky_docs",
+        "pii_leak_by_role",
+        "events_hourly_spikes",
+        "filter_ablation_grid",
+        "assistant_copy_rate",
+        "surprisal_by_role",
+        "bucketed_join_orders",
+        "fertility_by_lang",
+        "doc_len_outliers",
+        "source_sampling_weights",
+        "events_value_equidepth",
+        "events_user_simpson",
+        "neardup_index_probe",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
