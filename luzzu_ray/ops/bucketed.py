@@ -20,7 +20,9 @@ data, validated at join time):
 
 PARTITIONING ASSUMPTION: int64 join keys.  String keys would need a
 byte-wise hash twin; every join key in the reference surface (order,
-part, user, doc ids) is an integer.
+part, user, doc ids) is an integer.  Paths must be visible to every
+worker (shared filesystem / object storage on a real cluster — the
+same contract as any Parquet source/sink path).
 """
 
 from __future__ import annotations
