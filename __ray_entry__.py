@@ -2626,6 +2626,77 @@ FROM o
 """
 
 
+CALIBRATION_BINS = 10
+
+
+def q_quality_calibration(sf_dir: str):
+    """Classifier CALIBRATION table: exact equi-depth deciles of the
+    heuristic quality score with per-bin keep rate (the reliability
+    diagram behind the AUC number) — one bounded-domain (score, n,
+    n_keep) exchange, edges and rates derived driver-side in Python
+    ints."""
+    from luzzu_ray.ops.relational import equidepth_calibration
+    from luzzu_ray.ops.textstats import quality_score_batch
+
+    def score(t: pa.Table) -> pa.Table:
+        s = quality_score_batch(t)
+        score_q6 = pc.subtract(
+            pa.scalar(2_000_000, pa.int64()),
+            pc.add(s["symbol_ratio_q6"], s["digit_ratio_q6"]),
+        )
+        return pa.table({"score_q6": score_q6, "keep": s["keep"]})
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return equidepth_calibration(
+        scored, "score_q6", "keep", n_bins=CALIBRATION_BINS
+    )
+
+
+def _calibration_sql(n_bins: int = CALIBRATION_BINS) -> str:
+    """Oracle: decile edges via quantile_disc, per-bin keep counts,
+    integer keep rate — the same discrete-quantile semantics as the
+    engine's driver-side scan."""
+    qd = ", ".join(
+        f"quantile_disc(vq, {k / n_bins}) AS c{k}" for k in range(1, n_bins)
+    )
+    case_bin = "CASE " + " ".join(
+        f"WHEN vq <= c{k} THEN {k - 1}" for k in range(1, n_bins)
+    ) + f" ELSE {n_bins - 1} END"
+    case_hi = "CASE b.bin " + " ".join(
+        f"WHEN {k - 1} THEN c.c{k}" for k in range(1, n_bins)
+    ) + " ELSE c.m END"
+    return f"""
+WITH q AS ({{quality}}),
+s AS (SELECT 2000000 - symbol_ratio_q6 - digit_ratio_q6 AS vq,
+             CAST(keep AS BIGINT) AS pos FROM q),
+c AS (SELECT {qd}, max(vq) AS m FROM s),
+binned AS (SELECT {case_bin} AS bin, pos FROM s, c),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_keep FROM binned GROUP BY bin)
+SELECT b.bin, {case_hi} AS hi_q,
+  coalesce(g.n, 0) AS n, coalesce(g.n_keep, 0) AS n_keep,
+  CASE WHEN g.n IS NULL THEN NULL
+       ELSE (g.n_keep * 1000000) // g.n END AS keep_rate_q6
+FROM (SELECT unnest(generate_series(0, {n_bins - 1})) AS bin) b
+CROSS JOIN c LEFT JOIN g USING (bin)
+"""
+
+
+def q_docs_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((source), (lang)): the two marginal
+    count tables WITHOUT the cross table — one fact pass builds the
+    (source, lang) fine grain, each requested set aggregates the tiny
+    materialized grain."""
+    from luzzu_ray.ops.relational import grouping_sets_counts
+
+    return grouping_sets_counts(
+        _docs(sf_dir, ["source", "lang"]), ["source", "lang"],
+        [("source",), ("lang",)],
+    )
+
+
 def q_events_running_total(sf_dir: str):
     """Per-user unbounded-preceding running totals (cumulative value
     sum + row count in stream order) — the classic windowed scan, one
@@ -8164,6 +8235,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "quality_calibration": q_quality_calibration,
+        "docs_grouping_sets": q_docs_grouping_sets,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "doc_novelty_frac": q_doc_novelty_frac,
         "doc_token_diversity": q_doc_token_diversity,
@@ -10288,6 +10361,12 @@ SELECT conv_id, turn_idx, text AS target_text,
 FROM m
 """
     sqls["quality_score_auc"] = _QUALITY_AUC_SQL.format(quality=_QUALITY_SQL)
+    sqls["quality_calibration"] = _calibration_sql().format(
+        quality=_QUALITY_SQL)
+    sqls["docs_grouping_sets"] = (
+        "SELECT source, lang, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY GROUPING SETS ((source), (lang))"
+    )
     sqls["events_session_hours"] = _SESSION_HOURS_SQL
     sqls["langid_confusion"] = (
         "SELECT d.lang AS lang_true, f.lang AS lang_pred, "

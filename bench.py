@@ -264,6 +264,8 @@ def main() -> None:
         "events_value_equidepth",
         "events_user_simpson",
         "neardup_index_probe",
+        "quality_calibration",
+        "docs_grouping_sets",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -439,6 +439,101 @@ def global_equidepth_histogram(
     })
 
 
+def equidepth_calibration(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Classifier CALIBRATION table: exact equi-depth bins of an
+    already-quantized integer score with the positive (keep) rate per
+    bin — the reliability-diagram statistic for a quality filter
+    ("do high-score bins actually keep more documents?").
+
+    Bin edges are DISCRETE quantiles (DuckDB ``quantile_disc``
+    semantics: sorted element at ``ceil(frac * n) - 1``); bin k holds
+    rows with ``edge[k-1] < score <= edge[k]`` (last bin unbounded,
+    its reported edge is the global max).  ``keep_rate_q6`` is the
+    exact integer ``n_keep * 10^6 // n`` (NULL for empty bins — edges
+    can coincide under heavy ties).
+
+    Scale shape (same bounded-domain contract as
+    ``global_equidepth_histogram``): per-block ``(score, n, n_keep)``
+    partials, ONE narrow hash exchange on the score value, and a
+    driver-side Python-int scan over at most |score domain| rows —
+    never a global sort, never a second data pass.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "vq": pc.cast(t[score_col], pa.int64()),
+            "pos": pc.cast(pc.cast(t[label_col], pa.int8()), pa.int64()),
+        }).group_by("vq").aggregate([("pos", "count"), ("pos", "sum")])
+        return g.rename_columns(["vq", "n", "n_keep"])
+
+    counts = (
+        ds.select_columns([score_col, label_col])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .repartition(num_blocks=max(4, num_partitions // 8), keys=["vq"])
+        .map_batches(
+            lambda t: t.group_by("vq").aggregate(
+                [("n", "sum"), ("n_keep", "sum")]
+            ).rename_columns(["vq", "n", "n_keep"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .take_all()
+    )
+    schema = pa.schema([
+        ("bin", pa.int64()), ("hi_q", pa.int64()), ("n", pa.int64()),
+        ("n_keep", pa.int64()), ("keep_rate_q6", pa.int64()),
+    ])
+    if not counts:
+        return schema.empty_table()
+    vals = sorted(
+        (int(c["vq"]), int(c["n"]), int(c["n_keep"])) for c in counts
+    )
+    n_total = sum(n for _, n, _ in vals)
+    edges = []
+    cum, vi = 0, 0
+    for k in range(1, n_bins):
+        target = -((-k * n_total) // n_bins)  # ceil(k * n / n_bins)
+        while cum < target:
+            cum += vals[vi][1]
+            vi += 1
+        edges.append(vals[vi - 1][0])
+    edges.append(vals[-1][0])  # global max closes the last bin
+    bins, his, ns, keeps, rates = [], [], [], [], []
+    lo_idx = 0
+    consumed = 0
+    for b, hi in enumerate(edges):
+        cnt = pos = 0
+        while lo_idx < len(vals) and (vals[lo_idx][0] <= hi
+                                      or b == n_bins - 1):
+            cnt += vals[lo_idx][1]
+            pos += vals[lo_idx][2]
+            lo_idx += 1
+        consumed += cnt
+        bins.append(b)
+        his.append(hi)
+        ns.append(cnt)
+        keeps.append(pos)
+        rates.append((pos * 10**6) // cnt if cnt else None)
+    assert consumed == n_total
+    return pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "hi_q": pa.array(his, pa.int64()),
+        "n": pa.array(ns, pa.int64()),
+        "n_keep": pa.array(keeps, pa.int64()),
+        "keep_rate_q6": pa.array(rates, pa.int64()),
+    })
+
+
 def top_fraction_by_score(
     ds: ray.data.Dataset,
     score_col: str,
@@ -1411,6 +1506,70 @@ def cube_counts(
         {**{k: pa.nulls(1, types[k]) for k in keys},
          "n": pa.array([int(total)], pa.int64())}
     )))
+    out = levels[0]
+    for ex in levels[1:]:
+        out = out.union(ex)
+    return out
+
+
+def grouping_sets_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[tuple[str, ...]],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS ((...), ...): counts at exactly the
+    REQUESTED grains (each a subset of ``keys``), NULLs in
+    aggregated-out key columns — the general form ROLLUP and CUBE are
+    sugar for, needed when a report wants, say, (lang) and (source)
+    marginals without the (lang, source) cross table.
+
+    Scale shape: ONE full-data pass builds the finest grain (the union
+    of all requested sets, via the shared ``_fine_grain_counts``
+    combine); every requested set then aggregates the materialized
+    fine grain (#groups rows) — |sets| narrow groupbys that never
+    rescan the fact table.  The empty set () is allowed and becomes
+    the global total.  Output: (*keys, n), one row block per grain,
+    duplicate sets rejected (SQL would emit duplicate rows; that is a
+    modeling error here).
+    """
+    from ray.data.aggregate import Sum
+
+    norm = [tuple(s) for s in sets]
+    if len(set(norm)) != len(norm):
+        raise ValueError(f"duplicate grouping sets: {sets}")
+    for s in norm:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s} not a subset of {keys}")
+    fine, types = _fine_grain_counts(ds, keys, num_partitions)
+
+    def widen(subset: tuple):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t[k] if k in subset
+                           else pa.nulls(t.num_rows, types[k]))
+            cols["n"] = t["n"]
+            return pa.table(cols)
+        return fn
+
+    levels = []
+    for subset in norm:
+        if set(subset) == set(keys):
+            levels.append(fine)
+        elif subset:
+            levels.append(fine.groupby(
+                list(subset), num_partitions=2
+            ).aggregate(Sum("n", alias_name="n")).map_batches(
+                widen(subset), batch_format="pyarrow"
+            ).materialize())
+        else:
+            total = fine.sum("n") or 0
+            levels.append(ray.data.from_arrow(pa.table(
+                {**{k: pa.nulls(1, types[k]) for k in keys},
+                 "n": pa.array([int(total)], pa.int64())}
+            )))
     out = levels[0]
     for ex in levels[1:]:
         out = out.union(ex)

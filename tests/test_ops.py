@@ -5488,3 +5488,77 @@ def test_neardup_probe_reuses_persisted_index(ray_session, tmp_path):
             corpus, new, idx, str(tmp_path / "probe3"),
             jaccard_threshold=0.6, n_buckets=8, reuse_index=True,
         )
+
+
+def test_grouping_sets_counts_matches_twin(ray_session):
+    """GROUPING SETS grains equal the Counter twin (incl. the () grain
+    and full-grain reuse), layout-invariant; duplicate sets rejected."""
+    import collections
+
+    import pytest
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouping_sets_counts
+
+    rng = np.random.default_rng(91)
+    n = 1500
+    a = rng.choice(["x", "y", "z"], n)
+    b = rng.choice(["p", "q"], n)
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    sets = [("a", "b"), ("b",), ()]
+    want: collections.Counter = collections.Counter()
+    for ai, bi in zip(a, b):
+        want[(ai, bi)] += 1
+        want[(None, bi)] += 1
+        want[(None, None)] += 1
+    for parts in (1, 6):
+        rows = grouping_sets_counts(
+            ray.data.from_arrow(t).repartition(parts), ["a", "b"],
+            sets, 3,
+        ).take_all()
+        got = {(r["a"], r["b"]): r["n"] for r in rows}
+        assert got == dict(want), parts
+        assert len(rows) == len(want)  # no duplicate grain rows
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_counts(
+            ray.data.from_arrow(t), ["a", "b"], [("b",), ("b",)])
+    with pytest.raises(ValueError, match="subset"):
+        grouping_sets_counts(
+            ray.data.from_arrow(t), ["a", "b"], [("c",)])
+
+
+def test_equidepth_calibration_matches_twin(ray_session):
+    """Calibration bins equal the pure-Python discrete-quantile twin
+    (heavy ties included), layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import equidepth_calibration
+
+    rng = np.random.default_rng(92)
+    n = 3000
+    # heavy-tie score domain so some decile edges coincide
+    score = rng.integers(0, 12, n).astype(np.int64) * 100
+    keep = (score + rng.integers(0, 600, n)) > 700
+    t = pa.table({"s": pa.array(score), "keep": pa.array(keep)})
+    n_bins = 10
+    # twin: discrete-quantile edges, first-matching-bin assignment
+    sv = np.sort(score)
+    edges = [int(sv[-((-k * n) // n_bins) - 1]) for k in range(1, n_bins)]
+    edges.append(int(sv[-1]))
+    want = {}
+    lo = -(2**63)
+    for bidx, hi in enumerate(edges):
+        m = ((score > lo) & (score <= hi)) if bidx < n_bins - 1 else (
+            score > lo)
+        cnt, pos = int(m.sum()), int(keep[m].sum())
+        rate = (pos * 10**6) // cnt if cnt else None
+        want[bidx] = (hi, cnt, pos, rate)
+        lo = max(lo, hi)
+    for parts in (1, 7):
+        out = equidepth_calibration(
+            ray.data.from_arrow(t).repartition(parts), "s", "keep",
+            n_bins=n_bins, num_partitions=4,
+        )
+        got = {r["bin"]: (r["hi_q"], r["n"], r["n_keep"], r["keep_rate_q6"])
+               for r in out.to_pylist()}
+        assert got == want, parts
