@@ -2626,6 +2626,46 @@ FROM o
 """
 
 
+def q_doc_skyline(sf_dir: str):
+    """Pareto frontier (skyline) of documents under two criteria —
+    maximize length, minimize single-space word count (long-word
+    outliers): the classic skyline operator (Borzsony et al., ICDE
+    2001) run two-phase — per-block vectorized local skyline (a pure
+    streaming pass; blocks collapse to a handful of candidates), then
+    one tiny global pass over the union of local frontiers.  No
+    shuffle at all: the only data movement is the already-small
+    candidate set."""
+    from luzzu_ray.ops.skyline import skyline
+
+    def crits(t: pa.Table) -> pa.Table:
+        nw = pc.list_value_length(
+            pc.split_pattern(
+                pc.fill_null(pc.cast(t["text"], pa.string()), ""), " "
+            )
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "n_words": pc.cast(nw, pa.int64()),
+        })
+
+    base = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        crits, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return skyline(base, maximize=("n_chars",), minimize=("n_words",))
+
+
+_DOC_SKYLINE_SQL = """
+WITH s AS (SELECT doc_id, n_chars,
+  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_words
+  FROM documents)
+SELECT doc_id, n_chars, n_words FROM s p
+WHERE NOT EXISTS (SELECT 1 FROM s q
+  WHERE q.n_chars >= p.n_chars AND q.n_words <= p.n_words
+    AND (q.n_chars > p.n_chars OR q.n_words < p.n_words))
+"""
+
+
 CALIBRATION_BINS = 10
 
 
@@ -8235,6 +8275,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "doc_skyline": q_doc_skyline,
         "quality_calibration": q_quality_calibration,
         "docs_grouping_sets": q_docs_grouping_sets,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
@@ -10363,6 +10404,7 @@ FROM m
     sqls["quality_score_auc"] = _QUALITY_AUC_SQL.format(quality=_QUALITY_SQL)
     sqls["quality_calibration"] = _calibration_sql().format(
         quality=_QUALITY_SQL)
+    sqls["doc_skyline"] = _DOC_SKYLINE_SQL
     sqls["docs_grouping_sets"] = (
         "SELECT source, lang, CAST(count(*) AS BIGINT) AS n "
         "FROM documents GROUP BY GROUPING SETS ((source), (lang))"

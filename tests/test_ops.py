@@ -5562,3 +5562,49 @@ def test_equidepth_calibration_matches_twin(ray_session):
         got = {r["bin"]: (r["hi_q"], r["n"], r["n_keep"], r["keep_rate_q6"])
                for r in out.to_pylist()}
         assert got == want, parts
+
+
+def test_skyline_mask_matches_bruteforce():
+    """Vectorized 2-D skyline mask == literal dominance twin, across
+    random int grids dense with ties and duplicate points."""
+    from luzzu_ray.ops.skyline import skyline_mask_2d, skyline_py
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(1, 120))
+        # small value domain => many exact ties and duplicate vectors
+        x = rng.integers(0, 8, n).astype(np.int64)
+        y = rng.integers(0, 8, n).astype(np.int64)
+        mask = skyline_mask_2d(x, y)
+        rows = [{"i": i, "x": int(x[i]), "y": int(y[i])} for i in range(n)]
+        want = {r["i"] for r in skyline_py(rows, ("x", "y"), ())}
+        assert set(np.flatnonzero(mask)) == want, (trial, x, y)
+    assert skyline_mask_2d(
+        np.empty(0, np.int64), np.empty(0, np.int64)).tolist() == []
+
+
+def test_skyline_dataset_two_phase(ray_session):
+    """Distributed two-phase skyline over many small blocks equals the
+    single-pass twin, including minimize criteria and duplicates."""
+    import ray.data
+
+    from luzzu_ray.ops.skyline import skyline, skyline_py
+
+    rng = np.random.default_rng(11)
+    n = 400
+    a = rng.integers(0, 50, n).astype(np.int64)
+    b = rng.integers(0, 50, n).astype(np.int64)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "a": pa.array(a), "b": pa.array(b),
+    })
+    ds = ray.data.from_arrow(t).repartition(13)
+    got = sorted(
+        skyline(ds, maximize=("a",), minimize=("b",)).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    rows = [{"doc_id": i, "a": int(a[i]), "b": int(b[i])}
+            for i in range(n)]
+    want = sorted(skyline_py(rows, ("a",), ("b",)),
+                  key=lambda r: r["doc_id"])
+    assert got == want
