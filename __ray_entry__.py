@@ -5970,6 +5970,68 @@ def q_bucketed_join_orders(sf_dir: str):
     )
 
 
+# Z-order query box: user_id x value-cents, both well inside the data
+# range so the zone-map skip is non-trivial in BOTH dimensions
+ZORDER_X_RANGE = (20, 60)
+ZORDER_Y_RANGE = (500, 20000)
+
+
+def q_zorder_prune_events(sf_dir: str):
+    """Z-order (Morton-curve) clustered layout + zone-map-pruned 2-D
+    range scan (`ops/zorder.py`): events quantize value to integer
+    cents, the table is rewritten sorted by the bit-interleave of
+    (user_id, value_q2) so every output file covers a tight (min, max)
+    box in BOTH dimensions, and the range query reads back only the
+    files whose box intersects the query box (footer-statistics zone
+    maps; the actual file skip is pinned in pytest), then applies the
+    exact row filter.  The oracle is the plain SQL range scan — the
+    clustering layout must be transparent to the result."""
+    import shutil
+
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.ops.zorder import zorder_layout, zorder_prune_read
+
+    base = f"/tmp/luzzu_zorder/{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+
+    def quant(t: pa.Table) -> pa.Table:
+        q2 = pc.cast(pc.floor(pc.multiply(
+            pc.cast(t["value"], pa.float64()), 100.0)), pa.int64())
+        return t.append_column("value_q2", q2)
+
+    ds = _tbl(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "value"]
+    ).map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+    zorder_layout(ds, base, "user_id", "value_q2", bits=16)
+    pruned, _, _ = zorder_prune_read(base, ZORDER_X_RANGE, ZORDER_Y_RANGE)
+
+    def exact(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["user_id"],
+                                 pa.scalar(ZORDER_X_RANGE[0], pa.int64())),
+                pc.less_equal(t["user_id"],
+                              pa.scalar(ZORDER_X_RANGE[1], pa.int64())),
+            ),
+            pc.and_(
+                pc.greater_equal(t["value_q2"],
+                                 pa.scalar(ZORDER_Y_RANGE[0], pa.int64())),
+                pc.less_equal(t["value_q2"],
+                              pa.scalar(ZORDER_Y_RANGE[1], pa.int64())),
+            ),
+        )
+        return t.filter(m).select(["event_type", "value_q2"])
+
+    filtered = pruned.map_batches(
+        exact, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_sum_q(
+        filtered, ["event_type"], {},
+        int_cols={"value_q2": "sum_value_q2"}, count_as="n",
+        num_partitions=1,
+    )
+
+
 def q_surprisal_by_role(sf_dir: str):
     """Per-ROLE predictability profile of the conversation corpus: the
     exact integer bigram-LM surprisal (see ``bigram_surprisal``) scored
@@ -8275,6 +8337,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "zorder_prune_events": q_zorder_prune_events,
         "doc_skyline": q_doc_skyline,
         "quality_calibration": q_quality_calibration,
         "docs_grouping_sets": q_docs_grouping_sets,
@@ -10369,6 +10432,17 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
     sqls["events_user_simpson"] = _USER_SIMPSON_SQL
     sqls["doc_len_outliers"] = _DOC_LEN_OUTLIERS_SQL
     sqls["source_sampling_weights"] = _SOURCE_SAMPLING_SQL
+    sqls["zorder_prune_events"] = (
+        "SELECT event_type, "
+        "CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) "
+        "AS sum_value_q2, CAST(count(*) AS BIGINT) AS n "
+        "FROM events "
+        f"WHERE user_id BETWEEN {ZORDER_X_RANGE[0]} "
+        f"AND {ZORDER_X_RANGE[1]} "
+        "AND CAST(floor(value * 100.0) AS BIGINT) "
+        f"BETWEEN {ZORDER_Y_RANGE[0]} AND {ZORDER_Y_RANGE[1]} "
+        "GROUP BY 1"
+    )
     sqls["bucketed_join_orders"] = (
         "SELECT o_orderkey AS orderkey, o_custkey AS custkey, "
         "CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) "

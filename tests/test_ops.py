@@ -5608,3 +5608,59 @@ def test_skyline_dataset_two_phase(ray_session):
     want = sorted(skyline_py(rows, ("a",), ("b",)),
                   key=lambda r: r["doc_id"])
     assert got == want
+
+
+def test_morton2_matches_scalar_twin():
+    """Vectorized bit interleave == scalar twin, incl. bit-width mask."""
+    from luzzu_ray.ops.zorder import morton2, morton2_py
+
+    rng = np.random.default_rng(3)
+    for bits in (1, 4, 16, 32):
+        x = rng.integers(0, 1 << min(bits + 2, 63), 200).astype(np.int64)
+        y = rng.integers(0, 1 << min(bits + 2, 63), 200).astype(np.int64)
+        z = morton2(x, y, bits)
+        for i in range(len(x)):
+            assert int(z[i]) == morton2_py(
+                int(x[i]) & ((1 << bits) - 1),
+                int(y[i]) & ((1 << bits) - 1), bits), (bits, i)
+    # locality sanity: interleave of (1,0) and (0,1) differ in adjacent bits
+    assert morton2_py(1, 0, 4) == 1 and morton2_py(0, 1, 4) == 2
+
+
+def test_zorder_layout_prunes_and_is_transparent(ray_session, tmp_path):
+    """zorder_layout + zorder_prune_read: the pruned-and-filtered result
+    equals the plain full-scan filter (layout transparency), AND the
+    zone maps actually skip files for a tight 2-D box (the point of the
+    layout) — including a box matching nothing (0 files read)."""
+    import ray.data
+
+    from luzzu_ray.ops.zorder import zorder_layout, zorder_prune_read
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    x = rng.integers(0, 1000, n).astype(np.int64)
+    y = rng.integers(0, 1000, n).astype(np.int64)
+    t = pa.table({
+        "rid": pa.array(range(n), pa.int64()),
+        "x": pa.array(x), "y": pa.array(y),
+    })
+    out = str(tmp_path / "zl")
+    manifest = zorder_layout(
+        ray.data.from_arrow(t).repartition(16), out, "x", "y", bits=10)
+    assert len(manifest["zones"]) > 4  # enough files for skipping to mean something
+    assert sum(z["n_rows"] for z in manifest["zones"]) == n
+
+    box_x, box_y = (100, 160), (400, 460)
+    pruned, n_read, n_total = zorder_prune_read(out, box_x, box_y)
+    assert 0 < n_read < n_total  # zone maps skipped files
+    got = pruned.to_pandas()
+    got = got[(got["x"].between(*box_x)) & (got["y"].between(*box_y))]
+    want = (x >= box_x[0]) & (x <= box_x[1]) & (y >= box_y[0]) & (y <= box_y[1])
+    assert sorted(got["rid"].tolist()) == sorted(np.flatnonzero(want).tolist())
+
+    # a box outside the data domain reads zero files and yields a typed
+    # empty dataset with the layout's schema
+    empty, n_read0, _ = zorder_prune_read(out, (5000, 6000), (0, 10))
+    assert n_read0 == 0
+    assert empty.count() == 0
+    assert set(empty.schema().names) >= {"rid", "x", "y"}
