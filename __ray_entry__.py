@@ -99,6 +99,30 @@ def q_doc_unicode_stats(sf_dir: str):
     )
 
 
+def q_doc_nfc_normalize(sf_dir: str):
+    """Unicode NFC canonical normalization (`ops/textstats.py`
+    ``nfc_normalize_batch``): both sides first apply the same
+    deterministic widening (inject DECOMPOSED e+U+0301 / u+U+0308
+    sequences, since the corpus is ASCII), then the engine composes
+    with the ASCII-fast-path stdlib kernel and the oracle with DuckDB
+    ``nfc_normalize`` — byte-exact text equality, the dedup-key
+    canonicalization contract."""
+    from luzzu_ray.ops.textstats import nfc_normalize_batch
+
+    def widen(t: pa.Table) -> pa.Table:
+        tx = pc.fill_null(t["text"], "")
+        # DECOMPOSED sequences (base + combining mark), written as
+        # escapes so no editor can silently recompose them
+        for pat, rep in (("e", "e\u0301"), ("u", "u\u0308")):
+            tx = pc.replace_substring(tx, pattern=pat, replacement=rep)
+        return nfc_normalize_batch(
+            pa.table({"doc_id": t["doc_id"], "text": tx}))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        widen, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_doc_sentence_stats(sf_dir: str):
     """Sentence segmentation stats on deterministically punctuated text
     (the corpus has no sentence terminators, so both sides apply the
@@ -3117,6 +3141,67 @@ SELECT a.vec_id,
   b.vec_id AS nbr_id
 FROM x a JOIN x b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
 QUALIFY rank <= {KNN_GRAPH_K}
+"""
+
+
+def q_bitext_mutual_pairs(sf_dir: str):
+    """Mutual-best cross-corpus alignment within k-means cells
+    (`ops/similarity.py` ``mutual_knn_pairs``) — the "intersection"
+    retrieval criterion of margin-based bitext mining (Artetxe &
+    Schwenk, ACL 2019), over the even/odd vec_id halves standing in
+    for two corpora.  The oracle rebuilds the centroids from the
+    scalar-twin sampler and replays assignment + both directed
+    nearest-neighbor rankings + the mutuality join in SQL."""
+    from luzzu_ray.ops.similarity import mutual_knn_pairs
+
+    C = _kmeans_centroids_engine(sf_dir)
+    return mutual_knn_pairs(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), C
+    )
+
+
+def _bitext_mutual_sql(sf_dir: str) -> str | None:
+    from luzzu_ray.ops.similarity import kmeans_centroids
+
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        return None
+    C = kmeans_centroids(_km_sample_matrix_numpy(sf_dir))
+    vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for i, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cid, cvec) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, c.cid, list_dot_product(e.embedding, c.cvec) AS dot
+  FROM embeddings e CROSS JOIN cent c
+),
+codes AS (
+  SELECT vec_id, CAST(arg_max(cid, dot) AS BIGINT) AS cluster
+  FROM dots GROUP BY vec_id
+),
+x AS (
+  SELECT e.vec_id, codes.cluster, e.embedding
+  FROM embeddings e JOIN codes USING (vec_id)
+),
+fwd AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id
+  FROM x a JOIN x b ON b.cluster = a.cluster
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+    ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC,
+             b.vec_id) = 1
+),
+bwd AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id
+  FROM x b JOIN x a ON a.cluster = b.cluster
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+  QUALIFY row_number() OVER (PARTITION BY b.vec_id
+    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+             a.vec_id) = 1
+)
+SELECT f.src_id, f.tgt_id
+FROM fwd f JOIN bwd w ON f.src_id = w.src_id AND f.tgt_id = w.tgt_id
 """
 
 
@@ -8337,6 +8422,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "bitext_mutual_pairs": q_bitext_mutual_pairs,
+        "doc_nfc_normalize": q_doc_nfc_normalize,
         "zorder_prune_events": q_zorder_prune_events,
         "doc_skyline": q_doc_skyline,
         "quality_calibration": q_quality_calibration,
@@ -9116,6 +9203,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u AS node, least(u, min(v)) AS cluster "
             "FROM reach GROUP BY u"
         ),
+        "doc_nfc_normalize": """
+            WITH t2 AS (
+              SELECT doc_id,
+                replace(replace(COALESCE(text, ''),
+                    'e', 'e' || chr(769)),
+                    'u', 'u' || chr(776)) AS tx
+              FROM documents
+            )
+            SELECT doc_id, nfc_normalize(tx) AS text_nfc,
+              nfc_normalize(tx) <> tx AS changed,
+              length(nfc_normalize(tx)) AS n_cp
+            FROM t2
+        """,
         "doc_unicode_stats": r"""
             WITH t2 AS (
               SELECT doc_id,
@@ -10417,7 +10517,8 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
                            ("ivfpq_ann_topk", _ivfpq_sql),
                            ("ann_recall_eval", _ann_recall_sql),
                            ("semantic_dedup", _semantic_dedup_sql),
-                           ("knn_graph", _knn_graph_sql)):
+                           ("knn_graph", _knn_graph_sql),
+                           ("bitext_mutual_pairs", _bitext_mutual_sql)):
         sql = builder(oracle_dir)
         if sql is not None:
             sqls[qname] = sql

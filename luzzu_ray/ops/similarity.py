@@ -1641,3 +1641,93 @@ def label_second_moments(
         parts, ["label", "di", "dj"], float_cols={},
         int_cols={"s2": "s2"}, num_partitions=num_partitions,
     )
+
+
+def mutual_knn_pairs(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Mutual-best cross-corpus pairs within coarse k-means cells — the
+    "intersection" retrieval criterion of margin-based bitext mining
+    (Artetxe & Schwenk, ACL 2019: a candidate pair survives iff each
+    side is the other's nearest neighbor), the aligned-pair miner for
+    parallel-corpus construction and near-translation dedup.
+
+    The two corpora are the even / odd ``vec_id`` halves of ``ds``
+    (side = vec_id % 2 — a deterministic stand-in for a real two-table
+    input; the kernel only ever sees the side column).  Returns
+    (src_id, tgt_id): src from side 0 whose best side-1 neighbor in its
+    cell is tgt, AND tgt's best side-0 neighbor is src.  Ties break to
+    the lowest id (argmax over ascending-id columns).
+
+    Scale shape mirrors :func:`knn_graph`: one broadcast centroid
+    argmax per batch, ONE hash exchange keyed on cell id, per-cell
+    cross matmul (cells bound the quadratic; cross-cell matches are
+    missed by design — the IVF recall trade-off).
+    """
+    from luzzu_ray.ops.dedup import _hash_shuffle_ctx, auto_partitions
+
+    _hash_shuffle_ctx()
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        E = _as_matrix(t["embedding"])
+        code = (
+            np.argmax(E @ C.T, axis=1).astype(np.int64)
+            if E.size
+            else np.zeros(t.num_rows, dtype=np.int64)
+        )
+        return pa.table(
+            {"vec_id": t["vec_id"], "cluster": pa.array(code),
+             "embedding": t["embedding"]}
+        )
+
+    assigned = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+    empty = pa.table(
+        {"src_id": pa.array([], pa.int64()),
+         "tgt_id": pa.array([], pa.int64())}
+    )
+
+    def mutual_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("cluster", "ascending"), ("vec_id", "ascending")])
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        N = _normalize(_as_matrix(t["embedding"]))
+        out_s, out_t = [], []
+        bounds = np.flatnonzero(np.diff(cl)) + 1
+        for s, e in zip(
+            np.concatenate(([0], bounds)),
+            np.concatenate((bounds, [len(cl)])),
+        ):
+            ids = vid[s:e]
+            a_idx = np.flatnonzero(ids % 2 == 0)
+            b_idx = np.flatnonzero(ids % 2 == 1)
+            if len(a_idx) == 0 or len(b_idx) == 0:
+                continue
+            G = N[s:e][a_idx] @ N[s:e][b_idx].T  # (|A|, |B|)
+            # argmax returns the FIRST max -> lowest id (ids ascending)
+            fwd = np.argmax(G, axis=1)  # per src: best tgt column
+            bwd = np.argmax(G, axis=0)  # per tgt: best src row
+            mutual = bwd[fwd] == np.arange(len(a_idx))
+            out_s.append(ids[a_idx[mutual]])
+            out_t.append(ids[b_idx[fwd[mutual]]])
+        if not out_s:
+            return empty
+        return pa.table({
+            "src_id": pa.array(np.concatenate(out_s).astype(np.int64)),
+            "tgt_id": pa.array(np.concatenate(out_t).astype(np.int64)),
+        })
+
+    part = assigned.repartition(
+        num_blocks=auto_partitions(ds, num_partitions), keys=["cluster"]
+    )
+    return part.map_batches(
+        mutual_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )

@@ -608,3 +608,55 @@ def repetition_stats_py(
         "n_5grams": max(nw - 4, 0),
         "n_distinct_5grams": len(g5) if nw >= 5 else 0,
     }
+
+
+def nfc_normalize_batch(t: pa.Table) -> pa.Table:
+    """Unicode NFC canonical normalization (doc_id, text) ->
+    (doc_id, text_nfc, changed, n_cp) — the canonical-form pass every
+    multilingual pipeline runs before hashing/dedup so "café" composed
+    and decomposed stop being distinct keys.
+
+    pyarrow 16.1's ``utf8_normalize`` does not COMPOSE (NFC == NFD
+    output, probed), so composition uses stdlib ``unicodedata`` — a
+    per-row C call, inherent like the zlib/codec stages.  The hot-path
+    mitigation is the ASCII FAST PATH: pure-ASCII rows are NFC by
+    definition (byte len == codepoint len), so only rows containing a
+    non-ASCII byte enter the loop — on web corpora that is a small
+    fraction of rows.  NULL text -> null outputs.
+    """
+    import unicodedata
+
+    texts = t["text"].combine_chunks()
+    null_mask = pc.is_null(texts).to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(texts, "")
+    n_bytes = pc.binary_length(filled).to_numpy(zero_copy_only=False)
+    n_cp = pc.utf8_length(filled).to_numpy(zero_copy_only=False)
+    needs = np.flatnonzero((n_bytes != n_cp) & ~null_mask)
+    out = filled.to_pylist()
+    changed = np.zeros(t.num_rows, dtype=bool)
+    for i in needs:
+        norm = unicodedata.normalize("NFC", out[i])
+        if norm != out[i]:
+            out[i] = norm
+            changed[i] = True
+    arr = pa.array(out, pa.string())
+    if null_mask.any():
+        arr = pc.if_else(pa.array(null_mask), pa.scalar(None, pa.string()), arr)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "text_nfc": arr,
+        "changed": pc.if_else(
+            pa.array(null_mask), pa.scalar(None, pa.bool_()),
+            pa.array(changed)),
+        "n_cp": pc.utf8_length(arr),
+    })
+
+
+def nfc_normalize_py(text: str | None) -> tuple[str | None, bool | None, int | None]:
+    """Row-at-a-time twin of :func:`nfc_normalize_batch`."""
+    import unicodedata
+
+    if text is None:
+        return None, None, None
+    norm = unicodedata.normalize("NFC", text)
+    return norm, norm != text, len(norm)

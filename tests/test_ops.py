@@ -5664,3 +5664,78 @@ def test_zorder_layout_prunes_and_is_transparent(ray_session, tmp_path):
     assert n_read0 == 0
     assert empty.count() == 0
     assert set(empty.schema().names) >= {"rid", "x", "y"}
+
+
+def test_nfc_normalize_batch_matches_scalar_twin():
+    """Batch NFC kernel == row twin on nulls, ASCII fast-path rows,
+    already-composed text and decomposed sequences; layout-invariant."""
+    from luzzu_ray.ops.textstats import nfc_normalize_batch, nfc_normalize_py
+
+    texts = [
+        None, "", "plain ascii",
+        "café",            # decomposed -> composes
+        "café",             # already NFC, non-ASCII (fast path miss)
+        "Århus über",  # two combining marks
+        "́leading mark", "mixed café café",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    for split in (1, 3):
+        tt = pa.concat_tables(
+            [t.slice(i, split) for i in range(0, len(texts), split)])
+        got = nfc_normalize_batch(tt).to_pylist()
+        for row, txt in zip(got, texts):
+            norm, changed, n_cp = nfc_normalize_py(txt)
+            assert row["text_nfc"] == norm, txt
+            assert row["changed"] == changed, txt
+            assert row["n_cp"] == n_cp, txt
+
+
+def test_mutual_knn_pairs_matches_brute_twin(ray_session):
+    """mutual_knn_pairs == brute-force per-cell mutual-best twin
+    (ties to lowest id), regardless of block layout, incl. cells with
+    one side empty and exact-duplicate vectors (the tie case)."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import mutual_knn_pairs
+
+    rng = np.random.default_rng(17)
+    n, d = 240, 8
+    V = rng.normal(size=(n, d))
+    V[50] = V[52]  # exact duplicates on the odd side of some cell
+    C = rng.normal(size=(4, d))
+
+    def norm(M):
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([list(map(float, row)) for row in V],
+                              pa.list_(pa.float32())),
+    })
+    # float32 storage: recompute the twin from the float32-rounded matrix
+    V32 = np.asarray(t["embedding"].combine_chunks().flatten(), np.float32)
+    V32 = V32.reshape(n, d).astype(np.float64)
+    cells = np.argmax(V32 @ C.T, axis=1)
+    Nv = norm(V32)
+    want = set()
+    for c in range(4):
+        ids = np.flatnonzero(cells == c)
+        a = ids[ids % 2 == 0]
+        b = ids[ids % 2 == 1]
+        if len(a) == 0 or len(b) == 0:
+            continue
+        G = Nv[a] @ Nv[b].T
+        fwd = np.argmax(G, axis=1)
+        bwd = np.argmax(G, axis=0)
+        for i in range(len(a)):
+            if bwd[fwd[i]] == i:
+                want.add((int(a[i]), int(b[fwd[i]])))
+
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        got = {(r["src_id"], r["tgt_id"])
+               for r in mutual_knn_pairs(ds, C).take_all()}
+        assert got == want, nblocks
