@@ -6456,6 +6456,49 @@ def q_tpch_q2(sf_dir: str):
     ).map_batches(final, batch_format="pyarrow", batch_size=None)
 
 
+LPA_ROUNDS = 4
+
+
+def q_part_cooc_lpa(sf_dir: str):
+    """Synchronous label-propagation communities over the part
+    co-occurrence graph (`ops/graph.py` ``lpa_communities``): a fixed
+    unrolled round count keeps the order-dependent classic async LPA
+    deterministic and SQL-expressible; the oracle replays the identical
+    rounds (neighbor-label mode, ties to smallest label) as
+    materialized CTEs."""
+    from luzzu_ray.ops.graph import cooccurrence_edges, lpa_communities
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return lpa_communities(edges, rounds=LPA_ROUNDS)
+
+
+def _lpa_sql() -> str:
+    # MATERIALIZED CTEs: each l{r} is referenced once per round but ed
+    # is reused every round; inlining would rescan the base join R times
+    sql = (
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT l1.l_partkey AS a, "
+        "l2.l_partkey AS b FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey "
+        "AND l1.l_partkey < l2.l_partkey), "
+        "ed AS MATERIALIZED (SELECT a AS s, b AS d FROM e0 "
+        "UNION ALL SELECT b AS s, a AS d FROM e0), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM ed)"
+    )
+    for r in range(LPA_ROUNDS):
+        sql += (
+            f", c{r} AS MATERIALIZED (SELECT e.s AS node, l.lbl AS lbl, "
+            f"count(*) AS c FROM ed e JOIN l{r} l ON l.node = e.d "
+            f"GROUP BY 1, 2)"
+            f", l{r + 1} AS MATERIALIZED (SELECT node, lbl FROM c{r} "
+            f"QUALIFY row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lbl) = 1)"
+        )
+    return sql + (
+        f" SELECT node, lbl AS community FROM l{LPA_ROUNDS}"
+    )
+
+
 KCORE_K = 80
 KCORE_ROUNDS = 8  # fixture converges in 5; extra unrolled rounds no-op
 
@@ -8422,6 +8465,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "part_cooc_lpa": q_part_cooc_lpa,
         "bitext_mutual_pairs": q_bitext_mutual_pairs,
         "doc_nfc_normalize": q_doc_nfc_normalize,
         "zorder_prune_events": q_zorder_prune_events,
@@ -9820,6 +9864,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
             "GROUP BY 1"
         ),
         "part_cooc_kcore": _kcore_sql(),
+        "part_cooc_lpa": _lpa_sql(),
         "top_words_by_lang": f"""
 WITH tk AS (
   SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) AS word

@@ -781,3 +781,132 @@ def kcore_nodes(
             return ray.data.from_arrow(empty_out)
     raise ValueError(
         f"k-core peel not converged within {max_rounds} rounds")
+
+
+LPA_BROADCAST_MAX_NODES = 20_000_000
+
+
+def _lpa_block(t: pa.Table, *, nodes_ref, labels_ref) -> pa.Table:
+    """New label per src node in this block: the mode of its neighbors'
+    current labels, ties to the SMALLEST label.  Blocks are
+    src-partitioned (complete per-node edge sets), so the result is
+    FINAL block-locally — no exchange per round."""
+    empty = pa.table({
+        "node": pa.array([], pa.int64()),
+        "lbl": pa.array([], pa.int64()),
+    })
+    if t.num_rows == 0:
+        return empty
+    nodes = ray.get(nodes_ref) if isinstance(nodes_ref, ray.ObjectRef) \
+        else nodes_ref
+    labels = ray.get(labels_ref) if isinstance(labels_ref, ray.ObjectRef) \
+        else labels_ref
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    si = np.searchsorted(nodes, src)
+    li = np.searchsorted(nodes, labels[np.searchsorted(nodes, dst)])
+    n = np.int64(len(nodes))
+    # packed (src idx, label idx) pair key: safe below the broadcast
+    # cap (20M^2 << 2^63); unique gives per-pair counts
+    kk, cc = np.unique(si * (n + 1) + li, return_counts=True)
+    s_of = kk // (n + 1)
+    l_of = kk % (n + 1)
+    # first row per src under (count DESC, label ASC) = the mode
+    order = np.lexsort((l_of, -cc, s_of))
+    s_s, l_s = s_of[order], l_of[order]
+    first = np.flatnonzero(np.diff(s_s, prepend=-1))
+    return pa.table({
+        "node": pa.array(nodes[s_s[first]]),
+        "lbl": pa.array(nodes[l_s[first]]),
+    })
+
+
+def lpa_communities(
+    edges: ray.data.Dataset,
+    rounds: int = 4,
+    num_partitions: int | None = None,
+    broadcast_max_nodes: int = LPA_BROADCAST_MAX_NODES,
+) -> pa.Table:
+    """SYNCHRONOUS label-propagation communities (Raghavan et al. 2007,
+    the deterministic synchronous variant) over an undirected (a < b)
+    distinct edge list: label_0(v) = v; each round every node adopts
+    the most frequent label among its neighbors, ties to the smallest
+    label; after ``rounds`` rounds return (node, community).  A fixed
+    unrolled round count (not convergence detection) keeps the result
+    SQL-reproducible — the classic async variant is order-dependent
+    and cannot be oracled.
+
+    Scale shape (the pagerank broadcast plan, minus the per-round
+    exchange): edges co-locate by src ONCE; each round ships the
+    (sorted nodes, labels) arrays via ``ray.put`` and every block
+    computes its nodes' modes block-finally, so a round is one
+    exchange-free task map plus a #nodes-row driver gather.  Beyond
+    ``broadcast_max_nodes`` this raises loudly — the scale path is one
+    hash-join + keyed-exchange argmax per round (the k-core/pagerank
+    join-fallback shape), which trades R broadcasts for 2R exchanges.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(edges, num_partitions)
+
+    def direct(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b])),
+            "dst": pa.array(np.concatenate([b, a])),
+        })
+
+    d = edges.map_batches(direct, batch_format="pyarrow").repartition(
+        num_blocks=width, keys=["src"]
+    ).materialize()
+
+    def node_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64())})
+        u = np.unique(t["src"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u.astype(np.int64))})
+
+    node_parts = [
+        t["node"].to_numpy(zero_copy_only=False)
+        for t in ray.get(list(d.map_batches(
+            node_block, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True).to_arrow_refs()))
+        if t.num_rows
+    ]
+    nodes = (np.unique(np.concatenate(node_parts)) if node_parts
+             else np.empty(0, dtype=np.int64))
+    if len(nodes) == 0:
+        return pa.table({
+            "node": pa.array([], pa.int64()),
+            "community": pa.array([], pa.int64()),
+        })
+    if len(nodes) > broadcast_max_nodes:
+        raise ValueError(
+            f"lpa_communities: {len(nodes)} nodes exceed the broadcast "
+            f"cap {broadcast_max_nodes}; use a join-per-round plan "
+            "(edges ⋈ labels on dst, then keyed-exchange per-node "
+            "argmax) for graphs beyond one worker's memory"
+        )
+    labels = nodes.copy()
+    nodes_ref = ray.put(nodes)
+    for _ in range(rounds):
+        labels_ref = ray.put(labels)
+        parts = d.map_batches(
+            _lpa_block,
+            fn_kwargs={"nodes_ref": nodes_ref, "labels_ref": labels_ref},
+            batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        new_labels = labels.copy()
+        for p in ray.get(list(parts.to_arrow_refs())):
+            if p.num_rows:
+                idx = np.searchsorted(
+                    nodes, p["node"].to_numpy(zero_copy_only=False))
+                new_labels[idx] = p["lbl"].to_numpy(zero_copy_only=False)
+        labels = new_labels
+    return pa.table({
+        "node": pa.array(nodes), "community": pa.array(labels)
+    })

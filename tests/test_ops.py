@@ -5739,3 +5739,61 @@ def test_mutual_knn_pairs_matches_brute_twin(ray_session):
         got = {(r["src_id"], r["tgt_id"])
                for r in mutual_knn_pairs(ds, C).take_all()}
         assert got == want, nblocks
+
+
+def test_lpa_communities_matches_python_twin(ray_session):
+    """Synchronous LPA == pure-Python round twin on random graphs and
+    a crafted tie case (mode tie -> smallest label), for any block
+    layout; the over-cap path raises loudly."""
+    import pytest
+    import ray.data
+
+    from luzzu_ray.ops.graph import lpa_communities
+
+    def twin(edge_list, rounds):
+        nbrs = {}
+        for a, b in edge_list:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+        lbl = {v: v for v in nbrs}
+        for _ in range(rounds):
+            new = {}
+            for v, ns in nbrs.items():
+                cnt = {}
+                for u in ns:
+                    cnt[lbl[u]] = cnt.get(lbl[u], 0) + 1
+                best = min(cnt, key=lambda c: (-cnt[c], c))
+                new[v] = best
+            lbl = new
+        return lbl
+
+    rng = np.random.default_rng(23)
+    cases = [
+        # two triangles bridged by one edge
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+        # star: all leaves adopt the hub's label, hub ties to min leaf
+        [(10, i) for i in range(11, 18)],
+    ]
+    for _ in range(3):
+        n = 60
+        es = {tuple(sorted(p)) for p in
+              rng.integers(0, n, size=(150, 2)).tolist() if p[0] != p[1]}
+        cases.append(sorted(es))
+    for rounds in (1, 3):
+        for ci, edge_list in enumerate(cases):
+            t = pa.table({
+                "a": pa.array([e[0] for e in edge_list], pa.int64()),
+                "b": pa.array([e[1] for e in edge_list], pa.int64()),
+            })
+            want = twin(edge_list, rounds)
+            for nb in (1, 5):
+                ds = ray.data.from_arrow(t).repartition(nb)
+                got = lpa_communities(ds, rounds=rounds)
+                gm = dict(zip(got["node"].to_pylist(),
+                              got["community"].to_pylist()))
+                assert gm == want, (ci, rounds, nb)
+
+    small = ray.data.from_arrow(pa.table({
+        "a": pa.array([1], pa.int64()), "b": pa.array([2], pa.int64())}))
+    with pytest.raises(ValueError, match="broadcast cap"):
+        lpa_communities(small, rounds=1, broadcast_max_nodes=1)
