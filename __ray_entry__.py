@@ -99,6 +99,66 @@ def q_doc_unicode_stats(sf_dir: str):
     )
 
 
+C4_LINE_WORDS = 8
+C4_MIN_WORDS = 5
+C4_BANNED = "spark"
+
+
+def q_c4_line_filter(sf_dir: str):
+    """C4-style rule-based line cleaning (`ops/lines.py`
+    ``line_rule_filter_block``): documents split into deterministic
+    8-word lines (the corpus carries no newlines; same derivation as
+    the DF-boilerplate op), each line kept iff >= 5 words AND ends
+    with '.' (after the shared ' a ' -> '. ' punctuation widening)
+    AND free of the banned token — per-doc kept counts and the
+    byte-exact re-joined clean text, fully exchange-free."""
+    from luzzu_ray.ops.lines import line_rule_filter_block
+
+    def run(t: pa.Table) -> pa.Table:
+        tx = pc.replace_substring(
+            pc.fill_null(t["text"], ""), pattern=" a ", replacement=". ")
+        return line_rule_filter_block(
+            pa.table({"doc_id": t["doc_id"], "text": tx}),
+            words_per_line=C4_LINE_WORDS, min_words=C4_MIN_WORDS,
+            banned=C4_BANNED,
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _c4_line_sql() -> str:
+    return f"""
+WITH t2 AS (
+  SELECT doc_id, replace(COALESCE(text, ''), ' a ', '. ') AS tx
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(string_split(tx, ' ')) AS w,
+         generate_subscripts(string_split(tx, ' '), 1) AS i
+  FROM t2 WHERE tx <> ''
+),
+lines AS (
+  SELECT doc_id, (i - 1) // {C4_LINE_WORDS} AS li,
+         string_agg(w, ' ' ORDER BY i) AS line,
+         count(*) AS nw
+  FROM words GROUP BY 1, 2
+),
+flt AS (
+  SELECT doc_id, li, line,
+         (nw >= {C4_MIN_WORDS} AND line LIKE '%.'
+          AND line NOT LIKE '%{C4_BANNED}%') AS keep
+  FROM lines
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  COALESCE(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY li), '')
+    AS text_clean
+FROM flt GROUP BY doc_id
+"""
+
+
 def q_doc_nfc_normalize(sf_dir: str):
     """Unicode NFC canonical normalization (`ops/textstats.py`
     ``nfc_normalize_batch``): both sides first apply the same
@@ -3142,6 +3202,51 @@ SELECT a.vec_id,
 FROM x a JOIN x b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
 QUALIFY rank <= {KNN_GRAPH_K}
 """
+
+
+KCENTER_K = 6
+
+
+def q_kcenter_select(sf_dir: str):
+    """Greedy k-center / farthest-point coreset selection
+    (`ops/similarity.py` ``kcenter_select``, Gonzalez 1985): seed at
+    the lowest vec_id, then pick the point farthest (cosine distance)
+    from its nearest selected center, ties to lowest id — the
+    diversity-sampling step of data-pruning pipelines.  The oracle
+    unrolls the identical greedy rounds as materialized CTEs
+    (least(dmin, 1 - cos) updates + ORDER BY dmin DESC, vec_id)."""
+    from luzzu_ray.ops.similarity import kcenter_select
+
+    return kcenter_select(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), KCENTER_K
+    )
+
+
+def _kcenter_sql() -> str:
+    sql = (
+        "WITH p0 AS MATERIALIZED (SELECT vec_id, embedding "
+        "FROM embeddings ORDER BY vec_id LIMIT 1), "
+        "d1 AS MATERIALIZED (SELECT e.vec_id, e.embedding, "
+        "1 - list_cosine_similarity(e.embedding, p.embedding) AS dmin "
+        "FROM embeddings e, p0 p)"
+    )
+    for r in range(1, KCENTER_K):
+        sql += (
+            f", p{r} AS MATERIALIZED (SELECT vec_id, embedding FROM d{r} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if r < KCENTER_K - 1:
+            sql += (
+                f", d{r + 1} AS MATERIALIZED (SELECT d.vec_id, "
+                f"d.embedding, least(d.dmin, 1 - "
+                f"list_cosine_similarity(d.embedding, p.embedding)) "
+                f"AS dmin FROM d{r} d, p{r} p)"
+            )
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS sel_rank, vec_id FROM p{r}"
+        for r in range(KCENTER_K)
+    )
+    return sql + " " + picks
 
 
 def q_bitext_mutual_pairs(sf_dir: str):
@@ -8465,6 +8570,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "kcenter_select": q_kcenter_select,
+        "c4_line_filter": q_c4_line_filter,
         "part_cooc_lpa": q_part_cooc_lpa,
         "bitext_mutual_pairs": q_bitext_mutual_pairs,
         "doc_nfc_normalize": q_doc_nfc_normalize,
@@ -9865,6 +9972,8 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         ),
         "part_cooc_kcore": _kcore_sql(),
         "part_cooc_lpa": _lpa_sql(),
+        "c4_line_filter": _c4_line_sql(),
+        "kcenter_select": _kcenter_sql(),
         "top_words_by_lang": f"""
 WITH tk AS (
   SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) AS word

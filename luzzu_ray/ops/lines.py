@@ -235,3 +235,56 @@ def line_dedup(
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, max(2, cluster_cpus() // 2)),
     )
+
+
+def line_rule_filter_block(
+    t: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+    min_words: int = 5,
+    terminal: str = ".",
+    banned: str | None = None,
+) -> pa.Table:
+    """C4-style RULE-BASED line cleaning (Raffel et al. 2020 §2.2) —
+    the stateless complement of the corpus-DF boilerplate removal
+    above: a line survives iff it has >= ``min_words`` words, ends
+    with the ``terminal`` character, and (when ``banned`` is set) does
+    not contain the banned substring.  Emits one row per NON-EMPTY doc:
+    (doc_id, n_lines, n_kept, text_clean = kept lines re-joined in
+    original order).
+
+    Entirely exchange-free (each doc's lines live in its own batch
+    row); line derivation, rules and reassembly are all Arrow kernels —
+    no Python loop over rows or lines.
+    """
+    lines, line_doc, _ = _lines_block(t, text_col, id_col, words_per_line)
+    nw = pc.add(pc.count_substring(lines, " "), 1)
+    keep = pc.and_(
+        pc.greater_equal(nw, pa.scalar(min_words, pa.int32())),
+        pc.ends_with(lines, pattern=terminal),
+    )
+    if banned is not None:
+        keep = pc.and_(
+            keep, pc.invert(pc.match_substring(lines, pattern=banned)))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+
+    ids = t[id_col].combine_chunks()
+    docs_present = np.unique(line_doc) if len(line_doc) else line_doc
+    # dense re-index of the docs that produced lines (batch-local)
+    pos = np.searchsorted(docs_present, line_doc)
+    n_docs = len(docs_present)
+    n_lines = np.bincount(pos, minlength=n_docs).astype(np.int64)
+    n_kept = np.bincount(
+        pos[keep_np], minlength=n_docs).astype(np.int64)
+    kept_lines = pc.filter(lines, keep)
+    offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(n_kept, out=offsets[1:])
+    text_clean = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), kept_lines), " ")
+    return pa.table({
+        "doc_id": ids.take(pa.array(docs_present)),
+        "n_lines": pa.array(n_lines),
+        "n_kept": pa.array(n_kept),
+        "text_clean": text_clean,
+    })

@@ -1731,3 +1731,112 @@ def mutual_knn_pairs(
         mutual_block, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
+
+
+def kcenter_select(
+    ds: ray.data.Dataset,
+    k: int,
+) -> pa.Table:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985; the diversity-selection step of active-learning and data-
+    pruning pipelines, e.g. Sener & Savarese 2018): seed at the lowest
+    vec_id, then k-1 times pick the point whose cosine distance to the
+    nearest already-selected center is LARGEST (ties to the lowest id).
+    Returns (sel_rank, vec_id) — the 2-approximation to the k-center
+    cover.
+
+    Selection stops early when every remaining point sits AT a center
+    (max remaining distance 0 — k exceeds the number of distinct
+    directions); the unrolled SQL oracle assumes the non-degenerate
+    regime (> k distinct directions), which the fixture corpus
+    satisfies.
+
+    Scale shape: the selected set never broadcasts whole — each round
+    ships only the NEWEST center (d floats via ``ray.put``), every
+    block updates its rows' running min-distance and emits ONE
+    candidate row, and the driver sees #blocks rows per round.  Greedy
+    k-center is inherently k sequential passes; for sub-linear variants
+    use k-means cells to pre-bound candidates (``kmeans_lloyd_int``).
+    """
+    state = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        lambda t: t.append_column(
+            "dmin", pa.array(np.full(t.num_rows, np.inf, np.float64))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def block_min_id(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "dmin": pa.array([], pa.float64()),
+                "embedding": pa.array([], t.schema.field("embedding").type),
+            })
+        i = int(np.argmin(t["vec_id"].to_numpy(zero_copy_only=False)))
+        return t.select(["vec_id", "dmin", "embedding"]).slice(i, 1)
+
+    def block_argmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "dmin": pa.array([], pa.float64()),
+                "embedding": pa.array([], t.schema.field("embedding").type),
+            })
+        d = t["dmin"].to_numpy(zero_copy_only=False)
+        v = t["vec_id"].to_numpy(zero_copy_only=False)
+        # max dmin, tie -> min id: lexsort((id, -d)) first row
+        i = int(np.lexsort((v, -d))[0])
+        return t.select(["vec_id", "dmin", "embedding"]).slice(i, 1)
+
+    def pick(parts: ray.data.Dataset, seed: bool):
+        rows = [t for t in ray.get(list(parts.to_arrow_refs()))
+                if t.num_rows]
+        if not rows:
+            return None
+        cand = pa.concat_tables(rows)
+        d = cand["dmin"].to_numpy(zero_copy_only=False)
+        v = cand["vec_id"].to_numpy(zero_copy_only=False)
+        i = int(np.argmin(v)) if seed else int(np.lexsort((v, -d))[0])
+        vec = np.asarray(cand["embedding"][i].as_py(), dtype=np.float64)
+        nrm = np.linalg.norm(vec)
+        return int(v[i]), vec / (nrm if nrm > 0 else 1.0), float(d[i])
+
+    def update(t: pa.Table, *, c_ref) -> pa.Table:
+        c = ray.get(c_ref) if isinstance(c_ref, ray.ObjectRef) else c_ref
+        if t.num_rows == 0:
+            return t
+        N = _normalize(_as_matrix(t["embedding"]))
+        dist = 1.0 - N @ c
+        dmin = np.minimum(
+            t["dmin"].to_numpy(zero_copy_only=False), dist)
+        return pa.table({
+            "vec_id": t["vec_id"], "embedding": t["embedding"],
+            "dmin": pa.array(dmin),
+        })
+
+    sel_ids: list[int] = []
+    center = None
+    for r in range(k):
+        if r == 0:
+            got = pick(state.map_batches(
+                block_min_id, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True), seed=True)
+        else:
+            state = state.map_batches(
+                update, fn_kwargs={"c_ref": ray.put(center)},
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).materialize()
+            got = pick(state.map_batches(
+                block_argmax, batch_format="pyarrow", batch_size=None,
+                zero_copy_batch=True), seed=False)
+        if got is None:
+            break
+        if r > 0 and got[2] <= 0.0:
+            # every remaining point is AT a center (k > #distinct
+            # directions): further picks would re-select ids — stop
+            break
+        vid, center = got[0], got[1]
+        sel_ids.append(vid)
+    return pa.table({
+        "sel_rank": pa.array(range(len(sel_ids)), pa.int64()),
+        "vec_id": pa.array(sel_ids, pa.int64()),
+    })

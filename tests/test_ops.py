@@ -5797,3 +5797,88 @@ def test_lpa_communities_matches_python_twin(ray_session):
         "a": pa.array([1], pa.int64()), "b": pa.array([2], pa.int64())}))
     with pytest.raises(ValueError, match="broadcast cap"):
         lpa_communities(small, rounds=1, broadcast_max_nodes=1)
+
+
+def test_line_rule_filter_block_matches_twin():
+    """C4 rule line filter == pure-Python twin: word-window split,
+    min-words/terminal/banned rules, ordered reassembly, zero-kept
+    docs, NULL/empty docs dropped; invariant to batch splits."""
+    from luzzu_ray.ops.lines import line_rule_filter_block
+
+    W, MINW = 3, 2
+    texts = [
+        "one two. three four five. six",     # lines of 3 words
+        None, "",
+        "bad spark line. keep me now. x",
+        "short.",                              # 1-word line, < min
+        "a b c d e f g h i",                  # no terminals -> 0 kept
+    ]
+    ids = list(range(len(texts)))
+
+    def twin(doc, text):
+        if not text:
+            return None
+        words = text.split(" ")
+        lines = [" ".join(words[i:i + W]) for i in range(0, len(words), W)]
+        kept = [ln for ln in lines
+                if len(ln.split(" ")) >= MINW and ln.endswith(".")
+                and "spark" not in ln]
+        return (doc, len(lines), len(kept), " ".join(kept))
+
+    want = [r for r in (twin(i, tx) for i, tx in zip(ids, texts)) if r]
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    for split in (len(texts), 2):
+        parts = [
+            line_rule_filter_block(
+                t.slice(i, split), words_per_line=W, min_words=MINW,
+                banned="spark")
+            for i in range(0, len(texts), split)
+        ]
+        got = [tuple(r.values()) for p in parts for r in p.to_pylist()]
+        assert got == want, (split, got)
+
+
+def test_kcenter_select_matches_greedy_twin(ray_session):
+    """Distributed greedy k-center == the single-process greedy twin
+    (seed = min id, farthest-point rounds, ties to min id), for any
+    block layout; k > n truncates; duplicate-vector corpus degrades
+    deterministically on both sides."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import kcenter_select
+
+    def twin(V, ids, k):
+        N = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        sel = [int(ids[np.argmin(ids)])]
+        dmin = np.full(len(ids), np.inf)
+        for _ in range(1, min(k, len(ids))):
+            c = N[np.flatnonzero(ids == sel[-1])[0]]
+            dmin = np.minimum(dmin, 1.0 - N @ c)
+            i = np.lexsort((ids, -dmin))[0]
+            sel.append(int(ids[i]))
+        return sel
+
+    rng = np.random.default_rng(29)
+    n, d = 120, 6
+    V = rng.normal(size=(n, d)).astype(np.float32).astype(np.float64)
+    V[7] = V[3]  # duplicate vectors
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, r)) for r in V],
+                              pa.list_(pa.float32())),
+    })
+    for k in (1, 5):
+        want = twin(V, ids, k)
+        for nb in (1, 6):
+            got = kcenter_select(
+                ray.data.from_arrow(t).repartition(nb), k)
+            assert got["vec_id"].to_pylist() == want, (k, nb)
+            assert got["sel_rank"].to_pylist() == list(range(len(want)))
+    # k beyond n truncates at n selections
+    tiny = ray.data.from_arrow(t.slice(0, 3))
+    got = kcenter_select(tiny, 10)
+    assert got.num_rows == 3
