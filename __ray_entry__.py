@@ -2415,6 +2415,47 @@ def q_conv_dedup_exact(sf_dir: str):
     return exact_duplicates(rend.map_batches(adapt, batch_format="pyarrow"))
 
 
+def q_preference_pairs(sf_dir: str):
+    """DPO/RLHF preference-pair construction (`ops/transcripts.py`
+    ``preference_pairs``): per conversation, chosen = the assistant
+    turn with the highest integer word count (ties to lowest
+    turn_idx), rejected = the lowest (ties to HIGHEST turn_idx);
+    single-assistant-turn conversations emit nothing.  One conv
+    exchange, two lexsorts per block."""
+    from luzzu_ray.ops.transcripts import preference_pairs
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return preference_pairs(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+_PREFERENCE_SQL_TMPL = """
+WITH m AS ({multiturn}),
+a AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+    CAST(CASE WHEN text IS NULL OR text = '' THEN 0
+         ELSE length(text) - length(replace(text, ' ', '')) + 1 END
+         AS BIGINT) AS score
+  FROM m WHERE role = 'assistant'
+),
+ch AS (
+  SELECT conv_id, turn_idx AS chosen_idx, score AS chosen_score
+  FROM a QUALIFY row_number() OVER (PARTITION BY conv_id
+    ORDER BY score DESC, turn_idx) = 1
+),
+rj AS (
+  SELECT conv_id, turn_idx AS rejected_idx, score AS rejected_score
+  FROM a QUALIFY row_number() OVER (PARTITION BY conv_id
+    ORDER BY score ASC, turn_idx DESC) = 1
+)
+SELECT conv_id, chosen_idx, rejected_idx, chosen_score, rejected_score
+FROM ch JOIN rj USING (conv_id)
+WHERE chosen_idx <> rejected_idx
+"""
+
+
 def q_conv_turn_stats(sf_dir: str):
     """Per-conversation content statistics over the multi-turn corpus:
     turn count, per-role counts, total/max turn chars — conversation-
@@ -3201,6 +3242,52 @@ SELECT a.vec_id,
   b.vec_id AS nbr_id
 FROM x a JOIN x b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
 QUALIFY rank <= {KNN_GRAPH_K}
+"""
+
+
+def q_hard_negatives(sf_dir: str):
+    """Per-anchor hard-negative mining (`ops/similarity.py`
+    ``hard_negatives``): the nearest different-label vector within the
+    anchor's k-means cell, ties to lowest id — contrastive-training
+    data prep.  Oracle replays centroid assignment + the per-cell
+    cross-label ranking in SQL."""
+    from luzzu_ray.ops.similarity import hard_negatives
+
+    C = _kmeans_centroids_engine(sf_dir)
+    return hard_negatives(
+        _tbl(sf_dir, "embeddings", ["vec_id", "label", "embedding"]), C
+    )
+
+
+def _hard_negatives_sql(sf_dir: str) -> str | None:
+    from luzzu_ray.ops.similarity import kmeans_centroids
+
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        return None
+    C = kmeans_centroids(_km_sample_matrix_numpy(sf_dir))
+    vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in row) + "])"
+        for i, row in enumerate(C)
+    )
+    return f"""
+WITH cent(cid, cvec) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, c.cid, list_dot_product(e.embedding, c.cvec) AS dot
+  FROM embeddings e CROSS JOIN cent c
+),
+codes AS (
+  SELECT vec_id, CAST(arg_max(cid, dot) AS BIGINT) AS cluster
+  FROM dots GROUP BY vec_id
+),
+x AS (
+  SELECT e.vec_id, e.label, codes.cluster, e.embedding
+  FROM embeddings e JOIN codes USING (vec_id)
+)
+SELECT a.vec_id, b.vec_id AS neg_id
+FROM x a JOIN x b ON b.cluster = a.cluster AND b.label <> a.label
+QUALIFY row_number() OVER (PARTITION BY a.vec_id
+  ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC,
+           b.vec_id) = 1
 """
 
 
@@ -8570,6 +8657,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "preference_pairs": q_preference_pairs,
+        "hard_negatives": q_hard_negatives,
         "kcenter_select": q_kcenter_select,
         "c4_line_filter": q_c4_line_filter,
         "part_cooc_lpa": q_part_cooc_lpa,
@@ -10672,7 +10761,8 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
                            ("ann_recall_eval", _ann_recall_sql),
                            ("semantic_dedup", _semantic_dedup_sql),
                            ("knn_graph", _knn_graph_sql),
-                           ("bitext_mutual_pairs", _bitext_mutual_sql)):
+                           ("bitext_mutual_pairs", _bitext_mutual_sql),
+                           ("hard_negatives", _hard_negatives_sql)):
         sql = builder(oracle_dir)
         if sql is not None:
             sqls[qname] = sql
@@ -10752,6 +10842,9 @@ FROM m
     )
     # incremental maintenance must equal the full recompute
     sqls["events_hll_incremental"] = _hll_estimate_sql()
+    sqls["preference_pairs"] = _PREFERENCE_SQL_TMPL.format(
+        multiturn=_multiturn_sql()
+    )
     sqls["conv_turn_stats"] = _CONV_STATS_SQL_TMPL.format(
         multiturn=_multiturn_sql()
     )

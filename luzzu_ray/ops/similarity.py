@@ -1840,3 +1840,86 @@ def kcenter_select(
         "sel_rank": pa.array(range(len(sel_ids)), pa.int64()),
         "vec_id": pa.array(sel_ids, pa.int64()),
     })
+
+
+def hard_negatives(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-anchor HARD NEGATIVE: the highest-cosine vector with a
+    DIFFERENT label inside the anchor's k-means cell (ties to lowest
+    id) — the contrastive-training data-prep step (in-batch negatives
+    are easy; retrieval training wants the nearest wrong-label
+    example).  Returns (vec_id, neg_id); anchors whose cell holds no
+    other-label vector emit nothing (the IVF recall trade-off, as in
+    :func:`knn_graph`).
+
+    Scale shape: one broadcast centroid argmax per batch, ONE hash
+    exchange keyed on cell id, per-cell cross matmul masked by label
+    equality — cells bound the quadratic.
+    """
+    from luzzu_ray.ops.dedup import _hash_shuffle_ctx, auto_partitions
+
+    _hash_shuffle_ctx()
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        E = _as_matrix(t["embedding"])
+        code = (
+            np.argmax(E @ C.T, axis=1).astype(np.int64)
+            if E.size
+            else np.zeros(t.num_rows, dtype=np.int64)
+        )
+        return pa.table(
+            {"vec_id": t["vec_id"], "label": t["label"],
+             "cluster": pa.array(code), "embedding": t["embedding"]}
+        )
+
+    assigned = ds.select_columns(
+        ["vec_id", "label", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "neg_id": pa.array([], pa.int64())}
+    )
+
+    def neg_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("cluster", "ascending"), ("vec_id", "ascending")])
+        cl = t["cluster"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        lab = pc.cast(t["label"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        N = _normalize(_as_matrix(t["embedding"]))
+        out_a, out_n = [], []
+        bounds = np.flatnonzero(np.diff(cl)) + 1
+        for s, e in zip(
+            np.concatenate(([0], bounds)),
+            np.concatenate((bounds, [len(cl)])),
+        ):
+            ids, lb, m = vid[s:e], lab[s:e], e - s
+            if m < 2 or (lb == lb[0]).all():
+                continue
+            G = N[s:e] @ N[s:e].T
+            G[lb[:, None] == lb[None, :]] = -np.inf  # same label (and self)
+            best = np.argmax(G, axis=1)  # first max -> lowest id (asc ids)
+            ok = np.isfinite(G[np.arange(m), best])
+            out_a.append(ids[ok])
+            out_n.append(ids[best[ok]])
+        if not out_a:
+            return empty
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_a).astype(np.int64)),
+            "neg_id": pa.array(np.concatenate(out_n).astype(np.int64)),
+        })
+
+    part = assigned.repartition(
+        num_blocks=auto_partitions(ds, num_partitions), keys=["cluster"]
+    )
+    return part.map_batches(
+        neg_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )

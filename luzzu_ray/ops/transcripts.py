@@ -789,3 +789,79 @@ def conv_time_stats(
     return part.map_batches(
         _time_stats_block, batch_format="pyarrow", batch_size=None
     )
+
+
+def preference_pairs(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-conversation (chosen, rejected) PREFERENCE-PAIR construction
+    — the DPO/RLHF data-prep step: among a conversation's ASSISTANT
+    turns, chosen = highest score (ties to lowest turn_idx), rejected =
+    lowest score (ties to HIGHEST turn_idx, so an all-tied conversation
+    still yields a distinct pair); conversations whose chosen and
+    rejected coincide (a single assistant turn) emit nothing.
+
+    The stand-in score is the exact integer word count (0 for
+    NULL/empty text) — swap in any per-turn quality signal column.
+    One conv_id exchange; block kernel is two lexsorts, no per-group
+    Python.  Returns (conv_id, chosen_idx, rejected_idx, chosen_score,
+    rejected_score).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["role"], "assistant"))
+        tx = pc.fill_null(t["text"], "")
+        nw = pc.add(pc.count_substring(tx, " "), 1)
+        nw = pc.if_else(
+            pc.equal(pc.binary_length(tx), 0), pa.scalar(0, pa.int32()), nw)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "score": pc.cast(nw, pa.int64()),
+        })
+
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "chosen_idx": pa.array([], pa.int64()),
+        "rejected_idx": pa.array([], pa.int64()),
+        "chosen_score": pa.array([], pa.int64()),
+        "rejected_score": pa.array([], pa.int64()),
+    })
+
+    def pairs_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        conv = t["conv_id"].combine_chunks()
+        code = pc.dictionary_encode(conv)
+        if isinstance(code, pa.ChunkedArray):
+            code = code.combine_chunks()
+        cd = code.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        sc = t["score"].to_numpy(zero_copy_only=False)
+        # chosen: (score DESC, idx ASC) first per conv
+        oc = np.lexsort((idx, -sc, cd))
+        fc = oc[np.flatnonzero(np.diff(cd[oc], prepend=-1))]
+        # rejected: (score ASC, idx DESC) first per conv
+        orj = np.lexsort((-idx, sc, cd))
+        fr = orj[np.flatnonzero(np.diff(cd[orj], prepend=-1))]
+        keep = idx[fc] != idx[fr]
+        fc, fr = fc[keep], fr[keep]
+        return pa.table({
+            "conv_id": conv.take(pa.array(fc)),
+            "chosen_idx": pa.array(idx[fc]),
+            "rejected_idx": pa.array(idx[fr]),
+            "chosen_score": pa.array(sc[fc]),
+            "rejected_score": pa.array(sc[fr]),
+        })
+
+    scored = ds.select_columns(["conv_id", "turn_idx", "role", "text"]) \
+        .map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    part = scored.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    return part.map_batches(
+        pairs_block, batch_format="pyarrow", batch_size=None
+    )

@@ -5882,3 +5882,84 @@ def test_kcenter_select_matches_greedy_twin(ray_session):
     tiny = ray.data.from_arrow(t.slice(0, 3))
     got = kcenter_select(tiny, 10)
     assert got.num_rows == 3
+
+
+def test_hard_negatives_matches_brute_twin(ray_session):
+    """hard_negatives == per-cell brute twin (nearest different-label,
+    ties to lowest id); single-label cells emit nothing; layout-
+    invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import hard_negatives
+
+    rng = np.random.default_rng(31)
+    n, d = 200, 6
+    V = rng.normal(size=(n, d)).astype(np.float32).astype(np.float64)
+    lab = (np.arange(n) % 3).astype(np.int64)
+    lab[:40] = 7  # make one cell possibly single-label heavy
+    C = rng.normal(size=(4, d))
+
+    N = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    cells = np.argmax(V @ C.T, axis=1)
+    want = {}
+    for c in range(4):
+        ids = np.flatnonzero(cells == c)
+        if len(ids) < 2 or len(set(lab[ids])) < 2:
+            continue
+        G = N[ids] @ N[ids].T
+        G[lab[ids][:, None] == lab[ids][None, :]] = -np.inf
+        best = np.argmax(G, axis=1)
+        for i in range(len(ids)):
+            if np.isfinite(G[i, best[i]]):
+                want[int(ids[i])] = int(ids[best[i]])
+
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "label": pa.array(lab, pa.int32()),
+        "embedding": pa.array([list(map(float, r)) for r in V],
+                              pa.list_(pa.float32())),
+    })
+    for nb in (1, 7):
+        got = {r["vec_id"]: r["neg_id"]
+               for r in hard_negatives(
+                   ray.data.from_arrow(t).repartition(nb), C).take_all()}
+        assert got == want, nb
+
+
+def test_preference_pairs_matches_twin(ray_session):
+    """preference_pairs == row twin: chosen (score DESC, idx ASC),
+    rejected (score ASC, idx DESC), all-tied convs yield (min, max),
+    single-assistant convs drop, NULL/empty text scores 0; invariant
+    to block layout."""
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import preference_pairs
+
+    rows = [
+        # conv, idx, role, text
+        ("a", 0, "user", "q"), ("a", 1, "assistant", "one two three"),
+        ("a", 2, "user", "q"), ("a", 3, "assistant", "one"),
+        ("b", 0, "assistant", "same same"), ("b", 1, "assistant", "x y"),
+        ("c", 0, "assistant", "only one assistant turn"),
+        ("d", 0, "assistant", None), ("d", 1, "assistant", ""),
+        ("e", 0, "user", "no assistant here"),
+    ]
+    want = {
+        "a": (1, 3, 3, 1),
+        "b": (0, 1, 2, 2),   # tie: chosen min idx, rejected max idx
+        "d": (0, 1, 0, 0),   # null/empty both score 0
+    }
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    })
+    for nb in (1, 4):
+        got = {
+            r["conv_id"]: (r["chosen_idx"], r["rejected_idx"],
+                           r["chosen_score"], r["rejected_score"])
+            for r in preference_pairs(
+                ray.data.from_arrow(t).repartition(nb)).take_all()
+        }
+        assert got == want, nb
