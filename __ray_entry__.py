@@ -3245,6 +3245,46 @@ QUALIFY rank <= {KNN_GRAPH_K}
 """
 
 
+OVERLAP_BASE_US = 1_704_067_200 * 1_000_000  # 2024-01-01 in epoch us
+OVERLAP_WINDOWS = [
+    (OVERLAP_BASE_US + w * 8 * 3_600_000_000,
+     OVERLAP_BASE_US + (w * 8 + 3) * 3_600_000_000)
+    for w in range(12)
+]
+
+
+def q_activity_window_overlap(sf_dir: str):
+    """Interval-OVERLAP attribution join (`ops/events.py`
+    ``daily_span_window_overlap``): per-(user, day) activity spans
+    [min ts, max ts] vs 12 broadcast 3-hour incident windows — every
+    overlapping (span, window) pair with its exact overlap duration in
+    microseconds.  One keyed exchange builds the spans; the window
+    probe is a constant-size closure, never a shuffle side."""
+    from luzzu_ray.ops.events import daily_span_window_overlap
+
+    return daily_span_window_overlap(
+        _tbl(sf_dir, "events", ["user_id", "ts"]), OVERLAP_WINDOWS
+    )
+
+
+def _overlap_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {ws}, {we})"
+        for i, (ws, we) in enumerate(OVERLAP_WINDOWS)
+    )
+    return f"""
+WITH spans AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+  FROM events GROUP BY 1, 2
+),
+w(window_id, ws, we) AS (VALUES {vals})
+SELECT user_id, day, CAST(window_id AS BIGINT) AS window_id,
+  CAST(least(hi, we) - greatest(lo, ws) AS BIGINT) AS overlap_us
+FROM spans JOIN w ON ws <= hi AND lo <= we
+"""
+
+
 def q_hard_negatives(sf_dir: str):
     """Per-anchor hard-negative mining (`ops/similarity.py`
     ``hard_negatives``): the nearest different-label vector within the
@@ -7931,6 +7971,66 @@ def q_documents_csv_roundtrip(sf_dir: str):
                           zero_copy_batch=True)
 
 
+ORC_N_FILES = 4
+
+
+def q_documents_orc_roundtrip(sf_dir: str):
+    """ORC source conformance via the CUSTOM-SOURCE pattern Ray lacks a
+    native reader for: the documents table is exported ONCE to
+    ORC_N_FILES ORC files (deterministic doc_id-ranged split, cached
+    per sf dir like the CSV twin), read back as
+    ``read_binary_files`` -> per-file ``pyarrow.orc`` decode inside
+    ``map_batches`` (bytes -> Arrow tables, one task per file — the
+    streaming shape any exotic format takes in this engine), and
+    projected to the same byte-checkable stats as the CSV/JSONL
+    roundtrips against the PARQUET-side oracle."""
+    import hashlib
+    import io
+
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    cache = f"/tmp/luzzu_orc_{tag}"
+    done = os.path.join(cache, "_done")
+    if not os.path.exists(done):
+        os.makedirs(cache, exist_ok=True)
+        t = pq.read_table(src).sort_by("doc_id")
+        step = -(-t.num_rows // ORC_N_FILES)
+        for i in range(ORC_N_FILES):
+            part = t.slice(i * step, step)
+            tmp = os.path.join(cache, f"part-{i}.orc.{os.getpid()}.tmp")
+            paorc.write_table(part, tmp)
+            os.replace(tmp, os.path.join(cache, f"part-{i}.orc"))
+        with open(done + f".{os.getpid()}.tmp", "w") as f:
+            f.write("ok")
+        os.replace(done + f".{os.getpid()}.tmp", done)
+
+    ds = ray.data.read_binary_files(
+        [os.path.join(cache, f"part-{i}.orc") for i in range(ORC_N_FILES)]
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        outs = []
+        for payload in t["bytes"].to_pylist():  # per-FILE decode loop
+            tbl = paorc.ORCFile(io.BytesIO(payload)).read()
+            txt = pc.fill_null(pc.cast(tbl["text"], pa.string()), "")
+            outs.append(pa.table(
+                {"doc_id": pc.cast(tbl["doc_id"], pa.int64()),
+                 "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                 "lang": pc.cast(tbl["lang"], pa.string()),
+                 "source": pc.cast(tbl["source"], pa.string())}
+            ))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
 def q_doc_normalize(sf_dir: str):
     """Canonical text normalization: lowercase, collapse whitespace
     runs, trim — the idempotent pre-tokenization cleanup every web
@@ -8657,6 +8757,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "documents_orc_roundtrip": q_documents_orc_roundtrip,
+        "activity_window_overlap": q_activity_window_overlap,
         "preference_pairs": q_preference_pairs,
         "hard_negatives": q_hard_negatives,
         "kcenter_select": q_kcenter_select,
@@ -10063,6 +10165,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "part_cooc_lpa": _lpa_sql(),
         "c4_line_filter": _c4_line_sql(),
         "kcenter_select": _kcenter_sql(),
+        "activity_window_overlap": _overlap_sql(),
         "top_words_by_lang": f"""
 WITH tk AS (
   SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) AS word
@@ -10703,6 +10806,7 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
         "AS n_chars, lang, source FROM documents"
     )
     sqls["documents_jsonl_roundtrip"] = sqls["documents_csv_roundtrip"]
+    sqls["documents_orc_roundtrip"] = sqls["documents_csv_roundtrip"]
     sqls["kmeans_clusters"] = _kmeans_clusters_sql()
     sqls["docs_weighted_sample"] = (
         f"SELECT doc_id FROM documents WHERE "

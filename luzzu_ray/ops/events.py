@@ -1551,3 +1551,80 @@ def centered_user_window(
     ).repartition(
         num_blocks=num_partitions, keys=["user_id"]
     ).map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def daily_span_window_overlap(
+    ds: ray.data.Dataset,
+    windows: list[tuple[int, int]],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """INTERVAL-OVERLAP join of per-(user, day) activity spans against
+    a small broadcast window table — the incident-attribution /
+    ad-window shape a stream pipeline runs ("which maintenance windows
+    did each user's session overlap, and for how long").
+
+    Left intervals are derived: span = [min(ts), max(ts)] per
+    (user_id, day = epoch_us // US_PER_DAY), built from per-block
+    min/max partials through ONE keyed exchange.  The window table
+    (microsecond [ws, we] pairs) rides the task closure — it is a
+    constant-sized reference list, never a shuffle side.  Overlap uses
+    closed intervals (touching endpoints match with 0 duration):
+    ws <= max AND min <= we; overlap_us = least(max, we) -
+    greatest(min, ws).  Returns (user_id, day, window_id, overlap_us).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    W = [(int(a), int(b)) for a, b in windows]
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.divide(us, US_PER_DAY)  # ts >= epoch: floor == trunc
+        g = pa.table({
+            "user_id": t["user_id"], "day": day, "lo": us, "hi": us,
+        }).group_by(["user_id", "day"]).aggregate(
+            [("lo", "min"), ("hi", "max")])
+        return g.rename_columns(["user_id", "day", "lo", "hi"])
+
+    empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "day": pa.array([], pa.int64()),
+        "window_id": pa.array([], pa.int64()),
+        "overlap_us": pa.array([], pa.int64()),
+    })
+
+    def overlap_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [("lo", "min"), ("hi", "max")]
+        ).rename_columns(["user_id", "day", "lo", "hi"])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        lo = g["lo"].to_numpy(zero_copy_only=False)
+        hi = g["hi"].to_numpy(zero_copy_only=False)
+        out = []
+        for wi, (ws, we) in enumerate(W):
+            m = (ws <= hi) & (lo <= we)
+            if not m.any():
+                continue
+            out.append(pa.table({
+                "user_id": pa.array(uid[m]),
+                "day": pa.array(day[m]),
+                "window_id": pa.array(
+                    np.full(int(m.sum()), wi, dtype=np.int64)),
+                "overlap_us": pa.array(
+                    np.minimum(hi[m], we) - np.maximum(lo[m], ws)),
+            }))
+        return pa.concat_tables(out) if out else empty
+
+    parts = ds.select_columns(["user_id", "ts"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.repartition(
+        num_blocks=num_partitions, keys=["user_id", "day"]
+    ).map_batches(overlap_block, batch_format="pyarrow", batch_size=None)

@@ -5963,3 +5963,71 @@ def test_preference_pairs_matches_twin(ray_session):
                 ray.data.from_arrow(t).repartition(nb)).take_all()
         }
         assert got == want, nb
+
+
+def test_daily_span_window_overlap_twin(ray_session):
+    """Span/window overlap join == row twin: closed-interval semantics
+    (touching endpoint => 0-us overlap row), multi-day users, windows
+    matching nothing, layout invariance."""
+    import ray.data
+
+    from luzzu_ray.ops.events import US_PER_DAY, daily_span_window_overlap
+
+    D = US_PER_DAY
+    rows = [  # (user, ts_us)
+        (1, 100), (1, 500), (1, D + 50),      # day 0 span [100,500]; day 1 [50+D]
+        (2, 1000), (2, 1000),                 # single-point span
+        (3, 2 * D + 10), (3, 2 * D + 900),
+    ]
+    windows = [(0, 200), (500, 600), (10_000, 20_000), (2 * D, 2 * D + 10)]
+
+    def twin():
+        spans = {}
+        for u, ts in rows:
+            key = (u, ts // D)
+            lo, hi = spans.get(key, (ts, ts))
+            spans[key] = (min(lo, ts), max(hi, ts))
+        out = set()
+        for (u, day), (lo, hi) in spans.items():
+            for wi, (ws, we) in enumerate(windows):
+                if ws <= hi and lo <= we:
+                    out.add((u, day, wi, min(hi, we) - max(lo, ws)))
+        return out
+
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    want = twin()
+    assert any(o[3] == 0 for o in want)  # the touching-endpoint case exists
+    for nb in (1, 3):
+        got = {
+            (r["user_id"], r["day"], r["window_id"], r["overlap_us"])
+            for r in daily_span_window_overlap(
+                ray.data.from_arrow(t).repartition(nb), windows).take_all()
+        }
+        assert got == want, nb
+
+
+def test_orc_roundtrip_nulls_and_unicode(ray_session, tmp_path):
+    """ORC custom-source roundtrip pins null text (coalesced to '' on
+    both sides), multibyte text and the multi-file split."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    t = pa.table({
+        "doc_id": pa.array(range(9), pa.int64()),
+        "text": pa.array(
+            [None, "", "plain", "café 漢字 😀", "a,b\"c", "x"] + ["y"] * 3),
+        "lang": pa.array(["en"] * 9),
+        "source": pa.array(["s"] * 9),
+        "n_chars": pa.array([0] * 9, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = E.q_documents_orc_roundtrip(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    texts = t["text"].to_pylist()
+    want = [len(x) if x else 0 for x in texts]
+    assert got["n_chars"].tolist() == want
+    assert got["doc_id"].tolist() == list(range(9))
