@@ -3245,6 +3245,60 @@ QUALIFY rank <= {KNN_GRAPH_K}
 """
 
 
+BOOTSTRAP_B = 16
+
+
+def q_events_bootstrap_means(sf_dir: str):
+    """Deterministic POISSON BOOTSTRAP (`ops/bootstrap.py`): 16
+    resampling replicas of per-event-type (n, sum) — the streaming
+    error-bar scheme (Chamandy et al. 2012) with every multiplicity a
+    pure splitmix64 function of (event_id, replica), so the SQL twin
+    refolds the hash in HUGEINT and matches every replica partial
+    bit-for-bit.  Rows are never replicated: B vectorized scatter
+    passes per block, (#keys x B) rows through one exchange."""
+    from luzzu_ray.ops.bootstrap import poisson_bootstrap_sums
+
+    return poisson_bootstrap_sums(
+        _tbl(sf_dir, "events", ["event_id", "event_type", "value"]),
+        key_col="event_type", value_col="value", id_col="event_id",
+        n_replicas=BOOTSTRAP_B, q=2, num_partitions=2,
+    )
+
+
+def _bootstrap_sql() -> str:
+    from luzzu_ray.ops.bootstrap import POISSON1_CDF_Q53
+
+    T = "18446744073709551616"
+    B = BOOTSTRAP_B
+    src = (
+        f"(SELECT event_type, value, event_id, b FROM events CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {B - 1})) AS b))"
+    )
+    chain = _splitmix_chain_sql(
+        src,
+        f"(CAST(event_id AS HUGEINT) * {B} + b) % {T}",
+        carry="event_type, value, b",
+    )
+    t0, t1, t2, t3 = POISSON1_CDF_Q53
+    return f"""
+WITH {chain},
+w AS (
+  SELECT event_type, value, b,
+    CASE WHEN h // 2048 < {t0} THEN 0
+         WHEN h // 2048 < {t1} THEN 1
+         WHEN h // 2048 < {t2} THEN 2
+         WHEN h // 2048 < {t3} THEN 3
+         ELSE 4 END AS w
+  FROM h
+)
+SELECT event_type AS key, CAST(b AS BIGINT) AS replica,
+  CAST(sum(w) AS BIGINT) AS n,
+  CAST(sum(w * CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT)
+    AS sum_v_q2
+FROM w GROUP BY 1, 2
+"""
+
+
 OVERLAP_BASE_US = 1_704_067_200 * 1_000_000  # 2024-01-01 in epoch us
 OVERLAP_WINDOWS = [
     (OVERLAP_BASE_US + w * 8 * 3_600_000_000,
@@ -8757,6 +8811,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "events_bootstrap_means": q_events_bootstrap_means,
         "documents_orc_roundtrip": q_documents_orc_roundtrip,
         "activity_window_overlap": q_activity_window_overlap,
         "preference_pairs": q_preference_pairs,
@@ -10166,6 +10221,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "c4_line_filter": _c4_line_sql(),
         "kcenter_select": _kcenter_sql(),
         "activity_window_overlap": _overlap_sql(),
+        "events_bootstrap_means": _bootstrap_sql(),
         "top_words_by_lang": f"""
 WITH tk AS (
   SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) AS word

@@ -6031,3 +6031,50 @@ def test_orc_roundtrip_nulls_and_unicode(ray_session, tmp_path):
     want = [len(x) if x else 0 for x in texts]
     assert got["n_chars"].tolist() == want
     assert got["doc_id"].tolist() == list(range(9))
+
+
+def test_poisson_bootstrap_sums_properties(ray_session):
+    """Bootstrap partials: layout-invariant (block splits never change
+    any replica), multiplicity distribution ~ Poisson(1) (mean n per
+    replica within 5% of row count on 20k rows), and the scalar hash
+    twin agrees with the batch path."""
+    import ray.data
+
+    from luzzu_ray.ops.bootstrap import (
+        POISSON1_CDF_Q53, poisson_bootstrap_sums, poisson_multiplicity)
+    from luzzu_ray.ops.sketch import splitmix64
+
+    n, B = 20_000, 4
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "event_type": pa.array(["a" if i % 3 else "b" for i in range(n)]),
+        "value": pa.array([float(i % 50) for i in range(n)]),
+    })
+
+    def run(nb):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        out = poisson_bootstrap_sums(
+            ds, "event_type", "value", "event_id", n_replicas=B)
+        return sorted(
+            (r["key"], r["replica"], r["n"], r["sum_v_q2"])
+            for r in out.take_all())
+
+    one = run(1)
+    assert one == run(7)
+    per_replica_n = {}
+    for k, b, cnt, sv in one:
+        per_replica_n[b] = per_replica_n.get(b, 0) + cnt
+    for b, tot in per_replica_n.items():
+        assert abs(tot - n) < 0.05 * n, (b, tot)
+
+    # scalar twin of the multiplicity draw
+    ids = np.array([0, 1, 12345], dtype=np.int64)
+    for b in range(B):
+        w = poisson_multiplicity(ids, b, B)
+        for i, rid in enumerate(ids):
+            h = int(splitmix64(np.array(
+                [np.uint64(rid) * np.uint64(B) + np.uint64(b)],
+                dtype=np.uint64))[0])
+            u = h >> 11
+            expect = sum(u >= thr for thr in POISSON1_CDF_Q53)
+            assert w[i] == expect
