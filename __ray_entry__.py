@@ -1202,6 +1202,89 @@ def q_dedup_normalized(sf_dir: str):
     )
 
 
+def q_source_kendall(sf_dir: str):
+    """Per-source Kendall rank-agreement pair counts between doc length
+    (n_chars) and word count (`ops/relational.py`
+    ``grouped_kendall_counts``): exact integer concordant / discordant
+    / tie numerators of tau-b — the rank-correlation diagnostic for
+    'does signal A order docs like signal B' — via one keyed exchange
+    and a chunked in-block pairwise kernel (O(m^2) BY SPEC with a loud
+    cap; SQL twin is the per-source self-join)."""
+    from luzzu_ray.ops.relational import grouped_kendall_counts
+
+    def feats(t: pa.Table) -> pa.Table:
+        tx = pc.fill_null(t["text"], "")
+        nw = pc.add(pc.count_substring(tx, " "), 1)
+        nw = pc.if_else(
+            pc.equal(pc.binary_length(tx), 0), pa.scalar(0, pa.int32()), nw)
+        return pa.table({
+            "source": t["source"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "n_words": pc.cast(nw, pa.int64()),
+        })
+
+    return grouped_kendall_counts(
+        _docs(sf_dir, ["doc_id", "source", "n_chars", "text"]).map_batches(
+            feats, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="source", x_col="n_chars", y_col="n_words",
+    )
+
+
+_KENDALL_SQL = """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x,
+    CAST(CASE WHEN text IS NULL OR text = '' THEN 0
+         ELSE length(text) - length(replace(text, ' ', '')) + 1 END
+         AS BIGINT) AS y
+  FROM documents
+)
+SELECT a.source AS key, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_conc,
+  CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_disc,
+  CAST(sum(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_tie_x,
+  CAST(sum(CASE WHEN a.x <> b.x AND a.y = b.y THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_tie_y,
+  CAST(sum(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_tie_both
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+GROUP BY 1
+"""
+
+
+def q_dedup_bow(sf_dir: str):
+    """Exact dedup on the BAG-OF-WORDS key (tokens sorted, rejoined) —
+    catches word-order-shuffled copies that byte/normalized dedup
+    misses (the token-sort fingerprint of record-linkage practice).
+    The per-doc token sort is ONE Arrow sort_indices over the flat
+    (doc, word) pairs + a list rejoin — no Python loop; only 24-byte
+    content keys enter the dedup exchange."""
+    from luzzu_ray.ops.dedup import exact_duplicates
+
+    def bow(t: pa.Table) -> pa.Table:
+        tx = pc.fill_null(t["text"], "")
+        words = pc.split_pattern(tx, " ").combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        pair = pa.table({"d": pa.array(doc_of), "w": flat})
+        idx = pc.sort_indices(
+            pair, sort_keys=[("d", "ascending"), ("w", "ascending")])
+        offsets = np.zeros(t.num_rows + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        key = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat.take(idx)),
+            " ")
+        return pa.table({"doc_id": t["doc_id"], "text": key})
+
+    return exact_duplicates(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            bow, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def q_keep_rate_by_lang_source(sf_dir: str):
     from luzzu_ray.ops.textstats import quality_score_batch
 
@@ -8811,6 +8894,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "source_kendall": q_source_kendall,
+        "dedup_bow": q_dedup_bow,
         "events_bootstrap_means": q_events_bootstrap_means,
         "documents_orc_roundtrip": q_documents_orc_roundtrip,
         "activity_window_overlap": q_activity_window_overlap,
@@ -9646,6 +9731,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY text) "
             "AS is_dup FROM documents"
         ),
+        "dedup_bow": (
+            "SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY "
+            "array_to_string(list_sort(string_split(COALESCE(text, ''), ' ')), ' ')" 
+            ") AS is_dup FROM documents"
+        ),
         "dedup_normalized": (
             "SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY "
             "trim(regexp_replace(lower(text), ' +', ' ', 'g'), ' ')) "
@@ -10222,6 +10312,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "kcenter_select": _kcenter_sql(),
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),
+        "source_kendall": _KENDALL_SQL,
         "top_words_by_lang": f"""
 WITH tk AS (
   SELECT lang, unnest(string_split(COALESCE(text, ''), ' ')) AS word

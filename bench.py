@@ -266,6 +266,21 @@ def main() -> None:
         "neardup_index_probe",
         "quality_calibration",
         "docs_grouping_sets",
+        # round-4 session-7 additions
+        "zorder_prune_events",
+        "doc_nfc_normalize",
+        "bitext_mutual_pairs",
+        "part_cooc_lpa",
+        "c4_line_filter",
+        "kcenter_select",
+        "hard_negatives",
+        "preference_pairs",
+        "activity_window_overlap",
+        "documents_orc_roundtrip",
+        "events_bootstrap_means",
+        "doc_skyline",
+        "dedup_bow",
+        "source_kendall",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -2978,3 +2978,116 @@ def small_group_rows(
     part = ds.repartition(num_blocks=num_partitions, keys=keys)
     return part.map_batches(
         block, batch_format="pyarrow", batch_size=None)
+
+
+KENDALL_GROUP_CAP = 100_000
+
+
+def grouped_kendall_counts(
+    ds: ray.data.Dataset,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    group_cap: int = KENDALL_GROUP_CAP,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group Kendall rank-agreement PAIR COUNTS between two integer
+    columns: (key, n, n_conc, n_disc, n_tie_x, n_tie_y, n_tie_both)
+    over all unordered row pairs within the group — the exact integer
+    numerators of tau-a/tau-b (the float tau is one driver-side
+    expression away; floats stay out of the exchange).
+
+    One keyed exchange co-locates each group; the in-block kernel is a
+    CHUNKED pairwise comparison (sign agreement over broadcast strips),
+    O(m^2) per group BY SPEC with a loud ``group_cap`` guard — beyond
+    the cap use the O(m log m) merge-inversion decomposition (disc =
+    inversions of y under x-order with tie splitting), which trades the
+    transparent pair semantics for recursion.  Pairs are unordered and
+    counted once; NULLs are excluded per column pair (both x and y must
+    be valid), matching the SQL self-join twin.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+        t = t.filter(m)
+        return pa.table({
+            "key": t[key_col],
+            "x": pc.cast(t[x_col], pa.int64()),
+            "y": pc.cast(t[y_col], pa.int64()),
+        })
+
+    empty = pa.table({
+        "key": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+        "n_conc": pa.array([], pa.int64()),
+        "n_disc": pa.array([], pa.int64()),
+        "n_tie_x": pa.array([], pa.int64()),
+        "n_tie_y": pa.array([], pa.int64()),
+        "n_tie_both": pa.array([], pa.int64()),
+    })
+
+    def kendall_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("key", "ascending")])
+        keys = t["key"].combine_chunks()
+        code = pc.dictionary_encode(keys)
+        if isinstance(code, pa.ChunkedArray):
+            code = code.combine_chunks()
+        cd = code.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        rows = []
+        bounds = np.flatnonzero(np.diff(cd)) + 1
+        for s, e in zip(
+            np.concatenate(([0], bounds)),
+            np.concatenate((bounds, [len(cd)])),
+        ):
+            m = e - s
+            if m > group_cap:
+                raise ValueError(
+                    f"grouped_kendall_counts: group of {m} rows exceeds "
+                    f"group_cap={group_cap}; use the merge-inversion "
+                    "O(m log m) path for groups beyond the pairwise spec"
+                )
+            gx, gy = x[s:e], y[s:e]
+            conc = disc = tx = ty = tboth = 0
+            chunk = max(1, (1 << 22) // max(m, 1))  # ~4M cells per strip
+            for lo in range(0, m, chunk):
+                hi = min(lo + chunk, m)
+                dx = np.sign(gx[lo:hi, None] - gx[None, :])
+                dy = np.sign(gy[lo:hi, None] - gy[None, :])
+                iu = np.triu(np.ones((hi - lo, m), dtype=bool),
+                             k=lo + 1)[:, :m]
+                prod = (dx * dy)[iu]
+                dxm, dym = dx[iu], dy[iu]
+                conc += int((prod == 1).sum())
+                disc += int((prod == -1).sum())
+                tboth += int(((dxm == 0) & (dym == 0)).sum())
+                tx += int(((dxm == 0) & (dym != 0)).sum())
+                ty += int(((dxm != 0) & (dym == 0)).sum())
+            rows.append((keys[s].as_py(), m * (m - 1) // 2,
+                         conc, disc, tx, ty, tboth))
+        if not rows:
+            return empty
+        cols = list(zip(*rows))
+        return pa.table({
+            "key": pa.array(cols[0], pa.string()),
+            "n": pa.array(cols[1], pa.int64()),
+            "n_conc": pa.array(cols[2], pa.int64()),
+            "n_disc": pa.array(cols[3], pa.int64()),
+            "n_tie_x": pa.array(cols[4], pa.int64()),
+            "n_tie_y": pa.array(cols[5], pa.int64()),
+            "n_tie_both": pa.array(cols[6], pa.int64()),
+        })
+
+    picked = ds.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return picked.repartition(
+        num_blocks=num_partitions, keys=["key"]
+    ).map_batches(kendall_block, batch_format="pyarrow", batch_size=None)

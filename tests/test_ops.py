@@ -6078,3 +6078,86 @@ def test_poisson_bootstrap_sums_properties(ray_session):
             u = h >> 11
             expect = sum(u >= thr for thr in POISSON1_CDF_Q53)
             assert w[i] == expect
+
+
+def test_dedup_bow_detects_shuffled_copies(ray_session, tmp_path):
+    """Bag-of-words dedup flags word-order-shuffled copies (keeping the
+    min doc_id) and leaves distinct multisets alone; NULL == '' under
+    the shared key; duplicate tokens preserved (multiset, not set)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    texts = [
+        "alpha beta gamma",     # 0: base
+        "gamma alpha beta",     # 1: shuffled copy -> dup of 0
+        "alpha beta",           # 2: subset, NOT a dup
+        "alpha alpha beta gamma",  # 3: different multiset
+        "alpha gamma beta alpha",  # 4: same multiset as 3 -> dup
+        "beta alpha alpha gamma",  # 5: same multiset as 3 -> dup
+        None, "",               # 6, 7: both key '' -> 7 dups 6
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([0] * len(texts), pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = E.q_dedup_bow(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["is_dup"].tolist() == [
+        False, True, False, False, True, True, False, True]
+
+
+def test_grouped_kendall_counts_matches_twin(ray_session):
+    """Kendall pair counts == brute itertools twin (conc/disc/tie-x/
+    tie-y/tie-both partition all pairs), layout-invariant; over-cap
+    groups raise loudly."""
+    import itertools
+
+    import pytest
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_kendall_counts
+
+    rng = np.random.default_rng(41)
+    n = 150
+    key = np.array(["s%d" % (i % 3) for i in range(n)])
+    x = rng.integers(0, 12, n).astype(np.int64)  # small domain => many ties
+    y = rng.integers(0, 12, n).astype(np.int64)
+    want = {}
+    for g in set(key):
+        idx = np.flatnonzero(key == g)
+        conc = disc = tx = ty = tb = 0
+        for i, j in itertools.combinations(idx, 2):
+            dx, dy = int(x[i] - x[j]), int(y[i] - y[j])
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+            elif dx == 0 and dy == 0:
+                tb += 1
+            elif dx == 0:
+                tx += 1
+            else:
+                ty += 1
+        m = len(idx)
+        want[g] = (m * (m - 1) // 2, conc, disc, tx, ty, tb)
+    t = pa.table({
+        "k": pa.array(key), "x": pa.array(x), "y": pa.array(y),
+    })
+    for nb in (1, 5):
+        got = {
+            r["key"]: (r["n"], r["n_conc"], r["n_disc"], r["n_tie_x"],
+                       r["n_tie_y"], r["n_tie_both"])
+            for r in grouped_kendall_counts(
+                ray.data.from_arrow(t).repartition(nb),
+                "k", "x", "y").take_all()
+        }
+        assert got == want, nb
+    # the in-task ValueError surfaces Ray-wrapped; match on the message
+    with pytest.raises(Exception, match="group_cap"):
+        grouped_kendall_counts(
+            ray.data.from_arrow(t), "k", "x", "y", group_cap=10).take_all()
