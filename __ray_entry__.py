@@ -1285,6 +1285,234 @@ def q_dedup_bow(sf_dir: str):
     )
 
 
+def _synth_url_batch(t: pa.Table) -> pa.Table:
+    """Deterministic messy fetch-URL per document (harness, not an
+    operator): scheme/WWW/case/port/tracking-param/fragment noise keyed
+    off ``doc_id`` residues so the SAME expression is writable in SQL.
+    Residues mod {2,3,4,5,6,7,11,13,17} make canonicalization exercise
+    every rule, and the (source, path mod 13) resource identity cycles
+    with period lcm(20,13)=260 — so real duplicate resources exist at
+    every sf."""
+    d = pc.cast(t["doc_id"], pa.int64())
+    src = pc.fill_null(t["source"], "")
+
+    def m(k):
+        return pc.cast(
+            pc.subtract(d, pc.multiply(pc.divide(d, k), k)), pa.int64())
+
+    def s(x):
+        return pc.cast(x, pa.string())
+
+    def eq0(k):
+        return pc.equal(m(k), 0)
+
+    scheme = pc.if_else(eq0(3), "HTTPS", "http")
+    www = pc.if_else(eq0(2), "WWW.", "")
+    hostbase = pc.if_else(pc.equal(m(4), 0), pc.utf8_upper(src), src)
+    port = pc.if_else(
+        eq0(3), ":443", pc.if_else(eq0(11), ":8080", ""))
+    tslash = pc.if_else(pc.equal(m(2), 1), "/", "")
+    q5 = m(5)
+    query = pc.if_else(
+        pc.equal(q5, 0),
+        pc.binary_join_element_wise(
+            "?utm_source=news&utm_medium=cpc&id=", s(m(17)), ""),
+        pc.if_else(
+            pc.or_(pc.equal(q5, 1), pc.equal(q5, 2)),
+            pc.binary_join_element_wise("?id=", s(m(17)), ""),
+            ""))
+    frag = pc.if_else(
+        eq0(6), pc.binary_join_element_wise("#sec", s(m(7)), ""), "")
+    url = pc.binary_join_element_wise(
+        scheme, "://", www, hostbase, ".example.com", port,
+        "/p/", s(m(13)), tslash, query, frag, "")
+    return pa.table({"doc_id": t["doc_id"], "url": url})
+
+
+_URL_SYNTH_SQL = """
+SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+  CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+  CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END ||
+  '.example.com' ||
+  CASE WHEN doc_id % 3 = 0 THEN ':443'
+       WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+  '/p/' || CAST(doc_id % 13 AS VARCHAR) ||
+  CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0
+       THEN '?utm_source=news&utm_medium=cpc&id=' ||
+            CAST(doc_id % 17 AS VARCHAR)
+       WHEN doc_id % 5 IN (1, 2)
+       THEN '?id=' || CAST(doc_id % 17 AS VARCHAR)
+       ELSE '' END ||
+  CASE WHEN doc_id % 6 = 0
+       THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END AS url
+FROM documents
+"""
+
+# SQL twin of ops/web.normalize_url_batch over the synth URLs (same
+# RE2 patterns, same rule order).
+_URL_NORM_SQL = f"""
+WITH raw AS ({_URL_SYNTH_SQL}),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([^:]+)://([^/?#]*)(.*)$', 1)) AS scheme,
+    regexp_replace(
+      lower(regexp_extract(url, '^([^:]+)://([^/?#]*)(.*)$', 2)),
+      '^www\\.', '') AS hp0,
+    regexp_extract(url, '^([^:]+)://([^/?#]*)(.*)$', 3) AS rest0
+  FROM raw),
+q AS (
+  SELECT doc_id, url, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$', '')
+         ELSE hp0 END AS hostport,
+    regexp_replace(regexp_replace(regexp_replace(
+      rest0, '#.*$', ''), 'utm_[a-z_]+=[^&]*&?', '', 'g'),
+      '[?&]+$', '') AS rest1
+  FROM p)
+SELECT doc_id, url,
+  scheme || '://' || hostport || regexp_replace(rest1, '/+$', '')
+    AS url_norm,
+  regexp_replace(hostport, ':[0-9]+$', '') AS host
+FROM q
+"""
+
+
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization (`ops/web.py` `normalize_url_batch`):
+    lowercase scheme+host, strip www./default ports/fragments/utm_*
+    params/trailing slashes — one streaming map pass, RE2 patterns
+    shared verbatim with the DuckDB twin."""
+    from luzzu_ray.ops.web import normalize_url_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        return normalize_url_batch(_synth_url_batch(t))
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_url_dedup(sf_dir: str):
+    """Resource-identity URL dedup: canonical hostport+path (query,
+    fragment, scheme and trailing slashes ignored) as the dedup key,
+    through the 128-bit content-key exchange of `exact_duplicates` —
+    'the same page refetched over http/https with tracking params is
+    one resource'."""
+    from luzzu_ray.ops.dedup import exact_duplicates
+    from luzzu_ray.ops.web import resource_key_batch
+
+    def key(t: pa.Table) -> pa.Table:
+        r = resource_key_batch(_synth_url_batch(t))
+        return pa.table({"doc_id": r["doc_id"], "text": r["resource_key"]})
+
+    return exact_duplicates(
+        _docs(sf_dir, ["doc_id", "source"]).map_batches(
+            key, batch_format="pyarrow", zero_copy_batch=True))
+
+
+# UT1-style host blocklist (driver-known small side; ships once).
+BLOCKED_HOSTS = ("src3.example.com", "src11.example.com",
+                 "src17.example.com")
+
+
+def q_host_blocklist(sf_dir: str):
+    """Host blocklist filter (`ops/web.py` `filter_hosts_batch`): drop
+    every document whose canonical host is on the (broadcast-small)
+    blocklist, BEFORE any text compute — output is the kept
+    (doc_id, host) provenance."""
+    from luzzu_ray.ops.web import filter_hosts_batch, normalize_url_batch
+
+    blocked = frozenset(BLOCKED_HOSTS)
+
+    def fn(t: pa.Table) -> pa.Table:
+        r = filter_hosts_batch(
+            normalize_url_batch(_synth_url_batch(t)), blocked)
+        return r.select(["doc_id", "host"])
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _synth_html_batch(t: pa.Table) -> pa.Table:
+    """Deterministic shallow-markup wrapper around each document's text
+    (harness): heading, paragraph with entity-escaped ampersand/angle
+    noise, and a boilerplate div — same expression writable in SQL."""
+    d = pc.cast(t["doc_id"], pa.int64())
+    hnum = pc.cast(
+        pc.subtract(d, pc.multiply(pc.divide(d, 7), 7)), pa.string())
+    body = pc.replace_substring(
+        pc.fill_null(t["text"], ""), "value", "value &amp; &lt;x&gt;")
+    html = pc.binary_join_element_wise(
+        '<html><body><h1 class="t">Doc ', hnum, "</h1><p>", body,
+        '</p><div id="ad">sponsored &quot;link&quot;</div></body></html>',
+        "")
+    return pa.table({"doc_id": t["doc_id"], "html": html})
+
+
+_HTML_STRIP_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+    '<html><body><h1 class="t">Doc ' || CAST(doc_id % 7 AS VARCHAR) ||
+    '</h1><p>' ||
+    replace(COALESCE(text, ''), 'value', 'value &amp; &lt;x&gt;') ||
+    '</p><div id="ad">sponsored &quot;link&quot;</div></body></html>'
+      AS html
+  FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(
+      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&amp;', '&'),
+    '[ \t\r\n]+', ' ', 'g'), ' ') AS text_extracted,
+  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags
+FROM raw
+"""
+
+
+def q_html_strip(sf_dir: str):
+    """HTML boilerplate strip (`ops/web.py` `strip_html_batch`): tag
+    removal, fixed-order entity decode, whitespace collapse + tag
+    count — the deterministic core of WET extraction as one vectorized
+    map pass."""
+    from luzzu_ray.ops.web import strip_html_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        return strip_html_batch(_synth_html_batch(t)).select(
+            ["doc_id", "text_extracted", "n_tags"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_topp_by_source(sf_dir: str):
+    """Per-SOURCE exact top-20% by quality score
+    (`ops/relational.py` `grouped_top_fraction_by_score`): the
+    mixture-preserving curation threshold — each source keeps its own
+    best fifth, so one high-scoring source cannot crowd out the rest.
+    Score is the same q6-quantized symbol/digit-density score as the
+    global `quality_topp`."""
+    from luzzu_ray.ops.relational import grouped_top_fraction_by_score
+    from luzzu_ray.ops.textstats import doc_stats_batch
+
+    def score(t: pa.Table) -> pa.Table:
+        s = doc_stats_batch(t)
+        score_q6 = pc.subtract(
+            pa.scalar(2_000_000, pa.int64()),
+            pc.add(s["symbol_ratio_q6"], s["digit_ratio_q6"]),
+        )
+        return pa.table({
+            "source": t["source"], "doc_id": s["doc_id"],
+            "score_q6": score_q6,
+        })
+
+    scored = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_top_fraction_by_score(
+        scored, "source", "score_q6", "doc_id", 1, 5)
+
+
 def q_keep_rate_by_lang_source(sf_dir: str):
     from luzzu_ray.ops.textstats import quality_score_batch
 
@@ -8894,6 +9122,11 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
+        "host_blocklist": q_host_blocklist,
+        "html_strip": q_html_strip,
+        "topp_by_source": q_topp_by_source,
         "source_kendall": q_source_kendall,
         "dedup_bow": q_dedup_bow,
         "events_bootstrap_means": q_events_bootstrap_means,
@@ -9856,6 +10089,34 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY lang ORDER BY "
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
+        ),
+        "url_normalize": _URL_NORM_SQL,
+        "url_dedup": f"""
+WITH norm AS ({_URL_NORM_SQL}),
+k AS (
+  SELECT doc_id,
+    regexp_extract(url_norm, '^([^:]+)://([^/?#]*)(.*)$', 2) ||
+    regexp_replace(regexp_replace(
+      regexp_extract(url_norm, '^([^:]+)://([^/?#]*)(.*)$', 3),
+      '[?#].*$', ''), '/+$', '') AS rk
+  FROM norm)
+SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY rk) AS is_dup
+FROM k
+""",
+        "host_blocklist": f"""
+WITH norm AS ({_URL_NORM_SQL})
+SELECT doc_id, host FROM norm
+WHERE host NOT IN ('{BLOCKED_HOSTS[0]}', '{BLOCKED_HOSTS[1]}',
+                   '{BLOCKED_HOSTS[2]}')
+""",
+        "html_strip": _HTML_STRIP_SQL,
+        "topp_by_source": (
+            "SELECT source, doc_id, score_q6 FROM (SELECT doc_id, source, "
+            "2000000 - symbol_ratio_q6 - digit_ratio_q6 AS score_q6 FROM ("
+            f"SELECT doc_id, source, {_STATS_FRAG} FROM documents)) "
+            "QUALIFY row_number() OVER (PARTITION BY source "
+            "ORDER BY score_q6 DESC, doc_id) <= "
+            "(count(*) OVER (PARTITION BY source) + 4) // 5"
         ),
         "quality_topp": (
             "SELECT doc_id, score_q6 FROM (SELECT doc_id, "

@@ -281,6 +281,11 @@ def main() -> None:
         "doc_skyline",
         "dedup_bow",
         "source_kendall",
+        "url_normalize",
+        "url_dedup",
+        "host_blocklist",
+        "html_strip",
+        "topp_by_source",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

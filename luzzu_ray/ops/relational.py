@@ -3091,3 +3091,142 @@ def grouped_kendall_counts(
     return picked.repartition(
         num_blocks=num_partitions, keys=["key"]
     ).map_batches(kendall_block, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_top_fraction_by_score(
+    ds: ray.data.Dataset,
+    key_col: str,
+    score_col: str,
+    id_col: str,
+    numer: int,
+    denom: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-GROUP exact top-``numer/denom`` selection by an integer
+    score — the "keep the best P% of each source/language by quality
+    score" primitive of adaptive curation (a global threshold lets one
+    high-scoring source crowd out every other; per-group thresholds
+    are how mixture-preserving filtering is actually run).  Equal to
+    SQL's ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY score
+    DESC, id) <= ceil(numer * count(*) OVER (PARTITION BY key) /
+    denom)`` in exact integer arithmetic; ties at each group's
+    boundary score break by ascending ``id_col``.
+
+    Same two-pass shape as ``top_fraction_by_score``, with the driver
+    table growing from |score domain| to |keys| x |per-key score
+    domain| rows — the score must be quantized (q6-style) and the key
+    domain bounded (sources, languages), the same contract as the
+    histogram ops; at 100 TB that is still a metadata-sized pull.
+    Thresholds broadcast once via ``ray.put``; rows with
+    ``score > v*[key]`` stream straight through, boundary ties go
+    through a per-key bottom-``r`` trim whose reduce blocks hold
+    <= ``#map_blocks * r_key`` rows per key.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns([key_col, id_col, score_col])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select([key_col, score_col]).group_by([key_col, score_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, score_col, "n"])
+        )
+
+    def count_merge(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by([key_col, score_col]).aggregate([("n", "sum")])
+            .rename_columns([key_col, score_col, "n"])
+        )
+
+    counts = (
+        picked.map_batches(count_partial, batch_format="pyarrow")
+        .repartition(
+            num_blocks=max(4, num_partitions // 8), keys=[key_col]
+        )
+        .map_batches(count_merge, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    empty = pa.table({
+        key_col: pa.array([], pa.string()),
+        id_col: pa.array([], pa.int64()),
+        score_col: pa.array([], pa.int64()),
+    })
+    if not counts:
+        return ray.data.from_arrow(empty)
+
+    # Driver-side per-key threshold scan (|keys| x |score domain| rows).
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for c in counts:
+        by_key.setdefault(c[key_col], []).append(
+            (int(c[score_col]), int(c["n"])))
+    v_star: dict[str, int] = {}
+    r_ties: dict[str, int] = {}
+    for k, pairs in by_key.items():
+        pairs.sort(key=lambda p: -p[0])
+        n_total = sum(n for _, n in pairs)
+        k_target = (numer * n_total + denom - 1) // denom
+        cum = 0
+        for v, n in pairs:
+            if cum + n >= k_target:
+                v_star[k] = v
+                r_ties[k] = k_target - cum
+                break
+            cum += n
+
+    keys_sorted = np.array(sorted(v_star), dtype=object)
+    v_arr = np.array([v_star[k] for k in keys_sorted], dtype=np.int64)
+    r_arr = np.array([r_ties[k] for k in keys_sorted], dtype=np.int64)
+    thr_ref = ray.put((keys_sorted, v_arr, r_arr))
+
+    def _lookup(keys: np.ndarray, table_ref):
+        ks, vs, rs = ray.get(table_ref)
+        idx = np.searchsorted(ks, keys)
+        idx = np.clip(idx, 0, len(ks) - 1)
+        ok = ks[idx] == keys
+        return idx, ok, vs, rs
+
+    def above_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        keys = np.asarray(
+            t[key_col].to_numpy(zero_copy_only=False), dtype=object)
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        idx, ok, vs, _ = _lookup(keys, thr_ref)
+        return t.filter(pa.array(ok & (s > vs[idx]))).select(
+            [key_col, id_col, score_col])
+
+    def tie_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        keys = np.asarray(
+            t[key_col].to_numpy(zero_copy_only=False), dtype=object)
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        idx, ok, vs, rs = _lookup(keys, thr_ref)
+        t = t.filter(pa.array(ok & (s == vs[idx]))).select(
+            [key_col, id_col, score_col])
+        if t.num_rows == 0:
+            return empty
+        # keep the bottom-r[key] ids per key (partial: safe superset)
+        t = t.sort_by([(key_col, "ascending"), (id_col, "ascending")])
+        keys2 = np.asarray(
+            t[key_col].to_numpy(zero_copy_only=False), dtype=object)
+        idx2, _, _, rs2 = _lookup(keys2, thr_ref)
+        starts = np.r_[0, np.flatnonzero(keys2[1:] != keys2[:-1]) + 1]
+        group_of = np.searchsorted(starts, np.arange(len(keys2)), "right") - 1
+        rank_in_group = np.arange(len(keys2)) - starts[group_of]
+        return t.filter(pa.array(rank_in_group < rs2[idx2]))
+
+    above = picked.map_batches(
+        above_fn, batch_format="pyarrow", zero_copy_batch=True)
+    trimmed = (
+        picked.map_batches(
+            tie_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=max(4, num_partitions // 8),
+                     keys=[key_col])
+        .map_batches(tie_partial, batch_format="pyarrow", batch_size=None)
+    )
+    return above.union(trimmed)

@@ -6161,3 +6161,93 @@ def test_grouped_kendall_counts_matches_twin(ray_session):
     with pytest.raises(Exception, match="group_cap"):
         grouped_kendall_counts(
             ray.data.from_arrow(t), "k", "x", "y", group_cap=10).take_all()
+
+
+def test_url_normalize_rules():
+    """Each canonicalization rule fires: case fold, www strip, default
+    vs non-default port, fragment/utm/trailing-slash removal; rows not
+    shaped like scheme://host pass through with empty host."""
+    from luzzu_ray.ops.web import normalize_url_batch, resource_key_batch
+
+    t = pa.table({"url": pa.array([
+        "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&id=3#frag",
+        "http://ex.com:80/a/b?id=3&utm_medium=y",
+        "http://ex.com:8080/a/b/",
+        "not a url",
+        None,
+    ])})
+    out = normalize_url_batch(t)
+    # NOTE: a '/' BEFORE the query string is path content and is kept;
+    # only a trailing '/' at the very end of the URL is stripped.
+    assert out["url_norm"].to_pylist() == [
+        "https://ex.com/a/b/?id=3",
+        "http://ex.com/a/b?id=3",
+        "http://ex.com:8080/a/b",
+        "not a url",
+        "",
+    ]
+    assert out["host"].to_pylist() == [
+        "ex.com", "ex.com", "ex.com", "", ""]
+    rk = resource_key_batch(t)["resource_key"].to_pylist()
+    # scheme ignored, query/fragment ignored, non-default port kept
+    assert rk[0] == rk[1] == "ex.com/a/b"
+    assert rk[2] == "ex.com:8080/a/b"
+
+
+def test_strip_html_single_pass_entities():
+    """Tags -> spaces (word boundaries kept), entities decode in the
+    fixed order so '&amp;lt;' yields the LITERAL '&lt;' (no re-decode),
+    n_tags counts removed tags, whitespace collapses."""
+    from luzzu_ray.ops.web import strip_html_batch
+
+    t = pa.table({"html": pa.array([
+        "<p>a<br>b</p>  <div>c &amp;lt; d &quot;q&quot;</div>",
+        "plain",
+        None,
+    ])})
+    out = strip_html_batch(t)
+    assert out["text_extracted"].to_pylist() == [
+        'a b c &lt; d "q"', "plain", ""]
+    assert out["n_tags"].to_pylist() == [5, 0, 0]
+
+
+def test_filter_hosts_batch_blocklist():
+    from luzzu_ray.ops.web import filter_hosts_batch
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "host": pa.array(["a.com", "b.com", None]),
+    })
+    out = filter_hosts_batch(t, {"b.com"})
+    assert out["doc_id"].to_pylist() == [1, 3]  # NULL host is not blocked
+
+
+def test_grouped_top_fraction_matches_qualify(ray_session):
+    """grouped_top_fraction_by_score == DuckDB QUALIFY row_number()
+    OVER (PARTITION BY key ORDER BY score DESC, id) <= ceil(n_k/denom)
+    — exact, tie-broken by id, layout-invariant."""
+    import duckdb
+    import ray.data
+
+    from luzzu_ray.ops.relational import grouped_top_fraction_by_score
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(["s%d" % (i % 5) for i in range(n)]),
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "score": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+    })
+    want = duckdb.sql("""
+      SELECT k, doc_id, score FROM t
+      QUALIFY row_number() OVER (PARTITION BY k ORDER BY score DESC, doc_id)
+        <= CAST(ceil(0.1 * count(*) OVER (PARTITION BY k)) AS BIGINT)
+      ORDER BY doc_id
+    """).df().reset_index(drop=True)
+    for nb in (1, 7):
+        got = grouped_top_fraction_by_score(
+            ray.data.from_arrow(t).repartition(nb),
+            "k", "score", "doc_id", 1, 10,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got.shape == want.shape, nb
+        assert (got.values == want.values).all(), nb
