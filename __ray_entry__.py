@@ -1513,6 +1513,59 @@ def q_topp_by_source(sf_dir: str):
         scored, "source", "score_q6", "doc_id", 1, 5)
 
 
+def q_cdc_chunk_stats(sf_dir: str):
+    """Content-defined-chunking dedup signal (`ops/dedup.py`
+    `cdc_chunk_stats`): per doc, total CDC chunks and chunk instances
+    shared with >=2 distinct documents — the storage-dedup construction
+    whose boundaries survive insertions/deletions, catching partial
+    duplication that fixed shingles re-align away from."""
+    from luzzu_ray.ops.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _cdc_sql() -> str:
+    """Oracle twin of cdc_chunk_stats: the window hash is unrolled as a
+    nested-mod expression over codepoints (== bytes on the ASCII
+    fixtures); chunks are rebuilt as substrings and grouped by STRING,
+    so an engine-side 64-bit chunk-hash collision would surface as a
+    hash mismatch."""
+    from luzzu_ray.ops.dedup import CDC_B, CDC_D, CDC_M, CDC_W
+
+    h = "CAST(0 AS BIGINT)"
+    for j in range(CDC_W):
+        h = f"(({h}) * {CDC_B} + unicode(t[i+{j}])) % {CDC_M}"
+    return f"""
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+c AS (
+  SELECT doc_id, t, length(t) AS n,
+    CASE WHEN length(t) < {CDC_W} THEN CAST([] AS BIGINT[]) ELSE
+      [CAST(i + {CDC_W - 1} AS BIGINT)
+       for i in generate_series(1, length(t) - {CDC_W - 1})
+       if ({h}) % {CDC_D} = 0]
+    END AS cuts
+  FROM d),
+b AS (
+  SELECT doc_id, t,
+    list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+                [CAST(n AS BIGINT)]) AS bl
+  FROM c),
+ch AS (
+  SELECT doc_id,
+    [substr(t, CAST(bl[i] + 1 AS INT), CAST(bl[i+1] - bl[i] AS INT))
+     for i in generate_series(1, len(bl) - 1) if bl[i+1] > bl[i]]
+      AS chunks
+  FROM b),
+fl AS (SELECT doc_id, unnest(chunks) AS ck FROM ch),
+df AS (SELECT ck, count(DISTINCT doc_id) AS dd FROM fl GROUP BY 1)
+SELECT fl.doc_id,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN df.dd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+FROM fl JOIN df ON fl.ck = df.ck
+GROUP BY 1
+"""
+
+
 def q_keep_rate_by_lang_source(sf_dir: str):
     from luzzu_ray.ops.textstats import quality_score_batch
 
@@ -9122,6 +9175,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "cdc_chunk_stats": q_cdc_chunk_stats,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "host_blocklist": q_host_blocklist,
@@ -10090,6 +10144,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "cdc_chunk_stats": _cdc_sql(),
         "url_normalize": _URL_NORM_SQL,
         "url_dedup": f"""
 WITH norm AS ({_URL_NORM_SQL}),

@@ -286,6 +286,7 @@ def main() -> None:
         "host_blocklist",
         "html_strip",
         "topp_by_source",
+        "cdc_chunk_stats",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -2644,3 +2644,202 @@ def neardup_probe_index(
         lambda t: t.rename_columns(["corpus_id", "new_id", "jaccard_q6"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) shared-chunk statistics
+# ---------------------------------------------------------------------------
+
+CDC_W = 8          # boundary-decision window, bytes
+CDC_B = 131        # window-hash base
+CDC_M = (1 << 31) - 1   # window-hash modulus (Mersenne; h*B fits int64)
+CDC_D = 64         # boundary divisor -> expected chunk ~D+W bytes
+
+
+def cdc_chunk_stats(
+    ds: ray.data.Dataset,
+    min_df: int = 2,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document content-defined-chunk dedup signal: split every
+    document at CONTENT-DEFINED cut points (the LBFS/storage-dedup
+    construction: a boundary falls after any ``CDC_W``-byte window
+    whose polynomial hash is ``0 mod CDC_D``), then report per doc
+    ``n_chunks`` and ``n_shared`` = chunk instances whose content
+    occurs in >= ``min_df`` DISTINCT documents.
+
+    Because boundaries depend only on a local byte window, an
+    insertion or deletion re-chunks ONLY its neighborhood — two
+    documents that share a long run of text share its interior chunks
+    no matter how their prefixes differ.  That makes
+    ``n_shared / n_chunks`` a partial-duplication score that fixed
+    shingles (``dup_span_docs``) and whole-text keys cannot see past
+    an edit, the classic CDC robustness property.
+
+    Scale shape mirrors ``dup_span_docs`` (no broadcast, no driver
+    pull): one chunk-hash exchange computes df per chunk content and
+    emits per-doc dup partials; one narrow doc-keyed exchange sums
+    them with the map-side per-doc totals.  Chunk identity is the
+    64-bit mod-2^64 Horner hash of the chunk bytes — same
+    collision-probability contract as the shingle family (the SQL
+    oracle groups by chunk STRING, so a collision surfaces as a hash
+    mismatch, never silently).  Boundary detection and chunk hashing
+    are fully vectorized over the batch's flat byte buffer (prefix
+    Horner hashes + gather; no per-row Python).  Docs shorter than
+    ``CDC_W`` are one chunk; empty/NULL docs emit no row.
+
+    ASCII-domain note (same contract as the fingerprint family): the
+    engine windows over BYTES while the SQL twin windows over
+    codepoints, identical on ASCII corpora.
+    """
+    _hash_shuffle_ctx()
+    num_partitions = auto_partitions(ds, num_partitions)
+    w = CDC_W
+
+    def _chunks(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Return (chunk_hash u64, rid int64, n_chunks per row)."""
+        from luzzu_ray.functions import text as TX
+
+        n = t.num_rows
+        data, offs = TX.utf8_view(t["text"])
+        offs0 = offs - offs[0]
+        flat = data[offs[0]:offs[-1]].astype(np.int64)
+        nflat = len(flat)
+        nwin = nflat - w + 1
+        if nwin > 0:
+            h = np.zeros(nwin, dtype=np.int64)
+            for j in range(w):
+                h = (h * CDC_B + flat[j:nwin + j]) % CDC_M
+            starts = np.flatnonzero(h % CDC_D == 0)
+            doc_of = np.searchsorted(offs0, starts, "right") - 1
+            ok = starts + w <= offs0[doc_of + 1]
+            cuts = starts[ok] + w
+        else:
+            cuts = np.zeros(0, dtype=np.int64)
+        bounds = np.union1d(cuts, offs0)  # sorted unique flat positions
+        seg_s, seg_e = bounds[:-1], bounds[1:]
+        keep = seg_e > seg_s
+        seg_s, seg_e = seg_s[keep], seg_e[keep]
+        rid = np.searchsorted(offs0, seg_s, "right") - 1
+        n_chunks = np.bincount(rid, minlength=n).astype(np.int64)
+        if not len(seg_s):
+            return np.zeros(0, np.uint64), rid, n_chunks
+        # chunk hash via prefix Horner mod 2^64: H(s..e) =
+        # P[e] - P[s] * B^(e-s), P inclusive-prefix of the flat bytes
+        # Weighted-prefix trick: pref[i] = sum_{j<i} b[j]*B^(n-1-j)
+        # (one cumsum, no sequential Horner scan); then
+        # H(s..e) = (pref[e]-pref[s]) * B^-(n-e)  ==  Horner hash of
+        # the chunk with leading coefficient B^(len-1).  B (the FNV
+        # prime) is odd, hence invertible mod 2^64, so the rescale is
+        # one gather from an inverse-power table.
+        with np.errstate(over="ignore"):
+            b64 = flat.astype(np.uint64)
+            base = _CK_BASE1
+            pows = np.empty(nflat, dtype=np.uint64)
+            pows[0] = np.uint64(1)
+            if nflat > 1:
+                np.cumprod(np.full(nflat - 1, base, dtype=np.uint64),
+                           out=pows[1:])
+            pref = np.empty(nflat + 1, dtype=np.uint64)
+            pref[0] = np.uint64(0)
+            np.cumsum(b64 * pows[::-1], out=pref[1:])
+            invp = np.empty(nflat + 1, dtype=np.uint64)
+            invp[0] = np.uint64(1)
+            if nflat:
+                np.cumprod(np.full(nflat, _modinv64(base),
+                                   dtype=np.uint64), out=invp[1:])
+            ch = (pref[seg_e] - pref[seg_s]) * invp[nflat - seg_e]
+        return ch, rid, n_chunks
+
+    def partial(t: pa.Table) -> pa.Table:
+        ch, rid, n_chunks = _chunks(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            spread = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        present = n_chunks > 0
+        totals = pa.table({
+            "h": pa.array(spread[present]),
+            "doc_id": pa.array(ids[present].astype(np.int64)),
+            "n_occ": pa.array(n_chunks[present]),
+            "is_total": pa.array(
+                np.ones(int(present.sum()), dtype=np.int8)),
+        })
+        if not len(ch):
+            return totals
+        order = np.lexsort((ch, rid))
+        rs, cs = rid[order], ch[order]
+        first = np.concatenate(
+            ([True], (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])))
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(rs))
+        occ = pa.table({
+            "h": pa.array(cs[starts]),
+            "doc_id": pa.array(ids[rs[starts]].astype(np.int64)),
+            "n_occ": pa.array((ends - starts).astype(np.int64)),
+            "is_total": pa.array(np.zeros(len(starts), dtype=np.int8)),
+        })
+        return pa.concat_tables([occ, totals])
+
+    def dup_block(t: pa.Table) -> pa.Table:
+        tot = t.filter(pc.equal(t["is_total"], 1))
+        g = t.filter(pc.equal(t["is_total"], 0))
+        passthrough = pa.table({
+            "doc_id": tot["doc_id"],
+            "n_chunks": tot["n_occ"],
+            "n_shared": pa.array(np.zeros(tot.num_rows, dtype=np.int64)),
+        })
+        if g.num_rows == 0:
+            return passthrough
+        h = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = g["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = g["n_occ"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        h, d, c = h[order], d[order], c[order]
+        first = np.concatenate(
+            ([True], (h[1:] != h[:-1]) | (d[1:] != d[:-1])))
+        starts = np.flatnonzero(first)
+        hh, dd = h[starts], d[starts]
+        cc = np.add.reduceat(c, starts)
+        gstarts = np.flatnonzero(
+            np.concatenate(([True], hh[1:] != hh[:-1])))
+        df = np.diff(np.append(gstarts, len(hh)))
+        dup = np.repeat(df >= min_df, df)
+        if not dup.any():
+            return passthrough
+        dsel, csel = dd[dup], cc[dup]
+        dorder = np.argsort(dsel, kind="stable")
+        dsel, csel = dsel[dorder], csel[dorder]
+        dstarts = np.flatnonzero(
+            np.concatenate(([True], dsel[1:] != dsel[:-1])))
+        dups = pa.table({
+            "doc_id": pa.array(dsel[dstarts].astype(np.int64)),
+            "n_chunks": pa.array(np.zeros(len(dstarts), dtype=np.int64)),
+            "n_shared": pa.array(
+                np.add.reduceat(csel, dstarts).astype(np.int64)),
+        })
+        return pa.concat_tables([passthrough, dups])
+
+    def doc_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate(
+            [("n_chunks", "sum"), ("n_shared", "sum")])
+        return g.rename_columns(["doc_id", "n_chunks", "n_shared"])
+
+    parts = ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    dups = parts.repartition(
+        num_blocks=num_partitions, keys=["h"]
+    ).map_batches(dup_block, batch_format="pyarrow", batch_size=None)
+    return dups.repartition(
+        num_blocks=max(2, num_partitions // 4), keys=["doc_id"]
+    ).map_batches(doc_merge, batch_format="pyarrow", batch_size=None)
+
+
+def _modinv64(a: np.uint64) -> np.uint64:
+    """Multiplicative inverse of an ODD a mod 2^64 (Newton iteration:
+    x *= 2 - a*x doubles correct bits; 6 rounds from a 3-bit seed)."""
+    a = np.uint64(a)
+    with np.errstate(over="ignore"):
+        x = a  # a*a == 1 mod 8 for odd a -> x correct to 3 bits
+        for _ in range(6):
+            x = x * (np.uint64(2) - a * x)
+    return np.uint64(x)

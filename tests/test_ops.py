@@ -6251,3 +6251,59 @@ def test_grouped_top_fraction_matches_qualify(ray_session):
         ).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert got.shape == want.shape, nb
         assert (got.values == want.values).all(), nb
+
+
+def test_cdc_chunk_stats_insertion_robust(ray_session):
+    """CDC boundaries are window-local: inserting a run into the middle
+    of a long doc re-chunks only the neighborhood, so the copy shares
+    most chunk instances with the original (the property fixed shingles
+    lose); exact counts match a pure-Python twin; short (<W) docs are
+    one chunk; empty docs emit no row; layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import CDC_B, CDC_D, CDC_M, CDC_W, cdc_chunk_stats
+
+    rng = np.random.default_rng(11)
+    base = "".join(rng.choice(list("abcdefgh ")) for _ in range(4000))
+    edited = base[:2000] + "INSERTED RUN " + base[2000:]
+    texts = [base, edited, "tiny", "", None, base[:500]]
+    ids = list(range(len(texts)))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+
+    def twin(s: str):
+        n = len(s)
+        cuts = []
+        for i in range(0, n - CDC_W + 1):
+            h = 0
+            for ch in s[i:i + CDC_W]:
+                h = (h * CDC_B + ord(ch)) % CDC_M
+            if h % CDC_D == 0:
+                cuts.append(i + CDC_W)
+        bl = sorted(set([0] + cuts + [n]))
+        return [s[a:b] for a, b in zip(bl, bl[1:]) if b > a]
+
+    chunks = {i: twin(s or "") for i, s in zip(ids, texts)}
+    from collections import Counter
+    df = Counter()
+    for i, cs in chunks.items():
+        for c in set(cs):
+            df[c] += 1
+    want = {
+        i: (len(cs), sum(1 for c in cs if df[c] >= 2))
+        for i, cs in chunks.items() if cs
+    }
+    for nb in (1, 4):
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_shared"])
+            for r in cdc_chunk_stats(
+                ray.data.from_arrow(t).repartition(nb)).take_all()
+        }
+        assert got == want, nb
+    # the robustness property itself: >60% of the original's chunk
+    # instances survive in the edited copy
+    n0, sh0 = want[0]
+    assert n0 > 20 and sh0 / n0 > 0.6, want[0]
+    assert want[2][0] == 1  # 'tiny' (< W bytes) is exactly one chunk
