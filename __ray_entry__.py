@@ -1513,6 +1513,56 @@ def q_topp_by_source(sf_dir: str):
         scored, "source", "score_q6", "doc_id", 1, 5)
 
 
+def q_conv_retry_stats(sf_dir: str):
+    """Per-conversation retry/rephrase detection
+    (`ops/transcripts.py` `conv_retry_stats`): adjacent same-role turn
+    pairs whose word-trigram Jaccard >= 1/2 — the 'user repeats
+    themself after a failed answer' signal agent-transcript quality
+    filters score down.  The demo threshold is 1/6 (the corpus's
+    adjacent slices overlap partially; production retry detection runs
+    the default 1/2)."""
+    from luzzu_ray.ops.transcripts import conv_retry_stats
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return conv_retry_stats(
+        documents_as_multiturn(sf_dir),
+        retry_num=RETRY_DEMO_NUM, retry_den=RETRY_DEMO_DEN,
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+RETRY_DEMO_NUM = 1
+RETRY_DEMO_DEN = 6
+
+
+def _conv_retry_sql() -> str:
+    RETRY_J_NUM, RETRY_J_DEN = RETRY_DEMO_NUM, RETRY_DEMO_DEN
+    return f"""
+WITH m AS ({_multiturn_sql()}),
+tk AS (SELECT conv_id, turn_idx, role,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ts
+       FROM m),
+sh AS (SELECT conv_id, turn_idx, role,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                          for i in generate_series(1, len(ts) - 2)])
+         ELSE CAST([] AS VARCHAR[]) END AS gs
+       FROM tk),
+pr AS (SELECT a.conv_id, a.role = b.role AS same_role,
+         len(list_intersect(a.gs, b.gs)) AS inter,
+         len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS uni
+       FROM sh a JOIN sh b
+         ON a.conv_id = b.conv_id AND b.turn_idx = a.turn_idx + 1)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(coalesce(sum(CASE WHEN same_role THEN 1 END), 0) AS BIGINT)
+    AS n_same_role,
+  CAST(coalesce(sum(CASE WHEN same_role
+                          AND {RETRY_J_DEN} * inter >= {RETRY_J_NUM} * uni
+                         THEN 1 END), 0) AS BIGINT) AS n_retry
+FROM pr GROUP BY 1
+"""
+
+
 def q_cdc_chunk_stats(sf_dir: str):
     """Content-defined-chunking dedup signal (`ops/dedup.py`
     `cdc_chunk_stats`): per doc, total CDC chunks and chunk instances
@@ -9175,6 +9225,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "conv_retry_stats": q_conv_retry_stats,
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
@@ -10144,6 +10195,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "conv_retry_stats": _conv_retry_sql(),
         "cdc_chunk_stats": _cdc_sql(),
         "url_normalize": _URL_NORM_SQL,
         "url_dedup": f"""

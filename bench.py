@@ -287,6 +287,7 @@ def main() -> None:
         "html_strip",
         "topp_by_source",
         "cdc_chunk_stats",
+        "conv_retry_stats",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

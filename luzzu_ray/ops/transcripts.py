@@ -865,3 +865,132 @@ def preference_pairs(
     return part.map_batches(
         pairs_block, batch_format="pyarrow", batch_size=None
     )
+
+
+RETRY_J_NUM = 1
+RETRY_J_DEN = 2
+
+
+def conv_retry_stats(
+    ds: ray.data.Dataset,
+    retry_num: int = RETRY_J_NUM,
+    retry_den: int = RETRY_J_DEN,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-conversation RETRY/REPHRASE signal: among adjacent turn
+    pairs, how many have the SAME role and word-trigram Jaccard >=
+    RETRY_J_NUM/RETRY_J_DEN — the "user repeats themself after a
+    failed answer / assistant resends its message" pattern that
+    agent-transcript quality filters score conversations down for.
+    Output: (conv_id, n_pairs, n_same_role, n_retry).
+
+    One conv_id exchange; per block the turn shingle sets come from
+    the vectorized shingle kernel (same 64-bit gram-hash identity
+    contract as the dedup family — the SQL twin intersects STRING
+    trigram lists, so a collision surfaces as a hash mismatch), and
+    ALL candidate pairs' intersections are counted in one lexsort over
+    (pair, hash, side) tagged rows — no per-pair Python.  The Jaccard
+    test is exact-integer (2*|A∩B| >= |A∪B| at the default 1/2); two
+    EMPTY shingle sets (turns under SHINGLE_K tokens) count as a retry
+    — identical-and-empty is still identical, matching the SQL twin's
+    0 >= 0.
+
+    Partitioning assumption: a conversation's turns co-locate in one
+    reduce block (the conv-sort contract shared with
+    conv_turn_stats); for giant conversations compose with the salted
+    chunk protocol of conv_structure_audit_salted — adjacency crosses
+    chunk bounds only at the single boundary pair per chunk."""
+    from luzzu_ray.ops.dedup import _shingle_hashes, auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "n_pairs": pa.array([], pa.int64()),
+        "n_same_role": pa.array([], pa.int64()),
+        "n_retry": pa.array([], pa.int64()),
+    })
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        n = t.num_rows
+        sh, rid = _shingle_hashes(t)
+        # distinct shingles per row
+        if len(sh):
+            order = np.lexsort((sh, rid))
+            rs, ss = rid[order], sh[order]
+            keep = np.concatenate(
+                ([True], (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1])))
+            rs, ss = rs[keep], ss[keep]
+        else:
+            rs = np.zeros(0, dtype=np.int64)
+            ss = np.zeros(0, dtype=np.uint64)
+        cnt = np.bincount(rs, minlength=n).astype(np.int64)
+        row_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cnt, out=row_start[1:])
+
+        conv = t["conv_id"].combine_chunks()
+        code = pc.dictionary_encode(conv)
+        if isinstance(code, pa.ChunkedArray):
+            code = code.combine_chunks()
+        cd = code.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        role = t["role"].combine_chunks()
+        same_conv = cd[1:] == cd[:-1]
+        la = np.flatnonzero(same_conv)      # left row of each pair
+        same_role = pc.equal(
+            role.slice(0, n - 1), role.slice(1, n - 1)
+        ).to_numpy(zero_copy_only=False)[la]
+        cand = la[same_role]                # pairs needing a Jaccard
+
+        inter = np.zeros(len(la), dtype=np.int64)
+        if len(cand) and len(ss):
+            # tag each candidate pair's two rows' shingles with pair id
+            reps_a, reps_b = cnt[cand], cnt[cand + 1]
+            tag = np.concatenate(
+                (np.repeat(np.arange(len(cand)), reps_a),
+                 np.repeat(np.arange(len(cand)), reps_b)))
+
+            # vectorized range-gather of each row's shingle slice
+            def _ranges(rows, reps):
+                if not len(rows):
+                    return np.zeros(0, dtype=np.int64)
+                out = np.repeat(row_start[rows], reps)
+                bump = np.arange(int(reps.sum())) - np.repeat(
+                    np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+                return out + bump
+            idxs = np.concatenate(
+                (_ranges(cand, reps_a), _ranges(cand + 1, reps_b)))
+            hv = ss[idxs]
+            o2 = np.lexsort((hv, tag))
+            tg, hh = tag[o2], hv[o2]
+            both = (tg[1:] == tg[:-1]) & (hh[1:] == hh[:-1])
+            icnt = np.bincount(tg[1:][both], minlength=len(cand))
+            cpos = np.searchsorted(la, cand)
+            inter[cpos] = icnt
+        uni = cnt[la] + cnt[la + 1] - inter
+        sr = np.zeros(len(la), dtype=bool)
+        sr[np.searchsorted(la, cand)] = True
+        retry = sr & (retry_den * inter >= retry_num * uni)
+
+        pconv = cd[la]
+        nconv = int(cd.max()) + 1
+        n_pairs = np.bincount(pconv, minlength=nconv)
+        n_same = np.bincount(pconv[sr], minlength=nconv)
+        n_retry = np.bincount(pconv[retry], minlength=nconv)
+        has = n_pairs > 0
+        conv_keys = code.dictionary.take(
+            pa.array(np.flatnonzero(has), pa.int64()))
+        return pa.table({
+            "conv_id": conv_keys,
+            "n_pairs": pa.array(n_pairs[has].astype(np.int64)),
+            "n_same_role": pa.array(n_same[has].astype(np.int64)),
+            "n_retry": pa.array(n_retry[has].astype(np.int64)),
+        })
+
+    part = picked.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    return part.map_batches(block, batch_format="pyarrow", batch_size=None)

@@ -6307,3 +6307,48 @@ def test_cdc_chunk_stats_insertion_robust(ray_session):
     n0, sh0 = want[0]
     assert n0 > 20 and sh0 / n0 > 0.6, want[0]
     assert want[2][0] == 1  # 'tiny' (< W bytes) is exactly one chunk
+
+
+def test_conv_retry_stats_detects_rephrase(ray_session):
+    """Retry detection fires on a near-identical same-role adjacent
+    pair, not on a dissimilar one or a role-alternating pair; both
+    turns under SHINGLE_K tokens count as identical (0/0 Jaccard);
+    layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import conv_retry_stats
+
+    rows = [
+        # c1: user REPEATS themself (near-identical same-role pair)
+        ("c1", 0, "user", "please convert the csv file to parquet now"),
+        ("c1", 1, "user", "please convert the csv file to parquet today"),
+        ("c1", 2, "assistant", "done"),
+        # c2: same-role adjacent but DISSIMILAR -> same_role only
+        ("c2", 0, "assistant", "alpha beta gamma delta epsilon zeta"),
+        ("c2", 1, "assistant", "one two three four five six seven"),
+        # c3: alternating roles, near-identical text -> no candidate
+        ("c3", 0, "user", "please convert the csv file to parquet now"),
+        ("c3", 1, "assistant", "please convert the csv file to parquet now"),
+        # c4: two same-role turns both too short for a trigram
+        ("c4", 0, "tool", "ok"),
+        ("c4", 1, "tool", "no"),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+    })
+    want = {
+        "c1": (2, 1, 1),
+        "c2": (1, 1, 0),
+        "c3": (1, 0, 0),
+        "c4": (1, 1, 1),
+    }
+    for nb in (1, 3):
+        got = {
+            r["conv_id"]: (r["n_pairs"], r["n_same_role"], r["n_retry"])
+            for r in conv_retry_stats(
+                ray.data.from_arrow(t).repartition(nb)).take_all()
+        }
+        assert got == want, (nb, got)
