@@ -1513,6 +1513,159 @@ def q_topp_by_source(sf_dir: str):
         scored, "source", "score_q6", "doc_id", 1, 5)
 
 
+# Keyword-list topic router (driver-known, declaration order breaks
+# count ties) — deterministic domain classification for mixtures.
+TOPIC_KEYWORDS = {
+    "storage": ("table", "row", "column", "part", "line"),
+    "exec": ("join", "hash", "scan", "merge", "sort"),
+    "stream": ("batch", "stream", "window", "group", "agg"),
+}
+
+
+def q_topic_bucket_docs(sf_dir: str):
+    """Keyword-list topic bucketing (`ops/textstats.py`
+    `topic_bucket_batch`): each doc routes to the topic whose keyword
+    list it hits most (declaration-order tie-break, zero hits ->
+    'other') — the deterministic domain classifier of training-mixture
+    construction, as one exchange-free vectorized map."""
+    from luzzu_ray.ops.textstats import topic_bucket_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        return topic_bucket_batch(t, TOPIC_KEYWORDS)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _topic_sql() -> str:
+    names = list(TOPIC_KEYWORDS)
+    hits = ",\n    ".join(
+        "sum(CASE WHEN w IN ({}) THEN 1 ELSE 0 END) AS h{}".format(
+            ", ".join(f"'{k}'" for k in TOPIC_KEYWORDS[nm]), i)
+        for i, nm in enumerate(names))
+    # first topic among the maxima wins, zero hits -> other
+    tb, hb = [], []
+    for i, nm in enumerate(names):
+        conds = [f"h{i} >= h{j}" for j in range(len(names)) if j != i]
+        conds.append(f"h{i} > 0")
+        cond = " AND ".join(conds)
+        tb.append(f"WHEN {cond} THEN '{nm}'")
+        hb.append(f"WHEN {cond} THEN h{i}")
+    tcase = "CASE " + " ".join(tb) + " ELSE 'other' END"
+    hcase = "CASE " + " ".join(hb) + " ELSE 0 END"
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                   '[a-z0-9]+')) AS w
+  FROM documents),
+h AS (SELECT doc_id, {hits} FROM tk GROUP BY 1),
+r AS (SELECT d.doc_id, {tcase} AS topic, {hcase} AS nh
+      FROM documents d LEFT JOIN h USING (doc_id))
+SELECT doc_id, COALESCE(topic, 'other') AS topic,
+       CAST(COALESCE(nh, 0) AS BIGINT) AS n_hits
+FROM r
+"""
+
+
+def _web_doc_features(sf_dir: str):
+    """(doc_id, source, host, score_q6, rk): shared per-doc map of the
+    web-pipeline compositions — canonical host, resource-identity key
+    and the q6 quality score, one streaming pass."""
+    from luzzu_ray.ops.textstats import doc_stats_batch
+    from luzzu_ray.ops.web import resource_key_batch
+
+    def fn(t: pa.Table) -> pa.Table:
+        r = resource_key_batch(_synth_url_batch(t))
+        s = doc_stats_batch(t)
+        score_q6 = pc.subtract(
+            pa.scalar(2_000_000, pa.int64()),
+            pc.add(s["symbol_ratio_q6"], s["digit_ratio_q6"]))
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "host": r["host"], "score_q6": score_q6,
+            "rk": r["resource_key"],
+        })
+
+    return _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_host_quality_stats(sf_dir: str):
+    """Per-HOST corpus accounting over the web family: doc count,
+    resource-level duplicate count and summed q6 quality score — the
+    'which domains feed the corpus and are they junk' rollup every
+    web-scale curation run reports.  Composition: one feature map,
+    the 128-bit content-key dedup exchange, a doc-keyed hash join of
+    the flags, then a narrow host-keyed merge."""
+    from luzzu_ray.ops.dedup import exact_duplicates
+    from luzzu_ray.ops.relational import outer_hash_join
+
+    feats = _web_doc_features(sf_dir)
+    flags = exact_duplicates(feats.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": t["rk"]}),
+        batch_format="pyarrow", zero_copy_batch=True))
+    j = outer_hash_join(
+        feats, flags, left_key="doc_id", right_key="doc_id",
+        left_cols=["host", "score_q6"], right_cols=["is_dup"],
+        how="left")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "dup1", pc.cast(pc.fill_null(t["is_dup"], False), pa.int64()))
+        g = t.group_by("host").aggregate(
+            [([], "count_all"), ("dup1", "sum"), ("score_q6", "sum")])
+        return g.rename_columns(
+            ["host", "n_docs", "n_dups", "sum_score_q6"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("host").aggregate(
+            [("n_docs", "sum"), ("n_dups", "sum"), ("sum_score_q6", "sum")])
+        return g.rename_columns(
+            ["host", "n_docs", "n_dups", "sum_score_q6"])
+
+    return j.map_batches(
+        partial, batch_format="pyarrow"
+    ).repartition(num_blocks=4, keys=["host"]).map_batches(
+        merge, batch_format="pyarrow", batch_size=None)
+
+
+WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN = 1, 2
+
+
+def q_web_pipeline(sf_dir: str):
+    """END-TO-END web curation composition: canonicalize URLs ->
+    drop blocklisted hosts -> resource-identity dedup over the
+    survivors -> keep each source's top half by quality score.  The
+    web-flavored sibling of `training_data_pipeline`, exercising the
+    family's ops CHAINED (filter before dedup before threshold, the
+    order a real crawl pipeline runs them in); every stage streams and
+    the only exchanges are the content-key dedup, the flag join and
+    the per-source threshold's narrow count pass."""
+    from luzzu_ray.ops.dedup import exact_duplicates
+    from luzzu_ray.ops.relational import (grouped_top_fraction_by_score,
+                                          outer_hash_join)
+
+    blocked = set(BLOCKED_HOSTS)
+    feats = _web_doc_features(sf_dir).map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(
+            t["host"], value_set=pa.array(sorted(blocked))))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    flags = exact_duplicates(feats.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": t["rk"]}),
+        batch_format="pyarrow", zero_copy_batch=True))
+    j = outer_hash_join(
+        feats, flags, left_key="doc_id", right_key="doc_id",
+        left_cols=["source", "score_q6"], right_cols=["is_dup"],
+        how="left")
+    surv = j.map_batches(
+        lambda t: t.filter(pc.invert(pc.fill_null(t["is_dup"], False))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_top_fraction_by_score(
+        surv, "source", "score_q6", "doc_id",
+        WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
+
+
 def q_conv_retry_stats(sf_dir: str):
     """Per-conversation retry/rephrase detection
     (`ops/transcripts.py` `conv_retry_stats`): adjacent same-role turn
@@ -9227,6 +9380,9 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # window priority over older never-audited entries
         "conv_retry_stats": q_conv_retry_stats,
         "cdc_chunk_stats": q_cdc_chunk_stats,
+        "topic_bucket_docs": q_topic_bucket_docs,
+        "host_quality_stats": q_host_quality_stats,
+        "web_pipeline": q_web_pipeline,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "host_blocklist": q_host_blocklist,
@@ -10197,6 +10353,53 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conv_retry_stats": _conv_retry_sql(),
         "cdc_chunk_stats": _cdc_sql(),
+        "topic_bucket_docs": _topic_sql(),
+        "host_quality_stats": f"""
+WITH norm AS ({_URL_NORM_SQL}),
+k AS (
+  SELECT doc_id,
+    regexp_extract(url_norm, '^([^:]+)://([^/?#]*)(.*)$', 2) ||
+    regexp_replace(regexp_replace(
+      regexp_extract(url_norm, '^([^:]+)://([^/?#]*)(.*)$', 3),
+      '[?#].*$', ''), '/+$', '') AS rk
+  FROM norm),
+fl AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY rk)
+         AS is_dup FROM k),
+sc AS (SELECT doc_id, 2000000 - symbol_ratio_q6 - digit_ratio_q6
+         AS score_q6
+       FROM (SELECT doc_id, {_STATS_FRAG} FROM documents))
+SELECT n.host, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN fl.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+  CAST(sum(sc.score_q6) AS BIGINT) AS sum_score_q6
+FROM norm n JOIN fl USING (doc_id) JOIN sc USING (doc_id)
+GROUP BY 1
+""",
+        "web_pipeline": f"""
+WITH norm AS ({_URL_NORM_SQL}),
+keep1 AS (
+  SELECT n.doc_id, d.source, n.host,
+    regexp_extract(n.url_norm, '^([^:]+)://([^/?#]*)(.*)$', 2) ||
+    regexp_replace(regexp_replace(
+      regexp_extract(n.url_norm, '^([^:]+)://([^/?#]*)(.*)$', 3),
+      '[?#].*$', ''), '/+$', '') AS rk
+  FROM norm n JOIN documents d USING (doc_id)
+  WHERE n.host NOT IN ('{BLOCKED_HOSTS[0]}', '{BLOCKED_HOSTS[1]}',
+                       '{BLOCKED_HOSTS[2]}')),
+fl AS (SELECT doc_id, doc_id <> min(doc_id) OVER (PARTITION BY rk)
+         AS is_dup FROM keep1),
+sc AS (SELECT doc_id, 2000000 - symbol_ratio_q6 - digit_ratio_q6
+         AS score_q6
+       FROM (SELECT doc_id, {_STATS_FRAG} FROM documents)),
+surv AS (
+  SELECT keep1.source, keep1.doc_id, sc.score_q6
+  FROM keep1 JOIN fl USING (doc_id) JOIN sc USING (doc_id)
+  WHERE NOT fl.is_dup)
+SELECT source, doc_id, score_q6 FROM surv
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY score_q6 DESC, doc_id) <=
+  ({WEBPIPE_TOPP_NUM} * count(*) OVER (PARTITION BY source)
+   + {WEBPIPE_TOPP_DEN - 1}) // {WEBPIPE_TOPP_DEN}
+""",
         "url_normalize": _URL_NORM_SQL,
         "url_dedup": f"""
 WITH norm AS ({_URL_NORM_SQL}),

@@ -288,6 +288,9 @@ def main() -> None:
         "topp_by_source",
         "cdc_chunk_stats",
         "conv_retry_stats",
+        "topic_bucket_docs",
+        "host_quality_stats",
+        "web_pipeline",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -660,3 +660,49 @@ def nfc_normalize_py(text: str | None) -> tuple[str | None, bool | None, int | N
         return None, None, None
     norm = unicodedata.normalize("NFC", text)
     return norm, norm != text, len(norm)
+
+
+def word_hashes(words) -> np.ndarray:
+    """Token hashes of standalone lowercase words, using the SAME
+    kernel as the corpus tokenizer — for broadcast keyword / stopword
+    lookup tables that must compare equal to in-text token hashes."""
+    arr = pa.array(list(words), pa.string())
+    data, offs = TX.utf8_view(arr)
+    ts_, tl_, _ = TX.token_segments(data, offs)
+    return TX.token_hashes(data, ts_, tl_)
+
+
+def topic_bucket_batch(
+    t: pa.Table, topics: dict[str, tuple[str, ...]],
+    other: str = "other",
+) -> pa.Table:
+    """Keyword-list topic bucketing — the deterministic domain
+    classifier used to build training mixtures (docs route to the
+    topic whose keyword list they hit most; ties break by topic
+    DECLARATION order; zero hits route to ``other``).  Output:
+    (doc_id, topic, n_hits).
+
+    Exchange-free vectorized map: one tokenization pass, then per
+    TOPIC (a handful) one ``np.isin`` against the topic's token-hash
+    set — never a per-row loop.  Topic lists are driver-known and
+    small (ship the dict in the task closure; ``ray.put`` it once if
+    lists grow to real lexicon size).  Same 64-bit token-hash identity
+    contract as the vocabulary family (the SQL twin matches STRINGS,
+    so a collision surfaces as a hash mismatch)."""
+    names = list(topics)
+    n = t.num_rows
+    th, tr = token_hashes_for_rows(t)
+    counts = np.zeros((len(names), n), dtype=np.int64)
+    for ti, name in enumerate(names):
+        kw = word_hashes(topics[name])
+        if len(th):
+            m = np.isin(th, kw)
+            counts[ti] = np.bincount(tr[m], minlength=n)
+    best = counts.argmax(axis=0)          # first max wins (declaration order)
+    n_hits = counts[best, np.arange(n)]
+    topic = np.where(n_hits > 0, np.array(names, dtype=object)[best], other)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "topic": pa.array(list(topic), pa.string()),
+        "n_hits": pa.array(n_hits),
+    })

@@ -6352,3 +6352,24 @@ def test_conv_retry_stats_detects_rephrase(ray_session):
                 ray.data.from_arrow(t).repartition(nb)).take_all()
         }
         assert got == want, (nb, got)
+
+
+def test_topic_bucket_declaration_order_tiebreak():
+    """Equal hit counts route to the FIRST declared topic; zero hits
+    route to 'other'; NULL text is zero hits; counts are exact."""
+    from luzzu_ray.ops.textstats import topic_bucket_batch
+
+    topics = {"a": ("cat", "dog"), "b": ("dog", "fox")}
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "dog dog fox",      # a: 2 hits (dog x2), b: 3 -> b
+            "cat dog",          # a: 2, b: 1 -> a
+            "dog",              # a: 1, b: 1 -> tie -> a (declared first)
+            "emu kiwi",         # 0 hits -> other
+            None,               # -> other
+        ]),
+    })
+    out = topic_bucket_batch(t, topics)
+    assert out["topic"].to_pylist() == ["b", "a", "a", "other", "other"]
+    assert out["n_hits"].to_pylist() == [3, 2, 1, 0, 0]
