@@ -1513,6 +1513,56 @@ def q_topp_by_source(sf_dir: str):
         scored, "source", "score_q6", "doc_id", 1, 5)
 
 
+def q_watermark_stats(sf_dir: str):
+    """Green-list watermark screen (`ops/textstats.py`
+    `watermark_stats_batch`): per-doc green-token pair counts and the
+    exact-integer one-sided z>=2 flag — the synthetic-text detector a
+    crawl pipeline runs before training on web text."""
+    from luzzu_ray.ops.textstats import watermark_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        watermark_stats_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def _watermark_sql() -> str:
+    from luzzu_ray.ops.textstats import (WM_A, WM_B, WM_GAMMA_DEN,
+                                         WM_GAMMA_NUM, WM_Z)
+
+    h1 = _token_hash_sql("w1")
+    h2 = _token_hash_sql("w2")
+    m64 = "18446744073709551616::HUGEINT"
+    num, den, z = WM_GAMMA_NUM, WM_GAMMA_DEN, WM_Z
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z0-9]+') AS ts
+  FROM documents),
+pr AS (
+  SELECT doc_id, unnest(ts[:len(ts) - 1]) AS w1, unnest(ts[2:]) AS w2
+  FROM tk WHERE len(ts) >= 2),
+hx AS (SELECT doc_id, ({h1}) AS h1, ({h2}) AS h2 FROM pr),
+gr AS (
+  SELECT doc_id,
+    CASE WHEN (((h1 * {int(WM_A)}::HUGEINT) % {m64}
+               + (h2 * {int(WM_B)}::HUGEINT) % {m64}) % {m64})
+              % {den} < {num} THEN 1 ELSE 0 END AS green
+  FROM hx),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+         CAST(sum(green) AS BIGINT) AS n_green
+  FROM gr GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(a.n_scored, 0) AS n_scored,
+  COALESCE(a.n_green, 0) AS n_green,
+  (COALESCE({den} * a.n_green - {num} * a.n_scored, 0) > 0 AND
+   COALESCE(({den} * a.n_green - {num} * a.n_scored) *
+            ({den} * a.n_green - {num} * a.n_scored), 0) >=
+   {z * z} * COALESCE(a.n_scored, 0) * {num} * {den - num}) AS wm_flag
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # Keyword-list topic router (driver-known, declaration order breaks
 # count ties) — deterministic domain classification for mixtures.
 TOPIC_KEYWORDS = {
@@ -9380,6 +9430,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # window priority over older never-audited entries
         "conv_retry_stats": q_conv_retry_stats,
         "cdc_chunk_stats": q_cdc_chunk_stats,
+        "watermark_stats": q_watermark_stats,
         "topic_bucket_docs": q_topic_bucket_docs,
         "host_quality_stats": q_host_quality_stats,
         "web_pipeline": q_web_pipeline,
@@ -10353,6 +10404,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "conv_retry_stats": _conv_retry_sql(),
         "cdc_chunk_stats": _cdc_sql(),
+        "watermark_stats": _watermark_sql(),
         "topic_bucket_docs": _topic_sql(),
         "host_quality_stats": f"""
 WITH norm AS ({_URL_NORM_SQL}),

@@ -291,6 +291,7 @@ def main() -> None:
         "topic_bucket_docs",
         "host_quality_stats",
         "web_pipeline",
+        "watermark_stats",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -706,3 +706,58 @@ def topic_bucket_batch(
         "topic": pa.array(list(topic), pa.string()),
         "n_hits": pa.array(n_hits),
     })
+
+
+# Pair-hash mix constants: odd, < 2^62 so the SQL twin's HUGEINT
+# products h * A stay inside INT128 before the mod-2^64 fold.
+WM_A = np.uint64(2862933555777941757)
+WM_B = np.uint64(3202034522624059733)
+WM_GAMMA_NUM = 1
+WM_GAMMA_DEN = 4
+WM_Z = 2
+
+
+def watermark_stats_batch(
+    t: pa.Table,
+    gamma_num: int = WM_GAMMA_NUM,
+    gamma_den: int = WM_GAMMA_DEN,
+    z: int = WM_Z,
+) -> pa.Table:
+    """Green-list watermark detection statistics (Kirchenbauer et al.
+    2023, "A Watermark for Large Language Models", arXiv:2301.10226):
+    token i is GREEN iff a seeded hash of the (previous, current)
+    token pair falls in the gamma = gamma_num/gamma_den fraction of
+    hash space; a watermarked generation over-selects green tokens, so
+    per doc we report ``n_scored`` adjacent pairs, ``n_green``, and
+    ``wm_flag`` — the one-sided z >= ``z`` test computed EXACTLY in
+    integers via the cross-multiplied form
+    ``(den*g - num*n) > 0 AND (den*g - num*n)^2 >= z^2 * n * num *
+    (den - num)`` (no sqrt, no float; int64-safe to n ~ 1e9 pairs at
+    den = 4).  The filter every synthetic-text screen runs over a
+    crawled corpus.
+
+    Exchange-free vectorized map; pair hash =
+    ``(h_prev * WM_A + h_cur * WM_B) mod 2^64`` over the shared token
+    hashes, identical in the SQL twin's HUGEINT rebuild.  Docs with
+    < 2 tokens score 0 pairs and never flag."""
+    n = t.num_rows
+    th, tr = token_hashes_for_rows(t)
+    scored = np.zeros(n, dtype=np.int64)
+    g = np.zeros(n, dtype=np.int64)
+    if len(th) >= 2:
+        same = tr[1:] == tr[:-1]
+        with np.errstate(over="ignore"):
+            h2 = th[:-1] * WM_A + th[1:] * WM_B
+        green = same & ((h2 % np.uint64(gamma_den)).astype(np.int64)
+                        < gamma_num)
+        scored = np.bincount(tr[1:][same], minlength=n).astype(np.int64)
+        g = np.bincount(tr[1:][green], minlength=n).astype(np.int64)
+    lhs = gamma_den * g - gamma_num * scored
+    flag = (lhs > 0) & (
+        lhs * lhs >= z * z * scored * gamma_num * (gamma_den - gamma_num))
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_scored": pa.array(scored),
+        "n_green": pa.array(g),
+        "wm_flag": pa.array(flag),
+    })

@@ -6373,3 +6373,53 @@ def test_topic_bucket_declaration_order_tiebreak():
     out = topic_bucket_batch(t, topics)
     assert out["topic"].to_pylist() == ["b", "a", "a", "other", "other"]
     assert out["n_hits"].to_pylist() == [3, 2, 1, 0, 0]
+
+
+def test_watermark_stats_flags_greedy_green_text():
+    """A text GENERATED by always picking a green continuation flags
+    (z >= 2 exactly, integer form == float z-test), random text with
+    the same words does not; docs with < 2 tokens never flag."""
+    import math
+
+    from luzzu_ray.ops.textstats import (WM_A, WM_B, WM_GAMMA_DEN,
+                                         WM_GAMMA_NUM, WM_Z,
+                                         watermark_stats_batch,
+                                         word_hashes)
+
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    hs = {w: h for w, h in zip(vocab, word_hashes(vocab))}
+
+    def is_green(w1, w2):
+        h2 = (int(hs[w1]) * int(WM_A) + int(hs[w2]) * int(WM_B)) % (1 << 64)
+        return h2 % WM_GAMMA_DEN < WM_GAMMA_NUM
+
+    # greedy watermarked generation: always continue with a green word
+    words = ["alpha"]
+    for _ in range(60):
+        nxt = next(w for w in vocab if is_green(words[-1], w))
+        words.append(nxt)
+    wm_text = " ".join(words)
+
+    rng = np.random.default_rng(5)
+    rand_text = " ".join(rng.choice(vocab) for _ in range(61))
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([wm_text, rand_text, "single"]),
+    })
+    out = watermark_stats_batch(t)
+    rows = {r["doc_id"]: r for b in [out.to_pylist()] for r in b}
+    assert rows[0]["n_green"] == rows[0]["n_scored"] == 60
+    assert rows[0]["wm_flag"] is True or rows[0]["wm_flag"]
+    assert rows[2] == {"doc_id": 2, "n_scored": 0, "n_green": 0,
+                       "wm_flag": False}
+    # integer z-form == float z-test on every row
+    for r in rows.values():
+        n, g = r["n_scored"], r["n_green"]
+        if n == 0:
+            assert not r["wm_flag"]
+            continue
+        gam = WM_GAMMA_NUM / WM_GAMMA_DEN
+        zf = (g - gam * n) / math.sqrt(n * gam * (1 - gam))
+        assert r["wm_flag"] == (zf >= WM_Z or math.isclose(zf, WM_Z)), r
