@@ -1716,6 +1716,97 @@ def q_web_pipeline(sf_dir: str):
         WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
 
 
+PII_PROP_SUFFIX_PRE = " contact: u"
+PII_PROP_SUFFIX_POST = "@ex.com"
+
+
+def _pc_mod(arr, k: int):
+    """Non-negative ``arr % k`` via subtract(arr, multiply(divide, k))
+    — pyarrow has no modulo kernel; doc ids are non-negative so
+    truncating divide == floor."""
+    import pyarrow.compute as _pc
+
+    q = _pc.divide(arr, pa.scalar(k, pa.int64()))
+    return _pc.subtract(arr, _pc.multiply(q, pa.scalar(k, pa.int64())))
+
+
+def _multiturn_pii_enriched(sf_dir: str):
+    """Multiturn corpus with a deterministic synthetic email injected:
+    ``doc_id % 4 == 0`` conversations mention ``u<id>@ex.com`` in turn
+    0, and ``doc_id % 8 == 0`` repeat it in the LAST turn — so the
+    cross-turn propagation path (scrub later turns from an earlier
+    introduction) is genuinely exercised (the fixture documents carry
+    no natural PII matches).  Pure function of (conv_id, turn_idx); the
+    SQL twin rebuilds the enrichment in the ``m`` CTE."""
+    from luzzu_ray.sources import documents_as_multiturn
+
+    ds = documents_as_multiturn(sf_dir)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        did = pc.cast(t["conv_id"], pa.int64())
+        ti = pc.cast(t["turn_idx"], pa.int64())
+        last = pc.add(pa.scalar(1, pa.int64()), _pc_mod(did, 3))
+        cond = pc.or_(
+            pc.and_(pc.equal(_pc_mod(did, 4), 0), pc.equal(ti, 0)),
+            pc.and_(pc.equal(_pc_mod(did, 8), 0), pc.equal(ti, last)),
+        )
+        suffix = pc.binary_join_element_wise(
+            pa.array([PII_PROP_SUFFIX_PRE] * t.num_rows),
+            t["conv_id"].combine_chunks(),
+            pa.array([PII_PROP_SUFFIX_POST] * t.num_rows),
+            "",
+        )
+        text2 = pc.if_else(
+            cond,
+            pc.binary_join_element_wise(t["text"].combine_chunks(), suffix, ""),
+            t["text"].combine_chunks(),
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", text2)
+
+    return ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_conv_pii_propagate(sf_dir: str):
+    """Cross-turn PII propagation scrub (`ops/transcripts.py`
+    `conv_pii_propagate`): the lexicographically-first email matched
+    anywhere in a conversation is redacted from EVERY turn as an
+    exact-literal replace — the per-conversation-VALUE scrub a per-turn
+    regex pass cannot express (Luzzu problem-report analogue where the
+    problem is dataset-scoped, README.md:9)."""
+    from luzzu_ray.ops.transcripts import conv_pii_propagate
+
+    return conv_pii_propagate(
+        _multiturn_pii_enriched(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+def _conv_pii_sql() -> str:
+    from luzzu_ray import constants as C
+
+    pat = dict((n, p) for n, p, _ in C.SCRUB_PACK)["email"]
+    return f"""
+WITH m0 AS ({_multiturn_sql()}),
+m AS (SELECT conv_id, turn_idx,
+        text || CASE WHEN (CAST(conv_id AS BIGINT) % 4 = 0
+                           AND turn_idx = 0)
+                       OR (CAST(conv_id AS BIGINT) % 8 = 0
+                           AND turn_idx = 1 + CAST(conv_id AS BIGINT) % 3)
+                THEN '{PII_PROP_SUFFIX_PRE}' || conv_id
+                     || '{PII_PROP_SUFFIX_POST}' ELSE '' END AS text
+      FROM m0),
+e AS (SELECT conv_id,
+        min(nullif(regexp_extract(text, '{pat}'), '')) AS pii_literal
+      FROM m GROUP BY conv_id)
+SELECT m.conv_id, CAST(m.turn_idx AS INT) AS turn_idx, e.pii_literal,
+  CASE WHEN e.pii_literal IS NULL THEN m.text
+       ELSE replace(m.text, e.pii_literal, '<EMAIL>') END AS text_pii
+FROM m JOIN e USING (conv_id)
+"""
+
+
 def q_conv_retry_stats(sf_dir: str):
     """Per-conversation retry/rephrase detection
     (`ops/transcripts.py` `conv_retry_stats`): adjacent same-role turn
@@ -9428,6 +9519,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "conv_pii_propagate": q_conv_pii_propagate,
         "conv_retry_stats": q_conv_retry_stats,
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "watermark_stats": q_watermark_stats,
@@ -10402,6 +10494,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "conv_pii_propagate": _conv_pii_sql(),
         "conv_retry_stats": _conv_retry_sql(),
         "cdc_chunk_stats": _cdc_sql(),
         "watermark_stats": _watermark_sql(),

@@ -292,6 +292,7 @@ def main() -> None:
         "host_quality_stats",
         "web_pipeline",
         "watermark_stats",
+        "conv_pii_propagate",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

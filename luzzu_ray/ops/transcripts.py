@@ -994,3 +994,108 @@ def conv_retry_stats(
 
     part = picked.repartition(num_blocks=num_partitions, keys=["conv_id"])
     return part.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+PII_PROP_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("pii_literal", pa.string()),
+        ("text_pii", pa.string()),
+    ]
+)
+
+
+def _pii_block(t: pa.Table, pat: str, repl: str) -> pa.Table:
+    if t.num_rows == 0:
+        return PII_PROP_SCHEMA.empty_table()
+    conv, cs, order, first = _conv_sorted(t)
+    oa = pa.array(order)
+    conv_s = pc.take(t["conv_id"].combine_chunks(), oa)
+    ti_s = pc.take(t["turn_idx"].combine_chunks(), oa)
+    text = pc.take(t["text"].combine_chunks(), oa)
+    filled = pc.fill_null(text, "")
+    # leftmost first match per turn (RE2, same engine as the SQL twin)
+    m = pc.struct_field(pc.extract_regex(filled, pattern=f"(?P<m>{pat})"), "m")
+    md = pc.dictionary_encode(m)
+    n_dic = len(md.dictionary)
+    sent = np.int64(n_dic)
+    codes = md.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+    codes = codes.astype(np.int64)
+    if n_dic:
+        sort_idx = pc.array_sort_indices(md.dictionary).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rank_of = np.empty(n_dic, dtype=np.int64)
+        rank_of[sort_idx] = np.arange(n_dic, dtype=np.int64)
+        rank = np.where(codes >= 0, rank_of[np.maximum(codes, 0)], sent)
+    else:
+        sort_idx = np.zeros(0, dtype=np.int64)
+        rank = np.full(len(codes), sent)
+    starts = np.flatnonzero(first)
+    gmin = np.minimum.reduceat(rank, starts)
+    row_min = np.repeat(gmin, np.diff(np.concatenate((starts, [len(rank)]))))
+
+    out_text = text.to_numpy(zero_copy_only=False).copy()
+    out_lit = np.full(t.num_rows, None, dtype=object)
+    for rk in np.unique(gmin):
+        if rk == sent:
+            continue
+        lit = md.dictionary[int(sort_idx[int(rk)])].as_py()
+        idx = np.flatnonzero(row_min == rk)
+        sub = pc.replace_substring(
+            pc.take(text, pa.array(idx)), pattern=lit, replacement=repl
+        )
+        out_text[idx] = sub.to_numpy(zero_copy_only=False)
+        out_lit[idx] = lit
+    return pa.table(
+        {
+            "conv_id": conv_s,
+            "turn_idx": pc.cast(ti_s, pa.int32()),
+            "pii_literal": pa.array(out_lit, pa.string()),
+            "text_pii": pa.array(out_text, pa.string()),
+        }
+    )
+
+
+def conv_pii_propagate(
+    ds: ray.data.Dataset,
+    pattern: str | None = None,
+    replacement: str = "<EMAIL>",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Cross-turn PII propagation scrub: within each conversation, the
+    lexicographically-first PII literal matched anywhere (leftmost first
+    match per turn, RE2) is redacted from EVERY turn as an exact-literal
+    replace — the "a name/address introduced once keeps leaking in later
+    turns" case a per-turn regex scrub cannot express, because the
+    replacement target is a per-conversation VALUE, not a pattern.
+
+    Emits one row per turn: ``(conv_id, turn_idx, pii_literal,
+    text_pii)`` with ``pii_literal`` null (and text unchanged) for
+    conversations without a match.  SQL twin: grouped
+    ``min(nullif(regexp_extract(text, pat), ''))`` joined back +
+    ``replace(text, lit, repl)``.
+
+    Scale shape: ONE conv_id co-location exchange (the flagship's
+    reassembly assumption); per block one vectorized RE2 extract pass,
+    then a loop over DISTINCT propagated literals (bounded by
+    conversations-with-PII per block, not rows) whose body is a
+    vectorized literal replace over only that conversation's rows.
+    Row-count preserving; NULL text stays NULL.
+    """
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    if pattern is None:
+        pattern = dict((n, p) for n, p, _ in C.SCRUB_PACK)["email"]
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["conv_id", "turn_idx", "text"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["conv_id"])
+    return part.map_batches(
+        lambda t: _pii_block(t, pattern, replacement),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -6238,7 +6238,9 @@ def test_grouped_top_fraction_matches_qualify(ray_session):
         "doc_id": pa.array(np.arange(n, dtype=np.int64)),
         "score": pa.array(rng.integers(0, 40, n).astype(np.int64)),
     })
-    want = duckdb.sql("""
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
       SELECT k, doc_id, score FROM t
       QUALIFY row_number() OVER (PARTITION BY k ORDER BY score DESC, doc_id)
         <= CAST(ceil(0.1 * count(*) OVER (PARTITION BY k)) AS BIGINT)

@@ -522,3 +522,57 @@ def test_conv_time_stats_gaps_and_out_of_order(ray_session):
         for _, r in outs[0].iterrows()
     }
     assert got_map == want
+
+
+def test_conv_pii_propagate_cross_turn(ray_session):
+    """The conversation's lexicographically-first email is replaced in
+    EVERY turn (cross-turn propagation); other emails are untouched;
+    no-match conversations pass through with null literal; NULL text
+    stays NULL; layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import conv_pii_propagate
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b", "c", "c"]),
+        "turn_idx": pa.array([0, 1, 2, 0, 0, 1], pa.int32()),
+        "text": pa.array([
+            "hi, mail zz@x.com or aa@x.com",   # first match zz, min is aa
+            "later aa@x.com again",
+            None,
+            "no pii here",
+            "only bb@y.org once",
+            "plain turn",
+        ]),
+    })
+    # conv a: per-turn FIRST matches are zz@x.com (turn0), aa@x.com
+    # (turn1); min literal = aa@x.com -> replaced in both turns where it
+    # appears; zz@x.com survives.
+    want = {
+        ("a", 0): ("aa@x.com", "hi, mail zz@x.com or <EMAIL>"),
+        ("a", 1): ("aa@x.com", "later <EMAIL> again"),
+        ("a", 2): ("aa@x.com", None),
+        ("b", 0): (None, "no pii here"),
+        ("c", 0): ("bb@y.org", "only <EMAIL> once"),
+        ("c", 1): ("bb@y.org", "plain turn"),
+    }
+    outs = []
+    for parts in (1, 4):
+        got = (
+            conv_pii_propagate(
+                ray.data.from_arrow(t).repartition(parts), num_partitions=2)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    got_map = {
+        (r["conv_id"], r["turn_idx"]):
+            (r["pii_literal"], r["text_pii"])
+        for _, r in outs[0].iterrows()
+    }
+    want_norm = {k: v for k, v in want.items()}
+    for k, (lit, txt) in want_norm.items():
+        glit, gtxt = got_map[k]
+        assert (glit if glit is not None else None) == lit, k
+        assert (gtxt if isinstance(gtxt, str) else None) == txt, k
