@@ -1716,6 +1716,71 @@ def q_web_pipeline(sf_dir: str):
         WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
 
 
+PERC_THRESH = 300
+
+
+def q_perceptron_weights(sf_dir: str):
+    """Distributed batch-perceptron TRAINING (`ops/classifier.py`
+    `perceptron_train`): learn integer keep/drop weights over hashed
+    token buckets (+ bias) with one streamed map pass + one
+    constant-bounded gradient reduce per epoch — model training IN the
+    engine (the in-engine complement of the fixed-weight scorer and
+    the k-means trainer).  The oracle unrolls all epochs in SQL."""
+    from luzzu_ray.ops.classifier import perceptron_train
+
+    return perceptron_train(
+        _docs(sf_dir, ["doc_id", "text", "n_chars"]),
+        label_threshold=PERC_THRESH,
+    )
+
+
+def _perceptron_sql() -> str:
+    from luzzu_ray.ops.classifier import PERC_BUCKETS, PERC_EPOCHS
+
+    D = PERC_BUCKETS
+    parts = [f"""
+WITH d AS (SELECT doc_id,
+        CASE WHEN n_chars >= {PERC_THRESH} THEN 1 ELSE -1 END AS y,
+        string_split(COALESCE(text, ''), ' ') AS wl
+      FROM documents),
+tk AS (SELECT doc_id, unnest(wl) AS t FROM d),
+hb AS (SELECT doc_id,
+        CAST(reduce(
+          list_prepend(CAST(0 AS HUGEINT),
+            list_transform(generate_series(1, len(t)),
+                           i -> CAST(ascii(substr(t, i, 1)) AS HUGEINT))),
+          (acc, b) -> (acc * 1099511628211 + b)
+                      % 18446744073709551616::HUGEINT
+        ) % {D} AS BIGINT) AS b
+       FROM tk),
+x AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2),
+w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+       WHERE 1 = 0)"""]
+    for e in range(1, PERC_EPOCHS + 1):
+        p = e - 1
+        parts.append(f""",
+dot{e} AS (SELECT x.doc_id, sum(x.c * pw.w) AS dt
+           FROM x JOIN w{p} pw USING (b) GROUP BY 1),
+sc{e} AS (SELECT d.doc_id, d.y,
+           COALESCE(dot{e}.dt, 0)
+           + COALESCE((SELECT sum(w) FROM w{p} WHERE b = {D}), 0) AS sc
+          FROM d LEFT JOIN dot{e} USING (doc_id)),
+mis{e} AS (SELECT doc_id, y FROM sc{e} WHERE (sc > 0) <> (y = 1)),
+g{e} AS (SELECT x.b, CAST(sum(mis{e}.y * x.c) AS BIGINT) AS g
+         FROM x JOIN mis{e} USING (doc_id) GROUP BY 1
+         UNION ALL
+         SELECT {D} AS b, CAST(COALESCE(sum(y), 0) AS BIGINT) FROM mis{e}),
+w{e} AS (SELECT b, CAST(sum(w) AS BIGINT) AS w
+         FROM (SELECT b, w FROM w{p}
+               UNION ALL SELECT b, g AS w FROM g{e})
+         GROUP BY b)""")
+    parts.append(f"""
+SELECT gs.b, COALESCE(w{PERC_EPOCHS}.w, 0) AS w
+FROM (SELECT unnest(generate_series(0, {D})) AS b) gs
+LEFT JOIN w{PERC_EPOCHS} USING (b)""")
+    return "".join(parts)
+
+
 PII_PROP_SUFFIX_PRE = " contact: u"
 PII_PROP_SUFFIX_POST = "@ex.com"
 
@@ -9519,6 +9584,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "perceptron_weights": q_perceptron_weights,
         "conv_pii_propagate": q_conv_pii_propagate,
         "conv_retry_stats": q_conv_retry_stats,
         "cdc_chunk_stats": q_cdc_chunk_stats,
@@ -10494,6 +10560,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "perceptron_weights": _perceptron_sql(),
         "conv_pii_propagate": _conv_pii_sql(),
         "conv_retry_stats": _conv_retry_sql(),
         "cdc_chunk_stats": _cdc_sql(),

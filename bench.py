@@ -293,6 +293,7 @@ def main() -> None:
         "web_pipeline",
         "watermark_stats",
         "conv_pii_propagate",
+        "perceptron_weights",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

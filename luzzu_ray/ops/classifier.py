@@ -220,3 +220,103 @@ def classify_with_heuristic(
     """(doc_id, clf_score, clf_keep, heur_keep) per document — the
     input to filter-agreement evals (:func:`rater_agreement`)."""
     return classify_documents(ds, concurrency, stage_cls=AgreementStage)
+
+
+# ---------------------------------------------------------------------------
+# Distributed batch-perceptron TRAINING (the in-engine complement of the
+# fixed-weight scorer above): learn integer weights over hashed token
+# buckets with the classic batch perceptron rule
+#     w_{e+1} = w_e + sum_{misclassified docs} y * x
+# (Rosenblatt 1958; batch variant).  Everything is int64-exact and
+# order-independent (the update sums over the FULL pass), so the DuckDB
+# oracle unrolls the epochs and matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PERC_BUCKETS = 32          # hashed feature buckets; bucket PERC_BUCKETS = bias
+PERC_EPOCHS = 3
+
+
+def perceptron_train(
+    ds,
+    n_buckets: int = PERC_BUCKETS,
+    n_epochs: int = PERC_EPOCHS,
+    label_threshold: int = 300,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "n_chars",
+) -> pa.Table:
+    """Train a linear keep/drop classifier IN the engine: hashed-token
+    bucket counts (+ bias) as features, ``y = +1 iff label_col >=
+    label_threshold``, ``n_epochs`` batch-perceptron updates.  Returns
+    the DENSE final weight table ``(b, w)`` with ``b = n_buckets`` the
+    bias row — ``n_buckets + 1`` rows total.
+
+    Exactness: predictions are ``sign(w . x)`` with ``sign(0) = -1``;
+    the epoch update sums integer ``y * x`` over misclassified docs —
+    order-independent, so block layout never matters.  A-priori int64
+    bound: ``|w| <= n_epochs * total_tokens`` and per-doc ``|w . x| <=
+    |w| * doc_tokens`` — safe below ~10^15 corpus tokens per epoch;
+    the conformance corpus is ~10^4.
+
+    Scale shape: per epoch ONE streamed map pass over the corpus (the
+    weight vector rides in the task closure — ``n_buckets + 1`` ints,
+    nothing per batch) emitting <= ``n_buckets + 1`` sparse gradient
+    rows per block, then a constant-bounded keyed reduce whose
+    ``n_buckets + 1`` rows come to the driver.  Features are
+    recomputed per pass instead of materializing a (doc, bucket)
+    table — at 10^12 turns the recompute is one read-through, the
+    materialization is a corpus-sized intermediate.  The bucket hash
+    is the DSIR one (`ops/vocab._dsir_bucket_block`): a SQL-foldable
+    polynomial, so the oracle rebuilds features with no fixture.
+    """
+    import ray.data as _rd  # noqa: F401  (ds is a ray Dataset)
+
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.ops.vocab import _dsir_bucket_block
+
+    bias = n_buckets
+    w = np.zeros(n_buckets + 1, dtype=np.int64)
+    picked = ds.select_columns([id_col, text_col, label_col])
+
+    for _ in range(n_epochs):
+        w_now = w.copy()
+
+        def grad_partial(t: pa.Table, w_now=w_now) -> pa.Table:
+            n = t.num_rows
+            empty = pa.table({"b": pa.array([], pa.int64()),
+                              "g": pa.array([], pa.int64())})
+            if n == 0:
+                return empty
+            col = t[text_col]
+            b, rid = _dsir_bucket_block(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col, n_buckets)
+            lab = t[label_col].to_numpy(zero_copy_only=False)
+            y = np.where(lab >= label_threshold, np.int64(1), np.int64(-1))
+            score = np.full(n, w_now[bias], dtype=np.int64)
+            np.add.at(score, rid, w_now[b])
+            # pred = sign(score), sign(0) = -1; misclassified iff
+            # pred != y  <=>  (score > 0) != (y == 1)
+            mis = (score > 0) != (y == 1)
+            g = np.zeros(n_buckets + 1, dtype=np.int64)
+            tok_mis = mis[rid]
+            np.add.at(g, b[tok_mis], y[rid[tok_mis]])
+            g[bias] = y[mis].sum()
+            nz = np.flatnonzero(g)
+            if not len(nz):
+                return empty
+            return pa.table({"b": pa.array(nz.astype(np.int64)),
+                             "g": pa.array(g[nz])})
+
+        rows = grouped_sum_q(
+            picked.map_batches(
+                grad_partial, batch_format="pyarrow", zero_copy_batch=True),
+            ["b"], float_cols={}, int_cols={"g": "g"}, num_partitions=2,
+        ).take_all()  # bounded: <= n_buckets + 1 rows by construction
+        for r in rows:
+            w[int(r["b"])] += int(r["g"])
+
+    return pa.table({
+        "b": pa.array(np.arange(n_buckets + 1, dtype=np.int64)),
+        "w": pa.array(w),
+    })

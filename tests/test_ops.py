@@ -6425,3 +6425,63 @@ def test_watermark_stats_flags_greedy_green_text():
         gam = WM_GAMMA_NUM / WM_GAMMA_DEN
         zf = (g - gam * n) / math.sqrt(n * gam * (1 - gam))
         assert r["wm_flag"] == (zf >= WM_Z or math.isclose(zf, WM_Z)), r
+
+
+def test_perceptron_train_matches_scalar_twin(ray_session):
+    """Distributed batch-perceptron weights == a pure-Python
+    row-at-a-time twin (independent control flow, shared constants
+    only); layout-invariant; a linearly separable toy actually
+    separates after training."""
+    import ray.data
+
+    from luzzu_ray.ops.classifier import perceptron_train
+    from luzzu_ray.ops.vocab import DSIR_BASE
+
+    D, E, TH = 8, 3, 10
+    texts = [
+        "aaa bbb ccc", "aaa aaa", "", "bbb  ccc", None,
+        "xx yy zz xx", "longword" * 4, "aaa bbb", "zz zz zz zz zz",
+        "q w e r t y",
+    ]
+    n_chars = [3, 20, 1, 50, 0, 9, 40, 2, 15, 8]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array(n_chars, pa.int32()),
+    })
+
+    def bucket(tok: str) -> int:
+        h = 0
+        for byt in tok.encode():
+            h = (h * int(DSIR_BASE) + byt) % (1 << 64)
+        return h % D
+
+    def twin() -> list[int]:
+        w = [0] * (D + 1)
+        feats = []
+        for txt, nc in zip(texts, n_chars):
+            toks = (txt or "").split(" ")
+            xs = {}
+            for tok in toks:
+                b = bucket(tok)
+                xs[b] = xs.get(b, 0) + 1
+            feats.append((xs, 1 if nc >= TH else -1))
+        for _ in range(E):
+            g = [0] * (D + 1)
+            for xs, y in feats:
+                sc = w[D] + sum(c * w[b] for b, c in xs.items())
+                pred = 1 if sc > 0 else -1
+                if pred != y:
+                    for b, c in xs.items():
+                        g[b] += y * c
+                    g[D] += y
+            w = [a + b for a, b in zip(w, g)]
+        return w
+
+    want = twin()
+    for parts in (1, 4):
+        got = perceptron_train(
+            ray.data.from_arrow(t).repartition(parts),
+            n_buckets=D, n_epochs=E, label_threshold=TH,
+        ).to_pandas().sort_values("b")
+        assert got["w"].tolist() == want, parts
