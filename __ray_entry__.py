@@ -1716,6 +1716,34 @@ def q_web_pipeline(sf_dir: str):
         WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
 
 
+def q_doc_readability(sf_dir: str):
+    """Exact-integer Flesch reading-ease stats per document
+    (`ops/textstats.py` `readability_stats_batch`): vowel-group
+    syllable heuristic, score as an integer rational — the classic
+    readability quality signal, exchange-free."""
+    from luzzu_ray.ops.textstats import readability_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        readability_stats_batch, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+_READABILITY_SQL = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(COALESCE(text, ''), '[^ ]+')) AS BIGINT)
+    AS n_words,
+  CAST(len(regexp_extract_all(COALESCE(text, ''), '[^.]+')) AS BIGINT)
+    AS n_sentences,
+  CAST(len(regexp_extract_all(lower(COALESCE(text, '')), '[aeiouy]+'))
+    AS BIGINT) AS n_vowel_groups,
+  CAST(206835 * n_sentences * n_words - 1015 * n_words * n_words
+       - 84600 * n_vowel_groups * n_sentences AS BIGINT) AS flesch_num,
+  CAST(1000 * n_sentences * n_words AS BIGINT) AS flesch_den
+FROM documents
+"""
+
+
 PERC_THRESH = 300
 
 
@@ -9584,6 +9612,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "doc_readability": q_doc_readability,
         "perceptron_weights": q_perceptron_weights,
         "conv_pii_propagate": q_conv_pii_propagate,
         "conv_retry_stats": q_conv_retry_stats,
@@ -10560,6 +10589,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "doc_readability": _READABILITY_SQL,
         "perceptron_weights": _perceptron_sql(),
         "conv_pii_propagate": _conv_pii_sql(),
         "conv_retry_stats": _conv_retry_sql(),

@@ -294,6 +294,7 @@ def main() -> None:
         "watermark_stats",
         "conv_pii_propagate",
         "perceptron_weights",
+        "doc_readability",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

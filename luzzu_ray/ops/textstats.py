@@ -761,3 +761,44 @@ def watermark_stats_batch(
         "n_green": pa.array(g),
         "wm_flag": pa.array(flag),
     })
+
+
+def readability_stats_batch(t: pa.Table) -> pa.Table:
+    """Flesch-style readability per document as EXACT integers
+    (Flesch 1948 reading-ease; Kincaid et al. 1975): word count W
+    (maximal non-space runs), sentence count S (maximal non-'.' runs,
+    the ``sentence_stats_batch`` convention), and syllable stand-in V =
+    count of maximal ``[aeiouy]+`` runs over the lowercased text — the
+    classic vowel-group heuristic.  The reading-ease score
+    ``206.835 - 1.015*W/S - 84.6*V/W`` is emitted as an exact integer
+    RATIONAL (``flesch_num``, ``flesch_den``) with
+    ``num = 206835*S*W - 1015*W^2 - 84600*V*S`` and ``den = 1000*S*W``
+    so no floor/truncation semantics can diverge between engine and
+    SQL twin (a-priori int64 bound: ``W*S < 4.4e13`` — ~10^6-word
+    single-sentence docs; far beyond any real document).
+
+    Empty/NULL text: W = S = V = 0 and the rational is 0/0 — emitted
+    as integers, never divided.  Exchange-free stateless map.
+    """
+    tx = pc.fill_null(t["text"], "")
+    W = pc.cast(
+        pc.count_substring_regex(tx, pattern="[^ ]+"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    S = pc.cast(
+        pc.count_substring_regex(tx, pattern="[^.]+"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    V = pc.cast(
+        pc.count_substring_regex(
+            pc.utf8_lower(tx), pattern="[aeiouy]+"),
+        pa.int64(),
+    ).to_numpy(zero_copy_only=False)
+    num = 206835 * S * W - 1015 * W * W - 84600 * V * S
+    den = 1000 * S * W
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_words": pa.array(W),
+        "n_sentences": pa.array(S),
+        "n_vowel_groups": pa.array(V),
+        "flesch_num": pa.array(num),
+        "flesch_den": pa.array(den),
+    })

@@ -6485,3 +6485,44 @@ def test_perceptron_train_matches_scalar_twin(ray_session):
             n_buckets=D, n_epochs=E, label_threshold=TH,
         ).to_pandas().sort_values("b")
         assert got["w"].tolist() == want, parts
+
+
+def test_readability_stats_scalar_twin():
+    """Engine readability counts == a pure-Python row twin (regex-free
+    manual segmentation); the rational reconstructs the float score;
+    NULL/empty/no-sentence edges covered."""
+    from luzzu_ray.ops.textstats import readability_stats_batch
+
+    texts = ["Hello world. Two birds.", "", None, "xyz", "a.e.i",
+             "The quick brown fox jumps. It is easy to read."]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = readability_stats_batch(t).to_pandas()
+
+    def runs(s, pred):
+        n, inr = 0, False
+        for ch in s:
+            if pred(ch):
+                if not inr:
+                    n += 1
+                inr = True
+            else:
+                inr = False
+        return n
+
+    for i, txt in enumerate(texts):
+        s = txt or ""
+        W = runs(s, lambda c: c != " ")
+        S = runs(s, lambda c: c != ".")
+        V = runs(s.lower(), lambda c: c in "aeiouy")
+        r = got.iloc[i]
+        assert (r["n_words"], r["n_sentences"], r["n_vowel_groups"]) \
+            == (W, S, V), i
+        assert r["flesch_num"] == 206835 * S * W - 1015 * W * W \
+            - 84600 * V * S, i
+        assert r["flesch_den"] == 1000 * S * W, i
+        if W and S:
+            flesch = 206.835 - 1.015 * W / S - 84.6 * V / W
+            assert abs(r["flesch_num"] / r["flesch_den"] - flesch) < 1e-9, i
