@@ -1716,6 +1716,36 @@ def q_web_pipeline(sf_dir: str):
         WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
 
 
+def q_events_decayed_value(sf_dir: str):
+    """Recency-weighted per-user engagement (`ops/events.py`
+    `decayed_user_value`): exact integer powers-of-two per-day decay
+    relative to the corpus's last day — the freshness signal for
+    curation recency weighting, no IEEE exp() anywhere."""
+    from luzzu_ray.ops.events import decayed_user_value
+
+    return decayed_user_value(
+        _tbl(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
+def _events_decayed_sql() -> str:
+    from luzzu_ray.ops.events import DECAY_HORIZON_DAYS as H
+
+    return f"""
+WITH mx AS (SELECT max(epoch_us(ts) // 86400000000) AS md FROM events),
+e AS (SELECT user_id,
+        (SELECT md FROM mx) - (epoch_us(ts) // 86400000000) AS age,
+        CAST(floor(value * 100.0) AS BIGINT) AS vq2
+      FROM events)
+SELECT user_id,
+  CAST(sum(CASE WHEN age <= {H}
+            THEN (CAST(1 AS BIGINT) << ({H} - age)) * vq2
+            ELSE 0 END) AS BIGINT) AS decayed_q2,
+  CAST(coalesce(sum(CASE WHEN age <= {H} THEN 1 END), 0) AS BIGINT)
+    AS n_recent
+FROM e GROUP BY user_id
+"""
+
+
 def q_doc_readability(sf_dir: str):
     """Exact-integer Flesch reading-ease stats per document
     (`ops/textstats.py` `readability_stats_batch`): vowel-group
@@ -1762,7 +1792,10 @@ def q_perceptron_weights(sf_dir: str):
     )
 
 
-def _perceptron_sql() -> str:
+def _perceptron_cte_body() -> tuple[str, int, int]:
+    """Shared epoch-unrolled training CTEs; returns (with_body, D, E) —
+    callers append a final SELECT over ``w{{E}}`` (weights) or compose a
+    scoring pass on top."""
     from luzzu_ray.ops.classifier import PERC_BUCKETS, PERC_EPOCHS
 
     D = PERC_BUCKETS
@@ -1802,11 +1835,83 @@ w{e} AS (SELECT b, CAST(sum(w) AS BIGINT) AS w
          FROM (SELECT b, w FROM w{p}
                UNION ALL SELECT b, g AS w FROM g{e})
          GROUP BY b)""")
-    parts.append(f"""
-SELECT gs.b, COALESCE(w{PERC_EPOCHS}.w, 0) AS w
+    return "".join(parts), D, PERC_EPOCHS
+
+
+def _perceptron_sql() -> str:
+    body, D, E = _perceptron_cte_body()
+    return f"""{body}
+SELECT gs.b, COALESCE(w{E}.w, 0) AS w
 FROM (SELECT unnest(generate_series(0, {D})) AS b) gs
-LEFT JOIN w{PERC_EPOCHS} USING (b)""")
-    return "".join(parts)
+LEFT JOIN w{E} USING (b)"""
+
+
+def q_perceptron_confusion(sf_dir: str):
+    """Train-then-apply composition: the in-engine perceptron's final
+    weights score the full corpus and the (label, prediction) confusion
+    counts come back — the model-eval loop (train -> deploy -> measure)
+    as one pipeline.  Weights are a bounded D+1-int driver table
+    broadcast in the scoring task's closure; scoring is one streamed
+    map pass + a 4-row grouped sum."""
+    import numpy as np
+
+    from luzzu_ray.ops.classifier import perceptron_train
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.ops.vocab import _dsir_bucket_block
+
+    wt = perceptron_train(
+        _docs(sf_dir, ["doc_id", "text", "n_chars"]),
+        label_threshold=PERC_THRESH,
+    )
+    w = np.zeros(len(wt), dtype=np.int64)
+    w[wt["b"].to_numpy()] = wt["w"].to_numpy()
+    D = len(w) - 1
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({"y": pa.array([], pa.int64()),
+                             "pred": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        col = t["text"]
+        b, rid = _dsir_bucket_block(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col, D)
+        lab = t["n_chars"].to_numpy(zero_copy_only=False)
+        y = np.where(lab >= PERC_THRESH, np.int64(1), np.int64(-1))
+        score = np.full(n, w[D], dtype=np.int64)
+        np.add.at(score, rid, w[b])
+        pred = np.where(score > 0, np.int64(1), np.int64(-1))
+        key = (y + 1) + (pred + 1) // 2  # 0..3
+        cnt = np.bincount(key, minlength=4)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "y": pa.array((nz // 2 * 2 - 1).astype(np.int64)),
+            "pred": pa.array((nz % 2 * 2 - 1).astype(np.int64)),
+            "n": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    return grouped_sum_q(
+        _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+            score_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["y", "pred"], float_cols={}, int_cols={"n": "n"},
+        num_partitions=2,
+    )
+
+
+def _perceptron_confusion_sql() -> str:
+    body, D, E = _perceptron_cte_body()
+    return f"""{body},
+dotF AS (SELECT x.doc_id, sum(x.c * pw.w) AS dt
+         FROM x JOIN w{E} pw USING (b) GROUP BY 1),
+scF AS (SELECT d.doc_id, d.y,
+         COALESCE(dotF.dt, 0)
+         + COALESCE((SELECT sum(w) FROM w{E} WHERE b = {D}), 0) AS sc
+        FROM d LEFT JOIN dotF USING (doc_id))
+SELECT CAST(y AS BIGINT) AS y,
+  CAST(CASE WHEN sc > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+  CAST(count(*) AS BIGINT) AS n
+FROM scF GROUP BY 1, 2"""
 
 
 PII_PROP_SUFFIX_PRE = " contact: u"
@@ -9612,6 +9717,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "perceptron_confusion": q_perceptron_confusion,
+        "events_decayed_value": q_events_decayed_value,
         "doc_readability": q_doc_readability,
         "perceptron_weights": q_perceptron_weights,
         "conv_pii_propagate": q_conv_pii_propagate,
@@ -10589,6 +10696,8 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "perceptron_confusion": _perceptron_confusion_sql(),
+        "events_decayed_value": _events_decayed_sql(),
         "doc_readability": _READABILITY_SQL,
         "perceptron_weights": _perceptron_sql(),
         "conv_pii_propagate": _conv_pii_sql(),

@@ -295,6 +295,8 @@ def main() -> None:
         "conv_pii_propagate",
         "perceptron_weights",
         "doc_readability",
+        "events_decayed_value",
+        "perceptron_confusion",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

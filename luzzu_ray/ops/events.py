@@ -1628,3 +1628,78 @@ def daily_span_window_overlap(
     return parts.repartition(
         num_blocks=num_partitions, keys=["user_id", "day"]
     ).map_batches(overlap_block, batch_format="pyarrow", batch_size=None)
+
+
+DECAY_HORIZON_DAYS = 30
+
+
+def decayed_user_value(
+    ds: ray.data.Dataset,
+    horizon_days: int = DECAY_HORIZON_DAYS,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Recency-weighted per-user engagement: each event contributes
+    ``vq2 * 2^(H - age_days)`` (vq2 = ``floor(value*100)``, age
+    relative to the corpus's LAST day, events older than ``H`` days
+    contribute 0) — exponential half-life-per-day decay as EXACT
+    integer powers of two, the freshness signal data-curation
+    recency weighting needs without IEEE-order-dependent ``exp()``.
+
+    Output per user: ``(user_id, decayed_q2, n_recent)``.  A-priori
+    int64 bound: ``2^H * max_vq2 * events_per_user`` — with H = 30 and
+    2-decimal values below ~10^4 that is safe to ~10^5 events/user;
+    larger horizons must shrink the per-day factor (documented, not
+    guarded: the bound is a DESIGN parameter like the PageRank base).
+
+    Scale shape: one streamed pass computes the corpus max day (narrow
+    ``max`` aggregate), then one map pass emits per-block (user,
+    partial-sum, n) rows into a user-keyed grouped sum — no event-row
+    exchange, no driver materialization.
+    """
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    H = horizon_days
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        return pa.table({"day": pc.divide(us, US_PER_DAY)})
+
+    max_day = int(
+        ds.select_columns(["ts"])
+        .map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .max("day")
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "decayed_q2": pa.array([], pa.int64()),
+                             "n_recent": pa.array([], pa.int64())})
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        age = max_day - us // US_PER_DAY
+        recent = age <= H
+        # clip BEFORE the shift: numpy evaluates both where-branches,
+        # and a negative shift count is undefined behaviour
+        shift = np.clip(H - age, 0, H)
+        w = np.where(recent, np.int64(1) << shift, np.int64(0))
+        vq2 = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = (
+            pa.table({
+                "user_id": t["user_id"],
+                "decayed_q2": pa.array(w * vq2),
+                "n_recent": pa.array(recent.astype(np.int64)),
+            })
+            .group_by("user_id")
+            .aggregate([("decayed_q2", "sum"), ("n_recent", "sum")])
+        )
+        return g.rename_columns(["user_id", "decayed_q2", "n_recent"])
+
+    return grouped_sum_q(
+        ds.select_columns(["user_id", "ts", "value"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], float_cols={},
+        int_cols={"decayed_q2": "decayed_q2", "n_recent": "n_recent"},
+        num_partitions=num_partitions,
+    )

@@ -6526,3 +6526,59 @@ def test_readability_stats_scalar_twin():
         if W and S:
             flesch = 206.835 - 1.015 * W / S - 84.6 * V / W
             assert abs(r["flesch_num"] / r["flesch_den"] - flesch) < 1e-9, i
+
+
+def test_decayed_user_value_scalar_twin(ray_session):
+    """Integer powers-of-two recency decay == a row-at-a-time twin;
+    events beyond the horizon contribute 0; layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.events import US_PER_DAY, decayed_user_value
+
+    H = 5
+    base_day = 1000
+    rows = [  # (user, day, value)
+        (1, base_day, 3.00),       # age 4 -> w 2
+        (1, base_day + 4, 1.50),   # age 0 -> w 32
+        (1, base_day - 3, 9.99),   # age 7 > H -> 0
+        (2, base_day + 4, 0.01),   # age 0 -> w 32
+        (2, base_day + 2, 2.00),   # age 2 -> w 8
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * US_PER_DAY + 17 for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    want = {
+        1: (2 * 300 + 32 * 150, 2),
+        2: (32 * 1 + 8 * 200, 2),
+    }
+    for parts in (1, 3):
+        got = decayed_user_value(
+            ray.data.from_arrow(t).repartition(parts),
+            horizon_days=H, num_partitions=2,
+        ).to_pandas().sort_values("user_id")
+        gm = {int(r["user_id"]): (int(r["decayed_q2"]), int(r["n_recent"]))
+              for _, r in got.iterrows()}
+        assert gm == want, parts
+
+
+def test_perceptron_confusion_consistent(ray_session):
+    """Train-then-apply confusion counts at sf0.001: totals equal the
+    document count, keys live in {-1,1}^2, and the diagonal dominates
+    (length-derived labels are nearly linearly separable in hashed
+    token counts)."""
+    import __ray_entry__ as E
+
+    got = E.q_perceptron_confusion("/root/testdata/sf0.001").to_pandas()
+    assert set(got["y"]).issubset({-1, 1})
+    assert set(got["pred"]).issubset({-1, 1})
+    import duckdb
+    n_docs = duckdb.connect().execute(
+        "SELECT count(*) FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert int(got["n"].sum()) == n_docs
+    diag = int(got[got["y"] == got["pred"]]["n"].sum())
+    assert diag * 2 > n_docs
