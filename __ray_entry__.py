@@ -1716,6 +1716,39 @@ def q_web_pipeline(sf_dir: str):
         WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
 
 
+def q_part_cooc_linkpred(sf_dir: str):
+    """Link-prediction features per co-purchase edge
+    (`ops/graph.py` `edge_common_neighbors`): common-neighbor count +
+    both degrees over the full undirected neighborhoods (Liben-Nowell &
+    Kleinberg 2003) — Jaccard / preferential-attachment scores derive
+    as exact rationals.  Broadcast packed-neighborhood plan at this
+    scale; wedge-join plan beyond, property-tested equal."""
+    from luzzu_ray.ops.graph import cooccurrence_edges, edge_common_neighbors
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return edge_common_neighbors(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
+_LINKPRED_SQL = """
+WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey),
+f AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM f GROUP BY x),
+cm AS (SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS c
+       FROM e JOIN f na ON na.x = e.a
+              JOIN f nb ON nb.x = e.b AND nb.y = na.y
+       GROUP BY e.a, e.b)
+SELECT e.a, e.b, CAST(COALESCE(cm.c, 0) AS BIGINT) AS n_common,
+       da.d AS deg_a, db.d AS deg_b
+FROM e LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+       JOIN deg da ON da.x = e.a
+       JOIN deg db ON db.x = e.b
+"""
+
+
 def q_events_decayed_value(sf_dir: str):
     """Recency-weighted per-user engagement (`ops/events.py`
     `decayed_user_value`): exact integer powers-of-two per-day decay
@@ -9717,6 +9750,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "part_cooc_linkpred": q_part_cooc_linkpred,
         "perceptron_confusion": q_perceptron_confusion,
         "events_decayed_value": q_events_decayed_value,
         "doc_readability": q_doc_readability,
@@ -10696,6 +10730,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "part_cooc_linkpred": _LINKPRED_SQL,
         "perceptron_confusion": _perceptron_confusion_sql(),
         "events_decayed_value": _events_decayed_sql(),
         "doc_readability": _READABILITY_SQL,

@@ -297,6 +297,7 @@ def main() -> None:
         "doc_readability",
         "events_decayed_value",
         "perceptron_confusion",
+        "part_cooc_linkpred",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

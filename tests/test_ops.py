@@ -6582,3 +6582,52 @@ def test_perceptron_confusion_consistent(ray_session):
     assert int(got["n"].sum()) == n_docs
     diag = int(got[got["y"] == got["pred"]]["n"].sum())
     assert diag * 2 > n_docs
+
+
+def test_edge_common_neighbors_plans_and_twin(ray_session):
+    """Broadcast and wedge-join link-prediction plans agree on a random
+    graph and both match a brute-force Python twin; zero-common edges
+    appear with n_common = 0."""
+    import ray.data
+
+    from luzzu_ray.ops.graph import (
+        _edge_common_neighbors_join,
+        edge_common_neighbors,
+    )
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 40, 160
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    keep = a != b
+    lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    pairs = sorted(set(zip(lo.tolist(), hi.tolist())))
+    # an isolated-pair edge with no common neighbors
+    pairs.append((1000, 1001))
+    t = pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+    })
+
+    nbrs: dict[int, set] = {}
+    for x, y in pairs:
+        nbrs.setdefault(x, set()).add(y)
+        nbrs.setdefault(y, set()).add(x)
+    want = {
+        (x, y): (len(nbrs[x] & nbrs[y]), len(nbrs[x]), len(nbrs[y]))
+        for x, y in pairs
+    }
+
+    ds = ray.data.from_arrow(t).repartition(3)
+    for got_ds in (
+        edge_common_neighbors(ds, num_partitions=2),
+        _edge_common_neighbors_join(ds.materialize(), 2),
+    ):
+        got = got_ds.to_pandas().sort_values(["a", "b"])
+        gm = {
+            (int(r["a"]), int(r["b"])):
+                (int(r["n_common"]), int(r["deg_a"]), int(r["deg_b"]))
+            for _, r in got.iterrows()
+        }
+        assert gm == want
+    assert want[(1000, 1001)][0] == 0
