@@ -1716,6 +1716,44 @@ def q_web_pipeline(sf_dir: str):
         WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
 
 
+def q_minhash_recall_eval(sf_dir: str):
+    """Dedup-index quality eval (the minhash complement of
+    `ann_recall_eval`): banded-MinHash + exact-verify pairs vs the
+    prefix-filter SSJoin ground truth (recall exactly 1) at the same
+    threshold — (n_true, n_found, n_overlap) in one row.  Both sides
+    are full distributed pipelines; the intersection runs on the two
+    pair tables (tiny by contract: verified near-dup pairs).  The
+    banding miss bound at j >= 0.6 is (1-j^2)^32 ~ 6e-7, so the oracle
+    (the shared all-pairs SQL twin) expects equality on any corpus
+    whose pair count is far below 1/bound — a banding regression
+    surfaces as n_found < n_true here before any dedup query drifts."""
+    from luzzu_ray.ops.dedup import ngram_jaccard_pairs, ssjoin_pairs
+
+    truth = ssjoin_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        jaccard_threshold=JACCARD_THRESHOLD)
+    found = ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        jaccard_threshold=JACCARD_THRESHOLD)
+    tset = {(int(r["a"]), int(r["b"])) for r in truth.take_all()}
+    fset = {(int(r["a"]), int(r["b"])) for r in found.take_all()}
+    return pa.table({
+        "n_true": pa.array([len(tset)], pa.int64()),
+        "n_found": pa.array([len(fset)], pa.int64()),
+        "n_overlap": pa.array([len(tset & fset)], pa.int64()),
+    })
+
+
+def _minhash_recall_sql() -> str:
+    thr_q6 = int(round(JACCARD_THRESHOLD * 10**6))
+    return _jaccard_pairs_sql(thr_q6) + """
+SELECT CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(*) AS BIGINT) AS n_found,
+       CAST(count(*) AS BIGINT) AS n_overlap
+FROM pairs
+"""
+
+
 def q_part_cooc_linkpred(sf_dir: str):
     """Link-prediction features per co-purchase edge
     (`ops/graph.py` `edge_common_neighbors`): common-neighbor count +
@@ -9750,6 +9788,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "minhash_recall_eval": q_minhash_recall_eval,
         "part_cooc_linkpred": q_part_cooc_linkpred,
         "perceptron_confusion": q_perceptron_confusion,
         "events_decayed_value": q_events_decayed_value,
@@ -10730,6 +10769,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "minhash_recall_eval": _minhash_recall_sql(),
         "part_cooc_linkpred": _LINKPRED_SQL,
         "perceptron_confusion": _perceptron_confusion_sql(),
         "events_decayed_value": _events_decayed_sql(),

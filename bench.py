@@ -298,6 +298,7 @@ def main() -> None:
         "events_decayed_value",
         "perceptron_confusion",
         "part_cooc_linkpred",
+        "minhash_recall_eval",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -6631,3 +6631,29 @@ def test_edge_common_neighbors_plans_and_twin(ray_session):
         }
         assert gm == want
     assert want[(1000, 1001)][0] == 0
+
+
+def test_minhash_recall_eval_on_duplicates(ray_session, tmp_path):
+    """On a corpus with known near-dups the LSH-verified pair set
+    equals the prefix-filter ground truth (n_true == n_found ==
+    n_overlap > 0) — a banding regression would break this first."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    texts = [base, base + " extra", "totally different words here now",
+             base.replace("quick", "swift")]
+    texts += [f"unrelated document number {i} with filler words {i}"
+              for i in range(20)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+    d = tmp_path / "mini"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = E.q_minhash_recall_eval(str(d)).to_pandas().iloc[0]
+    assert got["n_true"] > 0
+    assert got["n_true"] == got["n_found"] == got["n_overlap"]
