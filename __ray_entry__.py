@@ -1716,6 +1716,30 @@ def q_web_pipeline(sf_dir: str):
         WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
 
 
+def q_events_interarrival_hist(sf_dir: str):
+    """Corpus log2 inter-arrival histogram (`ops/events.py`
+    `interarrival_histogram`): exact bit-length buckets of per-user
+    event gaps — the burstiness diagnostic behind sessionization gap
+    thresholds."""
+    from luzzu_ray.ops.events import interarrival_histogram
+
+    return interarrival_histogram(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts"]))
+
+
+_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT CAST(CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
 def q_minhash_recall_eval(sf_dir: str):
     """Dedup-index quality eval (the minhash complement of
     `ann_recall_eval`): banded-MinHash + exact-verify pairs vs the
@@ -9788,6 +9812,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "events_interarrival_hist": q_events_interarrival_hist,
         "minhash_recall_eval": q_minhash_recall_eval,
         "part_cooc_linkpred": q_part_cooc_linkpred,
         "perceptron_confusion": q_perceptron_confusion,
@@ -10769,6 +10794,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "events_interarrival_hist": _INTERARRIVAL_SQL,
         "minhash_recall_eval": _minhash_recall_sql(),
         "part_cooc_linkpred": _LINKPRED_SQL,
         "perceptron_confusion": _perceptron_confusion_sql(),

@@ -299,6 +299,7 @@ def main() -> None:
         "perceptron_confusion",
         "part_cooc_linkpred",
         "minhash_recall_eval",
+        "events_interarrival_hist",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -1703,3 +1703,60 @@ def decayed_user_value(
         int_cols={"decayed_q2": "decayed_q2", "n_recent": "n_recent"},
         num_partitions=num_partitions,
     )
+
+
+def interarrival_histogram(
+    ds: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Corpus-level log2 histogram of per-user inter-arrival times:
+    bucket = ``floor(log2(gap_us)) + 1`` for positive gaps (== the
+    gap's BIT LENGTH, computed exactly via ``frexp`` — valid to 2^53
+    microseconds, ~285 years), bucket 0 for zero gaps; each user's
+    first event contributes nothing.  Output ``(bucket, n)`` — the
+    burstiness / session-boundary diagnostic behind sessionization
+    gap thresholds.
+
+    SQL twin: ``length(bin(gap))`` over ``ts - lag(ts) OVER (PARTITION
+    BY user_id ORDER BY ts, event_id)`` with a CASE for gap = 0.
+
+    Scale shape: one user co-location exchange (the sessionize
+    assumption), per block one sort + shifted subtraction + bincount;
+    <= 64 partial rows per block through a tiny final combine.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["event_id", "user_id", "ts"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_id", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        same = uid[1:] == uid[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        if not len(gaps):
+            return empty
+        # exact bit length: frexp exponent of a positive int < 2^53 is
+        # floor(log2) + 1 with no float-boundary risk
+        bucket = np.where(
+            gaps > 0, np.frexp(gaps.astype(np.float64))[1], 0
+        ).astype(np.int64)
+        cnt = np.bincount(bucket)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    return grouped_sum_q(
+        part.map_batches(block, batch_format="pyarrow", batch_size=None),
+        ["bucket"], float_cols={}, int_cols={"n": "n"}, num_partitions=2,
+    )

@@ -6657,3 +6657,38 @@ def test_minhash_recall_eval_on_duplicates(ray_session, tmp_path):
     got = E.q_minhash_recall_eval(str(d)).to_pandas().iloc[0]
     assert got["n_true"] > 0
     assert got["n_true"] == got["n_found"] == got["n_overlap"]
+
+
+def test_interarrival_histogram_twin(ray_session):
+    """log2 gap buckets == a row twin with int.bit_length(); zero gaps
+    bucket 0; first-per-user excluded; layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.events import interarrival_histogram
+
+    US = 1_000_000
+    rows = [  # (user, ts_us)
+        (1, 0), (1, 1 * US), (1, 1 * US), (1, 10 * US),
+        (2, 5), (2, 6), (2, 1 << 40),
+    ]
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    want: dict[int, int] = {}
+    by_user: dict[int, list] = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        tss.sort()
+        for a, b in zip(tss, tss[1:]):
+            g = b - a
+            k = g.bit_length() if g > 0 else 0
+            want[k] = want.get(k, 0) + 1
+    for parts in (1, 3):
+        got = interarrival_histogram(
+            ray.data.from_arrow(t).repartition(parts), num_partitions=2
+        ).to_pandas()
+        gm = {int(r["bucket"]): int(r["n"]) for _, r in got.iterrows()}
+        assert gm == want, parts
