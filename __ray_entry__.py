@@ -1716,6 +1716,34 @@ def q_web_pipeline(sf_dir: str):
         WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
 
 
+def q_events_window_dup(sf_dir: str):
+    """Streaming duplicate-event suppression (`ops/events.py`
+    `window_dup_events`): same (user, type, value) within a trailing
+    1-hour window — the at-least-once-ingestion artifact filter, one
+    user exchange + shifted compare."""
+    from luzzu_ray.ops.events import window_dup_events
+
+    return window_dup_events(
+        _tbl(sf_dir, "events",
+             ["event_id", "user_id", "event_type", "ts", "value"]))
+
+
+def _events_window_dup_sql() -> str:
+    from luzzu_ray.ops.events import DUP_SUPPRESS_WINDOW_US as W
+
+    return f"""
+WITH g AS (
+  SELECT event_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id, event_type,
+                   CAST(floor(value * 100.0) AS BIGINT)
+      ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_id, COALESCE(gap <= {W}, FALSE) AS is_dup FROM g
+"""
+
+
 def q_events_interarrival_hist(sf_dir: str):
     """Corpus log2 inter-arrival histogram (`ops/events.py`
     `interarrival_histogram`): exact bit-length buckets of per-user
@@ -9812,6 +9840,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "events_window_dup": q_events_window_dup,
         "events_interarrival_hist": q_events_interarrival_hist,
         "minhash_recall_eval": q_minhash_recall_eval,
         "part_cooc_linkpred": q_part_cooc_linkpred,
@@ -10794,6 +10823,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "events_window_dup": _events_window_dup_sql(),
         "events_interarrival_hist": _INTERARRIVAL_SQL,
         "minhash_recall_eval": _minhash_recall_sql(),
         "part_cooc_linkpred": _LINKPRED_SQL,

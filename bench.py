@@ -300,6 +300,7 @@ def main() -> None:
         "part_cooc_linkpred",
         "minhash_recall_eval",
         "events_interarrival_hist",
+        "events_window_dup",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

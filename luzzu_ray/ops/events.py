@@ -1760,3 +1760,62 @@ def interarrival_histogram(
         part.map_batches(block, batch_format="pyarrow", batch_size=None),
         ["bucket"], float_cols={}, int_cols={"n": "n"}, num_partitions=2,
     )
+
+
+DUP_SUPPRESS_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def window_dup_events(
+    ds: ray.data.Dataset,
+    window_us: int = DUP_SUPPRESS_WINDOW_US,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Streaming duplicate-event suppression: an event is a DUP if the
+    same user produced an event with the same (event_type, floor(value
+    *100)) within the trailing ``window_us`` — the at-least-once
+    ingestion / double-click artifact filter every event pipeline runs
+    before aggregation.  Emits ``(event_id, is_dup)`` for every event.
+
+    SQL twin: ``ts - lag(ts) OVER (PARTITION BY user_id, event_type,
+    vq2 ORDER BY ts, event_id) <= window``.
+
+    Scale shape: one user co-location exchange, per block one lexsort
+    over (user, type, vq2, ts, event_id) + one shifted compare — the
+    sessionize skew contract (a user outgrowing a block takes the
+    salted-chunk protocol; boundary merge = last ts per (user, type,
+    vq2) chunk edge, the sessionize_salted pattern).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(
+        ["event_id", "user_id", "event_type", "ts", "value"])
+    part = picked.repartition(num_blocks=num_partitions, keys=["user_id"])
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "is_dup": pa.array([], pa.bool_())})
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ty = pc.dictionary_encode(t["event_type"].combine_chunks())
+        tyc = ty.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        vq2 = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, vq2, tyc, uid))
+        u, c, v, s = uid[order], tyc[order], vq2[order], ts[order]
+        same = (u[1:] == u[:-1]) & (c[1:] == c[:-1]) & (v[1:] == v[:-1])
+        dup = np.zeros(len(u), dtype=bool)
+        dup[1:] = same & (s[1:] - s[:-1] <= window_us)
+        return pa.table({
+            "event_id": pa.array(eid[order]),
+            "is_dup": pa.array(dup),
+        })
+
+    return part.map_batches(block, batch_format="pyarrow", batch_size=None)

@@ -6692,3 +6692,40 @@ def test_interarrival_histogram_twin(ray_session):
         ).to_pandas()
         gm = {int(r["bucket"]): int(r["n"]) for _, r in got.iterrows()}
         assert gm == want, parts
+
+
+def test_window_dup_events_twin(ray_session):
+    """Within-window same-(user,type,value) duplicate marks == a row
+    twin; window boundary inclusive; different type/value never dups;
+    layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.events import window_dup_events
+
+    W = 100
+    rows = [  # (eid, user, type, ts_us, value)
+        (0, 1, "a", 0, 1.0),
+        (1, 1, "a", 100, 1.0),    # gap == W -> dup (inclusive)
+        (2, 1, "a", 201, 1.0),    # gap 101 > W -> not dup
+        (3, 1, "b", 202, 1.0),    # different type
+        (4, 1, "a", 202, 2.0),    # different value
+        (5, 2, "a", 250, 1.0),    # different user
+        (6, 1, "a", 250, 1.0),    # gap 49 from eid2 -> dup
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    want = {0: False, 1: True, 2: False, 3: False, 4: False,
+            5: False, 6: True}
+    for parts in (1, 3):
+        got = window_dup_events(
+            ray.data.from_arrow(t).repartition(parts),
+            window_us=W, num_partitions=2,
+        ).to_pandas()
+        gm = {int(r["event_id"]): bool(r["is_dup"])
+              for _, r in got.iterrows()}
+        assert gm == want, parts
