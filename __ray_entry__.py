@@ -1716,6 +1716,34 @@ def q_web_pipeline(sf_dir: str):
         WEBPIPE_TOPP_NUM, WEBPIPE_TOPP_DEN)
 
 
+def q_conv_lang_switches(sf_dir: str):
+    """Per-conversation code-switching counts through the REAL langid
+    actor chain over the multiturn corpus (`ops/transcripts.py`
+    `conv_lang_switches`) — hard-verified via the committed scalar-twin
+    fixture (independent turn derivation + row-at-a-time langid) and a
+    LAG compare in SQL."""
+    from luzzu_ray.ops.transcripts import conv_lang_switches
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return conv_lang_switches(
+        documents_as_multiturn(sf_dir),
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+_CONV_LANG_SWITCH_SQL = """
+WITH f AS (SELECT * FROM read_parquet(
+       '/root/repo/tests/fixtures/conv_turn_langs_sf001.parquet')),
+t AS (SELECT conv_id, lang,
+        lag(lang) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM f)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND lang <> prev
+                     THEN 1 END), 0) AS BIGINT) AS n_switches
+FROM t GROUP BY conv_id
+"""
+
+
 def q_events_window_dup(sf_dir: str):
     """Streaming duplicate-event suppression (`ops/events.py`
     `window_dup_events`): same (user, type, value) within a trailing
@@ -9840,6 +9868,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "conv_lang_switches": q_conv_lang_switches,
         "events_window_dup": q_events_window_dup,
         "events_interarrival_hist": q_events_interarrival_hist,
         "minhash_recall_eval": q_minhash_recall_eval,
@@ -10823,6 +10852,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "conv_lang_switches": _CONV_LANG_SWITCH_SQL,
         "events_window_dup": _events_window_dup_sql(),
         "events_interarrival_hist": _INTERARRIVAL_SQL,
         "minhash_recall_eval": _minhash_recall_sql(),

@@ -301,6 +301,7 @@ def main() -> None:
         "minhash_recall_eval",
         "events_interarrival_hist",
         "events_window_dup",
+        "conv_lang_switches",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

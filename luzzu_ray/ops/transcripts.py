@@ -1099,3 +1099,67 @@ def conv_pii_propagate(
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+LANG_SWITCH_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("n_switches", pa.int64()),
+    ]
+)
+
+
+def conv_lang_switches(
+    ds: ray.data.Dataset,
+    model_ref=None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-conversation code-switching count through the REAL langid
+    actor chain: every turn is labeled by the stateful ``LangIdScorer``
+    pool, conversations co-locate on one exchange, and adjacent turns
+    with different predicted languages count as switches — the
+    multilingual-contamination signal for conversation corpora
+    (Luzzu versatility-metric analogue, README.md:7 ``[paper]``).
+
+    Output per ``conv_id``: ``(n_turns, n_switches)``.  Oracle: a
+    committed fixture from the row-at-a-time scalar twin
+    (``tools/make_fixtures.make_conv_turn_langs``) + a LAG compare in
+    SQL.  Scale shape: actor-pool map (model built once per actor) +
+    one conv exchange + shifted dictionary-code compare per block.
+    """
+    from luzzu_ray.ops.common import pool as default_actor_pool
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+    from luzzu_ray.stages.actors import LangIdScorer
+
+    _ensure_hash_shuffle()
+    num_partitions = auto_partitions(ds, num_partitions)
+    scored = ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        LangIdScorer,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_actor_pool(),
+        fn_constructor_kwargs={"model_ref": model_ref},
+    ).select_columns(["conv_id", "turn_idx", "lang"])
+    part = scored.repartition(num_blocks=num_partitions, keys=["conv_id"])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return LANG_SWITCH_SCHEMA.empty_table()
+        conv, c, order, first = _conv_sorted(t)
+        lang = pc.dictionary_encode(t["lang"].combine_chunks())
+        lc = lang.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[order]
+        gid = np.cumsum(first) - 1
+        n_groups = int(gid[-1]) + 1
+        n_turns = np.bincount(gid, minlength=n_groups)
+        sw_pos = (~first[1:]) & (lc[1:] != lc[:-1])
+        n_sw = np.bincount(gid[1:][sw_pos], minlength=n_groups)
+        return pa.table({
+            "conv_id": pc.take(conv.dictionary, pa.array(c[first])),
+            "n_turns": pa.array(n_turns.astype(np.int64)),
+            "n_switches": pa.array(n_sw.astype(np.int64)),
+        })
+
+    return part.map_batches(block, batch_format="pyarrow", batch_size=None)

@@ -576,3 +576,38 @@ def test_conv_pii_propagate_cross_turn(ray_session):
         glit, gtxt = got_map[k]
         assert (glit if glit is not None else None) == lit, k
         assert (gtxt if isinstance(gtxt, str) else None) == txt, k
+
+
+def test_conv_lang_switches_twin(ray_session):
+    """Engine lang-switch counts over a crafted corpus == a twin using
+    the scalar langid on the same turns; layout-invariant."""
+    import ray.data
+
+    from luzzu_ray import models
+    from luzzu_ray.ops.transcripts import conv_lang_switches
+
+    texts = {
+        "a": ["the quick brown fox jumps over the lazy dog today",
+              "le renard brun rapide saute par dessus le chien",
+              "the dog sleeps under the warm summer sun all day"],
+        "b": ["der schnelle braune fuchs springt heute sehr hoch",
+              "der hund schlaeft unter der warmen sommer sonne"],
+    }
+    rows = [(c, i, t) for c, ts in texts.items() for i, t in enumerate(ts)]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    want = {}
+    for c, ts in texts.items():
+        langs = [models.langid_row(x)[0] for x in ts]
+        want[c] = (len(ts), sum(1 for a, b in zip(langs, langs[1:])
+                                if a != b))
+    for parts in (1, 3):
+        got = conv_lang_switches(
+            ray.data.from_arrow(t).repartition(parts), num_partitions=2
+        ).to_pandas()
+        gm = {r["conv_id"]: (int(r["n_turns"]), int(r["n_switches"]))
+              for _, r in got.iterrows()}
+        assert gm == want, parts

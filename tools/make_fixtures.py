@@ -398,10 +398,41 @@ def make_video_fp(sf_dir: str) -> pa.Table:
     })
 
 
+def make_conv_turn_langs(sf_dir: str) -> pa.Table:
+    """Row-at-a-time twin of langid over the MULTITURN corpus slices:
+    the turn derivation is reconstructed independently (Python string
+    slicing == SQL ``substr`` on the ASCII fixtures — never the
+    engine's adapter), then ``models.langid_row`` labels each turn.
+    Feeds the ``conv_lang_switches`` oracle."""
+    from luzzu_ray import models
+    from luzzu_ray.sources import MULTITURN_SLICE_STEP, MULTITURN_SLICE_W
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    conv_ids, turn_idxs, langs = [], [], []
+    for did, text in zip(docs["doc_id"].to_pylist(),
+                         docs["text"].to_pylist()):
+        for i in range(2 + did % 3):
+            s = (text or "")[
+                MULTITURN_SLICE_STEP * i:
+                MULTITURN_SLICE_STEP * i + MULTITURN_SLICE_W]
+            lang, _ = models.langid_row(s)
+            conv_ids.append(str(did))
+            turn_idxs.append(i)
+            langs.append(lang)
+    return pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "turn_idx": pa.array(turn_idxs, pa.int32()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
 def main(sf_dir: str) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     for name, fn in (
         ("langid_docs", make_langid),
+        ("conv_turn_langs", make_conv_turn_langs),
         ("ppl_docs", make_ppl),
         ("image_phash_dedup", make_image_phash),
         ("audio_fp_dedup", make_audio_fp),
