@@ -2006,9 +2006,11 @@ def q_perceptron_confusion(sf_dir: str):
     map pass + a 4-row grouped sum."""
     import numpy as np
 
-    from luzzu_ray.ops.classifier import perceptron_train
+    from luzzu_ray.ops.classifier import (
+        perceptron_score_batch,
+        perceptron_train,
+    )
     from luzzu_ray.ops.relational import grouped_sum_q
-    from luzzu_ray.ops.vocab import _dsir_bucket_block
 
     wt = perceptron_train(
         _docs(sf_dir, ["doc_id", "text", "n_chars"]),
@@ -2019,19 +2021,12 @@ def q_perceptron_confusion(sf_dir: str):
     D = len(w) - 1
 
     def score_partial(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
+        if t.num_rows == 0:
             return pa.table({"y": pa.array([], pa.int64()),
                              "pred": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        col = t["text"]
-        b, rid = _dsir_bucket_block(
-            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-            else col, D)
-        lab = t["n_chars"].to_numpy(zero_copy_only=False)
-        y = np.where(lab >= PERC_THRESH, np.int64(1), np.int64(-1))
-        score = np.full(n, w[D], dtype=np.int64)
-        np.add.at(score, rid, w[b])
+        y, score, _, _ = perceptron_score_batch(
+            t, w, D, PERC_THRESH, "text", "n_chars")
         pred = np.where(score > 0, np.int64(1), np.int64(-1))
         key = (y + 1) + (pred + 1) // 2  # 0..3
         cnt = np.bincount(key, minlength=4)

@@ -236,6 +236,34 @@ PERC_BUCKETS = 32          # hashed feature buckets; bucket PERC_BUCKETS = bias
 PERC_EPOCHS = 3
 
 
+def perceptron_score_batch(
+    t: pa.Table,
+    w: np.ndarray,
+    n_buckets: int,
+    label_threshold: int,
+    text_col: str,
+    label_col: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The SINGLE definition of the train/apply scoring contract:
+    hashed-token bucket features (DSIR polynomial hash), bias at index
+    ``n_buckets``, int64 ``score = w . x``, ``y = +1 iff label >=
+    threshold``.  Returns ``(y, score, bucket_per_token,
+    row_per_token)`` for one batch — training's gradient and the
+    apply/eval passes both consume this, so the feature/tokenization/
+    sign conventions can never desynchronize."""
+    from luzzu_ray.ops.vocab import _dsir_bucket_block
+
+    col = t[text_col]
+    b, rid = _dsir_bucket_block(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col,
+        n_buckets)
+    lab = t[label_col].to_numpy(zero_copy_only=False)
+    y = np.where(lab >= label_threshold, np.int64(1), np.int64(-1))
+    score = np.full(t.num_rows, w[n_buckets], dtype=np.int64)
+    np.add.at(score, rid, w[b])
+    return y, score, b, rid
+
+
 def perceptron_train(
     ds,
     n_buckets: int = PERC_BUCKETS,
@@ -269,10 +297,7 @@ def perceptron_train(
     is the DSIR one (`ops/vocab._dsir_bucket_block`): a SQL-foldable
     polynomial, so the oracle rebuilds features with no fixture.
     """
-    import ray.data as _rd  # noqa: F401  (ds is a ray Dataset)
-
     from luzzu_ray.ops.relational import grouped_sum_q
-    from luzzu_ray.ops.vocab import _dsir_bucket_block
 
     bias = n_buckets
     w = np.zeros(n_buckets + 1, dtype=np.int64)
@@ -282,19 +307,12 @@ def perceptron_train(
         w_now = w.copy()
 
         def grad_partial(t: pa.Table, w_now=w_now) -> pa.Table:
-            n = t.num_rows
             empty = pa.table({"b": pa.array([], pa.int64()),
                               "g": pa.array([], pa.int64())})
-            if n == 0:
+            if t.num_rows == 0:
                 return empty
-            col = t[text_col]
-            b, rid = _dsir_bucket_block(
-                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-                else col, n_buckets)
-            lab = t[label_col].to_numpy(zero_copy_only=False)
-            y = np.where(lab >= label_threshold, np.int64(1), np.int64(-1))
-            score = np.full(n, w_now[bias], dtype=np.int64)
-            np.add.at(score, rid, w_now[b])
+            y, score, b, rid = perceptron_score_batch(
+                t, w_now, n_buckets, label_threshold, text_col, label_col)
             # pred = sign(score), sign(0) = -1; misclassified iff
             # pred != y  <=>  (score > 0) != (y == 1)
             mis = (score > 0) != (y == 1)

@@ -1685,16 +1685,14 @@ def decayed_user_value(
         vq2 = np.floor(
             t["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
-        g = (
-            pa.table({
-                "user_id": t["user_id"],
-                "decayed_q2": pa.array(w * vq2),
-                "n_recent": pa.array(recent.astype(np.int64)),
-            })
-            .group_by("user_id")
-            .aggregate([("decayed_q2", "sum"), ("n_recent", "sum")])
-        )
-        return g.rename_columns(["user_id", "decayed_q2", "n_recent"])
+        # per-event rows: grouped_sum_q partial-sums each block before
+        # the exchange anyway, so pre-aggregating here would do the
+        # identical hash aggregation twice
+        return pa.table({
+            "user_id": t["user_id"],
+            "decayed_q2": pa.array(w * vq2),
+            "n_recent": pa.array(recent.astype(np.int64)),
+        })
 
     return grouped_sum_q(
         ds.select_columns(["user_id", "ts", "value"]).map_batches(

@@ -1074,13 +1074,13 @@ def _edge_common_neighbors_join(
         c = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "a": t["a"], "b": t["b"],
-            "k": pa.array((b << _PACK_BITS) | c),
+            "k": pa.array(_pack(b, c)),
         })
 
     def key_edge(t: pa.Table) -> pa.Table:
         x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
         y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"k": pa.array((x << _PACK_BITS) | y)})
+        return pa.table({"k": pa.array(_pack(x, y))})
 
     closed = semi_join(
         wedges.map_batches(
@@ -1094,7 +1094,7 @@ def _edge_common_neighbors_join(
     def pair_partial(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        p = (a << _PACK_BITS) | b
+        p = _pack(a, b)
         up, cnt = np.unique(p, return_counts=True)
         mask = (np.int64(1) << _PACK_BITS) - 1
         return pa.table({
@@ -1112,7 +1112,7 @@ def _edge_common_neighbors_join(
     def add_ek(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("ek", pa.array((a << _PACK_BITS) | b))
+        return t.append_column("ek", pa.array(_pack(a, b)))
 
     withc = outer_hash_join(
         e1.map_batches(add_ek, batch_format="pyarrow",
