@@ -8882,30 +8882,76 @@ def q_prefix_contained(sf_dir: str):
     return prefix_contained(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _split_labels_batch(t: pa.Table) -> pa.Table:
+    """Shared 80/10/10 split derivation (pure function of ``source``
+    via the char-weight token hash mod 10^4) — used by the split query
+    and the leakage audit."""
+    from luzzu_ray.functions.text import token_hash_py
+
+    enc = pc.dictionary_encode(t["source"].combine_chunks())
+    d = enc.dictionary.to_pylist()
+    hs = np.array(
+        [token_hash_py(s.encode("utf-8")) & ((1 << 64) - 1)
+         for s in d], dtype=np.uint64)
+    bucket = (hs % np.uint64(10_000)).astype(np.int64)
+    lab = np.where(bucket < 8000, "train",
+                   np.where(bucket < 9000, "val", "test"))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.append_column("split", pa.array(lab[codes], pa.string()))
+
+
 def q_docs_split_by_source(sf_dir: str):
     """Leakage-safe deterministic train/val/test split: the split is a
     pure function of the SOURCE (all of a source's docs land together,
     so near-dups within a source can never straddle train/test), via
     the shared char-weight token hash mod 10^4 — 80/10/10."""
-    from luzzu_ray.functions.text import token_hash_py
-
-    def split_batch(t: pa.Table) -> pa.Table:
-        enc = pc.dictionary_encode(t["source"].combine_chunks())
-        d = enc.dictionary.to_pylist()
-        hs = np.array(
-            [token_hash_py(s.encode("utf-8")) & ((1 << 64) - 1)
-             for s in d], dtype=np.uint64)
-        bucket = (hs % np.uint64(10_000)).astype(np.int64)
-        lab = np.where(bucket < 8000, "train",
-                       np.where(bucket < 9000, "val", "test"))
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"doc_id": t["doc_id"], "source": t["source"],
-             "split": pa.array(lab[codes], pa.string())}
-        )
-
     return _docs(sf_dir, ["doc_id", "source"]).map_batches(
-        split_batch, batch_format="pyarrow", zero_copy_batch=True)
+        lambda t: _split_labels_batch(t).select(
+            ["doc_id", "source", "split"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_split_leakage_audit(sf_dir: str):
+    """Train/val/test LEAKAGE audit: exact-verified near-dup pair
+    counts by unordered split pair — off-diagonal rows are leaked
+    pairs.  Composes the shared split labeler with
+    `ops/dedup.cross_source_dup_matrix` (pair graph + two sequential
+    doc->label hash joins, one narrow grouped count); the source-keyed
+    split keeps within-source near-dups together, so any off-diagonal
+    count comes from CROSS-source duplication — exactly what this
+    audit exists to catch."""
+    from luzzu_ray.ops.dedup import cross_source_dup_matrix
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    def relabel(t: pa.Table) -> pa.Table:
+        lt = _split_labels_batch(t)
+        return pa.table({"doc_id": lt["doc_id"], "text": lt["text"],
+                         "source": lt["split"]})
+
+    relabeled = docs.map_batches(
+        relabel, batch_format="pyarrow", zero_copy_batch=True)
+    m = cross_source_dup_matrix(
+        relabeled, jaccard_threshold=JACCARD_THRESHOLD)
+    return m.map_batches(
+        lambda t: t.rename_columns(["split_a", "split_b", "n_pairs"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _split_leakage_sql() -> str:
+    thr_q6 = int(round(JACCARD_THRESHOLD * 10**6))
+    return _jaccard_pairs_sql(thr_q6) + f""",
+sp AS (SELECT doc_id,
+        CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+             ELSE 'test' END AS s
+       FROM (SELECT doc_id,
+               CAST(({_token_hash_sql("source")}) % 10000 AS BIGINT) AS b
+             FROM documents)),
+s AS (SELECT least(sa.s, sb.s) AS split_a, greatest(sa.s, sb.s) AS split_b
+      FROM pairs p JOIN sp sa ON sa.doc_id = p.a
+           JOIN sp sb ON sb.doc_id = p.b)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM s GROUP BY 1, 2
+"""
 
 
 def q_events_hourly_dense(sf_dir: str):
@@ -9863,6 +9909,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "split_leakage_audit": q_split_leakage_audit,
         "conv_lang_switches": q_conv_lang_switches,
         "events_window_dup": q_events_window_dup,
         "events_interarrival_hist": q_events_interarrival_hist,
@@ -10847,6 +10894,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "split_leakage_audit": _split_leakage_sql(),
         "conv_lang_switches": _CONV_LANG_SWITCH_SQL,
         "events_window_dup": _events_window_dup_sql(),
         "events_interarrival_hist": _INTERARRIVAL_SQL,

@@ -302,6 +302,7 @@ def main() -> None:
         "events_interarrival_hist",
         "events_window_dup",
         "conv_lang_switches",
+        "split_leakage_audit",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

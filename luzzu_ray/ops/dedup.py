@@ -2502,8 +2502,12 @@ def cross_source_dup_matrix(
     )
     p = pairs.select_columns(["a", "b"]).repartition(
         num_blocks=num_partitions)
+    # plain repartition between the chained joins repacks the
+    # schema-less empty blocks a hash-keyed join output can carry —
+    # Acero rejects them with "No match for key field" on tiny inputs
     j1 = p.join(src_a, join_type="inner", on=("a",),
-                num_partitions=num_partitions).materialize()
+                num_partitions=num_partitions).repartition(
+                    num_blocks=num_partitions).materialize()
     j2 = j1.join(src_b, join_type="inner", on=("b",),
                  num_partitions=num_partitions)
 

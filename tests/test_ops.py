@@ -6729,3 +6729,46 @@ def test_window_dup_events_twin(ray_session):
         gm = {int(r["event_id"]): bool(r["is_dup"])
               for _, r in got.iterrows()}
         assert gm == want, parts
+
+
+def test_split_leakage_audit_detects_cross_split_pair(ray_session, tmp_path):
+    """A near-dup pair planted across two sources that hash to
+    DIFFERENT splits shows up as an off-diagonal (split_a != split_b)
+    row; within-split dups stay on the diagonal."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from luzzu_ray.functions.text import token_hash_py
+
+    def split_of(src: str) -> str:
+        b = (token_hash_py(src.encode()) & ((1 << 64) - 1)) % 10_000
+        return "train" if b < 8000 else ("val" if b < 9000 else "test")
+
+    # find two sources in different splits
+    cands = [f"s{i}" for i in range(200)]
+    by_split: dict[str, str] = {}
+    for s in cands:
+        by_split.setdefault(split_of(s), s)
+        if len(by_split) >= 2:
+            break
+    (sp1, src1), (sp2, src2) = list(by_split.items())[:2]
+    assert sp1 != sp2
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "into the deep dark forest tonight again and again")
+    texts = [base, base + " extra"]
+    srcs = [src1, src2]
+    texts += [f"unrelated filler document number {i} {i}" for i in range(20)]
+    srcs += [src1] * 20
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+        "source": pa.array(srcs),
+    })
+    d = tmp_path / "leak"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = E.q_split_leakage_audit(str(d)).to_pandas()
+    off = got[got["split_a"] != got["split_b"]]
+    assert len(off) == 1
+    assert int(off.iloc[0]["n_pairs"]) == 1
