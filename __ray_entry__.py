@@ -6358,6 +6358,48 @@ CHUNK_W = 32
 CHUNK_S = 16
 
 
+def _chunk_sql() -> str:
+    """Shared sliding-window chunk CTE body (twin of
+    ops/vocab.chunk_documents at CHUNK_W/CHUNK_S)."""
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS w, "
+        "len(string_split(text, ' ')) AS t FROM documents), "
+        "k AS (SELECT doc_id, w, t, 1 + (greatest(t - {W}, 0) "
+        "+ {S} - 1) // {S} AS nk FROM d), "
+        "e AS (SELECT doc_id, w, t, "
+        "unnest(generate_series(0, nk - 1)) AS i FROM k) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+        "array_to_string(list_slice(w, i * {S} + 1, "
+        "least(i * {S} + {W}, t)), ' ') AS chunk_text, "
+        "CAST(least(i * {S} + {W}, t) - i * {S} AS BIGINT) "
+        "AS n_tokens FROM e"
+    ).replace("{W}", str(CHUNK_W)).replace("{S}", str(CHUNK_S))
+
+
+def q_rag_chunk_dedup(sf_dir: str):
+    """RAG-index redundancy audit (`ops/vocab.sliding_chunk_stats`):
+    sliding-window chunks, per doc the count whose text occurs in >= 2
+    distinct documents — chunk-granularity dedup over the shared
+    chunk-df pipeline (CDC's tail)."""
+    from luzzu_ray.ops.vocab import sliding_chunk_stats
+
+    return sliding_chunk_stats(
+        _docs(sf_dir, ["doc_id", "text"]), CHUNK_W, CHUNK_S)
+
+
+def _rag_chunk_dedup_sql() -> str:
+    return f"""
+WITH c AS ({_chunk_sql()}),
+df AS (SELECT chunk_text, count(DISTINCT doc_id) AS dfc
+       FROM c GROUP BY 1),
+j AS (SELECT c.doc_id, CASE WHEN df.dfc >= 2 THEN 1 ELSE 0 END AS s
+      FROM c JOIN df USING (chunk_text))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(s) AS BIGINT) AS n_shared
+FROM j GROUP BY doc_id
+"""
+
+
 def q_chunk_documents(sf_dir: str):
     """Sliding-window chunking: overlapping token windows per doc —
     segment index math + one Arrow take + one rejoin per batch."""
@@ -9909,6 +9951,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "rag_chunk_dedup": q_rag_chunk_dedup,
         "split_leakage_audit": q_split_leakage_audit,
         "conv_lang_switches": q_conv_lang_switches,
         "events_window_dup": q_events_window_dup,
@@ -10894,6 +10937,7 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(doc_id AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B}) "
             f"% 18446744073709551616, doc_id) <= {STRAT_K}"
         ),
+        "rag_chunk_dedup": _rag_chunk_dedup_sql(),
         "split_leakage_audit": _split_leakage_sql(),
         "conv_lang_switches": _CONV_LANG_SWITCH_SQL,
         "events_window_dup": _events_window_dup_sql(),

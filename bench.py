@@ -303,6 +303,7 @@ def main() -> None:
         "events_window_dup",
         "conv_lang_switches",
         "split_leakage_audit",
+        "rag_chunk_dedup",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

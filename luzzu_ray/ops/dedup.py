@@ -2784,6 +2784,23 @@ def cdc_chunk_stats(
         })
         return pa.concat_tables([occ, totals])
 
+    parts = ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow")
+    return chunk_df_stats_pipeline(parts, min_df, num_partitions)
+
+
+def chunk_df_stats_pipeline(
+    parts: ray.data.Dataset, min_df: int, num_partitions: int
+) -> ray.data.Dataset:
+    """Shared tail of the chunk-dedup family (CDC and sliding-window
+    chunking both feed it): ``parts`` rows are ``(h:uint64,
+    doc_id:int64, n_occ:int64, is_total:int8)`` — per-block distinct
+    (chunk-hash, doc) occurrence partials plus one per-doc total row
+    (``is_total = 1``, ``h`` = a spread hash of the doc id so totals
+    distribute).  One h-keyed exchange computes df per chunk content
+    and per-doc dup partials; one narrow doc-keyed exchange merges
+    them with the totals.  Output: (doc_id, n_chunks, n_shared)."""
+
     def dup_block(t: pa.Table) -> pa.Table:
         tot = t.filter(pc.equal(t["is_total"], 1))
         g = t.filter(pc.equal(t["is_total"], 0))
@@ -2828,8 +2845,6 @@ def cdc_chunk_stats(
             [("n_chunks", "sum"), ("n_shared", "sum")])
         return g.rename_columns(["doc_id", "n_chunks", "n_shared"])
 
-    parts = ds.select_columns(["doc_id", "text"]).map_batches(
-        partial, batch_format="pyarrow")
     dups = parts.repartition(
         num_blocks=num_partitions, keys=["h"]
     ).map_batches(dup_block, batch_format="pyarrow", batch_size=None)

@@ -2129,3 +2129,84 @@ def source_vocab_overlap(
         "jaccard_q6": pa.array(
             [r["jaccard_q6"] for r in rows], pa.int64()),
     })
+
+
+def sliding_chunk_stats(
+    ds: ray.data.Dataset,
+    window: int,
+    stride: int,
+    min_df: int = 2,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """RAG-chunk dedup signal: sliding-window chunk the corpus
+    (:func:`chunk_documents` — the embed/RAG preprocessing step), then
+    per document report ``n_chunks`` and ``n_shared`` = chunk
+    instances whose TEXT occurs in >= ``min_df`` distinct documents —
+    "how much of my RAG index is redundant, and which docs contribute
+    it".  The chunk-granularity complement of whole-doc dedup: two
+    docs sharing one section share its chunks even when their hashes
+    and shingle profiles differ elsewhere.
+
+    Scale shape: the chunk pass is row-expanding (~tokens/stride rows
+    per doc), so the exchange width comes from the walked-input bound
+    times the expansion; chunk identity crosses the exchange as the
+    64-bit polynomial content key (``content_key_batch`` k1 — the SQL
+    oracle groups by chunk STRING, so a collision surfaces as a hash
+    mismatch, never silently); the df/merge tail is the shared
+    ``chunk_df_stats_pipeline`` (one h-keyed + one doc-keyed
+    exchange, nothing driver-side).
+    """
+    from luzzu_ray.ops.dedup import (
+        auto_partitions,
+        chunk_df_stats_pipeline,
+        content_key_batch,
+    )
+
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds, None)
+    chunks = chunk_documents(ds, window, stride)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "h": pa.array([], pa.uint64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_occ": pa.array([], pa.int64()),
+            "is_total": pa.array([], pa.int8()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ck = content_key_batch(pa.table({
+            "doc_id": t["doc_id"], "text": t["chunk_text"]}))
+        h = ck["k1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (h, doc) occurrence counts within the block
+        order = np.lexsort((h, ids))
+        hs, ds_ = h[order], ids[order]
+        first = np.concatenate(
+            ([True], (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])))
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(hs))
+        occ = pa.table({
+            "h": pa.array(hs[starts]),
+            "doc_id": pa.array(ds_[starts]),
+            "n_occ": pa.array((ends - starts).astype(np.int64)),
+            "is_total": pa.array(np.zeros(len(starts), dtype=np.int8)),
+        })
+        # per-doc chunk totals, spread-keyed so totals distribute
+        dstarts = np.flatnonzero(
+            np.concatenate(([True], ds_[1:] != ds_[:-1])))
+        dids = ds_[dstarts]
+        dcnt = np.diff(np.append(dstarts, len(ds_)))
+        with np.errstate(over="ignore"):
+            spread = dids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        totals = pa.table({
+            "h": pa.array(spread),
+            "doc_id": pa.array(dids),
+            "n_occ": pa.array(dcnt.astype(np.int64)),
+            "is_total": pa.array(np.ones(len(dids), dtype=np.int8)),
+        })
+        return pa.concat_tables([occ, totals])
+
+    parts = chunks.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    return chunk_df_stats_pipeline(parts, min_df, num_partitions)

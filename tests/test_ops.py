@@ -6772,3 +6772,56 @@ def test_split_leakage_audit_detects_cross_split_pair(ray_session, tmp_path):
     off = got[got["split_a"] != got["split_b"]]
     assert len(off) == 1
     assert int(off.iloc[0]["n_pairs"]) == 1
+
+
+def test_sliding_chunk_stats_twin(ray_session):
+    """Chunk-granularity dedup == a pure-Python twin (chunking + df
+    over chunk text); partial duplication is visible (shared section
+    -> shared chunks); layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.vocab import sliding_chunk_stats
+
+    W, S = 4, 2
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        shared + " one two",
+        "prefix words " + shared,  # 2-word (== stride) offset: aligned
+        "totally different content with many unique words inside",
+        "",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+
+    def chunks_of(txt: str) -> list[str]:
+        w = txt.split(" ")
+        T = len(w)
+        nk = 1 + max(0, -(-(T - W) // S)) if T > W else 1
+        out = []
+        for i in range(nk):
+            out.append(" ".join(w[i * S: min(i * S + W, T)]))
+        return out
+
+    alls: dict[str, set] = {}
+    per_doc = []
+    for d, txt in enumerate(texts):
+        cs = chunks_of(txt)
+        per_doc.append(cs)
+        for c in cs:
+            alls.setdefault(c, set()).add(d)
+    want = {
+        d: (len(cs), sum(1 for c in cs if len(alls[c]) >= 2))
+        for d, cs in enumerate(per_doc)
+    }
+    for parts in (1, 3):
+        got = sliding_chunk_stats(
+            ray.data.from_arrow(t).repartition(parts), W, S,
+            num_partitions=2,
+        ).to_pandas()
+        gm = {int(r["doc_id"]): (int(r["n_chunks"]), int(r["n_shared"]))
+              for _, r in got.iterrows()}
+        assert gm == want, parts
+    # the two docs sharing the section really do share chunks
+    assert want[0][1] > 0 and want[1][1] > 0 and want[2][1] == 0
