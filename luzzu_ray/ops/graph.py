@@ -822,6 +822,66 @@ def _lpa_block(t: pa.Table, *, nodes_ref, labels_ref) -> pa.Table:
     })
 
 
+def _lpa_pair_counts(t: pa.Table) -> pa.Table:
+    """Block-partial (src, neighbor-label) occurrence counts over the
+    edges ⋈ labels join output — the map-side combine before the
+    src-keyed exchange of the LPA join fallback.  Grouping is by
+    lexsort run boundaries (node ids are arbitrary int64, so no packed
+    pair key is safe here, unlike the broadcast kernel's index pack)."""
+    empty = pa.table({
+        "src": pa.array([], pa.int64()),
+        "lbl": pa.array([], pa.int64()),
+        "c": pa.array([], pa.int64()),
+    })
+    if t.num_rows == 0:
+        return empty
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lbl = t["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((lbl, src))
+    s, l = src[order], lbl[order]
+    neq = np.empty(len(s), dtype=bool)
+    neq[0] = True
+    neq[1:] = (s[1:] != s[:-1]) | (l[1:] != l[:-1])
+    first = np.flatnonzero(neq)
+    counts = np.diff(np.append(first, len(s)))
+    return pa.table({
+        "src": pa.array(s[first]),
+        "lbl": pa.array(l[first]),
+        "c": pa.array(counts.astype(np.int64)),
+    })
+
+
+def _lpa_mode_final(t: pa.Table) -> pa.Table:
+    """Block-final per-src mode after the src-keyed exchange: sum the
+    partial counts per (src, lbl), then pick the first row per src
+    under (count DESC, label ASC) — identical tie semantics to the
+    broadcast kernel ``_lpa_block``."""
+    empty = pa.table({
+        "node": pa.array([], pa.int64()),
+        "lbl": pa.array([], pa.int64()),
+    })
+    if t.num_rows == 0:
+        return empty
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lbl = t["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((lbl, src))
+    s, l, cs = src[order], lbl[order], c[order]
+    neq = np.empty(len(s), dtype=bool)
+    neq[0] = True
+    neq[1:] = (s[1:] != s[:-1]) | (l[1:] != l[:-1])
+    first = np.flatnonzero(neq)
+    s_u, l_u = s[first], l[first]
+    csum = np.add.reduceat(cs, first)
+    pick = np.lexsort((l_u, -csum, s_u))
+    s_p, l_p = s_u[pick], l_u[pick]
+    lead = np.flatnonzero(np.diff(s_p, prepend=s_p[0] - 1))
+    return pa.table({
+        "node": pa.array(s_p[lead]),
+        "lbl": pa.array(l_p[lead]),
+    })
+
+
 def lpa_communities(
     edges: ray.data.Dataset,
     rounds: int = 4,
@@ -842,9 +902,14 @@ def lpa_communities(
     (sorted nodes, labels) arrays via ``ray.put`` and every block
     computes its nodes' modes block-finally, so a round is one
     exchange-free task map plus a #nodes-row driver gather.  Beyond
-    ``broadcast_max_nodes`` this raises loudly — the scale path is one
-    hash-join + keyed-exchange argmax per round (the k-core/pagerank
-    join-fallback shape), which trades R broadcasts for 2R exchanges.
+    ``broadcast_max_nodes`` the JOIN FALLBACK runs instead (the
+    pagerank join-fallback shape at :func:`pagerank`): labels live as
+    a dataset; each round is one native hash join (edges ⋈ labels on
+    dst) + block-partial (src, lbl) counts + one keyed exchange on src
+    + a block-final mode-argmax — trading R broadcasts for 2R
+    exchanges, with per-round state never exceeding one block.
+    Property-tested bit-equal to the broadcast plan
+    (``test_lpa_communities_matches_python_twin``).
     """
     from luzzu_ray.ops.dedup import auto_partitions
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
@@ -870,47 +935,71 @@ def lpa_communities(
         u = np.unique(t["src"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(u.astype(np.int64))})
 
-    node_parts = [
-        t["node"].to_numpy(zero_copy_only=False)
-        for t in ray.get(list(d.map_batches(
-            node_block, batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True).to_arrow_refs()))
-        if t.num_rows
-    ]
-    nodes = (np.unique(np.concatenate(node_parts)) if node_parts
-             else np.empty(0, dtype=np.int64))
-    if len(nodes) == 0:
+    # src-partitioned blocks hold complete per-node edge sets, so
+    # block-local node uniques are disjoint across blocks and final
+    node_ds = d.map_batches(
+        node_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).materialize()
+    n_nodes = node_ds.count()
+    if n_nodes == 0:
         return pa.table({
             "node": pa.array([], pa.int64()),
             "community": pa.array([], pa.int64()),
         })
-    if len(nodes) > broadcast_max_nodes:
-        raise ValueError(
-            f"lpa_communities: {len(nodes)} nodes exceed the broadcast "
-            f"cap {broadcast_max_nodes}; use a join-per-round plan "
-            "(edges ⋈ labels on dst, then keyed-exchange per-node "
-            "argmax) for graphs beyond one worker's memory"
-        )
-    labels = nodes.copy()
-    nodes_ref = ray.put(nodes)
+    if n_nodes <= broadcast_max_nodes:
+        node_parts = [
+            t["node"].to_numpy(zero_copy_only=False)
+            for t in ray.get(list(node_ds.to_arrow_refs()))
+            if t.num_rows
+        ]
+        nodes = np.unique(np.concatenate(node_parts))
+        labels = nodes.copy()
+        nodes_ref = ray.put(nodes)
+        for _ in range(rounds):
+            labels_ref = ray.put(labels)
+            parts = d.map_batches(
+                _lpa_block,
+                fn_kwargs={"nodes_ref": nodes_ref,
+                           "labels_ref": labels_ref},
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None,
+            )
+            new_labels = labels.copy()
+            for p in ray.get(list(parts.to_arrow_refs())):
+                if p.num_rows:
+                    idx = np.searchsorted(
+                        nodes, p["node"].to_numpy(zero_copy_only=False))
+                    new_labels[idx] = p["lbl"].to_numpy(zero_copy_only=False)
+            labels = new_labels
+        return pa.table({
+            "node": pa.array(nodes), "community": pa.array(labels)
+        })
+
+    # join fallback: labels as a dataset; per round one hash join on
+    # dst + one keyed exchange on src.  Plain repartitions repack the
+    # key-exchanged blocks before Acero (schema-less empties).
+    dj = d.repartition(num_blocks=width).materialize()
+    lbl_ds = node_ds.map_batches(
+        lambda t: pa.table({"node": t["node"], "lbl": t["node"]}),
+        batch_format="pyarrow",
+    ).repartition(num_blocks=width).materialize()
     for _ in range(rounds):
-        labels_ref = ray.put(labels)
-        parts = d.map_batches(
-            _lpa_block,
-            fn_kwargs={"nodes_ref": nodes_ref, "labels_ref": labels_ref},
-            batch_format="pyarrow", zero_copy_batch=True,
-            batch_size=None,
+        joined = dj.join(
+            lbl_ds, join_type="inner", on=("dst",), right_on=("node",),
+            num_partitions=width,
         )
-        new_labels = labels.copy()
-        for p in ray.get(list(parts.to_arrow_refs())):
-            if p.num_rows:
-                idx = np.searchsorted(
-                    nodes, p["node"].to_numpy(zero_copy_only=False))
-                new_labels[idx] = p["lbl"].to_numpy(zero_copy_only=False)
-        labels = new_labels
-    return pa.table({
-        "node": pa.array(nodes), "community": pa.array(labels)
-    })
+        new_lbl = joined.map_batches(
+            _lpa_pair_counts, batch_format="pyarrow"
+        ).repartition(num_blocks=width, keys=["src"]).map_batches(
+            _lpa_mode_final, batch_format="pyarrow", batch_size=None,
+        )
+        lbl_ds = new_lbl.repartition(num_blocks=width).materialize()
+    return pa.concat_tables(
+        t for t in ray.get(list(lbl_ds.rename_columns(
+            ["node", "community"]
+        ).to_arrow_refs())) if t.num_rows
+    ).combine_chunks().sort_by("node")
 
 
 class _CommonNeighborCounter:

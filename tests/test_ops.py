@@ -5744,8 +5744,8 @@ def test_mutual_knn_pairs_matches_brute_twin(ray_session):
 def test_lpa_communities_matches_python_twin(ray_session):
     """Synchronous LPA == pure-Python round twin on random graphs and
     a crafted tie case (mode tie -> smallest label), for any block
-    layout; the over-cap path raises loudly."""
-    import pytest
+    layout; the over-cap JOIN FALLBACK (one hash join on dst + one
+    src-keyed exchange per round) is bit-equal to the broadcast plan."""
     import ray.data
 
     from luzzu_ray.ops.graph import lpa_communities
@@ -5792,11 +5792,14 @@ def test_lpa_communities_matches_python_twin(ray_session):
                 gm = dict(zip(got["node"].to_pylist(),
                               got["community"].to_pylist()))
                 assert gm == want, (ci, rounds, nb)
-
-    small = ray.data.from_arrow(pa.table({
-        "a": pa.array([1], pa.int64()), "b": pa.array([2], pa.int64())}))
-    with pytest.raises(ValueError, match="broadcast cap"):
-        lpa_communities(small, rounds=1, broadcast_max_nodes=1)
+                # join fallback (forced by a tiny broadcast cap) must
+                # be bit-equal to the broadcast plan
+                fb = lpa_communities(
+                    ray.data.from_arrow(t).repartition(nb),
+                    rounds=rounds, broadcast_max_nodes=1)
+                fm = dict(zip(fb["node"].to_pylist(),
+                              fb["community"].to_pylist()))
+                assert fm == want, ("fallback", ci, rounds, nb)
 
 
 def test_line_rule_filter_block_matches_twin():
