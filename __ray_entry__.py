@@ -4455,13 +4455,34 @@ def q_kcenter_select(sf_dir: str):
     )
 
 
-def _kcenter_sql() -> str:
+KCENTER_SAMPLE_K = 200
+
+
+def q_kcenter_sampled(sf_dir: str):
+    """Memory-bounded greedy k-center (`ops/similarity.py`
+    ``kcenter_select_sampled``): deterministic bottom-k-by-hash sample
+    (the ``bpe_train_sampled`` pattern) caps every per-round
+    rematerialization at ``sample_k`` rows, then the identical greedy
+    farthest-point rounds run on the sample.  The oracle refolds the
+    uint64 sample hash in HUGEINT (ORDER BY h, vec_id LIMIT sample_k)
+    and unrolls the same greedy CTEs over the sample."""
+    from luzzu_ray.ops.similarity import kcenter_select_sampled
+
+    return kcenter_select_sampled(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        KCENTER_K, KCENTER_SAMPLE_K,
+        hash_a=SAMPLE_A, hash_b=SAMPLE_B,
+    )
+
+
+def _kcenter_sql(src: str = "embeddings") -> str:
     sql = (
-        "WITH p0 AS MATERIALIZED (SELECT vec_id, embedding "
-        "FROM embeddings ORDER BY vec_id LIMIT 1), "
+        f"WITH src AS MATERIALIZED (SELECT vec_id, embedding FROM {src}), "
+        "p0 AS MATERIALIZED (SELECT vec_id, embedding "
+        "FROM src ORDER BY vec_id LIMIT 1), "
         "d1 AS MATERIALIZED (SELECT e.vec_id, e.embedding, "
         "1 - list_cosine_similarity(e.embedding, p.embedding) AS dmin "
-        "FROM embeddings e, p0 p)"
+        "FROM src e, p0 p)"
     )
     for r in range(1, KCENTER_K):
         sql += (
@@ -4480,6 +4501,20 @@ def _kcenter_sql() -> str:
         for r in range(KCENTER_K)
     )
     return sql + " " + picks
+
+
+def _kcenter_sampled_sql() -> str:
+    """The greedy unroll over the bottom-k-by-hash sample: the uint64
+    sample hash ``vec_id * A + B (mod 2^64)`` refolds exactly in
+    HUGEINT (A odd -> injective, so no hash ties exist; vec_id in the
+    ORDER BY is belt-and-braces)."""
+    samp = (
+        f"(SELECT vec_id, embedding FROM embeddings ORDER BY "
+        f"(vec_id::HUGEINT * {SAMPLE_A} + {SAMPLE_B}) % "
+        f"18446744073709551616::HUGEINT, vec_id "
+        f"LIMIT {KCENTER_SAMPLE_K})"
+    )
+    return _kcenter_sql(src=samp)
 
 
 def q_bitext_mutual_pairs(sf_dir: str):
@@ -9951,6 +9986,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "kcenter_sampled": q_kcenter_sampled,
         "rag_chunk_dedup": q_rag_chunk_dedup,
         "split_leakage_audit": q_split_leakage_audit,
         "conv_lang_switches": q_conv_lang_switches,
@@ -11480,6 +11516,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "part_cooc_lpa": _lpa_sql(),
         "c4_line_filter": _c4_line_sql(),
         "kcenter_select": _kcenter_sql(),
+        "kcenter_sampled": _kcenter_sampled_sql(),
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),
         "source_kendall": _KENDALL_SQL,

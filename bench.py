@@ -304,6 +304,8 @@ def main() -> None:
         "conv_lang_switches",
         "split_leakage_audit",
         "rag_chunk_dedup",
+        # round-5 additions
+        "kcenter_sampled",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

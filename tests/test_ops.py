@@ -5887,6 +5887,43 @@ def test_kcenter_select_matches_greedy_twin(ray_session):
     assert got.num_rows == 3
 
 
+def test_kcenter_select_sampled(ray_session):
+    """Memory-bounded sampled k-center: with sample_k >= n it is
+    bit-identical to the full selection; with sample_k < n it equals
+    the full selection restricted to the bottom-k-by-hash sample
+    (computed independently here), for any block layout."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import (
+        kcenter_select, kcenter_select_sampled)
+
+    rng = np.random.default_rng(31)
+    n, d = 90, 5
+    V = rng.normal(size=(n, d)).astype(np.float32).astype(np.float64)
+    ids = np.arange(n, dtype=np.int64) * 3 + 1  # non-contiguous ids
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([list(map(float, r)) for r in V],
+                              pa.list_(pa.float32())),
+    })
+    A, B = 6364136223846793005, 1442695040888963407
+    for nb in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(nb)
+        full = kcenter_select(ray.data.from_arrow(t), 7)
+        over = kcenter_select_sampled(ds, 7, sample_k=n + 10)
+        assert over.equals(full), nb
+        # sample_k < n: equal to the full greedy over the hash sample
+        sk = 40
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(A) + np.uint64(B)
+        keep = np.sort(np.argsort(h)[:sk])
+        want = kcenter_select(
+            ray.data.from_arrow(t.take(pa.array(keep))), 7)
+        got = kcenter_select_sampled(
+            ray.data.from_arrow(t).repartition(nb), 7, sample_k=sk)
+        assert got.equals(want), nb
+
+
 def test_hard_negatives_matches_brute_twin(ray_session):
     """hard_negatives == per-cell brute twin (nearest different-label,
     ties to lowest id); single-label cells emit nothing; layout-
