@@ -503,6 +503,111 @@ def _lsh_pairs_block(t: pa.Table, threshold: float, bucket_cap: int) -> pa.Table
     )
 
 
+def _sq8_stats(
+    ds: ray.data.Dataset,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """One-pass (per-dim min, per-dim max, min row L2 norm) reduce over
+    the embedding column — the quantizer + the margin denominator for
+    the SQ8-compressed LSH payload.  Same narrow shape as
+    :func:`_minmax_per_dim` (three dim-ish rows per block, one
+    single-partition reduce); min/max involve no summation so the
+    result is exact and layout-invariant."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table(
+                {"mn": pa.array([], pa.list_(pa.float64())),
+                 "mx": pa.array([], pa.list_(pa.float64())),
+                 "rmin": pa.array([], pa.float64()),
+                 "_mrg": pa.array([], pa.int32())}
+            )
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pa.table(
+            {"mn": pa.array([m.min(axis=0).tolist()], pa.list_(pa.float64())),
+             "mx": pa.array([m.max(axis=0).tolist()], pa.list_(pa.float64())),
+             "rmin": pa.array([float(norms.min())]),
+             "_mrg": pa.array([0], pa.int32())}
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        mn = np.array(t["mn"].to_pylist(), dtype=np.float64).min(axis=0)
+        mx = np.array(t["mx"].to_pylist(), dtype=np.float64).max(axis=0)
+        rmin = float(t["rmin"].to_numpy(zero_copy_only=False).min())
+        return pa.table(
+            {"mn": pa.array([mn.tolist()], pa.list_(pa.float64())),
+             "mx": pa.array([mx.tolist()], pa.list_(pa.float64())),
+             "rmin": pa.array([rmin])}
+        )
+
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    row = (
+        ds.select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(num_blocks=1, keys=["_mrg"])
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )[0]
+    return (np.array(row["mn"], dtype=np.float64),
+            np.array(row["mx"], dtype=np.float64), float(row["rmin"]))
+
+
+def _lsh_cand_block_sq8(
+    t: pa.Table, threshold_lo: float, bucket_cap: int,
+    mn: np.ndarray, mx: np.ndarray,
+) -> pa.Table:
+    """Within one hash-partitioned block: CANDIDATE pairs sharing an
+    LSH (band, bucket) whose DEQUANTIZED cosine clears the margin-
+    lowered threshold — the prefilter of the compressed-payload path.
+    Exact cosine is re-established by the rescore joins in
+    :func:`lsh_neardup_pairs`; the margin (see there) guarantees no
+    true pair is pruned here."""
+    from luzzu_ray.ops.dedup import (
+        _BAND_SALT,
+        _group_slices,
+        _pairs_from_tiles,
+        _salt_subgroups,
+    )
+
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    t = t.sort_by([("band", "ascending"), ("bucket", "ascending"),
+                   ("vec_id", "ascending")])
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = t["bucket"].to_numpy(zero_copy_only=False)
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    codes = _as_matrix(t["codes"]).astype(np.float64)
+    span = np.where(mx > mn, mx - mn, 0.0)
+    N = _normalize(codes * (span / 255.0)[None, :] + mn[None, :])
+    out_a, out_b = [], []
+    for s, e in _group_slices(band, bucket):
+        salt = _BAND_SALT[int(band[s]) % len(_BAND_SALT)]
+        d_all = vid[s:e]
+        M = N[s:e]
+        for members in _salt_subgroups(d_all, salt, bucket_cap):
+            dd = d_all[members]
+            Mm = M[members]
+
+            def score(i0, i1, Mm=Mm):
+                return Mm[i0:i1] @ Mm.T
+
+            res = _pairs_from_tiles(dd, score, lambda x: x >= threshold_lo)
+            if res is not None:
+                out_a.append(res[0])
+                out_b.append(res[1])
+    if not out_a:
+        return empty
+    return pa.table(
+        {"a": pa.array(np.concatenate(out_a)),
+         "b": pa.array(np.concatenate(out_b))}
+    )
+
+
 def lsh_neardup_pairs(
     ds: ray.data.Dataset,
     threshold: float = NEARDUP_LSH_THRESHOLD,
@@ -512,6 +617,7 @@ def lsh_neardup_pairs(
     bucket_cap: int | None = None,
     num_partitions: int | None = None,
     seed: int = LSH_SEED,
+    payload: str = "sq8",
 ) -> ray.data.Dataset:
     """(a, b), a < b, cos(a, b) >= threshold — SUBQUADRATIC via banded
     hyperplane LSH, the realistic embedding-dedup path for the
@@ -525,15 +631,25 @@ def lsh_neardup_pairs(
        the packed sign pattern of that band's ``band_bits`` hyperplane
        dot products on the RAW vector (signs are scale-invariant, and
        raw-value dots are what a SQL oracle reproduces verbatim);
-    2. ONE hash exchange co-locates each (band, bucket); communication
-       is n x n_bands rows carrying the vector (the only payload the
-       in-bucket verify needs — at 4-8x fan-in pressure, compose with
-       ``sq8_encode`` to shrink the replicated payload);
-    3. in-bucket EXACT cosine verify (tiled, salt-split above
-       ``bucket_cap`` members exactly like minhash — recall loss only
-       for pairs co-located in no other band, probability bounded by
-       the band-agreement model); precision is exactly 1 by
-       construction;
+    2. ONE hash exchange co-locates each (band, bucket).  With the
+       default ``payload="sq8"`` the replicated per-row payload is the
+       SQ8 code vector (1 byte/dim — 4x under float32 storage, 8x
+       under float64) instead of the raw embedding, cutting the
+       n x n_bands exchange fan-in by the same factor;
+    3. in-bucket verify.  ``payload="raw"``: EXACT tiled cosine at
+       ``threshold`` directly.  ``payload="sq8"``: candidate pairs at
+       a MARGIN-LOWERED threshold on the dequantized vectors — the
+       margin ``2*arcsin(min(1, |span/255|_2 / min_norm))`` bounds the
+       worst-case angular perturbation of quantization (per-dim error
+       <= span/255, so each vector tilts by at most
+       arcsin(|err|_2/|x|)), hence NO true pair is pruned — followed
+       by an exact-cosine RESCORE: the narrow candidate pairs (16
+       bytes each, typically << n x n_bands) re-attach their raw
+       embeddings via two hash joins and filter at the true
+       threshold.  Either way precision is exactly 1 and the pair set
+       is IDENTICAL between payloads (pinned by
+       ``test_lsh_neardup_sq8_payload``); salt-splitting above
+       ``bucket_cap`` is shared;
     4. the (a, b, cos) pairs dedupe through one narrow exchange
        (same pair surfaces from multiple bands).
 
@@ -553,31 +669,50 @@ def lsh_neardup_pairs(
     _hash_shuffle_ctx()
     if bucket_cap is None:
         bucket_cap = BUCKET_CAP
+    if payload not in ("raw", "sq8"):
+        raise ValueError(f"lsh_neardup_pairs: unknown payload {payload!r}")
     planes = lsh_planes(dim, n_bands * band_bits, seed)
     weights = (1 << np.arange(band_bits, dtype=np.int64))[None, None, :]
     band_ids = np.arange(n_bands, dtype=np.int32)
+
+    if payload == "sq8":
+        mn, mx, rmin = _sq8_stats(ds)
+        span = np.where(mx > mn, mx - mn, 0.0)
+        delta = float(np.sqrt(((span / 255.0) ** 2).sum()))
+        margin = (2.0 * float(np.arcsin(min(1.0, delta / rmin)))
+                  if rmin > 0 else 2.0)
+        threshold_lo = max(-1.0, threshold - margin - 1e-9)
 
     def band_rows(t: pa.Table) -> pa.Table:
         vid = t["vec_id"].combine_chunks()
         emb = t["embedding"].combine_chunks()
         n = t.num_rows
         if n == 0:
+            pay = ({"codes": pa.array([], pa.list_(pa.uint8(), dim))}
+                   if payload == "sq8"
+                   else {"embedding": pa.array([], emb.type)})
             return pa.table(
                 {"band": pa.array([], pa.int32()),
                  "bucket": pa.array([], pa.int64()),
-                 "vec_id": pa.array([], pa.int64()),
-                 "embedding": pa.array([], emb.type)}
+                 "vec_id": pa.array([], pa.int64()), **pay}
             )
         E = _as_matrix(emb)
         sig = (E @ planes.T > 0).reshape(n, n_bands, band_bits)
         codes = (sig.astype(np.int64) * weights).sum(axis=2)  # (n, bands)
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
+        if payload == "sq8":
+            c8 = np.minimum(_sq8_codes(E, mn, mx), 255).astype(np.uint8)
+            rep = np.repeat(c8, n_bands, axis=0)  # row-major: matches idx
+            pay = {"codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(rep.reshape(-1)), E.shape[1])}
+        else:
+            pay = {"embedding": emb.take(idx)}
         return pa.table(
             {
                 "band": pa.array(np.tile(band_ids, n)),
                 "bucket": pa.array(codes.reshape(-1)),
                 "vec_id": vid.take(idx),
-                "embedding": emb.take(idx),
+                **pay,
             }
         )
 
@@ -588,13 +723,72 @@ def lsh_neardup_pairs(
         num_blocks=auto_partitions(mat, num_partitions),
         keys=["band", "bucket"],
     )
-    pairs = part.map_batches(
-        _lsh_pairs_block,
-        fn_kwargs={"threshold": threshold, "bucket_cap": bucket_cap},
+    if payload == "raw":
+        pairs = part.map_batches(
+            _lsh_pairs_block,
+            fn_kwargs={"threshold": threshold, "bucket_cap": bucket_cap},
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        return _dedupe_pairs(
+            pairs, ("cos", "max", pa.float64()), num_partitions)
+
+    # sq8: margin-lowered candidates on dequantized codes, then dedupe
+    # the narrow pair list and RESCORE with the raw embeddings (two
+    # hash joins) at the true threshold — pair set identical to "raw"
+    cand = part.map_batches(
+        _lsh_cand_block_sq8,
+        fn_kwargs={"threshold_lo": threshold_lo, "bucket_cap": bucket_cap,
+                   "mn": mn, "mx": mx},
         batch_format="pyarrow",
         batch_size=None,
+    ).map_batches(
+        lambda t: t.append_column(
+            "o", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
     )
-    return _dedupe_pairs(pairs, ("cos", "max", pa.float64()), num_partitions)
+    dcand = _dedupe_pairs(cand, ("o", "max", pa.int8()), num_partitions)
+    empty_out = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "cos": pa.array([], pa.float64())}
+    )
+    candm = dcand.materialize()
+    if candm.count() == 0:
+        return ray.data.from_arrow(empty_out)
+    # rescore joins use the repo's union-exchange hash join (Acero
+    # rejects list<> payload columns); every candidate endpoint exists
+    # in ds, so "left" is inner here.  Materialize between the chained
+    # joins (aggregator-pool contention).
+    from luzzu_ray.ops.relational import outer_hash_join
+
+    emb = ds.select_columns(["vec_id", "embedding"])
+    j1 = outer_hash_join(
+        candm, emb, "a", "vec_id", ["b"], ["embedding"], how="left",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table(
+            {"a": t["a"], "b": t["b"], "ea": t["embedding"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    j2 = outer_hash_join(
+        j1, emb, "b", "vec_id", ["a", "ea"], ["embedding"], how="left",
+        num_partitions=num_partitions,
+    )
+
+    def rescore(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty_out
+        A = _normalize(_as_matrix(t["ea"]))
+        B = _normalize(_as_matrix(t["embedding"]))
+        cos = np.einsum("ij,ij->i", A, B)
+        keep = cos >= threshold
+        return pa.table(
+            {"a": t["a"].filter(pa.array(keep)),
+             "b": t["b"].filter(pa.array(keep)),
+             "cos": pa.array(cos[keep].astype(np.float64))}
+        )
+
+    return j2.map_batches(rescore, batch_format="pyarrow")
 
 
 def semantic_dedup(

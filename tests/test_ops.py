@@ -4318,6 +4318,35 @@ def test_lsh_neardup_equals_exact_sweep_high_threshold(ray_session):
     assert pairs_of(lsh_neardup_pairs(scaled, threshold=0.9)) == lsh
 
 
+def test_lsh_neardup_sq8_payload(ray_session):
+    """The SQ8-compressed band payload (margin-lowered dequantized
+    candidates + exact rescore joins) yields the IDENTICAL pair set to
+    the raw-embedding payload at the fixture thresholds, with exact
+    cosine values on the surviving pairs; bucket_cap salt-splitting
+    composes with the compressed path."""
+    import pyarrow as pa
+
+    import __ray_entry__ as E
+    from luzzu_ray.ops.similarity import lsh_neardup_pairs
+
+    aug = E._augment_embeddings("/root/testdata/sf0.001").materialize()
+
+    def rows_of(ds_out):
+        t = pa.Table.from_pylist(ds_out.take_all())
+        return {(a, b): c for a, b, c in zip(
+            t["a"].to_pylist(), t["b"].to_pylist(), t["cos"].to_pylist())}
+
+    for thr in (0.85, 0.9):
+        raw = rows_of(lsh_neardup_pairs(aug, threshold=thr, payload="raw"))
+        sq8 = rows_of(lsh_neardup_pairs(aug, threshold=thr, payload="sq8"))
+        assert set(raw) == set(sq8), thr
+        for k in raw:
+            assert abs(raw[k] - sq8[k]) < 1e-12, (thr, k)
+    capped = rows_of(lsh_neardup_pairs(
+        aug, threshold=0.9, payload="sq8", bucket_cap=4))
+    assert set(capped) <= set(raw)
+
+
 def test_tfidf_vocab_cap_bounds_driver_pull(ray_session):
     """With vocab > vocab_cap the driver holds only the top-cap df rows
     and every out-of-cap word scores with df = 1; with cap >= vocab the
