@@ -1414,6 +1414,8 @@ def kmeans_lloyd_int(
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> ray.data.Dataset:
     """DISTRIBUTED Lloyd's k-means over the FULL dataset in exact
     integer arithmetic — the iterative-algorithm shape done
@@ -1427,8 +1429,21 @@ def kmeans_lloyd_int(
     streams from storage each pass (iters + 1 read passes — at 100 TB
     re-reading beats materializing a quantized copy).
 
+    ``checkpoint_dir`` makes the loop RESUMABLE (the ``bpe_train``
+    checkpoint pattern, VERDICT r04 missing #4): every
+    ``checkpoint_every`` iterations the FULL per-iteration centroid
+    history (k x d int64 each — bytes, not data) lands in
+    ``state.json`` via tmp-write + atomic ``os.replace``; a rerun
+    resumes from the last completed iteration, and because iterations
+    are a deterministic prefix, a checkpoint holding MORE iterations
+    than this call asks for truncates exactly.  Resume ==
+    uninterrupted is pinned by ``test_kmeans_checkpoint_resume``.
+
     Returns the final (id, cluster) assignment Dataset.
     """
+    import json
+    import os
+
     from ray.data.aggregate import Sum
 
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
@@ -1436,24 +1451,60 @@ def kmeans_lloyd_int(
     _ensure_hash_shuffle()
     base = ds.select_columns([id_col, vec_col])
 
+    state_path = (
+        os.path.join(checkpoint_dir, "state.json") if checkpoint_dir
+        else None
+    )
+    history: list[np.ndarray] | None = None
+    if state_path and os.path.exists(state_path):
+        with open(state_path) as f:
+            st = json.load(f)
+        if st.get("version") != 1:
+            raise ValueError(
+                f"unknown kmeans checkpoint version in {state_path}")
+        if st["k"] != k:
+            raise ValueError(
+                f"kmeans checkpoint k={st['k']} != requested k={k}")
+        history = [np.array(c, dtype=np.int64) for c in st["centroids"]]
+
+    def checkpoint(hist: list[np.ndarray]) -> None:
+        if not checkpoint_dir:
+            return
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tmp = f"{state_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"version": 1, "k": k,
+                       "centroids": [c.tolist() for c in hist]}, f)
+        os.replace(tmp, state_path)
+
     def first_k_block(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         return t.take(pa.array(np.argsort(ids, kind="stable")[:k]))
 
-    # deterministic init = the k LOWEST-id vectors, found with a
-    # per-block bottom-k prune + one single-block re-prune (never a
-    # global sort; ~k rows per block through the funnel)
-    init = pa.concat_tables(ray.get(list(
-        base.map_batches(first_k_block, batch_format="pyarrow")
-        .repartition(num_blocks=1)
-        .map_batches(first_k_block, batch_format="pyarrow",
-                     batch_size=None)
-        .to_arrow_refs()
-    )))
-    init = first_k_block(init)  # multi-ref safety: re-prune driver-side
-    C = _kmeans_int_quant(_as_matrix(init[vec_col]))
+    if history is not None:
+        # history[i] = centroids after iteration i (0 = init); a
+        # deeper checkpoint truncates to this call's exact prefix
+        done = min(iters, len(history) - 1)
+        history = history[:done + 1]
+        C = history[-1].copy()
+    else:
+        # deterministic init = the k LOWEST-id vectors, found with a
+        # per-block bottom-k prune + one single-block re-prune (never
+        # a global sort; ~k rows per block through the funnel)
+        init = pa.concat_tables(ray.get(list(
+            base.map_batches(first_k_block, batch_format="pyarrow")
+            .repartition(num_blocks=1)
+            .map_batches(first_k_block, batch_format="pyarrow",
+                         batch_size=None)
+            .to_arrow_refs()
+        )))
+        init = first_k_block(init)  # multi-ref safety: re-prune driver-side
+        C = _kmeans_int_quant(_as_matrix(init[vec_col]))
+        history = [C.copy()]
+        done = 0
+        checkpoint(history)
 
-    for _ in range(iters):
+    for it in range(done, iters):
         C_ref = ray.put(C)
 
         class Partial:
@@ -1498,6 +1549,9 @@ def kmeans_lloyd_int(
                 C_next[int(r["cid"]), int(r["dim"])] = (
                     int(r["s"]) // int(r["n"]))
         C = C_next
+        history.append(C.copy())
+        if (it + 1) % checkpoint_every == 0 or it + 1 == iters:
+            checkpoint(history)
 
     C_ref = ray.put(C)
 

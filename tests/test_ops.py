@@ -4770,6 +4770,46 @@ def test_kmeans_lloyd_int_layout_invariant_and_converges(ray_session):
     assert (lab == np.array([lab[0], lab[1], lab[2]])[true_lab]).all()
 
 
+def test_kmeans_checkpoint_resume(ray_session, tmp_path):
+    """kmeans_lloyd_int checkpoint/resume (the bpe_train pattern):
+    a run killed after a partial iteration count resumes from
+    state.json and finishes bit-identical to an uninterrupted run; a
+    checkpoint holding MORE iterations than asked truncates exactly;
+    a mismatched k raises."""
+    import pytest
+    import ray.data
+
+    from luzzu_ray.ops.similarity import kmeans_lloyd_int
+
+    rng = np.random.default_rng(47)
+    E = rng.uniform(-0.5, 0.5, (90, 8)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(E), dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(E.reshape(-1)), 8).cast(pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    full = kmeans_lloyd_int(ds, 3, 4).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    ck = str(tmp_path / "km_ckpt")
+    # stage 1: "crash" after 2 of 4 iterations (the checkpoint commits
+    # per iteration, so stopping at iters=2 == a mid-run kill)
+    part = kmeans_lloyd_int(ds, 3, 2, checkpoint_dir=ck).to_pandas()
+    assert len(part) == len(E)
+    # stage 2: fresh call resumes at iteration 2, finishes to 4
+    resumed = kmeans_lloyd_int(ds, 3, 4, checkpoint_dir=ck).to_pandas(
+    ).sort_values("vec_id").reset_index(drop=True)
+    assert resumed.equals(full)
+    # a deeper checkpoint truncates to this call's prefix exactly
+    two = kmeans_lloyd_int(ds, 3, 2).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    replay2 = kmeans_lloyd_int(ds, 3, 2, checkpoint_dir=ck).to_pandas(
+    ).sort_values("vec_id").reset_index(drop=True)
+    assert replay2.equals(two)
+    with pytest.raises(ValueError, match="k=3"):
+        kmeans_lloyd_int(ds, 4, 2, checkpoint_dir=ck)
+
+
 def test_knn_graph_matches_brute_twin(ray_session):
     """knn_graph equals the numpy per-cell brute-force twin (top-k by
     cosine DESC, nbr_id ASC within each coarse cell) across block
