@@ -1182,6 +1182,82 @@ def q_training_data_pipeline(sf_dir: str):
     )
 
 
+def q_training_pipeline_neardup(sf_dir: str):
+    """The FULL curation composition a real 100-TB run chains
+    (VERDICT r04 next-round #8): C4-style quality filter -> exact
+    dedup -> minhash-LSH near-dup (banding + exact-Jaccard verify +
+    connected components, near-dup clusters keep only their min-id
+    member) -> fixed-budget context packing.
+
+    100-TB shape: the quality/key scan reads text ONCE and sends only
+    32-byte rows through the exact-dedup exchange; the near-dup stage
+    re-attaches text to the exact-dedup SURVIVORS via one semi-join
+    exchange (survivor ids are narrow; the minhash chain then scans
+    survivor text once — near-dup banding inherently needs the text
+    pass); near-dup LOSERS leave via one anti-join keyed exchange
+    (is_dup ids only, never the payload); survivors flow into the
+    distributed prefix-sum packer unchanged.
+    Output: (doc_id, n_tokens, pack_id) for kept, unique,
+    non-near-dup docs."""
+    from luzzu_ray.ops.dedup import (
+        auto_partitions, content_key_batch, minhash_dedup)
+    from luzzu_ray.ops.relational import (
+        anti_join, ordered_prefix_pack, semi_join)
+    from luzzu_ray.ops.textstats import quality_score_batch
+
+    def scan(t: pa.Table) -> pa.Table:
+        s = quality_score_batch(t)
+        kept = t.filter(s["keep"])
+        sk = s.filter(s["keep"])
+        keys = content_key_batch(kept)
+        return pa.table({
+            "doc_id": keys["doc_id"], "k1": keys["k1"], "k2": keys["k2"],
+            "n_words": sk["n_words"],
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    keys = docs.map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # 32-byte rows; count sizes the shuffle
+
+    def uniq_block(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        k1 = t["k1"].to_numpy(zero_copy_only=False)
+        k2 = t["k2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, k2, k1))
+        same = np.zeros(len(ids), dtype=bool)
+        if len(ids) > 1:
+            same[1:] = (k1[order][1:] == k1[order][:-1]) & (
+                k2[order][1:] == k2[order][:-1])
+        keep = np.zeros(len(ids), dtype=bool)
+        keep[order[~same]] = True
+        return t.filter(pa.array(keep)).select(["doc_id", "n_words"])
+
+    uniq = keys.repartition(
+        num_blocks=auto_partitions(keys, None, 1_000_000), keys=["k1"]
+    ).map_batches(
+        uniq_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # near-dup stage over the exact-dedup survivors
+    surv_text = semi_join(docs, uniq, "doc_id", "doc_id", ["text"])
+    import ray.data
+
+    labels = minhash_dedup(
+        surv_text, jaccard_threshold=JACCARD_THRESHOLD)
+    if isinstance(labels, pa.Table):
+        labels = ray.data.from_arrow(labels)
+    dup_ids = labels.map_batches(
+        lambda t: t.filter(t["is_dup"]).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).materialize()
+    survivors = anti_join(uniq, dup_ids, "doc_id", "doc_id", ["n_words"])
+    return ordered_prefix_pack(
+        survivors, "doc_id", "n_words", PACK_BUDGET,
+        num_buckets=PACK_BUCKETS,
+    )
+
+
 def q_dedup_normalized(sf_dir: str):
     """Exact dedup on NORMALIZED text (lowercase, whitespace-collapse,
     trim) — the key real web pipelines hash, catching trivially-
@@ -2706,11 +2782,15 @@ def q_ngram_jaccard(sf_dir: str):
 # (1-j^2)^32 ~ 6e-7 at the 0.6 threshold).  Tokens = ASCII-lowered
 # [a-z0-9]+ runs (identical to the engine's byte classes on the
 # pure-ASCII fixtures); shingles joined with spaces are injective.
-def _jaccard_pairs_sql(thr_q6: int, src: str = "documents") -> str:
+def _jaccard_pairs_sql(
+    thr_q6: int, src: str = "documents", prefix_ctes: str = "",
+) -> str:
     """All-pairs exact word-shingle Jaccard CTE, threshold at q6, over
-    any (doc_id, text) source expression."""
+    any (doc_id, text) source expression; ``prefix_ctes`` (e.g.
+    ``"uniq AS (...), "``) lets a composed oracle define the source
+    CTEs inside the same WITH RECURSIVE."""
     return f"""
-WITH RECURSIVE toks AS (
+WITH RECURSIVE {prefix_ctes}toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
   FROM {src}
 ),
@@ -2761,6 +2841,35 @@ FROM reach GROUP BY u
 """
 
 _MINHASH_DEDUP_SQL = _JACCARD_PAIRS_SQL + _CLOSURE_SQL
+
+
+def _training_neardup_sql() -> str:
+    """Composed oracle for the full curation chain: quality filter ->
+    exact dedup (min-id keeps) -> near-dup components over survivors
+    (the minhash jaccard+closure CTEs re-sourced at ``uniq``) ->
+    prefix-sum packing of non-near-dup survivors."""
+    prefix = (
+        "q AS (SELECT * FROM (" + _QUALITY_SQL + ") WHERE keep), "
+        "kept AS (SELECT d.doc_id, d.text, q.n_words FROM documents d "
+        "JOIN q ON d.doc_id = q.doc_id), "
+        "uniq AS (SELECT doc_id, text, n_words FROM ("
+        "SELECT doc_id, text, n_words, "
+        "doc_id = min(doc_id) OVER (PARTITION BY text) AS is_first "
+        "FROM kept) WHERE is_first), "
+    )
+    return (
+        _jaccard_pairs_sql(
+            int(JACCARD_THRESHOLD * 1e6), src="uniq", prefix_ctes=prefix)
+        + _CLOSURE_CTES + ", "
+        + "dup_ids AS (SELECT u AS doc_id FROM reach GROUP BY u "
+        "HAVING u <> least(u, min(v))), "
+        "surv AS (SELECT doc_id, n_words FROM uniq "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM dup_ids)) "
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens, "
+        "CAST((sum(n_words) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_words) "
+        f"// {PACK_BUDGET} AS BIGINT) AS pack_id FROM surv"
+    )
 
 
 def _simhash_sql() -> str:
@@ -9986,6 +10095,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "training_pipeline_neardup": q_training_pipeline_neardup,
         "kcenter_sampled": q_kcenter_sampled,
         "rag_chunk_dedup": q_rag_chunk_dedup,
         "split_leakage_audit": q_split_leakage_audit,
@@ -11517,6 +11627,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "c4_line_filter": _c4_line_sql(),
         "kcenter_select": _kcenter_sql(),
         "kcenter_sampled": _kcenter_sampled_sql(),
+        "training_pipeline_neardup": _training_neardup_sql(),
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),
         "source_kendall": _KENDALL_SQL,

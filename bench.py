@@ -306,6 +306,7 @@ def main() -> None:
         "rag_chunk_dedup",
         # round-5 additions
         "kcenter_sampled",
+        "training_pipeline_neardup",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
