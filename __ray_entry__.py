@@ -26,10 +26,18 @@ Design notes:
   ``tests/test_kernels.py::test_non_ascii_engine_vs_sql_agree`` plus a
   multibyte-fixture conformance test.  Kernels that LOWERCASE
   (vocab/tf-idf/fingerprint/minhash ``lower(text)`` + ``[a-z0-9]+``)
-  remain ASCII-domain: the engine lowercases bytes ASCII-only while
-  DuckDB ``lower()`` folds Unicode, so 'É' ≠ 'é' to the engine — the
-  sf fixtures are verified pure-ASCII, which is the domain those
-  oracles are exact on (divergence still pinned in the same test).
+  now case-fold the TWO-BYTE UTF-8 range too
+  (``constants.casefold_utf8``: ASCII + Latin-1 Supplement / Latin
+  Extended / Greek / Cyrillic simple fold, length-invariant), agreeing
+  with DuckDB ``lower()`` on those ranges — pinned by
+  ``test_minhash_dedup_multibyte_fixture`` (engine == all-pairs SQL
+  twin on a Latin/Greek/Cyrillic corpus).  3+-byte uppercase and
+  length-changing mappings (İ) remain identity — that residual
+  divergence is pinned in the same kernels test; the REGISTERED
+  lowercasing oracles keep the ASCII ``[a-z0-9]+`` word class and are
+  exact on the pure-ASCII sf fixtures.  The SQL refolds that hash
+  per-token with ``ascii()`` (DSIR, perceptron, simhash) are
+  byte-exact on ASCII only, as before.
 - Nothing here calls ``ray.init``/``ray.shutdown``.
 """
 

@@ -114,6 +114,59 @@ BYTE_ALPHA, BYTE_DIGIT, BYTE_SPACE, BYTE_WORD, BYTE_SYMBOL, BYTE_LOWER = (
     _build_byte_tables()
 )
 
+
+def _build_casefold2_tables():
+    """Pair-mapping tables for TWO-BYTE UTF-8 simple case folding
+    (U+0080..U+07FF — Latin-1 Supplement, Latin Extended, Greek,
+    Cyrillic, Armenian, Hebrew/Arabic no-ops): sequence
+    (lead, cont) -> (CASEFOLD2_B1[k], CASEFOLD2_B2[k]), k = lead*256
+    + cont; identity everywhere except codepoints whose Unicode
+    simple lowercase is a SINGLE codepoint that also encodes in two
+    bytes (so byte LENGTH is invariant — token positions and hash
+    weights never shift).  Length-changing mappings (e.g. U+0130 'İ')
+    and 3+-byte codepoints stay identity — the documented residual
+    divergence vs DuckDB's full-Unicode ``lower()``.  Generated from
+    Python's Unicode tables, which agree with DuckDB/utf8proc on the
+    default (un-tailored) simple mapping in this range."""
+    idx = np.arange(65536, dtype=np.int64)
+    b1 = (idx >> 8).astype(np.uint8)
+    b2 = (idx & 255).astype(np.uint8)
+    for cp in range(0x80, 0x800):
+        lo = chr(cp).lower()
+        if len(lo) != 1:
+            continue
+        lcp = ord(lo)
+        if lcp == cp or not (0x80 <= lcp < 0x800):
+            continue
+        sb = chr(cp).encode("utf-8")
+        lb = lo.encode("utf-8")
+        k = sb[0] * 256 + sb[1]
+        b1[k] = lb[0]
+        b2[k] = lb[1]
+    return b1, b2
+
+
+CASEFOLD2_B1, CASEFOLD2_B2 = _build_casefold2_tables()
+
+
+def casefold_utf8(data: np.ndarray) -> np.ndarray:
+    """UTF-8 case fold of a byte array: ASCII A-Z byte-wise (the
+    BYTE_LOWER table) plus the two-byte pair fold above.  Returns a
+    NEW array of the SAME length; sequence-aware, so it must run on
+    the contiguous original bytes BEFORE any token gather.  The two
+    passes touch disjoint bytes (A-Z vs lead bytes >= 0xC2)."""
+    out = BYTE_LOWER[data]
+    if len(data) >= 2:
+        lead = np.flatnonzero(
+            (data[:-1] >= 0xC2) & (data[:-1] <= 0xDF)
+            & (data[1:] >= 0x80) & (data[1:] < 0xC0)
+        )
+        if len(lead):
+            k = data[lead].astype(np.int32) * 256 + data[lead + 1]
+            out[lead] = CASEFOLD2_B1[k]
+            out[lead + 1] = CASEFOLD2_B2[k]
+    return out
+
 # Deterministic 64-bit positional weights for token hashing (shared hash fn).
 _rng = np.random.Generator(np.random.PCG64(SEED))
 TOKEN_POS_WEIGHTS = _rng.integers(1, 2**63, size=256, dtype=np.uint64) * np.uint64(2) + np.uint64(1)

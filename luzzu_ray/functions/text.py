@@ -140,20 +140,27 @@ def token_segments(data: np.ndarray, offsets: np.ndarray):
 
 
 def token_hashes(data: np.ndarray, tok_start: np.ndarray, tok_len: np.ndarray):
-    """Position-weighted 64-bit content hash per token (ASCII-lowercased).
+    """Position-weighted 64-bit content hash per token (case-folded:
+    ASCII A-Z byte-wise plus the two-byte UTF-8 simple fold —
+    Latin-1/Extended/Greek/Cyrillic — via ``constants.casefold_utf8``;
+    length-invariant by construction, so positions and weights never
+    shift).
 
-    h(tok) = sum_i lower(byte_i) * W[i mod 256]  (mod 2^64)
+    h(tok) = sum_i fold(byte_i) * W[i mod 256]  (mod 2^64)
     Shared definition with the oracle via :func:`token_hash_py`.
     """
     if len(tok_start) == 0:
         return np.zeros(0, dtype=np.uint64)
+    # fold the CONTIGUOUS batch bytes first (the pair fold is
+    # sequence-aware), then gather token bytes
+    data_f = C.casefold_utf8(data)
     total = int(tok_len.sum())
     starts_c = np.zeros(len(tok_start), dtype=np.int64)
     np.cumsum(tok_len[:-1], out=starts_c[1:])
     # absolute byte positions of every token byte
     pos_in_tok = np.arange(total, dtype=np.int64) - np.repeat(starts_c, tok_len)
     pos = np.repeat(tok_start, tok_len) + pos_in_tok
-    bytes_l = C.BYTE_LOWER[data[pos]].astype(np.uint64)
+    bytes_l = data_f[pos].astype(np.uint64)
     contrib = bytes_l * C.TOKEN_POS_WEIGHTS[pos_in_tok & 255]
     h = np.add.reduceat(contrib, starts_c)
     return h
@@ -161,11 +168,11 @@ def token_hashes(data: np.ndarray, tok_start: np.ndarray, tok_len: np.ndarray):
 
 def token_hash_py(token: bytes) -> int:
     """Oracle-side scalar twin of :func:`token_hashes` (same definition)."""
+    folded = C.casefold_utf8(np.frombuffer(token, np.uint8))
     h = 0
     W = C.TOKEN_POS_WEIGHTS
-    lower = C.BYTE_LOWER
-    for i, b in enumerate(token):
-        h = (h + int(lower[b]) * int(W[i & 255])) & 0xFFFFFFFFFFFFFFFF
+    for i, b in enumerate(folded):
+        h = (h + int(b) * int(W[i & 255])) & 0xFFFFFFFFFFFFFFFF
     return h
 
 
