@@ -1890,7 +1890,16 @@ def q_minhash_recall_eval(sf_dir: str):
     banding miss bound at j >= 0.6 is (1-j^2)^32 ~ 6e-7, so the oracle
     (the shared all-pairs SQL twin) expects equality on any corpus
     whose pair count is far below 1/bound — a banding regression
-    surfaces as n_found < n_true here before any dedup query drifts."""
+    surfaces as n_found < n_true here before any dedup query drifts.
+
+    CONFORMANCE-SENTINEL NOTE (ADVICE r04): this query — and the
+    split_leakage_audit / cross-source matrix sharing the pair graph —
+    asserts EXACT equality with the all-pairs SQL, i.e. banding recall
+    exactly 1.  If conformance ever fails here with n_found < n_true
+    while the dedup family stays green, diagnose it as a (expected-
+    rare, ~6e-7/pair) banding recall miss, NOT a logic bug — the
+    intentional design is that probabilistic misses fail loudly at
+    the eval query first."""
     from luzzu_ray.ops.dedup import ngram_jaccard_pairs, ssjoin_pairs
 
     truth = ssjoin_pairs(
@@ -2030,7 +2039,16 @@ def q_perceptron_weights(sf_dir: str):
 def _perceptron_cte_body() -> tuple[str, int, int]:
     """Shared epoch-unrolled training CTEs; returns (with_body, D, E) —
     callers append a final SELECT over ``w{{E}}`` (weights) or compose a
-    scoring pass on top."""
+    scoring pass on top.
+
+    ASCII-ONLY ASSUMPTION (ADVICE r04, same as the multiturn fixture
+    note): the ``hb`` CTE hashes tokens per CHARACTER via
+    ``ascii(substr(t, i, 1))`` (= the CODEPOINT), while the engine's
+    ``_dsir_bucket_block`` FNV folds per BYTE — identical only while
+    every character is single-byte.  The conformance corpus is
+    verified pure-ASCII; a multibyte token would silently land in a
+    different bucket on each side.  (Applies equally to the DSIR
+    importance oracle, which shares this hash chain.)"""
     from luzzu_ray.ops.classifier import PERC_BUCKETS, PERC_EPOCHS
 
     D = PERC_BUCKETS

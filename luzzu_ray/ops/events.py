@@ -1664,11 +1664,18 @@ def decayed_user_value(
         us = pc.cast(t["ts"], pa.int64())
         return pa.table({"day": pc.divide(us, US_PER_DAY)})
 
-    max_day = int(
+    raw_max = (
         ds.select_columns(["ts"])
         .map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
         .max("day")
     )
+    if raw_max is None:  # empty input: Dataset.max returns None
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "decayed_q2": pa.array([], pa.int64()),
+            "n_recent": pa.array([], pa.int64()),
+        }))
+    max_day = int(raw_max)
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1776,6 +1783,17 @@ def window_dup_events(
 
     SQL twin: ``ts - lag(ts) OVER (PARTITION BY user_id, event_type,
     vq2 ORDER BY ts, event_id) <= window``.
+
+    LAG SEMANTICS (intended contract, ADVICE r04): dup marks compare
+    each event to the IMMEDIATELY PRECEDING event of its key, so marks
+    CHAIN — with a 60-min window, events at t=0, t=50min, t=110min
+    flag BOTH later events (each is within the window of its
+    predecessor, itself possibly a dup).  This matches the SQL lag
+    twin and treats a steady duplicate stream as one burst.  It is NOT
+    suppress-against-last-KEPT-event semantics (under which t=110min
+    would survive, being 110min from the kept t=0); a consumer that
+    wants kept-event suppression needs the sequential rescan, which is
+    inherently order-dependent and not SQL-window-expressible.
 
     Scale shape: one user co-location exchange, per block one lexsort
     over (user, type, vq2, ts, event_id) + one shifted compare — the

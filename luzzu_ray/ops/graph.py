@@ -1074,7 +1074,13 @@ def edge_common_neighbors(
       ONE sorted int64 array shipped once via ``ray.put``
       (16 bytes/edge); each task resolves its edge batch with
       searchsorted range lookups + one sorted-merge membership pass —
-      zero exchange.
+      zero exchange.  DRIVER MEMORY BOUND (ADVICE r04): the packing
+      step concentrates BOTH directions on the driver before the
+      ``ray.put`` — 2 x 8 bytes x ``broadcast_max_edges`` ≈ 320 MB
+      peak at the default cap (the triangle-counter pattern, where the
+      cap packs one direction and peaks at half that); graphs near the
+      cap that must not spike the driver should lower
+      ``broadcast_max_edges`` and take the wedge join.
     - **wedge join** (beyond broadcast): native hash join builds
       (a, b, c) wedges from a's neighbors, a composite-key SEMI join
       keeps wedges whose (b, c) is an edge, one keyed count per edge,

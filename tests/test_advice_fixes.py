@@ -198,3 +198,24 @@ def test_outer_join_width_walks_filtered_sides(ray_session, tmp_path):
     assert n_matched == 99  # v in 101..199
     # the exchange was data-sized: a 400-row join never needs the cap
     assert out.num_blocks() <= 8
+
+
+def test_decayed_value_empty_input_returns_empty_schema(ray_session):
+    """ADVICE r05: decayed_user_value on an EMPTY events dataset
+    returns the typed empty (user_id, decayed_q2, n_recent) table
+    instead of crashing on Dataset.max(...) -> None."""
+    import ray.data
+
+    from luzzu_ray.ops.events import decayed_user_value
+
+    empty = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    }))
+    out = decayed_user_value(empty)
+    t = pa.Table.from_pylist(out.take_all(), schema=pa.schema([
+        ("user_id", pa.int64()), ("decayed_q2", pa.int64()),
+        ("n_recent", pa.int64())]))
+    assert t.num_rows == 0
+    assert set(out.schema().names) == {"user_id", "decayed_q2", "n_recent"}
