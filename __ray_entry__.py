@@ -4729,6 +4729,21 @@ def q_embedding_neardup_lsh(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def q_embedding_neardup_lsh_sq8(sf_dir: str):
+    """The COMPRESSED-payload banded-LSH near-dup path (VERDICT r04
+    next-round #3): SQ8 codes (1 byte/dim) replace the raw embedding
+    through the n x n_bands band exchange, margin-lowered dequantized
+    candidates are exact-rescored via two narrow joins — pair set
+    IDENTICAL to the raw path by the quantization-margin bound, so the
+    same SQL twin hard-checks banding, quantizer, margin and rescore
+    together."""
+    from luzzu_ray.ops.similarity import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(
+        _augment_embeddings(sf_dir), threshold=0.85, payload="sq8"
+    ).select_columns(["a", "b"])
+
+
 def _neardup_lsh_sql() -> str:
     """Oracle reproducing lsh_neardup_pairs over the augmented corpus:
     hyperplanes embedded as literals, one band-code column per band,
@@ -10121,6 +10136,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "embedding_neardup_lsh_sq8": q_embedding_neardup_lsh_sq8,
         "training_pipeline_neardup": q_training_pipeline_neardup,
         "kcenter_sampled": q_kcenter_sampled,
         "rag_chunk_dedup": q_rag_chunk_dedup,
@@ -11040,6 +11056,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
         "embedding_neardup_lsh": _neardup_lsh_sql(),
+        "embedding_neardup_lsh_sq8": _neardup_lsh_sql(),
         "events_distinct_hll": _hll_registers_sql(),
         "events_distinct_hll_est": _hll_estimate_sql(),
         "events_user_distinct_hll": _hll_estimate_by_sql(),

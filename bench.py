@@ -307,6 +307,7 @@ def main() -> None:
         # round-5 additions
         "kcenter_sampled",
         "training_pipeline_neardup",
+        "embedding_neardup_lsh_sq8",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -449,6 +449,11 @@ def embedding_neardup_pairs(
 NEARDUP_LSH_BANDS = 16
 NEARDUP_LSH_BITS = 8
 NEARDUP_LSH_THRESHOLD = 0.85
+# payload="auto" cutoff: below this walked row bound the raw-embedding
+# band exchange is cheaper than the sq8 path's fixed rescore costs
+# (measured at sf0.1: raw 5.0 s vs sq8 10.8 s on 5k vectors, where
+# both exchanges are trivially small)
+LSH_SQ8_AUTO_MIN = 2_000_000
 
 
 def _lsh_pairs_block(t: pa.Table, threshold: float, bucket_cap: int) -> pa.Table:
@@ -617,7 +622,7 @@ def lsh_neardup_pairs(
     bucket_cap: int | None = None,
     num_partitions: int | None = None,
     seed: int = LSH_SEED,
-    payload: str = "sq8",
+    payload: str = "auto",
 ) -> ray.data.Dataset:
     """(a, b), a < b, cos(a, b) >= threshold — SUBQUADRATIC via banded
     hyperplane LSH, the realistic embedding-dedup path for the
@@ -631,11 +636,14 @@ def lsh_neardup_pairs(
        the packed sign pattern of that band's ``band_bits`` hyperplane
        dot products on the RAW vector (signs are scale-invariant, and
        raw-value dots are what a SQL oracle reproduces verbatim);
-    2. ONE hash exchange co-locates each (band, bucket).  With the
-       default ``payload="sq8"`` the replicated per-row payload is the
-       SQ8 code vector (1 byte/dim — 4x under float32 storage, 8x
-       under float64) instead of the raw embedding, cutting the
-       n x n_bands exchange fan-in by the same factor;
+    2. ONE hash exchange co-locates each (band, bucket).  With
+       ``payload="sq8"`` the replicated per-row payload is the SQ8
+       code vector (1 byte/dim — 4x under float32 storage, 8x under
+       float64) instead of the raw embedding, cutting the n x n_bands
+       exchange fan-in by the same factor; the default ``"auto"``
+       routes to sq8 once the walked row bound reaches
+       ``LSH_SQ8_AUTO_MIN`` (below it the rescore's fixed costs
+       outweigh the exchange saving — measured, see the constant);
     3. in-bucket verify.  ``payload="raw"``: EXACT tiled cosine at
        ``threshold`` directly.  ``payload="sq8"``: candidate pairs at
        a MARGIN-LOWERED threshold on the dequantized vectors — the
@@ -669,8 +677,18 @@ def lsh_neardup_pairs(
     _hash_shuffle_ctx()
     if bucket_cap is None:
         bucket_cap = BUCKET_CAP
-    if payload not in ("raw", "sq8"):
+    if payload not in ("raw", "sq8", "auto"):
         raise ValueError(f"lsh_neardup_pairs: unknown payload {payload!r}")
+    if payload == "auto":
+        # the compressed path adds fixed costs (a stats reduce, a pair
+        # dedupe, two rescore joins) that only pay off once the
+        # n x n_bands exchange fan-in dominates; route by the walked
+        # row-count bound (unknown counts -> assume big)
+        from luzzu_ray.ops.dedup import count_upper_bound_if_cheap
+
+        bound = count_upper_bound_if_cheap(ds)
+        payload = ("sq8" if bound is None or bound >= LSH_SQ8_AUTO_MIN
+                   else "raw")
     planes = lsh_planes(dim, n_bands * band_bits, seed)
     weights = (1 << np.arange(band_bits, dtype=np.int64))[None, None, :]
     band_ids = np.arange(n_bands, dtype=np.int32)
