@@ -1266,6 +1266,183 @@ def q_training_pipeline_neardup(sf_dir: str):
     )
 
 
+LB_BUCKET_WORDS = 8
+LB_BATCH_BUDGET = 256
+BORDA_K = 20
+TEMP_TARGET_FRAC = 0.5
+
+_NWORDS_FRAG = (
+    "CAST(CASE WHEN text IS NULL OR text = '' THEN 0 "
+    "ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS BIGINT)"
+)
+
+
+def _nwords_batch(t: pa.Table) -> pa.Table:
+    """Shared engine twin of ``_NWORDS_FRAG`` (space-split word count,
+    0 for NULL/empty)."""
+    tx = pc.fill_null(t["text"], "")
+    nw = pc.add(pc.count_substring(tx, " "), 1)
+    nw = pc.if_else(
+        pc.equal(pc.binary_length(tx), 0), pa.scalar(0, pa.int32()), nw)
+    return pa.table({"doc_id": t["doc_id"],
+                     "n_words": pc.cast(nw, pa.int64())})
+
+
+def q_length_bucket_batches(sf_dir: str):
+    """Padding-efficient length-bucketed batching (`ops/relational.py`
+    ``length_bucket_batches``): docs bucket by ``n_words // 8``, rank
+    by id within the bucket, and fill fixed-capacity batches sized so
+    each batch's padded token cost stays under the budget — the
+    dataloader primitive that bounds padding waste.  One narrow keyed
+    exchange; SQL twin is a per-bucket row_number."""
+    from luzzu_ray.ops.relational import length_bucket_batches
+
+    feats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _nwords_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return length_bucket_batches(
+        feats, "doc_id", "n_words", LB_BUCKET_WORDS, LB_BATCH_BUDGET)
+
+
+_LENGTH_BUCKET_SQL = f"""
+WITH d AS (SELECT doc_id, {_NWORDS_FRAG} AS n_words FROM documents),
+b AS (SELECT doc_id, n_words, n_words // {LB_BUCKET_WORDS} AS bucket FROM d),
+r AS (SELECT doc_id, n_words, bucket,
+      row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rnk
+      FROM b)
+SELECT doc_id, n_words, CAST(bucket AS BIGINT) AS bucket,
+  CAST(rnk // greatest(1, {LB_BATCH_BUDGET}
+       // ((bucket + 1) * {LB_BUCKET_WORDS})) AS BIGINT) AS batch_idx
+FROM r
+"""
+
+
+def q_borda_quality_topk(sf_dir: str):
+    """Borda-count fusion of three integer quality signals
+    (`ops/relational.py` ``borda_rank_fusion``): exact global ranks of
+    n_chars, word count and digit count (each DESC, ties to lowest id)
+    sum into the fused score; top-20 by (borda ASC, doc_id).  Each
+    rank runs the distributed global_rank protocol over narrow
+    (id, score) rows; ranks join through narrow hash joins."""
+    from luzzu_ray.ops.relational import borda_rank_fusion
+
+    def feats(t: pa.Table) -> pa.Table:
+        tx = pc.fill_null(t["text"], "")
+        nw = pc.add(pc.count_substring(tx, " "), 1)
+        nw = pc.if_else(
+            pc.equal(pc.binary_length(tx), 0), pa.scalar(0, pa.int32()), nw)
+        nd = pc.count_substring_regex(tx, "[0-9]")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "n_words": pc.cast(nw, pa.int64()),
+            "n_digits": pc.cast(nd, pa.int64()),
+        })
+
+    return borda_rank_fusion(
+        _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+            feats, batch_format="pyarrow", zero_copy_batch=True),
+        "doc_id", ["n_chars", "n_words", "n_digits"], BORDA_K,
+    )
+
+
+_BORDA_SQL = f"""
+WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+  {_NWORDS_FRAG} AS n_words,
+  CAST(len(regexp_extract_all(COALESCE(text, ''), '[0-9]')) AS BIGINT)
+    AS n_digits
+  FROM documents),
+r AS (SELECT doc_id,
+  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk_n_chars,
+  row_number() OVER (ORDER BY n_words DESC, doc_id) AS rnk_n_words,
+  row_number() OVER (ORDER BY n_digits DESC, doc_id) AS rnk_n_digits
+  FROM d)
+SELECT doc_id, rnk_n_chars, rnk_n_words, rnk_n_digits,
+  rnk_n_chars + rnk_n_words + rnk_n_digits AS borda
+FROM r ORDER BY borda, doc_id LIMIT {BORDA_K}
+"""
+
+
+def q_temperature_mixture(sf_dir: str):
+    """alpha=0.5 temperature-flattened mixture resampling
+    (`ops/relational.py` ``temperature_mixture``): per-source shares
+    proportional to sqrt(n_s) (sqrt is IEEE-correctly-rounded, so the
+    oracle's driver-derived share literals reproduce every threshold
+    bit-for-bit), applied through the deterministic keyed-hash
+    filter."""
+    from luzzu_ray.ops.relational import temperature_mixture
+
+    return temperature_mixture(
+        _docs(sf_dir, ["doc_id", "source"]), "source", "doc_id",
+        TEMP_TARGET_FRAC, MIX_A, MIX_B,
+    )
+
+
+def _temperature_mix_sql(sf_dir: str) -> str | None:
+    """Data-derived oracle (the centroid-literal pattern): the share
+    literals are rebuilt by a scalar twin over the same corpus —
+    independent of the engine's distributed count pass — then the SQL
+    replays the rebalance threshold arithmetic exactly."""
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    src = _pq.read_table(path, columns=["source"])["source"]
+    vals, counts = np.unique(
+        np.asarray(src.to_pylist(), dtype=object), return_counts=True)
+    roots = {str(s): float(np.sqrt(float(n)))
+             for s, n in zip(vals, counts)}
+    denom = 0.0
+    for s in sorted(roots):
+        denom += roots[s]
+    shares = {s: roots[s] / denom for s in roots}
+    case = " ".join(f"WHEN '{s}' THEN {v!r}" for s, v in shares.items())
+    return (
+        "WITH cnt AS (SELECT source, count(*) AS n FROM documents "
+        "GROUP BY source), "
+        f"tot AS (SELECT floor({TEMP_TARGET_FRAC} * sum(n)) AS t FROM cnt), "
+        "thr AS (SELECT source, CAST(floor(least(1.0, (CASE source "
+        + case
+        + " ELSE 0.0 END) * (SELECT t FROM tot) / "
+        "CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT) AS lim "
+        "FROM cnt) "
+        "SELECT d.doc_id, d.source FROM documents d "
+        "JOIN thr ON d.source = thr.source WHERE "
+        f"((CAST(d.doc_id AS HUGEINT) * {MIX_A} + {MIX_B}) % "
+        "18446744073709551616) // 4294967296 < thr.lim"
+    )
+
+
+def q_fim_examples(sf_dir: str):
+    """Deterministic fill-in-the-middle example construction
+    (`ops/vocab.py` ``fim_examples``, Bavarian et al. 2022): two cut
+    points as pure integer functions of (doc_id, byte length) split
+    each doc into non-empty (prefix, middle, suffix); exchange-free
+    vectorized byte-slice gather.  ASCII-exact oracle domain (SQL
+    substr counts characters), like the DSIR hash family."""
+    from luzzu_ray.ops.vocab import fim_examples
+
+    return fim_examples(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _fim_sql() -> str:
+    from luzzu_ray.ops.vocab import FIM_A1, FIM_A2
+
+    return f"""
+WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+c1 AS (SELECT doc_id, text, n,
+       1 + (doc_id * {FIM_A1}) % (n - 2) AS cut1 FROM d),
+c2 AS (SELECT doc_id, text, n, cut1,
+       cut1 + 1 + (doc_id * {FIM_A2}) % (n - cut1 - 1) AS cut2 FROM c1)
+SELECT doc_id,
+  substr(text, 1, CAST(cut1 AS INT)) AS prefix,
+  substr(text, CAST(cut1 + 1 AS INT), CAST(cut2 - cut1 AS INT)) AS middle,
+  substr(text, CAST(cut2 + 1 AS INT)) AS suffix
+FROM c2
+"""
+
+
 def q_dedup_normalized(sf_dir: str):
     """Exact dedup on NORMALIZED text (lowercase, whitespace-collapse,
     trim) — the key real web pipelines hash, catching trivially-
@@ -10136,6 +10313,10 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "fim_examples": q_fim_examples,
+        "temperature_mixture": q_temperature_mixture,
+        "borda_quality_topk": q_borda_quality_topk,
+        "length_bucket_batches": q_length_bucket_batches,
         "embedding_neardup_lsh_sq8": q_embedding_neardup_lsh_sq8,
         "training_pipeline_neardup": q_training_pipeline_neardup,
         "kcenter_sampled": q_kcenter_sampled,
@@ -11671,6 +11852,9 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "kcenter_select": _kcenter_sql(),
         "kcenter_sampled": _kcenter_sampled_sql(),
         "training_pipeline_neardup": _training_neardup_sql(),
+        "length_bucket_batches": _LENGTH_BUCKET_SQL,
+        "borda_quality_topk": _BORDA_SQL,
+        "fim_examples": _fim_sql(),
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),
         "source_kendall": _KENDALL_SQL,
@@ -12374,7 +12558,8 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
                            ("semantic_dedup", _semantic_dedup_sql),
                            ("knn_graph", _knn_graph_sql),
                            ("bitext_mutual_pairs", _bitext_mutual_sql),
-                           ("hard_negatives", _hard_negatives_sql)):
+                           ("hard_negatives", _hard_negatives_sql),
+                           ("temperature_mixture", _temperature_mix_sql)):
         sql = builder(oracle_dir)
         if sql is not None:
             sqls[qname] = sql

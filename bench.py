@@ -308,6 +308,10 @@ def main() -> None:
         "kcenter_sampled",
         "training_pipeline_neardup",
         "embedding_neardup_lsh_sq8",
+        "length_bucket_batches",
+        "borda_quality_topk",
+        "temperature_mixture",
+        "fim_examples",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

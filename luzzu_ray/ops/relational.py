@@ -3230,3 +3230,186 @@ def grouped_top_fraction_by_score(
         .map_batches(tie_partial, batch_format="pyarrow", batch_size=None)
     )
     return above.union(trimmed)
+
+
+def length_bucket_batches(
+    ds: ray.data.Dataset,
+    id_col: str,
+    len_col: str,
+    bucket_size: int,
+    batch_budget: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Padding-efficient LENGTH-BUCKETED batching — the dataloader
+    primitive that groups similar-length sequences so per-batch padding
+    waste is bounded by ``bucket_size`` tokens/row: ``bucket =
+    len // bucket_size``; within each bucket rows rank by id ascending
+    and fill fixed-size batches of ``max(1, batch_budget //
+    ((bucket + 1) * bucket_size))`` rows (the bucket's padded row cost
+    is its upper edge).  Output: ``(id, len, bucket, batch_idx)``.
+
+    SQL twin: ``row_number() OVER (PARTITION BY len // BS ORDER BY id)
+    - 1`` integer-divided by the per-bucket batch capacity.
+
+    Scale shape: one narrow keyed exchange on bucket (24-byte rows),
+    block-local sort + rank (a bucket is co-located whole — the
+    sessionize skew contract: one giant bucket = one hot block; salt
+    by id range and offset-merge if a single bucket outgrows a worker,
+    the conv_structure_audit_salted pattern).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(ds, num_partitions)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ln = t[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            len_col: pa.array(ln),
+            "bucket": pa.array(ln // bucket_size),
+        })
+
+    part = ds.select_columns([id_col, len_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=width, keys=["bucket"])
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                len_col: pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "batch_idx": pa.array([], pa.int64()),
+            })
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t[len_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, bk))
+        bs, is_, ls = bk[order], ids[order], ln[order]
+        starts = np.r_[0, np.flatnonzero(bs[1:] != bs[:-1]) + 1]
+        g = np.searchsorted(starts, np.arange(len(bs)), "right") - 1
+        rnk = np.arange(len(bs)) - starts[g]
+        cap = np.maximum(1, batch_budget // ((bs + 1) * bucket_size))
+        return pa.table({
+            id_col: pa.array(is_),
+            len_col: pa.array(ls),
+            "bucket": pa.array(bs),
+            "batch_idx": pa.array(rnk // cap),
+        })
+
+    return part.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def borda_rank_fusion(
+    ds: ray.data.Dataset,
+    id_col: str,
+    score_cols: list[str],
+    k: int,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Borda-count fusion of multiple integer quality signals (the
+    rank-sum voting rule; the quality-signal sibling of the RRF
+    retrieval fusion in ``ann_rrf_fusion``): each signal contributes
+    its exact global ``row_number() OVER (ORDER BY signal DESC, id)``
+    and the fused score is the SUM of ranks (lower = better on every
+    dimension).  Returns the top-``k`` rows by (borda ASC, id ASC)
+    with every per-signal rank attached — all-integer, so no float
+    weighting can diverge between engine and oracle.
+
+    Scale shape: one :func:`global_rank` pass per signal (narrow
+    (id, score) rows through the distributed rank protocol — never the
+    payload), the rank tables join on id through len(score_cols) - 1
+    narrow hash joins, and only k rows reach the caller.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+
+    width = auto_partitions(ds, num_partitions)
+    ranked = None
+    for c in score_cols:
+        r = global_rank(
+            ds.select_columns([id_col, c]), c, id_col,
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t, c=c: pa.table({
+                id_col: t[id_col], f"rnk_{c}": t["rnk"]}),
+            batch_format="pyarrow",
+        ).repartition(num_blocks=width).materialize()
+        if ranked is None:
+            ranked = r
+        else:
+            ranked = ranked.join(
+                r, join_type="inner", on=(id_col,), num_partitions=width,
+            ).repartition(num_blocks=width).materialize()
+
+    def fuse(t: pa.Table) -> pa.Table:
+        cols = {id_col: t[id_col]}
+        total = np.zeros(t.num_rows, dtype=np.int64)
+        for c in score_cols:
+            r = t[f"rnk_{c}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols[f"rnk_{c}"] = pa.array(r)
+            total += r
+        cols["borda"] = pa.array(-total)  # negated: topk sorts DESC
+        return pa.table(cols)
+
+    top = topk(
+        ranked.map_batches(fuse, batch_format="pyarrow"),
+        "borda", k, id_col,
+    )
+    t = pa.Table.from_pylist(top.take_all())  # exactly k rows
+    return pa.table({
+        id_col: t[id_col],
+        **{f"rnk_{c}": t[f"rnk_{c}"] for c in score_cols},
+        "borda": pc.negate(t["borda"]),
+    })
+
+
+def temperature_mixture(
+    ds: ray.data.Dataset,
+    source_col: str,
+    id_col: str,
+    target_frac: float,
+    hash_a: int,
+    hash_b: int,
+) -> ray.data.Dataset:
+    """Temperature-flattened mixture resampling at alpha = 0.5 (the
+    sqrt-scaling of multilingual corpus balancing, Devlin et al. 2019 /
+    Conneau & Lample 2019): per-source target shares proportional to
+    ``sqrt(n_s)`` instead of ``n_s``, boosting small sources without
+    letting them dominate.  alpha is FIXED at 0.5 because ``sqrt`` is
+    an IEEE-754 correctly-rounded operation — a scalar twin (or a SQL
+    oracle with driver-derived literals) reproduces every threshold
+    bit-for-bit, which a libm ``pow(n, alpha)`` cannot guarantee.
+
+    The share normalization sums ``sqrt(n_s)`` in SORTED source order
+    (float sums are order-dependent; sorting pins the order for any
+    twin).  Selection applies :func:`rebalance_mixture`'s deterministic
+    keyed-hash filter — membership is a pure function of (id, source).
+
+    Scale shape: one O(#sources) count reduce, then one exchange-free
+    filter map; the count pass runs twice (here and inside
+    rebalance_mixture) — both are narrow partial+final aggregates.
+    """
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {source_col: t[source_col],
+             "n": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+        ).group_by([source_col]).aggregate([("n", "sum")])
+        return g.rename_columns([source_col, "n"])
+
+    cnt = ds.select_columns([source_col]).map_batches(
+        count_partial, batch_format="pyarrow"
+    ).groupby(source_col, num_partitions=2).aggregate(
+        Sum("n", alias_name="n")
+    ).take_all()  # O(#sources) rows
+    n_by_src = {r[source_col]: int(r["n"]) for r in cnt}
+    roots = {s: float(np.sqrt(float(n))) for s, n in n_by_src.items()}
+    denom = 0.0
+    for s in sorted(roots):  # pinned summation order
+        denom += roots[s]
+    shares = {s: roots[s] / denom for s in roots}
+    return rebalance_mixture(
+        ds, source_col, id_col, shares, target_frac, hash_a, hash_b)

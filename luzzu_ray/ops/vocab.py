@@ -2210,3 +2210,90 @@ def sliding_chunk_stats(
     parts = chunks.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True)
     return chunk_df_stats_pipeline(parts, min_df, num_partitions)
+
+
+# fill-in-middle constants: < 2^30 so doc_id * A stays int64-exact for
+# ids < 2^31 (the random_walks bound) and HUGEINT-trivial in SQL
+FIM_A1 = 0x2545F491
+FIM_A2 = 0x1E3779B9
+
+
+def _slices_to_strings(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> pa.Array:
+    """Vectorized StringArray from arbitrary (start, len) byte slices
+    of one flat buffer: gather token bytes with a segment arange, then
+    rebuild offsets — no per-row Python."""
+    total = int(lens.sum())
+    if total == 0:
+        return pa.array([""] * len(starts), pa.string())
+    cum = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=cum[1:])
+    pos = np.repeat(starts, lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(cum, lens))
+    flat = data[pos]
+    offs = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    return pa.StringArray.from_buffers(
+        len(starts), pa.py_buffer(offs.tobytes()),
+        pa.py_buffer(flat.tobytes()))
+
+
+def fim_examples(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 8,
+) -> ray.data.Dataset:
+    """Deterministic FILL-IN-THE-MIDDLE example construction (Bavarian
+    et al. 2022, "Efficient Training of Language Models to Fill in the
+    Middle"): each document splits into (prefix, middle, suffix) at two
+    cut points that are a pure integer function of (doc_id, length) —
+    ``cut1 = 1 + (doc_id * A1) % (n - 2)``, ``cut2 = cut1 + 1 +
+    (doc_id * A2) % (n - cut1 - 1)`` — so every segment is non-empty
+    and the SQL twin replays the identical arithmetic with ``substr``.
+    Documents shorter than ``min_chars`` (or NULL) emit nothing.
+
+    Cut positions are BYTE offsets (the DSIR-family ASCII-exact oracle
+    domain: SQL ``substr`` counts characters, so the twin is byte-exact
+    on ASCII corpora; on multibyte text the engine cuts at bytes —
+    deliberate, models consume bytes/tokens, but the oracle then
+    diverges).  Exchange-free: one vectorized map pass (byte-slice
+    gather, no per-row Python); output (doc_id, prefix, middle,
+    suffix).
+    """
+    from luzzu_ray.functions.text import utf8_view
+
+    lo = max(3, min_chars)
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "prefix": pa.array([], pa.string()),
+            "middle": pa.array([], pa.string()),
+            "suffix": pa.array([], pa.string()),
+        })
+        if t.num_rows == 0:
+            return empty
+        txt = t[text_col].combine_chunks()
+        null_mask = (txt.is_null().to_numpy(zero_copy_only=False)
+                     if txt.null_count else
+                     np.zeros(t.num_rows, dtype=bool))
+        data, offs = utf8_view(txt)
+        n = (offs[1:] - offs[:-1]).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (~null_mask) & (n >= lo)
+        if not keep.any():
+            return empty
+        ids, n, row_lo = ids[keep], n[keep], offs[:-1][keep].astype(np.int64)
+        cut1 = 1 + (ids * FIM_A1) % (n - 2)
+        cut2 = cut1 + 1 + (ids * FIM_A2) % (n - cut1 - 1)
+        return pa.table({
+            id_col: pa.array(ids),
+            "prefix": _slices_to_strings(data, row_lo, cut1),
+            "middle": _slices_to_strings(data, row_lo + cut1, cut2 - cut1),
+            "suffix": _slices_to_strings(data, row_lo + cut2, n - cut2),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True)

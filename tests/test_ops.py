@@ -6934,3 +6934,161 @@ def test_sliding_chunk_stats_twin(ray_session):
         assert gm == want, parts
     # the two docs sharing the section really do share chunks
     assert want[0][1] > 0 and want[1][1] > 0 and want[2][1] == 0
+
+
+def test_length_bucket_batches_matches_twin(ray_session):
+    """length_bucket_batches == pandas row_number twin for any block
+    layout; per-bucket capacity derives from the bucket's padded top
+    edge; zero-length rows land in bucket 0."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import length_bucket_batches
+
+    rng = np.random.default_rng(53)
+    n = 300
+    ids = np.arange(n, dtype=np.int64) * 2 + 1
+    ln = rng.integers(0, 120, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "n_words": pa.array(ln)})
+    BS, BB = 8, 256
+
+    def twin():
+        rows = sorted(zip(ids, ln), key=lambda r: (r[1] // BS, r[0]))
+        out, seen = {}, {}
+        for i, l in rows:
+            b = l // BS
+            r = seen.get(b, 0)
+            seen[b] = r + 1
+            cap = max(1, BB // ((b + 1) * BS))
+            out[i] = (l, b, r // cap)
+        return out
+
+    want = twin()
+    for nb in (1, 7):
+        got = pa.Table.from_pylist(length_bucket_batches(
+            ray.data.from_arrow(t).repartition(nb),
+            "doc_id", "n_words", BS, BB).take_all())
+        gm = {i: (l, b, x) for i, l, b, x in zip(
+            got["doc_id"].to_pylist(), got["n_words"].to_pylist(),
+            got["bucket"].to_pylist(), got["batch_idx"].to_pylist())}
+        assert gm == want, nb
+
+
+def test_borda_rank_fusion_matches_twin(ray_session):
+    """borda_rank_fusion == numpy rank-sum twin (per-signal
+    row_number DESC with id tiebreak, top-k by fused sum ASC)."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import borda_rank_fusion
+
+    rng = np.random.default_rng(59)
+    n = 200
+    ids = np.arange(n, dtype=np.int64)
+    a = rng.integers(0, 50, n).astype(np.int64)   # heavy ties
+    b = rng.integers(0, 1000, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "s1": pa.array(a),
+                  "s2": pa.array(b)})
+
+    def ranks(v):
+        order = np.lexsort((ids, -v))
+        r = np.empty(n, dtype=np.int64)
+        r[order] = np.arange(1, n + 1)
+        return r
+
+    r1, r2 = ranks(a), ranks(b)
+    borda = r1 + r2
+    pick = np.lexsort((ids, borda))[:15]
+    for nb in (1, 6):
+        got = borda_rank_fusion(
+            ray.data.from_arrow(t).repartition(nb),
+            "doc_id", ["s1", "s2"], 15)
+        assert got["doc_id"].to_pylist() == ids[pick].tolist(), nb
+        assert got["borda"].to_pylist() == borda[pick].tolist(), nb
+        assert got["rnk_s1"].to_pylist() == r1[pick].tolist(), nb
+
+
+def test_temperature_mixture_matches_rebalance_with_sqrt_shares(
+        ray_session):
+    """temperature_mixture == rebalance_mixture fed the sqrt-share
+    dict computed the same way (sorted-order sum), for any layout;
+    small sources gain share vs their raw proportion."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import (
+        rebalance_mixture, temperature_mixture)
+
+    n_by = {"big": 600, "mid": 150, "small": 24}
+    srcs = [s for s, c in n_by.items() for _ in range(c)]
+    ids = np.arange(len(srcs), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids),
+                  "source": pa.array(srcs, pa.string())})
+    A, B = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    roots = {s: float(np.sqrt(float(c))) for s, c in n_by.items()}
+    denom = 0.0
+    for s in sorted(roots):
+        denom += roots[s]
+    shares = {s: roots[s] / denom for s in roots}
+
+    def key_set(ds_out):
+        return {r["doc_id"] for r in ds_out.take_all()}
+
+    want = key_set(rebalance_mixture(
+        ray.data.from_arrow(t), "source", "doc_id", shares, 0.5, A, B))
+    for nb in (1, 5):
+        got = key_set(temperature_mixture(
+            ray.data.from_arrow(t).repartition(nb),
+            "source", "doc_id", 0.5, A, B))
+        assert got == want, nb
+    # flattening property: 'small' keeps a larger fraction than 'big'
+    kept = pa.Table.from_pylist(temperature_mixture(
+        ray.data.from_arrow(t), "source", "doc_id", 0.5, A, B).take_all())
+    frac = {
+        s: sum(1 for v in kept["source"].to_pylist() if v == s) / c
+        for s, c in n_by.items()
+    }
+    assert frac["small"] > frac["big"]
+
+
+def test_fim_examples_matches_substr_twin(ray_session):
+    """fim_examples == the scalar substr twin: segments non-empty,
+    concatenation restores the text, short/NULL docs emit nothing,
+    layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.vocab import FIM_A1, FIM_A2, fim_examples
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",                      # < 8 chars: dropped
+        None,                         # dropped
+        "exactly8",                   # boundary: kept
+        "a" * 100,
+        "",                           # dropped
+        "zw" * 13,
+    ]
+    ids = [3, 10, 20, 31, 47, 55, 68]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def twin():
+        out = {}
+        for i, tx in zip(ids, texts):
+            if tx is None or len(tx) < 8:
+                continue
+            n = len(tx)
+            c1 = 1 + (i * FIM_A1) % (n - 2)
+            c2 = c1 + 1 + (i * FIM_A2) % (n - c1 - 1)
+            out[i] = (tx[:c1], tx[c1:c2], tx[c2:])
+        return out
+
+    want = twin()
+    for nb in (1, 4):
+        got = pa.Table.from_pylist(fim_examples(
+            ray.data.from_arrow(t).repartition(nb)).take_all())
+        gm = {i: (p, m, s) for i, p, m, s in zip(
+            got["doc_id"].to_pylist(), got["prefix"].to_pylist(),
+            got["middle"].to_pylist(), got["suffix"].to_pylist())}
+        assert gm == want, nb
+        for i, (p, m, s) in gm.items():
+            assert p and m and s
+            orig = texts[ids.index(i)]
+            assert p + m + s == orig
