@@ -3820,6 +3820,38 @@ WHERE chosen_idx <> rejected_idx
 """
 
 
+CANNED_PHRASES = ["slow fast", "table value", "big big", "zz absent phrase"]
+
+
+def q_conv_canned_phrases(sf_dir: str):
+    """Per-conversation canned-response detection over the multi-turn
+    corpus (`ops/transcripts.py` ``canned_phrase_stats``): assistant
+    turns containing any literal probe phrase (three corpus-present +
+    one absent) — the template/refusal screen of transcript curation.
+    Commutative partials, one narrow grouped-sum exchange."""
+    from luzzu_ray.ops.transcripts import canned_phrase_stats
+    from luzzu_ray.sources import documents_as_multiturn
+
+    return canned_phrase_stats(
+        documents_as_multiturn(sf_dir), CANNED_PHRASES,
+        num_partitions=_multiturn_width(sf_dir),
+    )
+
+
+def _canned_sql() -> str:
+    hits = " OR ".join(
+        f"position('{p}' IN COALESCE(text, '')) > 0" for p in CANNED_PHRASES)
+    return f"""
+WITH m AS ({_multiturn_sql()})
+SELECT conv_id,
+  CAST(coalesce(count(*) FILTER (role = 'assistant'), 0) AS BIGINT)
+    AS n_role_turns,
+  CAST(coalesce(count(*) FILTER (role = 'assistant' AND ({hits})), 0)
+       AS BIGINT) AS n_canned
+FROM m GROUP BY conv_id
+"""
+
+
 def q_conv_turn_stats(sf_dir: str):
     """Per-conversation content statistics over the multi-turn corpus:
     turn count, per-role counts, total/max turn chars — conversation-
@@ -9641,6 +9673,75 @@ def q_token_cms_counts(sf_dir: str):
     return cms_token_counts(_docs(sf_dir, ["text"]), CMS_PROBES)
 
 
+def q_winnowing_fp(sf_dir: str):
+    """Winnowing fingerprint selection (`ops/dedup.py`
+    ``winnowing_fingerprints``, Schleimer et al. SIGMOD 2003): per
+    document, every window of 4 consecutive token-3-gram hashes
+    selects its minimum (ties to the rightmost position — robust
+    winnowing); distinct (pos, fp) selections are the document's
+    MOSS-style local fingerprints.  Exchange-free vectorized map; the
+    oracle refolds the token hash per character, combines grams with
+    the NGRAM_MIX literals via 32-bit-limb mulmod, and replays window
+    min + rightmost-tie in SQL."""
+    from luzzu_ray.ops.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _winnow_sql() -> str:
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.dedup import WINNOW_FP_MOD, WINNOW_K, WINNOW_W
+
+    T = "18446744073709551616::HUGEINT"
+
+    def mulmod(z: str, k: int) -> str:
+        # z * k mod 2^64 via 32-bit limbs: every intermediate < 2^97
+        return (
+            f"((({z}) % 4294967296) * {k}::HUGEINT + "
+            f"((({z}) // 4294967296) * {k}::HUGEINT % 4294967296) "
+            f"* 4294967296) % {T}"
+        )
+
+    mix = [int(m) for m in C.NGRAM_MIX[:WINNOW_K]]
+    gram = " + ".join(
+        mulmod(f"h{j}" if j else "h", mix[j]) for j in range(WINNOW_K))
+    leads = ", ".join(
+        f"lead(h, {j}) OVER w AS h{j}" for j in range(1, WINNOW_K))
+    wm1 = WINNOW_W - 1
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+    generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1)
+      AS wi
+  FROM documents
+),
+th AS (SELECT doc_id, wi, CAST({_token_hash_sql('tok')} AS HUGEINT) AS h
+       FROM toks),
+g0 AS (
+  SELECT doc_id, wi - 1 AS pos, h, {leads},
+         lead(h, {WINNOW_K - 1}) OVER w IS NOT NULL AS valid
+  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY wi)
+),
+gr AS (SELECT doc_id, pos, ({gram}) % {T} AS g FROM g0 WHERE valid),
+win AS (
+  SELECT a.doc_id, a.pos AS wend, min(b.g) AS mn
+  FROM gr a JOIN gr b ON b.doc_id = a.doc_id
+    AND b.pos BETWEEN a.pos - {wm1} AND a.pos
+  GROUP BY 1, 2 HAVING count(*) = {WINNOW_W}
+),
+sel AS (
+  SELECT w.doc_id, max(b.pos) AS pos, w.mn AS gfull
+  FROM win w JOIN gr b ON b.doc_id = w.doc_id
+    AND b.pos BETWEEN w.wend - {wm1} AND w.wend AND b.g = w.mn
+  GROUP BY w.doc_id, w.wend, w.mn
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+  CAST(gfull % {WINNOW_FP_MOD} AS BIGINT) AS fp
+FROM sel
+"""
+
+
 def _token_hash_sql(col: str) -> str:
     """SQL expression for the shared char-weight token hash of a string
     column (TOKEN_POS_WEIGHTS literals, as in the simhash oracle)."""
@@ -10313,6 +10414,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "conv_canned_phrases": q_conv_canned_phrases,
+        "winnowing_fp": q_winnowing_fp,
         "fim_examples": q_fim_examples,
         "temperature_mixture": q_temperature_mixture,
         "borda_quality_topk": q_borda_quality_topk,
@@ -11855,6 +11958,8 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "length_bucket_batches": _LENGTH_BUCKET_SQL,
         "borda_quality_topk": _BORDA_SQL,
         "fim_examples": _fim_sql(),
+        "winnowing_fp": _winnow_sql(),
+        "conv_canned_phrases": _canned_sql(),
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),
         "source_kendall": _KENDALL_SQL,

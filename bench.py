@@ -312,6 +312,8 @@ def main() -> None:
         "borda_quality_topk",
         "temperature_mixture",
         "fim_examples",
+        "winnowing_fp",
+        "conv_canned_phrases",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

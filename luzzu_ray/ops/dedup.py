@@ -2862,3 +2862,95 @@ def _modinv64(a: np.uint64) -> np.uint64:
         for _ in range(6):
             x = x * (np.uint64(2) - a * x)
     return np.uint64(x)
+
+
+WINNOW_K = 3          # token k-gram size (NGRAM_MIX supports up to 4)
+WINNOW_W = 4          # winnowing window: one fingerprint per w grams
+WINNOW_FP_MOD = 1 << 61  # output fold: BIGINT-safe on both sides
+
+
+def winnowing_fingerprints(
+    ds: ray.data.Dataset,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """WINNOWING document fingerprint selection (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS local fingerprinting algorithm): over
+    each document's token k-gram hash sequence, every window of ``w``
+    consecutive grams selects its MINIMUM hash (ties to the RIGHTMOST
+    position — the robust-winnowing rule), and the distinct (position,
+    hash) selections are the document's fingerprints.  Guarantees: any
+    shared substring of at least k + w - 1 tokens yields a shared
+    fingerprint (the coverage bound of the paper), while storing ~2/(w
+    + 1) of all gram hashes — the storage/recall dial minhash doesn't
+    offer (minhash is per-document global; winnowing is positional, so
+    fingerprints localize WHERE the overlap is).
+
+    Exchange-free: one vectorized map pass (token hashes -> NGRAM_MIX
+    k-gram combine -> sliding-window min via a stride view; windows
+    never cross document boundaries).  Output (doc_id, pos, fp): pos =
+    0-based gram index of the selected hash, fp = hash mod 2^61 (the
+    BIGINT-safe fold; window minima compare on the FULL uint64 on both
+    engine and SQL sides before folding).  ASCII-exact oracle domain
+    (the SQL twin refolds the token hash per character).
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.textstats import token_hashes_for_rows
+
+    if k > len(C.NGRAM_MIX):
+        raise ValueError(f"k={k} exceeds NGRAM_MIX size {len(C.NGRAM_MIX)}")
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "fp": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        tt = t.select([id_col, text_col]).rename_columns(
+            ["doc_id", "text"])
+        th, tr = token_hashes_for_rows(tt)
+        if len(th) < k:
+            return empty
+        m = len(th) - k + 1
+        g = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            g += th[j: j + m] * C.NGRAM_MIX[j]
+        valid = tr[:m] == tr[k - 1:]
+        rid_g = tr[:m]
+        # gram index within its document (0-based over the doc's grams)
+        starts = np.r_[0, np.flatnonzero(rid_g[1:] != rid_g[:-1]) + 1]
+        gidx = np.searchsorted(starts, np.arange(m), "right") - 1
+        pos_in_doc = np.arange(m, dtype=np.int64) - starts[gidx]
+        if m >= w:
+            sw = sliding_window_view(g, w)           # (m-w+1, w)
+            wmin = sw.min(axis=1)
+            # rightmost argmin: first min of the reversed window
+            rpos = w - 1 - np.argmin(sw[:, ::-1], axis=1)
+            wstart = np.arange(m - w + 1, dtype=np.int64)
+            inside = (rid_g[wstart] == rid_g[wstart + w - 1]) & \
+                valid[wstart] & valid[wstart + w - 1]
+            sel = np.flatnonzero(inside)
+            if len(sel) == 0:
+                return empty
+            abs_pos = wstart[sel] + rpos[sel]
+            key = rid_g[abs_pos].astype(np.int64) * np.int64(m + 1) \
+                + abs_pos
+            _, first = np.unique(key, return_index=True)
+            abs_u = abs_pos[first]
+            ids = tt["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                id_col: pa.array(ids[rid_g[abs_u]].astype(np.int64)),
+                "pos": pa.array(pos_in_doc[abs_u]),
+                "fp": pa.array(
+                    (g[abs_u] % np.uint64(WINNOW_FP_MOD)).astype(np.int64)),
+            })
+        return empty
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True)

@@ -1163,3 +1163,54 @@ def conv_lang_switches(
         })
 
     return part.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def canned_phrase_stats(
+    ds: ray.data.Dataset,
+    phrases: list[str],
+    role: str = "assistant",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-conversation CANNED-RESPONSE detection: count ``role`` turns
+    whose text contains ANY of the literal ``phrases`` (exact substring
+    — the boilerplate/refusal screen of transcript curation: template
+    answers and stock refusals add no training signal and skew reward
+    stats).  Output ``(conv_id, n_role_turns, n_canned)``.
+
+    SQL twin: ``count(*) FILTER (role = r AND (position(p1 IN text) > 0
+    OR ...))`` — literal ``position`` avoids LIKE-escaping semantics.
+
+    Scale shape: counts are commutative, so per-block partials
+    (vectorized ``match_substring`` per phrase — a handful — OR-folded)
+    collapse each block to its conversation rows BEFORE one narrow
+    grouped-sum exchange; the turn payload never shuffles.
+    """
+    from luzzu_ray.ops.relational import grouped_sum_q
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "n_role_turns": pa.array([], pa.int64()),
+                "n_canned": pa.array([], pa.int64()),
+            })
+        tx = pc.fill_null(t["text"], "")
+        is_role = pc.equal(t["role"], role)
+        hit = None
+        for p in phrases:
+            m = pc.match_substring(tx, p)
+            hit = m if hit is None else pc.or_(hit, m)
+        canned = pc.and_(is_role, hit)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "n_role_turns": pc.cast(is_role, pa.int64()),
+            "n_canned": pc.cast(canned, pa.int64()),
+        })
+
+    return grouped_sum_q(
+        ds.select_columns(["conv_id", "role", "text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_id"], float_cols={},
+        int_cols={"n_role_turns": "n_role_turns", "n_canned": "n_canned"},
+        num_partitions=num_partitions,
+    )

@@ -7092,3 +7092,109 @@ def test_fim_examples_matches_substr_twin(ray_session):
             assert p and m and s
             orig = texts[ids.index(i)]
             assert p + m + s == orig
+
+
+def test_winnowing_fingerprints_matches_twin(ray_session):
+    """winnowing_fingerprints == a pure-Python robust-winnowing twin
+    (window min, rightmost tie) over the shared token hash, for any
+    block layout; the k+w-1 coverage guarantee holds on a planted
+    shared substring."""
+    import re
+
+    import ray.data
+
+    from luzzu_ray import constants as C
+    from luzzu_ray.functions.text import token_hash_py
+    from luzzu_ray.ops.dedup import (
+        WINNOW_FP_MOD, WINNOW_K, WINNOW_W, winnowing_fingerprints)
+
+    def twin(text):
+        if text is None:
+            return set()
+        toks = re.findall(rb"[A-Za-z0-9\x80-\xff]+", text.encode())
+        hs = [token_hash_py(t) for t in toks]
+        k, w = WINNOW_K, WINNOW_W
+        if len(hs) < k:
+            return set()
+        gs = []
+        for i in range(len(hs) - k + 1):
+            g = 0
+            for j in range(k):
+                g = (g + hs[i + j] * int(C.NGRAM_MIX[j])) % (1 << 64)
+            gs.append(g)
+        out = set()
+        for e in range(w - 1, len(gs)):
+            window = gs[e - w + 1: e + 1]
+            mn = min(window)
+            rpos = e - w + 1 + max(
+                i for i, v in enumerate(window) if v == mn)
+            out.add((rpos, gs[rpos] % WINNOW_FP_MOD))
+        return out
+
+    texts = [
+        "the cat sat on the mat and the cat sat on the mat again ok",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "x " * 30,          # all-equal hashes: rightmost-tie stress
+        "short one",        # < k grams after window: empty
+        None,
+        "shared marker one two three four five six tail A",
+        "prefix shared marker one two three four five six B end",
+    ]
+    ids = list(range(0, len(texts) * 3, 3))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    want = {}
+    for i, tx in zip(ids, texts):
+        for pos, fp in twin(tx):
+            want[(i, pos)] = fp
+    for nb in (1, 4):
+        got = pa.Table.from_pylist(winnowing_fingerprints(
+            ray.data.from_arrow(t).repartition(nb)).take_all())
+        gm = {(d, p): f for d, p, f in zip(
+            got["doc_id"].to_pylist(), got["pos"].to_pylist(),
+            got["fp"].to_pylist())}
+        assert gm == want, nb
+    # coverage guarantee: the two docs sharing >= k+w-1 tokens share
+    # at least one fingerprint VALUE
+    f5 = {v for (d, p), v in want.items() if d == ids[5]}
+    f6 = {v for (d, p), v in want.items() if d == ids[6]}
+    assert f5 & f6
+
+
+def test_canned_phrase_stats_matches_twin(ray_session):
+    """canned_phrase_stats == per-row Python twin (literal substring,
+    role filter, any-phrase OR); NULL text never matches; layout-
+    invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.transcripts import canned_phrase_stats
+
+    rows = [
+        ("c1", "assistant", "I cannot help with that request"),
+        ("c1", "user", "I cannot believe it"),          # wrong role
+        ("c1", "assistant", "sure, here is the answer"),
+        ("c2", "assistant", None),                       # null text
+        ("c2", "assistant", "As an AI I apologize"),
+        ("c3", "user", "hello"),                         # zero role turns
+    ]
+    phrases = ["I cannot", "As an AI"]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "role": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    want = {}
+    for c, r, tx in rows:
+        a, h = want.get(c, (0, 0))
+        if r == "assistant":
+            a += 1
+            if tx is not None and any(p in tx for p in phrases):
+                h += 1
+        want[c] = (a, h)
+    for nb in (1, 3):
+        got = pa.Table.from_pylist(canned_phrase_stats(
+            ray.data.from_arrow(t).repartition(nb), phrases).take_all())
+        gm = {c: (a, h) for c, a, h in zip(
+            got["conv_id"].to_pylist(), got["n_role_turns"].to_pylist(),
+            got["n_canned"].to_pylist())}
+        assert gm == want, nb
