@@ -9673,6 +9673,43 @@ def q_token_cms_counts(sf_dir: str):
     return cms_token_counts(_docs(sf_dir, ["text"]), CMS_PROBES)
 
 
+CURRICULUM_TILES = 10
+
+
+def q_curriculum_order(sf_dir: str):
+    """Curriculum data ordering with difficulty interleaving
+    (`ops/relational.py` ``curriculum_interleave``): global rank by
+    n_chars (DESC, id ties) -> NTILE(10) difficulty bands ->
+    round-robin curriculum key ``rank_in_tile * 10 + tile`` — one
+    narrow distributed rank pass + an O(tiles) driver gather."""
+    from luzzu_ray.ops.relational import curriculum_interleave
+
+    return curriculum_interleave(
+        _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "n_chars", "doc_id", CURRICULUM_TILES,
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents),
+r AS (SELECT doc_id, n_chars,
+      row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk,
+      ntile({CURRICULUM_TILES}) OVER (ORDER BY n_chars DESC, doc_id)
+        AS tile FROM d),
+m AS (SELECT tile, min(rnk) AS mn FROM r GROUP BY tile)
+SELECT r.doc_id, r.n_chars, CAST(r.tile AS BIGINT) AS tile,
+  CAST(r.rnk - m.mn AS BIGINT) AS rank_in_tile,
+  CAST((r.rnk - m.mn) * {CURRICULUM_TILES} + r.tile AS BIGINT)
+    AS curriculum_key
+FROM r JOIN m USING (tile)
+"""
+
+
 def q_winnowing_fp(sf_dir: str):
     """Winnowing fingerprint selection (`ops/dedup.py`
     ``winnowing_fingerprints``, Schleimer et al. SIGMOD 2003): per
@@ -10414,6 +10451,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "curriculum_order": q_curriculum_order,
         "conv_canned_phrases": q_conv_canned_phrases,
         "winnowing_fp": q_winnowing_fp,
         "fim_examples": q_fim_examples,
@@ -11960,6 +11998,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "fim_examples": _fim_sql(),
         "winnowing_fp": _winnow_sql(),
         "conv_canned_phrases": _canned_sql(),
+        "curriculum_order": _CURRICULUM_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),
         "source_kendall": _KENDALL_SQL,

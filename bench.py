@@ -314,6 +314,7 @@ def main() -> None:
         "fim_examples",
         "winnowing_fp",
         "conv_canned_phrases",
+        "curriculum_order",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -7198,3 +7198,44 @@ def test_canned_phrase_stats_matches_twin(ray_session):
             got["conv_id"].to_pylist(), got["n_role_turns"].to_pylist(),
             got["n_canned"].to_pylist())}
         assert gm == want, nb
+
+
+def test_curriculum_interleave_matches_twin(ray_session):
+    """curriculum_interleave == numpy NTILE twin: rank/tile/key match
+    for uneven tile sizes and heavy score ties; keys are unique and
+    round-robin across tiles."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import curriculum_interleave
+
+    rng = np.random.default_rng(61)
+    n, k = 137, 5  # 137 % 5 != 0: uneven NTILE sizes
+    ids = np.arange(n, dtype=np.int64) * 7
+    sc = rng.integers(0, 30, n).astype(np.int64)  # heavy ties
+    t = pa.table({"doc_id": pa.array(ids), "s": pa.array(sc)})
+    order = np.lexsort((ids, -sc))
+    rnk = np.empty(n, dtype=np.int64)
+    rnk[order] = np.arange(1, n + 1)
+    # SQL NTILE: first (n % k) tiles get ceil(n/k) rows
+    big, small = -(-n // k), n // k
+    nbig = n % k
+    tile = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        r0 = rnk[i] - 1
+        tile[i] = (r0 // big + 1 if r0 < nbig * big
+                   else nbig + (r0 - nbig * big) // small + 1)
+    mins = {int(x): int(rnk[tile == x].min()) for x in np.unique(tile)}
+    rit = rnk - np.array([mins[int(x)] for x in tile])
+    key = rit * k + tile
+    assert len(np.unique(key)) == n
+    for nb in (1, 6):
+        got = pa.Table.from_pylist(curriculum_interleave(
+            ray.data.from_arrow(t).repartition(nb),
+            "s", "doc_id", k).take_all())
+        gm = {i: (tl, r, ck) for i, tl, r, ck in zip(
+            got["doc_id"].to_pylist(), got["tile"].to_pylist(),
+            got["rank_in_tile"].to_pylist(),
+            got["curriculum_key"].to_pylist())}
+        want = {int(i): (int(tl), int(r), int(ck))
+                for i, tl, r, ck in zip(ids, tile, rit, key)}
+        assert gm == want, nb
