@@ -9673,6 +9673,100 @@ def q_token_cms_counts(sf_dir: str):
     return cms_token_counts(_docs(sf_dir, ["text"]), CMS_PROBES)
 
 
+JL_OUT_DIM = 8
+
+
+def q_jl_project(sf_dir: str):
+    """Johnson-Lindenstrauss random projection (`ops/similarity.py`
+    ``jl_project_q``): 64-dim embeddings sketch to 8 integer
+    components — exact int64 dot of quantized inputs against the
+    quantized seeded Gaussian matrix (1/sqrt(8) folded in), so the
+    oracle's 512 matrix literals reproduce every value.  Long format
+    (vec_id, comp, proj_q); exchange-free."""
+    from luzzu_ray.ops.similarity import jl_project_q
+
+    return jl_project_q(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), JL_OUT_DIM)
+
+
+def _jl_sql() -> str:
+    from luzzu_ray.ops.similarity import JL_SEED, lsh_planes
+
+    P = lsh_planes(64, JL_OUT_DIM, JL_SEED) / np.sqrt(float(JL_OUT_DIM))
+    Pq = np.floor(P * 1e6).astype(np.int64)
+    vals = ", ".join(
+        f"({c}, {d + 1}, {int(Pq[c, d])})"
+        for c in range(JL_OUT_DIM) for d in range(64)
+    )
+    return f"""
+WITH pq(comp, dim, v) AS (VALUES {vals}),
+e AS (SELECT vec_id,
+  CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+  CAST(floor(unnest(embedding) * 1000.0) AS BIGINT) AS qx
+  FROM embeddings)
+SELECT e.vec_id, CAST(p.comp AS BIGINT) AS comp,
+  CAST(sum(e.qx * p.v) AS BIGINT) AS proj_q
+FROM e JOIN pq p ON p.dim = e.dim GROUP BY 1, 2
+"""
+
+
+def q_contrastive_crops(sf_dir: str):
+    """Deterministic positive-pair crops for contrastive training
+    (`ops/vocab.py` ``contrastive_crops``, the SimCSE cropping
+    augmentation): two >= n/2-overlapping views per doc at offsets
+    that are pure integer functions of doc_id; byte-exact substr
+    twin on the ASCII corpus."""
+    from luzzu_ray.ops.vocab import contrastive_crops
+
+    return contrastive_crops(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _crops_sql() -> str:
+    from luzzu_ray.ops.vocab import CROP_A1, CROP_A2
+
+    return f"""
+WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+           FROM documents WHERE text IS NOT NULL AND length(text) >= 8),
+c AS (SELECT doc_id, text, n, greatest(1, (3 * n) // 4) AS L FROM d)
+SELECT doc_id,
+  substr(text, CAST((doc_id * {CROP_A1}) % (n - L + 1) + 1 AS INT),
+         CAST(L AS INT)) AS view1,
+  substr(text, CAST((doc_id * {CROP_A2}) % (n - L + 1) + 1 AS INT),
+         CAST(L AS INT)) AS view2
+FROM c
+"""
+
+
+def q_pack_offsets(sf_dir: str):
+    """Sequence packing WITH in-pack offsets (`ops/relational.py`
+    ``ordered_prefix_pack(emit_offset=True)``): every doc's pack id
+    plus its starting token position inside the pack — what the
+    sequence writer needs for BOS/EOS and attention-mask segment
+    boundaries; same three metadata-light passes, no global sort."""
+    from luzzu_ray.ops.relational import ordered_prefix_pack
+
+    feats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _nwords_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ordered_prefix_pack(
+        feats, "doc_id", "n_words", PACK_BUDGET,
+        num_buckets=PACK_BUCKETS, emit_offset=True)
+
+
+def _pack_offsets_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_NWORDS_FRAG} AS n_words FROM documents),
+p AS (SELECT doc_id, n_words,
+  sum(n_words) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_words AS excl
+  FROM d)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+  CAST(excl // {PACK_BUDGET} AS BIGINT) AS pack_id,
+  CAST(excl - (excl // {PACK_BUDGET}) * {PACK_BUDGET} AS BIGINT)
+    AS offset_in_pack
+FROM p
+"""
+
+
 CURRICULUM_TILES = 10
 
 
@@ -10451,6 +10545,9 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "pack_offsets": q_pack_offsets,
+        "contrastive_crops": q_contrastive_crops,
+        "jl_project": q_jl_project,
         "curriculum_order": q_curriculum_order,
         "conv_canned_phrases": q_conv_canned_phrases,
         "winnowing_fp": q_winnowing_fp,
@@ -11999,6 +12096,9 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "winnowing_fp": _winnow_sql(),
         "conv_canned_phrases": _canned_sql(),
         "curriculum_order": _CURRICULUM_SQL,
+        "jl_project": _jl_sql(),
+        "contrastive_crops": _crops_sql(),
+        "pack_offsets": _pack_offsets_sql(),
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),
         "source_kendall": _KENDALL_SQL,

@@ -315,6 +315,9 @@ def main() -> None:
         "winnowing_fp",
         "conv_canned_phrases",
         "curriculum_order",
+        "jl_project",
+        "contrastive_crops",
+        "pack_offsets",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -633,6 +633,7 @@ def ordered_prefix_pack(
     weight_col: str,
     budget: int,
     num_buckets: int = 256,
+    emit_offset: bool = False,
 ) -> ray.data.Dataset:
     """Global ordered prefix-sum packing — the LM-training "concatenate
     the corpus in ``id_col`` order and cut it into fixed token budgets"
@@ -651,6 +652,12 @@ def ordered_prefix_pack(
     3. rows hash-exchange on their range bucket; each reduce block
        sorts its buckets by ``id_col``, local-cumsums, and adds the
        broadcast bucket offset.
+
+    ``emit_offset=True`` additionally emits ``offset_in_pack`` (the
+    row's starting token position inside its pack — what the actual
+    sequence writer needs to place BOS/EOS and attention-mask segment
+    boundaries): ``exclusive_prefix_sum(w) - pack_id * budget``, free
+    from the same prefix sums.
 
     Deterministic, layout-invariant, and exact-integer.  Skew note: a
     range bucket with a disproportionate share of rows makes one reduce
@@ -704,11 +711,12 @@ def ordered_prefix_pack(
 
     def assign(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {id_col: pa.array([], pa.int64()),
-                 "n_tokens": pa.array([], pa.int64()),
-                 "pack_id": pa.array([], pa.int64())}
-            )
+            cols = {id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64())}
+            if emit_offset:
+                cols["offset_in_pack"] = pa.array([], pa.int64())
+            return pa.table(cols)
         t = t.sort_by([("_bkt", "ascending"), (id_col, "ascending")])
         b = t["_bkt"].to_numpy(zero_copy_only=False)
         w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -719,11 +727,12 @@ def ordered_prefix_pack(
         excl = cs - w - seg0[np.cumsum(new_b) - 1] + offsets[b[starts]][
             np.cumsum(new_b) - 1
         ]
-        return pa.table(
-            {id_col: t[id_col],
-             "n_tokens": pa.array(w),
-             "pack_id": pa.array(excl // budget)}
-        )
+        cols = {id_col: t[id_col],
+                "n_tokens": pa.array(w),
+                "pack_id": pa.array(excl // budget)}
+        if emit_offset:
+            cols["offset_in_pack"] = pa.array(excl - (excl // budget) * budget)
+        return pa.table(cols)
 
     part = bucketed.repartition(
         num_blocks=min(num_partitions, num_buckets), keys=["_bkt"]

@@ -2237,3 +2237,56 @@ def hard_negatives(
         neg_block, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
+
+
+JL_SEED = 9377
+
+
+def jl_project_q(
+    ds: ray.data.Dataset,
+    out_dim: int,
+    dim: int = 64,
+    q: int = 6,
+    seed: int = JL_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss random projection to ``out_dim``
+    dimensions (Gaussian sketch, the classic dimensionality-reduction
+    preconditioner for ANN / clustering at 100 TB: distances are
+    preserved within (1 ± eps) w.h.p. at out_dim = O(log n / eps^2)),
+    computed in EXACT INTEGERS (the pca_project precedent): inputs
+    quantize to ``floor(x * 10^3)``, the matrix (with 1/sqrt(out_dim)
+    folded in) to ``floor(p * 10^q)``, and each output component is
+    the int64 dot of the two — no float summation anywhere, so a SQL
+    oracle with the quantized matrix as literals matches bit-for-bit.
+    Overflow bound: |qx| <= 10^3 X, |qp| <= ~5*10^q, so dim x product
+    needs dim * 5 * 10^(q+3) * X < 2^63 — holds to dim ~ 10^7 at the
+    defaults.  Exchange-free; one integer matmul per batch.
+
+    Output LONG format: (vec_id, comp, proj_q), comp in 0..out_dim-1.
+    """
+    P = lsh_planes(dim, out_dim, seed) / np.sqrt(float(out_dim))
+    Pq = np.floor(P * float(10 ** q)).astype(np.int64)
+
+    def block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "comp": pa.array([], pa.int64()),
+                "proj_q": pa.array([], pa.int64()),
+            })
+        X = _as_matrix(t[vec_col])
+        qx = np.floor(X * 1000.0).astype(np.int64)
+        Z = qx @ Pq.T  # (n, out_dim) exact int64
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), out_dim))
+        return pa.table({
+            id_col: t[id_col].combine_chunks().take(idx),
+            "comp": pa.array(np.tile(
+                np.arange(out_dim, dtype=np.int64), n)),
+            "proj_q": pa.array(Z.reshape(-1)),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True)

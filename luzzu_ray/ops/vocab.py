@@ -2297,3 +2297,63 @@ def fim_examples(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CROP_A1 = 0x9E3779B1
+CROP_A2 = 0x85EBCA77
+
+
+def contrastive_crops(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 8,
+) -> ray.data.Dataset:
+    """Deterministic positive-pair construction for contrastive
+    embedding training (the SimCSE/cropping augmentation family: two
+    overlapping views of one document form a positive pair): each doc
+    emits two crops of length ``L = max(1, 3n // 4)`` whose start
+    offsets are pure integer functions of doc_id —
+    ``start_v = (doc_id * A_v) % (n - L + 1)`` — so views overlap by
+    at least ``2L - n >= n/2`` characters and any twin (SQL substr or
+    Python) replays them exactly.  Byte offsets (ASCII-exact oracle
+    domain, the FIM contract); docs shorter than ``min_chars`` or NULL
+    emit nothing.  Exchange-free vectorized byte-slice gather.
+
+    Output: (doc_id, view1, view2).
+    """
+    from luzzu_ray.functions.text import utf8_view
+
+    lo = max(2, min_chars)
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "view1": pa.array([], pa.string()),
+            "view2": pa.array([], pa.string()),
+        })
+        if t.num_rows == 0:
+            return empty
+        txt = t[text_col].combine_chunks()
+        null_mask = (txt.is_null().to_numpy(zero_copy_only=False)
+                     if txt.null_count else
+                     np.zeros(t.num_rows, dtype=bool))
+        data, offs = utf8_view(txt)
+        n = (offs[1:] - offs[:-1]).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (~null_mask) & (n >= lo)
+        if not keep.any():
+            return empty
+        ids, n, row_lo = ids[keep], n[keep], offs[:-1][keep].astype(np.int64)
+        L = np.maximum(1, (3 * n) // 4)
+        span = n - L + 1
+        s1 = (ids * CROP_A1) % span
+        s2 = (ids * CROP_A2) % span
+        return pa.table({
+            id_col: pa.array(ids),
+            "view1": _slices_to_strings(data, row_lo + s1, L),
+            "view2": _slices_to_strings(data, row_lo + s2, L),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True)

@@ -7239,3 +7239,95 @@ def test_curriculum_interleave_matches_twin(ray_session):
         want = {int(i): (int(tl), int(r), int(ck))
                 for i, tl, r, ck in zip(ids, tile, rit, key)}
         assert gm == want, nb
+
+
+def test_jl_project_matches_integer_twin(ray_session):
+    """jl_project_q == numpy integer twin (quantize inputs and matrix,
+    int64 dot), layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import JL_SEED, jl_project_q, lsh_planes
+
+    rng = np.random.default_rng(67)
+    n, d, od = 120, 16, 4
+    E = rng.normal(scale=0.3, size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64) * 5
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(E.reshape(-1)), d).cast(pa.list_(pa.float32())),
+    })
+    P = lsh_planes(d, od, JL_SEED) / np.sqrt(float(od))
+    Pq = np.floor(P * 1e6).astype(np.int64)
+    qx = np.floor(E.astype(np.float64) * 1000.0).astype(np.int64)
+    want = qx @ Pq.T
+    for nb in (1, 5):
+        got = pa.Table.from_pylist(jl_project_q(
+            ray.data.from_arrow(t).repartition(nb), od, dim=d).take_all())
+        gm = {(v, c): p for v, c, p in zip(
+            got["vec_id"].to_pylist(), got["comp"].to_pylist(),
+            got["proj_q"].to_pylist())}
+        for i, vid in enumerate(ids):
+            for c in range(od):
+                assert gm[(vid, c)] == int(want[i, c]), (vid, c)
+
+
+def test_contrastive_crops_matches_twin(ray_session):
+    """contrastive_crops == substr twin; views overlap >= n/2 bytes;
+    short/NULL docs emit nothing."""
+    import ray.data
+
+    from luzzu_ray.ops.vocab import CROP_A1, CROP_A2, contrastive_crops
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "tiny", None, "abcdefghijklmnopqrstuvwxyz0123456789"]
+    ids = [2, 9, 14, 21]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    want = {}
+    for i, tx in zip(ids, texts):
+        if tx is None or len(tx) < 8:
+            continue
+        n = len(tx)
+        L = max(1, (3 * n) // 4)
+        s1 = (i * CROP_A1) % (n - L + 1)
+        s2 = (i * CROP_A2) % (n - L + 1)
+        want[i] = (tx[s1:s1 + L], tx[s2:s2 + L])
+    for nb in (1, 3):
+        got = pa.Table.from_pylist(contrastive_crops(
+            ray.data.from_arrow(t).repartition(nb)).take_all())
+        gm = {i: (a, b) for i, a, b in zip(
+            got["doc_id"].to_pylist(), got["view1"].to_pylist(),
+            got["view2"].to_pylist())}
+        assert gm == want, nb
+    for i, (v1, v2) in want.items():
+        n = len(texts[ids.index(i)])
+        assert len(v1) + len(v2) - n >= n // 2  # overlap bound
+
+
+def test_ordered_prefix_pack_offsets(ray_session):
+    """emit_offset=True: offset_in_pack == exclusive cumsum -
+    pack_id * budget, in [0, budget), for any layout."""
+    import ray.data
+
+    from luzzu_ray.ops.relational import ordered_prefix_pack
+
+    rng = np.random.default_rng(71)
+    n, budget = 150, 64
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 30, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "n_words": pa.array(w)})
+    excl = np.cumsum(w) - w
+    for nb in (1, 6):
+        got = pa.Table.from_pylist(ordered_prefix_pack(
+            ray.data.from_arrow(t).repartition(nb),
+            "doc_id", "n_words", budget, num_buckets=8,
+            emit_offset=True).take_all())
+        gm = {i: (p, o) for i, p, o in zip(
+            got["doc_id"].to_pylist(), got["pack_id"].to_pylist(),
+            got["offset_in_pack"].to_pylist())}
+        for i in range(n):
+            p, o = gm[i]
+            assert p == excl[i] // budget
+            assert o == excl[i] - p * budget
+            assert 0 <= o < budget
