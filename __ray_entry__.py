@@ -9673,6 +9673,92 @@ def q_token_cms_counts(sf_dir: str):
     return cms_token_counts(_docs(sf_dir, ["text"]), CMS_PROBES)
 
 
+def _synth_triples_batch(t: pa.Table) -> pa.Table:
+    """Deterministic RDF triples from document rows (harness, not an
+    operator): per doc — source + lang literals, an n_chars-derived
+    size literal, a link IRI every 3rd doc, and a DUPLICATE source
+    triple every 5th doc (so distinct-predicate counts differ from
+    triple counts).  A SQL twin rebuilds the same triples with UNION
+    ALL."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    subj = pc.binary_join_element_wise(
+        "http://ex.com/doc/", pc.cast(t["doc_id"], pa.string()), "")
+    nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+    size = pa.array(np.where(nc >= 100, "big", "small"))
+    src = pc.fill_null(t["source"], "")
+    lang = pc.fill_null(t["lang"], "")
+    parts = [
+        pa.table({"subj": subj, "pred": pa.array(
+            ["http://ex.com/p/source"] * t.num_rows), "obj": src,
+            "is_literal": pa.array([True] * t.num_rows)}),
+        pa.table({"subj": subj, "pred": pa.array(
+            ["http://ex.com/p/lang"] * t.num_rows), "obj": lang,
+            "is_literal": pa.array([True] * t.num_rows)}),
+        pa.table({"subj": subj, "pred": pa.array(
+            ["http://ex.com/p/size"] * t.num_rows), "obj": size,
+            "is_literal": pa.array([True] * t.num_rows)}),
+    ]
+    m3 = pa.array(ids % 3 == 0)
+    linked = pa.table({
+        "subj": subj, "pred": pa.array(
+            ["http://ex.com/p/next"] * t.num_rows),
+        "obj": pc.binary_join_element_wise(
+            "http://ex.com/doc/",
+            pc.cast(pa.array(ids + 1), pa.string()), ""),
+        "is_literal": pa.array([False] * t.num_rows),
+    }).filter(m3)
+    dup = parts[0].filter(pa.array(ids % 5 == 0))
+    return pa.concat_tables(parts + [linked, dup])
+
+
+def q_rdf_subject_stats(sf_dir: str):
+    """The reference's NATIVE input path re-expressed Ray-Data-first
+    (`ops/rdf.py`): deterministic triples synthesize from documents,
+    SERIALIZE to N-Triples lines, PARSE BACK through the vectorized
+    regex source (a full round-trip — serializer, grammar and parser
+    are all on the hash path), then per-subject completeness stats
+    (triples, distinct predicates, literal objects) via one keyed
+    exchange.  The twin rebuilds the same triples with UNION ALL and
+    aggregates directly — any round-trip loss breaks the hash."""
+    from luzzu_ray.ops.rdf import (
+        parse_ntriples_batch, rdf_subject_stats, triples_to_lines_batch)
+
+    triples = _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"]) \
+        .map_batches(_synth_triples_batch, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    reparsed = triples.map_batches(
+        triples_to_lines_batch, batch_format="pyarrow"
+    ).map_batches(parse_ntriples_batch, batch_format="pyarrow")
+    return rdf_subject_stats(reparsed)
+
+
+_RDF_STATS_SQL = """
+WITH tr AS (
+  SELECT 'http://ex.com/doc/' || doc_id AS subj,
+         'http://ex.com/p/source' AS pred,
+         COALESCE(source, '') AS obj, TRUE AS is_lit FROM documents
+  UNION ALL
+  SELECT 'http://ex.com/doc/' || doc_id, 'http://ex.com/p/lang',
+         COALESCE(lang, ''), TRUE FROM documents
+  UNION ALL
+  SELECT 'http://ex.com/doc/' || doc_id, 'http://ex.com/p/size',
+         CASE WHEN n_chars >= 100 THEN 'big' ELSE 'small' END, TRUE
+  FROM documents
+  UNION ALL
+  SELECT 'http://ex.com/doc/' || doc_id, 'http://ex.com/p/next',
+         'http://ex.com/doc/' || (doc_id + 1), FALSE
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'http://ex.com/doc/' || doc_id, 'http://ex.com/p/source',
+         COALESCE(source, ''), TRUE FROM documents WHERE doc_id % 5 = 0
+)
+SELECT subj, CAST(count(*) AS BIGINT) AS n_triples,
+  CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+  CAST(sum(CASE WHEN is_lit THEN 1 ELSE 0 END) AS BIGINT) AS n_literals
+FROM tr GROUP BY subj
+"""
+
+
 JL_OUT_DIM = 8
 
 
@@ -10545,6 +10631,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "rdf_subject_stats": q_rdf_subject_stats,
         "pack_offsets": q_pack_offsets,
         "contrastive_crops": q_contrastive_crops,
         "jl_project": q_jl_project,
@@ -12099,6 +12186,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "jl_project": _jl_sql(),
         "contrastive_crops": _crops_sql(),
         "pack_offsets": _pack_offsets_sql(),
+        "rdf_subject_stats": _RDF_STATS_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),
         "source_kendall": _KENDALL_SQL,

@@ -318,6 +318,7 @@ def main() -> None:
         "jl_project",
         "contrastive_crops",
         "pack_offsets",
+        "rdf_subject_stats",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

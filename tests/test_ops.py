@@ -7331,3 +7331,50 @@ def test_ordered_prefix_pack_offsets(ray_session):
             assert p == excl[i] // budget
             assert o == excl[i] - p * budget
             assert 0 <= o < budget
+
+
+def test_ntriples_roundtrip_and_malformed(ray_session, tmp_path):
+    """N-Triples file round-trip (write_ntriples -> read_ntriples) is
+    lossless for the supported grammar; malformed lines surface with
+    the flag instead of crashing; subject stats match a dict twin."""
+    import ray.data
+
+    from luzzu_ray.ops.rdf import (
+        parse_ntriples_batch, rdf_subject_stats, read_ntriples,
+        write_ntriples)
+
+    triples = [
+        ("http://ex.com/a", "http://ex.com/p/x", "hello world", True),
+        ("http://ex.com/a", "http://ex.com/p/x", "dup pred", True),
+        ("http://ex.com/a", "http://ex.com/p/y", "http://ex.com/b", False),
+        ("http://ex.com/b", "http://ex.com/p/x", "", True),
+    ]
+    t = pa.table({
+        "subj": pa.array([x[0] for x in triples]),
+        "pred": pa.array([x[1] for x in triples]),
+        "obj": pa.array([x[2] for x in triples]),
+        "is_literal": pa.array([x[3] for x in triples]),
+    })
+    out = str(tmp_path / "nt")
+    write_ntriples(ray.data.from_arrow(t).repartition(2), out)
+    back = pa.Table.from_pylist(read_ntriples(out).take_all())
+    assert not any(back["malformed"].to_pylist())
+    got = sorted(zip(back["subj"].to_pylist(), back["pred"].to_pylist(),
+                     back["obj"].to_pylist(),
+                     back["is_literal"].to_pylist()))
+    assert got == sorted(triples)
+
+    # malformed lines: flagged, never raised; stats exclude them
+    bad = str(tmp_path / "bad.nt")
+    with open(bad, "w") as f:
+        f.write('<http://ex.com/c> <http://ex.com/p/x> "v" .\n')
+        f.write("this is not a triple\n")
+        f.write('<http://ex.com/c> <http://ex.com/p/z> <http://ex.com/a> .\n')
+    parsed = read_ntriples(bad)
+    rows = parsed.take_all()
+    assert sum(r["malformed"] for r in rows) == 1
+    stats = pa.Table.from_pylist(
+        rdf_subject_stats(parsed).take_all()).sort_by("subj")
+    m = {r["subj"]: (r["n_triples"], r["n_preds"], r["n_literals"])
+         for r in stats.to_pylist()}
+    assert m == {"http://ex.com/c": (2, 2, 1)}
