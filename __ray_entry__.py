@@ -9708,7 +9708,17 @@ def _synth_triples_batch(t: pa.Table) -> pa.Table:
         "is_literal": pa.array([False] * t.num_rows),
     }).filter(m3)
     dup = parts[0].filter(pa.array(ids % 5 == 0))
-    return pa.concat_tables(parts + [linked, dup])
+    # second link predicate with genuinely DANGLING targets (doc 2*id
+    # exceeds the corpus for the upper half) — interlinking-metric fuel
+    rel = pa.table({
+        "subj": subj, "pred": pa.array(
+            ["http://ex.com/p/rel"] * t.num_rows),
+        "obj": pc.binary_join_element_wise(
+            "http://ex.com/doc/",
+            pc.cast(pa.array(ids * 2), pa.string()), ""),
+        "is_literal": pa.array([False] * t.num_rows),
+    }).filter(pa.array(ids % 4 == 0))
+    return pa.concat_tables(parts + [linked, dup, rel])
 
 
 def q_rdf_subject_stats(sf_dir: str):
@@ -9732,7 +9742,7 @@ def q_rdf_subject_stats(sf_dir: str):
     return rdf_subject_stats(reparsed)
 
 
-_RDF_STATS_SQL = """
+_RDF_TR_CTE = """
 WITH tr AS (
   SELECT 'http://ex.com/doc/' || doc_id AS subj,
          'http://ex.com/p/source' AS pred,
@@ -9751,11 +9761,65 @@ WITH tr AS (
   UNION ALL
   SELECT 'http://ex.com/doc/' || doc_id, 'http://ex.com/p/source',
          COALESCE(source, ''), TRUE FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'http://ex.com/doc/' || doc_id, 'http://ex.com/p/rel',
+         'http://ex.com/doc/' || (doc_id * 2), FALSE
+  FROM documents WHERE doc_id % 4 = 0
 )
+"""
+
+_RDF_STATS_SQL = _RDF_TR_CTE + """
 SELECT subj, CAST(count(*) AS BIGINT) AS n_triples,
   CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
   CAST(sum(CASE WHEN is_lit THEN 1 ELSE 0 END) AS BIGINT) AS n_literals
 FROM tr GROUP BY subj
+"""
+
+
+def q_rdf_conciseness(sf_dir: str):
+    """Corpus-level RDF conciseness (`ops/rdf.py` ``rdf_conciseness``,
+    Luzzu's duplicate-statement metric): total vs distinct vs
+    duplicate triples via 16-byte canonical-line keys through one
+    exchange — two integers reach the driver."""
+    from luzzu_ray.ops.rdf import rdf_conciseness
+
+    return rdf_conciseness(
+        _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+        .map_batches(_synth_triples_batch, batch_format="pyarrow",
+                     zero_copy_batch=True))
+
+
+_RDF_CONCISE_SQL = _RDF_TR_CTE + """
+, d AS (SELECT DISTINCT subj, pred, obj, is_lit FROM tr)
+SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_triples,
+       CAST((SELECT count(*) FROM d) AS BIGINT) AS n_distinct,
+       CAST((SELECT count(*) FROM tr) - (SELECT count(*) FROM d)
+            AS BIGINT) AS n_dup
+"""
+
+
+def q_rdf_dangling_links(sf_dir: str):
+    """Per-predicate interlinking health (`ops/rdf.py`
+    ``rdf_dangling_links``, the Luzzu interlinking family resolved
+    against the dataset itself): IRI links whose target is no subject
+    of the corpus — one distributed anti join + per-pred count
+    reduces.  The synthesized p/rel links dangle for the corpus's
+    upper half by construction."""
+    from luzzu_ray.ops.rdf import rdf_dangling_links
+
+    return rdf_dangling_links(
+        _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+        .map_batches(_synth_triples_batch, batch_format="pyarrow",
+                     zero_copy_batch=True))
+
+
+_RDF_DANGLING_SQL = _RDF_TR_CTE + """
+, subs AS (SELECT DISTINCT subj FROM tr),
+l AS (SELECT pred, obj FROM tr WHERE NOT is_lit)
+SELECT pred, CAST(count(*) AS BIGINT) AS n_links,
+  CAST(sum(CASE WHEN obj NOT IN (SELECT subj FROM subs)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_dangling
+FROM l GROUP BY pred
 """
 
 
@@ -10631,6 +10695,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "rdf_conciseness": q_rdf_conciseness,
+        "rdf_dangling_links": q_rdf_dangling_links,
         "rdf_subject_stats": q_rdf_subject_stats,
         "pack_offsets": q_pack_offsets,
         "contrastive_crops": q_contrastive_crops,
@@ -12187,6 +12253,8 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "contrastive_crops": _crops_sql(),
         "pack_offsets": _pack_offsets_sql(),
         "rdf_subject_stats": _RDF_STATS_SQL,
+        "rdf_conciseness": _RDF_CONCISE_SQL,
+        "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),
         "source_kendall": _KENDALL_SQL,

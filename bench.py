@@ -319,6 +319,8 @@ def main() -> None:
         "contrastive_crops",
         "pack_offsets",
         "rdf_subject_stats",
+        "rdf_conciseness",
+        "rdf_dangling_links",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -180,3 +180,127 @@ def rdf_subject_stats(
         })
 
     return part.map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def rdf_conciseness(
+    triples: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Corpus-level CONCISENESS metric (Luzzu's duplicate-statement
+    family): total triples vs distinct triples vs duplicates, in one
+    row.  Triple identity hashes through the exact-dedup key scheme
+    (two independent 64-bit polynomial hashes of the canonical
+    N-Triples line — `ops/lines._line_keys`; collision bound n^2/2^128,
+    a collision surfaces as an oracle hash mismatch) so the exchange
+    carries 16-byte keys, never the strings.
+
+    Shape: per-block distinct-key partials -> one keyed exchange ->
+    block-final distinct counts -> two driver integers.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.lines import _line_keys
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(triples, num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "k1": pa.array([], pa.uint64()),
+                "k2": pa.array([], pa.uint64()),
+            })
+        lines = triples_to_lines_batch(t)["line"].combine_chunks()
+        k1, k2 = _line_keys(lines)
+        order = np.lexsort((k2, k1))
+        k1s, k2s = k1[order], k2[order]
+        first = np.ones(len(k1s), dtype=bool)
+        first[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+        return pa.table({
+            "k1": pa.array(k1s[first]),
+            "k2": pa.array(k2s[first]),
+        })
+
+    # total row count is a separate streaming count (cheap metadata)
+    n_total = triples.count()
+    parts = triples.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=width, keys=["k1"])
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64())})
+        k1 = t["k1"].to_numpy(zero_copy_only=False)
+        k2 = t["k2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k2, k1))
+        k1s, k2s = k1[order], k2[order]
+        first = np.ones(len(k1s), dtype=bool)
+        first[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+        return pa.table({"d": pa.array(
+            [int(first.sum())], pa.int64())})
+
+    n_distinct = sum(
+        r["d"] for r in parts.map_batches(
+            distinct_block, batch_format="pyarrow", batch_size=None
+        ).take_all())
+    return pa.table({
+        "n_triples": pa.array([n_total], pa.int64()),
+        "n_distinct": pa.array([int(n_distinct)], pa.int64()),
+        "n_dup": pa.array([n_total - int(n_distinct)], pa.int64()),
+    })
+
+
+def rdf_dangling_links(
+    triples: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-predicate INTERLINKING health (Luzzu's
+    dereferenceability/interlinking family, resolved against the
+    dataset itself instead of the network): over IRI-object triples,
+    how many links point at an IRI that is NOT a subject of the
+    dataset (dangling).  Output (pred, n_links, n_dangling).
+
+    Shape: the subject set stays a narrow string dataset; one
+    distributed ANTI join (obj vs subj — the existence-join exchange)
+    marks dangling rows, then two commutative per-pred count reduces.
+    """
+    from luzzu_ray.ops.relational import anti_join, grouped_sum_q
+
+    links = triples.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.invert(pc.fill_null(t["malformed"], True))
+                    if "malformed" in t.schema.names
+                    else pa.array([True] * t.num_rows),
+                    pc.invert(pc.fill_null(t["is_literal"], True)))
+        ).select(["pred", "obj"]),
+        batch_format="pyarrow",
+    ).materialize()
+    subjects = triples.map_batches(
+        lambda t: pa.table({"subj": t["subj"].combine_chunks().unique()})
+        if t.num_rows else pa.table({"subj": pa.array([], pa.string())}),
+        batch_format="pyarrow",
+    )
+    dangling = anti_join(
+        links, subjects, "obj", "subj", ["pred"],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({
+            "pred": t["pred"],
+            "n_dangling": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "n_links": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    totals = links.map_batches(
+        lambda t: pa.table({
+            "pred": t["pred"],
+            "n_dangling": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "n_links": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    return grouped_sum_q(
+        totals.union(dangling), ["pred"], float_cols={},
+        int_cols={"n_links": "n_links", "n_dangling": "n_dangling"},
+        num_partitions=num_partitions,
+    )
