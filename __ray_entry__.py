@@ -9776,6 +9776,57 @@ FROM tr GROUP BY subj
 """
 
 
+def _synth_punct_batch(t: pa.Table) -> pa.Table:
+    """Deterministic Unicode-punctuation noise keyed on doc_id
+    (harness, not an operator — the _synth_url_batch pattern): curly
+    quotes / ellipsis / em-dash injections a SQL twin rebuilds with
+    string concatenation."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tx = pc.fill_null(t["text"], "")
+    m = ids % 3
+    quoted = pc.binary_join_element_wise("“", tx, "”", "")
+    ell = pc.binary_join_element_wise("…", tx, "")
+    dashed = pc.binary_join_element_wise(tx, " — end", "")
+    out = pc.if_else(pa.array(m == 0), quoted,
+                     pc.if_else(pa.array(m == 1), ell, dashed))
+    return pa.table({"doc_id": t["doc_id"], "text": out})
+
+
+def q_punct_normalize(sf_dir: str):
+    """Unicode-punctuation normalization (`ops/textstats.py`
+    ``punct_normalize_batch``, the C4/CCNet cleanup chain): curly
+    quotes/dashes/ellipsis/NBSP fold to ASCII through a FIXED ordered
+    literal-replace chain over deterministically noised text; the twin
+    replays synthesis + the same replace() chain."""
+    from luzzu_ray.ops.textstats import punct_normalize_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _synth_punct_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        punct_normalize_batch, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+
+def _punct_sql() -> str:
+    from luzzu_ray.ops.textstats import PUNCT_MAP
+
+    expr = "t2"
+    for a, b in PUNCT_MAP:
+        aq, bq = a.replace("'", "''"), b.replace("'", "''")
+        expr = f"replace({expr}, '{aq}', '{bq}')"
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN '“' || COALESCE(text, '') || '”'
+      WHEN 1 THEN '…' || COALESCE(text, '')
+      ELSE COALESCE(text, '') || ' — end' END AS t2
+  FROM documents
+)
+SELECT doc_id, {expr} AS text_norm, {expr} <> t2 AS changed FROM s
+"""
+
+
 def q_rdf_conciseness(sf_dir: str):
     """Corpus-level RDF conciseness (`ops/rdf.py` ``rdf_conciseness``,
     Luzzu's duplicate-statement metric): total vs distinct vs
@@ -10695,6 +10746,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "punct_normalize": q_punct_normalize,
         "rdf_conciseness": q_rdf_conciseness,
         "rdf_dangling_links": q_rdf_dangling_links,
         "rdf_subject_stats": q_rdf_subject_stats,
@@ -12254,6 +12306,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "pack_offsets": _pack_offsets_sql(),
         "rdf_subject_stats": _RDF_STATS_SQL,
         "rdf_conciseness": _RDF_CONCISE_SQL,
+        "punct_normalize": _punct_sql(),
         "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),

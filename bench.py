@@ -321,6 +321,7 @@ def main() -> None:
         "rdf_subject_stats",
         "rdf_conciseness",
         "rdf_dangling_links",
+        "punct_normalize",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -802,3 +802,36 @@ def readability_stats_batch(t: pa.Table) -> pa.Table:
         "flesch_num": pa.array(num),
         "flesch_den": pa.array(den),
     })
+
+
+# Unicode punctuation -> ASCII normalization table (the C4/CCNet text
+# cleanup step): applied as a FIXED ORDERED chain of literal
+# replacements so a SQL twin (chained replace()) matches byte-for-byte.
+PUNCT_MAP = [
+    ("“", '"'), ("”", '"'),   # curly double quotes
+    ("‘", "'"), ("’", "'"),   # curly single quotes
+    ("—", "-"), ("–", "-"),   # em / en dash
+    ("…", "..."),                   # ellipsis
+    (" ", " "),                     # no-break space
+]
+
+
+def punct_normalize_batch(t: pa.Table) -> pa.Table:
+    """Vectorized punctuation normalization: the ordered literal
+    replacement chain above (plain substring replace, NOT regex — no
+    metacharacter semantics to match across engines).  Output
+    (doc_id, text_norm, changed); NULL text stays NULL with NULL
+    changed."""
+    tx = t["text"].combine_chunks()
+    null_mask = tx.is_null()
+    cur = pc.fill_null(tx, "")
+    for a, b in PUNCT_MAP:
+        cur = pc.replace_substring(cur, pattern=a, replacement=b)
+    changed = pc.not_equal(cur, pc.fill_null(tx, ""))
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "text_norm": pc.if_else(null_mask, pa.scalar(None, pa.string()),
+                                cur),
+        "changed": pc.if_else(null_mask, pa.scalar(None, pa.bool_()),
+                              changed),
+    })

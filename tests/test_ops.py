@@ -7378,3 +7378,27 @@ def test_ntriples_roundtrip_and_malformed(ray_session, tmp_path):
     m = {r["subj"]: (r["n_triples"], r["n_preds"], r["n_literals"])
          for r in stats.to_pylist()}
     assert m == {"http://ex.com/c": (2, 2, 1)}
+
+
+def test_punct_normalize_matches_twin():
+    """punct_normalize_batch == python replace-chain twin; NULL stays
+    NULL; multibyte-noise text folds to ASCII."""
+    from luzzu_ray.ops.textstats import PUNCT_MAP, punct_normalize_batch
+
+    texts = ['“quoted” text', "it’s — fine…", None, "plain", "",
+             'mix “a”–‘b’ c']
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = punct_normalize_batch(t).to_pydict()
+    for i, tx in enumerate(texts):
+        if tx is None:
+            assert out["text_norm"][i] is None
+            assert out["changed"][i] is None
+            continue
+        cur = tx
+        for a, b in PUNCT_MAP:
+            cur = cur.replace(a, b)
+        assert out["text_norm"][i] == cur, tx
+        assert out["changed"][i] == (cur != tx), tx
+    assert out["text_norm"][0] == '"quoted" text'
+    assert out["text_norm"][1] == "it's - fine..."
