@@ -9776,6 +9776,36 @@ FROM tr GROUP BY subj
 """
 
 
+EVENT_BIGRAM_K = 20
+
+
+def q_event_type_bigrams(sf_dir: str):
+    """Top-k sequential event-type transitions (`ops/events.py`
+    ``event_type_bigrams`` — the simplest sequential-pattern-mining
+    primitive): per-user ts-ordered adjacent pairs, corpus-wide
+    counts, top-20 by (n DESC, pair).  One user exchange + one tiny
+    pair-keyed reduce."""
+    from luzzu_ray.ops.events import event_type_bigrams
+
+    return event_type_bigrams(
+        _tbl(sf_dir, "events",
+             ["user_id", "event_id", "ts", "event_type"]),
+        k=EVENT_BIGRAM_K)
+
+
+_EVENT_BIGRAM_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS nxt
+  FROM events
+)
+SELECT event_type || '>' || nxt AS pair, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, pair LIMIT {EVENT_BIGRAM_K}
+"""
+
+
 def _synth_punct_batch(t: pa.Table) -> pa.Table:
     """Deterministic Unicode-punctuation noise keyed on doc_id
     (harness, not an operator — the _synth_url_batch pattern): curly
@@ -10746,6 +10776,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "event_type_bigrams": q_event_type_bigrams,
         "punct_normalize": q_punct_normalize,
         "rdf_conciseness": q_rdf_conciseness,
         "rdf_dangling_links": q_rdf_dangling_links,
@@ -12307,6 +12338,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "rdf_subject_stats": _RDF_STATS_SQL,
         "rdf_conciseness": _RDF_CONCISE_SQL,
         "punct_normalize": _punct_sql(),
+        "event_type_bigrams": _EVENT_BIGRAM_SQL,
         "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),

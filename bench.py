@@ -322,6 +322,7 @@ def main() -> None:
         "rdf_conciseness",
         "rdf_dangling_links",
         "punct_normalize",
+        "event_type_bigrams",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

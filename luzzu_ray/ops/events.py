@@ -1835,3 +1835,68 @@ def window_dup_events(
         })
 
     return part.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+def event_type_bigrams(
+    ds: ray.data.Dataset,
+    k: int = 20,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k sequential event-type BIGRAMS across users (the simplest
+    sequential-pattern-mining primitive — "what follows what" over the
+    event stream; funnel discovery starts here): for every user's
+    ts-ordered stream, count adjacent (type_a -> type_b) transitions,
+    sum corpus-wide, return the k most frequent as
+    ``(pair, n)`` with ``pair = type_a || '>' || type_b``.
+
+    SQL twin: ``lead(event_type) OVER (PARTITION BY user_id ORDER BY
+    ts, event_id)`` pair counts.
+
+    Scale shape: one user-keyed exchange (narrow projection), per-block
+    lexsort + shifted compare collapses each block to its distinct
+    pairs BEFORE a tiny pair-keyed grouped sum; top-k is a narrow sort
+    over distinct pairs (bounded by #type^2).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q, topk
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(ds, num_partitions)
+    picked = ds.select_columns(["user_id", "event_id", "ts", "event_type"])
+    part = picked.repartition(num_blocks=width, keys=["user_id"])
+
+    def block(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "pair": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].combine_chunks()
+        enc = pc.dictionary_encode(ty)
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u, c = uid[order], code[order]
+        same_user = u[1:] == u[:-1]
+        a, b = c[:-1][same_user], c[1:][same_user]
+        if len(a) == 0:
+            return empty
+        nt = len(enc.dictionary)
+        key, cnt = np.unique(a * nt + b, return_counts=True)
+        names = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        pair = pa.array(
+            [f"{names[kk // nt]}>{names[kk % nt]}" for kk in key],
+            pa.string())  # bounded by #type^2 distinct pairs, not rows
+        return pa.table({"pair": pair, "n": pa.array(
+            cnt.astype(np.int64))})
+
+    totals = grouped_sum_q(
+        part.map_batches(block, batch_format="pyarrow", batch_size=None),
+        ["pair"], float_cols={}, int_cols={"n": "n"}, num_partitions=2,
+    )
+    return topk(totals, "n", k, "pair")

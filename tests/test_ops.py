@@ -7402,3 +7402,38 @@ def test_punct_normalize_matches_twin():
         assert out["changed"][i] == (cur != tx), tx
     assert out["text_norm"][0] == '"quoted" text'
     assert out["text_norm"][1] == "it's - fine..."
+
+
+def test_event_type_bigrams_matches_twin(ray_session):
+    """event_type_bigrams == python lead() twin (per-user ts order,
+    event_id tiebreak), layout-invariant; cross-user pairs never
+    counted."""
+    import ray.data
+
+    from luzzu_ray.ops.events import event_type_bigrams
+
+    rng = np.random.default_rng(73)
+    n = 400
+    uid = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.integers(0, 10**6, n).astype(np.int64)
+    types = np.array(["view", "click", "buy", "quit"])[
+        rng.integers(0, 4, n)]
+    t = pa.table({
+        "user_id": pa.array(uid),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(types.tolist(), pa.string()),
+    })
+    from collections import Counter
+    cnt = Counter()
+    for u in np.unique(uid):
+        idx = np.flatnonzero(uid == u)
+        order = idx[np.lexsort((idx, ts[idx]))]
+        for i in range(len(order) - 1):
+            cnt[f"{types[order[i]]}>{types[order[i + 1]]}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    for nb in (1, 6):
+        got = pa.Table.from_pylist(event_type_bigrams(
+            ray.data.from_arrow(t).repartition(nb), k=5).take_all())
+        assert list(zip(got["pair"].to_pylist(),
+                        got["n"].to_pylist())) == want, nb
