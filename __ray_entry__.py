@@ -10104,6 +10104,40 @@ FROM sel
 """
 
 
+def q_winnow_overlap_pairs(sf_dir: str):
+    """MOSS-style overlap candidates (`ops/dedup.py`
+    ``winnow_candidate_pairs``): doc pairs sharing >= 2 distinct
+    winnowing fingerprints after boilerplate suppression (df <= 50,
+    applied identically by the twin) — positional partial-overlap
+    detection the whole-document Jaccard dilutes.  One fp-keyed
+    exchange; per-fp groups capped by construction."""
+    from luzzu_ray.ops.dedup import winnow_candidate_pairs, \
+        winnowing_fingerprints
+
+    return winnow_candidate_pairs(
+        winnowing_fingerprints(_docs(sf_dir, ["doc_id", "text"])))
+
+
+def _winnow_pairs_sql() -> str:
+    from luzzu_ray.ops.dedup import WINNOW_DF_CAP, WINNOW_MIN_SHARED
+
+    return f"""
+WITH f AS (
+  SELECT DISTINCT doc_id, fp FROM ({_winnow_sql()})
+),
+df AS (SELECT fp, count(*) AS c FROM f GROUP BY fp),
+ok AS (SELECT f.doc_id, f.fp FROM f JOIN df USING (fp)
+       WHERE df.c <= {WINNOW_DF_CAP}),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_shared FROM p WHERE n_shared >= {WINNOW_MIN_SHARED}
+"""
+
+
 def _token_hash_sql(col: str) -> str:
     """SQL expression for the shared char-weight token hash of a string
     column (TOKEN_POS_WEIGHTS literals, as in the simhash oracle)."""
@@ -10776,6 +10810,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "event_type_bigrams": q_event_type_bigrams,
         "punct_normalize": q_punct_normalize,
         "rdf_conciseness": q_rdf_conciseness,
@@ -12339,6 +12374,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "rdf_conciseness": _RDF_CONCISE_SQL,
         "punct_normalize": _punct_sql(),
         "event_type_bigrams": _EVENT_BIGRAM_SQL,
+        "winnow_overlap_pairs": _winnow_pairs_sql(),
         "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),

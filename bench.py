@@ -323,6 +323,7 @@ def main() -> None:
         "rdf_dangling_links",
         "punct_normalize",
         "event_type_bigrams",
+        "winnow_overlap_pairs",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

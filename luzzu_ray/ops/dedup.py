@@ -2954,3 +2954,103 @@ def winnowing_fingerprints(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+WINNOW_DF_CAP = 50      # drop fingerprints shared by more docs (MOSS
+                        # boilerplate suppression; identical on both
+                        # engine and SQL sides, so still a hard oracle)
+WINNOW_MIN_SHARED = 2   # pairs need >= this many shared fingerprints
+
+
+def winnow_candidate_pairs(
+    ds: ray.data.Dataset,
+    min_shared: int = WINNOW_MIN_SHARED,
+    df_cap: int = WINNOW_DF_CAP,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """MOSS-style overlap candidates from winnowing fingerprints
+    (Schleimer et al. 2003 §4: documents sharing selected fingerprints
+    are plagiarism/overlap candidates; sharing is POSITIONAL, so this
+    catches partial overlap minhash's whole-document Jaccard dilutes):
+    (a, b, n_shared) for every doc pair sharing at least ``min_shared``
+    distinct fingerprint values, after dropping fingerprints present
+    in more than ``df_cap`` docs (boilerplate suppression — applied
+    identically by the SQL twin, so the oracle stays hard).
+
+    Scale shape: distinct (doc, fp) rows (block-local — a doc never
+    splits across batches) flow through ONE fp-keyed exchange;
+    per-fp doc lists are <= df_cap by construction, pair expansion is
+    vectorized per distinct group SIZE (one triu template per size,
+    broadcast over all groups of that size); the (a, b) partials
+    collapse through one narrow pair-keyed grouped sum.
+    """
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    from luzzu_ray.ops.dedup import auto_partitions  # self-import ok
+
+    width = auto_partitions(ds, num_partitions)
+
+    def distinct_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "fp": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+            })
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t["fp"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, f))
+        ds_, fs_ = d[order], f[order]
+        first = np.ones(len(ds_), dtype=bool)
+        first[1:] = (ds_[1:] != ds_[:-1]) | (fs_[1:] != fs_[:-1])
+        return pa.table({
+            "fp": pa.array(fs_[first]), "doc_id": pa.array(ds_[first])})
+
+    part = ds.map_batches(
+        distinct_block, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=width, keys=["fp"])
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "n_shared": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        f = t["fp"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, f))
+        fs_, ds_ = f[order], d[order]
+        starts = np.r_[0, np.flatnonzero(fs_[1:] != fs_[:-1]) + 1]
+        sizes = np.diff(np.append(starts, len(fs_)))
+        keep = sizes <= df_cap
+        out_a, out_b = [], []
+        for s in np.unique(sizes[keep & (sizes > 1)]):
+            ii, jj = np.triu_indices(int(s), 1)
+            g0 = starts[keep & (sizes == s)]
+            # (n_groups, n_pairs) absolute indices via broadcasting
+            ai = (g0[:, None] + ii[None, :]).reshape(-1)
+            bi = (g0[:, None] + jj[None, :]).reshape(-1)
+            out_a.append(ds_[ai])
+            out_b.append(ds_[bi])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({
+            "a": pa.array(lo), "b": pa.array(hi),
+            "n_shared": pa.array(np.ones(len(lo), dtype=np.int64)),
+        })
+
+    sums = grouped_sum_q(
+        part.map_batches(pair_block, batch_format="pyarrow",
+                         batch_size=None),
+        ["a", "b"], float_cols={}, int_cols={"n_shared": "n_shared"},
+        num_partitions=num_partitions,
+    )
+    return sums.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
+        batch_format="pyarrow",
+    )

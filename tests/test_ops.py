@@ -7437,3 +7437,48 @@ def test_event_type_bigrams_matches_twin(ray_session):
             ray.data.from_arrow(t).repartition(nb), k=5).take_all())
         assert list(zip(got["pair"].to_pylist(),
                         got["n"].to_pylist())) == want, nb
+
+
+def test_winnow_candidate_pairs_matches_twin(ray_session):
+    """winnow_candidate_pairs == python twin (distinct per-doc fps,
+    df-cap suppression, shared-count threshold), layout-invariant;
+    planted overlapping docs pair up."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import (
+        winnow_candidate_pairs, winnowing_fingerprints)
+
+    base = "shared overlap marker one two three four five six seven"
+    texts = [
+        base + " tail alpha beta gamma extra words here now",
+        "prefix words " + base + " ending differs completely here",
+        "totally different content nothing in common at all here",
+        base + " yet another continuation of the same shared block",
+    ]
+    ids = [1, 5, 9, 13]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    fps = pa.Table.from_pylist(winnowing_fingerprints(
+        ray.data.from_arrow(t)).take_all())
+    per_doc = {}
+    for d, f in zip(fps["doc_id"].to_pylist(), fps["fp"].to_pylist()):
+        per_doc.setdefault(d, set()).add(f)
+    from collections import Counter
+    df = Counter(f for s in per_doc.values() for f in s)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = {f for f in per_doc.get(a, set())
+                      & per_doc.get(b, set()) if df[f] <= 50}
+            if len(shared) >= 2:
+                want[(a, b)] = len(shared)
+    assert want  # the planted overlap genuinely pairs
+    for nb in (1, 3):
+        got = pa.Table.from_pylist(winnow_candidate_pairs(
+            winnowing_fingerprints(
+                ray.data.from_arrow(t).repartition(nb))).take_all())
+        gm = {(a, b): n for a, b, n in zip(
+            got["a"].to_pylist(), got["b"].to_pylist(),
+            got["n_shared"].to_pylist())}
+        assert gm == want, nb
