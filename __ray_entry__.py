@@ -9801,7 +9801,7 @@ WITH s AS (
   FROM events
 )
 SELECT event_type || '>' || nxt AS pair, CAST(count(*) AS BIGINT) AS n
-FROM s WHERE nxt IS NOT NULL
+FROM s WHERE nxt IS NOT NULL AND event_type IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, pair LIMIT {EVENT_BIGRAM_K}
 """
 

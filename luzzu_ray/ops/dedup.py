@@ -2929,7 +2929,6 @@ def winnowing_fingerprints(
         pos_in_doc = np.arange(m, dtype=np.int64) - starts[gidx]
         if m >= w:
             sw = sliding_window_view(g, w)           # (m-w+1, w)
-            wmin = sw.min(axis=1)
             # rightmost argmin: first min of the reversed window
             rpos = w - 1 - np.argmin(sw[:, ::-1], axis=1)
             wstart = np.arange(m - w + 1, dtype=np.int64)
@@ -3022,6 +3021,15 @@ def winnow_candidate_pairs(
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((d, f))
         fs_, ds_ = f[order], d[order]
+        # re-establish per-fp DISTINCT docs: the block-local distinct
+        # upstream cannot see (fp, doc) rows split across blocks —
+        # without this, a split doc self-pairs and inflates n_shared
+        # (review r05 finding); fp groups are fully co-located here
+        uniq = np.ones(len(fs_), dtype=bool)
+        uniq[1:] = (fs_[1:] != fs_[:-1]) | (ds_[1:] != ds_[:-1])
+        fs_, ds_ = fs_[uniq], ds_[uniq]
+        if len(fs_) == 0:
+            return empty
         starts = np.r_[0, np.flatnonzero(fs_[1:] != fs_[:-1]) + 1]
         sizes = np.diff(np.append(starts, len(fs_)))
         keep = sizes <= df_cap

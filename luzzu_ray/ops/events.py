@@ -1879,10 +1879,16 @@ def event_type_bigrams(
         eid = t["event_id"].to_numpy(zero_copy_only=False)
         ty = t["event_type"].combine_chunks()
         enc = pc.dictionary_encode(ty)
-        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = enc.indices
+        # NULL types stay IN the sequence (SQL lead() skips nothing)
+        # but any transition touching a NULL is dropped, matching the
+        # twin's NULL-concat semantics (review r05 finding)
+        code = idx.to_numpy(zero_copy_only=False)
+        code = (np.where(np.isnan(code), -1, code).astype(np.int64)
+                if code.dtype.kind == "f" else code.astype(np.int64))
         order = np.lexsort((eid, ts, uid))
         u, c = uid[order], code[order]
-        same_user = u[1:] == u[:-1]
+        same_user = (u[1:] == u[:-1]) & (c[1:] >= 0) & (c[:-1] >= 0)
         a, b = c[:-1][same_user], c[1:][same_user]
         if len(a) == 0:
             return empty

@@ -202,6 +202,14 @@ def rdf_conciseness(
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
+    # malformed parse rows are NOT triples (skip-and-report contract,
+    # like rdf_subject_stats); materialize so the upstream lineage runs
+    # ONCE for both the count and the key pass (review r05 finding)
+    triples = triples.map_batches(
+        lambda t: (t.filter(pc.invert(pc.fill_null(t["malformed"], True)))
+                   if "malformed" in t.schema.names else t),
+        batch_format="pyarrow",
+    ).materialize()
     width = auto_partitions(triples, num_partitions)
 
     def partial(t: pa.Table) -> pa.Table:

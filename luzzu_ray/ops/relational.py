@@ -3366,7 +3366,15 @@ def borda_rank_fusion(
         ranked.map_batches(fuse, batch_format="pyarrow"),
         "borda", k, id_col,
     )
-    t = pa.Table.from_pylist(top.take_all())  # exactly k rows
+    rows = top.take_all()  # at most k rows
+    if not rows:  # empty input: typed empty result (review r05)
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            **{f"rnk_{c}": pa.array([], pa.int64())
+               for c in score_cols},
+            "borda": pa.array([], pa.int64()),
+        })
+    t = pa.Table.from_pylist(rows)
     return pa.table({
         id_col: t[id_col],
         **{f"rnk_{c}": t[f"rnk_{c}"] for c in score_cols},
@@ -3471,10 +3479,11 @@ def curriculum_interleave(
             })
         tile = t["tile"].to_numpy(zero_copy_only=False).astype(np.int64)
         rnk = t["rnk"].to_numpy(zero_copy_only=False).astype(np.int64)
-        mins = np.array(
-            [mn_by_tile[int(x)] for x in np.unique(tile)], dtype=np.int64)
-        lut = dict(zip(np.unique(tile).tolist(), mins.tolist()))
-        base_arr = np.array([lut[int(x)] for x in tile], dtype=np.int64)
+        # vectorized O(n_tiles) lookup, no per-row Python (review r05)
+        keys = np.array(sorted(mn_by_tile), dtype=np.int64)
+        vals = np.array([mn_by_tile[int(x)] for x in keys],
+                        dtype=np.int64)
+        base_arr = vals[np.searchsorted(keys, tile)]
         rit = rnk - base_arr
         return pa.table({
             id_col: t[id_col],

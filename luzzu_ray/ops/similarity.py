@@ -548,13 +548,16 @@ def _sq8_stats(
     from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
 
     _ensure_hash_shuffle()
-    row = (
+    rows = (
         ds.select_columns(["embedding"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .repartition(num_blocks=1, keys=["_mrg"])
         .map_batches(final, batch_format="pyarrow", batch_size=None)
         .take_all()
-    )[0]
+    )
+    if not rows:  # empty/fully-filtered input: no stats exist
+        return None
+    row = rows[0]
     return (np.array(row["mn"], dtype=np.float64),
             np.array(row["mx"], dtype=np.float64), float(row["rmin"]))
 
@@ -694,7 +697,13 @@ def lsh_neardup_pairs(
     band_ids = np.arange(n_bands, dtype=np.int32)
 
     if payload == "sq8":
-        mn, mx, rmin = _sq8_stats(ds)
+        stats = _sq8_stats(ds)
+        if stats is None:  # empty/fully-filtered input: no pairs
+            return ray.data.from_arrow(pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}))
+        mn, mx, rmin = stats
         span = np.where(mx > mn, mx - mn, 0.0)
         delta = float(np.sqrt(((span / 255.0) ** 2).sum()))
         margin = (2.0 * float(np.arcsin(min(1.0, delta / rmin)))

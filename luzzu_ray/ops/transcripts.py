@@ -1196,10 +1196,9 @@ def canned_phrase_stats(
             })
         tx = pc.fill_null(t["text"], "")
         is_role = pc.equal(t["role"], role)
-        hit = None
+        hit = pa.array(np.zeros(t.num_rows, dtype=bool))  # [] phrases
         for p in phrases:
-            m = pc.match_substring(tx, p)
-            hit = m if hit is None else pc.or_(hit, m)
+            hit = pc.or_(hit, pc.match_substring(tx, p))
         canned = pc.and_(is_role, hit)
         return pa.table({
             "conv_id": t["conv_id"],

@@ -219,3 +219,85 @@ def test_decayed_value_empty_input_returns_empty_schema(ray_session):
         ("n_recent", pa.int64())]))
     assert t.num_rows == 0
     assert set(out.schema().names) == {"user_id", "decayed_q2", "n_recent"}
+
+
+def test_review_r05_edge_input_fixes(ray_session):
+    """Round-5 inline-review pins: (a) winnow pair dedup survives a
+    doc's fp rows split across blocks (no self-pairs, no inflated
+    n_shared); (b) sq8 LSH on an empty dataset returns no pairs
+    instead of crashing; (c) rdf_conciseness excludes malformed rows
+    and counts each triple once; (d) event_type_bigrams tolerates
+    NULL event_type with SQL lead() semantics; (e) borda_rank_fusion
+    and (f) canned_phrase_stats degrade to typed empties on empty
+    input / empty phrase list."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import winnow_candidate_pairs
+    from luzzu_ray.ops.events import event_type_bigrams
+    from luzzu_ray.ops.rdf import parse_ntriples_batch, rdf_conciseness
+    from luzzu_ray.ops.relational import borda_rank_fusion
+    from luzzu_ray.ops.similarity import lsh_neardup_pairs
+    from luzzu_ray.ops.transcripts import canned_phrase_stats
+
+    # (a) one doc's (fp, doc) rows deliberately split across blocks
+    fps = pa.table({
+        "doc_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "pos": pa.array([0, 9, 0, 3], pa.int64()),
+        "fp": pa.array([42, 42, 42, 77], pa.int64()),
+    })
+    got = pa.Table.from_pylist(winnow_candidate_pairs(
+        ray.data.from_arrow(fps).repartition(4),
+        min_shared=1).take_all())
+    pairs = {(a, b): n for a, b, n in zip(
+        got["a"].to_pylist(), got["b"].to_pylist(),
+        got["n_shared"].to_pylist())}
+    assert pairs == {(1, 2): 1}
+
+    # (b) empty input through the compressed path
+    empty_emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    out = lsh_neardup_pairs(empty_emb, payload="sq8")
+    assert out.count() == 0
+
+    # (c) malformed rows are not triples; duplicates counted once
+    parsed = parse_ntriples_batch(pa.table({"line": pa.array([
+        '<http://e/a> <http://e/p> "v" .',
+        '<http://e/a> <http://e/p> "v" .',
+        "garbage", "more garbage",
+        '<http://e/a> <http://e/q> <http://e/b> .',
+    ])}))
+    c = rdf_conciseness(ray.data.from_arrow(parsed).repartition(2))
+    assert c.to_pydict() == {
+        "n_triples": [3], "n_distinct": [2], "n_dup": [1]}
+
+    # (d) NULL event_type: transitions touching NULL drop, sequence
+    # positions are preserved (lead semantics)
+    ev = pa.table({
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([10, 20, 30], pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(["a", None, "b"], pa.string()),
+    })
+    bg = pa.Table.from_pylist(event_type_bigrams(
+        ray.data.from_arrow(ev), k=5).take_all())
+    assert bg.num_rows == 0  # a>NULL and NULL>b both drop; no a>b
+
+    # (e) empty input -> typed empty fusion result
+    be = borda_rank_fusion(ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "s": pa.array([], pa.int64())})), "doc_id", ["s"], 5)
+    assert be.num_rows == 0
+    assert be.schema.names == ["doc_id", "rnk_s", "borda"]
+
+    # (f) empty phrase list -> zero canned counts, no crash
+    cv = pa.table({
+        "conv_id": pa.array(["c"], pa.string()),
+        "role": pa.array(["assistant"], pa.string()),
+        "text": pa.array(["hello"], pa.string()),
+    })
+    cs = pa.Table.from_pylist(canned_phrase_stats(
+        ray.data.from_arrow(cv), []).take_all())
+    assert cs.to_pylist() == [
+        {"conv_id": "c", "n_role_turns": 1, "n_canned": 0}]
