@@ -3335,10 +3335,14 @@ def borda_rank_fusion(
     from luzzu_ray.ops.dedup import auto_partitions
 
     width = auto_partitions(ds, num_partitions)
+    # one narrow materialization: each rank pass (and its internal
+    # bottom-k sample) then reads the projection instead of re-running
+    # the caller's upstream lineage once per signal
+    base = ds.select_columns([id_col] + score_cols).materialize()
     ranked = None
     for c in score_cols:
         r = global_rank(
-            ds.select_columns([id_col, c]), c, id_col,
+            base.select_columns([id_col, c]), c, id_col,
             num_partitions=num_partitions,
         ).map_batches(
             lambda t, c=c: pa.table({
