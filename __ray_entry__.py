@@ -9776,6 +9776,138 @@ FROM tr GROUP BY subj
 """
 
 
+def q_events_user_mode_type(sf_dir: str):
+    """Per-user modal event type (`ops/relational.py` ``grouped_mode``
+    — most frequent value, ties to the lexicographically smallest, a
+    DETERMINISTIC tie rule unlike SQL mode()): block partials collapse
+    (user, type) pairs before one keyed exchange."""
+    from luzzu_ray.ops.relational import grouped_mode
+
+    return grouped_mode(
+        _tbl(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type")
+
+
+_GROUPED_MODE_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events
+           GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+      row_number() OVER (PARTITION BY user_id
+        ORDER BY n DESC, event_type) AS rk FROM c)
+SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n_mode
+FROM r WHERE rk = 1
+"""
+
+
+def q_label_centroid_dots(sf_dir: str):
+    """Pairwise label-centroid geometry in exact integers
+    (`ops/similarity.py` ``source_centroid_dots`` — the embedding
+    drift / class-similarity diagnostic): per-label quantized
+    component sums through one #labels x d exchange, then integer
+    dots + squared norms per label pair on the driver — nothing float
+    crosses an engine boundary."""
+    import pyarrow.compute as _pc
+
+    from luzzu_ray.ops.similarity import source_centroid_dots
+
+    labeled = _tbl(sf_dir, "embeddings",
+                   ["vec_id", "embedding", "label"]).map_batches(
+        lambda t: pa.table({
+            "grp": _pc.binary_join_element_wise(
+                "lab_", _pc.cast(t["label"], pa.string()), ""),
+            "embedding": t["embedding"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return source_centroid_dots(labeled, group_col="grp")
+
+
+_CENTROID_DOTS_SQL = """
+WITH e AS (
+  SELECT 'lab_' || label AS grp,
+    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+    CAST(floor(unnest(embedding) * 1000.0) AS BIGINT) AS qx
+  FROM embeddings
+),
+s AS (SELECT grp, dim, CAST(sum(qx) AS BIGINT) AS s,
+      CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+cnt AS (SELECT grp, max(n) AS n FROM s GROUP BY grp),
+p AS (
+  SELECT a.grp AS src_a, b.grp AS src_b,
+    CAST(sum(a.s * b.s) AS BIGINT) AS dot_sums
+  FROM s a JOIN s b ON a.dim = b.dim AND a.grp <= b.grp
+  GROUP BY 1, 2
+),
+nrm AS (SELECT grp, CAST(sum(s * s) AS BIGINT) AS n2 FROM s GROUP BY 1)
+SELECT p.src_a, p.src_b, p.dot_sums,
+  na.n2 AS norm2_a, nb.n2 AS norm2_b,
+  ca.n AS n_a, cb.n AS n_b
+FROM p JOIN nrm na ON na.grp = p.src_a
+JOIN nrm nb ON nb.grp = p.src_b
+JOIN cnt ca ON ca.grp = p.src_a
+JOIN cnt cb ON cb.grp = p.src_b
+"""
+
+
+def _synth_multilingual_batch(t: pa.Table) -> pa.Table:
+    """Deterministic multilingual suffix noise keyed on doc_id
+    (harness): Greek / Cyrillic / Latin-extended words appended by
+    doc_id % 4 so the script-mix profile has signal on the ASCII
+    corpus; a SQL twin rebuilds the same text."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tx = pc.fill_null(t["text"], "")
+    m = ids % 4
+    g = pc.binary_join_element_wise(tx, " αβγ δέζ", "")
+    cy = pc.binary_join_element_wise(tx, " дом мир", "")
+    la = pc.binary_join_element_wise(tx, " café naïve", "")
+    out = pc.if_else(pa.array(m == 1), g,
+                     pc.if_else(pa.array(m == 2), cy,
+                                pc.if_else(pa.array(m == 3), la, tx)))
+    return pa.table({"doc_id": t["doc_id"], "text": out})
+
+
+def q_script_mix(sf_dir: str):
+    """Per-document script-mix profile (`ops/textstats.py`
+    ``script_mix_batch`` — dominant-script purity / mixed-script spam
+    diagnostics): exact codepoint counts for the Latin-Extended,
+    Greek and Cyrillic blocks plus remaining non-ASCII, decoded
+    vectorized from two-byte lead/continuation pairs, over
+    deterministically noised multilingual text; the twin counts the
+    same codepoint classes with regexp."""
+    from luzzu_ray.ops.textstats import script_mix_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _synth_multilingual_batch, batch_format="pyarrow",
+        zero_copy_batch=True
+    ).map_batches(script_mix_batch, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+
+_SCRIPT_MIX_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 1 THEN COALESCE(text, '') || ' αβγ δέζ'
+      WHEN 2 THEN COALESCE(text, '') || ' дом мир'
+      WHEN 3 THEN COALESCE(text, '') || ' café naïve'
+      ELSE COALESCE(text, '') END AS t2
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t2, '[\x{80}-\x{24F}]')) AS BIGINT)
+    AS n_latin_ext,
+  CAST(len(regexp_extract_all(t2, '[\x{370}-\x{3FF}]')) AS BIGINT)
+    AS n_greek,
+  CAST(len(regexp_extract_all(t2, '[\x{400}-\x{4FF}]')) AS BIGINT)
+    AS n_cyrillic,
+  CAST(len(regexp_extract_all(t2, '[\x{80}-\x{10FFFF}]'))
+    - len(regexp_extract_all(t2, '[\x{80}-\x{24F}]'))
+    - len(regexp_extract_all(t2, '[\x{370}-\x{3FF}]'))
+    - len(regexp_extract_all(t2, '[\x{400}-\x{4FF}]')) AS BIGINT)
+    AS n_other_nonascii
+FROM s
+"""
+
+
 EVENT_BIGRAM_K = 20
 
 
@@ -10810,6 +10942,9 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "script_mix": q_script_mix,
+        "label_centroid_dots": q_label_centroid_dots,
+        "events_user_mode_type": q_events_user_mode_type,
         "winnow_overlap_pairs": q_winnow_overlap_pairs,
         "event_type_bigrams": q_event_type_bigrams,
         "punct_normalize": q_punct_normalize,
@@ -12375,6 +12510,9 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "punct_normalize": _punct_sql(),
         "event_type_bigrams": _EVENT_BIGRAM_SQL,
         "winnow_overlap_pairs": _winnow_pairs_sql(),
+        "events_user_mode_type": _GROUPED_MODE_SQL,
+        "label_centroid_dots": _CENTROID_DOTS_SQL,
+        "script_mix": _SCRIPT_MIX_SQL,
         "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),

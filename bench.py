@@ -324,6 +324,9 @@ def main() -> None:
         "punct_normalize",
         "event_type_bigrams",
         "winnow_overlap_pairs",
+        "events_user_mode_type",
+        "label_centroid_dots",
+        "script_mix",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

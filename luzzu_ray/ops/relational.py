@@ -3499,3 +3499,67 @@ def curriculum_interleave(
 
     return ranked.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-group MODE of a string column (most frequent value, ties to
+    the LEXICOGRAPHICALLY SMALLEST — deterministic, unlike SQL
+    ``mode()``'s unspecified tie): (key, mode_value, n_mode).
+
+    Scale shape: per-block (key, value, n) partials collapse each
+    block BEFORE one key-keyed exchange; the block-final argmax runs
+    over the collapsed pairs (bounded by distinct values per key, not
+    rows).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(ds, num_partitions)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                value_col: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        g = pa.table({
+            key_col: t[key_col], value_col: t[value_col],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        }).group_by([key_col, value_col]).aggregate([("n", "sum")])
+        return g.rename_columns([key_col, value_col, "n"])
+
+    part = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=width, keys=[key_col])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                "mode_value": pa.array([], pa.string()),
+                "n_mode": pa.array([], pa.int64()),
+            })
+        g = t.group_by([key_col, value_col]).aggregate([("n", "sum")])
+        # first row per key under (count DESC, value ASC)
+        idx = pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), ("n_sum", "descending"),
+            (value_col, "ascending")])
+        s = g.take(idx)
+        keys = s[key_col].to_numpy(zero_copy_only=False)
+        lead = np.ones(len(keys), dtype=bool)
+        lead[1:] = keys[1:] != keys[:-1]
+        out = s.filter(pa.array(lead))
+        return pa.table({
+            key_col: out[key_col],
+            "mode_value": out[value_col],
+            "n_mode": out["n_sum"],
+        })
+
+    return part.map_batches(final, batch_format="pyarrow", batch_size=None)

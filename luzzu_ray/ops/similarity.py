@@ -2299,3 +2299,95 @@ def jl_project_q(
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_centroid_dots(
+    ds: ray.data.Dataset,
+    group_col: str = "source",
+    vec_col: str = "embedding",
+    q: int = 3,
+) -> pa.Table:
+    """Pairwise group-centroid geometry in EXACT integers — the
+    embedding-drift / source-similarity diagnostic (are two corpus
+    sources embedding-distributionally close?): per group, the
+    component sums of ``floor(x * 10^q)``-quantized vectors reduce
+    through one narrow exchange (#groups x d rows); the driver then
+    emits, for every group pair (a <= b), the int64 dot of the SUM
+    vectors plus both squared norms — consumers derive cosine, but
+    nothing float ever crosses an engine boundary.  Output:
+    (src_a, src_b, dot_sums, norm2_a, norm2_b, n_a, n_b).
+
+    Overflow: |sum component| <= n * 10^q * X; the dot of two sums
+    needs d * (n * 10^q * X)^2 < 2^63 — at q=3, unit-scale X and
+    d=64 that holds to ~150k rows/group; past it the Python-int
+    driver tail (#groups^2 pairs) widens automatically (np object
+    dot below).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                group_col: pa.array([], pa.string()),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        X = np.floor(_as_matrix(t[vec_col]) * float(10 ** q)).astype(
+            np.int64)
+        grp = t[group_col].combine_chunks()
+        enc = pc.dictionary_encode(grp)
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k, d = len(enc.dictionary), X.shape[1]
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, code, X)
+        cnt = np.bincount(code, minlength=k).astype(np.int64)
+        names = enc.dictionary
+        gi = pa.array(np.repeat(np.arange(k, dtype=np.int64), d))
+        return pa.table({
+            group_col: names.take(gi),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    tot = ds.select_columns([group_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby([group_col, "dim"], num_partitions=2).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"),
+    ).take_all()  # exactly #groups x d rows
+    by_grp: dict = {}
+    for r in tot:
+        e = by_grp.setdefault(r[group_col], {})
+        e[int(r["dim"])] = (int(r["s"]), int(r["n"]))
+    names = sorted(by_grp)
+    vecs = {}
+    counts = {}
+    for gname in names:
+        dims = by_grp[gname]
+        vecs[gname] = np.array(
+            [dims[i][0] for i in sorted(dims)], dtype=object)
+        # per-(grp, dim) the n sum is the group's true row count
+        # (identical across dims) — take dim 0
+        counts[gname] = dims[0][1]
+    rows = {"src_a": [], "src_b": [], "dot_sums": [], "norm2_a": [],
+            "norm2_b": [], "n_a": [], "n_b": []}
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            va, vb = vecs[a], vecs[b]
+            rows["src_a"].append(a)
+            rows["src_b"].append(b)
+            rows["dot_sums"].append(int((va * vb).sum()))
+            rows["norm2_a"].append(int((va * va).sum()))
+            rows["norm2_b"].append(int((vb * vb).sum()))
+            rows["n_a"].append(counts[a])
+            rows["n_b"].append(counts[b])
+    return pa.table({
+        "src_a": pa.array(rows["src_a"], pa.string()),
+        "src_b": pa.array(rows["src_b"], pa.string()),
+        "dot_sums": pa.array(rows["dot_sums"], pa.int64()),
+        "norm2_a": pa.array(rows["norm2_a"], pa.int64()),
+        "norm2_b": pa.array(rows["norm2_b"], pa.int64()),
+        "n_a": pa.array(rows["n_a"], pa.int64()),
+        "n_b": pa.array(rows["n_b"], pa.int64()),
+    })

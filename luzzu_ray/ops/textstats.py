@@ -835,3 +835,53 @@ def punct_normalize_batch(t: pa.Table) -> pa.Table:
         "changed": pc.if_else(null_mask, pa.scalar(None, pa.bool_()),
                               changed),
     })
+
+
+def script_mix_batch(t: pa.Table) -> pa.Table:
+    """Per-document SCRIPT MIX profile — the multilingual-corpus
+    diagnostic (dominant-script purity, mixed-script spam detection):
+    exact counts of codepoints in the Latin-Extended (U+0080-U+024F),
+    Greek (U+0370-U+03FF), Cyrillic (U+0400-U+04FF) blocks plus all
+    remaining non-ASCII codepoints.  Vectorized: decode two-byte
+    codepoints from (lead, continuation) pairs once per batch; 3+-byte
+    codepoints land in ``n_other_nonascii`` by lead-byte count.
+    Output: (doc_id, n_latin_ext, n_greek, n_cyrillic,
+    n_other_nonascii).
+    """
+    from luzzu_ray.functions import text as TX
+
+    data, offs = TX.utf8_view(t["text"])
+    n = t.num_rows
+    out = {k: np.zeros(n, dtype=np.int64) for k in
+           ("n_latin_ext", "n_greek", "n_cyrillic", "n_other_nonascii")}
+    lo, hi = int(offs[0]), int(offs[-1])  # sliced arrays: window only
+    if hi > lo:
+        span = np.arange(lo, hi, dtype=np.int64)
+        is_lead2 = np.zeros(len(span), dtype=bool)
+        if hi - lo >= 2:
+            is_lead2[:-1] = (
+                (data[lo:hi - 1] >= 0xC2) & (data[lo:hi - 1] <= 0xDF)
+                & (data[lo + 1:hi] >= 0x80) & (data[lo + 1:hi] < 0xC0))
+        lead34 = data[lo:hi] >= 0xE0  # 3- and 4-byte sequence leads
+        pos2 = span[np.flatnonzero(is_lead2)]
+
+        def rid_for(pos):
+            return np.searchsorted(offs, pos, side="right") - 1
+
+        if len(pos2):
+            cp = ((data[pos2].astype(np.int64) & 0x1F) << 6) | (
+                data[pos2 + 1].astype(np.int64) & 0x3F)
+            rid = rid_for(pos2)
+            sel_lat = (cp >= 0x80) & (cp <= 0x24F)
+            sel_gr = (cp >= 0x370) & (cp <= 0x3FF)
+            sel_cy = (cp >= 0x400) & (cp <= 0x4FF)
+            sel_other = ~(sel_lat | sel_gr | sel_cy)
+            np.add.at(out["n_latin_ext"], rid[sel_lat], 1)
+            np.add.at(out["n_greek"], rid[sel_gr], 1)
+            np.add.at(out["n_cyrillic"], rid[sel_cy], 1)
+            np.add.at(out["n_other_nonascii"], rid[sel_other], 1)
+        pos34 = span[np.flatnonzero(lead34)]
+        if len(pos34):
+            np.add.at(out["n_other_nonascii"], rid_for(pos34), 1)
+    return pa.table({"doc_id": t["doc_id"], **{
+        k: pa.array(v) for k, v in out.items()}})

@@ -7482,3 +7482,105 @@ def test_winnow_candidate_pairs_matches_twin(ray_session):
             got["a"].to_pylist(), got["b"].to_pylist(),
             got["n_shared"].to_pylist())}
         assert gm == want, nb
+
+
+def test_grouped_mode_matches_twin(ray_session):
+    """grouped_mode == Counter twin (count DESC, value ASC ties),
+    layout-invariant."""
+    import ray.data
+    from collections import Counter
+
+    from luzzu_ray.ops.relational import grouped_mode
+
+    rng = np.random.default_rng(79)
+    n = 500
+    uid = rng.integers(0, 40, n).astype(np.int64)
+    vals = np.array(["aa", "bb", "cc", "dd"])[rng.integers(0, 4, n)]
+    t = pa.table({"user_id": pa.array(uid),
+                  "event_type": pa.array(vals.tolist(), pa.string())})
+    want = {}
+    for u in np.unique(uid):
+        c = Counter(vals[uid == u].tolist())
+        v, cnt = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[int(u)] = (v, cnt)
+    for nb in (1, 6):
+        got = pa.Table.from_pylist(grouped_mode(
+            ray.data.from_arrow(t).repartition(nb),
+            "user_id", "event_type").take_all())
+        gm = {u: (v, c) for u, v, c in zip(
+            got["user_id"].to_pylist(), got["mode_value"].to_pylist(),
+            got["n_mode"].to_pylist())}
+        assert gm == want, nb
+
+
+def test_source_centroid_dots_matches_twin(ray_session):
+    """source_centroid_dots == numpy integer twin (quantized sums,
+    exact pair dots/norms/counts), layout-invariant."""
+    import ray.data
+
+    from luzzu_ray.ops.similarity import source_centroid_dots
+
+    rng = np.random.default_rng(83)
+    n, d = 120, 6
+    E = rng.normal(scale=0.4, size=(n, d)).astype(np.float32)
+    grp = np.array(["s1", "s2", "s3"])[rng.integers(0, 3, n)]
+    t = pa.table({
+        "grp": pa.array(grp.tolist(), pa.string()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(E.reshape(-1)), d).cast(pa.list_(pa.float32())),
+    })
+    q = np.floor(E.astype(np.float64) * 1000.0).astype(np.int64)
+    names = sorted(set(grp.tolist()))
+    sums = {g: q[grp == g].sum(axis=0) for g in names}
+    cnts = {g: int((grp == g).sum()) for g in names}
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            want[(a, b)] = (int(sums[a] @ sums[b]),
+                            int(sums[a] @ sums[a]),
+                            int(sums[b] @ sums[b]),
+                            cnts[a], cnts[b])
+    for nb in (1, 5):
+        got = source_centroid_dots(
+            ray.data.from_arrow(t).repartition(nb), group_col="grp")
+        gm = {}
+        for r in got.to_pylist():
+            gm[(r["src_a"], r["src_b"])] = (
+                r["dot_sums"], r["norm2_a"], r["norm2_b"],
+                r["n_a"], r["n_b"])
+        assert gm == want, nb
+
+
+def test_script_mix_matches_python_twin():
+    """script_mix_batch == per-codepoint Python twin on mixed-script
+    text, including 3/4-byte chars and sliced arrays."""
+    from luzzu_ray.ops.textstats import script_mix_batch
+
+    texts = ["ascii", "αβγ café", "дом Здесь", "日本語 mix é",
+             None, "", "emoji 🎉 Ω ж"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def twin(tx):
+        out = [0, 0, 0, 0]
+        for ch in (tx or ""):
+            cp = ord(ch)
+            if cp < 0x80:
+                continue
+            if cp <= 0x24F:
+                out[0] += 1
+            elif 0x370 <= cp <= 0x3FF:
+                out[1] += 1
+            elif 0x400 <= cp <= 0x4FF:
+                out[2] += 1
+            else:
+                out[3] += 1
+        return out
+
+    for tab in (t, t.slice(2, 4)):
+        got = script_mix_batch(tab).to_pydict()
+        for i, did in enumerate(got["doc_id"]):
+            w = twin(texts[did])
+            assert [got["n_latin_ext"][i], got["n_greek"][i],
+                    got["n_cyrillic"][i],
+                    got["n_other_nonascii"][i]] == w, did
