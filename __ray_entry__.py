@@ -9776,6 +9776,81 @@ FROM tr GROUP BY subj
 """
 
 
+CONV_PACK_BUDGET = 600
+
+
+def q_conv_pack(sf_dir: str):
+    """CONVERSATION-integral sequence packing: whole conversations (by
+    total char weight) fill fixed budgets via the distributed
+    prefix-sum packer — the SFT batching step that never splits a
+    conversation across contexts (`ordered_prefix_pack` over
+    per-conversation totals from the multi-turn corpus)."""
+    from luzzu_ray.ops.relational import grouped_sum_q, \
+        ordered_prefix_pack
+    from luzzu_ray.sources import documents_as_multiturn
+
+    def weight(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_key": pc.cast(t["conv_id"], pa.int64()),
+            "w": pc.cast(pc.binary_length(pc.fill_null(t["text"], "")),
+                         pa.int64()),
+        })
+
+    totals = grouped_sum_q(
+        documents_as_multiturn(sf_dir).map_batches(
+            weight, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_key"], float_cols={}, int_cols={"w": "w"},
+        num_partitions=_multiturn_width(sf_dir),
+    )
+    return ordered_prefix_pack(
+        totals, "conv_key", "w", CONV_PACK_BUDGET, num_buckets=64)
+
+
+def _conv_pack_sql() -> str:
+    return f"""
+WITH m AS ({_multiturn_sql()}),
+c AS (SELECT CAST(conv_id AS BIGINT) AS conv_key,
+      CAST(sum(length(COALESCE(text, ''))) AS BIGINT) AS w
+      FROM m GROUP BY 1)
+SELECT conv_key, w AS n_tokens,
+  CAST((sum(w) OVER (ORDER BY conv_key
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w)
+    // {CONV_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+def q_cluster_safe_split(sf_dir: str):
+    """Near-dup-safe train/val/test split (`ops/dedup.py`
+    ``cluster_safe_split`` — the ENFORCEMENT side of
+    split_leakage_audit): the split key is the minhash cluster id when
+    the doc has one, else its own id, so near-dup cluster members
+    share a split by construction.  One LEFT union-exchange join +
+    an exchange-free keyed-hash bucket map."""
+    from luzzu_ray.ops.dedup import cluster_safe_split, minhash_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    labels = minhash_dedup(docs, jaccard_threshold=JACCARD_THRESHOLD)
+    return cluster_safe_split(
+        _docs(sf_dir, ["doc_id"]), labels, SAMPLE_A, SAMPLE_B)
+
+
+def _cluster_split_sql() -> str:
+    return f"""
+WITH mh AS ({_MINHASH_DEDUP_SQL}),
+k AS (SELECT d.doc_id,
+      COALESCE(mh.cluster, d.doc_id) AS key
+      FROM documents d LEFT JOIN mh USING (doc_id)),
+b AS (SELECT doc_id,
+      ((CAST(key AS HUGEINT) * {SAMPLE_A} + {SAMPLE_B})
+       % 18446744073709551616) % 10000 AS bp
+      FROM k)
+SELECT doc_id, CASE WHEN bp < 8000 THEN 'train'
+  WHEN bp < 9000 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_events_user_mode_type(sf_dir: str):
     """Per-user modal event type (`ops/relational.py` ``grouped_mode``
     — most frequent value, ties to the lexicographically smallest, a
@@ -10942,6 +11017,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "conv_pack": q_conv_pack,
+        "cluster_safe_split": q_cluster_safe_split,
         "script_mix": q_script_mix,
         "label_centroid_dots": q_label_centroid_dots,
         "events_user_mode_type": q_events_user_mode_type,
@@ -12513,6 +12590,8 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "events_user_mode_type": _GROUPED_MODE_SQL,
         "label_centroid_dots": _CENTROID_DOTS_SQL,
         "script_mix": _SCRIPT_MIX_SQL,
+        "conv_pack": _conv_pack_sql(),
+        "cluster_safe_split": _cluster_split_sql(),
         "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),

@@ -327,6 +327,8 @@ def main() -> None:
         "events_user_mode_type",
         "label_centroid_dots",
         "script_mix",
+        "conv_pack",
+        "cluster_safe_split",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -3062,3 +3062,69 @@ def winnow_candidate_pairs(
         lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
         batch_format="pyarrow",
     )
+
+
+def cluster_safe_split(
+    ds: ray.data.Dataset,
+    labels: "pa.Table | ray.data.Dataset",
+    hash_a: int,
+    hash_b: int,
+    id_col: str = "doc_id",
+    train_bp: int = 8000,
+    val_bp: int = 9000,
+) -> ray.data.Dataset:
+    """Near-dup-SAFE train/val/test split — the enforcement side of the
+    split-leakage audit: the split key is the doc's near-dup CLUSTER id
+    (component minimum from ``minhash_dedup``) when it has one, else
+    its own id, so every member of a near-dup cluster lands in the
+    SAME split and eval contamination by near-duplicates is
+    structurally impossible (Lee et al. 2022's dedup-before-split
+    lesson, applied to the split itself).  Buckets: ``((key * A + B)
+    mod 2^64) mod 10^4`` against basis-point thresholds.
+    Output: (id, split) with split in {train, val, test}.
+
+    Scale shape: the label table is narrow (clustered docs only); one
+    LEFT union-exchange hash join attaches cluster ids, then the split
+    is an exchange-free keyed-hash map.
+    """
+    import ray.data as _rd
+
+    from luzzu_ray.ops.relational import outer_hash_join
+
+    if isinstance(labels, pa.Table):
+        labels = _rd.from_arrow(labels)
+    lab = labels.map_batches(
+        lambda t: pa.table({"_lid": t["doc_id"], "cluster": t["cluster"]}),
+        batch_format="pyarrow",
+    )
+    j = outer_hash_join(
+        ds.select_columns([id_col]), lab, id_col, "_lid",
+        [], ["cluster"], how="left",
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "split": pa.array([], pa.string()),
+            })
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl_arr = t["cluster"].combine_chunks()
+        null_mask = (cl_arr.is_null().to_numpy(zero_copy_only=False)
+                     if cl_arr.null_count else
+                     np.zeros(t.num_rows, dtype=bool))
+        cl = np.nan_to_num(
+            cl_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        key = np.where(null_mask, ids, cl).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((key * np.uint64(hash_a) + np.uint64(hash_b))
+                 % np.uint64(10000)).astype(np.int64)
+        split = np.where(b < train_bp, "train",
+                         np.where(b < val_bp, "val", "test"))
+        return pa.table({
+            id_col: pa.array(ids),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return j.map_batches(assign, batch_format="pyarrow")

@@ -7584,3 +7584,30 @@ def test_script_mix_matches_python_twin():
             assert [got["n_latin_ext"][i], got["n_greek"][i],
                     got["n_cyrillic"][i],
                     got["n_other_nonascii"][i]] == w, did
+
+
+def test_cluster_safe_split_property(ray_session):
+    """Every member of a near-dup cluster receives the SAME split; the
+    split of un-clustered docs is their own keyed-hash bucket."""
+    import ray.data
+
+    from luzzu_ray.ops.dedup import cluster_safe_split
+
+    A, B = 6364136223846793005, 1442695040888963407
+    docs = pa.table({"doc_id": pa.array(range(30), pa.int64())})
+    labels = pa.table({
+        "doc_id": pa.array([3, 7, 11, 20, 21], pa.int64()),
+        "cluster": pa.array([3, 3, 3, 20, 20], pa.int64()),
+        "is_dup": pa.array([False, True, True, False, True]),
+    })
+    got = pa.Table.from_pylist(cluster_safe_split(
+        ray.data.from_arrow(docs).repartition(3), labels, A, B
+    ).take_all())
+    m = dict(zip(got["doc_id"].to_pylist(), got["split"].to_pylist()))
+    assert len(m) == 30
+    assert m[3] == m[7] == m[11]
+    assert m[20] == m[21]
+    for i in (0, 5, 29):
+        bp = ((i * A + B) % (1 << 64)) % 10000
+        want = "train" if bp < 8000 else ("val" if bp < 9000 else "test")
+        assert m[i] == want, i
