@@ -9776,6 +9776,42 @@ FROM tr GROUP BY subj
 """
 
 
+def q_corpus_quality_card(sf_dir: str):
+    """Aggregated corpus quality card (`ops/profile.py`
+    ``corpus_quality_card`` — the Luzzu daQ report analogue): doc /
+    keep / word totals from ONE fused text scan, exact distinct-text
+    count through the 16-byte key exchange, distinct langs — eight
+    (metric, value) integer rows."""
+    from luzzu_ray.ops.profile import corpus_quality_card
+
+    return corpus_quality_card(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def _quality_card_sql() -> str:
+    kept = "sum(CASE WHEN keep THEN 1 ELSE 0 END)"
+    return f"""
+WITH q AS (SELECT * FROM ({_QUALITY_SQL}))
+SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value
+  FROM documents
+UNION ALL SELECT 'n_kept', CAST({kept} AS BIGINT) FROM q
+UNION ALL SELECT 'keep_rate_q6',
+  CAST((1000000 * {kept}) // count(*) AS BIGINT) FROM q
+UNION ALL SELECT 'total_words', CAST(sum(n_words) AS BIGINT) FROM q
+UNION ALL SELECT 'mean_words_q2',
+  CAST((100 * sum(n_words)) // count(*) AS BIGINT) FROM q
+UNION ALL SELECT 'n_distinct_texts',
+  CAST(count(DISTINCT text)
+       + max(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+UNION ALL SELECT 'n_exact_dup_docs',
+  CAST(count(*) - count(DISTINCT text)
+       - max(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT)
+  FROM documents
+"""
+
+
 CONV_PACK_BUDGET = 600
 
 
@@ -11017,6 +11053,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "corpus_quality_card": q_corpus_quality_card,
         "conv_pack": q_conv_pack,
         "cluster_safe_split": q_cluster_safe_split,
         "script_mix": q_script_mix,
@@ -12592,6 +12629,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "script_mix": _SCRIPT_MIX_SQL,
         "conv_pack": _conv_pack_sql(),
         "cluster_safe_split": _cluster_split_sql(),
+        "corpus_quality_card": _quality_card_sql(),
         "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),

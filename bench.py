@@ -329,6 +329,7 @@ def main() -> None:
         "script_mix",
         "conv_pack",
         "cluster_safe_split",
+        "corpus_quality_card",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

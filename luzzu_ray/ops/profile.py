@@ -236,3 +236,116 @@ def validate_documents(ds: ray.data.Dataset) -> pa.Table:
         "n_checked": pa.array(
             [n_checked] * len(DOC_RULES), pa.int64()),
     })
+
+
+def corpus_quality_card(
+    ds: ray.data.Dataset,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """One-table CORPUS QUALITY CARD — the Luzzu daQ quality-report
+    analogue (aggregated quality metadata a curation run publishes
+    beside its output): ``(metric, value)`` rows, all integer /
+    fixed-point so the SQL twin matches bit-for-bit:
+
+    - ``n_docs``, ``n_kept`` (C4 keep verdict), ``keep_rate_q6``;
+    - ``total_words``, ``mean_words_q2`` (floor(100 * words / docs));
+    - ``n_distinct_texts`` (distinct texts with NULL as its OWN value,
+      distinct from '' — the dedup family's layout-proof key
+      semantics), ``n_exact_dup_docs`` = docs - distinct;
+    - ``n_langs`` (distinct lang values, NULL excluded).
+
+    Scale shape: ONE text scan computes verdict+words+content keys
+    (the training_data_pipeline fusion); distinct text counting is the
+    16-byte-key exchange; langs are an O(#langs) reduce; the driver
+    only ever holds the card rows.
+    """
+    from luzzu_ray.ops.dedup import auto_partitions, content_key_batch
+    from luzzu_ray.ops.textstats import quality_score_batch
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def scan(t: pa.Table) -> pa.Table:
+        s = quality_score_batch(t)
+        keys = content_key_batch(t)
+        return pa.table({
+            "k1": keys["k1"], "k2": keys["k2"],
+            "n_words": s["n_words"],
+            "keep": pc.cast(s["keep"], pa.int64()),
+        })
+
+    scanned = ds.select_columns(["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # 28-byte rows; scanned ONCE
+    width = auto_partitions(scanned, num_partitions)
+
+    def sums(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "n_kept": pa.array([int(pc.sum(t["keep"]).as_py() or 0)],
+                               pa.int64()),
+            "total_words": pa.array(
+                [int(pc.sum(t["n_words"]).as_py() or 0)], pa.int64()),
+        })
+
+    agg = {"n_docs": 0, "n_kept": 0, "total_words": 0}
+    for b in scanned.map_batches(
+            sums, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        # an output batch may hold one row PER input batch: sum them
+        for k in agg:
+            agg[k] += int(pc.sum(b[k]).as_py() or 0)
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k1": pa.array([], pa.uint64()),
+                             "k2": pa.array([], pa.uint64())})
+        k1 = t["k1"].to_numpy(zero_copy_only=False)
+        k2 = t["k2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k2, k1))
+        k1s, k2s = k1[order], k2[order]
+        first = np.ones(len(k1s), dtype=bool)
+        first[1:] = (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])
+        return pa.table({"k1": pa.array(k1s[first]),
+                         "k2": pa.array(k2s[first])})
+
+    n_distinct = 0
+    for b in scanned.map_batches(
+            key_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=width, keys=["k1"]).map_batches(
+            key_partial, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+            lambda t: pa.table({"d": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow", batch_size=None,
+    ).iter_batches(batch_format="pyarrow"):
+        n_distinct += int(pc.sum(b["d"]).as_py() or 0)
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(pc.drop_null(t["lang"]))
+        return pa.table({"lang": u})
+
+    n_langs = len({
+        v
+        for b in ds.select_columns(["lang"]).map_batches(
+            lang_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")
+        for v in b["lang"].to_pylist()
+    })  # bounded by #distinct langs per block x #blocks, langs are few
+
+    card = [
+        ("n_docs", agg["n_docs"]),
+        ("n_kept", agg["n_kept"]),
+        ("keep_rate_q6",
+         (10**6 * agg["n_kept"]) // agg["n_docs"] if agg["n_docs"] else 0),
+        ("total_words", agg["total_words"]),
+        ("mean_words_q2",
+         (100 * agg["total_words"]) // agg["n_docs"]
+         if agg["n_docs"] else 0),
+        ("n_distinct_texts", n_distinct),
+        ("n_exact_dup_docs", agg["n_docs"] - n_distinct),
+        ("n_langs", n_langs),
+    ]
+    return pa.table({
+        "metric": pa.array([m for m, _ in card], pa.string()),
+        "value": pa.array([v for _, v in card], pa.int64()),
+    })

@@ -7611,3 +7611,45 @@ def test_cluster_safe_split_property(ray_session):
         bp = ((i * A + B) % (1 << 64)) % 10000
         want = "train" if bp < 8000 else ("val" if bp < 9000 else "test")
         assert m[i] == want, i
+
+
+def test_corpus_quality_card_matches_twin(ray_session):
+    """corpus_quality_card == python twin over a crafted corpus with
+    dups, NULLs and multiple langs; layout-invariant."""
+    import ray.data
+
+    from luzzu_ray import constants as C
+    from luzzu_ray.ops.profile import corpus_quality_card
+
+    texts = ["hello world one two three", "hello world one two three",
+             None, "", "short doc here", "x" * 30000,  # over MAX_CHARS
+             "another unique doc with words"]
+    langs = ["en", "en", "de", None, "fr", "en", "de"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    n_docs = len(texts)
+    kept = sum(
+        1 for tx in texts
+        if C.MIN_CHARS <= len(tx or "") <= C.MAX_CHARS)
+    words = sum(len((tx or "").split()) for tx in texts)
+    # NULL is its own distinct value (dedup-family key semantics)
+    distinct = len({tx for tx in texts if tx is not None}) + (
+        1 if any(tx is None for tx in texts) else 0)
+    want = {
+        "n_docs": n_docs, "n_kept": kept,
+        "keep_rate_q6": (10**6 * kept) // n_docs,
+        "total_words": words,
+        "mean_words_q2": (100 * words) // n_docs,
+        "n_distinct_texts": distinct,
+        "n_exact_dup_docs": n_docs - distinct,
+        "n_langs": len({g for g in langs if g is not None}),
+    }
+    for nb in (1, 4):
+        got = corpus_quality_card(
+            ray.data.from_arrow(t).repartition(nb))
+        gm = dict(zip(got["metric"].to_pylist(),
+                      got["value"].to_pylist()))
+        assert gm == want, nb
