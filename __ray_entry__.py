@@ -9776,6 +9776,79 @@ FROM tr GROUP BY subj
 """
 
 
+BOILERPLATE_TOP_K = 20
+
+
+def q_top_boilerplate_lines(sf_dir: str):
+    """Top-k boilerplate line report (`ops/lines.py`
+    ``top_boilerplate_lines`` — the diagnostic a curation engineer
+    reads before picking the line-dedup df threshold): highest
+    document-frequency lines under the shared W-word line derivation;
+    per-block distinct (line, doc) partials, one string-keyed
+    exchange, narrow top-k."""
+    from luzzu_ray.ops.lines import top_boilerplate_lines
+
+    return top_boilerplate_lines(
+        _docs(sf_dir, ["doc_id", "text"]), k=BOILERPLATE_TOP_K,
+        words_per_line=LINE_DEDUP_W)
+
+
+def _boilerplate_top_sql() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      generate_subscripts(string_split(text, ' '), 1) AS wi FROM d),
+l AS (SELECT doc_id, CAST((wi - 1) // {LINE_DEDUP_W} AS BIGINT)
+      AS line_idx, string_agg(word, ' ' ORDER BY wi) AS line
+      FROM w GROUP BY 1, 2),
+df AS (SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM l GROUP BY 1)
+SELECT line, n_docs FROM df
+ORDER BY n_docs DESC, line LIMIT {BOILERPLATE_TOP_K}
+"""
+
+
+def q_conv_tool_bigrams(sf_dir: str):
+    """Turn-flow transition mining over agent transcripts: the generic
+    sequential-bigram op (`ops/events.py` ``event_type_bigrams``)
+    re-targeted at the multi-turn corpus with token = ``coalesce(tool,
+    role)`` (conv as the stream key, turn order as time) — which step
+    kind follows which (user -> assistant, assistant -> search, ...),
+    the agent-loop structure profile."""
+    from luzzu_ray.ops.events import event_type_bigrams
+    from luzzu_ray.sources import documents_as_multiturn
+
+    def adapt(t: pa.Table) -> pa.Table:
+        ti = pc.cast(t["turn_idx"], pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t["conv_id"], pa.int64()),
+            "event_id": ti,
+            "ts": pc.cast(ti, pa.timestamp("us")),
+            "event_type": pc.coalesce(t["tool"], t["role"]),
+        })
+
+    return event_type_bigrams(
+        documents_as_multiturn(sf_dir).map_batches(
+            adapt, batch_format="pyarrow", zero_copy_batch=True),
+        k=EVENT_BIGRAM_K)
+
+
+def _conv_tool_bigrams_sql() -> str:
+    return f"""
+WITH m AS ({_multiturn_sql()}),
+s AS (
+  SELECT conv_id, COALESCE(tool, role) AS tok,
+    lead(COALESCE(tool, role)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM m
+)
+SELECT tok || '>' || nxt AS pair, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL AND tok IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, pair LIMIT {EVENT_BIGRAM_K}
+"""
+
+
 def q_corpus_quality_card(sf_dir: str):
     """Aggregated corpus quality card (`ops/profile.py`
     ``corpus_quality_card`` — the Luzzu daQ report analogue): doc /
@@ -11053,6 +11126,8 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "top_boilerplate_lines": q_top_boilerplate_lines,
+        "conv_tool_bigrams": q_conv_tool_bigrams,
         "corpus_quality_card": q_corpus_quality_card,
         "conv_pack": q_conv_pack,
         "cluster_safe_split": q_cluster_safe_split,
@@ -12630,6 +12705,8 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "conv_pack": _conv_pack_sql(),
         "cluster_safe_split": _cluster_split_sql(),
         "corpus_quality_card": _quality_card_sql(),
+        "top_boilerplate_lines": _boilerplate_top_sql(),
+        "conv_tool_bigrams": _conv_tool_bigrams_sql(),
         "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),

@@ -330,6 +330,8 @@ def main() -> None:
         "conv_pack",
         "cluster_safe_split",
         "corpus_quality_card",
+        "top_boilerplate_lines",
+        "conv_tool_bigrams",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -288,3 +288,60 @@ def line_rule_filter_block(
         "n_kept": pa.array(n_kept),
         "text_clean": text_clean,
     })
+
+
+def top_boilerplate_lines(
+    ds: ray.data.Dataset,
+    k: int = 20,
+    words_per_line: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Top-k BOILERPLATE LINE REPORT — the diagnostic complement of
+    :func:`line_dedup` (what a curation engineer eyeballs before
+    picking the df threshold): the ``k`` lines with the highest
+    document frequency, as ``(line, n_docs)``, ties to the
+    lexicographically smallest line.
+
+    Scale shape: per-block distinct (line, doc) pairs collapse before
+    one line-keyed exchange of STRING lines (bounded by per-block
+    distinct lines — boilerplate is Zipf-headed, so this is far below
+    the line count; the hash-keyed :func:`boilerplate_line_keys` is
+    the threshold path, this is the bounded-k report path); a narrow
+    top-k sort returns k rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import topk
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"line": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        lines, line_doc, _ = _lines_block(
+            t, text_col, id_col, words_per_line)
+        if not len(lines):
+            return pa.table({"line": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        # distinct (line, doc) within the block (docs never split
+        # across batches, so per-block distinct-doc counts are final
+        # partials summable across blocks)
+        g = pa.table({
+            "line": lines,
+            "d": pa.array(line_doc),
+        }).group_by(["line", "d"]).aggregate([]).group_by(
+            ["line"]).aggregate([("d", "count")])
+        return g.rename_columns(["line", "n_docs"])
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    totals = parts.groupby(
+        "line", num_partitions=auto_partitions(parts, num_partitions)
+    ).aggregate(Sum("n_docs", alias_name="n_docs"))
+    return topk(totals, "n_docs", k, "line")

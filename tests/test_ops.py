@@ -7653,3 +7653,39 @@ def test_corpus_quality_card_matches_twin(ray_session):
         gm = dict(zip(got["metric"].to_pylist(),
                       got["value"].to_pylist()))
         assert gm == want, nb
+
+
+def test_top_boilerplate_lines_matches_twin(ray_session):
+    """top_boilerplate_lines == python df-count twin (W-word line
+    derivation, distinct docs per line, count DESC / line ASC ties),
+    layout-invariant."""
+    import ray.data
+    from collections import defaultdict
+
+    from luzzu_ray.ops.lines import top_boilerplate_lines
+
+    boiler = "copyright acme corp all rights reserved footer text"
+    texts = [boiler + " alpha one two three four five six seven",
+             "unique content here " + boiler,
+             boiler + " " + boiler,  # same line twice in one doc
+             "totally different words in this one here now ok",
+             None, ""]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    W = 8
+    df = defaultdict(set)
+    for i, tx in zip(ids, texts):
+        if not tx:
+            continue
+        ws = tx.split(" ")
+        for s in range(0, len(ws), W):
+            df[" ".join(ws[s:s + W])].add(i)
+    want = sorted(((ln, len(ds_)) for ln, ds_ in df.items()),
+                  key=lambda kv: (-kv[1], kv[0]))[:5]
+    for nb in (1, 3):
+        got = pa.Table.from_pylist(top_boilerplate_lines(
+            ray.data.from_arrow(t).repartition(nb), k=5,
+            words_per_line=W).take_all())
+        assert list(zip(got["line"].to_pylist(),
+                        got["n_docs"].to_pylist())) == want, nb
