@@ -4588,6 +4588,60 @@ GROUP BY x.vec_id, x.cluster
 """
 
 
+def q_semdedup_recall_eval(sf_dir: str):
+    """SemDeDup index-quality eval (the semantic-dedup complement of
+    `minhash_recall_eval` / `ann_recall_eval`): dup marks from the
+    cell-bounded SemDeDup path vs the exact all-pairs ground truth at
+    the same threshold — (n_true, n_found, n_overlap) in one row.
+    Cross-cell duplicates are exactly the recall SemDeDup trades for
+    its bounded quadratic, so n_found <= n_true by construction and
+    the gap IS the cell-boundary loss; found marks are always a
+    subset of true marks (precision 1).  Both sides run full
+    distributed pipelines; only id sets reach the driver (bounded by
+    dup counts)."""
+    from luzzu_ray.ops.similarity import (
+        embedding_neardup_pairs, semantic_dedup)
+
+    tbl = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = _kmeans_centroids_engine(sf_dir)
+    sem = semantic_dedup(tbl, C, threshold=SEMDEDUP_THRESHOLD)
+    found = set()
+    for b in sem.iter_batches(batch_format="pyarrow"):
+        t = b.filter(b["is_semdup"])
+        found.update(t["vec_id"].to_pylist())
+    true_ids = set()
+    for b in embedding_neardup_pairs(
+            _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            threshold=SEMDEDUP_THRESHOLD).iter_batches(
+            batch_format="pyarrow"):
+        true_ids.update(b["b"].to_pylist())
+    return pa.table({
+        "n_true": pa.array([len(true_ids)], pa.int64()),
+        "n_found": pa.array([len(found)], pa.int64()),
+        "n_overlap": pa.array([len(true_ids & found)], pa.int64()),
+    })
+
+
+def _semdedup_recall_sql(sf_dir: str) -> str | None:
+    sem = _semantic_dedup_sql(sf_dir)
+    if sem is None:
+        return None
+    return f"""
+WITH tru AS (
+  SELECT b.vec_id FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding)
+    >= {SEMDEDUP_THRESHOLD}
+  GROUP BY 1
+),
+sem AS (SELECT * FROM ({sem}))
+SELECT CAST((SELECT count(*) FROM tru) AS BIGINT) AS n_true,
+  CAST((SELECT count(*) FROM sem WHERE is_semdup) AS BIGINT) AS n_found,
+  CAST((SELECT count(*) FROM sem JOIN tru USING (vec_id)
+        WHERE is_semdup) AS BIGINT) AS n_overlap
+"""
+
+
 KNN_GRAPH_K = 5
 
 
@@ -11126,6 +11180,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "semdedup_recall_eval": q_semdedup_recall_eval,
         "top_boilerplate_lines": q_top_boilerplate_lines,
         "conv_tool_bigrams": q_conv_tool_bigrams,
         "corpus_quality_card": q_corpus_quality_card,
@@ -13412,7 +13467,8 @@ FROM g JOIN dfs USING (g) GROUP BY doc_id
                            ("knn_graph", _knn_graph_sql),
                            ("bitext_mutual_pairs", _bitext_mutual_sql),
                            ("hard_negatives", _hard_negatives_sql),
-                           ("temperature_mixture", _temperature_mix_sql)):
+                           ("temperature_mixture", _temperature_mix_sql),
+                           ("semdedup_recall_eval", _semdedup_recall_sql)):
         sql = builder(oracle_dir)
         if sql is not None:
             sqls[qname] = sql

@@ -332,6 +332,7 @@ def main() -> None:
         "corpus_quality_card",
         "top_boilerplate_lines",
         "conv_tool_bigrams",
+        "semdedup_recall_eval",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
