@@ -10227,6 +10227,74 @@ SELECT doc_id, {expr} AS text_norm, {expr} <> t2 AS changed FROM s
 """
 
 
+def q_rdf_parse_report(sf_dir: str):
+    """Parser PROBLEM REPORT (Luzzu's skip-and-report contract as a
+    metric): a deterministically CORRUPTED N-Triples stream (garbage
+    prefix every 7th doc, a broken separator every 11th) flows through
+    the real vectorized parser; output one row (n_lines, n_malformed,
+    malformed_q6).  The twin rebuilds the same corrupted lines and
+    counts regex failures with the same grammar."""
+    from luzzu_ray.ops.rdf import parse_ntriples_batch
+
+    def synth_lines(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        line = pc.binary_join_element_wise(
+            "<http://ex.com/doc/", pc.cast(t["doc_id"], pa.string()),
+            "> <http://ex.com/p/source> \"",
+            pc.fill_null(t["source"], ""), "\" .", "")
+        bad1 = pc.binary_join_element_wise("XX", line, "")
+        bad2 = pc.replace_substring(line, pattern="> <",
+                                    replacement=">|<")
+        out = pc.if_else(pa.array(ids % 7 == 0), bad1,
+                         pc.if_else(pa.array(ids % 11 == 0), bad2, line))
+        return pa.table({"line": out})
+
+    parsed = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        synth_lines, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(parse_ntriples_batch, batch_format="pyarrow")
+    n_lines = 0
+    n_bad = 0
+    for b in parsed.iter_batches(batch_format="pyarrow"):
+        n_lines += b.num_rows
+        n_bad += int(pc.sum(pc.cast(b["malformed"], pa.int64())).as_py()
+                     or 0)
+    return pa.table({
+        "n_lines": pa.array([n_lines], pa.int64()),
+        "n_malformed": pa.array([n_bad], pa.int64()),
+        "malformed_q6": pa.array(
+            [(10**6 * n_bad) // n_lines if n_lines else 0], pa.int64()),
+    })
+
+
+_RDF_PARSE_REPORT_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 7 = 0 THEN 'XX' ||
+        '<http://ex.com/doc/' || doc_id ||
+        '> <http://ex.com/p/source> "' || COALESCE(source, '') || '" .'
+      WHEN doc_id % 11 = 0 THEN replace(
+        '<http://ex.com/doc/' || doc_id ||
+        '> <http://ex.com/p/source> "' || COALESCE(source, '') || '" .',
+        '> <', '>|<')
+      ELSE '<http://ex.com/doc/' || doc_id ||
+        '> <http://ex.com/p/source> "' || COALESCE(source, '') || '" .'
+    END AS line
+  FROM documents
+),
+m AS (
+  SELECT CASE WHEN regexp_matches(line,
+    '^<([^<>\s]+)>\s+<([^<>\s]+)>\s+(?:<([^<>\s]+)>|"([^"]*)")\s*\.\s*$')
+    THEN 0 ELSE 1 END AS bad
+  FROM l
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(bad) AS BIGINT) AS n_malformed,
+  CAST((1000000 * sum(bad)) // count(*) AS BIGINT) AS malformed_q6
+FROM m
+"""
+
+
 def q_rdf_conciseness(sf_dir: str):
     """Corpus-level RDF conciseness (`ops/rdf.py` ``rdf_conciseness``,
     Luzzu's duplicate-statement metric): total vs distinct vs
@@ -11180,6 +11248,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "rdf_parse_report": q_rdf_parse_report,
         "semdedup_recall_eval": q_semdedup_recall_eval,
         "top_boilerplate_lines": q_top_boilerplate_lines,
         "conv_tool_bigrams": q_conv_tool_bigrams,
@@ -12762,6 +12831,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "corpus_quality_card": _quality_card_sql(),
         "top_boilerplate_lines": _boilerplate_top_sql(),
         "conv_tool_bigrams": _conv_tool_bigrams_sql(),
+        "rdf_parse_report": _RDF_PARSE_REPORT_SQL,
         "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),

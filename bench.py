@@ -333,6 +333,7 @@ def main() -> None:
         "top_boilerplate_lines",
         "conv_tool_bigrams",
         "semdedup_recall_eval",
+        "rdf_parse_report",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
