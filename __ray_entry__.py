@@ -10227,6 +10227,33 @@ SELECT doc_id, {expr} AS text_norm, {expr} <> t2 AS changed FROM s
 """
 
 
+def q_doc_hapax_rate(sf_dir: str):
+    """Per-doc corpus-hapax counts (`ops/vocab.py` ``doc_hapax_rate``
+    — lexical novelty / OCR-noise signal): tokens whose corpus-wide
+    occurrence count is exactly 1, via the gram-df exchange shape (the
+    hapax set never broadcasts); map-side token totals merge through
+    one doc-keyed grouped sum."""
+    from luzzu_ray.ops.vocab import doc_hapax_rate
+
+    return doc_hapax_rate(_docs(sf_dir, ["doc_id", "text"]))
+
+
+_HAPAX_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+    AS tok
+  FROM documents
+),
+tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+hx AS (SELECT t.doc_id, count(*) AS n_hapax FROM toks t
+       JOIN tf USING (tok) WHERE tf.c = 1 GROUP BY 1),
+nt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(nt.n, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(hx.n_hapax, 0) AS BIGINT) AS n_hapax
+FROM documents d LEFT JOIN nt USING (doc_id) LEFT JOIN hx USING (doc_id)
+"""
+
+
 def q_rdf_parse_report(sf_dir: str):
     """Parser PROBLEM REPORT (Luzzu's skip-and-report contract as a
     metric): a deterministically CORRUPTED N-Triples stream (garbage
@@ -11248,6 +11275,7 @@ def _queries_in_registry_order() -> dict[str, Callable[[str], Any]]:
         # round 0 in the rotation sort, and registry order breaks the
         # tie — brand-new code carries the least evidence, so it takes
         # window priority over older never-audited entries
+        "doc_hapax_rate": q_doc_hapax_rate,
         "rdf_parse_report": q_rdf_parse_report,
         "semdedup_recall_eval": q_semdedup_recall_eval,
         "top_boilerplate_lines": q_top_boilerplate_lines,
@@ -12832,6 +12860,7 @@ WHERE d.doc_id % {DECON_MOD} <> 0
         "top_boilerplate_lines": _boilerplate_top_sql(),
         "conv_tool_bigrams": _conv_tool_bigrams_sql(),
         "rdf_parse_report": _RDF_PARSE_REPORT_SQL,
+        "doc_hapax_rate": _HAPAX_SQL,
         "rdf_dangling_links": _RDF_DANGLING_SQL,
         "activity_window_overlap": _overlap_sql(),
         "events_bootstrap_means": _bootstrap_sql(),

@@ -334,6 +334,7 @@ def main() -> None:
         "conv_tool_bigrams",
         "semdedup_recall_eval",
         "rdf_parse_report",
+        "doc_hapax_rate",
     ):
         t0 = time.monotonic()
         res = qs[name](SF_DIR)

@@ -2357,3 +2357,120 @@ def contrastive_crops(
 
     return ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_hapax_rate(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document HAPAX LEGOMENA count — lexical novelty at corpus
+    granularity (a doc rich in corpus-unique words is either novel
+    signal or OCR noise; either way curation wants the number): for
+    every doc, how many of its token occurrences are corpus-wide
+    hapaxes (total occurrence count exactly 1).  Output
+    (doc_id, n_tokens, n_hapax); docs with zero tokens emit n_tokens 0.
+
+    Scale shape (the dup_span_docs gram-df pattern): per-block
+    (token-hash, doc, n) partials collapse the token stream BEFORE one
+    hash-keyed exchange; after the exchange each hash's total count is
+    block-final, df==1 rows emit (doc, 1) partials, and per-doc sums
+    merge with the map-side token counts through one narrow doc-keyed
+    grouped sum.  The hapax SET is Zipf-huge and never broadcasts or
+    reaches the driver.  Same 64-bit hash-vs-string caveat as the
+    shingle family (a collision surfaces as an oracle mismatch).
+    """
+    from luzzu_ray.ops.dedup import auto_partitions
+    from luzzu_ray.ops.relational import grouped_sum_q
+    from luzzu_ray.ops.textstats import token_hashes_for_rows
+    from luzzu_ray.pipelines.filter_pipeline import _ensure_hash_shuffle
+
+    _ensure_hash_shuffle()
+    width = auto_partitions(ds, num_partitions)
+    base = ds.select_columns([id_col, text_col])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "h": pa.array([], pa.int64()),
+                "doc": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        tt = t.rename_columns(["doc_id", "text"]) \
+            if t.schema.names != ["doc_id", "text"] else t
+        th, tr = token_hashes_for_rows(tt)
+        ids = tt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(th):
+            return pa.table({
+                "h": pa.array([], pa.int64()),
+                "doc": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            })
+        hs = th.view(np.int64)
+        order = np.lexsort((tr, hs))
+        h_s, r_s = hs[order], tr[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = (h_s[1:] != h_s[:-1]) | (r_s[1:] != r_s[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(h_s)))
+        return pa.table({
+            "h": pa.array(h_s[starts]),
+            "doc": pa.array(ids[r_s[starts]]),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def hapax_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_hapax": pa.array([], pa.int64()),
+            })
+        h = t["h"].to_numpy(zero_copy_only=False)
+        d = t["doc"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s, d_s, n_s = h[order], d[order], n[order]
+        starts = np.r_[0, np.flatnonzero(h_s[1:] != h_s[:-1]) + 1]
+        tot = np.add.reduceat(n_s, starts)
+        # hapax: total corpus count 1 -> exactly one (doc, n=1) row
+        sel = starts[(tot == 1)]
+        if not len(sel):
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_hapax": pa.array([], pa.int64()),
+            })
+        docs = d_s[sel]
+        u, c = np.unique(docs, return_counts=True)
+        return pa.table({
+            id_col: pa.array(u.astype(np.int64)),
+            "n_tokens": pa.array(np.zeros(len(u), dtype=np.int64)),
+            "n_hapax": pa.array(c.astype(np.int64)),
+        })
+
+    hapax = base.map_batches(
+        tok_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(num_blocks=width, keys=["h"]).map_batches(
+        hapax_block, batch_format="pyarrow", batch_size=None)
+
+    def ntok(t: pa.Table) -> pa.Table:
+        tt = t.rename_columns(["doc_id", "text"]) \
+            if t.schema.names != ["doc_id", "text"] else t
+        th, tr = token_hashes_for_rows(tt)
+        counts = (np.bincount(tr, minlength=t.num_rows)
+                  if len(tr) else np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table({
+            id_col: tt["doc_id"],
+            "n_tokens": pa.array(counts.astype(np.int64)),
+            "n_hapax": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    both = base.map_batches(
+        ntok, batch_format="pyarrow", zero_copy_batch=True).union(hapax)
+    return grouped_sum_q(
+        both, [id_col], float_cols={},
+        int_cols={"n_tokens": "n_tokens", "n_hapax": "n_hapax"},
+        num_partitions=num_partitions,
+    )

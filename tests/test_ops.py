@@ -7689,3 +7689,37 @@ def test_top_boilerplate_lines_matches_twin(ray_session):
             words_per_line=W).take_all())
         assert list(zip(got["line"].to_pylist(),
                         got["n_docs"].to_pylist())) == want, nb
+
+
+def test_doc_hapax_rate_matches_twin(ray_session):
+    """doc_hapax_rate == Counter twin (corpus-wide occurrence count 1,
+    case-folded tokens), layout-invariant; zero-token and NULL docs
+    emit n_tokens 0."""
+    import re
+
+    import ray.data
+    from collections import Counter
+
+    from luzzu_ray.ops.vocab import doc_hapax_rate
+
+    texts = ["the cat sat on the mat", "a unique zebra walked by",
+             "The CAT returned quietly", None, "", "zebra again here"]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def toks(tx):
+        return re.findall(r"[a-z0-9]+", (tx or "").lower())
+
+    tf = Counter(w for tx in texts for w in toks(tx))
+    want = {}
+    for i, tx in zip(ids, texts):
+        ws = toks(tx)
+        want[i] = (len(ws), sum(1 for w in ws if tf[w] == 1))
+    for nb in (1, 4):
+        got = pa.Table.from_pylist(doc_hapax_rate(
+            ray.data.from_arrow(t).repartition(nb)).take_all())
+        gm = {i: (n, h) for i, n, h in zip(
+            got["doc_id"].to_pylist(), got["n_tokens"].to_pylist(),
+            got["n_hapax"].to_pylist())}
+        assert gm == want, nb
